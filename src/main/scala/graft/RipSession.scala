@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Riptable is an eager single-node library whose "session" is the Python
+  * process (reference: `riptable/rt_fastarray.py:381` threading globals at
+  * `rt_fastarray.py:6266`). On Spark the session carries the cluster tuning
+  * instead. Defaults here are chosen for the 100 TB posture:
+  *   - AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+  *   - zstd parquet (riptable's SDS is zstd-compressed, `rt_sds.py:719`);
+  *   - shuffle partitions sized by the caller (32 on the local test rig;
+  *     thousands on a real cluster).
+  */
+object RipSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // Nanosecond parquet timestamps surface as LongType ns-since-epoch
+      // (SURVEY §1.2: nanos-as-long policy; TimestampType is µs).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Riptable/numpy semantics are non-ANSI (wraparound int math,
+      // silent overflow) — matches rc.BasicMath* kernel behavior.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests: local[n] with n shuffle partitions. */
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,577 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions._
+import graft.syntax._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY §2 and
+  * has a DuckDB-equivalent `oracleSql` (column names aligned on both
+  * sides). Queries order their output deterministically and keep floats
+  * rounded where engine-side summation order could differ in the last ulp.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Flagship: TPC-H Q1 shape (SURVEY §7 step 2) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1(spark, "/root/testdata/sf0.001")
+
+  // ---- §2.4 aggregation ----
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---- the map ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => q1(s, dir)),
+
+    "q2_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filterRows(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q3_join_inner" -> ((s, dir) =>
+      Merge.merge2(
+        t(s, dir, "orders"), t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        on = Seq("o_custkey"), how = "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 4).as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))),
+
+    "q4_join_outer" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val agg = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      Merge.merge2(orders.select(col("o_orderkey"), col("o_orderstatus")), agg,
+        on = Seq("o_orderkey"), how = "outer", indicator = true)
+        .groupBy(col("o_orderstatus"), col("merge_indicator"))
+        .agg(count(lit(1)).as("n"), sum(col("n_items")).as("sum_items"))
+        .orderBy(col("o_orderstatus"), col("merge_indicator"))
+    }),
+
+    "q5_merge_lookup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+      Merge.mergeLookup(cust, nat, on = Seq("c_nationkey"), orderCol = Some("n_name"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q6_ismember" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      Merge.ismember(cust, orders, Seq("c_custkey"))
+        .groupBy(col("ismember")).agg(count(lit(1)).as("n"))
+        .orderBy(col("ismember"))
+    }),
+
+    "q7_gb_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(GroupOps.nanmedian(col("l_quantity")), 6).as("med_qty"),
+          round(GroupOps.quantile(col("l_extendedprice"), 0.9), 6).as("p90_price"),
+          round(GroupOps.nanvar(col("l_quantity")), 6).as("var_qty"),
+          round(GroupOps.nanstd(col("l_discount")), 6).as("std_disc"),
+          GroupOps.countUniques(col("l_partkey")).as("n_parts"))
+        .orderBy(col("l_returnflag"))),
+
+    "q8_gb_firstlast" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          GroupOps.firstBy(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          GroupOps.lastBy(col("o_totalprice"), col("o_orderkey")).as("last_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+        .orderBy(col("o_orderpriority"))),
+
+    "q9_gb_transform" -> ((s, dir) =>
+      GroupOps.transform(
+        t(s, dir, "orders"), Seq("o_orderstatus"),
+        "status_total" -> sum(col("o_totalprice")),
+        "status_n" -> count(lit(1)))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("status_total"), 4).as("status_total"), col("status_n"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- §2.5 window / ordered ----
+
+    "q10_rolling" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val withRoll = Rolling.rollingSum(ev, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), 3, "value", "roll_sum")
+      Rolling.rollingMean(withRoll, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), 3, "value", "roll_mean")
+        .select(col("event_id"), col("user_id"),
+          round(col("roll_sum"), 6).as("roll_sum"),
+          round(col("roll_mean"), 6).as("roll_mean"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q11_cumsum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val c1 = Rolling.cumsum(ev, Seq("user_id"), Seq(col("ts"), col("event_id")),
+        "value", "cum_value")
+      GroupOps.cumcount(c1, Seq("user_id"), Seq(col("ts"), col("event_id")), "cum_n")
+        .select(col("event_id"), col("user_id"),
+          round(col("cum_value"), 6).as("cum_value"), col("cum_n"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q12_shift_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sh = Rolling.shift(ev, Seq("user_id"), Seq(col("ts"), col("event_id")), 1,
+        "value", "prev_value")
+      Rolling.diff(sh, Seq("user_id"), Seq(col("ts"), col("event_id")), 1,
+        "value", "dvalue")
+        .select(col("event_id"), col("user_id"),
+          round(col("prev_value"), 6).as("prev_value"),
+          round(col("dvalue"), 6).as("dvalue"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q13_ffill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("v", when(col("value") < 10.0, lit(null)).otherwise(col("value")))
+      ev.fillForward("v", Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("event_id"), col("user_id"), round(col("v"), 6).as("v_filled"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q14_rank" -> ((s, dir) =>
+      Rolling.rankIn(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("value"), col("event_id")), "min", "rnk")
+        .select(col("event_id"), col("user_id"), col("rnk"))
+        .orderBy(col("event_id"))),
+
+    // ---- §2.3 as-of join ----
+
+    "q15_asof_backward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("purchase_value"))
+      AsofJoin.asof(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("purchase_value"), direction = "backward")
+        .select(col("event_id"), col("user_id"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q16_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("purchase_value"))
+      AsofJoin.asof(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("purchase_value"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- §2.8 scalar packs ----
+
+    "q17_datetime" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100
+            + dayofmonth(col("o_orderdate"))).as("yyyymmdd"))
+        .orderBy(col("o_orderkey"))),
+
+    "q18_strings" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).as("name_len"),
+          col("p_type").contains("BRASS").as("is_brass"),
+          col("p_name").startsWith("a").as("starts_a"),
+          substring(col("p_brand"), 1, 5).as("brand5"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first"))
+        .orderBy(col("p_partkey"))),
+
+    "q19_cut" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("qty_bin", Binning.cut(col("l_quantity"), Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0)))
+        .groupBy(col("qty_bin")).agg(count(lit(1)).as("n"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"))
+        .orderBy(col("qty_bin"))),
+
+    "q20_qcut" -> ((s, dir) =>
+      Binning.qcut(t(s, dir, "orders"), "o_totalprice", "o_orderkey", 4, "price_q")
+        .groupBy(col("price_q")).agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 6).as("lo"),
+          round(max(col("o_totalprice")), 6).as("hi"))
+        .orderBy(col("price_q"))),
+
+    // ---- §2.7 reshape ----
+
+    "q21_hstack" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_linestatus") === "O")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val b = li.filter(col("l_linestatus") === "F")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      a.hstack(b)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q22_pivot" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+      val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+      val joined = cust.join(broadcast(nat), Seq("c_nationkey"))
+        .join(broadcast(reg), Seq("n_regionkey"))
+      Reshape.accum2(joined, "c_mktsegment", "r_name", count(lit(1)),
+        colValues = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+        .na.fill(0L)
+        .withColumnRenamed("MIDDLE EAST", "MIDDLE_EAST")
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q23_melt" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .melt(Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("variable"))),
+
+    "q24_dropdup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .dropDuplicatesKeep(Seq("l_orderkey"), "first", Seq("l_linenumber", "l_quantity", "l_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("l_quantity"), 6).as("l_quantity"))
+        .orderBy(col("l_orderkey"))),
+
+    "q25_onehot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .oneHotEncode("o_orderstatus", Seq("F", "O", "P"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_orderstatus_F")).as("n_f"),
+          sum(col("o_orderstatus_O")).as("n_o"),
+          sum(col("o_orderstatus_P")).as("n_p"))
+        .orderBy(col("o_orderpriority"))),
+
+    // ---- text analysis / dedup / similarity (LLM-pipeline pack) ----
+
+    "q26_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "q27_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("n_docs"), col("keep_id"))
+        .orderBy(col("keep_id"))),
+
+    "q28_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q29_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q30_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "q31_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q32_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFns.langScore(col("text"), "en").as("en_score"),
+          TextFns.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")))
+  )
+
+  // ---- oracle SQL (DuckDB dialect) ----
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 6) AS revenue
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_inner" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_join_outer" ->
+      """WITH agg AS (
+        |  SELECT l_orderkey AS o_orderkey, count(*) AS n_items
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderstatus, CASE
+        |    WHEN o.o_orderkey IS NOT NULL AND a.o_orderkey IS NOT NULL THEN 'both'
+        |    WHEN o.o_orderkey IS NOT NULL THEN 'left_only' ELSE 'right_only' END
+        |    AS merge_indicator,
+        |  count(*) AS n, sum(a.n_items) AS sum_items
+        |FROM orders o FULL OUTER JOIN agg a USING (o_orderkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q5_merge_lookup" ->
+      """SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 6) AS avg_bal
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_ismember" ->
+      """SELECT EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |    AS ismember, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_gb_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(stddev_samp(l_discount), 6) AS std_disc,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_gb_firstlast" ->
+      """SELECT o_orderpriority,
+        |  arg_min(o_totalprice, o_orderkey) AS first_price,
+        |  arg_max(o_totalprice, o_orderkey) AS last_price,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_gb_transform" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS status_total,
+        |  count(*) OVER (PARTITION BY o_orderstatus) AS status_n
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q10_rolling" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 6) AS roll_sum,
+        |  round(avg(value) OVER w, 6) AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q11_cumsum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 6) AS cum_value,
+        |  (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)) - 1 AS cum_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q12_shift_diff" ->
+      """SELECT event_id, user_id,
+        |  round(lag(value, 1) OVER w, 6) AS prev_value,
+        |  round(value - lag(value, 1) OVER w, 6) AS dvalue
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q13_ffill" ->
+      """SELECT event_id, user_id,
+        |  round(last_value(CASE WHEN value < 10.0 THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q14_rank" ->
+      """SELECT event_id, user_id,
+        |  rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rnk
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q15_asof_backward" ->
+      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, round(p.value, 6) AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q16_asof_forward" ->
+      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, round(p.value, 6) AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu <= p.tsu
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q17_datetime" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom, dayofweek(o_orderdate) + 1 AS dow,
+        |  dayofyear(o_orderdate) AS doy,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  year(o_orderdate) * 10000 + month(o_orderdate) * 100
+        |    + day(o_orderdate) AS yyyymmdd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q18_strings" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        |  length(p_name) AS name_len,
+        |  contains(p_type, 'BRASS') AS is_brass,
+        |  starts_with(p_name, 'a') AS starts_a,
+        |  substring(p_brand, 1, 5) AS brand5,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_first
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q19_cut" ->
+      """WITH b AS (SELECT CASE
+        |    WHEN l_quantity >= 0 AND l_quantity <= 10 THEN 1
+        |    WHEN l_quantity > 10 AND l_quantity <= 20 THEN 2
+        |    WHEN l_quantity > 20 AND l_quantity <= 30 THEN 3
+        |    WHEN l_quantity > 30 AND l_quantity <= 40 THEN 4
+        |    WHEN l_quantity > 40 AND l_quantity <= 50 THEN 5 END AS qty_bin,
+        |  l_extendedprice FROM lineitem)
+        |SELECT qty_bin, count(*) AS n, round(avg(l_extendedprice), 6) AS avg_price
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_qcut" ->
+      """WITH q AS (SELECT o_totalprice,
+        |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_q
+        |  FROM orders)
+        |SELECT price_q, count(*) AS n, round(min(o_totalprice), 6) AS lo,
+        |  round(max(o_totalprice), 6) AS hi
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_hstack" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(NULL AS DOUBLE) AS l_extendedprice
+        |FROM lineitem WHERE l_linestatus = 'O'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q22_pivot" ->
+      """SELECT c_mktsegment,
+        |  count(*) FILTER (r_name = 'AFRICA') AS "AFRICA",
+        |  count(*) FILTER (r_name = 'AMERICA') AS "AMERICA",
+        |  count(*) FILTER (r_name = 'ASIA') AS "ASIA",
+        |  count(*) FILTER (r_name = 'EUROPE') AS "EUROPE",
+        |  count(*) FILTER (r_name = 'MIDDLE EAST') AS "MIDDLE_EAST"
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_melt" ->
+      """SELECT l_orderkey, l_linenumber, k AS variable, v AS value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS k, l_quantity AS v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS k, l_discount AS v
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin,
+
+    "q24_dropdup" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 6) AS l_quantity
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_quantity, l_partkey) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q25_onehot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_exact_dedup" ->
+      """SELECT count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "q32_langid" ->
+      """SELECT doc_id, lang,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t IN ('the','and','of','to','a','in','is','it'))) AS en_score,
+        |  round((
+        |    CASE WHEN length(text) >= 200 AND length(text) <= 10000 THEN 1.0
+        |      WHEN length(text) < 200 THEN length(text) / 200.0
+        |      ELSE 10000.0 / length(text) END
+        |    + CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - least(p / greatest(n, 1.0), 1.0) END
+        |    + CASE WHEN n = 0 THEN 0.0 ELSE least(st * 4.0 / greatest(n, 1.0), 1.0) END
+        |  ) / 3.0, 6) AS quality
+        |FROM (SELECT doc_id, lang, text,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n,
+        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS p,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS st
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binning — riptable cut / qcut / quantile.
+  *
+  * Reference: `riptable/rt_bin.py:412` (cut), `:155` (qcut), `:17`
+  * (quantile); kernels `rc.BinsToCutsBSearch`. Riptable puts out-of-range
+  * values in the reserved "Filtered" bin 0; we return null (SURVEY §2.8).
+  * Bin codes are 1-based like riptable's.
+  */
+object Binning {
+
+  /** cut with explicit edges; right-closed intervals (lo, hi] like the
+    * reference default, `include_lowest` closes the first interval.
+    * Pure expression → whole-stage codegen, no shuffle.
+    */
+  def cut(x: Column, edges: Seq[Double], includeLowest: Boolean = true): Column = {
+    val first =
+      if (includeLowest) when(x >= edges.head && x <= edges(1), 1)
+      else when(x > edges.head && x <= edges(1), 1)
+    edges.sliding(2).toSeq.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (Seq(lo, hi), i)) => acc.when(x > lo && x <= hi, i + 1)
+      case (acc, _) => acc
+    }
+  }
+
+  /** Equal-width cut over [lo, hi] into n bins — width_bucket, codegen'd. */
+  def cutUniform(x: Column, lo: Double, hi: Double, n: Int): Column =
+    when(x >= lo && x <= hi,
+      least(width_bucket(x, lit(lo), lit(hi), lit(n)), lit(n)))
+
+  /** qcut (rt_bin.py:155): quantile bins → ntile over a global order.
+    * Requires a deterministic total order (tiebreaker) for reproducibility.
+    */
+  def qcut(df: DataFrame, valueCol: String, tiebreak: String, q: Int,
+           out: String = "bin"): DataFrame = {
+    val w = Window.orderBy(col(valueCol), col(tiebreak))
+    df.withColumn(out, ntile(q).over(w))
+  }
+}

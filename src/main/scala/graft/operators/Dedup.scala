@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication for web-scale corpora: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. (Builder-brief extension beyond the riptable surface;
+  * riptable's own dedup is row-level `drop_duplicates`,
+  * `riptable/rt_dataset.py:3631` — see syntax.dropDuplicatesKeep.)
+  *
+  * Scale design: nothing here compares all pairs. Exact dedup is one
+  * hash-groupBy; MinHash/SimHash build fixed-width signatures per doc
+  * (scan-only, codegen'd expressions), then candidate pairs come from
+  * banded bucket self-joins — the shuffle key is the band signature, so
+  * cost is proportional to bucket collisions, not n².
+  */
+object Dedup {
+
+  /** Exact duplicates by normalized-content fingerprint: one
+    * hash-groupBy; returns groups with count > 1 and the kept (min) id.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("fp", TextFns.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** k MinHash values per doc over word shingles. Each hash_i is an
+    * affine permutation of one base 64-bit hash (xxhash64) — the standard
+    * one-hash MinHash trick; all k mins are computed inside a single
+    * projection over the shingle array (no explode, no shuffle).
+    */
+  def minhashSignature(textCol: Column, shingleN: Int, k: Int): Column = {
+    val shingles = TextFns.wordShingles(textCol, shingleN)
+    val hashes = transform(shingles, s => xxhash64(s))
+    val sig = (0 until k).map { i =>
+      val a = 0x9E3779B97F4A7C15L * (2L * i + 1L)
+      val b = 0xC2B2AE3D27D4EB4FL * (i + 1L)
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(Long.MaxValue))))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: signatures → bands of
+    * `rowsPerBand` → self-join on (band index, band hash). Returns
+    * (id_a, id_b, n_shared_bands), id_a < id_b.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val nBands = k / rowsPerBand
+    val sigs = docs.select(col(idCol), minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val banded = sigs.select(col(idCol), posexplode(
+      array((0 until nBands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .toDF(idCol, "band", "bandhash")
+    val a = banded.toDF("id_a", "band", "bandhash")
+    val b = banded.toDF("id_b", "band", "bandhash")
+    a.join(b, Seq("band", "bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** 64-bit SimHash over word tokens: per-bit signed vote of token
+    * hashes. Pure nested array expression (tokens × 64 adds) — scan-only.
+    */
+  def simhash(textCol: Column): Column = {
+    val toks = TextFns.tokens(textCol)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard near-dup pairs via inverted index: doc→distinct
+    * shingles (explode), self-join on shingle to count co-occurrences,
+    * then |A∩B| / (|A|+|B|−|A∩B|). Shuffle key = shingle; hot shingles
+    * can be capped upstream (stopword shingles) — classic scalable
+    * all-pairs-similarity shape.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(array_distinct(TextFns.wordShingles(col(textCol), shingleN))).as("sh"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("id_a", "sh")
+    val b = sh.toDF("id_b", "sh")
+    val co = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("co"))
+    co.join(broadcast(sizes.toDF("id_a", "sz_a")), Seq("id_a"))
+      .join(broadcast(sizes.toDF("id_b", "sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

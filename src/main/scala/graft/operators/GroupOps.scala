@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The riptable GroupByOps aggregation suite as Spark aggregate Columns.
+  *
+  * Reference: `riptable/rt_groupbyops.py:34` (GroupByOps, shared by
+  * GroupBy/Categorical/Accum2) dispatching to C++ kernels via
+  * `Grouping._calculate_all` (`riptable/rt_grouping.py:3277`). The
+  * Stage-1 hash + Stage-2 pack design maps exactly onto Spark's
+  * partial-aggregate + shuffle + final-aggregate (SURVEY §3.2), so every
+  * op here is a plain aggregate expression that Catalyst plans with
+  * map-side combine.
+  *
+  * NA semantics: riptable's `nan*` flavors skip invalids — that is Spark's
+  * default null-skipping aggregate. The non-nan flavors PROPAGATE invalids
+  * (any invalid in group → invalid result); those are the `strict*`
+  * variants here, built as `when(no-nulls, agg)`.
+  */
+object GroupOps {
+
+  // nan* family (rt_groupbyops.py:2145,1434,2009,2077,2871,2731) → default
+  def nansum(c: Column): Column = sum(c)
+  def nanmean(c: Column): Column = avg(c)
+  def nanmin(c: Column): Column = min(c)
+  def nanmax(c: Column): Column = max(c)
+  def nanvar(c: Column): Column = var_samp(c)   // ddof=1, rt_groupbyops.py:2871
+  def nanstd(c: Column): Column = stddev_samp(c)
+  def nanmedian(c: Column): Column = percentile(c, lit(0.5))
+
+  // strict (invalid-propagating) family (rt_groupbyops.py:1161,1230,...)
+  private def strict(c: Column, agg: Column): Column =
+    when(count(c) === count(lit(1)), agg)
+  def strictSum(c: Column): Column = strict(c, sum(c))
+  def strictMean(c: Column): Column = strict(c, avg(c))
+  def strictMin(c: Column): Column = strict(c, min(c))
+  def strictMax(c: Column): Column = strict(c, max(c))
+  def strictVar(c: Column): Column = strict(c, var_samp(c))
+  def strictStd(c: Column): Column = strict(c, stddev_samp(c))
+
+  /** count_uniques (rt_groupbyops.py:1037). */
+  def countUniques(c: Column): Column = count_distinct(c)
+
+  /** sem — std error of mean (rt_groupbyops.py:3500). */
+  def sem(c: Column): Column = stddev_samp(c) / sqrt(count(c))
+
+  /** mode (rt_groupbyops.py:1298). */
+  def modeAgg(c: Column): Column = mode(c)
+
+  /** quantile / percentile, exact (rt_groupbyops.py:2517). */
+  def quantile(c: Column, q: Double): Column = percentile(c, lit(q))
+  def quantiles(c: Column, qs: Seq[Double]): Column =
+    percentile(c, array(qs.map(lit): _*))
+
+  /** first/last by an explicit order column — riptable first/last are
+    * positional over the packed group (rt_groupbyops.py:2349,2417); on
+    * unordered distributed data the order must be named explicitly.
+    */
+  def firstBy(c: Column, ord: Column): Column = min_by(c, ord)
+  def lastBy(c: Column, ord: Column): Column = max_by(c, ord)
+
+  /** ohlc (rt_groupbyops.py:3514). */
+  def ohlc(c: Column, ord: Column): Seq[Column] = Seq(
+    min_by(c, ord).as("open"), max(c).as("high"),
+    min(c).as("low"), max_by(c, ord).as("close"))
+
+  /** trimbr — trimmed mean keeping values within the [lo, hi] percentile
+    * band (rt_groupbyops.py:1366, GB_TRIMBR kernel; default 10%/90%).
+    * Two-pass: per-group percentile bounds (shuffle 1, map-side combined)
+    * then conditional mean (shuffle 2). Bounds side is one row per group →
+    * broadcast back in.
+    */
+  def trimbr(df: DataFrame, keys: Seq[String], valueCol: String,
+             lo: Double = 0.1, hi: Double = 0.9, out: String = "trimbr"): DataFrame = {
+    val v = col(valueCol)
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(lo)).as("__lo"), percentile(v, lit(hi)).as("__hi"))
+    df.join(broadcast(bounds), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(avg(when(v >= col("__lo") && v <= col("__hi"), v)).as(out))
+  }
+
+  /** nth element per group by explicit order (rt_groupbyops.py:3543). */
+  def gbNth(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === n + 1).drop("__rn")
+  }
+
+  /** grouped head/tail (rt_groupbyops.py:3673,3699). */
+  def gbHead(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+  def gbTail(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame =
+    gbHead(df, keys, n, order.map(_.desc_nulls_last))
+
+  /** ngroup (rt_groupbyops.py:3565): dense group id in key order. */
+  def ngroup(df: DataFrame, keys: Seq[String], out: String = "ngroup"): DataFrame = {
+    val w = Window.orderBy(keys.map(col): _*)
+    df.withColumn(out, dense_rank().over(w) - 1)
+  }
+
+  /** cumcount (rt_groupbyops.py:3129). */
+  def cumcount(df: DataFrame, keys: Seq[String], order: Seq[Column],
+               out: String = "cumcount"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(out, row_number().over(w) - 1)
+  }
+
+  /** Per-op pre-aggregation filter (`filter=` kwarg fused into kernels,
+    * `rt_grouping.py:3330`) → `agg(f(when(filter, col)))` so the predicate
+    * rides inside the partial aggregate.
+    */
+  def filtered(c: Column, filter: Column): Column = when(filter, c)
+
+  /** `transform=True` (broadcast group result back to rows) → the same
+    * aggregate over a keys-partitioned window (SURVEY §2.4).
+    */
+  def transform(df: DataFrame, keys: Seq[String], aggs: (String, Column)*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DB-style joins reproducing riptable `merge2` / `merge_lookup`.
+  *
+  * Reference: `riptable/rt_merge.py:2293` (merge2), `:3229` (merge_lookup),
+  * core `JoinIndices:1214` — a single-node hash join built on `ismember`
+  * over each side's unique keys. On Spark the same semantics are declared
+  * with `DataFrame.join` and Catalyst picks broadcast-hash / shuffled-hash /
+  * sort-merge from stats + AQE; `broadcast()` is applied when the caller
+  * marks the right side as a small lookup (merge_lookup's contract).
+  *
+  * Semantics preserved:
+  *  - invalid keys never match (`rt_merge.py:2320`) — SQL null-key behavior;
+  *  - `validate` 1:1/1:m/m:1 uniqueness checks (`rt_merge.py:2309`);
+  *  - `keep` first/last per-side dedupe;
+  *  - `suffixes` on colliding non-key columns;
+  *  - `indicator` membership column;
+  *  - left row-order preservation (riptable guarantee) is OPT-IN via
+  *    `preserveOrder` — it costs a global sort at scale, so large pipelines
+  *    should leave it off (Spark joins are unordered by contract).
+  */
+object Merge {
+
+  final case class MergeValidationException(msg: String) extends RuntimeException(msg)
+
+  /** merge2 (`riptable/rt_merge.py:2293`). */
+  def merge2(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      how: String = "inner",
+      suffixes: (String, String) = ("_x", "_y"),
+      validate: Option[String] = None,
+      keepLeft: Option[String] = None,
+      keepRight: Option[String] = None,
+      indicator: Boolean = false,
+      broadcastRight: Boolean = false,
+      preserveOrder: Boolean = false): DataFrame = {
+
+    validate.foreach(v => runValidate(left, right, on, v))
+
+    var l = keepLeft.map(k => dedupeKeep(left, on, k)).getOrElse(left)
+    var r = keepRight.map(k => dedupeKeep(right, on, k)).getOrElse(right)
+
+    if (preserveOrder) l = l.withColumn("__rip_row", monotonically_increasing_id())
+
+    // suffix colliding non-key columns (riptable renames both sides)
+    val collide = (l.columns.toSet -- on).intersect(r.columns.toSet -- on)
+    collide.foreach { c =>
+      l = l.withColumnRenamed(c, c + suffixes._1)
+      r = r.withColumnRenamed(c, c + suffixes._2)
+    }
+
+    if (indicator) {
+      l = l.withColumn("__in_l", lit(true))
+      r = r.withColumn("__in_r", lit(true))
+    }
+
+    val rSide = if (broadcastRight) broadcast(r) else r
+    val sparkHow = how match {
+      case "outer" => "full_outer"
+      case h => h
+    }
+    var out = l.join(rSide, on, sparkHow)
+
+    if (indicator) {
+      out = out.withColumn("merge_indicator",
+        when(col("__in_l").isNotNull && col("__in_r").isNotNull, "both")
+          .when(col("__in_l").isNotNull, "left_only")
+          .otherwise("right_only"))
+        .drop("__in_l", "__in_r")
+    }
+    if (preserveOrder) out = out.orderBy(col("__rip_row")).drop("__rip_row")
+    out
+  }
+
+  /** merge_lookup (`riptable/rt_merge.py:3229`): left join against a
+    * (usually small) lookup table with unique keys; `keep` resolves dupes.
+    * The lookup side is broadcast — the 100 TB path: no shuffle of the
+    * fact table at all.
+    */
+  def mergeLookup(
+      left: DataFrame,
+      lookup: DataFrame,
+      on: Seq[String],
+      keep: String = "first",
+      orderCol: Option[String] = None): DataFrame = {
+    val ord = orderCol.getOrElse(lookup.columns.head)
+    val uniq = dedupeKeep(lookup, on, keep, ord)
+    left.join(broadcast(uniq), on, "left")
+  }
+
+  /** ismember(a, b) (`riptable/rt_numpy.py:1186`): membership mask of a's
+    * keys in b — relationally, a left-semi-join flag.
+    */
+  def ismember(a: DataFrame, b: DataFrame, on: Seq[String]): DataFrame = {
+    val bKeys = b.select(on.map(col): _*).dropDuplicates(on)
+      .withColumn("__ismember", lit(true))
+    a.join(broadcast(bKeys), on, "left")
+      .withColumn("ismember", coalesce(col("__ismember"), lit(false)))
+      .drop("__ismember")
+  }
+
+  private def dedupeKeep(df: DataFrame, on: Seq[String], keep: String,
+                         orderCol: String = ""): DataFrame = {
+    val ord = if (orderCol.nonEmpty) orderCol else df.columns.head
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(if (keep == "last") col(ord).desc else col(ord).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def runValidate(left: DataFrame, right: DataFrame, on: Seq[String], v: String): Unit = {
+    def unique(df: DataFrame): Boolean =
+      df.groupBy(on.map(col): _*).count().filter(col("count") > 1).isEmpty
+    val (needL, needR) = v match {
+      case "1:1" => (true, true)
+      case "1:m" => (true, false)
+      case "m:1" => (false, true)
+      case "m:m" => (false, false)
+      case other => throw MergeValidationException(s"bad validate spec: $other")
+    }
+    if (needL && !unique(left)) throw MergeValidationException(s"left keys not unique for validate=$v")
+    if (needR && !unique(right)) throw MergeValidationException(s"right keys not unique for validate=$v")
+  }
+}

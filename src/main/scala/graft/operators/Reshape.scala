@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reshape / cross-tabulation — riptable pivot, Accum2, AccumTable.
+  *
+  * Reference: `riptable/rt_dataset.py:7987` (pivot, no aggregation),
+  * `riptable/rt_accum2.py:39` (Accum2 two-axis cross-tab with totals
+  * footers), `riptable/rt_accumtable.py:722,1024` (accum_ratio/ratiop).
+  * Spark: `groupBy(row).pivot(col).agg(...)`; margins via union with
+  * rollup-style totals (riptable has no grouping sets — SURVEY §2.4 note —
+  * so Accum2's footers are the only margin shape to reproduce).
+  */
+object Reshape {
+
+  /** Accum2(rowKey, colKey).f(value) — cross-tab with optional margins.
+    * `colValues` pins the pivot columns (avoids the extra distinct-scan
+    * Spark otherwise runs, and keeps output schema stable at scale).
+    */
+  def accum2(df: DataFrame, rowKey: String, colKey: String,
+             agg: Column, colValues: Seq[String] = Nil,
+             totals: Boolean = false): DataFrame = {
+    val piv =
+      if (colValues.nonEmpty) df.groupBy(col(rowKey)).pivot(colKey, colValues)
+      else df.groupBy(col(rowKey)).pivot(colKey)
+    val body = piv.agg(agg)
+    if (!totals) body
+    else {
+      val withTotal = body.withColumn("Total",
+        body.columns.filterNot(_ == rowKey).map(c => coalesce(col(c), lit(0))).reduce(_ + _))
+      // footer row: column totals (Accum2 footer, rt_accum2.py:39)
+      val footerCols = Seq(lit("Total").as(rowKey)) ++
+        withTotal.columns.filterNot(_ == rowKey).map(c => sum(col(c)).as(c))
+      val footer = withTotal.groupBy().agg(footerCols.head, footerCols.tail: _*)
+      withTotal.unionByName(footer)
+    }
+  }
+
+  /** Dataset.pivot (rt_dataset.py:7987): pivot WITHOUT aggregation —
+    * errors on duplicate (label, column) pairs like the reference.
+    */
+  def pivotNoAgg(df: DataFrame, labelCol: String, columnCol: String,
+                 valueCol: String, colValues: Seq[String]): DataFrame = {
+    val dupes = df.groupBy(col(labelCol), col(columnCol)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupes == 0, s"pivot: duplicate ($labelCol,$columnCol) entries")
+    df.groupBy(col(labelCol)).pivot(columnCol, colValues).agg(first(col(valueCol)))
+  }
+
+  /** AccumTable.accum_ratio (rt_accumtable.py:722): elementwise ratio of
+    * two cross-tabs sharing axes.
+    */
+  def accumRatio(num: DataFrame, den: DataFrame, rowKey: String): DataFrame = {
+    val d2 = den.columns.filterNot(_ == rowKey)
+      .foldLeft(den)((d, c) => d.withColumnRenamed(c, c + "__d"))
+    val j = num.join(d2, Seq(rowKey))
+    j.select((col(rowKey) +:
+      num.columns.filterNot(_ == rowKey).map(c => (col(c) / col(c + "__d")).as(c))): _*)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Ordered / rolling / cumulative window functions.
+  *
+  * Riptable's "windows" are ordered row-windows within groups producing
+  * full-length output columns: rolling_* (`riptable/rt_groupbyops.py:
+  * 2941-3115`), cum* (`:3129-3239`), shift/diff (`:3660,3551`), rank
+  * (`:3632`), timewindow_* trailing time windows
+  * (`riptable/rt_fastarray.py:2629,2648`), move_* bottleneck passthroughs
+  * (`rt_fastarray.py:2670-2697`). All map onto Spark SQL window functions —
+  * one shuffle on the partition keys, then a streaming frame scan; no
+  * group materialization, so group size is unbounded.
+  *
+  * Every helper takes explicit `order` columns: riptable relies on array
+  * position, which does not exist on distributed data, so callers name a
+  * deterministic total order (e.g. ts + unique id tiebreaker).
+  */
+object Rolling {
+
+  private def wRows(by: Seq[String], order: Seq[Column], n: Int): WindowSpec =
+    Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(n.toLong - 1), Window.currentRow)
+
+  private def wCum(by: Seq[String], order: Seq[Column]): WindowSpec =
+    Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  private def wOrd(by: Seq[String], order: Seq[Column]): WindowSpec =
+    Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+
+  // rolling_* fixed windows (rt_groupbyops.py:2941-2997). Riptable emits
+  // invalid for the first window-1 rows; emulate with a row_number guard.
+  def rollingAgg(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                 f: Column => Column, valueCol: String, out: String,
+                 fullWindowOnly: Boolean = false): DataFrame = {
+    val base = f(col(valueCol)).over(wRows(by, order, n))
+    val v =
+      if (fullWindowOnly) when(row_number().over(wOrd(by, order)) >= n, base)
+      else base
+    df.withColumn(out, v)
+  }
+
+  def rollingSum(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                 valueCol: String, out: String): DataFrame =
+    rollingAgg(df, by, order, n, sum, valueCol, out)
+  def rollingMean(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                  valueCol: String, out: String): DataFrame =
+    rollingAgg(df, by, order, n, avg, valueCol, out)
+  def rollingVar(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                 valueCol: String, out: String): DataFrame =
+    rollingAgg(df, by, order, n, var_samp, valueCol, out)
+  def rollingStd(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                 valueCol: String, out: String): DataFrame =
+    rollingAgg(df, by, order, n, stddev_samp, valueCol, out)
+  def rollingMin(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                 valueCol: String, out: String): DataFrame =
+    rollingAgg(df, by, order, n, min, valueCol, out)
+  def rollingMax(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                 valueCol: String, out: String): DataFrame =
+    rollingAgg(df, by, order, n, max, valueCol, out)
+  def rollingCount(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                   valueCol: String, out: String): DataFrame =
+    rollingAgg(df, by, order, n, count, valueCol, out)
+
+  /** rolling_median / rolling_quantile (rt_groupbyops.py:2997,3070) —
+    * exact percentile over the rows frame.
+    */
+  def rollingQuantile(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                      q: Double, valueCol: String, out: String): DataFrame =
+    df.withColumn(out, percentile(col(valueCol), lit(q)).over(wRows(by, order, n)))
+
+  /** shift (rt_groupbyops.py:3660; array `rt_fastarray.py:4046`). */
+  def shift(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+            valueCol: String, out: String): DataFrame =
+    df.withColumn(out, lag(col(valueCol), n).over(wOrd(by, order)))
+
+  /** diff (rt_groupbyops.py:3551; array `rt_fastarray.py:4251`). */
+  def diff(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+           valueCol: String, out: String): DataFrame =
+    df.withColumn(out, col(valueCol) - lag(col(valueCol), n).over(wOrd(by, order)))
+
+  // cum* family (rt_groupbyops.py:3158,3211,3182,3129; array cummax/cummin
+  // `riptable/rt_fastarraynumba.py:426,469`).
+  def cumsum(df: DataFrame, by: Seq[String], order: Seq[Column],
+             valueCol: String, out: String): DataFrame =
+    df.withColumn(out, sum(col(valueCol)).over(wCum(by, order)))
+  def cummax(df: DataFrame, by: Seq[String], order: Seq[Column],
+             valueCol: String, out: String): DataFrame =
+    df.withColumn(out, max(col(valueCol)).over(wCum(by, order)))
+  def cummin(df: DataFrame, by: Seq[String], order: Seq[Column],
+             valueCol: String, out: String): DataFrame =
+    df.withColumn(out, min(col(valueCol)).over(wCum(by, order)))
+
+  /** cumsum with `reset_filter` (rt_groupbyops.py:3158 kwargs): a true
+    * reset mask starts a new accumulation segment. Segment id = running
+    * count of resets, then accumulate within (keys, segment) — two stacked
+    * windows over the SAME partitioning, one shuffle total.
+    */
+  def cumsumReset(df: DataFrame, by: Seq[String], order: Seq[Column],
+                  valueCol: String, resetMask: Column, out: String): DataFrame = {
+    val seg = sum(resetMask.cast("long")).over(wCum(by, order))
+    val d2 = df.withColumn("__seg", seg)
+    val w2 = Window.partitionBy((by.map(col) :+ col("__seg")): _*)
+      .orderBy(order: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d2.withColumn(out, sum(col(valueCol)).over(w2)).drop("__seg")
+  }
+
+  /** rank within groups (rt_groupbyops.py:3632), method=min|dense|pct. */
+  def rankIn(df: DataFrame, by: Seq[String], order: Seq[Column],
+             method: String, out: String): DataFrame = {
+    val w = wOrd(by, order)
+    val r = method match {
+      case "dense" => dense_rank().over(w).cast("long")
+      case "pct"   => percent_rank().over(w)
+      case _       => rank().over(w).cast("long")
+    }
+    df.withColumn(out, r)
+  }
+
+  /** timewindow_sum (rt_fastarray.py:2629, rc.TimeWindow): trailing TIME
+    * window — RANGE frame over a numeric (epoch) order column.
+    */
+  def timewindowAgg(df: DataFrame, by: Seq[String], timeCol: String, dist: Long,
+                    f: Column => Column, valueCol: String, out: String): DataFrame = {
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col(timeCol))
+      .rangeBetween(-dist, 0)
+    df.withColumn(out, f(col(valueCol)).over(w))
+  }
+
+  /** differs/transitions (rt_fastarray.py:4153,4220): value != previous. */
+  def differs(df: DataFrame, by: Seq[String], order: Seq[Column],
+              valueCol: String, out: String): DataFrame = {
+    val prev = lag(col(valueCol), 1).over(wOrd(by, order))
+    df.withColumn(out, !(col(valueCol) <=> prev))
+  }
+}

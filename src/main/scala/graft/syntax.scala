@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Implicit DataFrame verbs reproducing riptable's Struct/Dataset surface.
+  *
+  * Riptable `Struct`/`Dataset` expose a dynamic, mutable column container
+  * (`riptable/rt_struct.py:77`; col_rename `rt_struct.py:3421`, col_move
+  * `:3133`, prefixes `:3341,3381`; Dataset filter `rt_dataset.py:861`,
+  * fillna `:2163`, putmask `:1541`, drop_duplicates `:3631`, one_hot_encode
+  * `:2888`). Here every verb is a pure plan transformation — Catalyst keeps
+  * the immutability while the API keeps the riptable feel.
+  *
+  * NA model: riptable uses per-dtype sentinels (`riptable/rt_enum.py:88`);
+  * we use SQL nulls throughout (SURVEY §1.2 mapping).
+  */
+object syntax {
+
+  implicit class RipDataFrameOps(val df: DataFrame) extends AnyVal {
+
+    // ---- Struct col_* surface (rt_struct.py:3133-3421) ----
+
+    def colRename(pairs: (String, String)*): DataFrame =
+      pairs.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+    def colRemove(names: String*): DataFrame = df.drop(names: _*)
+
+    /** col_move_to_front (`rt_struct.py:3133`). */
+    def colMoveToFront(names: String*): DataFrame = {
+      val rest = df.columns.filterNot(names.contains)
+      df.select((names ++ rest).map(col): _*)
+    }
+
+    def colMoveToBack(names: String*): DataFrame = {
+      val rest = df.columns.filterNot(names.contains)
+      df.select((rest ++ names).map(col): _*)
+    }
+
+    /** col_add_prefix (`rt_struct.py:3341`). */
+    def colAddPrefix(prefix: String): DataFrame =
+      df.select(df.columns.map(c => col(c).as(prefix + c)): _*)
+
+    /** col_add_suffix (`rt_struct.py:3381`). */
+    def colAddSuffix(suffix: String): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c + suffix)): _*)
+
+    // ---- row ops (rt_dataset.py) ----
+
+    /** Dataset.filter (`rt_dataset.py:861`) — boolean-mask row keep. */
+    def filterRows(cond: Column): DataFrame = df.filter(cond)
+
+    /** putmask (`rt_numpy.py:4684`, `rt_dataset.py:1541`): masked assign. */
+    def putmask(colName: String, mask: Column, value: Column): DataFrame =
+      df.withColumn(colName, when(mask, value).otherwise(col(colName)))
+
+    /** where(cond, x, y) (`rt_numpy.py:2917`). */
+    def whereCol(name: String, cond: Column, x: Column, y: Column): DataFrame =
+      df.withColumn(name, when(cond, x).otherwise(y))
+
+    /** fillna with a constant (`rt_fastarray.py:4413`, `rt_dataset.py:2163`). */
+    def fillnaValue(value: Any, cols: Seq[String] = Nil): DataFrame = {
+      val target = if (cols.isEmpty) df.columns.toSeq else cols
+      value match {
+        case d: Double => df.na.fill(d, target)
+        case l: Long   => df.na.fill(l, target)
+        case i: Int    => df.na.fill(i.toLong, target)
+        case s: String => df.na.fill(s, target)
+        case b: Boolean => df.na.fill(b, target)
+        case _ => df
+      }
+    }
+
+    /** fill_forward (`riptable/rt_fastarraynumba.py:149`; grouped variant
+      * `riptable/rt_groupbynumba.py:312`): last non-null at-or-before this
+      * row, per partition keys, ordered by `order`.
+      */
+    def fillForward(valueCol: String, partitionBy: Seq[String], order: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(partitionBy.map(col): _*)
+        .orderBy(order.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+    }
+
+    /** fill_backward (`riptable/rt_fastarraynumba.py:241`). */
+    def fillBackward(valueCol: String, partitionBy: Seq[String], order: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(partitionBy.map(col): _*)
+        .orderBy(order.map(c => col(c).desc): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+    }
+
+    /** astype (`rt_fastarray.py:1375`, `rt_dataset.py:2783`). */
+    def astype(casts: (String, String)*): DataFrame =
+      casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+
+    /** duplicated (`rt_dataset.py:3557`): marks rows whose key-subset has
+      * been seen before (keep='first' semantics → first occurrence false).
+      */
+    def duplicated(subset: Seq[String], orderCol: String): DataFrame = {
+      val w = Window.partitionBy(subset.map(col): _*).orderBy(col(orderCol))
+      df.withColumn("duplicated", row_number().over(w) > 1)
+    }
+
+    /** drop_duplicates(keep=first|last|none) (`rt_dataset.py:3631`).
+      * keep needs a total order; `orderCol` must be a unique tiebreaker.
+      */
+    def dropDuplicatesKeep(subset: Seq[String], keep: String, orderCols: Seq[String]): DataFrame = {
+      val ord = keep match {
+        case "last" => orderCols.map(c => col(c).desc)
+        case _      => orderCols.map(c => col(c).asc)
+      }
+      val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+      keep match {
+        case "none" =>
+          val wc = Window.partitionBy(subset.map(col): _*)
+          df.withColumn("__n", count(lit(1)).over(wc)).filter(col("__n") === 1).drop("__n")
+        case _ =>
+          df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      }
+    }
+
+    /** one_hot_encode (`rt_dataset.py:2888`, `rt_categorical.py:3047`). */
+    def oneHotEncode(colName: String, categories: Seq[String]): DataFrame =
+      categories.foldLeft(df) { (d, cat) =>
+        d.withColumn(s"${colName}_$cat", when(col(colName) === lit(cat), 1).otherwise(0))
+      }
+
+    // ---- reshape (§2.7) ----
+
+    /** hstack / Dataset.concat_rows (`riptable/rt_hstack.py:15`,
+      * `rt_dataset.py:6867`): row concat filling missing columns with
+      * invalid → here null (`_hstack_dataset` gap logic `rt_hstack.py:562`).
+      */
+    def hstack(others: DataFrame*): DataFrame =
+      others.foldLeft(df)((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+    /** Dataset.melt (`rt_dataset.py:6781`) — wide→long. */
+    def melt(ids: Seq[String], values: Seq[String],
+             varName: String = "variable", valName: String = "value"): DataFrame =
+      df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
+
+    /** normalize_zscore (`riptable/rt_mlutils.py:12`) over the whole table
+      * via a global window (no collect; stays distributed).
+      */
+    def normalizeZscore(colName: String, out: String): DataFrame = {
+      val w = Window.partitionBy()
+      df.withColumn(out,
+        (col(colName) - avg(col(colName)).over(w)) / stddev_samp(col(colName)).over(w))
+    }
+
+    /** normalize_minmax (`riptable/rt_mlutils.py:18`). */
+    def normalizeMinmax(colName: String, out: String): DataFrame = {
+      val w = Window.partitionBy()
+      val mn = min(col(colName)).over(w)
+      val mx = max(col(colName)).over(w)
+      df.withColumn(out, (col(colName) - mn) / (mx - mn))
+    }
+  }
+
+  /** Mask combinators (`riptable/rt_numpy.py:5502-5526`). */
+  def maskOr(ms: Column*): Column = ms.reduce(_ || _)
+  def maskAnd(ms: Column*): Column = ms.reduce(_ && _)
+  def maskXor(ms: Column*): Column = ms.reduce(_ =!= _)
+  def maskAndNot(a: Column, b: Column): Column = a && !b
+}
