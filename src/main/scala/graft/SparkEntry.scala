@@ -329,7 +329,183 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           TextFns.langScore(col("text"), "en").as("en_score"),
           TextFns.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- batch 2: strict aggs, trimbr, ohlc, mode/nth, head/tail, EMA,
+    //      time windows, resample, set ops, describe, normalize, media ----
+
+    "q33_strict_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("v", when(col("l_quantity") > 48, lit(null)).otherwise(col("l_quantity")))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(GroupOps.nansum(col("v")), 6).as("nansum_v"),
+          round(GroupOps.strictSum(col("v")), 6).as("sum_v"),
+          round(GroupOps.strictMean(col("v")), 6).as("mean_v"),
+          round(GroupOps.strictMax(col("v")), 6).as("max_v"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q34_trimbr" -> ((s, dir) =>
+      GroupOps.trimbr(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+        .select(col("l_returnflag"), round(col("trimbr"), 6).as("trimbr"))
+        .orderBy(col("l_returnflag"))),
+
+    "q35_ohlc" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(GroupOps.firstBy(col("value"), col("event_id")), 6).as("open"),
+          round(max(col("value")), 6).as("high"),
+          round(min(col("value")), 6).as("low"),
+          round(GroupOps.lastBy(col("value"), col("event_id")), 6).as("close"),
+          round(GroupOps.sem(col("value")), 6).as("sem"))
+        .orderBy(col("event_type"))),
+
+    "q36_mode_nth" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = li.groupBy(col("l_returnflag"))
+        .agg(GroupOps.modeAgg(col("l_linestatus")).as("mode_status"))
+      GroupOps.gbNth(li, Seq("l_returnflag"), 2,
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .join(m, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q37_gb_headtail" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val h = GroupOps.gbHead(ord, Seq("o_orderstatus"), 2, Seq(col("o_orderkey")))
+        .withColumn("which", lit("head"))
+      val tl = GroupOps.gbTail(ord, Seq("o_orderstatus"), 2, Seq(col("o_orderkey")))
+        .withColumn("which", lit("tail"))
+      h.unionByName(tl).select(col("o_orderstatus"), col("which"), col("o_orderkey"))
+        .orderBy(col("o_orderstatus"), col("which"), col("o_orderkey"))
+    }),
+
+    "q38_ema_decay" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"), col("value"))
+      Ema.ema(ev, "user_id", "tsu", "value", rate = 1.0 / 6.0e8, Ema.Decay, "ema")
+        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q39_timewindow" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      Rolling.timewindowAgg(ev, Seq("user_id"), "tsu", 600000000L, sum, "value", "tw_sum")
+        .select(col("event_id"), col("user_id"), round(col("tw_sum"), 6).as("tw_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q40_resample" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("bucket", expr("(ts div 1000000000) div 300 * 300"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))),
+
+    "q41_time_of_day" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"),
+          hour(col("tstamp")).as("hr"), minute(col("tstamp")).as("mi"),
+          second(col("tstamp")).as("se"),
+          expr("(ts div 1000) % 86400000000").as("us_since_midnight"))
+        .orderBy(col("event_id"))),
+
+    "q42_setops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+      val building = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val inter = building.intersect(withOrders).withColumn("op", lit("intersect"))
+      val exc = building.except(withOrders).withColumn("op", lit("except"))
+      inter.unionByName(exc).orderBy(col("op"), col("c_custkey"))
+    }),
+
+    "q43_describe" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(col("l_quantity")).as("n"),
+        round(avg(col("l_quantity")), 6).as("mean"),
+        round(stddev_samp(col("l_quantity")), 6).as("std"),
+        round(min(col("l_quantity")), 6).as("mn"),
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"),
+        round(max(col("l_quantity")), 6).as("mx"))),
+
+    "q44_normalize" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .normalizeZscore("c_acctbal", "z")
+        .normalizeMinmax("c_acctbal", "mm")
+        .select(col("c_custkey"), round(col("z"), 6).as("z"), round(col("mm"), 6).as("mm"))
+        .orderBy(col("c_custkey"))),
+
+    "q45_isin_where" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filterRows(maskAnd(col("l_returnflag").isin("A", "R"),
+          col("l_quantity").between(10, 20)))
+        .whereCol("disc_class", col("l_discount") >= 0.05, lit("hi"), lit("lo"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("disc_class"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q46_astype_fill" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("v", when(col("l_discount") < 0.02, lit(null)).otherwise(col("l_extendedprice")))
+        .fillnaValue(0.0d, Seq("v"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("long").as("qty_int"),
+          round(col("v"), 6).as("v_filled"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q47_simhash_near" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q48_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        "vec_id", 5, bits = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q49_multimodal" -> ((s, dir) =>
+      Multimodal.withMediaFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("media.media_type").as("media_type"),
+          col("n_bytes"), size(col("features")).as("n_features"))
+        .orderBy(col("doc_id"))),
+
+    "q50_pdataset" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("p_date", expr("ts div 86400000000000"))
+        .groupBy(col("p_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy(col("p_date"), col("event_type"))),
+
+    "q51_accum2_totals" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+      val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+      val joined = cust.join(broadcast(nat), Seq("c_nationkey"))
+        .join(broadcast(reg), Seq("n_regionkey"))
+      Reshape.accum2(joined, "c_mktsegment", "r_name", count(lit(1)),
+        colValues = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"),
+        totals = true)
+        .na.fill(0L)
+        .withColumnRenamed("MIDDLE EAST", "MIDDLE_EAST")
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q52_merge_keep" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_partkey"))
+      Merge.merge2(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        li, on = Seq("o_orderkey"), how = "left", keepRight = Some("last"),
+        keepOrderCols = Seq("l_linenumber", "l_quantity", "l_partkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("l_quantity"))
+        .orderBy(col("o_orderkey"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -572,6 +748,158 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |    t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS st
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q33_strict_agg" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |  CASE WHEN l_quantity > 48 THEN NULL ELSE l_quantity END AS v FROM lineitem)
+        |SELECT l_returnflag, l_linestatus,
+        |  round(sum(v), 6) AS nansum_v,
+        |  round(CASE WHEN count(v) = count(*) THEN sum(v) END, 6) AS sum_v,
+        |  round(CASE WHEN count(v) = count(*) THEN avg(v) END, 6) AS mean_v,
+        |  round(CASE WHEN count(v) = count(*) THEN max(v) END, 6) AS max_v
+        |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q34_trimbr" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.1) AS lo,
+        |    quantile_cont(l_extendedprice, 0.9) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(avg(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi
+        |    THEN l_extendedprice END), 6) AS trimbr
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_ohlc" ->
+      """SELECT event_type,
+        |  round(arg_min(value, event_id), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(arg_max(value, event_id), 6) AS close,
+        |  round(stddev_samp(value) / sqrt(count(value)), 6) AS sem
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_mode_nth" ->
+      """WITH m AS (SELECT l_returnflag, mode(l_linestatus) AS mode_status
+        |  FROM lineitem GROUP BY 1),
+        | r AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_orderkey, l_linenumber, l_partkey) AS rn
+        |   FROM lineitem)
+        |SELECT r.l_returnflag, l_orderkey, l_linenumber, mode_status
+        |FROM r JOIN m USING (l_returnflag) WHERE rn = 3 ORDER BY 1""".stripMargin,
+
+    "q37_gb_headtail" ->
+      """WITH h AS (SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        | t AS (SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus, 'head' AS which, o_orderkey FROM h WHERE rn <= 2
+        |UNION ALL
+        |SELECT o_orderstatus, 'tail' AS which, o_orderkey FROM t WHERE rn <= 2
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q39_timewindow" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tsu
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6) AS tw_sum
+        |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q40_resample" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 300 * 300 AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q41_time_of_day" ->
+      """SELECT event_id,
+        |  hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |  minute(CAST(ts AS TIMESTAMP)) AS mi,
+        |  second(CAST(ts AS TIMESTAMP)) AS se,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS us_since_midnight
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q42_setops" ->
+      """WITH wo AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+        | b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM b INTERSECT SELECT * FROM wo)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM wo)
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q43_describe" ->
+      """SELECT count(l_quantity) AS n,
+        |  round(avg(l_quantity), 6) AS mean,
+        |  round(stddev_samp(l_quantity), 6) AS std,
+        |  round(min(l_quantity), 6) AS mn,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(max(l_quantity), 6) AS mx
+        |FROM lineitem""".stripMargin,
+
+    "q44_normalize" ->
+      """SELECT c_custkey,
+        |  round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 6) AS z,
+        |  round((c_acctbal - min(c_acctbal) OVER ())
+        |    / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6) AS mm
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q45_isin_where" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount >= 0.05 THEN 'hi' ELSE 'lo' END AS disc_class
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 10 AND 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q46_astype_fill" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+        |  round(coalesce(CASE WHEN l_discount < 0.02 THEN NULL
+        |    ELSE l_extendedprice END, 0.0), 6) AS v_filled
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q49_multimodal" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |  octet_length(encode(text)) AS n_bytes, 8 AS n_features
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q50_pdataset" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS p_date, event_type,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q51_accum2_totals" ->
+      """WITH j AS (SELECT c_mktsegment, r_name FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey),
+        | base AS (SELECT c_mktsegment,
+        |    count(*) FILTER (r_name = 'AFRICA') AS "AFRICA",
+        |    count(*) FILTER (r_name = 'AMERICA') AS "AMERICA",
+        |    count(*) FILTER (r_name = 'ASIA') AS "ASIA",
+        |    count(*) FILTER (r_name = 'EUROPE') AS "EUROPE",
+        |    count(*) FILTER (r_name = 'MIDDLE EAST') AS "MIDDLE_EAST",
+        |    count(*) AS "Total"
+        |  FROM j GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT 'Total', CAST(sum("AFRICA") AS BIGINT), CAST(sum("AMERICA") AS BIGINT),
+        |    CAST(sum("ASIA") AS BIGINT), CAST(sum("EUROPE") AS BIGINT),
+        |    CAST(sum("MIDDLE_EAST") AS BIGINT), CAST(sum("Total") AS BIGINT) FROM base)
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q52_merge_keep" ->
+      """WITH r AS (SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber DESC, l_quantity DESC, l_partkey DESC) AS rn
+        |  FROM lineitem)
+        |SELECT o.o_orderkey, o.o_orderstatus, r.l_linenumber,
+        |  round(r.l_quantity, 6) AS l_quantity
+        |FROM orders o LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (o_orderkey)
+        |ORDER BY o.o_orderkey""".stripMargin
   )
 }

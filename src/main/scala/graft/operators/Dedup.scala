@@ -28,18 +28,25 @@ object Dedup {
 
   /** k MinHash values per doc over word shingles. Each hash_i is an
     * affine permutation of one base 64-bit hash (xxhash64) — the standard
-    * one-hash MinHash trick; all k mins are computed inside a single
-    * projection over the shingle array (no explode, no shuffle).
+    * one-hash MinHash trick. Shape: explode distinct shingles → hash once
+    * per shingle → groupBy doc with k `min` aggregates. The k mins ride
+    * the partial-aggregate (map-side combine), so the shuffle carries one
+    * k-wide row per doc — not the shingles.
     */
-  def minhashSignature(textCol: Column, shingleN: Int, k: Int): Column = {
-    val shingles = TextFns.wordShingles(textCol, shingleN)
-    val hashes = transform(shingles, s => xxhash64(s))
-    val sig = (0 until k).map { i =>
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(TextFns.wordShingles(col(textCol), shingleN))).as("__sh"))
+      .withColumn("__h", xxhash64(col("__sh")))
+    val mins = (0 until k).map { i =>
       val a = 0x9E3779B97F4A7C15L * (2L * i + 1L)
       val b = 0xC2B2AE3D27D4EB4FL * (i + 1L)
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(Long.MaxValue))))
+      min(pmod(col("__h") * lit(a) + lit(b), lit(Long.MaxValue))).as(s"__m$i")
     }
-    array(sig: _*)
+    docs.select(col(idCol)).join(
+      sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+        .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("sig")),
+      Seq(idCol))
   }
 
   /** MinHash-LSH near-dup candidate pairs: signatures → bands of
@@ -49,7 +56,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val nBands = k / rowsPerBand
-    val sigs = docs.select(col(idCol), minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
     val banded = sigs.select(col(idCol), posexplode(
       array((0 until nBands).map(b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
@@ -83,6 +90,27 @@ object Dedup {
 
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via banded LSH: 4 bands of 16 bits — by
+    * pigeonhole, any pair within hamming distance 3 shares at least one
+    * exact band, so the self-join on (band, value) finds all of them
+    * without an n² compare.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val banded = sh.select(col(idCol), col("sh"), posexplode(array(
+      (0 until 4).map(b =>
+        call_function("shiftright", col("sh"), lit(b * 16)).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF(idCol, "sh", "band", "bandval")
+    val a = banded.toDF("id_a", "sh_a", "band", "bandval")
+    val b = banded.toDF("id_b", "sh_b", "band", "bandval")
+    a.join(b, Seq("band", "bandval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** n-gram Jaccard near-dup pairs via inverted index: doc→distinct
     * shingles (explode), self-join on shingle to count co-occurrences,

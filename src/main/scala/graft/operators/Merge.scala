@@ -37,14 +37,15 @@ object Merge {
       validate: Option[String] = None,
       keepLeft: Option[String] = None,
       keepRight: Option[String] = None,
+      keepOrderCols: Seq[String] = Nil,
       indicator: Boolean = false,
       broadcastRight: Boolean = false,
       preserveOrder: Boolean = false): DataFrame = {
 
     validate.foreach(v => runValidate(left, right, on, v))
 
-    var l = keepLeft.map(k => dedupeKeep(left, on, k)).getOrElse(left)
-    var r = keepRight.map(k => dedupeKeep(right, on, k)).getOrElse(right)
+    var l = keepLeft.map(k => dedupeKeep(left, on, k, keepOrderCols)).getOrElse(left)
+    var r = keepRight.map(k => dedupeKeep(right, on, k, keepOrderCols)).getOrElse(right)
 
     if (preserveOrder) l = l.withColumn("__rip_row", monotonically_increasing_id())
 
@@ -90,7 +91,7 @@ object Merge {
       keep: String = "first",
       orderCol: Option[String] = None): DataFrame = {
     val ord = orderCol.getOrElse(lookup.columns.head)
-    val uniq = dedupeKeep(lookup, on, keep, ord)
+    val uniq = dedupeKeep(lookup, on, keep, Seq(ord))
     left.join(broadcast(uniq), on, "left")
   }
 
@@ -106,10 +107,11 @@ object Merge {
   }
 
   private def dedupeKeep(df: DataFrame, on: Seq[String], keep: String,
-                         orderCol: String = ""): DataFrame = {
-    val ord = if (orderCol.nonEmpty) orderCol else df.columns.head
+                         orderCols: Seq[String] = Nil): DataFrame = {
+    val ords = if (orderCols.nonEmpty) orderCols
+               else df.columns.filterNot(on.contains).toSeq
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(if (keep == "last") col(ord).desc else col(ord).asc)
+      .orderBy(ords.map(c => if (keep == "last") col(c).desc else col(c).asc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

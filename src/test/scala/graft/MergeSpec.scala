@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+
+/** merge2 semantics vs riptable's contract (rt_merge.py:2293):
+  * null keys never match, validate, keep, indicator, suffixes, order
+  * preservation.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (2L, "c", 21.0), (4L, "d", 40.0)
+  ).toDF("k", "lv", "lx")
+
+  private def right = Seq(
+    (1L, "R1"), (2L, "R2"), (3L, "R3")
+  ).toDF("k", "rv")
+
+  test("inner join multiplicity") {
+    val out = Merge.merge2(left, right, Seq("k"), "inner")
+    assert(out.count() === 3) // k=1 once, k=2 twice
+  }
+
+  test("left join keeps unmatched with nulls") {
+    val out = Merge.merge2(left, right, Seq("k"), "left")
+    assert(out.count() === 4)
+    assert(out.filter($"k" === 4 && $"rv".isNull).count() === 1)
+  }
+
+  test("outer join adds right-only rows; indicator labels sides") {
+    val out = Merge.merge2(left, right, Seq("k"), "outer", indicator = true)
+    assert(out.count() === 5)
+    val byInd = out.groupBy("merge_indicator").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byInd === Map("both" -> 3, "left_only" -> 1, "right_only" -> 1))
+  }
+
+  test("null keys never match (rt_merge.py:2320)") {
+    val l = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b")).toDF("k", "lv")
+    val r = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y")).toDF("k", "rv")
+    val out = Merge.merge2(l, r, Seq("k"), "inner")
+    assert(out.count() === 1) // only k=1; null does not join to null
+  }
+
+  test("validate m:1 rejects duplicate right keys") {
+    val dupRight = Seq((1L, "x"), (1L, "y")).toDF("k", "rv")
+    assertThrows[Merge.MergeValidationException](
+      Merge.merge2(left, dupRight, Seq("k"), "left", validate = Some("m:1")))
+  }
+
+  test("validate m:1 passes on unique right") {
+    Merge.merge2(left, right, Seq("k"), "left", validate = Some("m:1"))
+  }
+
+  test("keep=first dedupes left side by order cols") {
+    val out = Merge.merge2(left, right, Seq("k"), "inner",
+      keepLeft = Some("first"), keepOrderCols = Seq("lv"))
+    // k=2 keeps lv="b" only
+    assert(out.filter($"k" === 2).select("lv").as[String].collect().toSeq === Seq("b"))
+  }
+
+  test("suffixes applied to colliding non-key columns") {
+    val r2 = right.withColumnRenamed("rv", "lv")
+    val out = Merge.merge2(left, r2, Seq("k"), "inner")
+    assert(out.columns.contains("lv_x") && out.columns.contains("lv_y"))
+  }
+
+  test("preserveOrder keeps left row order") {
+    val out = Merge.merge2(left, right, Seq("k"), "left", preserveOrder = true)
+    assert(out.select("lv").as[String].collect().toSeq === Seq("a", "b", "c", "d"))
+  }
+
+  test("ismember flags membership") {
+    val out = Merge.ismember(left, right, Seq("k"))
+    val m = out.select("k", "ismember").as[(Long, Boolean)].collect().toMap
+    assert(m === Map(1L -> true, 2L -> true, 4L -> false))
+  }
+
+  test("mergeLookup resolves duplicate lookup rows by keep") {
+    val lookup = Seq((1L, "first"), (1L, "second"), (2L, "only")).toDF("k", "name")
+    val out = Merge.mergeLookup(left, lookup, Seq("k"), keep = "first", orderCol = Some("name"))
+    assert(out.filter($"k" === 1).select("name").distinct().as[String].collect().toSeq === Seq("first"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, GroupOps, Rolling, Similarity}
+import graft.functions.Binning
+import graft.syntax._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cumsumReset starts a new segment at each reset") {
+    val df = Seq(
+      (1L, 1L, 1.0, false), (1L, 2L, 2.0, false), (1L, 3L, 3.0, true),
+      (1L, 4L, 4.0, false)
+    ).toDF("k", "t", "v", "reset")
+    val out = Rolling.cumsumReset(df, Seq("k"), Seq(col("t")), "v", col("reset"), "cs")
+      .orderBy("t").select("cs").as[Double].collect().toSeq
+    assert(out === Seq(1.0, 3.0, 3.0, 7.0))
+  }
+
+  test("rolling fullWindowOnly nulls the warm-up rows") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0)).toDF("k", "t", "v")
+    val out = Rolling.rollingAgg(df, Seq("k"), Seq(col("t")), 2, sum, "v", "rs",
+      fullWindowOnly = true)
+      .orderBy("t").select("rs").as[Option[Double]].collect().toSeq
+    assert(out === Seq(None, Some(3.0), Some(5.0)))
+  }
+
+  test("strict sum propagates nulls, nansum skips them") {
+    val df = Seq[(String, java.lang.Double)](("a", 1.0), ("a", null), ("b", 2.0))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(
+      GroupOps.strictSum($"v").as("strict"), GroupOps.nansum($"v").as("nan"))
+      .orderBy("k").as[(String, Option[Double], Option[Double])].collect().toSeq
+    assert(out === Seq(("a", None, Some(1.0)), ("b", Some(2.0), Some(2.0))))
+  }
+
+  test("cut: riptable (lo,hi] bins, out-of-range → null, 1-based codes") {
+    val df = Seq(0.5, 10.0, 10.5, 55.0, -1.0).toDF("x")
+    val out = df.select(Binning.cut($"x", Seq(0.0, 10.0, 20.0, 50.0)).as("b"))
+      .as[Option[Int]].collect().toSeq
+    assert(out === Seq(Some(1), Some(1), Some(2), None, None))
+  }
+
+  test("hstack fills missing columns with null (invalid-fill)") {
+    val a = Seq((1, "x")).toDF("id", "s")
+    val b = Seq((2, 9.9)).toDF("id", "d")
+    val out = a.hstack(b)
+    assert(out.columns.toSeq === Seq("id", "s", "d"))
+    assert(out.filter($"id" === 2 && $"s".isNull).count() === 1)
+  }
+
+  test("dropDuplicatesKeep none drops all members of dup groups") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val out = df.dropDuplicatesKeep(Seq("k"), "none", Seq("v"))
+    assert(out.select("k").as[Int].collect().toSeq === Seq(2))
+  }
+
+  test("simhash of identical texts equal; near-identical texts near") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("id", "text")
+    val sh = df.select($"id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    val d13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(d13 > 10)
+  }
+
+  test("jaccardPairs finds the duplicated doc pair") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(df, "id", "text", shingleN = 2, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("minhash signature identical for identical docs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("id", "text")
+    val sigs = Dedup.minhashSignatures(df, "id", "text", 2, 8)
+      .select("id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+  }
+
+  test("cosine similarity of identical vectors is 1") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
+      (3L, Seq(-3.0f, 1.0f, 0.5f))).toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(df, df.filter($"id" === 1L), "id", "vec", "id", 1)
+    val top = out.select("neighbor_id", "cosine").as[(Long, Double)].collect().head
+    assert(top._1 === 2L && math.abs(top._2 - 1.0) < 1e-6)
+  }
+
+  test("transform broadcasts group aggregates to rows") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("k", "v")
+    val out = GroupOps.transform(df, Seq("k"), "s" -> sum($"v"))
+      .orderBy("k", "v").select("s").as[Double].collect().toSeq
+    assert(out === Seq(4.0, 4.0, 5.0))
+  }
+}
