@@ -505,6 +505,106 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("l_linenumber"),
           round(col("l_quantity"), 6).as("l_quantity"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- batch 3: categorical, UDAF registry, stats, interp, multiset ----
+
+    "q53_categorical" -> ((s, dir) =>
+      Categorical.encode(t(s, dir, "customer"), "c_mktsegment")
+        .groupBy(col("code"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("code"))),
+
+    "q54_udaf" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(Apply.weightedMean(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("wmean_price"))
+        .orderBy(col("l_returnflag"))),
+
+    "q55_regr" -> ((s, dir) =>
+      Stats.lm(t(s, dir, "lineitem"), "l_extendedprice", "l_quantity", Seq("l_returnflag"))
+        .select(col("l_returnflag"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"), round(col("corr"), 6).as("corr"), col("n"))
+        .orderBy(col("l_returnflag"))),
+
+    "q56_winsorize" -> ((s, dir) =>
+      Stats.winsorize(t(s, dir, "orders"), "o_totalprice", 0.05, 0.95, "w")
+        .agg(round(avg(col("w")), 6).as("wmean"),
+          round(min(col("w")), 6).as("wmin"),
+          round(max(col("w")), 6).as("wmax"))),
+
+    "q57_bincount" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bits", bit_count(col("l_linenumber").cast("long")).cast("int"))
+        .orderBy(col("l_linenumber"))),
+
+    "q58_transitions" -> ((s, dir) => {
+      val ev = Rolling.differs(
+        Categorical.shiftCat(t(s, dir, "events"), "event_type", Seq("user_id"),
+          Seq(col("ts"), col("event_id"))),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), "event_type", "chg")
+      ev.groupBy(col("user_id"))
+        .agg(sum(when(col("shifted").isNotNull && col("chg"), 1).otherwise(0)).as("n_trans"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q59_shift_cat" -> ((s, dir) =>
+      Categorical.shiftCat(t(s, dir, "events"), "event_type", Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("shifted"))
+        .orderBy(col("event_id"))),
+
+    "q60_multiset" -> ((s, dir) =>
+      GroupOps.aggMulti(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity", "l_discount"),
+        Seq("sum" -> (c => round(sum(c), 6)), "mean" -> (c => round(avg(c), 6)),
+          "min" -> (c => round(min(c), 6)), "max" -> (c => round(max(c), 6))))
+        .orderBy(col("l_returnflag"))),
+
+    "q61_rolling_quantile" -> ((s, dir) =>
+      Rolling.rollingQuantile(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts"), col("event_id")), 5, 0.5, "value", "roll_med")
+        .select(col("event_id"), col("user_id"), round(col("roll_med"), 6).as("roll_med"))
+        .orderBy(col("event_id"))),
+
+    "q62_ngroup" -> ((s, dir) =>
+      GroupOps.ngroup(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), "gid")
+        .groupBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("gid"))),
+
+    "q63_accum_ratio" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+      val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+      val joined = cust.join(broadcast(nat), Seq("c_nationkey"))
+        .join(broadcast(reg), Seq("n_regionkey"))
+      val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+      val num = Reshape.accum2(joined, "c_mktsegment", "r_name",
+        sum(col("c_acctbal")), colValues = regions)
+      val den = Reshape.accum2(joined, "c_mktsegment", "r_name",
+        count(lit(1)), colValues = regions)
+      val ratio = Reshape.accumRatio(num, den, "c_mktsegment")
+      ratio.select(col("c_mktsegment"),
+          round(col("AFRICA"), 6).as("AFRICA"), round(col("AMERICA"), 6).as("AMERICA"),
+          round(col("ASIA"), 6).as("ASIA"), round(col("EUROPE"), 6).as("EUROPE"),
+          round(col("MIDDLE EAST"), 6).as("MIDDLE_EAST"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q64_interp" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val queries = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val points = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsu"), col("value"))
+      Interp.interp(queries, points, "tsu", Seq("user_id"), "value", "iv")
+        .select(col("event_id"), col("user_id"), round(col("iv"), 6).as("iv"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -900,6 +1000,107 @@ object SparkEntry {
         |SELECT o.o_orderkey, o.o_orderstatus, r.l_linenumber,
         |  round(r.l_quantity, 6) AS l_quantity
         |FROM orders o LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (o_orderkey)
-        |ORDER BY o.o_orderkey""".stripMargin
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q53_categorical" ->
+      """WITH e AS (SELECT c_mktsegment,
+        |    dense_rank() OVER (ORDER BY c_mktsegment) AS code FROM customer)
+        |SELECT code, c_mktsegment, count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q54_udaf" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q55_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q56_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi FROM orders)
+        |SELECT round(avg(least(greatest(o_totalprice, lo), hi)), 6) AS wmean,
+        |  round(min(least(greatest(o_totalprice, lo), hi)), 6) AS wmin,
+        |  round(max(least(greatest(o_totalprice, lo), hi)), 6) AS wmax
+        |FROM orders, b""".stripMargin,
+
+    "q57_bincount" ->
+      """SELECT l_linenumber, count(*) AS n,
+        |  CAST(bit_count(CAST(l_linenumber AS BIGINT)) AS INTEGER) AS bits
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q58_transitions" ->
+      """WITH w AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  count(*) FILTER (prev IS NOT NULL AND prev <> event_type) AS n_trans
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q59_shift_cat" ->
+      """SELECT event_id, user_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS shifted
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q60_multiset" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity), 6) AS sum_l_quantity,
+        |  round(sum(l_discount), 6) AS sum_l_discount,
+        |  round(avg(l_quantity), 6) AS mean_l_quantity,
+        |  round(avg(l_discount), 6) AS mean_l_discount,
+        |  round(min(l_quantity), 6) AS min_l_quantity,
+        |  round(min(l_discount), 6) AS min_l_discount,
+        |  round(max(l_quantity), 6) AS max_l_quantity,
+        |  round(max(l_discount), 6) AS max_l_discount
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q61_rolling_quantile" ->
+      """SELECT event_id, user_id,
+        |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+        |    AS roll_med
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q62_ngroup" ->
+      """WITH e AS (SELECT l_returnflag, l_linestatus,
+        |    dense_rank() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS gid
+        |  FROM lineitem)
+        |SELECT gid, l_returnflag, l_linestatus, count(*) AS n
+        |FROM e GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q63_accum_ratio" ->
+      """SELECT c_mktsegment,
+        |  round(avg(c_acctbal) FILTER (r_name = 'AFRICA'), 6) AS "AFRICA",
+        |  round(avg(c_acctbal) FILTER (r_name = 'AMERICA'), 6) AS "AMERICA",
+        |  round(avg(c_acctbal) FILTER (r_name = 'ASIA'), 6) AS "ASIA",
+        |  round(avg(c_acctbal) FILTER (r_name = 'EUROPE'), 6) AS "EUROPE",
+        |  round(avg(c_acctbal) FILTER (r_name = 'MIDDLE EAST'), 6) AS "MIDDLE_EAST"
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q64_interp" ->
+      """WITH q AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
+        |    FROM events WHERE event_type = 'click'),
+        |  p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+        |    FROM events WHERE event_type = 'view'),
+        |  bk AS (SELECT q.event_id, q.user_id, q.tsu, p.tsu AS x0, p.value AS y0
+        |    FROM q ASOF LEFT JOIN p ON q.user_id = p.user_id AND q.tsu >= p.tsu),
+        |  fw AS (SELECT q.event_id, p.tsu AS x1, p.value AS y1
+        |    FROM q ASOF LEFT JOIN p ON q.user_id = p.user_id AND q.tsu <= p.tsu)
+        |SELECT bk.event_id, bk.user_id,
+        |  round(CASE WHEN x0 IS NULL THEN y1
+        |    WHEN x1 IS NULL THEN y0
+        |    WHEN x1 = x0 THEN y0
+        |    ELSE y0 + (y1 - y0) * (bk.tsu - x0) / (x1 - x0) END, 6) AS iv
+        |FROM bk JOIN fw ON bk.event_id = fw.event_id
+        |ORDER BY bk.event_id""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The riptable Categorical layer, expressed relationally.
+  *
+  * Reference: `riptable/rt_categorical.py:1284` — a dictionary-encoded
+  * array (int codes + unique categories) that doubles as the groupby
+  * handle; codes are base-1 with code 0 reserved for "Filtered" rows;
+  * `Categories` helper `rt_categorical.py:226`; CategoryMode enum
+  * `riptable/rt_enum.py:848`.
+  *
+  * Spark stores dictionary encoding transparently (parquet/Arrow), so the
+  * value of this layer is the *semantics*: stable code assignment, the
+  * filtered→0 convention (here: code 0 ↔ filtered-out/null key),
+  * category-level ops (isin at dictionary level, shrink to observed,
+  * mapping codes→labels), and shift_cat.
+  *
+  * Scale: the dictionary is distinct-key-sized, so every op here builds a
+  * small `categories` frame and broadcast-joins it back — the fact table
+  * never shuffles on encode/decode.
+  */
+object Categorical {
+
+  /** The category dictionary: sorted unique values with 1-based codes
+    * (riptable sorts string categories; code 0 is reserved for Filtered).
+    * The window runs over the already-distinct (small) key set.
+    */
+  def categories(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+      .withColumn("code", row_number().over(Window.orderBy(col(keyCol))))
+
+  /** Encode: attach the 1-based code; null/filtered keys get code 0. */
+  def encode(df: DataFrame, keyCol: String, out: String = "code",
+             filter: Option[Column] = None): DataFrame = {
+    val cats = categories(df, keyCol).withColumnRenamed("code", "__cat_code")
+    val joined = df.join(broadcast(cats), Seq(keyCol), "left")
+    val base = coalesce(col("__cat_code"), lit(0))
+    val coded = filter match {
+      case Some(f) => when(f, base).otherwise(lit(0)) // filtered → bin 0
+      case None    => base
+    }
+    joined.withColumn(out, coded).drop("__cat_code")
+  }
+
+  /** Decode codes back to labels via the dictionary. */
+  def decode(coded: DataFrame, cats: DataFrame, codeCol: String,
+             labelCol: String): DataFrame = {
+    val d = cats.select(col(cats.columns.head).as(labelCol), col("code").as(codeCol))
+    coded.join(broadcast(d), Seq(codeCol), "left")
+  }
+
+  /** Categorical.isin at dictionary level (rt_categorical.py:4171):
+    * membership test against the (small) category set, not the rows.
+    */
+  def isinCategories(df: DataFrame, keyCol: String, values: Seq[String],
+                     out: String = "isin"): DataFrame =
+    df.withColumn(out, col(keyCol).isin(values: _*))
+
+  /** shrink to observed categories after a filter (rt_categorical.py
+    * category trimming): recompute the dictionary over the kept rows.
+    */
+  def shrink(df: DataFrame, keyCol: String, keep: Column): DataFrame =
+    categories(df.filter(keep), keyCol)
+
+  /** Multi-key categorical (CategoryMode.MultiKey): the dictionary is the
+    * distinct key tuple set; encode via the same broadcast pattern.
+    */
+  def multiKeyCategories(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col): _*).na.drop().distinct()
+      .withColumn("code", row_number().over(Window.orderBy(keyCols.map(col): _*)))
+
+  /** shift_cat (rt_categorical.py:3336): lag the key column per group. */
+  def shiftCat(df: DataFrame, keyCol: String, by: Seq[String],
+               order: Seq[Column], n: Int = 1, out: String = "shifted"): DataFrame =
+    df.withColumn(out,
+      lag(col(keyCol), n).over(Window.partitionBy(by.map(col): _*).orderBy(order: _*)))
+}

@@ -96,10 +96,28 @@ object GroupOps {
   def gbTail(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame =
     gbHead(df, keys, n, order.map(_.desc_nulls_last))
 
-  /** ngroup (rt_groupbyops.py:3565): dense group id in key order. */
+  /** ngroup (rt_groupbyops.py:3565): dense group id in key order.
+    * The naive form (dense_rank over a GLOBAL window) funnels the whole
+    * table through one partition; instead the id is assigned on the
+    * (small) distinct-key set and broadcast-joined back — the fact table
+    * never re-shuffles.
+    */
   def ngroup(df: DataFrame, keys: Seq[String], out: String = "ngroup"): DataFrame = {
-    val w = Window.orderBy(keys.map(col): _*)
-    df.withColumn(out, dense_rank().over(w) - 1)
+    val cats = df.select(keys.map(col): _*).distinct()
+      .withColumn(out, row_number().over(Window.orderBy(keys.map(col): _*)) - 1)
+    df.join(broadcast(cats), keys)
+  }
+
+  /** Multi-function agg with Multiset-flatten naming `f_col`
+    * (riptable agg(list) → Multiset, `rt_groupbyops.py:890`;
+    * Multiset.flatten `riptable/rt_multiset.py:631`).
+    */
+  def aggMulti(df: DataFrame, keys: Seq[String], cols: Seq[String],
+               funcs: Seq[(String, Column => Column)]): DataFrame = {
+    val aggs = funcs.flatMap { case (fname, f) =>
+      cols.map(c => f(col(c)).as(s"${fname}_$c"))
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** cumcount (rt_groupbyops.py:3129). */
