@@ -605,7 +605,75 @@ object SparkEntry {
       Interp.interp(queries, points, "tsu", Seq("user_id"), "value", "iv")
         .select(col("event_id"), col("user_id"), round(col("iv"), 6).as("iv"))
         .orderBy(col("event_id"))
-    })
+    }),
+
+    // ---- batch 4: IO round-trips (SDS/PDataset analogs), string/datetime/
+    //      math packs ----
+
+    "q65_csv_roundtrip" -> ((s, dir) => {
+      // load_csv_as_dataset analog (riptable/rt_csv.py:15): write the part
+      // table to CSV, read it back with schema inference, aggregate.
+      val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^0-9.]", "")}"
+      t(s, dir, "part").write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 6).as("avg_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q66_parquet_partitioned" -> ((s, dir) => {
+      // save_sds/load_sds + PDataset analog (riptable/rt_sds.py:719,1855;
+      // rt_pdataset.py:18): partitioned parquet write, read back with
+      // partition pruning, per-partition aggregate.
+      val tmp = s"/tmp/graft_pq_${dir.replaceAll("[^0-9.]", "")}"
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q67_strings2" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          locate("a", col("p_name")).as("pos_a"),
+          reverse(col("p_name")).as("rev"),
+          rtrim(col("p_name")).as("rtrimmed"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("type_word1"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          concat(col("p_name"), lit("_sfx")).as("appended"),
+          lower(col("p_name")).as("lowered"),
+          ltrim(col("p_name")).as("ltrimmed"))
+        .orderBy(col("p_partkey"))),
+
+    "q68_datetime2" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          dayofweek(col("o_orderdate")).isin(1, 7).as("is_weekend"),
+          date_trunc("week", col("o_orderdate")).as("week_start"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("days_since_epoch"),
+          ((year(col("o_orderdate")) % 4 === 0 && year(col("o_orderdate")) % 100 =!= 0) ||
+            year(col("o_orderdate")) % 400 === 0).as("is_leapyear"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
+          quarter(col("o_orderdate")).as("qtr"),
+          weekofyear(col("o_orderdate")).as("woy"))
+        .orderBy(col("o_orderkey"))),
+
+    "q69_math" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(abs(col("c_acctbal")), 6).as("abs_bal"),
+          ceil(col("c_acctbal")).cast("long").as("ceil_bal"),
+          floor(col("c_acctbal")).cast("long").as("floor_bal"),
+          round(col("c_acctbal"), 1).as("round1"),
+          signum(col("c_acctbal")).cast("int").as("sign_bal"),
+          round(sqrt(abs(col("c_acctbal"))), 6).as("sqrt_bal"),
+          round(log(greatest(abs(col("c_acctbal")), lit(1.0))), 6).as("ln_bal"),
+          round(log10(greatest(abs(col("c_acctbal")), lit(1.0))), 6).as("log10_bal"),
+          round(pow(col("c_acctbal"), 2), 6).as("sq_bal"))
+        .orderBy(col("c_custkey")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -1101,6 +1169,54 @@ object SparkEntry {
         |    WHEN x1 = x0 THEN y0
         |    ELSE y0 + (y1 - y0) * (bk.tsu - x0) / (x1 - x0) END, 6) AS iv
         |FROM bk JOIN fw ON bk.event_id = fw.event_id
-        |ORDER BY bk.event_id""".stripMargin
+        |ORDER BY bk.event_id""".stripMargin,
+
+    "q65_csv_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q66_parquet_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q67_strings2" ->
+      """SELECT p_partkey,
+        |  CAST(instr(p_name, 'a') AS INTEGER) AS pos_a,
+        |  reverse(p_name) AS rev,
+        |  rtrim(p_name) AS rtrimmed,
+        |  split_part(p_type, ' ', 1) AS type_word1,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  p_name || '_sfx' AS appended,
+        |  lower(p_name) AS lowered,
+        |  ltrim(p_name) AS ltrimmed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q68_datetime2" ->
+      """SELECT o_orderkey,
+        |  dayofweek(o_orderdate) IN (0, 6) AS is_weekend,
+        |  CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    AS INTEGER) AS days_since_epoch,
+        |  (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+        |    OR year(o_orderdate) % 400 = 0 AS is_leapyear,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+        |  quarter(o_orderdate) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q69_math" ->
+      """SELECT c_custkey,
+        |  round(abs(c_acctbal), 6) AS abs_bal,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        |  round(c_acctbal, 1) AS round1,
+        |  CAST(sign(c_acctbal) AS INTEGER) AS sign_bal,
+        |  round(sqrt(abs(c_acctbal)), 6) AS sqrt_bal,
+        |  round(ln(greatest(abs(c_acctbal), 1.0)), 6) AS ln_bal,
+        |  round(log10(greatest(abs(c_acctbal), 1.0)), 6) AS log10_bal,
+        |  round(pow(c_acctbal, 2), 6) AS sq_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.syntax._
+
+/** IO round-trips — the SDS save/load analog (riptable/rt_sds.py:719,
+  * 1855; SURVEY §2.1: Parquet replaces SDS, multi-path read replaces
+  * stack=True, partitioned tables replace PDataset).
+  */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    (1L, "a", 1.5, "2024-01-01"), (2L, "b", 2.5, "2024-01-02"),
+    (3L, "a", 3.5, "2024-01-02")
+  ).toDF("id", "k", "v", "d")
+
+  test("parquet round-trip preserves schema and values (save_sds/load_sds)") {
+    val d = Files.createTempDirectory("graft_io").toString + "/t"
+    sample.write.parquet(d)
+    val back = spark.read.parquet(d)
+    // nullability is relaxed on read; names+types must round-trip exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      sample.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq === sample.orderBy("id").collect().toSeq)
+  }
+
+  test("multi-path read stacks files like load_sds(stack=True)") {
+    val base = Files.createTempDirectory("graft_io").toString
+    sample.filter($"k" === "a").write.parquet(base + "/f1")
+    sample.filter($"k" === "b").write.parquet(base + "/f2")
+    val stacked = Tables.stacked(spark, Seq(base + "/f1", base + "/f2"))
+    assert(stacked.count() === 3)
+    assert(stacked.columns.contains("p_src"))
+    // p_src names part-files; the logical slices are the two source dirs
+    assert(stacked.select(regexp_extract($"p_src", "(f1|f2)", 1))
+      .distinct().count() === 2)
+  }
+
+  test("partitioned write + partition pruning (PDataset)") {
+    val d = Files.createTempDirectory("graft_io").toString + "/p"
+    sample.write.partitionBy("d").parquet(d)
+    val pruned = spark.read.parquet(d).filter($"d" === "2024-01-02")
+    assert(pruned.count() === 2)
+    // pruning must reach the scan: only one partition dir read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
+  }
+
+  test("csv round-trip with header + schema inference (load_csv_as_dataset)") {
+    val d = Files.createTempDirectory("graft_io").toString + "/c"
+    sample.write.option("header", "true").csv(d)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(d)
+    assert(back.count() === 3)
+    assert(back.schema("v").dataType.typeName === "double")
+  }
+
+  test("hstack across files with missing columns invalid-fills") {
+    val base = Files.createTempDirectory("graft_io").toString
+    sample.select("id", "k").write.parquet(base + "/a")
+    sample.select("id", "v").write.parquet(base + "/b")
+    val a = spark.read.parquet(base + "/a")
+    val b = spark.read.parquet(base + "/b")
+    val out = a.hstack(b)
+    assert(out.count() === 6)
+    assert(out.filter($"k".isNull).count() === 3)
+  }
+}
