@@ -313,8 +313,7 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "q30_simhash" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text", "simhash")
         .orderBy(col("doc_id"))),
 
     "q31_ann_brute" -> ((s, dir) => {
@@ -673,7 +672,58 @@ object SparkEntry {
           round(log(greatest(abs(col("c_acctbal")), lit(1.0))), 6).as("ln_bal"),
           round(log10(greatest(abs(col("c_acctbal")), lit(1.0))), 6).as("log10_bal"),
           round(pow(col("c_acctbal"), 2), 6).as("sq_bal"))
-        .orderBy(col("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // ---- batch 5: mbget, top-k, replace, date range, windowed argmax ----
+
+    "q70_mbget" -> ((s, dir) => {
+      // mbget(values, index, default) (riptable/rt_utils.py:631): gather
+      // with a default for misses → left join + coalesce.
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").as("p_partkey"))
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      li.join(broadcast(parts), Seq("p_partkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("p_name"), lit("__MISSING__")).as("part_name"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q71_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice"))),
+
+    "q72_replace" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .na.replace("l_returnflag", Map("N" -> "NONE", "A" -> "ACCEPT"))
+        .withColumn("qty_nanorzero",
+          col("l_quantity").isNull || isnan(col("l_quantity")) || col("l_quantity") === 0.0)
+        .groupBy(col("l_returnflag"), col("qty_nanorzero"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("qty_nanorzero"))),
+
+    "q73_daterange" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 5)
+        .select(col("o_orderkey"), explode(sequence(col("o_orderdate"),
+          col("o_orderdate") + expr("INTERVAL 3 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("d"))
+        .orderBy(col("o_orderkey"), col("d"))),
+
+    "q74_move_arg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      t(s, dir, "events")
+        // composite order key: ties on value resolve by event_id in both engines
+        .withColumn("__ord", round(col("value") * 1000).cast("long") * lit(100000000L) + col("event_id"))
+        .withColumn("arg_max_ev", max_by(col("event_id"), col("__ord")).over(w))
+        .withColumn("move_max", max(col("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("arg_max_ev"),
+          round(col("move_max"), 6).as("move_max"))
+        .orderBy(col("event_id"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -1217,6 +1267,41 @@ object SparkEntry {
         |  round(ln(greatest(abs(c_acctbal), 1.0)), 6) AS ln_bal,
         |  round(log10(greatest(abs(c_acctbal), 1.0)), 6) AS log10_bal,
         |  round(pow(c_acctbal, 2), 6) AS sq_bal
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q70_mbget" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(p_name, '__MISSING__') AS part_name
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q71_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q72_replace" ->
+      """SELECT CASE l_returnflag WHEN 'N' THEN 'NONE' WHEN 'A' THEN 'ACCEPT'
+        |    ELSE l_returnflag END AS l_returnflag,
+        |  l_quantity IS NULL OR isnan(l_quantity) OR l_quantity = 0.0
+        |    AS qty_nanorzero,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q73_daterange" ->
+      """SELECT o_orderkey,
+        |  unnest(generate_series(o_orderdate, o_orderdate + INTERVAL 3 DAY,
+        |    INTERVAL 1 DAY)) AS d
+        |FROM orders WHERE o_orderkey <= 5
+        |ORDER BY o_orderkey, d""".stripMargin,
+
+    "q74_move_arg" ->
+      """SELECT event_id, user_id,
+        |  arg_max(event_id, CAST(round(value * 1000) AS BIGINT) * 100000000
+        |    + event_id) OVER w AS arg_max_ev,
+        |  round(max(value) OVER w, 6) AS move_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 }

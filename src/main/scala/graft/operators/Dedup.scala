@@ -91,6 +91,29 @@ object Dedup {
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** DataFrame-level SimHash: explode tokens → one xxhash64 per token →
+    * 64 `sum(±1)` aggregates (whole-stage-codegen'd, map-side combined)
+    * → reassemble the sign bits into one long. Much faster than the
+    * Column-expression form above, whose nested transform/aggregate
+    * lambdas evaluate interpreted per token×bit; use this one in
+    * pipelines.
+    */
+  def simhashDf(docs: DataFrame, idCol: String, textCol: String,
+                out: String = "simhash"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFns.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { j =>
+      sum(when(call_function("shiftright", col("__h"), lit(j)).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__v$j")
+    }
+    val bits = (0 until 64).map { j =>
+      when(col(s"__v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.as(out))
+  }
+
   /** SimHash near-dup pairs via banded LSH: 4 bands of 16 bits — by
     * pigeonhole, any pair within hamming distance 3 shares at least one
     * exact band, so the self-join on (band, value) finds all of them
@@ -98,7 +121,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val sh = simhashDf(docs, idCol, textCol, "sh")
     val banded = sh.select(col(idCol), col("sh"), posexplode(array(
       (0 until 4).map(b =>
         call_function("shiftright", col("sh"), lit(b * 16)).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -120,8 +143,11 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // join key = 64-bit shingle hash, not the string: same counts (hash
+    // collisions are ~|shingles|²/2⁶⁴), far smaller shuffle rows
     val sh = docs.select(col(idCol),
-        explode(array_distinct(TextFns.wordShingles(col(textCol), shingleN))).as("sh"))
+        explode(array_distinct(transform(
+          TextFns.wordShingles(col(textCol), shingleN), s => xxhash64(s)))).as("sh"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.toDF("id_a", "sh")
     val b = sh.toDF("id_b", "sh")

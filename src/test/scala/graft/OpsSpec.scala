@@ -69,6 +69,19 @@ class OpsSpec extends SparkSpec {
     assert(d13 > 10)
   }
 
+  test("simhashDf equals the Column-expression simhash") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "sphinx of black quartz judge my vow right now")
+    ).toDF("id", "text")
+    val colVersion = df.select($"id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val dfVersion = Dedup.simhashDf(df, "id", "text", "sh")
+      .as[(Long, Long)].collect().toMap
+    assert(colVersion === dfVersion)
+  }
+
   test("jaccardPairs finds the duplicated doc pair") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
