@@ -29,6 +29,7 @@ object RipSession {
       // Nanosecond parquet timestamps surface as LongType ns-since-epoch
       // (SURVEY §1.2: nanos-as-long policy; TimestampType is µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Riptable/numpy semantics are non-ANSI (wraparound int math,
       // silent overflow) — matches rc.BasicMath* kernel behavior.
       .config("spark.sql.ansi.enabled", "false")

@@ -723,7 +723,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("arg_max_ev"),
           round(col("move_max"), 6).as("move_max"))
         .orderBy(col("event_id"))
-    })
+    }),
+
+    "q75_ema_window" -> ((s, dir) =>
+      // native Catalyst AggregateWindowFunction path (graft.plans.EmaDecay),
+      // cross-checked against the mapPartitions scan in EmaWindowSpec
+      t(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("ema", expr(
+          // E-notation → DOUBLE literal (plain 1.0/6e8 would parse as DECIMAL)
+          "rip_ema_decay(value, tsu, 1.6666666666666667E-9) OVER " +
+          "(PARTITION BY user_id ORDER BY tsu, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----

@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native Catalyst window function for riptable's ema_decay.
+  *
+  * Reference semantics: `riptable/rt_groupbyops.py:3314` (ema_decay) and
+  * the numba kernel `riptable/rt_fastarraynumba.py:507-561`:
+  *
+  *   ema[0] = v[0]
+  *   ema[i] = v[i] + ema[i-1] * exp(-rate * (t[i] - t[i-1]))
+  *
+  * This recurrence depends on the previous OUTPUT, so it cannot be
+  * written as a frame aggregate of inputs — but it fits Spark's
+  * `AggregateWindowFunction` contract exactly (the same machinery as
+  * rank/lag): a running buffer updated once per row over the
+  * UNBOUNDED PRECEDING..CURRENT ROW row frame. All update expressions
+  * are declarative Catalyst expressions, so the window evaluator stays
+  * on the optimized path — no UDF, no mapPartitions (that formulation
+  * lives in `graft.operators.Ema`; the two are cross-checked in
+  * EmaWindowSpec).
+  *
+  * Null values contribute 0 (riptable treats invalids as skipped decay
+  * carriers); null times propagate null output for that row.
+  */
+case class EmaDecay(value: Expression, time: Expression, rate: Expression)
+    extends AggregateWindowFunction {
+
+  // inputs are cast by the registry builder (GraftExtensions):
+  // value: double, time: long, rate: double
+  override def children: Seq[Expression] = Seq(value, time, rate)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rip_ema_decay"
+
+  private val ema = AttributeReference("ema", DoubleType, nullable = true)()
+  private val prevT = AttributeReference("prevT", LongType, nullable = true)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(ema, prevT)
+
+  override val initialValues: Seq[Expression] = Seq(
+    Literal.create(null, DoubleType), Literal.create(null, LongType))
+
+  override val updateExpressions: Seq[Expression] = {
+    val v = Coalesce(Seq(value, Literal(0.0)))
+    val decayed = Multiply(ema,
+      Exp(Multiply(UnaryMinus(rate), Cast(Subtract(time, prevT), DoubleType))))
+    Seq(
+      Add(v, Coalesce(Seq(decayed, Literal(0.0)))), // first row: buffer null → v
+      time)
+  }
+
+  override val evaluateExpression: Expression = ema
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EmaDecay =
+    copy(value = newChildren(0), time = newChildren(1), rate = newChildren(2))
+}

@@ -1,0 +1,28 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Session extension installing graft's native Catalyst functions.
+  *
+  * Enable with `.config("spark.sql.extensions",
+  * "graft.plans.GraftExtensions")` (or `withExtensions`). This is the
+  * registry hook for every custom Expression the engine ships — the
+  * Spark-idiomatic analog of riptable's custom-kernel dispatch tables
+  * (`riptable/rt_groupbynumba.py:688-701`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rip_ema_decay"),
+      new ExpressionInfo(classOf[EmaDecay].getName, "rip_ema_decay"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "rip_ema_decay(value, time, rate) takes exactly 3 arguments")
+        EmaDecay(Cast(children(0), DoubleType), Cast(children(1), LongType),
+          Cast(children(2), DoubleType))
+      }))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.operators.GroupOps
+
+/** Property-style tests mirroring the reference's hypothesis suites
+  * (`riptable/hypothesis_tests/test_riptide_numpy_equivalency.py`,
+  * `test_sds_property.py`; FIXTURES §B): generated data over a
+  * (key-cardinality × null-density) grid, checked against brute-force
+  * in-memory references with a fixed seed.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new Random(12345)
+
+  private def genData(n: Int, keys: Int, nullFrac: Double): Seq[(String, Option[Double])] =
+    (0 until n).map { _ =>
+      val k = s"k${rng.nextInt(keys)}"
+      val v = if (rng.nextDouble() < nullFrac) None else Some(rng.nextDouble() * 100 - 50)
+      (k, v)
+    }
+
+  test("groupby sum/min/max/count match brute force across the grid") {
+    for (keys <- Seq(3, 17); nullFrac <- Seq(0.0, 0.3)) {
+      val data = genData(500, keys, nullFrac)
+      val df = data.toDF("k", "v")
+      val got = df.groupBy("k")
+        .agg(sum("v").as("s"), min("v").as("mn"), max("v").as("mx"), count("v").as("c"))
+        .collect().map(r => r.getString(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Double]),
+            Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Double]), r.getLong(4))).toMap
+
+      data.groupBy(_._1).foreach { case (k, rows) =>
+        val vs = rows.flatMap(_._2)
+        val (s, mn, mx, c) = got(k)
+        assert(c === vs.length, s"count keys=$keys null=$nullFrac")
+        if (vs.isEmpty) assert(s.isEmpty && mn.isEmpty && mx.isEmpty)
+        else {
+          assert(math.abs(s.get - vs.sum) < 1e-9 * math.max(1, math.abs(vs.sum)))
+          assert(mn.get === vs.min && mx.get === vs.max)
+        }
+      }
+    }
+  }
+
+  test("strict vs nan aggregates: strict null iff group has any null") {
+    val data = genData(300, 11, 0.25)
+    val df = data.toDF("k", "v")
+    val got = df.groupBy("k").agg(GroupOps.strictSum($"v").as("s")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    data.groupBy(_._1).foreach { case (k, rows) =>
+      val hasNull = rows.exists(_._2.isEmpty)
+      assert(got(k).isEmpty === hasNull, s"key $k")
+    }
+  }
+
+  test("orderBy with total order matches in-memory sort") {
+    val data = (0 until 400).map(i => (rng.nextInt(20), rng.nextDouble(), i))
+    val df = data.toDF("a", "b", "id")
+    val got = df.orderBy($"a", $"b".desc, $"id").select("id").as[Int].collect().toSeq
+    val want = data.sortBy { case (a, b, id) => (a, -b, id) }.map(_._3)
+    assert(got === want)
+  }
+
+  test("parquet round-trip across dtypes preserves values (sds property)") {
+    val data = (0 until 200).map { i =>
+      (i.toLong, rng.nextInt(), rng.nextDouble(), rng.nextBoolean(),
+        rng.alphanumeric.take(rng.nextInt(12)).mkString,
+        if (i % 7 == 0) None else Some(rng.nextFloat()))
+    }
+    val df = data.toDF("id", "i", "d", "b", "s", "f")
+    val path = Files.createTempDirectory("graft_prop").toString + "/t"
+    df.write.parquet(path)
+    val back = spark.read.parquet(path).orderBy("id").collect()
+    val orig = df.orderBy("id").collect()
+    assert(back.toSeq === orig.toSeq)
+  }
+
+  test("cast widening round-trips (unsigned-widening policy analog)") {
+    val data = (0 until 300).map(_ => rng.nextInt(Short.MaxValue).toShort)
+    val df = data.toDF("v")
+    val back = df.select($"v".cast("int").cast("long").cast("short").as("v"))
+      .as[Short].collect().toSeq
+    assert(back.sorted === data.sorted)
+  }
+
+  test("rolling sum over random series matches sliding-window reference") {
+    val data = (0 until 250).map(i => (i % 5, i, rng.nextDouble()))
+    val df = data.toDF("k", "t", "v")
+    val got = graft.operators.Rolling
+      .rollingSum(df, Seq("k"), Seq(col("t")), 4, "v", "rs")
+      .select("k", "t", "rs").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    data.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, t, _), i) =>
+        val expect = sorted.slice(math.max(0, i - 3), i + 1).map(_._3).sum
+        assert(math.abs(got((k, t)) - expect) < 1e-9, s"k=$k t=$t")
+      }
+    }
+  }
+}
