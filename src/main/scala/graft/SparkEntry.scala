@@ -736,7 +736,50 @@ object SparkEntry {
           "(PARTITION BY user_id ORDER BY tsu, event_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
         .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // ---- batch 6: native product agg, asof nearest, scalable qcut ----
+
+    "q76_timewindow_prod" -> ((s, dir) =>
+      // timewindow_prod (rt_fastarray.py:2648) via the native RipProduct
+      // aggregate over a trailing RANGE frame
+      t(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("f", lit(1.0) + col("value") / 10000.0)
+        .withColumn("twp", expr(
+          "rip_product(f) OVER (PARTITION BY user_id ORDER BY tsu " +
+          "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"))
+        .select(col("event_id"), col("user_id"), round(col("twp"), 6).as("twp"))
+        .orderBy(col("event_id"))),
+
+    "q77_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("pv"))
+      AsofJoin.asof(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("pv"), direction = "nearest",
+        tolerance = Some(3600000000L), matchedOn = true)
+        .select(col("event_id"), col("user_id"), round(col("pv"), 6).as("pv"),
+          col("matched_on"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q78_product_gb" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("mo", date_trunc("month", col("l_shipdate")))
+        .groupBy(col("l_returnflag"), col("mo"))
+        .agg(expr("round(rip_product(1.0 + l_discount / 10.0), 6)").as("prod_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("mo"))),
+
+    "q79_qcut_scale" -> ((s, dir) =>
+      Binning.qcutBoundaries(t(s, dir, "orders"), "o_totalprice", 4, "price_q")
+        .groupBy(col("price_q")).agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 6).as("lo"),
+          round(max(col("o_totalprice")), 6).as("hi"))
+        .orderBy(col("price_q")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -1315,6 +1358,33 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q76_timewindow_prod" ->
+      """SELECT event_id, user_id,
+        |  round(product(1.0 + value / 10000.0) OVER (PARTITION BY user_id
+        |    ORDER BY tsu RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6)
+        |    AS twp
+        |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q78_product_gb" ->
+      """SELECT l_returnflag,
+        |  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mo,
+        |  round(product(1.0 + l_discount / 10.0), 6) AS prod_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q79_qcut_scale" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs
+        |    FROM orders),
+        | binned AS (SELECT o_totalprice,
+        |    1 + CAST(o_totalprice > qs[1] AS INTEGER)
+        |      + CAST(o_totalprice > qs[2] AS INTEGER)
+        |      + CAST(o_totalprice > qs[3] AS INTEGER) AS price_q
+        |  FROM orders, b)
+        |SELECT price_q, count(*) AS n, round(min(o_totalprice), 6) AS lo,
+        |  round(max(o_totalprice), 6) AS hi
+        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

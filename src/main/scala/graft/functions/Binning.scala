@@ -33,11 +33,28 @@ object Binning {
       least(width_bucket(x, lit(lo), lit(hi), lit(n)), lit(n)))
 
   /** qcut (rt_bin.py:155): quantile bins → ntile over a global order.
-    * Requires a deterministic total order (tiebreaker) for reproducibility.
+    * Exact equal-count semantics, but the global sort funnels through a
+    * single task — use `qcutBoundaries` at scale.
     */
   def qcut(df: DataFrame, valueCol: String, tiebreak: String, q: Int,
            out: String = "bin"): DataFrame = {
     val w = Window.orderBy(col(valueCol), col(tiebreak))
     df.withColumn(out, ntile(q).over(w))
+  }
+
+  /** Scale path for qcut: exact percentile boundaries from one aggregate
+    * (map-side combined), broadcast back, bin by comparison. Bins can be
+    * slightly uneven on ties (boundary values all land in one bin) but no
+    * task ever sees more than its partition.
+    */
+  def qcutBoundaries(df: DataFrame, valueCol: String, q: Int,
+                     out: String = "bin"): DataFrame = {
+    val qs = (1 until q).map(_.toDouble / q)
+    val bounds = df.agg(percentile(col(valueCol), array(qs.map(lit): _*)).as("__b"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(out,
+        aggregate(col("__b"), lit(1),
+          (acc, b) => acc + when(col(valueCol) > b, 1).otherwise(0)))
+      .drop("__b")
   }
 }

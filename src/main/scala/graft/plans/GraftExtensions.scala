@@ -24,5 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         EmaDecay(Cast(children(0), DoubleType), Cast(children(1), LongType),
           Cast(children(2), DoubleType))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("rip_product"),
+      new ExpressionInfo(classOf[RipProduct].getName, "rip_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "rip_product(value) takes exactly 1 argument")
+        RipProduct(children.head).toAggregateExpression()
+      }))
   }
 }

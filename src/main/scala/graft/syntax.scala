@@ -141,21 +141,24 @@ object syntax {
              varName: String = "variable", valName: String = "value"): DataFrame =
       df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
 
-    /** normalize_zscore (`riptable/rt_mlutils.py:12`) over the whole table
-      * via a global window (no collect; stays distributed).
+    /** normalize_zscore (`riptable/rt_mlutils.py:12`). The global stats
+      * are a one-row aggregate broadcast back in — NOT an empty-partition
+      * window, which would funnel the whole table through one task.
       */
     def normalizeZscore(colName: String, out: String): DataFrame = {
-      val w = Window.partitionBy()
-      df.withColumn(out,
-        (col(colName) - avg(col(colName)).over(w)) / stddev_samp(col(colName)).over(w))
+      val stats = df.agg(avg(col(colName)).as("__m"),
+        stddev_samp(col(colName)).as("__s"))
+      df.crossJoin(broadcast(stats))
+        .withColumn(out, (col(colName) - col("__m")) / col("__s"))
+        .drop("__m", "__s")
     }
 
-    /** normalize_minmax (`riptable/rt_mlutils.py:18`). */
+    /** normalize_minmax (`riptable/rt_mlutils.py:18`); same broadcast shape. */
     def normalizeMinmax(colName: String, out: String): DataFrame = {
-      val w = Window.partitionBy()
-      val mn = min(col(colName)).over(w)
-      val mx = max(col(colName)).over(w)
-      df.withColumn(out, (col(colName) - mn) / (mx - mn))
+      val stats = df.agg(min(col(colName)).as("__mn"), max(col(colName)).as("__mx"))
+      df.crossJoin(broadcast(stats))
+        .withColumn(out, (col(colName) - col("__mn")) / (col("__mx") - col("__mn")))
+        .drop("__mn", "__mx")
     }
   }
 
