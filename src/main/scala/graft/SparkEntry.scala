@@ -1005,6 +1005,27 @@ object SparkEntry {
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
 
+    "q28_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
+        |    THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(co AS DOUBLE) / (sa.sz + sb.sz - co), 6) AS jaccard
+        |FROM co JOIN sizes sa ON co.id_a = sa.doc_id
+        |  JOIN sizes sb ON co.id_b = sb.doc_id
+        |WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q32_langid" ->
       """SELECT doc_id, lang,
         |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -43,10 +43,10 @@ object Dedup {
       val b = 0xC2B2AE3D27D4EB4FL * (i + 1L)
       min(pmod(col("__h") * lit(a) + lit(b), lit(Long.MaxValue))).as(s"__m$i")
     }
-    docs.select(col(idCol)).join(
-      sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-        .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("sig")),
-      Seq(idCol))
+    // every doc yields ≥1 shingle (wordShingles falls back to the whole
+    // text), so the aggregate covers all ids — no join back needed
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** MinHash-LSH near-dup candidate pairs: signatures → bands of

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Apply, Categorical, Interp, Multimodal, Reshape}
+import graft.functions.{Binning, Stats}
+
+/** Specs for the categorical / stats / interp / multimodal / reshape
+  * layers not covered query-side.
+  */
+class LayerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("categorical encode→decode round-trips; codes are 1-based sorted") {
+    val df = Seq("b", "a", "c", "a").toDF("k")
+    val coded = Categorical.encode(df, "k")
+    val codes = coded.select("k", "code").distinct().as[(String, Int)].collect().toMap
+    assert(codes === Map("a" -> 1, "b" -> 2, "c" -> 3))
+    val cats = Categorical.categories(df, "k")
+    val decoded = Categorical.decode(coded.select("code"), cats, "code", "label")
+    assert(decoded.select("label").as[String].collect().sorted.toSeq === Seq("a", "a", "b", "c"))
+  }
+
+  test("categorical filtered rows get code 0 (riptable Filtered bin)") {
+    val df = Seq(("a", 1), ("b", 2), ("a", 3)).toDF("k", "v")
+    val coded = Categorical.encode(df, "k", filter = Some($"v" =!= 2))
+    assert(coded.filter($"v" === 2).select("code").as[Int].head() === 0)
+    assert(coded.filter($"v" =!= 2).filter($"code" === 0).count() === 0)
+  }
+
+  test("null keys encode to code 0") {
+    val df = Seq(Some("a"), None, Some("b")).toDF("k")
+    val coded = Categorical.encode(df, "k")
+    assert(coded.filter($"k".isNull).select("code").as[Int].head() === 0)
+  }
+
+  test("winsorize clips exactly at the percentile bounds") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Stats.winsorize(df, "v", 0.1, 0.9, "w")
+    val (mn, mx) = out.agg(min($"w"), max($"w")).as[(Double, Double)].head()
+    assert(math.abs(mn - 10.9) < 1e-9 && math.abs(mx - 90.1) < 1e-9)
+  }
+
+  test("qcutBoundaries agrees with ntile qcut on tie-free data") {
+    val df = (1 to 100).map(i => (i.toDouble * 3.7, i)).toDF("v", "id")
+    val a = Binning.qcut(df, "v", "id", 4, "b1").select($"id", $"b1")
+    val b = Binning.qcutBoundaries(df, "v", 4, "b2").select($"id", $"b2")
+    val joined = a.join(b, "id").filter($"b1" =!= $"b2")
+    assert(joined.count() === 0)
+  }
+
+  test("applyNonReduce runs a custom scan per key in order") {
+    val df = Seq((1L, 1L, 2.0), (1L, 2L, 3.0), (2L, 1L, 5.0)).toDF("k", "t", "v")
+    // running product via the generic scan hook
+    val out = Apply.applyNonReduce(df, "k", "t", "v", "rp", 1.0)(_ * _)
+      .orderBy("k", "t").select("rp").as[Double].collect().toSeq
+    assert(out === Seq(2.0, 6.0, 5.0))
+  }
+
+  test("interp clamps outside the hull and blends inside") {
+    val q = Seq((1L, 5L, 1), (1L, 15L, 2), (1L, 100L, 3), (1L, 1L, 4)).toDF("g", "x", "qid")
+    val p = Seq((1L, 10L, 10.0), (1L, 20L, 30.0)).toDF("g", "x", "y")
+    val out = Interp.interp(q, p, "x", Seq("g"), "y", "iv")
+      .select("qid", "iv").as[(Int, Double)].collect().toMap
+    assert(out(4) === 10.0)              // before first point → clamp
+    assert(out(3) === 30.0)              // after last point → clamp
+    assert(math.abs(out(2) - 20.0) < 1e-9) // x=15 midway 10→20: 10 + 20*(5/10)
+    assert(out(1) === 10.0)              // x=5 before hull → clamp
+  }
+
+  test("pivotNoAgg raises on duplicate (label, column) pairs") {
+    val dup = Seq(("r1", "c1", 1.0), ("r1", "c1", 2.0)).toDF("l", "c", "v")
+    assertThrows[IllegalArgumentException](
+      Reshape.pivotNoAgg(dup, "l", "c", "v", Seq("c1")))
+  }
+
+  test("multimodal stub features have stable shape and deterministic values") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "")).toDF("id", "payload")
+    val out = Multimodal.withMediaFeatures(df, "payload")
+    val rows = out.select($"id", $"features", $"n_bytes").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getInt(2))).toMap
+    assert(rows(1L)._1 === rows(2L)._1)       // deterministic
+    assert(rows(1L)._1.length === 8)
+    assert(rows(3L)._1.forall(_ === 0.0))     // empty payload → zero features
+    assert(rows(1L)._2 === 11)
+  }
+
+  test("accumRatio divides matching pivot cells") {
+    val num = Seq(("a", 10.0, 20.0)).toDF("k", "x", "y")
+    val den = Seq(("a", 2.0, 5.0)).toDF("k", "x", "y")
+    val out = Reshape.accumRatio(num, den, "k").as[(String, Double, Double)].head()
+    assert(out === (("a", 5.0, 4.0)))
+  }
+}
