@@ -779,7 +779,26 @@ object SparkEntry {
         .groupBy(col("price_q")).agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 6).as("lo"),
           round(max(col("o_totalprice")), 6).as("hi"))
-        .orderBy(col("price_q")))
+        .orderBy(col("price_q"))),
+
+    "q80_ema_normal" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("ema", expr(
+          "rip_ema_normal(value, tsu, 1.6666666666666667E-9) OVER " +
+          "(PARTITION BY user_id ORDER BY tsu, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))),
+
+    "q81_ema_weighted" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ema", expr(
+          "rip_ema_weighted(value, 0.25) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----

@@ -143,21 +143,38 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // join key = 64-bit shingle hash, not the string: same counts (hash
-    // collisions are ~|shingles|²/2⁶⁴), far smaller shuffle rows
-    val sh = docs.select(col(idCol),
+    // PPJoin-style prefix filtering, EXACT for the given threshold:
+    // J(A,B) ≥ τ requires |A∩B| ≥ τ·|A|, so if A and B share nothing in
+    // their first |d| − ⌈τ·|d|⌉ + 1 shingles under a GLOBAL total order,
+    // they cannot match. The order is (doc-frequency asc, hash) — prefixes
+    // hold each doc's RAREST shingles, so prefix posting lists are short
+    // and the candidate join stays near-linear even with hot shingles.
+    // Candidates verify with one array_intersect on the full hash sets.
+    val exploded = docs.select(col(idCol).as("id"),
         explode(array_distinct(transform(
           TextFns.wordShingles(col(textCol), shingleN), s => xxhash64(s)))).as("sh"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("id_a", "sh")
-    val b = sh.toDF("id_b", "sh")
-    val co = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("co"))
-    co.join(broadcast(sizes.toDF("id_a", "sz_a")), Seq("id_a"))
-      .join(broadcast(sizes.toDF("id_b", "sz_b")), Seq("id_b"))
+    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val sets = exploded.join(dfreq, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("sh")))),
+        x => x.getField("sh")).as("shs"))
+      .withColumn("sz", size(col("shs")))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+    val prefixes = sets.select(col("id"),
+      explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+    val cand = prefixes.toDF("id_a", "sh")
+      .join(prefixes.toDF("id_b", "sh"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("co", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
         round(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a").as(idCol + "_a"), col("id_b"), col("jaccard"))
+      .toDF("id_a", "id_b", "jaccard")
   }
 }

@@ -57,3 +57,73 @@ case class EmaDecay(value: Expression, time: Expression, rate: Expression)
       newChildren: IndexedSeq[Expression]): EmaDecay =
     copy(value = newChildren(0), time = newChildren(1), rate = newChildren(2))
 }
+
+/** ema_normal (`riptable/rt_groupbyops.py:3366`): time-normalized EMA —
+  * decayed numerator over decayed denominator, so the output is a
+  * weighted MEAN of history rather than a decayed sum.
+  *
+  *   num[i] = v[i] + num[i-1]·w,  den[i] = 1 + den[i-1]·w,
+  *   w = exp(-rate·Δt),  ema[i] = num[i]/den[i]
+  */
+case class EmaNormal(value: Expression, time: Expression, rate: Expression)
+    extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(value, time, rate)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rip_ema_normal"
+
+  private val num = AttributeReference("num", DoubleType, nullable = true)()
+  private val den = AttributeReference("den", DoubleType, nullable = true)()
+  private val prevT = AttributeReference("prevT", LongType, nullable = true)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(num, den, prevT)
+
+  override val initialValues: Seq[Expression] = Seq(
+    Literal.create(null, DoubleType), Literal.create(null, DoubleType),
+    Literal.create(null, LongType))
+
+  override val updateExpressions: Seq[Expression] = {
+    val v = Coalesce(Seq(value, Literal(0.0)))
+    val w = Exp(Multiply(UnaryMinus(rate), Cast(Subtract(time, prevT), DoubleType)))
+    Seq(
+      Add(v, Coalesce(Seq(Multiply(num, w), Literal(0.0)))),
+      Add(Literal(1.0), Coalesce(Seq(Multiply(den, w), Literal(0.0)))),
+      time)
+  }
+
+  override val evaluateExpression: Expression = Divide(num, den)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EmaNormal =
+    copy(value = newChildren(0), time = newChildren(1), rate = newChildren(2))
+}
+
+/** ema_weighted (`riptable/rt_groupbyops.py:3438`): fixed-alpha EMA,
+  * time-independent —
+  *   ema[0] = v[0]; ema[i] = α·v[i] + (1-α)·ema[i-1]
+  */
+case class EmaWeighted(value: Expression, alpha: Expression)
+    extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(value, alpha)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rip_ema_weighted"
+
+  private val ema = AttributeReference("ema", DoubleType, nullable = true)()
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(ema)
+  override val initialValues: Seq[Expression] = Seq(Literal.create(null, DoubleType))
+
+  override val updateExpressions: Seq[Expression] = {
+    val v = Coalesce(Seq(value, Literal(0.0)))
+    Seq(If(IsNull(ema), v,
+      Add(Multiply(alpha, v), Multiply(Subtract(Literal(1.0), alpha), ema))))
+  }
+
+  override val evaluateExpression: Expression = ema
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EmaWeighted =
+    copy(value = newChildren(0), alpha = newChildren(1))
+}

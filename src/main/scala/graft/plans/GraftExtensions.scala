@@ -25,6 +25,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(children(2), DoubleType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("rip_ema_normal"),
+      new ExpressionInfo(classOf[EmaNormal].getName, "rip_ema_normal"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "rip_ema_normal(value, time, rate) takes exactly 3 arguments")
+        EmaNormal(Cast(children(0), DoubleType), Cast(children(1), LongType),
+          Cast(children(2), DoubleType))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rip_ema_weighted"),
+      new ExpressionInfo(classOf[EmaWeighted].getName, "rip_ema_weighted"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "rip_ema_weighted(value, alpha) takes exactly 2 arguments")
+        EmaWeighted(Cast(children(0), DoubleType), Cast(children(1), DoubleType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rip_product"),
       new ExpressionInfo(classOf[RipProduct].getName, "rip_product"),
       (children: Seq[Expression]) => {

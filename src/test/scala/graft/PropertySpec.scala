@@ -88,6 +88,32 @@ class PropertySpec extends SparkSpec {
     assert(back.sorted === data.sorted)
   }
 
+  test("prefix-filtered jaccardPairs matches brute force on random docs") {
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0 until 60).map { i =>
+      val base = (0 until 12).map(_ => vocab(rng.nextInt(vocab.length)))
+      (i.toLong, base.mkString(" "))
+    } ++ Seq((100L, "aa bb cc dd ee ff"), (101L, "aa bb cc dd ee ff")) // exact dup
+    val df = docs.toDF("id", "text")
+    for (thr <- Seq(0.3, 0.6, 0.9)) {
+      val got = graft.operators.Dedup.jaccardPairs(df, "id", "text", 3, thr)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute force on 3-gram shingle sets
+      def shingles(t: String): Set[String] = {
+        val ts = t.split("\\s+").toSeq
+        if (ts.length < 3) Set(ts.mkString(" "))
+        else ts.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shingles(ta); sb = shingles(tb)
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= thr
+      } yield (ia, ib)).toSet
+      assert(got === want, s"threshold $thr")
+    }
+  }
+
   test("rolling sum over random series matches sliding-window reference") {
     val data = (0 until 250).map(i => (i % 5, i, rng.nextDouble()))
     val df = data.toDF("k", "t", "v")

@@ -63,6 +63,26 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-9, s"$k") }
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val dupDir = Files.createTempDirectory("graft_dedup").toString
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:10", 1L, "click", 1.0),
+      (1L, "2024-01-01 00:00:10", 1L, "click", 1.0), // exact duplicate
+      (2L, "2024-01-01 00:01:10", 1L, "view", 2.0)
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    ev.write.mode("overwrite").parquet(dupDir + "/in")
+    val src = spark.readStream.schema(spark.read.parquet(dupDir + "/in").schema)
+      .parquet(dupDir + "/in")
+    val q = src.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM dedup_stream").as[Long].head() === 2L)
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
