@@ -798,7 +798,14 @@ object SparkEntry {
           "(PARTITION BY user_id ORDER BY ts, event_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
         .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    "q82_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", "vec_id", k = 5, nCentroids = 8, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, Skew}
+
+/** Scale-technique specs: bucketed no-shuffle joins, salted skew joins,
+  * IVF ANN recall vs brute force.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without an exchange on the fact side") {
+    spark.sql("DROP TABLE IF EXISTS bkt_fact")
+    spark.sql("DROP TABLE IF EXISTS bkt_dim")
+    // a stale location (metastore wiped but files kept) blocks saveAsTable
+    Seq("bkt_fact", "bkt_dim").foreach { t =>
+      new scala.reflect.io.Directory(
+        new java.io.File(s"/tmp/graft_warehouse/$t")).deleteRecursively()
+    }
+    val fact = (1 to 1000).map(i => (i.toLong % 50, i.toDouble)).toDF("k", "v")
+    val dim = (0L until 50L).map(k => (k, s"name$k")).toDF("k", "name")
+    fact.write.bucketBy(8, "k").sortBy("k").saveAsTable("bkt_fact")
+    dim.write.bucketBy(8, "k").sortBy("k").saveAsTable("bkt_dim")
+    val joined = spark.table("bkt_fact").join(spark.table("bkt_dim"), "k")
+    // co-located bucketed join: no shuffle exchange in the plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(joined.count() === 1000)
+  }
+
+  test("salted join returns the same result as a plain join") {
+    val left = (1 to 500).map(i => (if (i < 450) 1L else i.toLong, i)).toDF("k", "lv")
+    val right = (1L to 60L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(left, right, Seq("k"), "lv", saltFactor = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+  }
+
+  test("IVF ANN finds the exact duplicate vector as top neighbor") {
+    val rng = new scala.util.Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(16)(rng.nextFloat() * 2 - 1))
+    }
+    val dup = Seq((500L, base(3)._2)) // exact duplicate of vec 3
+    val df = (base ++ dup).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(df, df.filter($"vec_id" === 3L),
+      "vec_id", "embedding", "vec_id", k = 3, nCentroids = 8, nprobe = 4)
+    val top = out.filter($"rank" === 1).select("neighbor_id").as[Long].head()
+    assert(top === 500L)
+  }
+
+  test("IVF recall vs brute force is high with generous nprobe") {
+    val rng = new scala.util.Random(11)
+    val df = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding", "vec_id", 5,
+      nCentroids = 6, nprobe = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+}
