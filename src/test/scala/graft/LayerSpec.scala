@@ -84,6 +84,17 @@ class LayerSpec extends SparkSpec {
     assert(rows(1L)._2 === 11)
   }
 
+  test("display footers/labels survive selection and render") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val withMeta = graft.functions.Display.withLabels(
+      graft.functions.Display.withFooters(df, Map("v" -> "Total: 3.0")), Seq("k"))
+    val selected = withMeta.select($"k", $"v")
+    assert(graft.functions.Display.footers(selected) === Map("v" -> "Total: 3.0"))
+    assert(graft.functions.Display.labelColumns(selected) === Seq("k"))
+    val s = graft.functions.Display.showString(withMeta)
+    assert(s.contains("Total: 3.0") && s.contains("k"))
+  }
+
   test("accumRatio divides matching pivot cells") {
     val num = Seq(("a", 10.0, 20.0)).toDF("k", "x", "y")
     val den = Seq(("a", 2.0, 5.0)).toDF("k", "x", "y")
