@@ -1123,6 +1123,94 @@ object SparkEntry {
         |SELECT o_orderstatus, 'tail' AS which, o_orderkey FROM t WHERE rn <= 2
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    "q38_ema_decay" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, rn, tsu, value, value AS ema
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.rn, n.tsu, n.value,
+        |    n.value + s.ema * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu))
+        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+        |SELECT event_id, user_id, round(ema, 6) AS ema
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "q75_ema_window" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, rn, tsu, value, value AS ema
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.rn, n.tsu, n.value,
+        |    n.value + s.ema * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu))
+        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+        |SELECT event_id, user_id, round(ema, 6) AS ema
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "q80_ema_normal" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, rn, tsu, value,
+        |    value AS num, CAST(1.0 AS DOUBLE) AS den
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.rn, n.tsu, n.value,
+        |    n.value + s.num * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu)),
+        |    1.0 + s.den * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu))
+        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+        |SELECT event_id, user_id, round(num / den, 6) AS ema
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "q81_ema_weighted" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, rn, value, value AS ema
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.rn, n.value,
+        |    0.25 * n.value + 0.75 * s.ema
+        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+        |SELECT event_id, user_id, round(ema, 6) AS ema
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "q77_asof_nearest" ->
+      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
+        |    FROM events WHERE event_type = 'click'),
+        |  p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+        |    FROM events WHERE event_type = 'purchase'),
+        |  bk AS (SELECT c.event_id, c.user_id, c.tsu, p.tsu AS t0, p.value AS v0
+        |    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu),
+        |  fw AS (SELECT c.event_id, p.tsu AS t1, p.value AS v1
+        |    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu <= p.tsu),
+        |  pick AS (SELECT bk.event_id, bk.user_id, bk.tsu,
+        |    CASE WHEN t0 IS NULL THEN t1
+        |      WHEN t1 IS NULL THEN t0
+        |      WHEN bk.tsu - t0 <= t1 - bk.tsu THEN t0 ELSE t1 END AS mt,
+        |    CASE WHEN t0 IS NULL THEN v1
+        |      WHEN t1 IS NULL THEN v0
+        |      WHEN bk.tsu - t0 <= t1 - bk.tsu THEN v0 ELSE v1 END AS mv
+        |    FROM bk JOIN fw ON bk.event_id = fw.event_id)
+        |SELECT event_id, user_id,
+        |  round(CASE WHEN abs(tsu - mt) <= 3600000000 THEN mv END, 6) AS pv,
+        |  CASE WHEN abs(tsu - mt) <= 3600000000 THEN mt END AS matched_on
+        |FROM pick ORDER BY event_id""".stripMargin,
+
     "q39_timewindow" ->
       """SELECT event_id, user_id,
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tsu
