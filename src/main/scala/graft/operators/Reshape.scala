@@ -56,6 +56,7 @@ object Reshape {
       .foldLeft(den)((d, c) => d.withColumnRenamed(c, c + "__d"))
     val j = num.join(d2, Seq(rowKey))
     j.select((col(rowKey) +:
-      num.columns.filterNot(_ == rowKey).map(c => (col(c) / col(c + "__d")).as(c))): _*)
+      num.columns.filterNot(_ == rowKey).toIndexedSeq
+        .map(c => (col(c) / col(c + "__d")).as(c))): _*)
   }
 }

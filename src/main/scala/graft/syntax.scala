@@ -30,21 +30,21 @@ object syntax {
     /** col_move_to_front (`rt_struct.py:3133`). */
     def colMoveToFront(names: String*): DataFrame = {
       val rest = df.columns.filterNot(names.contains)
-      df.select((names ++ rest).map(col): _*)
+      df.select((names ++ rest).toIndexedSeq.map(col): _*)
     }
 
     def colMoveToBack(names: String*): DataFrame = {
       val rest = df.columns.filterNot(names.contains)
-      df.select((rest ++ names).map(col): _*)
+      df.select((rest ++ names).toIndexedSeq.map(col): _*)
     }
 
     /** col_add_prefix (`rt_struct.py:3341`). */
     def colAddPrefix(prefix: String): DataFrame =
-      df.select(df.columns.map(c => col(c).as(prefix + c)): _*)
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(prefix + c)): _*)
 
     /** col_add_suffix (`rt_struct.py:3381`). */
     def colAddSuffix(suffix: String): DataFrame =
-      df.select(df.columns.map(c => col(c).as(c + suffix)): _*)
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(c + suffix)): _*)
 
     // ---- row ops (rt_dataset.py) ----
 
@@ -135,6 +135,27 @@ object syntax {
       */
     def hstack(others: DataFrame*): DataFrame =
       others.foldLeft(df)((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+    /** Struct.flatten / Multiset.flatten (`riptable/rt_struct.py:2170`,
+      * `riptable/rt_multiset.py:631`): recursively expand nested struct
+      * columns to top level with `parent<sep>child` names.
+      */
+    def flattenNested(sep: String = "_"): DataFrame = {
+      import org.apache.spark.sql.types.StructType
+      def expand(prefix: String, field: org.apache.spark.sql.types.StructField): Seq[(String, String)] =
+        field.dataType match {
+          case st: StructType =>
+            st.fields.toSeq.flatMap(f => expand(s"$prefix.${f.name}", f))
+              .map { case (path, name) => (path, s"${field.name}$sep$name") }
+          case _ => Seq((prefix, field.name))
+        }
+      val cols = df.schema.fields.toSeq.flatMap { f =>
+        expand(f.name, f).map { case (path, name) =>
+          if (path == name) col(path) else col(path).as(name)
+        }
+      }
+      df.select(cols: _*)
+    }
 
     /** Dataset.melt (`rt_dataset.py:6781`) — wide→long. */
     def melt(ids: Seq[String], values: Seq[String],

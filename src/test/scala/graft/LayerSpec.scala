@@ -84,6 +84,16 @@ class LayerSpec extends SparkSpec {
     assert(rows(1L)._2 === 11)
   }
 
+  test("flattenNested expands nested structs with joined names") {
+    import graft.syntax._
+    val df = Seq((1, ("x", (2.0, true)))).toDF("id", "s")
+      .select($"id", $"s._1".as("a"),
+        struct($"s._1".as("inner"), $"s._2._1".as("v")).as("nested"))
+    val flat = df.flattenNested()
+    assert(flat.columns.toSeq === Seq("id", "a", "nested_inner", "nested_v"))
+    assert(flat.select("nested_v").as[Double].head() === 2.0)
+  }
+
   test("display footers/labels survive selection and render") {
     val df = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
     val withMeta = graft.functions.Display.withLabels(
