@@ -805,6 +805,20 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
         "embedding", "vec_id", k = 5, nCentroids = 8, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q83_asof_exec" -> ((s, dir) => {
+      // native sort-merge as-of (custom LogicalPlan/Strategy/Exec path)
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("purchase_value"))
+      AsofJoin.asofExec(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -917,6 +931,15 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q15_asof_backward" ->
+      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, round(p.value, 6) AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q83_asof_exec" ->
       """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
         |           FROM events WHERE event_type = 'click'),
         |     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value

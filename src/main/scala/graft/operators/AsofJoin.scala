@@ -23,6 +23,41 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Native sort-merge as-of (backward direction): plans through the
+    * custom AsofJoinNode/AsofJoinExec (graft.plans) — one co-partitioned
+    * two-pointer pass per task instead of the union+window. Requires the
+    * GraftExtensions strategy on the session. Cross-checked against the
+    * window formulation in AsofExecSpec.
+    */
+  def asofExec(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      by: Seq[String],
+      rightCols: Seq[String],
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame = {
+    import graft.plans.AsofJoinNode
+    val spark = left.sparkSession
+    // fresh exprIds on the right (self-joins share attribute ids)
+    val rAliased = right.select(
+      (by ++ Seq(on) ++ rightCols).map(c => col(c).as(s"__r_$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rAliased.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = AsofJoinNode(
+      lPlan, rPlan,
+      by.map(attr(lPlan, _)), by.map(b => attr(rPlan, s"__r_$b")),
+      attr(lPlan, on), attr(rPlan, s"__r_$on"),
+      rightCols.map(c => attr(rPlan, s"__r_$c")),
+      allowExactMatches, tolerance)
+    val out = org.apache.spark.sql.GraftInternal.ofRows(spark, node)
+    rightCols.foldLeft(out)((d, c) => d.withColumnRenamed(s"__r_$c", c))
+  }
+
   def asof(
       left: DataFrame,
       right: DataFrame,

@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsofStrategy)
     ext.injectFunction((
       new FunctionIdentifier("rip_ema_decay"),
       new ExpressionInfo(classOf[EmaDecay].getName, "rip_ema_decay"),
