@@ -803,7 +803,7 @@ object SparkEntry {
     "q82_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
-        "embedding", "vec_id", k = 5, nCentroids = 8, nprobe = 8)
+        "embedding", "vec_id", k = 5, nCentroids = 8, nprobe = 8, iters = 1)
         .orderBy(col("query_id"), col("rank"))
     }),
 
