@@ -819,7 +819,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           round(col("purchase_value"), 6).as("purchase_value"))
         .orderBy(col("event_id"))
-    })
+    }),
+
+    "q84_multiq" -> ((s, dir) =>
+      // multi-q quantile (GB_QUANTILE_MULT, rt_groupbyops.py:2517):
+      // one percentile-array aggregate, columns extracted from it
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(GroupOps.quantiles(col("l_extendedprice"), Seq(0.25, 0.5, 0.75)).as("qs"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 6).as("p25"),
+          round(element_at(col("qs"), 2), 6).as("p50"),
+          round(element_at(col("qs"), 3), 6).as("p75"))
+        .orderBy(col("l_returnflag")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -947,6 +959,14 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, round(p.value, 6) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu
         |ORDER BY c.event_id""".stripMargin,
+
+    "q84_multiq" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, round(qs[1], 6) AS p25, round(qs[2], 6) AS p50,
+        |  round(qs[3], 6) AS p75
+        |FROM q ORDER BY 1""".stripMargin,
 
     "q16_asof_forward" ->
       """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id

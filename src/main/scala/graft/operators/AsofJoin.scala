@@ -36,7 +36,19 @@ object AsofJoin {
       by: Seq[String],
       rightCols: Seq[String],
       allowExactMatches: Boolean = true,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofExec supports backward/forward, got $direction")
+    // forward == backward on negated time (latest -rt ≤ -lt ⇔ earliest rt ≥ lt)
+    if (direction == "forward") {
+      val ln = left.withColumn("__negt", -col(on))
+      val rn = right.withColumn("__negt", -col(on)).drop(on)
+        .withColumnRenamed("__negt", "__negt")
+      return asofExec(ln.drop(on), rn, "__negt", by, rightCols,
+        allowExactMatches, tolerance)
+        .withColumn(on, -col("__negt")).drop("__negt")
+    }
     import graft.plans.AsofJoinNode
     val spark = left.sparkSession
     // fresh exprIds on the right (self-joins share attribute ids)

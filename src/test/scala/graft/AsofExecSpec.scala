@@ -33,6 +33,18 @@ class AsofExecSpec extends SparkSpec {
     }
   }
 
+  test("exec forward direction matches window forward") {
+    for (exact <- Seq(true, false)) {
+      val exec = AsofJoin.asofExec(l, r, "t", Seq("g"), Seq("rv"),
+        allowExactMatches = exact, direction = "forward")
+        .select("lid", "rv").as[(Int, Option[Double])].collect().toMap
+      val win = AsofJoin.asof(l, r, "t", Seq("g"), Seq("rv"),
+        direction = "forward", allowExactMatches = exact)
+        .select("lid", "rv").as[(Int, Option[Double])].collect().toMap
+      assert(exec === win, s"exact=$exact")
+    }
+  }
+
   test("exec matches window formulation on sf0.001 events") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("tsu", expr("ts div 1000"))
