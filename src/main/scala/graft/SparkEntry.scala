@@ -831,7 +831,20 @@ object SparkEntry {
           round(element_at(col("qs"), 1), 6).as("p25"),
           round(element_at(col("qs"), 2), 6).as("p50"),
           round(element_at(col("qs"), 3), 6).as("p75"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    "q85_interval_join" -> ((s, dir) => {
+      // interval join: lineitems shipped within 30 days of their order date
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        col("l_linenumber"), col("l_shipdate"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      RangeJoin.intervalJoin(li, ord, Seq("o_orderkey"),
+        time = li("l_shipdate"),
+        start = ord("o_orderdate"),
+        end = ord("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(li("o_orderkey").as("o_orderkey"), col("l_linenumber"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -967,6 +980,13 @@ object SparkEntry {
         |SELECT l_returnflag, round(qs[1], 6) AS p25, round(qs[2], 6) AS p50,
         |  round(qs[3], 6) AS p75
         |FROM q ORDER BY 1""".stripMargin,
+
+    "q85_interval_join" ->
+      """SELECT l_orderkey AS o_orderkey, l_linenumber
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
 
     "q16_asof_forward" ->
       """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id

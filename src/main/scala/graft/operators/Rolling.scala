@@ -131,6 +131,28 @@ object Rolling {
     df.withColumn(out, f(col(valueCol)).over(w))
   }
 
+  /** issorted (rt_fastarray.py:2720, rc.IsSorted): is the (numeric)
+    * column non-decreasing in the frame's current row order? One
+    * distributed pass: each partition reports (first, last, sortedWithin),
+    * the driver stitches the tiny boundary list. No global sort.
+    */
+  def issorted(df: DataFrame, colName: String): Boolean = {
+    val parts = df.select(col(colName).cast("double"))
+      .rdd.map(_.getDouble(0))
+      .mapPartitionsWithIndex { (i, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var prev = it.next(); val first = prev; var ok = true
+          while (it.hasNext) { val v = it.next(); if (v < prev) ok = false; prev = v }
+          Iterator((i, first, prev, ok))
+        }
+      }.collect().sortBy(_._1)
+    parts.forall(_._4) && parts.toSeq.sliding(2).forall {
+      case Seq(a, b) => a._3 <= b._2
+      case _ => true
+    }
+  }
+
   /** differs/transitions (rt_fastarray.py:4153,4220): value != previous. */
   def differs(df: DataFrame, by: Seq[String], order: Seq[Column],
               valueCol: String, out: String): DataFrame = {

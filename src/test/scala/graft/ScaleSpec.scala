@@ -66,3 +66,37 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 }
+
+case class Ev(user: Long, v: Double)
+
+/** issorted, interval joins, and the typed Dataset idiom. */
+class MiscOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{RangeJoin, Rolling}
+
+  test("issorted detects sorted and unsorted frames") {
+    val sorted = spark.range(1000).toDF("v").orderBy("v")
+    assert(Rolling.issorted(sorted.select($"v".cast("double")), "v"))
+    val unsorted = Seq(3.0, 1.0, 2.0).toDF("v").coalesce(1)
+    assert(!Rolling.issorted(unsorted, "v"))
+  }
+
+  test("bucketized interval join equals direct range filter") {
+    val points = Seq((1L, 15L), (2L, 25L), (3L, 99L)).toDF("pid", "t")
+    val intervals = Seq((10L, 20L, "a"), (20L, 30L, "b")).toDF("s", "e", "tag")
+    val got = RangeJoin.bucketizedIntervalJoin(points, intervals, "t", "s", "e", 8L)
+      .select("pid", "tag").as[(Long, String)].collect().toSet
+    val want = points.crossJoin(intervals)
+      .filter($"t" >= $"s" && $"t" <= $"e")
+      .select("pid", "tag").as[(Long, String)].collect().toSet
+    assert(got === want && want === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("typed Dataset pipeline (case-class Encoder idiom)") {
+    val ds = Seq(Ev(1, 2.0), Ev(1, 4.0), Ev(2, 1.0)).toDS()
+    val out = ds.filter(_.v > 1.5).groupByKey(_.user)
+      .mapValues(_.v).reduceGroups(_ + _)
+      .collect().toMap
+    assert(out === Map(1L -> 6.0))
+  }
+}
