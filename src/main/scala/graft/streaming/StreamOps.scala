@@ -57,6 +57,42 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class AsofState(lastT: Long, lastV: Double, has: Boolean)
+  final case class AsofOut(user_id: Long, event_id: Long, ts: Long,
+                           matched: Option[Double])
+
+  /** Streaming as-of join (backward): one tagged stream carries both
+    * sides; per-key state holds the latest right-side (time, value), and
+    * each left row emits the state at its timestamp. The streaming twin
+    * of operators.AsofJoin / plans.AsofJoinExec — same recurrence the
+    * batch sort-merge runs, held in GroupState instead of a sort. Rows
+    * are folded in event-time order within each micro-batch; late
+    * arrivals across batches follow arrival order (document with a
+    * watermark upstream for bounded lateness).
+    */
+  def streamingAsof(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value").cast("double"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[AsofState]) =>
+          var st = state.getOption.getOrElse(AsofState(Long.MinValue, 0.0, has = false))
+          val out = rows.toSeq.sortBy(_._3).flatMap { case (_, eid, t, typ, v) =>
+            if (typ == rightType) { st = AsofState(t, v, has = true); None }
+            else if (typ == leftType)
+              Some(AsofOut(uid, eid, t, if (st.has && st.lastT <= t) Some(st.lastV) else None))
+            else None
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** File-source stream over a parquet directory (for tests: feed the
     * batch fixtures through the streaming engine via availableNow).
     */

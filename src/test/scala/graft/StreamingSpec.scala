@@ -83,6 +83,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dedup_stream").as[Long].head() === 2L)
   }
 
+  test("streaming as-of join matches the batch as-of on a replayed batch") {
+    val q = StreamOps.streamingAsof(streamIn, leftType = "click", rightType = "view")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT event_id, matched FROM asof_stream")
+      .as[(Long, Option[Double])].collect().toMap
+
+    val ev = spark.read.parquet(dir + "/in").withColumn("tsu", unix_micros($"ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tsu", $"event_id")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"tsu", $"value".as("mv"))
+    val batch = graft.operators.AsofJoin.asof(clicks, views, "tsu",
+      Seq("user_id"), Seq("mv"))
+      .select("event_id", "mv").as[(Long, Option[Double])].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
