@@ -17,6 +17,36 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Distinct 64-bit shingle hashes per doc as (id, sh) rows.
+    *
+    * NOT built with the `wordShingles` array expression: a lambda like
+    * `transform(positions, i => concat_ws(slice(tokens, i, n)))` re-runs
+    * the tokenizer for every position (higher-order-function bodies are
+    * evaluated per element), which is O(positions × split-cost) per doc.
+    * Instead: tokenize ONCE, posexplode, and build each shingle from
+    * `lead()` windows over the token stream — one narrow shuffle on the
+    * doc id, everything codegen'd. Short docs (< n tokens) fall back to
+    * one whole-text shingle, matching wordShingles semantics.
+    */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = docs.select(col(idCol),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val leads = (1 until n).map(i => lead(col("__tok"), i).over(w).as(s"__t$i"))
+    val withL = exploded.select(
+      (Seq(col(idCol), col("__pos"), col("__tok")) ++ leads): _*)
+    val parts = col("__tok") +: (1 until n).map(i => col(s"__t$i"))
+    val full = withL.filter(col(s"__t${n - 1}").isNotNull)
+      .select(col(idCol), xxhash64(concat_ws(" ", parts: _*)).as("sh"))
+    val shorts = docs
+      .filter(size(TextFns.tokens(col(textCol))) < n)
+      .select(col(idCol),
+        xxhash64(concat_ws(" ", TextFns.tokens(col(textCol)))).as("sh"))
+    full.unionByName(shorts).dropDuplicates(idCol, "sh")
+  }
+
   /** Exact duplicates by normalized-content fingerprint: one
     * hash-groupBy; returns groups with count > 1 and the kept (min) id.
     */
@@ -35,9 +65,8 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(TextFns.wordShingles(col(textCol), shingleN))).as("__sh"))
-      .withColumn("__h", xxhash64(col("__sh")))
+    val sh = shingleHashes(docs, idCol, textCol, shingleN)
+      .withColumnRenamed("sh", "__h")
     val mins = (0 until k).map { i =>
       val a = 0x9E3779B97F4A7C15L * (2L * i + 1L)
       val b = 0xC2B2AE3D27D4EB4FL * (i + 1L)
@@ -150,9 +179,8 @@ object Dedup {
     // hold each doc's RAREST shingles, so prefix posting lists are short
     // and the candidate join stays near-linear even with hot shingles.
     // Candidates verify with one array_intersect on the full hash sets.
-    val exploded = docs.select(col(idCol).as("id"),
-        explode(array_distinct(transform(
-          TextFns.wordShingles(col(textCol), shingleN), s => xxhash64(s)))).as("sh"))
+    val exploded = shingleHashes(docs, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "id")
     val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val sets = exploded.join(dfreq, Seq("sh"))
       .groupBy(col("id"))
