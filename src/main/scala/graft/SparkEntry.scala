@@ -139,7 +139,7 @@ object SparkEntry {
         "value", "cum_value")
       GroupOps.cumcount(c1, Seq("user_id"), Seq(col("ts"), col("event_id")), "cum_n")
         .select(col("event_id"), col("user_id"),
-          round(col("cum_value"), 6).as("cum_value"), col("cum_n"))
+          round(col("cum_value"), 6).as("cum_value"), col("cum_n").cast("long").as("cum_n"))
         .orderBy(col("event_id"))
     }),
 
@@ -203,14 +203,14 @@ object SparkEntry {
       t(s, dir, "orders")
         .select(
           col("o_orderkey"),
-          year(col("o_orderdate")).as("yr"),
-          month(col("o_orderdate")).as("mo"),
-          dayofmonth(col("o_orderdate")).as("dom"),
-          dayofweek(col("o_orderdate")).as("dow"),
-          dayofyear(col("o_orderdate")).as("doy"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
           date_trunc("month", col("o_orderdate")).as("month_start"),
           (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100
-            + dayofmonth(col("o_orderdate"))).as("yyyymmdd"))
+            + dayofmonth(col("o_orderdate"))).cast("long").as("yyyymmdd"))
         .orderBy(col("o_orderkey"))),
 
     "q18_strings" -> ((s, dir) =>
@@ -218,7 +218,7 @@ object SparkEntry {
         .select(
           col("p_partkey"),
           upper(col("p_name")).as("name_upper"),
-          length(col("p_name")).as("name_len"),
+          length(col("p_name")).cast("long").as("name_len"),
           col("p_type").contains("BRASS").as("is_brass"),
           col("p_name").startsWith("a").as("starts_a"),
           substring(col("p_brand"), 1, 5).as("brand5"),
@@ -235,6 +235,7 @@ object SparkEntry {
 
     "q20_qcut" -> ((s, dir) =>
       Binning.qcut(t(s, dir, "orders"), "o_totalprice", "o_orderkey", 4, "price_q")
+        .withColumn("price_q", col("price_q").cast("long"))
         .groupBy(col("price_q")).agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 6).as("lo"),
           round(max(col("o_totalprice")), 6).as("hi"))
@@ -294,7 +295,7 @@ object SparkEntry {
     "q26_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextFns.tokenCount(col("text")).as("n_tokens"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
           TextFns.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
@@ -326,7 +327,7 @@ object SparkEntry {
     "q32_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          TextFns.langScore(col("text"), "en").as("en_score"),
+          TextFns.langScore(col("text"), "en").cast("long").as("en_score"),
           TextFns.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
@@ -408,8 +409,9 @@ object SparkEntry {
       t(s, dir, "events")
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
         .select(col("event_id"),
-          hour(col("tstamp")).as("hr"), minute(col("tstamp")).as("mi"),
-          second(col("tstamp")).as("se"),
+          hour(col("tstamp")).cast("long").as("hr"),
+          minute(col("tstamp")).cast("long").as("mi"),
+          second(col("tstamp")).cast("long").as("se"),
           expr("(ts div 1000) % 86400000000").as("us_since_midnight"))
         .orderBy(col("event_id"))),
 
@@ -471,7 +473,8 @@ object SparkEntry {
     "q49_multimodal" -> ((s, dir) =>
       Multimodal.withMediaFeatures(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("media.media_type").as("media_type"),
-          col("n_bytes"), size(col("features")).as("n_features"))
+          col("n_bytes").cast("long").as("n_bytes"),
+          size(col("features")).as("n_features"))
         .orderBy(col("doc_id"))),
 
     "q50_pdataset" -> ((s, dir) =>
@@ -510,6 +513,7 @@ object SparkEntry {
 
     "q53_categorical" -> ((s, dir) =>
       Categorical.encode(t(s, dir, "customer"), "c_mktsegment")
+        .withColumn("code", col("code").cast("long"))
         .groupBy(col("code"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("code"))),
@@ -572,6 +576,7 @@ object SparkEntry {
 
     "q62_ngroup" -> ((s, dir) =>
       GroupOps.ngroup(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), "gid")
+        .withColumn("gid", col("gid").cast("long"))
         .groupBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("gid"))),
@@ -656,7 +661,7 @@ object SparkEntry {
           ((year(col("o_orderdate")) % 4 === 0 && year(col("o_orderdate")) % 100 =!= 0) ||
             year(col("o_orderdate")) % 400 === 0).as("is_leapyear"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
-          quarter(col("o_orderdate")).as("qtr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
           weekofyear(col("o_orderdate")).as("woy"))
         .orderBy(col("o_orderkey"))),
 
@@ -923,7 +928,7 @@ object SparkEntry {
         |    WHEN o.o_orderkey IS NOT NULL AND a.o_orderkey IS NOT NULL THEN 'both'
         |    WHEN o.o_orderkey IS NOT NULL THEN 'left_only' ELSE 'right_only' END
         |    AS merge_indicator,
-        |  count(*) AS n, sum(a.n_items) AS sum_items
+        |  count(*) AS n, CAST(sum(a.n_items) AS BIGINT) AS sum_items
         |FROM orders o FULL OUTER JOIN agg a USING (o_orderkey)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -1142,9 +1147,9 @@ object SparkEntry {
 
     "q25_onehot" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q26_tokens" ->
@@ -1402,7 +1407,7 @@ object SparkEntry {
 
     "q49_multimodal" ->
       """SELECT doc_id, 'text/plain' AS media_type,
-        |  octet_length(encode(text)) AS n_bytes, 8 AS n_features
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, 8 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q50_pdataset" ->
