@@ -48,6 +48,15 @@ def main(sf_dir, out_dir):
             print(f"  {name}: SCHEMA MISMATCH got={gcols} want={wcols}")
             n_fail += 1
             continue
+        # type-width audit (a strict driver compare may check dtypes too)
+        gtypes = {r[0]: r[1] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{qdir}/*.parquet'").fetchall()}
+        wtypes = {r[0]: r[1] for r in con.sql("DESCRIBE " + oracle[name]).fetchall()}
+        tmis = [c for c in gtypes if gtypes.get(c) != wtypes.get(c)]
+        if tmis:
+            print(f"  {name}: TYPE MISMATCH {[(c, gtypes[c], wtypes.get(c)) for c in tmis]}")
+            n_fail += 1
+            continue
         if len(grows) != len(wrows):
             print(f"  {name}: ROWCOUNT got={len(grows)} want={len(wrows)}")
             n_fail += 1
