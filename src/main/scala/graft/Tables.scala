@@ -27,6 +27,18 @@ object Tables {
     spark.read.parquet(paths: _*).withColumn("p_src", input_file_name())
   }
 
+  /** sds_info / sds_tree analog (`riptable/rt_sds.py:1015,1026`):
+    * inspect a parquet dataset's schema + size from footers without a
+    * full load.
+    */
+  def info(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val df = spark.read.parquet(path)
+    val nRows = df.count() // footer-only: count(*) reads no column data
+    df.schema.fields.map(f => (f.name, f.dataType.simpleString, f.nullable, nRows))
+      .toSeq.toDF("column", "dtype", "nullable", "n_rows")
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

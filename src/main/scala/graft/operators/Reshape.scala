@@ -48,6 +48,22 @@ object Reshape {
     df.groupBy(col(labelCol)).pivot(columnCol, colValues).agg(first(col(valueCol)))
   }
 
+  /** Dataset.transpose (rt_dataset.py:5891) — display-size frames only
+    * (riptable's own is in-memory): melt to long, pivot back with the
+    * label column as the new header. Errors above `maxRows` to keep the
+    * footgun visible.
+    */
+  def transpose(df: DataFrame, labelCol: String, maxRows: Int = 1000): DataFrame = {
+    require(df.count() <= maxRows, s"transpose is display-size only (> $maxRows rows)")
+    val valueCols = df.columns.filterNot(_ == labelCol).toSeq
+    val labels = df.select(col(labelCol).cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    val long = df.select((col(labelCol).cast("string").as("__label") +:
+      valueCols.map(c => col(c).cast("double").as(c))): _*)
+      .unpivot(Array(col("__label")), valueCols.map(col).toArray, "column", "value")
+    long.groupBy(col("column")).pivot("__label", labels).agg(first(col("value")))
+  }
+
   /** AccumTable.accum_ratio (rt_accumtable.py:722): elementwise ratio of
     * two cross-tabs sharing axes.
     */

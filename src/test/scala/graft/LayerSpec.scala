@@ -105,6 +105,21 @@ class LayerSpec extends SparkSpec {
     assert(s.contains("Total: 3.0") && s.contains("k"))
   }
 
+  test("transpose flips a small frame; labels become headers") {
+    val df = Seq(("r1", 1.0, 10.0), ("r2", 2.0, 20.0)).toDF("k", "a", "b")
+    val t = Reshape.transpose(df, "k")
+    assert(t.columns.toSeq === Seq("column", "r1", "r2"))
+    val m = t.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m === Map("a" -> ((1.0, 2.0)), "b" -> ((10.0, 20.0))))
+  }
+
+  test("Tables.info reports schema and row count from the footer") {
+    val inf = Tables.info(spark, "/root/testdata/sf0.001/region.parquet")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(inf("r_regionkey") === (("int", 5L)))
+    assert(inf("r_name")._1 === "string")
+  }
+
   test("accumRatio divides matching pivot cells") {
     val num = Seq(("a", 10.0, 20.0)).toDF("k", "x", "y")
     val den = Seq(("a", 2.0, 5.0)).toDF("k", "x", "y")
