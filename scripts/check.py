@@ -18,12 +18,14 @@ def canon(rows, cols):
     return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 def eq(a, b):
+    # EXACT compare — mirrors the driver's hash gate (no float tolerance).
+    # A query that needs tolerance must round on BOTH sides in SQL/Spark.
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return math.isclose(a, b, rel_tol=1e-7, abs_tol=1e-9)
+        return a == b
     if a is None or b is None:
         return False
     return str(a) == str(b)

@@ -796,13 +796,18 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
         .orderBy(col("event_id"))),
 
+    // No round(): the recurrence uses only dyadic coefficients (0.25/0.75)
+    // and +/* — Spark and DuckDB produce bit-identical doubles, while
+    // round(x,6) diverges on exact half-way decimals (Spark BigDecimal
+    // HALF_UP vs DuckDB multiply-based round). Dyadic blends land on
+    // .xxxxxx5 boundaries often, so raw doubles are the SAFER compare here.
     "q81_ema_weighted" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("ema", expr(
           "rip_ema_weighted(value, 0.25) OVER " +
           "(PARTITION BY user_id ORDER BY ts, event_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
-        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .select(col("event_id"), col("user_id"), col("ema"))
         .orderBy(col("event_id"))),
 
     "q82_ann_ivf" -> ((s, dir) => {
@@ -1320,7 +1325,7 @@ object SparkEntry {
         |  SELECT n.user_id, n.event_id, n.rn, n.value,
         |    0.25 * n.value + 0.75 * s.ema
         |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
-        |SELECT event_id, user_id, round(ema, 6) AS ema
+        |SELECT event_id, user_id, ema
         |FROM s ORDER BY event_id""".stripMargin,
 
     "q77_asof_nearest" ->
