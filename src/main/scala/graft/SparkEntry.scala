@@ -309,12 +309,19 @@ object SparkEntry {
         shingleN = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Full MinHash pipeline: banded LSH candidates → exact-jaccard verify.
+    // Output is signature-independent, so it oracles against the exact
+    // jaccard pair set (banding at k=32/r=2 has ~1-8e-8 recall at τ=0.8).
     "q29_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 32, rowsPerBand = 2, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // portableHash64 token hash → the signature itself is reproducible
+    // in DuckDB (md5-derived), so signatures oracle-check exactly.
     "q30_simhash" -> ((s, dir) =>
-      Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text", "simhash")
+      Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text", "simhash",
+        Dedup.portableHash64)
         .orderBy(col("doc_id"))),
 
     "q31_ann_brute" -> ((s, dir) => {
@@ -459,8 +466,13 @@ object SparkEntry {
           round(col("v"), 6).as("v_filled"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // SimHash near-dup pairs at the distance the banding GUARANTEES
+    // (hamming ≤ 3 ⇒ one shared 16-bit band, pigeonhole). With the
+    // portable token hash the oracle recomputes signatures + banding
+    // exactly — output equality, not a recall gamble.
     "q47_simhash_near" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, hashFn = Dedup.portableHash64)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q48_ann_lsh" -> ((s, dir) => {
@@ -901,6 +913,70 @@ object SparkEntry {
 
   // ---- oracle SQL (DuckDB dialect) ----
 
+  /** Exact n-gram-jaccard pair set over `documents` at a threshold —
+    * ground truth for q28 (direct) and the verified LSH pipelines
+    * q29/q47 (whose banded candidates achieve full recall at their τ).
+    */
+  private def jaccardOracle(tau: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
+       |    THEN [array_to_string(t, ' ')]
+       |    ELSE list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(co AS DOUBLE) / (sa.sz + sb.sz - co), 6) AS jaccard
+       |FROM co JOIN sizes sa ON co.id_a = sa.doc_id
+       |  JOIN sizes sb ON co.id_b = sb.doc_id
+       |WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Double-precision dot product of two FLOAT[] columns — mirrors
+    * Similarity.dot's element order and double casts bit-for-bit. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** LCG hyperplane projection for plane `p` — mirrors
+    * Similarity.lshSignature's w(p,d) integer formula exactly. */
+  private def lshProjSql(vec: String, p: Int): String =
+    s"list_sum(list_transform(range(1, len($vec)+1), " +
+      s"i -> CAST($vec[i] AS DOUBLE) * CAST((CAST(1103515245 AS BIGINT) * " +
+      s"(${131 * p} + (i-1)) + 12345) % 2001 - 1000 AS DOUBLE)))"
+
+  /** Per-doc simhash over Dedup.portableHash64 token hashes — mirrors
+    * Dedup.simhashDf bit-for-bit: md5-hex→60-bit int, 64 signed bit
+    * votes, sign bits OR'd into one BIGINT. Ends with `FROM votes`;
+    * callers add the final SELECT.
+    */
+  private def simhashCte: String = {
+    val votes = (0 until 64).map(j =>
+      s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val bits = (0 until 64).map(j =>
+      s"CASE WHEN v$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END")
+      .mkString(" | ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |hx AS (SELECT doc_id, md5(tok) AS hex FROM tk),
+       |hh AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),
+       |  i -> CAST(strpos('0123456789abcdef', hex[i]) - 1 AS BIGINT)
+       |    << (4 * (15 - i)))) AS BIGINT) AS h FROM hx),
+       |votes AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ($bits) AS simhash FROM votes)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1170,26 +1246,61 @@ object SparkEntry {
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
 
-    "q28_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
-        |    THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(CAST(co AS DOUBLE) / (sa.sz + sb.sz - co), 6) AS jaccard
-        |FROM co JOIN sizes sa ON co.id_a = sa.doc_id
-        |  JOIN sizes sb ON co.id_b = sb.doc_id
-        |WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q28_jaccard" -> jaccardOracle("0.5"),
+
+    "q29_minhash" -> jaccardOracle("0.8"),
+
+    "q30_simhash" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q47_simhash_near" ->
+      s"""$simhashCte,
+         |b AS (SELECT doc_id, simhash, band,
+         |  (simhash >> (16 * band)) & 65535 AS bandval
+         |  FROM sig, range(4) t(band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |  bit_count(xor(a.simhash, b2.simhash)) AS hamming
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bandval = b2.bandval
+         |    AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+         |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q31_ann_brute" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id,
+         |    ${cosineSql("c.embedding", "q.qv")} AS cosine
+         |  FROM c, q WHERE c.vec_id <> q.qid),
+         |ranked AS (SELECT qid, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q48_ann_lsh" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    (CASE WHEN ${lshProjSql("embedding", 0)} > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN ${lshProjSql("embedding", 1)} > 0 THEN 2 ELSE 0 END
+         |     + CASE WHEN ${lshProjSql("embedding", 2)} > 0 THEN 4 ELSE 0 END
+         |     + CASE WHEN ${lshProjSql("embedding", 3)} > 0 THEN 8 ELSE 0 END)
+         |    AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    ${cosineSql("c.embedding", "q.embedding")} AS cosine
+         |  FROM sig c JOIN sig q ON c.bucket = q.bucket
+         |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT qid, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     "q32_langid" ->
       """SELECT doc_id, lang,

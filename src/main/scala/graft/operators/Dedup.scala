@@ -120,18 +120,31 @@ object Dedup {
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** DataFrame-level SimHash: explode tokens → one xxhash64 per token →
-    * 64 `sum(±1)` aggregates (whole-stage-codegen'd, map-side combined)
-    * → reassemble the sign bits into one long. Much faster than the
-    * Column-expression form above, whose nested transform/aggregate
-    * lambdas evaluate interpreted per token×bit; use this one in
-    * pipelines.
+  /** Engine-independent 60-bit token hash: the first 15 hex digits of
+    * md5, parsed as an integer. Slower than xxhash64 but reproducible
+    * by ANY engine with md5 (the DuckDB oracles recompute it exactly),
+    * which makes simhash signatures — and everything banded on them —
+    * oracle-checkable end to end.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DataFrame-level SimHash: explode tokens → one 64-bit hash per
+    * token → 64 `sum(±1)` aggregates (whole-stage-codegen'd, map-side
+    * combined) → reassemble the sign bits into one long. Much faster
+    * than the Column-expression form above, whose nested
+    * transform/aggregate lambdas evaluate interpreted per token×bit;
+    * use this one in pipelines.
+    *
+    * `hashFn` picks the token hash: xxhash64 (default — fastest, native
+    * codegen) or portableHash64 (oracle-reproducible cross-engine).
     */
   def simhashDf(docs: DataFrame, idCol: String, textCol: String,
-                out: String = "simhash"): DataFrame = {
+                out: String = "simhash",
+                hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFns.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h", hashFn(col("__t")))
     val votes = (0 until 64).map { j =>
       sum(when(call_function("shiftright", col("__h"), lit(j)).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"__v$j")
@@ -143,17 +156,27 @@ object Dedup {
       .select(col(idCol), bits.as(out))
   }
 
-  /** SimHash near-dup pairs via banded LSH: 4 bands of 16 bits — by
-    * pigeonhole, any pair within hamming distance 3 shares at least one
-    * exact band, so the self-join on (band, value) finds all of them
-    * without an n² compare.
+  /** SimHash near-dup pairs via banded LSH. The band count is DERIVED
+    * from the requested distance: splitting 64 bits into maxHamming+1
+    * bands guarantees (pigeonhole) that any pair within `maxHamming`
+    * shares at least one exact band — so the self-join on (band, value)
+    * finds ALL of them without an n² compare, for any maxHamming ≤ 31
+    * (beyond that, bands drop below 2 bits and everything collides).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simhashDf(docs, idCol, textCol, "sh")
+                   maxHamming: Int = 3,
+                   hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31] for a 64-bit simhash, got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // last band absorbs the remainder bits
+    val sh = simhashDf(docs, idCol, textCol, "sh", hashFn)
     val banded = sh.select(col(idCol), col("sh"), posexplode(array(
-      (0 until 4).map(b =>
-        call_function("shiftright", col("sh"), lit(b * 16)).bitwiseAND(lit(0xFFFFL))): _*)))
+      (0 until nBands).map { b =>
+        val w = if (b == nBands - 1) 64 - b * width else width
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        call_function("shiftright", col("sh"), lit(b * width)).bitwiseAND(lit(mask))
+      }: _*)))
       .toDF(idCol, "sh", "band", "bandval")
     val a = banded.toDF("id_a", "sh_a", "band", "bandval")
     val b = banded.toDF("id_b", "sh_b", "band", "bandval")
@@ -162,6 +185,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Each doc's frequency-ordered distinct shingle-hash set with size —
+    * the verify-side input shared by jaccardPairs and the *VerifiedPairs
+    * pipelines below.
+    */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame = {
+    val exploded = shingleHashes(docs, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "id")
+    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    exploded.join(dfreq, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("sh")))),
+        x => x.getField("sh")).as("shs"))
+      .withColumn("sz", size(col("shs")))
+  }
+
+  /** Exact-jaccard verification of a candidate pair set: joins each
+    * side's full shingle set and keeps pairs with J ≥ threshold. The
+    * candidate set bounds the work — no all-pairs compare.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("co", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard",
+        round(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** The full MinHash-LSH dedup pipeline: banded candidates → exact
+    * jaccard verification. Output is signature-independent (pairs with
+    * their TRUE jaccard), so it is oracle-checkable: with banding strong
+    * enough for full recall at the target threshold it equals the exact
+    * jaccard pair set, at candidate-join cost instead of all-pairs.
+    * Recall for a pair at jaccard J is 1−(1−J^r)^b — the k=32, r=2
+    * default gives 1−(1−J²)¹⁶ (≥ 0.9999998 at J = 0.8).
+    */
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 32, rowsPerBand: Int = 2,
+                           threshold: Double = 0.8): DataFrame = {
+    val cand = minhashPairs(docs, idCol, textCol, shingleN, k, rowsPerBand)
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(cand, shingleSets(docs, idCol, textCol, shingleN), threshold)
+  }
+
+  /** SimHash-banded dedup pipeline: hamming-bounded candidates → exact
+    * jaccard verification. Candidates within `maxHamming` are complete
+    * (pigeonhole, see simhashPairs); the verify step makes the OUTPUT
+    * exact for pairs whose simhash distance stays within that bound —
+    * the oracle-checkable contract for near-exact duplicates.
+    */
+  def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3, shingleN: Int = 3,
+                           threshold: Double = 0.9): DataFrame = {
+    val cand = simhashPairs(docs, idCol, textCol, maxHamming)
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(cand, shingleSets(docs, idCol, textCol, shingleN), threshold)
   }
 
   /** n-gram Jaccard near-dup pairs via inverted index: doc→distinct
@@ -179,14 +265,7 @@ object Dedup {
     // hold each doc's RAREST shingles, so prefix posting lists are short
     // and the candidate join stays near-linear even with hot shingles.
     // Candidates verify with one array_intersect on the full hash sets.
-    val exploded = shingleHashes(docs, idCol, textCol, shingleN)
-      .withColumnRenamed(idCol, "id")
-    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val sets = exploded.join(dfreq, Seq("sh"))
-      .groupBy(col("id"))
-      .agg(transform(sort_array(collect_list(struct(col("df"), col("sh")))),
-        x => x.getField("sh")).as("shs"))
-      .withColumn("sz", size(col("shs")))
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
       .withColumn("plen",
         (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
     val prefixes = sets.select(col("id"),
@@ -195,14 +274,6 @@ object Dedup {
       .join(prefixes.toDF("id_b", "sh"), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("co", size(array_intersect(col("shs_a"), col("shs_b"))))
-      .withColumn("jaccard",
-        round(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a").as(idCol + "_a"), col("id_b"), col("jaccard"))
-      .toDF("id_a", "id_b", "jaccard")
+    verifyJaccard(cand, sets, threshold)
   }
 }

@@ -7,24 +7,36 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`) — builder-brief extension.
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force cosine top-k (the correctness baseline): broadcast the
   *    (small) query set against the corpus — a map-side crossjoin, one
   *    shuffle only for the per-query top-k reduction;
-  *  - LSH-bucketed (the 100 TB path): random-hyperplane signatures bucket
+  *  - LSH-bucketed (a 100 TB path): random-hyperplane signatures bucket
   *    the corpus; queries probe only their bucket, so the scan is
-  *    1/2^bits of the corpus per query. Hyperplanes are derived
-  *    deterministically from hashed (plane, dim) pairs — no driver-side
-  *    randomness to ship.
+  *    1/2^bits of the corpus per query;
+  *  - IVF (the billion-vector layout): k-means-lite coarse quantizer,
+  *    inverted lists keyed by nearest centroid, probes touch ~nprobe/k
+  *    of the corpus.
   *
   * All vector math is `zip_with` + `aggregate` expressions (SURVEY brief:
-  * functions, not UDFs).
+  * functions, not UDFs), computed in DOUBLE so results are reproducible
+  * bit-for-bit by any engine doing IEEE double arithmetic (the DuckDB
+  * oracles mirror the same element order and double casts).
+  *
+  * Hyperplanes for LSH are derived from a pure-integer LCG over
+  * (plane, dim) — not an engine hash — so the signature itself is
+  * engine-independent and oracle-checkable.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns. */
+  /** Dot product of two float-array columns, accumulated left-to-right
+    * in double (element-wise double casts keep this bit-reproducible
+    * across engines; float-precision products would drift vs an oracle).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -49,83 +61,109 @@ object Similarity {
         col(idCol).as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits, plane p's
-    * component for dimension d = a zero-mean int derived from
-    * xxhash64(p, d). Deterministic, shippable as a pure expression.
+  /** Random-hyperplane LSH signature: `bits` sign bits; plane p's
+    * component for dimension d is a zero-mean integer from a pure LCG,
+    *   w(p, d) = ((1103515245·(131·p + d) + 12345) mod 2001) − 1000,
+    * deterministic AND engine-independent (plain int64 arithmetic — a
+    * DuckDB oracle reproduces the exact signature, unlike a hash-seeded
+    * plane). Projections accumulate in double, left-to-right.
     */
   def lshSignature(vec: Column, bits: Int): Column = {
     val planes = (0 until bits).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * (pmod(xxhash64(lit(p), d), lit(2001L)) - 1000L).cast("double")),
+          (x, d) => x.cast("double") *
+            (pmod(lit(1103515245L) * (lit(131L * p) + d) + lit(12345L),
+              lit(2001L)) - 1000L).cast("double")),
         lit(0.0d), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Centroids as ONE broadcast literal — array<struct<cid, cvec,
+    * cnorm>> via typedlit, a single plan node no matter how many
+    * centroids (k×dim doubles), shipped with every task.
+    */
+  def centroidArray(centroids: Seq[(Int, Seq[Double])]): Column =
+    typedlit(centroids.map { case (cid, v) =>
+      (cid, v, math.sqrt(v.map(x => x * x).sum))
+    })
+
+  private def cCid(c: Column): Column = c.getField("_1")
+  private def cVec(c: Column): Column = c.getField("_2")
+  private def cNorm(c: Column): Column = c.getField("_3")
+
+  /** ZERO-SHUFFLE centroid assignment: argmax via `array_max` over
+    * (sim, -cid) structs — highest sim, ties to the lowest cid — all
+    * inside the row. No crossJoin explosion, no window exchange; a
+    * corpus scan is the whole cost, at any corpus size. The row's own
+    * norm is a constant factor across centroids, so argmax ranks on
+    * dot/cnorm — half the flops of full cosine.
+    */
+  def assignToCentroids(df: DataFrame, vecCol: String,
+                        centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val vc = col(vecCol)
+    val best = array_max(transform(centroidArray(centroids), c =>
+      struct((dot(vc, cVec(c)) / cNorm(c)).as("sim"),
+        (-cCid(c)).as("negcid"))))
+    df.withColumn("cid", (-best.getField("negcid")).cast("int"))
+  }
+
   /** IVF-style ANN: k-means-lite coarse quantizer (deterministic seeds,
-    * a few Lloyd iterations — centroids are k×dim tiny and iterate via
-    * broadcast), then queries probe only their `nprobe` nearest
-    * centroids' inverted lists. The corpus is scanned once per Lloyd
-    * iteration and once to assign lists; search touches ~nprobe/k of the
-    * corpus. This is the standard billion-vector layout (IVF-Flat)
-    * expressed relationally.
+    * a few Lloyd iterations), then queries probe only their `nprobe`
+    * nearest centroids' inverted lists. Search touches ~nprobe/k of the
+    * corpus — the standard billion-vector layout (IVF-Flat) expressed
+    * relationally.
+    *
+    * Centroid assignment is a ZERO-SHUFFLE per-row argmax: centroids
+    * ride into every task as an array literal (driver-sized: k×dim),
+    * and `array_max` over (sim, -cid) structs picks the best centroid
+    * inside the row — no crossJoin row explosion, no window exchange.
+    * Each Lloyd iteration therefore costs one corpus scan plus one
+    * k-row aggregate; assignment itself never shuffles.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qIdCol: String, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import scala.jdk.CollectionConverters._
 
     // deterministic seeds: lowest hash per corpus id
-    var centroids: Seq[(Int, Seq[Float])] = corpus
+    var centroids: Seq[(Int, Seq[Double])] = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h")).limit(nCentroids)
       .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }.toSeq
 
-    def centroidDf = spark.createDataFrame(
-      centroids.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cvec",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
+    def centArr: Column = centroidArray(centroids)
+    def assign(df: DataFrame): DataFrame = assignToCentroids(df, vecCol, centroids)
 
-    def assign(df: DataFrame, vc: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroidDf))
-        .withColumn("__sim", cosine(col(vc), col("cvec")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", "__sim", "cvec")
-    }
-
-    // Lloyd iterations: assign → recompute centroid means
+    // Lloyd iterations: zero-shuffle assign → k-row centroid means
     for (_ <- 0 until iters) {
-      val assigned = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
+      val assigned = assign(corpus.select(col(idCol), col(vecCol)))
       val dims = centroids.head._2.length
       val meanCols = (0 until dims).map(d =>
         avg(element_at(col(vecCol), d + 1)).as(s"d$d"))
       val means = assigned.groupBy(col("cid"))
         .agg(meanCols.head, meanCols.tail: _*)
         .collect()
-        .map(r => (r.getInt(0),
-          (0 until dims).map(d => r.getDouble(d + 1).toFloat).toSeq))
+        .map(r => (r.getInt(0), (0 until dims).map(d => r.getDouble(d + 1)).toSeq))
       val updated = means.toMap
       centroids = centroids.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
     }
 
-    // build inverted lists; probe nprobe nearest centroids per query
-    val lists = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
-    val qScored = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
-      .crossJoin(broadcast(centroidDf))
-      .withColumn("__sim", cosine(col("__qv"), col("cvec")))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cid"))
-    val probes = qScored.withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nprobe).select(col("query_id"), col("__qv"), col("cid"))
+    // inverted lists (zero-shuffle assign); probe top-nprobe centroids
+    // per query via in-row sort of the (tiny) centroid scores
+    val lists = assign(corpus.select(col(idCol), col(vecCol)))
+    // probe ranking: query norm is constant per row → rank on dot/cnorm
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__scored", sort_array(transform(centArr, c =>
+        struct((-(dot(col("__qv"), cVec(c)) / cNorm(c))).as("negsim"),
+          cCid(c).as("cid")))))
+      .select(col("query_id"), col("__qv"),
+        explode(slice(transform(col("__scored"), s => s.getField("cid")),
+          1, nprobe)).as("cid"))
 
     val scored = lists.join(probes, Seq("cid"))
       .filter(col(idCol) =!= col("query_id"))
@@ -140,7 +178,9 @@ object Similarity {
 
   /** LSH-bucketed ANN: probe only the query's bucket. Recall is traded
     * for a 1/2^bits scan reduction; multi-probe = union over neighboring
-    * buckets (not needed at test scale).
+    * buckets (not needed at test scale). Because the signature is
+    * engine-independent (see lshSignature), the whole output — bucket
+    * routing included — is oracle-checkable.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qIdCol: String, k: Int, bits: Int = 8): DataFrame = {

@@ -51,6 +51,41 @@ class ScaleSpec extends SparkSpec {
     assert(top === 500L)
   }
 
+  test("centroid assignment is zero-shuffle (no Exchange in the plan)") {
+    val rng = new scala.util.Random(3)
+    val df = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(c => (c, Seq.fill(8)(rng.nextDouble() - 0.5)))
+    val assigned = Similarity.assignToCentroids(df, "embedding", cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // every row got a valid centroid
+    assert(assigned.filter($"cid".isNull || $"cid" < 0 || $"cid" >= 4).count() === 0)
+  }
+
+  test("minhashVerifiedPairs equals the exact jaccard pair set") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0 until 40).map { i =>
+      val text = if (i % 10 == 3) base + s" tail$i" else s"unique doc $i " + ("w" + i + " ") * 20
+      (i.toLong, text)
+    }.toDF("id", "text")
+    val exact = graft.operators.Dedup.jaccardPairs(docs, "id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = graft.operators.Dedup.minhashVerifiedPairs(docs, "id", "text",
+      shingleN = 3, k = 32, rowsPerBand = 2, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("simhashPairs rejects maxHamming outside the band guarantee") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.simhashPairs(docs, "id", "text", maxHamming = 32)
+    }
+  }
+
   test("IVF recall vs brute force is high with generous nprobe") {
     val rng = new scala.util.Random(11)
     val df = (0 until 300).map { i =>
