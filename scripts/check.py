@@ -12,9 +12,12 @@ import json, math, sys, glob, os
 import duckdb
 
 def canon(rows, cols):
-    # rows as list of tuples in sorted-column order
+    # rows as list of tuples in sorted-column order; -0.0 normalized to 0.0
+    # so str()-based sort keys can't misalign rows that compare equal
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(r[i] for i in idx) for r in rows]
+    def norm(x):
+        return x + 0.0 if isinstance(x, float) else x
+    out = [tuple(norm(r[i]) for i in idx) for r in rows]
     return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 def eq(a, b):

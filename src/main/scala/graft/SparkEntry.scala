@@ -908,7 +908,58 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"), count(lit(1)).as("n"))
         .orderBy(col("n_name"))
-    })
+    }),
+
+    // ---- round 3: TimeZone/Calendar pack (rt_timezone.py / rt_datetime.py) ----
+
+    "q88_astimezone" -> ((s, dir) => {
+      // astimezone + to_iso (rt_datetime.py:4717,4766): UTC nanos →
+      // wall clocks in two zones (Kolkata exercises a +5:30 offset)
+      val ev = t(s, dir, "events")
+        .withColumn("utc", timestamp_micros(expr("ts div 1000")))
+      ev.select(col("event_id"),
+        TimeFns.astimezone(col("utc"), "America/New_York").as("ny_wall"),
+        hour(TimeFns.astimezone(col("utc"), "America/New_York")).cast("long").as("ny_hour"),
+        TimeFns.astimezone(col("utc"), "Asia/Kolkata").as("kolkata_wall"),
+        TimeFns.toIso(col("utc")).as("iso"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q89_strftime" -> ((s, dir) =>
+      // strftime (rt_datetime.py:4572) over a 6.5-year date span
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          TimeFns.strftime(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("s_full"),
+          TimeFns.strftime(col("o_orderdate"), "MM/dd/yyyy").as("s_us"),
+          TimeFns.strftime(col("o_orderdate"), "DDD").as("s_doy"),
+          TimeFns.toIso(col("o_orderdate")).as("s_iso"))
+        .orderBy(col("o_orderkey"))),
+
+    "q90_fix_dst" -> ((s, dir) => {
+      // fix_dst/to_utc + set_timezone (rt_timezone.py:1237,1294;
+      // rt_datetime.py:4666): orders span 1995–2001, both DST seasons,
+      // so per-row offsets flip −300/−240 (NY) and 0/60 (London).
+      // o_orderdate is TIMESTAMP_NTZ in parquet; cast once to an
+      // instant (identity under the UTC session zone).
+      val utc = col("o_orderdate").cast("timestamp")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          TimeFns.fixDstMicros(unix_micros(utc), "America/New_York")
+            .as("ny_micros"),
+          TimeFns.tzOffsetMinutes(utc, "America/New_York").as("ny_off_min"),
+          TimeFns.tzOffsetMinutes(utc, "Europe/London").as("lon_off_min"),
+          TimeFns.setTimezone(utc, "America/New_York").as("utc_of_ny_wall"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // SimHash-banded candidates → exact-jaccard verify, portable hashes
+    // end to end: output = {pairs: hamming ≤ 3 ∧ J ≥ 0.5}, fully
+    // engine-reproducible (md5 simhash + shingle-set jaccard)
+    "q91_simhash_verified" -> ((s, dir) =>
+      Dedup.simhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, shingleN = 3, threshold = 0.5,
+        hashFn = Dedup.portableHash64)
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -917,8 +968,8 @@ object SparkEntry {
     * ground truth for q28 (direct) and the verified LSH pipelines
     * q29/q47 (whose banded candidates achieve full recall at their τ).
     */
-  private def jaccardOracle(tau: String): String =
-    s"""WITH toks AS (
+  private def jaccardBody(tau: String): String =
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
        |  FROM documents),
        |sh AS (
@@ -930,13 +981,16 @@ object SparkEntry {
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b,
+       |  GROUP BY 1, 2),
+       |jpairs AS (SELECT id_a, id_b,
        |  round(CAST(co AS DOUBLE) / (sa.sz + sb.sz - co), 6) AS jaccard
        |FROM co JOIN sizes sa ON co.id_a = sa.doc_id
        |  JOIN sizes sb ON co.id_b = sb.doc_id
-       |WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= $tau
-       |ORDER BY id_a, id_b""".stripMargin
+       |WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= $tau)""".stripMargin
+
+  private def jaccardOracle(tau: String): String =
+    s"""WITH ${jaccardBody(tau)}
+       |SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b""".stripMargin
 
   /** Double-precision dot product of two FLOAT[] columns — mirrors
     * Similarity.dot's element order and double casts bit-for-bit. */
@@ -946,6 +1000,24 @@ object SparkEntry {
 
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Brute-force cosine top-k over `embeddings` — oracle for q31 directly
+    * and for q82 (IVF with nprobe = nCentroids degenerates to brute force).
+    */
+  private def annBruteOracle: String =
+    s"""WITH c AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id,
+       |    ${cosineSql("c.embedding", "q.qv")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+       |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+       |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
 
   /** LCG hyperplane projection for plane `p` — mirrors
     * Similarity.lshSignature's w(p,d) integer formula exactly. */
@@ -1266,20 +1338,14 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
          |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
-    "q31_ann_brute" ->
-      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qv
-         |  FROM embeddings WHERE vec_id < 3),
-         |scored AS (
-         |  SELECT q.qid, c.vec_id,
-         |    ${cosineSql("c.embedding", "q.qv")} AS cosine
-         |  FROM c, q WHERE c.vec_id <> q.qid),
-         |ranked AS (SELECT qid, vec_id, cosine,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
-         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q31_ann_brute" -> annBruteOracle,
+
+    // IVF probing ALL centroids (nprobe = nCentroids = 8, q82) considers
+    // every corpus vector, so its output is exactly the brute-force top-k:
+    // the same oracle verifies the whole IVF pipeline (assignment, probe
+    // routing, inverted-list join) end to end. Pruned-probe recall
+    // (nprobe < nCentroids) is covered separately by ScaleSpec.
+    "q82_ann_ivf" -> annBruteOracle,
 
     "q48_ann_lsh" ->
       s"""WITH sig AS (
@@ -1770,6 +1836,51 @@ object SparkEntry {
         |  FROM orders, b)
         |SELECT price_q, count(*) AS n, round(min(o_totalprice), 6) AS lo,
         |  round(max(o_totalprice), 6) AS hi
-        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // round 3: TimeZone pack. `timezone('UTC', naive)` pins the
+    // naive→instant interpretation to UTC so the oracle is independent
+    // of the DuckDB session TimeZone; `timezone(tz, instant)` then
+    // yields the tz wall clock (PostgreSQL AT TIME ZONE semantics).
+    "q88_astimezone" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS utc FROM events)
+        |SELECT event_id,
+        |  timezone('America/New_York', timezone('UTC', utc)) AS ny_wall,
+        |  CAST(hour(timezone('America/New_York', timezone('UTC', utc))) AS BIGINT)
+        |    AS ny_hour,
+        |  timezone('Asia/Kolkata', timezone('UTC', utc)) AS kolkata_wall,
+        |  strftime(utc, '%Y-%m-%dT%H:%M:%S.%f') AS iso
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q89_strftime" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s_full,
+        |  strftime(o_orderdate, '%m/%d/%Y') AS s_us,
+        |  strftime(o_orderdate, '%j') AS s_doy,
+        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS s_iso
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q90_fix_dst" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS utc
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  epoch_us(timezone('America/New_York', timezone('UTC', utc)))
+        |    AS ny_micros,
+        |  CAST((epoch_us(timezone('America/New_York', timezone('UTC', utc)))
+        |    - epoch_us(utc)) // 60000000 AS BIGINT) AS ny_off_min,
+        |  CAST((epoch_us(timezone('Europe/London', timezone('UTC', utc)))
+        |    - epoch_us(utc)) // 60000000 AS BIGINT) AS lon_off_min,
+        |  timezone('UTC', timezone('America/New_York', utc)) AS utc_of_ny_wall
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+
+    "q91_simhash_verified" ->
+      s"""$simhashCte,
+         |cand AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+         |  AND bit_count(xor(a.simhash, b2.simhash)) <= 3),
+         |${jaccardBody("0.5")}
+         |SELECT j.id_a, j.id_b, j.jaccard FROM jpairs j
+         |JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |ORDER BY j.id_a, j.id_b""".stripMargin
   )
 }

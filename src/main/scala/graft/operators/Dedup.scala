@@ -215,10 +215,12 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"),
         col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("co", size(array_intersect(col("shs_a"), col("shs_b"))))
-      .withColumn("jaccard",
-        round(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // filter on the RAW ratio (the oracle's WHERE is on the raw ratio
+      // too); round only in the output projection — filtering on the
+      // rounded value would admit pairs with true J in [τ − 5e-7, τ)
+      .withColumn("__j", col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
 
   /** The full MinHash-LSH dedup pipeline: banded candidates → exact
     * jaccard verification. Output is signature-independent (pairs with
@@ -244,8 +246,9 @@ object Dedup {
     */
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3, shingleN: Int = 3,
-                           threshold: Double = 0.9): DataFrame = {
-    val cand = simhashPairs(docs, idCol, textCol, maxHamming)
+                           threshold: Double = 0.9,
+                           hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val cand = simhashPairs(docs, idCol, textCol, maxHamming, hashFn)
       .select(col("id_a"), col("id_b"))
     verifyJaccard(cand, shingleSets(docs, idCol, textCol, shingleN), threshold)
   }

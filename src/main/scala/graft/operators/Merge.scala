@@ -90,26 +90,35 @@ object Merge {
       on: Seq[String],
       keep: String = "first",
       orderCol: Option[String] = None): DataFrame = {
-    val ord = orderCol.getOrElse(lookup.columns.head)
-    val uniq = dedupeKeep(lookup, on, keep, Seq(ord))
+    // order by ALL non-key columns when unspecified: ordering by the
+    // first column (often the join key itself) makes keep= pick an
+    // arbitrary row among duplicates — run-to-run nondeterminism.
+    val uniq = dedupeKeep(lookup, on, keep, orderCol.toSeq)
     left.join(broadcast(uniq), on, "left")
   }
 
   /** ismember(a, b) (`riptable/rt_numpy.py:1186`): membership mask of a's
     * keys in b — relationally, a left-semi-join flag.
+    *
+    * No broadcast hint: riptable's `high_card` flag acknowledges b's keys
+    * can be huge, and an unconditional broadcast would OOM the driver
+    * there. AQE still broadcasts genuinely small key sets from runtime
+    * stats; high-cardinality sides get a shuffled join.
     */
   def ismember(a: DataFrame, b: DataFrame, on: Seq[String]): DataFrame = {
     val bKeys = b.select(on.map(col): _*).dropDuplicates(on)
       .withColumn("__ismember", lit(true))
-    a.join(broadcast(bKeys), on, "left")
+    a.join(bKeys, on, "left")
       .withColumn("ismember", coalesce(col("__ismember"), lit(false)))
       .drop("__ismember")
   }
 
   private def dedupeKeep(df: DataFrame, on: Seq[String], keep: String,
                          orderCols: Seq[String] = Nil): DataFrame = {
+    val nonKey = df.columns.filterNot(on.contains).toSeq
     val ords = if (orderCols.nonEmpty) orderCols
-               else df.columns.filterNot(on.contains).toSeq
+               else if (nonKey.nonEmpty) nonKey
+               else on // keys-only frame: duplicate rows are identical
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(ords.map(c => if (keep == "last") col(c).desc else col(c).asc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")

@@ -83,4 +83,30 @@ class MergeSpec extends SparkSpec {
     val out = Merge.mergeLookup(left, lookup, Seq("k"), keep = "first", orderCol = Some("name"))
     assert(out.filter($"k" === 1).select("name").distinct().as[String].collect().toSeq === Seq("first"))
   }
+
+  test("mergeLookup keep= is deterministic without an explicit orderCol") {
+    // duplicate keys whose FIRST column is the key itself: ordering by it
+    // would leave the winner arbitrary; default must use non-key columns
+    val lookup = Seq((1L, "b", 2.0), (1L, "a", 1.0), (2L, "z", 9.0))
+      .toDF("k", "name", "w").repartition(4)
+    val run1 = Merge.mergeLookup(left, lookup, Seq("k"), keep = "first")
+      .select("k", "name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val run2 = Merge.mergeLookup(left, lookup.repartition(3), Seq("k"), keep = "first")
+      .select("k", "name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(run1 === run2)
+    assert(run1(1L) === "a") // lexicographically-first non-key row wins
+  }
+
+  test("ismember does not force a broadcast on a high-cardinality side") {
+    // riptable's high_card flag (rt_numpy.py:1186): b's key set can be
+    // huge — an unconditional broadcast() hint would OOM the driver at
+    // scale. Assert the hint is absent from the logical plan (AQE may
+    // still choose broadcast from runtime stats; that is fine).
+    val big = spark.range(200000).toDF("k")
+    val out = Merge.ismember(left, big, Seq("k"))
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hinted = out.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hinted.isEmpty, "ismember must not carry a broadcast hint")
+    assert(out.filter($"ismember").count() === 4)
+  }
 }
