@@ -959,7 +959,24 @@ object SparkEntry {
       Dedup.simhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, shingleN = 3, threshold = 0.5,
         hashFn = Dedup.portableHash64)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q92_asof_exec_nearest" -> ((s, dir) => {
+      // q77 semantics through the NATIVE sort-merge exec (nearest +
+      // tolerance + matched-on); the right time rides as a value column
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("pv"))
+        .withColumn("mt", col("tsu"))
+      AsofJoin.asofExec(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("pv", "mt"), direction = "nearest",
+        tolerance = Some(3600000000L))
+        .select(col("event_id"), col("user_id"), round(col("pv"), 6).as("pv"),
+          col("mt").as("matched_on"))
+        .orderBy(col("event_id"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -1000,6 +1017,32 @@ object SparkEntry {
 
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Nearest as-of with tolerance + matched_on — oracle for q77 (window
+    * formulation) and q92 (native sort-merge exec): DuckDB ASOF covers
+    * backward/forward; nearest combines them with the backward tie-break.
+    */
+  private def nearestAsofOracle: String =
+    """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
+      |    FROM events WHERE event_type = 'click'),
+      |  p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+      |    FROM events WHERE event_type = 'purchase'),
+      |  bk AS (SELECT c.event_id, c.user_id, c.tsu, p.tsu AS t0, p.value AS v0
+      |    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu),
+      |  fw AS (SELECT c.event_id, p.tsu AS t1, p.value AS v1
+      |    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu <= p.tsu),
+      |  pick AS (SELECT bk.event_id, bk.user_id, bk.tsu,
+      |    CASE WHEN t0 IS NULL THEN t1
+      |      WHEN t1 IS NULL THEN t0
+      |      WHEN bk.tsu - t0 <= t1 - bk.tsu THEN t0 ELSE t1 END AS mt,
+      |    CASE WHEN t0 IS NULL THEN v1
+      |      WHEN t1 IS NULL THEN v0
+      |      WHEN bk.tsu - t0 <= t1 - bk.tsu THEN v0 ELSE v1 END AS mv
+      |    FROM bk JOIN fw ON bk.event_id = fw.event_id)
+      |SELECT event_id, user_id,
+      |  round(CASE WHEN abs(tsu - mt) <= 3600000000 THEN mv END, 6) AS pv,
+      |  CASE WHEN abs(tsu - mt) <= 3600000000 THEN mt END AS matched_on
+      |FROM pick ORDER BY event_id""".stripMargin
 
   /** Brute-force cosine top-k over `embeddings` — oracle for q31 directly
     * and for q82 (IVF with nprobe = nCentroids degenerates to brute force).
@@ -1505,27 +1548,11 @@ object SparkEntry {
         |SELECT event_id, user_id, ema
         |FROM s ORDER BY event_id""".stripMargin,
 
-    "q77_asof_nearest" ->
-      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
-        |    FROM events WHERE event_type = 'click'),
-        |  p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
-        |    FROM events WHERE event_type = 'purchase'),
-        |  bk AS (SELECT c.event_id, c.user_id, c.tsu, p.tsu AS t0, p.value AS v0
-        |    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu),
-        |  fw AS (SELECT c.event_id, p.tsu AS t1, p.value AS v1
-        |    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu <= p.tsu),
-        |  pick AS (SELECT bk.event_id, bk.user_id, bk.tsu,
-        |    CASE WHEN t0 IS NULL THEN t1
-        |      WHEN t1 IS NULL THEN t0
-        |      WHEN bk.tsu - t0 <= t1 - bk.tsu THEN t0 ELSE t1 END AS mt,
-        |    CASE WHEN t0 IS NULL THEN v1
-        |      WHEN t1 IS NULL THEN v0
-        |      WHEN bk.tsu - t0 <= t1 - bk.tsu THEN v0 ELSE v1 END AS mv
-        |    FROM bk JOIN fw ON bk.event_id = fw.event_id)
-        |SELECT event_id, user_id,
-        |  round(CASE WHEN abs(tsu - mt) <= 3600000000 THEN mv END, 6) AS pv,
-        |  CASE WHEN abs(tsu - mt) <= 3600000000 THEN mt END AS matched_on
-        |FROM pick ORDER BY event_id""".stripMargin,
+    "q77_asof_nearest" -> nearestAsofOracle,
+
+    // native-exec nearest: same semantics, same oracle (q92 routes
+    // through AsofJoinExec instead of the union+window formulation)
+    "q92_asof_exec_nearest" -> nearestAsofOracle,
 
     "q39_timewindow" ->
       """SELECT event_id, user_id,

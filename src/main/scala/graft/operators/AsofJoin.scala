@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** Native sort-merge as-of (backward direction): plans through the
-    * custom AsofJoinNode/AsofJoinExec (graft.plans) — one co-partitioned
-    * two-pointer pass per task instead of the union+window. Requires the
-    * GraftExtensions strategy on the session. Cross-checked against the
-    * window formulation in AsofExecSpec.
+  /** Native sort-merge as-of (backward/forward/nearest): plans through
+    * the custom AsofJoinNode/AsofJoinExec (graft.plans) — one
+    * co-partitioned two-pointer pass per task instead of the
+    * union+window. Backward and nearest run natively; forward is
+    * backward on negated time. Requires the GraftExtensions strategy on
+    * the session. Cross-checked against the window formulation in
+    * AsofExecSpec.
     */
   def asofExec(
       left: DataFrame,
@@ -38,13 +40,12 @@ object AsofJoin {
       allowExactMatches: Boolean = true,
       tolerance: Option[Long] = None,
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asofExec supports backward/forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofExec supports backward/forward/nearest, got $direction")
     // forward == backward on negated time (latest -rt ≤ -lt ⇔ earliest rt ≥ lt)
     if (direction == "forward") {
       val ln = left.withColumn("__negt", -col(on))
       val rn = right.withColumn("__negt", -col(on)).drop(on)
-        .withColumnRenamed("__negt", "__negt")
       return asofExec(ln.drop(on), rn, "__negt", by, rightCols,
         allowExactMatches, tolerance)
         .withColumn(on, -col("__negt")).drop("__negt")
@@ -65,7 +66,7 @@ object AsofJoin {
       by.map(attr(lPlan, _)), by.map(b => attr(rPlan, s"__r_$b")),
       attr(lPlan, on), attr(rPlan, s"__r_$on"),
       rightCols.map(c => attr(rPlan, s"__r_$c")),
-      allowExactMatches, tolerance)
+      allowExactMatches, tolerance, nearest = direction == "nearest")
     val out = org.apache.spark.sql.GraftInternal.ofRows(spark, node)
     rightCols.foldLeft(out)((d, c) => d.withColumnRenamed(s"__r_$c", c))
   }

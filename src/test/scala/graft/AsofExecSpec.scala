@@ -45,6 +45,54 @@ class AsofExecSpec extends SparkSpec {
     }
   }
 
+  test("exec nearest matches window nearest (exact/tolerance grid)") {
+    for (exact <- Seq(true, false); tol <- Seq(None, Some(4L))) {
+      val exec = AsofJoin.asofExec(l, r, "t", Seq("g"), Seq("rv"),
+        allowExactMatches = exact, tolerance = tol, direction = "nearest")
+        .select("lid", "rv").as[(Int, Option[Double])].collect().toMap
+      val win = AsofJoin.asof(l, r, "t", Seq("g"), Seq("rv"),
+        direction = "nearest", allowExactMatches = exact, tolerance = tol)
+        .select("lid", "rv").as[(Int, Option[Double])].collect().toMap
+      assert(exec === win, s"exact=$exact tol=$tol")
+    }
+  }
+
+  test("exec nearest ties break backward; equal-time runs resolved") {
+    // right has duplicate times straddling lids: t=20 twice, left t=20
+    val rr = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 20L, 3.0), (1L, 30L, 4.0))
+      .toDF("g", "t", "rv")
+    val ll = Seq((1L, 20L, 1), (1L, 25L, 2)).toDF("g", "t", "lid")
+    // allowExact: backward candidate is the LAST t=20 row (3.0)
+    val withExact = AsofJoin.asofExec(ll, rr, "t", Seq("g"), Seq("rv"),
+      direction = "nearest").select("lid", "rv")
+      .as[(Int, Option[Double])].collect().toMap
+    assert(withExact(1) === Some(3.0))
+    assert(withExact(2) === Some(3.0)) // |25-20| == |30-25| → backward
+    // !allowExact: t=20 ineligible for lid 1 → nearest is t=10 (d=10) vs
+    // t=30 (d=10) → tie → backward (1.0)
+    val noExact = AsofJoin.asofExec(ll, rr, "t", Seq("g"), Seq("rv"),
+      direction = "nearest", allowExactMatches = false).select("lid", "rv")
+      .as[(Int, Option[Double])].collect().toMap
+    assert(noExact(1) === Some(1.0))
+  }
+
+  test("null by-keys and null times never match (rt_merge.py:2320)") {
+    val ln = Seq[(java.lang.Long, java.lang.Long, Int)](
+      (1L, 10L, 1), (null, 10L, 2), (1L, null, 3)
+    ).toDF("g", "t", "lid")
+    val rn = Seq[(java.lang.Long, java.lang.Long, Double)](
+      (1L, 5L, 100.0), (null, 5L, 666.0), (1L, null, 667.0)
+    ).toDF("g", "t", "rv")
+    for (dir <- Seq("backward", "nearest")) {
+      val out = AsofJoin.asofExec(ln, rn, "t", Seq("g"), Seq("rv"),
+        direction = dir)
+        .select("lid", "rv").as[(Int, Option[Double])].collect().toMap
+      assert(out(1) === Some(100.0), dir) // valid row still matches
+      assert(out(2) === None, s"null key matched ($dir)")
+      assert(out(3) === None, s"null time matched ($dir)")
+    }
+  }
+
   test("exec matches window formulation on sf0.001 events") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("tsu", expr("ts div 1000"))
