@@ -33,27 +33,44 @@ object StreamOps {
 
   /** Streaming ema_decay (batch twin: graft.operators.Ema): per-key state
     * carries (ema, lastTs); each micro-batch folds its (sorted) rows in.
+    *
+    * State is BOUNDED: the input is watermarked and each key arms an
+    * event-time timeout at (its latest event + stateRetentionMs) — once
+    * the watermark passes that, the state evicts and a later row for the
+    * key restarts its EMA. Without this, per-key state on a real stream
+    * grows with the key universe forever.
     */
-  def streamingEma(events: DataFrame, rate: Double): DataFrame = {
+  def streamingEma(events: DataFrame, rate: Double,
+                   watermark: String = "10 minutes",
+                   stateRetentionMs: Long = 3600000L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts"),
-        col("value").cast("double"))
-      .as[(Long, Long, Double)]
+      .withWatermark("ts", watermark)
+      // the watermarked event-time COLUMN must survive the projection
+      // (its metadata tag is what licenses EventTimeTimeout); micros
+      // ride alongside it
+      .select(col("user_id").cast("long"), col("ts"),
+        unix_micros(col("ts")).as("tsu"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[EmaState, EmaOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[EmaState]) =>
-          var (ema, lastTs) = state.getOption.map(s => (s.ema, s.lastTs)).getOrElse((0.0, Long.MinValue))
-          val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
-            val w = if (lastTs == Long.MinValue) 0.0 else math.exp(-rate * (t - lastTs).toDouble)
-            ema = v + ema * w
-            lastTs = t
-            EmaOut(uid, t, v, ema)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (ema, lastTs) = state.getOption.map(s => (s.ema, s.lastTs)).getOrElse((0.0, Long.MinValue))
+            val out = rows.toSeq.sortBy(_._3).map { case (_, _, t, v) =>
+              val w = if (lastTs == Long.MinValue) 0.0 else math.exp(-rate * (t - lastTs).toDouble)
+              ema = v + ema * w
+              lastTs = t
+              EmaOut(uid, t, v, ema)
+            }
+            state.update(EmaState(ema, lastTs))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), lastTs / 1000L) + stateRetentionMs)
+            out.iterator
           }
-          state.update(EmaState(ema, lastTs))
-          out.iterator
       }.toDF()
   }
 
@@ -70,26 +87,40 @@ object StreamOps {
     * arrivals across batches follow arrival order (document with a
     * watermark upstream for bounded lateness).
     */
-  def streamingAsof(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+  def streamingAsof(events: DataFrame, leftType: String, rightType: String,
+                    watermark: String = "10 minutes",
+                    stateRetentionMs: Long = 3600000L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ts", watermark)
+      // keep the watermarked ts column alive through the projection
+      // (licenses EventTimeTimeout); micros ride alongside
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value").cast("double"))
-      .as[(Long, Long, Long, String, Double)]
+        col("ts"), unix_micros(col("ts")).as("tsu"), col("event_type"),
+        col("value").cast("double"))
+      .as[(Long, Long, java.sql.Timestamp, Long, String, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[AsofState, AsofOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[AsofState]) =>
-          var st = state.getOption.getOrElse(AsofState(Long.MinValue, 0.0, has = false))
-          val out = rows.toSeq.sortBy(_._3).flatMap { case (_, eid, t, typ, v) =>
-            if (typ == rightType) { st = AsofState(t, v, has = true); None }
-            else if (typ == leftType)
-              Some(AsofOut(uid, eid, t, if (st.has && st.lastT <= t) Some(st.lastV) else None))
-            else None
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(AsofState(Long.MinValue, 0.0, has = false))
+            var maxT = Long.MinValue
+            val out = rows.toSeq.sortBy(_._4).flatMap { case (_, eid, _, t, typ, v) =>
+              if (t > maxT) maxT = t
+              if (typ == rightType) { st = AsofState(t, v, has = true); None }
+              else if (typ == leftType)
+                Some(AsofOut(uid, eid, t, if (st.has && st.lastT <= t) Some(st.lastV) else None))
+              else None
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(),
+                if (maxT == Long.MinValue) 0L else maxT / 1000L) + stateRetentionMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }.toDF()
   }
 

@@ -103,6 +103,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming EMA state evicts after retention (event-time timeout)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val in = mem.toDS()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // retention 30 min, watermark 1 min: a key idle past 30 min of
+    // event time is dropped, so its EMA restarts instead of decaying
+    val q = StreamOps.streamingEma(in, rate = 1e-9,
+      watermark = "1 minute", stateRetentionMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("ema_evict")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: user 1 seeds state
+    mem.addData((1L, t("2024-01-01 00:00:00"), 1L, "click", 10.0))
+    q.processAllAvailable()
+    // batch 2: user 2 two hours later pushes the watermark far past
+    // user 1's timeout (00:30) → user 1's state evicts
+    mem.addData((2L, t("2024-01-01 02:00:00"), 2L, "click", 5.0))
+    q.processAllAvailable()
+    // batch 3: user 1 returns — fresh state, ema == value exactly
+    mem.addData((3L, t("2024-01-01 02:30:00"), 1L, "click", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT user_id, value, ema FROM ema_evict ORDER BY ts")
+      .as[(Long, Double, Double)].collect()
+    assert(out.length === 3)
+    val returned = out.last
+    assert(returned._1 === 1L)
+    // evicted state ⇒ restart: ema == value (a surviving state would
+    // contribute 10.0 * exp(-rate·Δt) ≈ 10.0 at this rate — far from 0)
+    assert(returned._3 === 7.0)
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
