@@ -976,6 +976,103 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), round(col("pv"), 6).as("pv"),
           col("mt").as("matched_on"))
         .orderBy(col("event_id"))
+    }),
+
+    "q93_interp_extrap" -> ((s, dir) => {
+      // rt_numpy.py:5388 — q64's shape, extrapolating past the hull
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val queries = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val points = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsu"), col("value"))
+      Interp.interpExtrap(queries, points, "tsu", Seq("user_id"), "value", "iv")
+        .select(col("event_id"), col("user_id"), round(col("iv"), 6).as("iv"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q94_crc32" -> ((s, dir) =>
+      // crc32 (rt_numpy.py:2489) — Spark's codegen'd crc32 over UTF-8
+      // bytes; the oracle rebuilds CRC-32/IEEE with a recursive CTE
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          crc32(col("p_name").cast("binary")).as("crc"))
+        .orderBy(col("p_partkey"))),
+
+    "q95_putmask" -> ((s, dir) =>
+      // putmask (rt_numpy.py:4684): masked in-place assign
+      t(s, dir, "lineitem")
+        .putmask("l_quantity", col("l_discount") >= 0.08, lit(25.0))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("qty_masked"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q96_pivot_noagg" -> ((s, dir) => {
+      // Dataset.pivot without aggregation (rt_dataset.py:7987) over a
+      // pre-aggregated unique (label, column) frame
+      val agg = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("qty"))
+      Reshape.pivotNoAgg(agg, "l_returnflag", "l_linestatus", "qty", Seq("F", "O"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q97_cat_isin" -> ((s, dir) =>
+      // Categorical.isin at dictionary level (rt_categorical.py:4171)
+      Categorical.isinCategories(t(s, dir, "nation"), "n_name",
+        Seq("CHINA", "INDIA", "FRANCE"))
+        .select(col("n_nationkey"), col("n_name"), col("isin"))
+        .orderBy(col("n_nationkey"))),
+
+    "q98_gb_filter" -> ((s, dir) =>
+      // per-op filter= fused into the aggregate (rt_grouping.py:3330)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(GroupOps.filtered(col("l_quantity"), col("l_discount") > 0.05)), 4)
+            .as("qty_hi_disc"),
+          count(GroupOps.filtered(col("l_quantity"), col("l_discount") > 0.05))
+            .as("n_hi_disc"),
+          round(avg(GroupOps.filtered(col("l_extendedprice"), col("l_tax") < 0.03)), 6)
+            .as("avg_price_lo_tax"))
+        .orderBy(col("l_returnflag"))),
+
+    "q99_apply_groups" -> ((s, dir) => {
+      // Grouping.apply (rt_grouping.py:2944): per-group UDTF — top-3
+      // prices per flag, streamed with a bounded buffer (no group
+      // materialization)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val in = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      val outSchema = StructType(Seq(
+        StructField("l_returnflag", StringType),
+        StructField("rnk", IntegerType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_orderkey", LongType)))
+      val ord = Ordering.by[(Double, Long, Int), (Double, Long, Int)](
+        x => (-x._1, x._2, x._3))
+      GroupOps.applyGroups(in, Seq("l_returnflag"), outSchema) { (k, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer[(Double, Long, Int)]()
+        it.foreach { r =>
+          buf += ((r.getDouble(1), r.getLong(2), r.getInt(3)))
+          if (buf.length > 64) {
+            val kept = buf.sorted(ord).take(3); buf.clear(); buf ++= kept
+          }
+        }
+        buf.sorted(ord).take(3).zipWithIndex.iterator.map { case ((p, o, _), i) =>
+          Row(k.getString(0), i + 1, p, o)
+        }
+      }.orderBy(col("l_returnflag"), col("rnk"))
+    }),
+
+    "q100_concat_cols" -> ((s, dir) => {
+      // concat_columns (rt_dataset.py:6995): positional zip of two
+      // frames, shorter side null-filled
+      val a = t(s, dir, "nation").select(col("n_name"))
+      val b = t(s, dir, "region").select(col("r_name"))
+      Reshape.concatColumns(a, b, Seq(col("n_name")), Seq(col("r_name")))
+        .orderBy(col("n_name"))
     })
   )
 
@@ -1908,6 +2005,93 @@ object SparkEntry {
          |${jaccardBody("0.5")}
          |SELECT j.id_a, j.id_b, j.jaccard FROM jpairs j
          |JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
-         |ORDER BY j.id_a, j.id_b""".stripMargin
+         |ORDER BY j.id_a, j.id_b""".stripMargin,
+
+    "q93_interp_extrap" ->
+      """WITH q AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
+        |    FROM events WHERE event_type = 'click'),
+        |  p0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+        |    FROM events WHERE event_type = 'view'),
+        |  p AS (SELECT user_id, tsu, value,
+        |    lead(tsu) OVER w AS nx, lead(value) OVER w AS ny,
+        |    lag(tsu) OVER w AS px, lag(value) OVER w AS py
+        |    FROM p0 WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+        |  bk AS (SELECT q.event_id, q.user_id, q.tsu,
+        |    p.tsu AS x0, p.value AS y0, p.px, p.py
+        |    FROM q ASOF LEFT JOIN p ON q.user_id = p.user_id AND q.tsu >= p.tsu),
+        |  fw AS (SELECT q.event_id, p.tsu AS x1, p.value AS y1, p.nx, p.ny
+        |    FROM q ASOF LEFT JOIN p ON q.user_id = p.user_id AND q.tsu <= p.tsu)
+        |SELECT bk.event_id, bk.user_id,
+        |  round(CASE
+        |    WHEN x0 IS NULL AND x1 IS NULL THEN NULL
+        |    WHEN x0 IS NULL THEN CASE WHEN nx IS NULL THEN y1
+        |      ELSE y1 + (ny - y1) * (bk.tsu - x1) / (nx - x1) END
+        |    WHEN x1 IS NULL THEN CASE WHEN px IS NULL THEN y0
+        |      ELSE y0 + (y0 - py) * (bk.tsu - x0) / (x0 - px) END
+        |    WHEN x1 = x0 THEN y0
+        |    ELSE y0 + (y1 - y0) * (bk.tsu - x0) / (x1 - x0) END, 6) AS iv
+        |FROM bk JOIN fw ON bk.event_id = fw.event_id
+        |ORDER BY bk.event_id""".stripMargin,
+
+    // CRC-32/IEEE from scratch: 256-entry table via 8 unrolled steps of
+    // the reflected poly 0xEDB88320, then a per-string byte fold (part
+    // names are ASCII, so ord(substr) == the UTF-8 byte Spark hashes)
+    "q94_crc32" ->
+      """WITH RECURSIVE
+        |tab0 AS (SELECT n, 0 AS k, CAST(n AS BIGINT) AS c FROM range(256) t(n)
+        |  UNION ALL SELECT n, k + 1,
+        |    CASE WHEN c & 1 = 1 THEN xor(c >> 1, 3988292384) ELSE c >> 1 END
+        |  FROM tab0 WHERE k < 8),
+        |tab AS (SELECT n, c FROM tab0 WHERE k = 8),
+        |s AS (SELECT p_partkey, p_name AS str, length(p_name) AS len FROM part),
+        |f AS (
+        |  SELECT p_partkey, 0 AS pos, CAST(4294967295 AS BIGINT) AS crc FROM s
+        |  UNION ALL
+        |  SELECT f.p_partkey, f.pos + 1, xor(f.crc >> 8, tab.c)
+        |  FROM f JOIN s ON f.p_partkey = s.p_partkey AND f.pos < s.len
+        |  JOIN tab ON tab.n = xor(f.crc, ord(substr(s.str, f.pos + 1, 1))) & 255)
+        |SELECT s.p_partkey, xor(f.crc, 4294967295) AS crc
+        |FROM f JOIN s ON f.p_partkey = s.p_partkey AND f.pos = s.len
+        |ORDER BY s.p_partkey""".stripMargin,
+
+    "q95_putmask" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN l_discount >= 0.08 THEN 25.0 ELSE l_quantity END, 6)
+        |    AS qty_masked
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q96_pivot_noagg" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'F'), 4) AS "F",
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'O'), 4) AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q97_cat_isin" ->
+      """SELECT n_nationkey, n_name,
+        |  n_name IN ('CHINA', 'INDIA', 'FRANCE') AS isin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q98_gb_filter" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity) FILTER (l_discount > 0.05), 4) AS qty_hi_disc,
+        |  count(l_quantity) FILTER (l_discount > 0.05) AS n_hi_disc,
+        |  round(avg(l_extendedprice) FILTER (l_tax < 0.03), 6) AS avg_price_lo_tax
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q99_apply_groups" ->
+      """SELECT l_returnflag, CAST(rn AS INT) AS rnk, l_extendedprice, l_orderkey
+        |FROM (SELECT l_returnflag, l_extendedprice, l_orderkey,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_returnflag, rnk""".stripMargin,
+
+    "q100_concat_cols" ->
+      """WITH a AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn
+        |    FROM nation),
+        |  b AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn
+        |    FROM region)
+        |SELECT a.n_name, b.r_name FROM a FULL OUTER JOIN b USING (rn)
+        |ORDER BY n_name""".stripMargin
   )
 }

@@ -140,4 +140,26 @@ object GroupOps {
     val w = Window.partitionBy(keys.map(col): _*)
     aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
   }
+
+  /** Grouping.apply (`rt_grouping.py:2944`): run an arbitrary function
+    * per group, emitting ANY number of rows per group (riptable's
+    * UDTF-ish escape hatch). Spark-first: `groupByKey(...).flatMapGroups`
+    * — one shuffle on the keys, the function streams each group's
+    * iterator (state is whatever the function holds, NOT the group
+    * materialized, unless the function itself collects it).
+    *
+    * Prefer declarative aggregates/windows wherever they exist — this is
+    * the last resort the reference also treats it as.
+    */
+  def applyGroups(df: DataFrame, keys: Seq[String],
+                  outSchema: org.apache.spark.sql.types.StructType)(
+                  f: (org.apache.spark.sql.Row, Iterator[org.apache.spark.sql.Row])
+                    => Iterator[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructType
+    val keySchema = StructType(keys.map(df.schema(_)))
+    val keyIdx = keys.map(df.schema.fieldIndex)
+    df.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(Encoders.row(keySchema))
+      .flatMapGroups((k: Row, it: Iterator[Row]) => f(k, it))(Encoders.row(outSchema))
+  }
 }

@@ -37,6 +37,26 @@ object Reshape {
     }
   }
 
+  /** concat_columns (rt_dataset.py:6995): side-by-side positional
+    * concatenation of frames — riptable zips arrays by row position.
+    * Spark rows are unordered, so position must be DECLARED: each side
+    * gets a row number under its `order` sort, then a full-outer join on
+    * that index null-fills the shorter side (riptable's invalid-fill).
+    * Positional alignment is inherently a global order — a single-
+    * partition window — so this is a display/small-frame op at scale,
+    * like transpose; keyed joins are the scalable path.
+    */
+  def concatColumns(left: DataFrame, right: DataFrame,
+                    leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def indexed(df: DataFrame, ord: Seq[Column]) =
+      df.withColumn("__rn", row_number().over(Window.orderBy(ord: _*)))
+    indexed(left, leftOrder)
+      .join(indexed(right, rightOrder), Seq("__rn"), "full_outer")
+      .orderBy(col("__rn"))
+      .drop("__rn")
+  }
+
   /** Dataset.pivot (rt_dataset.py:7987): pivot WITHOUT aggregation —
     * errors on duplicate (label, column) pairs like the reference.
     */

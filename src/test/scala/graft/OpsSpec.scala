@@ -117,4 +117,41 @@ class OpsSpec extends SparkSpec {
       .orderBy("k", "v").select("s").as[Double].collect().toSeq
     assert(out === Seq(4.0, 4.0, 5.0))
   }
+
+  test("interp_extrap extends edge segments; single point clamps") {
+    import graft.operators.Interp
+    val points = Seq((1L, 10L, 1.0), (1L, 20L, 3.0), (2L, 5L, 7.0))
+      .toDF("g", "x", "y")
+    val queries = Seq((1L, 0L, 1), (1L, 15L, 2), (1L, 30L, 3), (2L, 100L, 4))
+      .toDF("g", "x", "qid")
+    val out = Interp.interpExtrap(queries, points, "x", Seq("g"), "y", "iv")
+      .select("qid", "iv").as[(Int, Double)].collect().toMap
+    assert(out(1) === -1.0) // left extrap: 1 + (0-10)*(3-1)/(20-10)
+    assert(out(2) === 2.0)  // interior linear
+    assert(out(3) === 5.0)  // right extrap: 3 + (30-20)*(3-1)/(20-10)
+    assert(out(4) === 7.0)  // single-point group clamps
+  }
+
+  test("applyGroups emits arbitrary rows per group") {
+    import graft.operators.GroupOps
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 9.0)).toDF("k", "v")
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("n", IntegerType)))
+    val out = GroupOps.applyGroups(df, Seq("k"), schema) { (key, it) =>
+      val n = it.size
+      Iterator.tabulate(n)(_ => Row(key.getString(0), n))
+    }.as[(String, Int)].collect().sorted.toSeq
+    assert(out === Seq(("a", 2), ("a", 2), ("b", 1)))
+  }
+
+  test("concatColumns zips positionally and null-fills the short side") {
+    import graft.operators.Reshape
+    val a = Seq("x", "y", "z").toDF("a")
+    val b = Seq(10L).toDF("b")
+    val out = Reshape.concatColumns(a, b, Seq($"a"), Seq($"b"))
+      .as[(String, Option[Long])].collect().toSeq
+    assert(out === Seq(("x", Some(10L)), ("y", None), ("z", None)))
+  }
 }
