@@ -53,4 +53,67 @@ object Multimodal {
     df.withColumn("media", asMedia(col(payloadCol), "text/plain"))
       .withColumn("features", decodeFeaturesStub(col("media")))
       .withColumn("n_bytes", col("media.n_bytes"))
+
+  /** The pluggable decode slot: a real build drops an image/audio codec
+    * behind this interface (JNI, or a Python worker via mapInPandas —
+    * same open/decode/close shape). `open`/`close` run once per TASK,
+    * which is where codec context (a model handle, an ffmpeg session)
+    * belongs; `decode` streams row by row, so nothing buffers a
+    * partition in memory.
+    */
+  trait MediaDecoder extends Serializable {
+    def name: String
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte]): Array[Double]
+    def close(): Unit = ()
+  }
+
+  /** Default implementation: the deterministic stub above, as a decoder
+    * (same hashed-projection features as decodeFeaturesStub's column
+    * form, computed JVM-side).
+    */
+  final class StubDecoder(dims: Int = 8) extends MediaDecoder {
+    def name = "stub"
+    def decode(bytes: Array[Byte]): Array[Double] =
+      if (bytes.isEmpty) Array.fill(dims)(0.0)
+      else {
+        // 8-bucket byte histogram, normalized — cheap and reproducible
+        val h = new Array[Double](dims)
+        bytes.foreach(b => h(java.lang.Byte.toUnsignedInt(b) % dims) += 1.0)
+        h.map(_ / bytes.length)
+      }
+  }
+
+  /** Run a decoder over a binary payload column, streaming per task.
+    * The decoder rides the closure (serialized once per task), opens
+    * before the first row and closes when the partition iterator
+    * exhausts — the mapInPandas/JNI lifecycle without the Python
+    * dependency.
+    */
+  def decodeWith(df: DataFrame, payloadCol: String, decoder: MediaDecoder,
+                 out: String = "features"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema.add(out, ArrayType(DoubleType))
+    df.mapPartitions { it =>
+      decoder.open()
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) decoder.close()
+          h
+        }
+        def next(): Row = {
+          val r = it.next()
+          val bytes = r.get(idx) match {
+            case b: Array[Byte] => b
+            case s: String      => s.getBytes("UTF-8")
+            case null           => Array.emptyByteArray
+          }
+          Row.fromSeq(r.toSeq :+ decoder.decode(bytes).toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -84,6 +84,26 @@ class LayerSpec extends SparkSpec {
     assert(rows(1L)._2 === 11)
   }
 
+  test("pluggable MediaDecoder streams per task; toy decoder differs from stub") {
+    // a non-stub decoder through the same slot a real codec would use
+    class LenDecoder extends Multimodal.MediaDecoder {
+      def name = "toy-len"
+      def decode(bytes: Array[Byte]): Array[Double] =
+        Array(bytes.length.toDouble, if (bytes.isEmpty) 0.0 else bytes.head.toDouble)
+    }
+    val df = Seq((1L, "abc"), (2L, ""), (3L, "zz")).toDF("id", "payload")
+      .withColumn("payload", $"payload".cast("binary")).repartition(2)
+    val out = Multimodal.decodeWith(df, "payload", new LenDecoder)
+      .select($"id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) === Seq(3.0, 97.0))
+    assert(out(2L) === Seq(0.0, 0.0))
+    assert(out(3L) === Seq(2.0, 122.0))
+    // and the default stub decoder matches the column-form stub features
+    val stubbed = Multimodal.decodeWith(df, "payload", new Multimodal.StubDecoder)
+    assert(stubbed.select("features").collect().forall(_.getSeq[Double](0).length === 8))
+  }
+
   test("flattenNested expands nested structs with joined names") {
     import graft.syntax._
     val df = Seq((1, ("x", (2.0, true)))).toDF("id", "s")
