@@ -1078,6 +1078,31 @@ object SparkEntry {
       val b = t(s, dir, "region").select(col("r_name"))
       Reshape.concatColumns(a, b, Seq(col("n_name")), Seq(col("r_name")))
         .orderBy(col("n_name"))
+    }),
+
+    "q101_rankdata" -> ((s, dir) =>
+      // rankdata (rt_fastarray.py:2710): average-tie ranks per group —
+      // l_quantity is integral-valued, so ties are everywhere
+      Rolling.rankdata(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", "rnk")
+        .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q102_accum2_filtered" -> ((s, dir) => {
+      // Accum2 showfilter (rt_accum2.py:39): invalid row keys surface as
+      // the Filtered bin instead of vanishing; totals footers on top
+      val masked = t(s, dir, "orders").withColumn("o_orderpriority",
+        when(col("o_totalprice") < 20000, lit(null))
+          .otherwise(col("o_orderpriority")))
+      val out = Reshape.accum2(masked, "o_orderpriority", "o_orderstatus",
+        count(lit(1)), colValues = Seq("F", "O", "P"),
+        totals = true, showFilter = true)
+      out.select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"),
+          col("Total"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -2097,6 +2122,31 @@ object SparkEntry {
         |  b AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn
         |    FROM region)
         |SELECT a.n_name, b.r_name FROM a FULL OUTER JOIN b USING (rn)
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+
+    "q101_rankdata" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |    + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+        |    AS rnk
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q102_accum2_filtered" ->
+      """WITH lab AS (SELECT
+        |    CASE WHEN o_totalprice < 20000 THEN 'Filtered'
+        |      ELSE o_orderpriority END AS o_orderpriority,
+        |    o_orderstatus AS st FROM orders),
+        |  body AS (SELECT o_orderpriority,
+        |    count(*) FILTER (st = 'F') AS f,
+        |    count(*) FILTER (st = 'O') AS o,
+        |    count(*) FILTER (st = 'P') AS p
+        |  FROM lab GROUP BY 1),
+        |  tot AS (SELECT o_orderpriority, f, o, p, f + o + p AS total FROM body
+        |    UNION ALL
+        |    SELECT 'Total', sum(f), sum(o), sum(p), sum(f + o + p) FROM body)
+        |SELECT o_orderpriority, CAST(f AS BIGINT) AS "F",
+        |  CAST(o AS BIGINT) AS "O", CAST(p AS BIGINT) AS "P",
+        |  CAST(total AS BIGINT) AS "Total"
+        |FROM tot ORDER BY o_orderpriority""".stripMargin
   )
 }

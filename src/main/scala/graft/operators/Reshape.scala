@@ -20,10 +20,19 @@ object Reshape {
     */
   def accum2(df: DataFrame, rowKey: String, colKey: String,
              agg: Column, colValues: Seq[String] = Nil,
-             totals: Boolean = false): DataFrame = {
+             totals: Boolean = false,
+             showFilter: Boolean = false): DataFrame = {
+    // riptable bin 0 = Filtered (invalid key) rows; showfilter toggles
+    // whether that bin appears in the output (rt_accum2.py:39 /
+    // rt_enum.py GB_FILTERED). Here: null row-key ↔ bin 0.
+    val src =
+      if (showFilter)
+        df.withColumn(rowKey,
+          coalesce(col(rowKey).cast("string"), lit("Filtered")))
+      else df.filter(col(rowKey).isNotNull)
     val piv =
-      if (colValues.nonEmpty) df.groupBy(col(rowKey)).pivot(colKey, colValues)
-      else df.groupBy(col(rowKey)).pivot(colKey)
+      if (colValues.nonEmpty) src.groupBy(col(rowKey)).pivot(colKey, colValues)
+      else src.groupBy(col(rowKey)).pivot(colKey)
     val body = piv.agg(agg)
     if (!totals) body
     else {

@@ -121,6 +121,33 @@ object Rolling {
     df.withColumn(out, r)
   }
 
+  /** rankdata (`rt_fastarray.py:2710`, bottleneck.rankdata): average-tie
+    * ranks — each tie group gets the mean of the positions it occupies,
+    * min-rank + (ties−1)/2. Invalids rank LAST (bottleneck behavior:
+    * NaN sorts after every number; nulls are ordered last explicitly).
+    * One window pair, both on the same partitioning — single shuffle.
+    */
+  def rankdata(df: DataFrame, by: Seq[String], valueCol: String,
+               out: String = "rankdata"): DataFrame = {
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(valueCol).asc_nulls_last)
+    val ties = Window.partitionBy((by.map(col) :+ col(valueCol)): _*)
+    df.withColumn(out,
+      rank().over(w) + (count(lit(1)).over(ties) - 1) / 2.0)
+  }
+
+  /** nanrankdata (`rt_fastarray.py:2713`): invalids get a null rank and
+    * do not consume positions among the valid values (they still sort
+    * last, so valid ranks are unaffected by their presence).
+    */
+  def nanrankdata(df: DataFrame, by: Seq[String], valueCol: String,
+                  out: String = "rankdata"): DataFrame = {
+    val v = col(valueCol)
+    val invalid = v.isNull || isnan(v)
+    rankdata(df, by, valueCol, out)
+      .withColumn(out, when(invalid, lit(null)).otherwise(col(out)))
+  }
+
   /** timewindow_sum (rt_fastarray.py:2629, rc.TimeWindow): trailing TIME
     * window — RANGE frame over a numeric (epoch) order column.
     */

@@ -146,6 +146,27 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq(("a", 2), ("a", 2), ("b", 1)))
   }
 
+  test("rankdata averages ties; nanrankdata nulls invalids without shifting ranks") {
+    import graft.operators.Rolling
+    val df = Seq(("g", Some(10.0)), ("g", Some(20.0)), ("g", Some(20.0)),
+      ("g", Some(30.0)), ("g", None), ("g", Some(Double.NaN)))
+      .toDF("k", "v")
+    val rd = Rolling.rankdata(df, Seq("k"), "v", "r")
+      .select("v", "r").collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("null") -> r.getDouble(1)).toMap
+    assert(rd("10.0") === 1.0)
+    assert(rd("20.0") === 2.5) // positions 2,3 averaged
+    assert(rd("30.0") === 4.0)
+    assert(rd("NaN") === 5.0)  // invalids rank last (bottleneck order)
+    val nrd = Rolling.nanrankdata(df, Seq("k"), "v", "r")
+      .select("v", "r").collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("null") ->
+        Option(r.get(1))).toMap
+    assert(nrd("20.0") === Some(2.5))
+    assert(nrd("NaN") === None)
+    assert(nrd("null") === None)
+  }
+
   test("concatColumns zips positionally and null-fills the short side") {
     import graft.operators.Reshape
     val a = Seq("x", "y", "z").toDF("a")
