@@ -31,9 +31,11 @@ object SparkEntry {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // sum_qty: integral doubles sum exactly; money sums reach ~3e9
+        // at sf0.1 where order drift is ~1e-5 — round(2), not round(4)
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -56,7 +58,7 @@ object SparkEntry {
         t(s, dir, "orders"), t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
         on = Seq("o_custkey"), how = "inner")
         .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("o_totalprice")), 4).as("sum_price"),
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("c_mktsegment"))),
 
@@ -116,7 +118,10 @@ object SparkEntry {
         "status_total" -> sum(col("o_totalprice")),
         "status_n" -> count(lit(1)))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          round(col("status_total"), 4).as("status_total"), col("status_n"))
+          // round(2): group sums reach ~1.2e10 at sf0.1, where
+          // engine-side summation-order drift is ~1e-4 — round(4) sat
+          // exactly on that edge (flipped at sf0.1, fine at sf0.01)
+          round(col("status_total"), 2).as("status_total"), col("status_n"))
         .orderBy(col("o_orderkey"))),
 
     // ---- §2.5 window / ordered ----
@@ -1103,7 +1108,17 @@ object SparkEntry {
           coalesce(col("P"), lit(0L)).as("P"),
           col("Total"))
         .orderBy(col("o_orderpriority"))
-    })
+    }),
+
+    "q103_imatrix" -> ((s, dir) =>
+      // imatrix (rt_dataset.py:1792): numeric columns as a per-row
+      // vector + a fold over it (zero shuffle, codegen'd)
+      t(s, dir, "lineitem")
+        .imatrix("im", Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("im"),
+          round(aggregate(col("im"), lit(0.0d), (acc, x) => acc + x), 6)
+            .as("rowsum"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -1223,8 +1238,8 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_extendedprice), 6) AS avg_price,
         |  count(*) AS count_order
@@ -1238,7 +1253,7 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q3_join_inner" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS sum_price,
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1283,7 +1298,7 @@ object SparkEntry {
 
     "q9_gb_transform" ->
       """SELECT o_orderkey, o_orderstatus,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS status_total,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus), 2) AS status_total,
         |  count(*) OVER (PARTITION BY o_orderstatus) AS status_n
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
@@ -2147,6 +2162,12 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(f AS BIGINT) AS "F",
         |  CAST(o AS BIGINT) AS "O", CAST(p AS BIGINT) AS "P",
         |  CAST(total AS BIGINT) AS "Total"
-        |FROM tot ORDER BY o_orderpriority""".stripMargin
+        |FROM tot ORDER BY o_orderpriority""".stripMargin,
+
+    "q103_imatrix" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  [l_quantity, l_extendedprice, l_discount] AS im,
+        |  round(l_quantity + l_extendedprice + l_discount, 6) AS rowsum
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

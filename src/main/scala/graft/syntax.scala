@@ -136,6 +136,22 @@ object syntax {
     def hstack(others: DataFrame*): DataFrame =
       others.foldLeft(df)((a, b) => a.unionByName(b, allowMissingColumns = true))
 
+    /** imatrix (`rt_dataset.py:1792`, rt_imatrix.py): the dataset's
+      * numeric columns as one row-wise vector column — riptable
+      * materializes a 2-D matrix; the columnar analog is an
+      * `array<double>` built per row (zero shuffle, codegen'd), which
+      * feeds the same downstream uses (row reductions, ANN, normalize).
+      */
+    def imatrix(out: String = "imatrix", cols: Seq[String] = Nil): DataFrame = {
+      import org.apache.spark.sql.types.NumericType
+      val numeric =
+        if (cols.nonEmpty) cols
+        else df.schema.fields.toIndexedSeq
+          .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+      require(numeric.nonEmpty, "imatrix: no numeric columns")
+      df.withColumn(out, array(numeric.map(c => col(c).cast("double")): _*))
+    }
+
     /** Struct.flatten / Multiset.flatten (`riptable/rt_struct.py:2170`,
       * `riptable/rt_multiset.py:631`): recursively expand nested struct
       * columns to top level with `parent<sep>child` names.
