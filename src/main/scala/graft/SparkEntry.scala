@@ -1118,7 +1118,44 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("im"),
           round(aggregate(col("im"), lit(0.0d), (acc, x) => acc + x), 6)
             .as("rowsum"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q104_cumprod" -> ((s, dir) => {
+      // cumprod (rt_groupbyops.py:3239) via the native RipProduct
+      // aggregate over an unbounded-preceding frame; per-order groups
+      // keep the running product bounded
+      val li = t(s, dir, "lineitem")
+        .withColumn("opt", lit(1.0) + col("l_tax"))
+      // (orderkey, linenumber) is NOT unique in the synthetic data —
+      // the frame order ties must break on a full column list or the
+      // running product is engine-dependent
+      val ord = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax").map(col)
+      Rolling.cumprod(li, Seq("l_orderkey"), ord, "opt", "cp")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("cp"), 6).as("cp"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q105_ffill_limit" -> ((s, dir) => {
+      // fill_forward limit= (rt_fastarraynumba.py:149): values stop
+      // propagating after `limit` consecutive invalid rows
+      val ev = t(s, dir, "events")
+        .withColumn("v", when(col("event_type") === "purchase", col("value")))
+      ev.fillForward("v", Seq("user_id"), Seq("ts", "event_id"), limit = Some(2))
+        .select(col("event_id"), col("user_id"), round(col("v"), 6).as("v"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q106_ismember_idx" -> ((s, dir) =>
+      // ismember's second output (rt_numpy.py:1186): first-occurrence
+      // position of each customer's key in the o_orderkey-ordered orders
+      Merge.ismemberIndex(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey")),
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        Seq("o_custkey"), Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("ismember"), col("ismember_index"))
+        .orderBy(col("o_custkey")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2168,6 +2205,43 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  [l_quantity, l_extendedprice, l_discount] AS im,
         |  round(l_quantity + l_extendedprice + l_discount, 6) AS rowsum
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q104_cumprod" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(product(1.0 + l_tax) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |      l_extendedprice, l_discount, l_tax
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cp
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q105_ffill_limit" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS v
+        |  FROM events),
+        |w1 AS (SELECT *, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM e),
+        |w2 AS (SELECT event_id, user_id, v, rn,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY rn
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |    max(CASE WHEN v IS NOT NULL THEN rn END) OVER
+        |      (PARTITION BY user_id ORDER BY rn
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastnn
+        |  FROM w1)
+        |SELECT event_id, user_id,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN rn - lastnn <= 2 THEN filled END, 6) AS v
+        |FROM w2 ORDER BY event_id""".stripMargin,
+
+    "q106_ismember_idx" ->
+      """WITH pos AS (SELECT o_custkey,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders),
+        |idx AS (SELECT o_custkey, CAST(min(rn) AS INT) AS ismember_index
+        |  FROM pos GROUP BY 1)
+        |SELECT c_custkey AS o_custkey,
+        |  idx.o_custkey IS NOT NULL AS ismember, ismember_index
+        |FROM customer LEFT JOIN idx ON c_custkey = idx.o_custkey
+        |ORDER BY o_custkey""".stripMargin
   )
 }

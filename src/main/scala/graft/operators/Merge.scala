@@ -113,6 +113,24 @@ object Merge {
       .drop("__ismember")
   }
 
+  /** ismember with the MATLAB-style second output (`rt_numpy.py:1186`
+    * returns (mask, index)): the 0-based position of each key's FIRST
+    * occurrence in b. Positional semantics need a total order on b —
+    * riptable uses array position, the caller declares `bOrder`. The
+    * global numbering is a single-partition window (riptable's array is
+    * likewise one address space); keep b lookup-sized, or derive a
+    * key-local index with a keyed window instead.
+    */
+  def ismemberIndex(a: DataFrame, b: DataFrame, on: Seq[String],
+                    bOrder: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(bOrder: _*)
+    val idx = b.withColumn("__pos", row_number().over(w) - 1)
+      .groupBy(on.map(col): _*)
+      .agg(min(col("__pos")).as("ismember_index"))
+    a.join(idx, on, "left")
+      .withColumn("ismember", col("ismember_index").isNotNull)
+  }
+
   private def dedupeKeep(df: DataFrame, on: Seq[String], keep: String,
                          orderCols: Seq[String] = Nil): DataFrame = {
     val nonKey = df.columns.filterNot(on.contains).toSeq

@@ -94,6 +94,12 @@ object Rolling {
   def cummin(df: DataFrame, by: Seq[String], order: Seq[Column],
              valueCol: String, out: String): DataFrame =
     df.withColumn(out, min(col(valueCol)).over(wCum(by, order)))
+  /** cumprod (rt_groupbyops.py:3239) — running product via the native
+    * RipProduct DeclarativeAggregate (requires GraftExtensions).
+    */
+  def cumprod(df: DataFrame, by: Seq[String], order: Seq[Column],
+              valueCol: String, out: String): DataFrame =
+    df.withColumn(out, expr(s"rip_product($valueCol)").over(wCum(by, order)))
 
   /** cumsum with `reset_filter` (rt_groupbyops.py:3158 kwargs): a true
     * reset mask starts a new accumulation segment. Segment id = running

@@ -76,19 +76,39 @@ object syntax {
       * `riptable/rt_groupbynumba.py:312`): last non-null at-or-before this
       * row, per partition keys, ordered by `order`.
       */
-    def fillForward(valueCol: String, partitionBy: Seq[String], order: Seq[String]): DataFrame = {
-      val w = Window.partitionBy(partitionBy.map(col): _*)
-        .orderBy(order.map(col): _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
-    }
+    def fillForward(valueCol: String, partitionBy: Seq[String], order: Seq[String],
+                    limit: Option[Int] = None): DataFrame =
+      fillDirected(valueCol, partitionBy, order.map(col(_)), limit)
 
     /** fill_backward (`riptable/rt_fastarraynumba.py:241`). */
-    def fillBackward(valueCol: String, partitionBy: Seq[String], order: Seq[String]): DataFrame = {
-      val w = Window.partitionBy(partitionBy.map(col): _*)
-        .orderBy(order.map(c => col(c).desc): _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+    def fillBackward(valueCol: String, partitionBy: Seq[String], order: Seq[String],
+                     limit: Option[Int] = None): DataFrame =
+      fillDirected(valueCol, partitionBy, order.map(col(_).desc), limit)
+
+    /** Shared ffill/bfill body. `limit` (the numba kernels' `limit`
+      * kwarg) caps how many consecutive rows a value propagates: the
+      * gap to the last non-null row rides the SAME window partitioning
+      * (row_number minus the last non-null row_number) — no extra
+      * shuffle.
+      */
+    private def fillDirected(valueCol: String, partitionBy: Seq[String],
+                             ord: Seq[Column], limit: Option[Int]): DataFrame = {
+      val w0 = Window.partitionBy(partitionBy.map(col): _*).orderBy(ord: _*)
+      val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled = last(col(valueCol), ignoreNulls = true).over(w)
+      limit match {
+        case None => df.withColumn(valueCol, filled)
+        case Some(l) =>
+          // row number materializes first (windows can't nest), then the
+          // gap check rides the same partitioning
+          val d1 = df.withColumn("__rn", row_number().over(w0))
+          val lastNn = last(when(col(valueCol).isNotNull, col("__rn")),
+            ignoreNulls = true).over(w)
+          d1.withColumn(valueCol,
+              when(col(valueCol).isNotNull, col(valueCol))
+                .when(col("__rn") - lastNn <= l, filled))
+            .drop("__rn")
+      }
     }
 
     /** astype (`rt_fastarray.py:1375`, `rt_dataset.py:2783`). */

@@ -97,6 +97,17 @@ class MergeSpec extends SparkSpec {
     assert(run1(1L) === "a") // lexicographically-first non-key row wins
   }
 
+  test("ismemberIndex returns the first-occurrence position (MATLAB second output)") {
+    val b = Seq((10L, "r0"), (2L, "r1"), (1L, "r2"), (2L, "r3"))
+      .toDF("k", "tag")
+    val out = Merge.ismemberIndex(left, b, Seq("k"), Seq(col("tag")))
+      .select("k", "ismember", "ismember_index").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.get(2)))).toMap
+    assert(out(1L) === ((true, Some(2))))  // first occurrence of 1 is row 2
+    assert(out(2L) === ((true, Some(1))))  // rows 1 and 3 → first is 1
+    assert(out(4L) === ((false, None)))
+  }
+
   test("ismember does not force a broadcast on a high-cardinality side") {
     // riptable's high_card flag (rt_numpy.py:1186): b's key set can be
     // huge — an unconditional broadcast() hint would OOM the driver at

@@ -167,6 +167,23 @@ class OpsSpec extends SparkSpec {
     assert(nrd("null") === None)
   }
 
+  test("fillForward limit stops propagation after N rows") {
+    val df = Seq((1, Some(10.0)), (2, None), (3, None), (4, None), (5, Some(50.0)))
+      .toDF("i", "v").withColumn("g", lit(1))
+    val out = df.fillForward("v", Seq("g"), Seq("i"), limit = Some(2))
+      .orderBy("i").select("v").collect().map(r => Option(r.get(0))).toSeq
+    assert(out === Seq(Some(10.0), Some(10.0), Some(10.0), None, Some(50.0)))
+  }
+
+  test("cumprod multiplies in frame order per group") {
+    import graft.operators.Rolling
+    val df = Seq((1L, 1, 2.0), (1L, 2, 3.0), (1L, 3, 4.0), (2L, 1, 5.0))
+      .toDF("g", "i", "v")
+    val out = Rolling.cumprod(df, Seq("g"), Seq(col("i")), "v", "cp")
+      .orderBy("g", "i").select("cp").as[Double].collect().toSeq
+    assert(out === Seq(2.0, 6.0, 24.0, 5.0))
+  }
+
   test("concatColumns zips positionally and null-fills the short side") {
     import graft.operators.Reshape
     val a = Seq("x", "y", "z").toDF("a")
