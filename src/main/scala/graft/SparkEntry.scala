@@ -1155,7 +1155,22 @@ object SparkEntry {
         t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
         Seq("o_custkey"), Seq(col("o_orderkey")))
         .select(col("o_custkey"), col("ismember"), col("ismember_index"))
-        .orderBy(col("o_custkey")))
+        .orderBy(col("o_custkey"))),
+
+    "q107_strptime" -> ((s, dir) => {
+      // strptime_to_nano round-trip (rt_datetime.py:274) + yyyymmdd
+      // (:3298) + time_since_midnight (:4017) accessors
+      val ev = t(s, dir, "events")
+        .withColumn("utc", timestamp_micros(expr("ts div 1000")))
+      ev.select(col("event_id"),
+        to_timestamp(date_format(col("utc"), "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("parsed"),
+        (year(col("utc")) * 10000 + month(col("utc")) * 100 +
+          dayofmonth(col("utc"))).as("yyyymmdd"),
+        (unix_micros(col("utc")) - unix_micros(date_trunc("day", col("utc"))))
+          .as("tsm_us"))
+        .orderBy(col("event_id"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2242,6 +2257,16 @@ object SparkEntry {
         |SELECT c_custkey AS o_custkey,
         |  idx.o_custkey IS NOT NULL AS ismember, ismember_index
         |FROM customer LEFT JOIN idx ON c_custkey = idx.o_custkey
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q107_strptime" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS utc FROM events)
+        |SELECT event_id,
+        |  strptime(strftime(utc, '%Y-%m-%d %H:%M:%S'),
+        |    '%Y-%m-%d %H:%M:%S') AS parsed,
+        |  CAST(year(utc) * 10000 + month(utc) * 100 + day(utc) AS INT)
+        |    AS yyyymmdd,
+        |  epoch_us(utc) - epoch_us(date_trunc('day', utc)) AS tsm_us
+        |FROM e ORDER BY event_id""".stripMargin
   )
 }
