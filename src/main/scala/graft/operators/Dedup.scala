@@ -152,8 +152,15 @@ object Dedup {
     val bits = (0 until 64).map { j =>
       when(col(s"__v$j") > 0, lit(1L << j)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), bits.as(out))
+    // signatures persist under a FIXED internal name so every consumer
+    // of the same (docs, hashFn) — raw signatures, banded pairs,
+    // verified pairs — shares one cache entry via the plan cache; the
+    // token-hash pass (md5 in portable mode) dominates and runs once.
+    // Frame is one long per doc; `spark.catalog.clearCache()` reclaims.
+    val sigs = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.as("__simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.withColumnRenamed("__simhash", out)
   }
 
   /** SimHash near-dup pairs via banded LSH. The band count is DERIVED
