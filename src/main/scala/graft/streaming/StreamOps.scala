@@ -124,6 +124,22 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Streaming near-duplicate dedup for ingest pipelines: the first doc
+    * per 64-bit simhash signature wins; later colliding docs drop.
+    * Signature is the codegen'd Column-form simhash (per-row, no
+    * pre-aggregation — streaming-safe). State = one row per distinct
+    * signature, bounded by `dropDuplicatesWithinWatermark` — signatures
+    * older than the watermark evict, so a near-dup arriving within the
+    * lateness window dedupes and the state never outgrows the window.
+    */
+  def streamingNearDedup(docs: DataFrame, textCol: String,
+                         watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("__sig", graft.operators.Dedup.simhash(col(textCol)))
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** File-source stream over a parquet directory (for tests: feed the
     * batch fixtures through the streaming engine via availableNow).
     */

@@ -127,6 +127,27 @@ class MiscOpsSpec extends SparkSpec {
     assert(got === want && want === Set((1L, "a"), (2L, "b")))
   }
 
+  test("TPC-H Q3 headliner: filters pushed to scans, dimension broadcast") {
+    val df = SparkEntry.queries("q86_tpch_q3")(spark, "/root/testdata/sf0.001")
+    df.collect() // let AQE finalize the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "filters must reach the scans")
+    assert(plan.toLowerCase.contains("broadcast"),
+      "customer side must broadcast")
+  }
+
+  test("TimeFns conversions are pure projections (no Exchange before sort)") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("utc", timestamp_micros(expr("ts div 1000")))
+    val proj = ev.select(
+      graft.functions.TimeFns.astimezone(col("utc"), "America/New_York"),
+      graft.functions.TimeFns.toIso(col("utc")),
+      graft.functions.TimeFns.tzOffsetMinutes(col("utc"), "Europe/London"))
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(proj.count() === 1000)
+  }
+
   test("typed Dataset pipeline (case-class Encoder idiom)") {
     val ds = Seq(Ev(1, 2.0), Ev(1, 4.0), Ev(2, 1.0)).toDS()
     val out = ds.filter(_.v > 1.5).groupByKey(_.user)

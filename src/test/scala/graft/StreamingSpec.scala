@@ -137,6 +137,28 @@ class StreamingSpec extends SparkSpec {
     assert(returned._3 === 7.0)
   }
 
+  test("streaming near-dedup drops simhash-identical docs within the watermark") {
+    val d = Files.createTempDirectory("graft_neardedup").toString
+    val docs = Seq(
+      (1L, "2024-01-01 00:00:10", "the quick brown fox jumps over the dog"),
+      (2L, "2024-01-01 00:00:20", "the quick brown fox jumps over the dog"), // dup text
+      (3L, "2024-01-01 00:00:30", "an entirely different document body here")
+    ).toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    docs.write.mode("overwrite").parquet(d + "/in")
+    val src = spark.readStream.schema(spark.read.parquet(d + "/in").schema)
+      .parquet(d + "/in")
+    val q = StreamOps.streamingNearDedup(src, "text")
+      .writeStream.format("memory").queryName("near_dedup")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT doc_id FROM near_dedup").as[Long].collect().toSet
+    assert(ids.size === 2)
+    assert(ids.contains(3L))
+    assert(ids.intersect(Set(1L, 2L)).size === 1) // exactly one of the dups
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
