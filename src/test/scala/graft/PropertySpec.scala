@@ -129,4 +129,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("asof exec matches brute force on random data, all directions") {
+    import graft.operators.AsofJoin
+    // heavy ties (times drawn from a small range) stress the equal-time
+    // register logic in the native exec
+    for (trial <- 0 until 3; exact <- Seq(true, false)) {
+      val l = (0 until 120).map(i =>
+        (rng.nextInt(4).toLong, rng.nextInt(25).toLong, i))
+      val r = (0 until 80).map(i =>
+        (rng.nextInt(4).toLong, rng.nextInt(25).toLong, i.toDouble))
+      val lDf = l.toDF("g", "t", "lid")
+      val rDf = r.toDF("g", "t", "rv")
+      // brute-force reference over the in-memory rows; right ties at one
+      // (g, t) broken by the full-row order used in the exec's sort —
+      // make right (g, t, rv) unique to sidestep tie ambiguity
+      val rUniq = r.groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+      val rDfU = rUniq.toDF("g", "t", "rv")
+      def brute(direction: String): Map[Int, Option[Double]] =
+        l.map { case (g, t, lid) =>
+          val cands = rUniq.filter(_._1 == g)
+          def back = cands.filter(c => c._2 < t || (c._2 == t && exact))
+            .sortBy(c => (c._2, c._3)).lastOption
+          def fwd = cands.filter(c => c._2 > t || (c._2 == t && exact))
+            .sortBy(c => (c._2, c._3)).headOption
+          val m = direction match {
+            case "backward" => back
+            case "forward"  => fwd
+            case "nearest"  => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+              case (b, f) => b.orElse(f)
+            }
+          }
+          lid -> m.map(_._3)
+        }.toMap
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = AsofJoin.asofExec(lDf, rDfU, "t", Seq("g"), Seq("rv"),
+          allowExactMatches = exact, direction = dir)
+          .select("lid", "rv").as[(Int, Option[Double])].collect().toMap
+        assert(got === brute(dir), s"trial=$trial exact=$exact dir=$dir")
+      }
+    }
+  }
 }
