@@ -1157,6 +1157,14 @@ object SparkEntry {
         .select(col("o_custkey"), col("ismember"), col("ismember_index"))
         .orderBy(col("o_custkey"))),
 
+    "q108_embed_neardup" -> ((s, dir) =>
+      // embedding-cosine near-dup pairs: LSH-band blocking + exact
+      // cosine verify (brief's dedup family; τ sized to the synthetic
+      // corpus, whose random vectors top out at cosine ≈ 0.51)
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.45, bits = 8, bands = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q107_strptime" -> ((s, dir) => {
       // strptime_to_nano round-trip (rt_datetime.py:274) + yyyymmdd
       // (:3298) + time_since_midnight (:4017) accessors
@@ -2258,6 +2266,25 @@ object SparkEntry {
         |  idx.o_custkey IS NOT NULL AS ismember, ismember_index
         |FROM customer LEFT JOIN idx ON c_custkey = idx.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q108_embed_neardup" -> {
+      val bitSum = (0 until 8).map(p =>
+        s"(CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sig AS (SELECT vec_id, embedding, ($bitSum) AS s
+         |  FROM embeddings),
+         |bands AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
+         |  unnest([0, 1]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bandval = b.bandval AND a.vec_id < b.vec_id),
+         |scored AS (SELECT ia, ib,
+         |  ${cosineSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand JOIN sig ea ON cand.ia = ea.vec_id
+         |  JOIN sig eb ON cand.ib = eb.vec_id)
+         |SELECT ia AS id_a, ib AS id_b, round(cos, 6) AS cosine
+         |FROM scored WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q107_strptime" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS utc FROM events)

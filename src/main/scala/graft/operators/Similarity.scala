@@ -176,6 +176,38 @@ object Similarity {
         col(idCol).as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (dedup use case, distinct
+    * from top-k search): candidates block on shared LSH bands (any of
+    * `bands` sub-signatures equal → candidate), then exact cosine ≥
+    * threshold verifies. Never all-pairs: the self-join keys on (band,
+    * value), so cost tracks bucket collisions — the standard blocking
+    * shape for embedding dedup at corpus scale. Signature is the
+    * engine-independent LCG hyperplane code (see lshSignature), so the
+    * whole output — blocking included — is oracle-checkable.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 8,
+                         bands: Int = 2): DataFrame = {
+    require(bits % bands == 0, "bits must divide into equal bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1L
+    val sig = corpus.select(col(idCol), col(vecCol),
+      lshSignature(col(vecCol), bits).as("__sig"))
+    val banded = sig.select(col(idCol), col(vecCol), posexplode(
+      array((0 until bands).map(b =>
+        shiftright(col("__sig"), b * w).bitwiseAND(mask)): _*)))
+      .toDF(idCol, vecCol, "band", "bandval")
+    val a = banded.toDF("id_a", "__va", "band", "bandval")
+    val b = banded.toDF("id_b", "__vb", "band", "bandval")
+    a.join(b, Seq("band", "bandval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("__cos", cosine(col("__va"), col("__vb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
+  }
+
   /** LSH-bucketed ANN: probe only the query's bucket. Recall is traded
     * for a 1/2^bits scan reduction; multi-probe = union over neighboring
     * buckets (not needed at test scale). Because the signature is
