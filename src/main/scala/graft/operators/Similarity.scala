@@ -29,11 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated left-to-right
+  /** Dot product of two numeric-array columns, accumulated left-to-right
     * in double (element-wise double casts keep this bit-reproducible
     * across engines; float-precision products would drift vs an oracle).
+    * Dispatches to the CODEGEN'd `rip_dot` Catalyst expression
+    * (plans.RipDot, registered by GraftExtensions) — Spark's
+    * zip_with/aggregate lambdas interpret per element, which dominates
+    * pair-verify joins; the native loop is the same arithmetic order,
+    * bit-for-bit.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("rip_dot", a, b)
+
+  /** The interpreted higher-order-function formulation rip_dot replaces;
+    * kept as the cross-check twin (OpsSpec asserts bit equality).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
@@ -191,19 +201,27 @@ object Similarity {
     require(bits % bands == 0, "bits must divide into equal bands")
     val w = bits / bands
     val mask = (1L << w) - 1L
-    val sig = corpus.select(col(idCol), col(vecCol),
-      lshSignature(col(vecCol), bits).as("__sig"))
-    val banded = sig.select(col(idCol), col(vecCol), posexplode(
-      array((0 until bands).map(b =>
-        shiftright(col("__sig"), b * w).bitwiseAND(mask)): _*)))
-      .toDF(idCol, vecCol, "band", "bandval")
-    val a = banded.toDF("id_a", "__va", "band", "bandval")
-    val b = banded.toDF("id_b", "__vb", "band", "bandval")
-    a.join(b, Seq("band", "bandval"))
+    // candidate pairs carry ONLY ids through the self-join + dedup
+    // shuffles (the wide vectors would dominate shuffle bytes at
+    // pair-count scale); vectors and precomputed norms re-join
+    // afterwards, corpus-row sized
+    val banded = corpus.select(col(idCol), posexplode(
+      array({
+        val sig = lshSignature(col(vecCol), bits)
+        (0 until bands).map(b => shiftright(sig, b * w).bitwiseAND(mask))
+      }: _*)))
+      .toDF(idCol, "band", "bandval")
+    val cand = banded.toDF("id_a", "band", "bandval")
+      .join(banded.toDF("id_b", "band", "bandval"), Seq("band", "bandval"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("__cos", cosine(col("__va"), col("__vb")))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      norm(col(vecCol)).as("__na"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      norm(col(vecCol)).as("__nb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("__cos",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("__cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
   }

@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         EmaWeighted(Cast(children(0), DoubleType), Cast(children(1), DoubleType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("rip_dot"),
+      new ExpressionInfo(classOf[RipDot].getName, "rip_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "rip_dot(a, b) takes exactly 2 arguments")
+        RipDot(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rip_product"),
       new ExpressionInfo(classOf[RipProduct].getName, "rip_product"),
       (children: Seq[Expression]) => {

@@ -103,6 +103,25 @@ class OpsSpec extends SparkSpec {
     assert(sigs(1L) === sigs(2L))
   }
 
+  test("rip_dot (codegen) equals the interpreted HOF dot bit-for-bit") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+    val pairs = emb.crossJoin(
+      emb.select($"embedding".as("e2")).limit(15))
+    val diff = pairs.select(
+        Similarity.dot($"embedding", $"e2").as("native"),
+        Similarity.dotHof($"embedding", $"e2").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff === 0)
+    // zip_with-compatible null semantics: length mismatch / null element
+    val odd = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f)),
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val out = odd.select(Similarity.dot($"a", $"b").as("d"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(out === Seq(None, Some(11.0)))
+  }
+
   test("cosine similarity of identical vectors is 1") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
       (3L, Seq(-3.0f, 1.0f, 0.5f))).toDF("id", "vec")
