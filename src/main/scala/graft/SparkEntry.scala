@@ -1157,6 +1157,22 @@ object SparkEntry {
         .select(col("o_custkey"), col("ismember"), col("ismember_index"))
         .orderBy(col("o_custkey"))),
 
+    "q109_accum2_footers" -> ((s, dir) => {
+      // AccumTable stacked footers (rt_accumtable.py:235): Total and
+      // Mean rows under one pivot body
+      val body = Reshape.accum2(t(s, dir, "orders"), "o_orderpriority",
+        "o_orderstatus", count(lit(1)), colValues = Seq("F", "O", "P"))
+      val filled = body.select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).cast("double").as("F"),
+        coalesce(col("O"), lit(0L)).cast("double").as("O"),
+        coalesce(col("P"), lit(0L)).cast("double").as("P"))
+      Reshape.withFooters(filled, "o_orderpriority", Seq(
+          "Total" -> (c => sum(c)), "Mean" -> (c => avg(c))))
+        .select(col("o_orderpriority"), round(col("F"), 6).as("F"),
+          round(col("O"), 6).as("O"), round(col("P"), 6).as("P"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q108_embed_neardup" -> ((s, dir) =>
       // embedding-cosine near-dup pairs: LSH-band blocking + exact
       // cosine verify (brief's dedup family; τ sized to the synthetic
@@ -2266,6 +2282,19 @@ object SparkEntry {
         |  idx.o_custkey IS NOT NULL AS ismember, ismember_index
         |FROM customer LEFT JOIN idx ON c_custkey = idx.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q109_accum2_footers" ->
+      """WITH body AS (SELECT o_orderpriority AS pr,
+        |    CAST(count(*) FILTER (o_orderstatus = 'F') AS DOUBLE) AS f,
+        |    CAST(count(*) FILTER (o_orderstatus = 'O') AS DOUBLE) AS o,
+        |    CAST(count(*) FILTER (o_orderstatus = 'P') AS DOUBLE) AS p
+        |  FROM orders GROUP BY 1),
+        |allr AS (SELECT pr, f, o, p FROM body
+        |  UNION ALL SELECT 'Total', sum(f), sum(o), sum(p) FROM body
+        |  UNION ALL SELECT 'Mean', avg(f), avg(o), avg(p) FROM body)
+        |SELECT pr AS o_orderpriority, round(f, 6) AS "F",
+        |  round(o, 6) AS "O", round(p, 6) AS "P"
+        |FROM allr ORDER BY o_orderpriority""".stripMargin,
 
     "q108_embed_neardup" -> {
       val bitSum = (0 until 8).map(p =>

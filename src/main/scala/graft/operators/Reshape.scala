@@ -46,6 +46,21 @@ object Reshape {
     }
   }
 
+  /** Multi-level footer rows over an accum2/pivot body (AccumTable's
+    * stacked footers, `rt_accumtable.py:235` footer_set_values usage):
+    * each (label, aggregate-builder) adds one footer row computed over
+    * every non-label column — e.g. Total via sum, Mean via avg. One
+    * tiny grouped aggregate per footer over the (already small) pivot
+    * output.
+    */
+  def withFooters(body: DataFrame, rowKey: String,
+                  footers: Seq[(String, Column => Column)]): DataFrame =
+    footers.foldLeft(body) { case (acc, (label, f)) =>
+      val cols = Seq(lit(label).as(rowKey)) ++
+        body.columns.filterNot(_ == rowKey).map(c => f(col(c)).as(c))
+      acc.unionByName(body.groupBy().agg(cols.head, cols.tail: _*))
+    }
+
   /** concat_columns (rt_dataset.py:6995): side-by-side positional
     * concatenation of frames — riptable zips arrays by row position.
     * Spark rows are unordered, so position must be DECLARED: each side
