@@ -1157,6 +1157,20 @@ object SparkEntry {
         .select(col("o_custkey"), col("ismember"), col("ismember_index"))
         .orderBy(col("o_custkey"))),
 
+    "q110_ema_filtered" -> ((s, dir) => {
+      // ema_decay filter=/reset= kwargs (rt_fastarraynumba.py:507):
+      // only clicks contribute; high-value clicks reset the state
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tsu"), col("value").cast("double"),
+          (col("event_type") === "click").as("pass"),
+          (col("event_type") === "click" && col("value") > 95).as("rst"))
+      Ema.ema(ev, "user_id", "tsu", "value", rate = 1.6666666666666667e-9,
+        Ema.Decay, "ema", filterCol = Some("pass"), resetCol = Some("rst"))
+        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))
+    }),
+
     "q109_accum2_footers" -> ((s, dir) => {
       // AccumTable stacked footers (rt_accumtable.py:235): Total and
       // Mean rows under one pivot body
@@ -2282,6 +2296,25 @@ object SparkEntry {
         |  idx.o_custkey IS NOT NULL AS ismember, ismember_index
         |FROM customer LEFT JOIN idx ON c_custkey = idx.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q110_ema_filtered" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    CASE WHEN event_type = 'click' THEN value ELSE 0 END AS contrib,
+        |    (event_type = 'click' AND value > 95) AS rst,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, rn, tsu, contrib AS ema
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.rn, n.tsu,
+        |    n.contrib + CASE WHEN n.rst THEN 0 ELSE
+        |      s.ema * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu)) END
+        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+        |SELECT event_id, user_id, round(ema, 6) AS ema
+        |FROM s ORDER BY event_id""".stripMargin,
 
     "q109_accum2_footers" ->
       """WITH body AS (SELECT o_orderpriority AS pr,

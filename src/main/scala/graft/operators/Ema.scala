@@ -31,13 +31,24 @@ object Ema {
   case object Normal extends Kind     // ema_normal: time-normalized mean
   case object Weighted extends Kind   // ema_weighted: fixed-alpha, ignores time
 
+  /** `filterCol`/`resetCol` mirror riptable's `filter=`/`reset=` kwargs
+    * (`nb_ema_decay_with_filter_and_reset`,
+    * `riptable/rt_fastarraynumba.py:507`): a filtered-out row contributes
+    * ZERO but still decays the state and emits the running value; a reset
+    * (honored only on filtered-IN rows, like the kernel) zeroes the state
+    * before the row folds in.
+    */
   def ema(df: DataFrame, byCol: String, timeCol: String, valueCol: String,
-          rate: Double, kind: Kind = Decay, out: String = "ema"): DataFrame = {
+          rate: Double, kind: Kind = Decay, out: String = "ema",
+          filterCol: Option[String] = None,
+          resetCol: Option[String] = None): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields :+ StructField(out, DoubleType, nullable = true))
     val byIdx = inSchema.fieldIndex(byCol)
     val tIdx = inSchema.fieldIndex(timeCol)
     val vIdx = inSchema.fieldIndex(valueCol)
+    val fIdx = filterCol.map(inSchema.fieldIndex)
+    val rIdx = resetCol.map(inSchema.fieldIndex)
 
     val sorted = df
       .repartition(col(byCol))
@@ -55,8 +66,12 @@ object Ema {
         if (!haveKey || k != curKey) {
           curKey = k; haveKey = true; prevT = t; acc = 0.0; den = 0.0
         }
+        val pass = fIdx.forall(i => !r.isNullAt(i) && r.getBoolean(i))
+        if (pass && rIdx.exists(i => !r.isNullAt(i) && r.getBoolean(i))) {
+          acc = 0.0; den = 0.0; prevT = t
+        }
         val vNull = r.isNullAt(vIdx)
-        val v = if (vNull) 0.0 else r.getDouble(vIdx)
+        val v = if (!pass || vNull) 0.0 else r.getDouble(vIdx)
         val o: Double = kind match {
           case Decay =>
             val w = math.exp(-rate * (t - prevT).toDouble)
