@@ -1157,6 +1157,14 @@ object SparkEntry {
         .select(col("o_custkey"), col("ismember"), col("ismember_index"))
         .orderBy(col("o_custkey"))),
 
+    "q111_bpe_tokens" -> ((s, dir) =>
+      // BPE-ish subword count (brief: token counting beyond whitespace)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.tokenCountBpeIsh(col("text")).cast("long").as("n_subwords"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_words"))
+        .orderBy(col("doc_id"))),
+
     "q110_ema_filtered" -> ((s, dir) => {
       // ema_decay filter=/reset= kwargs (rt_fastarraynumba.py:507):
       // only clicks contribute; high-value clicks reset the state
@@ -2296,6 +2304,15 @@ object SparkEntry {
         |  idx.o_custkey IS NOT NULL AS ismember, ismember_index
         |FROM customer LEFT JOIN idx ON c_custkey = idx.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q111_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    AS n_subwords,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+        |    AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q110_ema_filtered" ->
       """WITH RECURSIVE numbered AS (
