@@ -1157,6 +1157,15 @@ object SparkEntry {
         .select(col("o_custkey"), col("ismember"), col("ismember_index"))
         .orderBy(col("o_custkey"))),
 
+    "q112_crc32c" -> ((s, dir) =>
+      // crc32c (rt_numpy.py:2489, rc.CalculateCRC — Castagnoli; crc64
+      // is deprecated onto it): native codegen expression, since
+      // Spark's crc32 is the ISO polynomial
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("rip_crc32c(p_name)").as("crc"))
+        .orderBy(col("p_partkey"))),
+
     "q111_bpe_tokens" -> ((s, dir) =>
       // BPE-ish subword count (brief: token counting beyond whitespace)
       t(s, dir, "documents")
@@ -1257,6 +1266,27 @@ object SparkEntry {
 
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Table-driven reflected CRC-32 over part names, parameterized by
+    * polynomial — oracle for q94 (IEEE) and q112 (Castagnoli).
+    */
+  private def crcOracle(poly: Long): String =
+    s"""WITH RECURSIVE
+       |tab0 AS (SELECT n, 0 AS k, CAST(n AS BIGINT) AS c FROM range(256) t(n)
+       |  UNION ALL SELECT n, k + 1,
+       |    CASE WHEN c & 1 = 1 THEN xor(c >> 1, $poly) ELSE c >> 1 END
+       |  FROM tab0 WHERE k < 8),
+       |tab AS (SELECT n, c FROM tab0 WHERE k = 8),
+       |s AS (SELECT p_partkey, p_name AS str, length(p_name) AS len FROM part),
+       |f AS (
+       |  SELECT p_partkey, 0 AS pos, CAST(4294967295 AS BIGINT) AS crc FROM s
+       |  UNION ALL
+       |  SELECT f.p_partkey, f.pos + 1, xor(f.crc >> 8, tab.c)
+       |  FROM f JOIN s ON f.p_partkey = s.p_partkey AND f.pos < s.len
+       |  JOIN tab ON tab.n = xor(f.crc, ord(substr(s.str, f.pos + 1, 1))) & 255)
+       |SELECT s.p_partkey, xor(f.crc, 4294967295) AS crc
+       |FROM f JOIN s ON f.p_partkey = s.p_partkey AND f.pos = s.len
+       |ORDER BY s.p_partkey""".stripMargin
 
   /** Nearest as-of with tolerance + matched_on — oracle for q77 (window
     * formulation) and q92 (native sort-merge exec): DuckDB ASOF covers
@@ -2176,26 +2206,14 @@ object SparkEntry {
         |FROM bk JOIN fw ON bk.event_id = fw.event_id
         |ORDER BY bk.event_id""".stripMargin,
 
-    // CRC-32/IEEE from scratch: 256-entry table via 8 unrolled steps of
-    // the reflected poly 0xEDB88320, then a per-string byte fold (part
-    // names are ASCII, so ord(substr) == the UTF-8 byte Spark hashes)
-    "q94_crc32" ->
-      """WITH RECURSIVE
-        |tab0 AS (SELECT n, 0 AS k, CAST(n AS BIGINT) AS c FROM range(256) t(n)
-        |  UNION ALL SELECT n, k + 1,
-        |    CASE WHEN c & 1 = 1 THEN xor(c >> 1, 3988292384) ELSE c >> 1 END
-        |  FROM tab0 WHERE k < 8),
-        |tab AS (SELECT n, c FROM tab0 WHERE k = 8),
-        |s AS (SELECT p_partkey, p_name AS str, length(p_name) AS len FROM part),
-        |f AS (
-        |  SELECT p_partkey, 0 AS pos, CAST(4294967295 AS BIGINT) AS crc FROM s
-        |  UNION ALL
-        |  SELECT f.p_partkey, f.pos + 1, xor(f.crc >> 8, tab.c)
-        |  FROM f JOIN s ON f.p_partkey = s.p_partkey AND f.pos < s.len
-        |  JOIN tab ON tab.n = xor(f.crc, ord(substr(s.str, f.pos + 1, 1))) & 255)
-        |SELECT s.p_partkey, xor(f.crc, 4294967295) AS crc
-        |FROM f JOIN s ON f.p_partkey = s.p_partkey AND f.pos = s.len
-        |ORDER BY s.p_partkey""".stripMargin,
+    // CRC-32 from scratch: 256-entry table via 8 unrolled steps of the
+    // reflected polynomial, then a per-string byte fold (part names are
+    // ASCII, so ord(substr) == the UTF-8 byte Spark hashes).
+    // 3988292384 = 0xEDB88320 (IEEE/zlib, Spark's crc32);
+    // 2197175160 = 0x82F63B78 (Castagnoli, riptable's rc.CalculateCRC)
+    "q94_crc32" -> crcOracle(3988292384L),
+
+    "q112_crc32c" -> crcOracle(2197175160L),
 
     "q95_putmask" ->
       """SELECT l_orderkey, l_linenumber,

@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RipDot(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("rip_crc32c"),
+      new ExpressionInfo(classOf[RipCrc32C].getName, "rip_crc32c"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "rip_crc32c(bytes) takes exactly 1 argument")
+        RipCrc32C(Cast(children.head, org.apache.spark.sql.types.BinaryType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rip_product"),
       new ExpressionInfo(classOf[RipProduct].getName, "rip_product"),
       (children: Seq[Expression]) => {

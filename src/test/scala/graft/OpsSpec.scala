@@ -103,6 +103,17 @@ class OpsSpec extends SparkSpec {
     assert(sigs(1L) === sigs(2L))
   }
 
+  test("rip_crc32c matches the CRC-32C check vector") {
+    // the standard check value: crc32c("123456789") = 0xE3069283
+    val out = Seq("123456789").toDF("s")
+      .selectExpr("rip_crc32c(s) AS c").as[Long].head()
+    assert(out === 0xE3069283L)
+    // differs from Spark's ISO crc32 on the same input
+    val iso = Seq("123456789").toDF("s")
+      .select(crc32($"s".cast("binary"))).as[Long].head()
+    assert(iso !== out)
+  }
+
   test("rip_dot (codegen) equals the interpreted HOF dot bit-for-bit") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
     val pairs = emb.crossJoin(
