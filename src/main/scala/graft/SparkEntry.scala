@@ -1157,6 +1157,16 @@ object SparkEntry {
         .select(col("o_custkey"), col("ismember"), col("ismember_index"))
         .orderBy(col("o_custkey"))),
 
+    "q113_hash_split" -> ((s, dir) => {
+      // deterministic 80/20 train/test split on a portable id hash —
+      // same assignment on any engine/cluster (no RNG, no seed plumbing)
+      val split = Split.trainTest(t(s, dir, "documents"), "doc_id", 80)
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
+
     "q112_crc32c" -> ((s, dir) =>
       // crc32c (rt_numpy.py:2489, rc.CalculateCRC — Castagnoli; crc64
       // is deprecated onto it): native codegen expression, since
@@ -2214,6 +2224,21 @@ object SparkEntry {
     "q94_crc32" -> crcOracle(3988292384L),
 
     "q112_crc32c" -> crcOracle(2197175160L),
+
+    // portableHash64 (md5 → 60-bit int) reproduced in SQL, so the split
+    // ASSIGNMENT itself is verified, not just the counts
+    "q113_hash_split" ->
+      """WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex
+        |  FROM documents),
+        |hh AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),
+        |  i -> CAST(strpos('0123456789abcdef', hex[i]) - 1 AS BIGINT)
+        |    << (4 * (15 - i)))) AS BIGINT) AS h FROM hx),
+        |lab AS (SELECT doc_id,
+        |  CASE WHEN h % 100 < 80 THEN 'train' ELSE 'test' END AS split
+        |  FROM hh)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q95_putmask" ->
       """SELECT l_orderkey, l_linenumber,
