@@ -1157,6 +1157,30 @@ object SparkEntry {
         .select(col("o_custkey"), col("ismember"), col("ismember_index"))
         .orderBy(col("o_custkey"))),
 
+    "q114_hash_sample" -> ((s, dir) =>
+      // deterministic stratified downsample: 5 rows per event_type in
+      // portable-hash order (no RNG — reproducible across engines)
+      Split.sampleKPerGroup(t(s, dir, "events"), "event_id",
+        Seq("event_type"), 5)
+        .select(col("event_type"), col("event_id"))
+        .orderBy(col("event_type"), col("event_id"))),
+
+    "q115_repetition" -> ((s, dir) => {
+      // repeated-ngram quality signal (Gopher-style filter): fraction of
+      // non-distinct 3-gram shingles per doc; distinct counts ride the
+      // existing shingle-hash machinery, totals are token arithmetic
+      val docs = t(s, dir, "documents")
+      val tot = docs.select(col("doc_id"),
+        greatest(TextFns.tokenCount(col("text")) - 2, lit(1)).cast("long")
+          .as("n_total"))
+      val dis = Dedup.shingleHashes(docs, "doc_id", "text", 3)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+      tot.join(dis, Seq("doc_id"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct") / col("n_total"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     "q113_hash_split" -> ((s, dir) => {
       // deterministic 80/20 train/test split on a portable id hash —
       // same assignment on any engine/cluster (no RNG, no seed plumbing)
@@ -2224,6 +2248,35 @@ object SparkEntry {
     "q94_crc32" -> crcOracle(3988292384L),
 
     "q112_crc32c" -> crcOracle(2197175160L),
+
+    "q114_hash_sample" ->
+      """WITH hh AS (SELECT event_type, event_id,
+        |  CAST(list_sum(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      md5(CAST(event_id AS VARCHAR))[i]) - 1 AS BIGINT)
+        |      << (4 * (15 - i)))) AS BIGINT) AS h
+        |  FROM events),
+        |rk AS (SELECT event_type, event_id, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY h, event_id) AS rn FROM hh)
+        |SELECT event_type, event_id FROM rk WHERE rn <= 5
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q115_repetition" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS ntok,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS sh
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(greatest(ntok - 2, 1) AS BIGINT) AS n_total,
+        |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+        |  round(1.0 - len(list_distinct(sh)) / greatest(ntok - 2, 1), 6)
+        |    AS rep_ratio
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // portableHash64 (md5 → 60-bit int) reproduced in SQL, so the split
     // ASSIGNMENT itself is verified, not just the counts

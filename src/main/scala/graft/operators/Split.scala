@@ -29,4 +29,21 @@ object Split {
     df.withColumn(out,
       when(hashBucket(col(idCol)) < trainPct, "train").otherwise("test"))
   }
+
+  /** Deterministic k-per-group downsample: keep each group's k rows with
+    * the smallest portable id hash (ties broken by id). The hash order
+    * is a repeatable pseudo-random order, so this is stratified sampling
+    * without an RNG — per-class balancing for training sets that
+    * reproduces across engines and reruns. One shuffle on the group
+    * keys, streaming rank.
+    */
+  def sampleKPerGroup(df: DataFrame, idCol: String, by: Seq[String],
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.portableHash64(col(idCol).cast("string"))
+    val w = Window.partitionBy(by.map(col): _*).orderBy(h, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }
