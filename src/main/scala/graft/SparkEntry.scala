@@ -1157,6 +1157,16 @@ object SparkEntry {
         .select(col("o_custkey"), col("ismember"), col("ismember_index"))
         .orderBy(col("o_custkey"))),
 
+    "q116_json_props" -> ((s, dir) =>
+      // semi-structured payloads (events.props is JSON): scan-side
+      // extraction with get_json_object — codegen'd, no UDFs, the
+      // training-pipeline path for metadata-bearing event streams
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          (get_json_object(col("props"), "$.k").cast("long") > 90).as("is_high"))
+        .orderBy(col("event_id"))),
+
     "q114_hash_sample" -> ((s, dir) =>
       // deterministic stratified downsample: 5 rows per event_type in
       // portable-hash order (no RNG — reproducible across engines)
@@ -2248,6 +2258,12 @@ object SparkEntry {
     "q94_crc32" -> crcOracle(3988292384L),
 
     "q112_crc32c" -> crcOracle(2197175160L),
+
+    "q116_json_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) > 90 AS is_high
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q114_hash_sample" ->
       """WITH hh AS (SELECT event_type, event_id,
