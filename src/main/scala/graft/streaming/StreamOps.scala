@@ -14,12 +14,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Tumbling-window count/sum with late-data watermark. */
-  def windowedAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+  /** Tumbling (or, with `slide`, sliding) window count/sum with a
+    * late-data watermark. A sliding window assigns each event to
+    * len/slide overlapping windows — state is windows × keys, still
+    * watermark-bounded.
+    */
+  def windowedAgg(events: DataFrame, windowLen: String, watermark: String,
+                  slide: Option[String] = None): DataFrame = {
+    val w = slide.map(s => window(col("ts"), windowLen, s))
+      .getOrElse(window(col("ts"), windowLen))
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(w, col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+  }
 
   /** Session windows per user (gap-based). */
   def sessionAgg(events: DataFrame, gap: String, watermark: String): DataFrame =

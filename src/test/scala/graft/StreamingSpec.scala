@@ -44,6 +44,17 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map("click" -> 3L, "view" -> 2L))
   }
 
+  test("sliding windows assign each event to len/slide windows") {
+    val q = StreamOps.windowedAgg(streamIn, "5 minutes", "10 minutes",
+      slide = Some("1 minute"))
+      .writeStream.format("memory").queryName("slide_agg")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // 5 events × (5min / 1min) = 25 window memberships
+    assert(spark.sql("SELECT sum(n) FROM slide_agg").as[Long].head() === 25L)
+  }
+
   test("streaming EMA matches the batch Ema operator") {
     val q = StreamOps.streamingEma(streamIn, rate = 1e-8)
       .writeStream.format("memory").queryName("ema_stream")
