@@ -130,6 +130,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("merge2 matches brute-force join on random keyed data with nulls") {
+    import graft.operators.Merge
+    for (trial <- 0 until 3) {
+      val l = (0 until 80).map(i => (
+        if (rng.nextDouble() < 0.15) None else Some(rng.nextInt(10).toLong), i))
+      val r = (0 until 60).map(j => (
+        if (rng.nextDouble() < 0.15) None else Some(rng.nextInt(10).toLong), j * 1.5))
+      val lDf = l.map { case (k, v) => (k.map(Long.box).orNull, v) }.toDF("k", "lid")
+      val rDf = r.map { case (k, v) => (k.map(Long.box).orNull, v) }.toDF("k", "rv")
+      // brute force: null keys never match (rt_merge.py:2320)
+      val expInner = for {
+        (lk, lid) <- l; (rk, rv) <- r
+        if lk.isDefined && lk == rk
+      } yield (lid, rv)
+      val gotInner = Merge.merge2(lDf, rDf, Seq("k"), "inner")
+        .select("lid", "rv").as[(Int, Double)].collect().toSeq
+      assert(gotInner.sorted === expInner.sorted, s"inner trial=$trial")
+      // left join: every left row appears; unmatched get null
+      val gotLeft = Merge.merge2(lDf, rDf, Seq("k"), "left")
+        .select("lid", "rv").as[(Int, Option[Double])].collect().toSeq
+      val expLeft = l.flatMap { case (lk, lid) =>
+        val ms = r.collect { case (rk, rv) if lk.isDefined && lk == rk => rv }
+        if (ms.isEmpty) Seq((lid, None)) else ms.map(rv => (lid, Some(rv)))
+      }
+      assert(gotLeft.sorted === expLeft.sorted, s"left trial=$trial")
+    }
+  }
+
+  test("interp matches piecewise-linear reference on random series") {
+    import graft.operators.Interp
+    for (trial <- 0 until 2) {
+      val pts = (0 until 20).map(_ => (1L, rng.nextInt(100).toLong, rng.nextDouble() * 10))
+        .groupBy(_._2).map(_._2.head).toSeq // unique x per group
+      val qs = (0 until 40).map(i => (1L, rng.nextInt(120).toLong - 10, i))
+      val pDf = pts.toDF("g", "x", "y")
+      val qDf = qs.toDF("g", "x", "qid")
+      val sorted = pts.sortBy(_._2)
+      def ref(x: Long): Double = {
+        val before = sorted.filter(_._2 <= x)
+        val after = sorted.filter(_._2 >= x)
+        (before.lastOption, after.headOption) match {
+          case (Some(b), Some(a)) if a._2 == b._2 => b._3
+          case (Some(b), Some(a)) =>
+            b._3 + (a._3 - b._3) * (x - b._2).toDouble / (a._2 - b._2)
+          case (Some(b), None) => b._3 // clamp right
+          case (None, Some(a)) => a._3 // clamp left
+          case _ => Double.NaN
+        }
+      }
+      val got = Interp.interp(qDf, pDf, "x", Seq("g"), "y", "iv")
+        .select("qid", "iv").as[(Int, Double)].collect().toMap
+      qs.foreach { case (_, x, qid) =>
+        assert(math.abs(got(qid) - ref(x)) < 1e-9, s"trial=$trial x=$x")
+      }
+    }
+  }
+
   test("asof exec matches brute force on random data, all directions") {
     import graft.operators.AsofJoin
     // heavy ties (times drawn from a small range) stress the equal-time
