@@ -657,7 +657,10 @@ object SparkEntry {
       s.read.parquet(tmp)
         .filter(col("o_orderstatus").isin("F", "O"))
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("sum_price"))
+        // round(2): per-status sums reach ~1.2e10 at sf0.1 where the
+        // sf0.1 'F' fraction sits 2e-5 from a 4-decimal boundary —
+        // same latent flake class the full-scale check caught in q9
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -2075,7 +2078,7 @@ object SparkEntry {
 
     "q66_parquet_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  round(sum(o_totalprice), 4) AS sum_price
+        |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
