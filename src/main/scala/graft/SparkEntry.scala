@@ -1778,8 +1778,11 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q36_mode_nth" ->
-      """WITH m AS (SELECT l_returnflag, mode(l_linestatus) AS mode_status
-        |  FROM lineitem GROUP BY 1),
+      """WITH m AS (SELECT l_returnflag, l_linestatus AS mode_status FROM (
+        |    SELECT l_returnflag, l_linestatus, row_number() OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_linestatus) AS rk
+        |    FROM lineitem GROUP BY 1, 2) WHERE rk = 1),
         | r AS (SELECT l_returnflag, l_orderkey, l_linenumber,
         |   row_number() OVER (PARTITION BY l_returnflag
         |     ORDER BY l_orderkey, l_linenumber, l_partkey) AS rn

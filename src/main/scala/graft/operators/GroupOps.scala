@@ -46,8 +46,11 @@ object GroupOps {
   /** sem — std error of mean (rt_groupbyops.py:3500). */
   def sem(c: Column): Column = stddev_samp(c) / sqrt(count(c))
 
-  /** mode (rt_groupbyops.py:1298). */
-  def modeAgg(c: Column): Column = mode(c)
+  /** mode (rt_groupbyops.py:1298) — deterministic: ties resolve to the
+    * LOWEST value (plain `mode()` picks an arbitrary tied value, which
+    * flaps across engines and partitionings).
+    */
+  def modeAgg(c: Column): Column = mode(c, deterministic = true)
 
   /** quantile / percentile, exact (rt_groupbyops.py:2517). */
   def quantile(c: Column, q: Double): Column = percentile(c, lit(q))
