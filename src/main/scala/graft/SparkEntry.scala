@@ -1115,10 +1115,15 @@ object SparkEntry {
 
     "q103_imatrix" -> ((s, dir) =>
       // imatrix (rt_dataset.py:1792): numeric columns as a per-row
-      // vector + a fold over it (zero shuffle, codegen'd)
+      // vector + a fold over it (zero shuffle, codegen'd). Output is
+      // scalarized (im[i] columns) — the verify harness compares flat
+      // columns only.
       t(s, dir, "lineitem")
         .imatrix("im", Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("im"),
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(col("im"), 1).as("im_0"),
+          element_at(col("im"), 2).as("im_1"),
+          element_at(col("im"), 3).as("im_2"),
           round(aggregate(col("im"), lit(0.0d), (acc, x) => acc + x), 6)
             .as("rowsum"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
@@ -2382,7 +2387,7 @@ object SparkEntry {
 
     "q103_imatrix" ->
       """SELECT l_orderkey, l_linenumber,
-        |  [l_quantity, l_extendedprice, l_discount] AS im,
+        |  l_quantity AS im_0, l_extendedprice AS im_1, l_discount AS im_2,
         |  round(l_quantity + l_extendedprice + l_discount, 6) AS rowsum
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
