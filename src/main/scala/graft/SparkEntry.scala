@@ -1277,7 +1277,33 @@ object SparkEntry {
         (unix_micros(col("utc")) - unix_micros(date_trunc("day", col("utc"))))
           .as("tsm_us"))
         .orderBy(col("event_id"))
-    })
+    }),
+
+    "q117_cut_time" -> ((s, dir) => {
+      // cut_time (rt_datetime.py:5149): time-of-day bucketing, dates
+      // ignored — NYC session 9:30–16:15 in 30 min buckets, left labels,
+      // out-of-session rows Filtered (null). Pure comparison chain +
+      // label-array lookup: per-row map, zero shuffle.
+      val (bin, label) = TimeFns.cutTime(
+        expr("(ts div 1000) % 86400000000"),
+        start = (9, 30), end = (16, 15), bucketMinutes = 30,
+        labelSide = "left", labelFmt = "HH:mm", unit = "micros")
+      t(s, dir, "events")
+        .select(col("event_id"), bin.cast("long").as("tod_bin"),
+          label.as("tod_label"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q118_searchsorted" -> ((s, dir) =>
+      // searchsorted (rt_numpy.py:701): insertion index into a sorted
+      // boundary list, both numpy sides — unrolled codegen chain
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          Binning.searchsorted(col("l_quantity"),
+            Seq(5.0, 10.0, 20.0, 30.0, 40.0, 45.0), "left").as("ss_left"),
+          Binning.searchsorted(col("l_quantity"),
+            Seq(5.0, 10.0, 20.0, 30.0, 40.0, 45.0), "right").as("ss_right"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2275,6 +2301,37 @@ object SparkEntry {
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract(props, '$.k') AS BIGINT) > 90 AS is_high
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // cut_time mirror: searchsorted-left over the same 15 cut points
+    // (9:30–16:15 by 30 min + partial last bucket), bin 0 / past-end →
+    // NULL, left-endpoint labels by 1-based list index
+    "q117_cut_time" ->
+      """WITH e AS (SELECT event_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS usm
+        |  FROM events),
+        |b AS (SELECT event_id, len(list_filter(
+        |    [34200000000, 36000000000, 37800000000, 39600000000,
+        |     41400000000, 43200000000, 45000000000, 46800000000,
+        |     48600000000, 50400000000, 52200000000, 54000000000,
+        |     55800000000, 57600000000, 58500000000],
+        |    p -> p < usm)) AS raw FROM e)
+        |SELECT event_id,
+        |  CASE WHEN raw BETWEEN 1 AND 14 THEN CAST(raw AS BIGINT) END
+        |    AS tod_bin,
+        |  CASE WHEN raw BETWEEN 1 AND 14 THEN
+        |    ['09:30','10:00','10:30','11:00','11:30','12:00','12:30',
+        |     '13:00','13:30','14:00','14:30','15:00','15:30','16:00'][raw]
+        |    END AS tod_label
+        |FROM b ORDER BY event_id""".stripMargin,
+
+    "q118_searchsorted" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  len(list_filter([5.0, 10.0, 20.0, 30.0, 40.0, 45.0],
+        |    b -> b < l_quantity)) AS ss_left,
+        |  len(list_filter([5.0, 10.0, 20.0, 30.0, 40.0, 45.0],
+        |    b -> b <= l_quantity)) AS ss_right
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q114_hash_sample" ->
       """WITH hh AS (SELECT event_type, event_id,

@@ -42,6 +42,21 @@ object Binning {
     df.withColumn(out, ntile(q).over(w))
   }
 
+  /** searchsorted (rt_numpy.py:701, numpy semantics): insertion index of
+    * each value into a small sorted boundary list. side="left" counts
+    * boundaries strictly below the value, side="right" counts boundaries
+    * at-or-below. Unrolled when-sum chain → whole-stage codegen, zero
+    * shuffle; for boundary sets too large to inline, bin against a sorted
+    * boundary table with AsofJoin instead.
+    */
+  def searchsorted(x: Column, sorted: Seq[Double], side: String = "left"): Column = {
+    require(side == "left" || side == "right", s"side must be left|right, got $side")
+    sorted.foldLeft(lit(0L)) { (acc, b) =>
+      val below = if (side == "left") lit(b) < x else lit(b) <= x
+      acc + when(below, 1L).otherwise(0L)
+    }
+  }
+
   /** Scale path for qcut: exact percentile boundaries from one aggregate
     * (map-side combined), broadcast back, bin by comparison. Bins can be
     * slightly uneven on ties (boundary values all land in one bin) but no

@@ -52,4 +52,57 @@ object TimeFns {
     */
   def toIso(ts: Column): Column =
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** cut_time (`rt_datetime.py:5149`): bucket by time-of-day only, dates
+    * ignored. Cut points are built from (start, end, bucketSize) exactly
+    * like the reference — full-width buckets from start, plus a final
+    * partial bucket ending at end — and binning follows its
+    * `searchsorted(points, nsm)` kernel: buckets are (lo, hi], a value at
+    * or before the first point or after the last is Filtered (null here,
+    * bin 0 there). Labels are the bucket's left or right endpoint
+    * formatted per `labelFmt`; optional pre/post buckets catch the
+    * out-of-range rows instead of filtering them.
+    *
+    * Returns (binExpr, labelExpr) over a since-midnight column in `unit`
+    * micros or nanos. Pure unrolled comparison chain + a literal label
+    * array lookup → whole-stage codegen, no shuffle, no state: a per-row
+    * map at any scale.
+    */
+  def cutTime(sinceMidnight: Column,
+              start: (Int, Int), end: (Int, Int), bucketMinutes: Int,
+              labelSide: String = "left", labelFmt: String = "HH:mm",
+              addPreBucket: Boolean = false, addPostBucket: Boolean = false,
+              unit: String = "micros"): (Column, Column) = {
+    require(labelSide == "left" || labelSide == "right",
+      s"label must be left|right, got $labelSide")
+    val perSec: Long = unit match {
+      case "micros" => 1000000L
+      case "nanos"  => 1000000000L
+      case u => throw new IllegalArgumentException(s"unit must be micros|nanos, got $u")
+    }
+    def toUnits(hm: (Int, Int)): Long = (hm._1 * 3600L + hm._2 * 60L) * perSec
+    val step = bucketMinutes * 60L * perSec
+    val core = (toUnits(start) until toUnits(end) by step) :+ toUnits(end)
+    val points = (if (addPreBucket) Seq(0L) else Nil) ++ core ++
+      (if (addPostBucket) Seq(24L * 3600L * perSec) else Nil)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(labelFmt)
+    def lbl(p: Long): String = {
+      // the 24:00 post point wraps to 00:00 — its label is overwritten
+      // with "post" below, so the formatted value is never shown
+      val nanos = p / perSec * 1000000000L + p % perSec * (1000000000L / perSec)
+      java.time.LocalTime.ofNanoOfDay(nanos % 86400000000000L).format(fmt)
+    }
+    val endpoints = if (labelSide == "left") points.init else points.tail
+    val labels = endpoints.map(lbl).toArray
+    if (addPreBucket) labels(0) = "pre"
+    if (addPostBucket) labels(labels.length - 1) = "post"
+    // searchsorted-left bin: count of points strictly below the value;
+    // 0 (at/before first point) and > #buckets (past last point) → Filtered.
+    val raw = points.foldLeft(lit(0)) { (acc, p) =>
+      acc + when(lit(p) < sinceMidnight, 1).otherwise(0)
+    }
+    val bin = when(raw.between(1, labels.length), raw)
+    val label = element_at(array(labels.map(lit).toSeq: _*), bin)
+    (bin, label)
+  }
 }

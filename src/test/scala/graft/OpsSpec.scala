@@ -222,4 +222,20 @@ class OpsSpec extends SparkSpec {
       .as[(String, Option[Long])].collect().toSeq
     assert(out === Seq(("x", Some(10L)), ("y", None), ("z", None)))
   }
+
+  test("searchsorted matches numpy insertion-index semantics both sides") {
+    import graft.functions.Binning
+    val bounds = Seq(1.0, 3.0, 3.0, 7.0, 9.0)   // duplicates allowed
+    val vals = Seq(0.5, 1.0, 2.0, 3.0, 5.0, 7.0, 9.0, 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = df.select($"id",
+        Binning.searchsorted($"v", bounds, "left").as("l"),
+        Binning.searchsorted($"v", bounds, "right").as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val left = bounds.count(_ < v).toLong    // np.searchsorted side='left'
+      val right = bounds.count(_ <= v).toLong  // side='right'
+      assert(out(i.toLong) === (left, right), s"v=$v")
+    }
+  }
 }

@@ -63,4 +63,43 @@ class TimeFnsSpec extends SparkSpec {
       TimeFns.toIso($"utc").as("iso")).as[(String, String)].head()
     assert(out === ("07/01/2021", "2021-07-01T12:34:56.123456"))
   }
+
+  test("cutTime matches riptable searchsorted-left kernel at boundaries") {
+    // rt_datetime.py:5149: buckets are (lo, hi] — a value exactly at the
+    // session start is Filtered (searchsorted-left gives bin 0), a value
+    // at the first cut point lands in bin 1, past end is Filtered
+    import graft.functions.TimeFns
+    val us = Seq(
+      (1L, 34200000000L),  // 09:30:00 exactly -> Filtered (bin 0)
+      (2L, 34200000001L),  // just after open  -> bin 1 "09:30"
+      (3L, 36000000000L),  // 10:00:00 exactly -> bin 1 (right-closed)
+      (4L, 36000000001L),  // just after       -> bin 2 "10:00"
+      (5L, 58500000000L),  // 16:15:00 exactly -> bin 14 "16:00" (partial)
+      (6L, 58500000001L),  // past close       -> Filtered
+      (7L, 100L)           // pre-open         -> Filtered
+    ).toDF("id", "usm")
+    val (bin, label) = TimeFns.cutTime($"usm", (9, 30), (16, 15), 30)
+    val out = us.select($"id", bin.as("b"), label.as("l"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) === (None, None))
+    assert(out(2L) === (Some(1), Some("09:30")))
+    assert(out(3L) === (Some(1), Some("09:30")))
+    assert(out(4L) === (Some(2), Some("10:00")))
+    assert(out(5L) === (Some(14), Some("16:00")))
+    assert(out(6L) === (None, None))
+    assert(out(7L) === (None, None))
+  }
+
+  test("cutTime pre/post buckets catch out-of-session rows; right labels") {
+    import graft.functions.TimeFns
+    val us = Seq((1L, 100L), (2L, 40000000000L), (3L, 80000000000L))
+      .toDF("id", "usm")
+    val (bin, label) = TimeFns.cutTime($"usm", (9, 30), (16, 15), 30,
+      labelSide = "right", addPreBucket = true, addPostBucket = true)
+    val out = us.select($"id", bin.as("b"), label.as("l"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.getString(2))).toMap
+    assert(out(1L)._2 === "pre")
+    assert(out(2L)._2 === "11:30")  // 40000s = 11:06:40 -> (11:00,11:30]
+    assert(out(3L)._2 === "post")
+  }
 }
