@@ -319,9 +319,10 @@ object SparkEntry {
     // jaccard pair set. ACCEPTED RISK (deterministic, not flaky): banding
     // at k=32/r=2 recalls a J=τ=0.8 pair w.p. 1−(1−J²)¹⁶ ≈ 1−8e-8; a
     // miss would fail the gate at that SF reproducibly. Verified green at
-    // sf0.001/0.01/0.1 (28/25/≥25 pairs); structural recall 1 would need
-    // unioning the q28 prefix-filter candidates, which this query leaves
-    // out to keep the MinHash path itself under test.
+    // sf0.001/0.01/0.1 (28/25/≥25 pairs). Structural recall 1 is available
+    // via fullRecall=true (unions the prefix-filter candidates; asserted
+    // equal to the exact pair set in ScaleSpec) — this query leaves it
+    // off to keep the MinHash path itself under test.
     "q29_minhash" -> ((s, dir) =>
       Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, k = 32, rowsPerBand = 2, threshold = 0.8)
@@ -1303,7 +1304,37 @@ object SparkEntry {
             Seq(5.0, 10.0, 20.0, 30.0, 40.0, 45.0), "left").as("ss_left"),
           Binning.searchsorted(col("l_quantity"),
             Seq(5.0, 10.0, 20.0, 30.0, 40.0, 45.0), "right").as("ss_right"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // Near-dup pairs → duplicate CLUSTERS: iterative min-label
+    // connected components (O(diameter) shuffle rounds, never the
+    // transitive closure). Oracle recomputes components via a
+    // recursive CTE over the exact jaccard pair set.
+    "q119_dup_clusters" -> ((s, dir) =>
+      Cluster.connectedComponents(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+        .orderBy(col("id"))),
+
+    // Per-doc boilerplate profile: share of shingles that are corpus-hot
+    // (df ≥ 10 docs) — the df-cap signal a scalable prefix index drops.
+    "q120_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateStats(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, dfCap = 10)
+        .orderBy(col("doc_id"))),
+
+    // Benchmark decontamination: train docs (source ≠ src0) sharing a
+    // distinct 5-gram with the eval set (source = src0), with counts.
+    "q121_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminatedDocs(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", shingleN = 5)
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2553,6 +2584,53 @@ object SparkEntry {
         |  CAST(year(utc) * 10000 + month(utc) * 100 + day(utc) AS INT)
         |    AS yyyymmdd,
         |  epoch_us(utc) - epoch_us(date_trunc('day', utc)) AS tsm_us
-        |FROM e ORDER BY event_id""".stripMargin
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    // connected components over the exact jaccard pair set: recursive
+    // transitive closure (fine at oracle scale; the Spark side never
+    // materializes the closure — min-label propagation instead)
+    "q119_dup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardBody("0.5")},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |  UNION ALL SELECT id_b, id_a FROM jpairs),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r)
+         |SELECT id, min(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin,
+
+    "q120_boilerplate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
+        |    THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+        |  FROM toks),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df.df >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  round(CAST(sum(CASE WHEN df.df >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS boiler_ratio
+        |FROM sh JOIN df USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q121_decontam" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(t) < 5
+        |    THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 3),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |           t[i+3] || ' ' || t[i+4]) END)) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN ev USING (s)
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -247,10 +247,18 @@ object Dedup {
     * jaccard pair set, at candidate-join cost instead of all-pairs.
     * Recall for a pair at jaccard J is 1−(1−J^r)^b — the k=32, r=2
     * default gives 1−(1−J²)¹⁶ (≥ 0.9999998 at J = 0.8).
+    *
+    * `fullRecall = true` additionally unions the PPJoin prefix-filter
+    * candidates (see jaccardPairs) into the banded set, making recall
+    * structurally 1 at ANY scale — the output then provably equals the
+    * exact jaccard pair set rather than equaling it with probability
+    * 1−8e-8 per pair. The prefix branch reuses the persisted shingle-set
+    * frame, so the extra cost is one more candidate self-join.
     */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 3, k: Int = 32, rowsPerBand: Int = 2,
-                           threshold: Double = 0.8): DataFrame = {
+                           threshold: Double = 0.8,
+                           fullRecall: Boolean = false): DataFrame = {
     // ONE tokenize pass: signatures re-derive from the persisted sets
     // frame (explode of cached arrays, already id-partitioned — no new
     // shuffle) instead of re-running shingleHashes
@@ -268,10 +276,23 @@ object Dedup {
       array((0 until nBands).map(b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .toDF("id", "band", "bandhash")
-    val cand = banded.toDF("id_a", "band", "bandhash")
+    val bandCand = banded.toDF("id_a", "band", "bandhash")
       .join(banded.toDF("id_b", "band", "bandhash"), Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+    val cand =
+      if (!fullRecall) bandCand.distinct()
+      else {
+        val withPlen = sets.withColumn("plen",
+          (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+        val prefixes = withPlen.select(col("id"),
+          explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+        val prefCand = prefixes.toDF("id_a", "sh")
+          .join(prefixes.toDF("id_b", "sh"), Seq("sh"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        bandCand.unionByName(prefCand).distinct()
+      }
     verifyJaccard(cand, sets, threshold)
   }
 
@@ -288,6 +309,46 @@ object Dedup {
     val cand = simhashPairs(docs, idCol, textCol, maxHamming, hashFn)
       .select(col("id_a"), col("id_b"))
     verifyJaccard(cand, shingleSets(docs, idCol, textCol, shingleN), threshold)
+  }
+
+  /** Benchmark decontamination: training docs that share at least one
+    * distinct `shingleN`-gram with the eval/benchmark set, with the
+    * count of shared shingles. The standard pre-training hygiene step:
+    * anti-join the output against the corpus to drop contaminated docs.
+    *
+    * Scale shape: the eval side reduces to DISTINCT shingle hashes
+    * (benchmark sets are tiny next to a 100 TB corpus — AQE broadcasts
+    * it); the train side is the one full scan. No pair explosion: the
+    * join output is bounded by train-shingle × eval-hit, then folds to
+    * one row per contaminated doc via map-side-combined count.
+    */
+  def contaminatedDocs(train: DataFrame, evalDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 5): DataFrame = {
+    val evalSh = shingleHashes(evalDocs, idCol, textCol, shingleN)
+      .select(col("sh")).distinct()
+    shingleHashes(train, idCol, textCol, shingleN)
+      .join(evalSh, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared")) // (id, sh) is distinct → count = distinct shingles
+  }
+
+  /** Per-doc boilerplate profile: how much of each doc is made of
+    * corpus-hot shingles (document frequency ≥ `dfCap`). The df-capped
+    * shingle set is also exactly what a scalable jaccardPairs prefix
+    * index would drop first — this surfaces that signal as data.
+    * Two hash-aggregates (df, then per-doc fold) — scan-bound.
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, dfCap: Long = 10): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, shingleN)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= dfCap, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6))
   }
 
   /** n-gram Jaccard near-dup pairs via inverted index: doc→distinct

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Cluster, Dedup}
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chain + separate pair + singleton-free") {
+    // components: {1,2,3,4} (a 3-hop chain — needs >1 propagation
+    // round), {7,9}, and vertex 5 appears in no pair → absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents: star and ring converge to the min id") {
+    val star = (2L to 6L).map(i => (10L, i)).toDF("id_a", "id_b")
+    val ccStar = Cluster.connectedComponents(star, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(ccStar.values.toSet === Set(2L))
+    assert(ccStar.keySet === Set(2L, 3L, 4L, 5L, 6L, 10L))
+
+    // ring 0-1-2-...-9-0: worst-case diameter for min propagation
+    val ring = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("id_a", "id_b")
+    val ccRing = Cluster.connectedComponents(ring, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(ccRing.size === 10)
+    assert(ccRing.values.toSet === Set(0L))
+  }
+
+  test("clusterRepresentatives counts docs per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val reps = Cluster.clusterRepresentatives(
+      Cluster.connectedComponents(pairs, "id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(reps === Map(1L -> 3L, 7L -> 2L))
+  }
+
+  test("contaminatedDocs flags exactly the docs sharing a 5-gram") {
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon other words here"), // shares 2 5-grams? no — 1: "alpha beta gamma delta epsilon"
+      (2L, "completely different content with no overlap at all"),
+      (3L, "x beta gamma delta epsilon zeta y") // shares "beta gamma delta epsilon zeta"
+    ).toDF("id", "text")
+    val out = Dedup.contaminatedDocs(train, evalDocs, "id", "text", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("boilerplateStats: hot shingle counted, ratio bounded") {
+    val docs = (0 until 12).map { i =>
+      (i.toLong, s"common shingle here unique$i tail$i end$i")
+    }.toDF("id", "text")
+    val st = Dedup.boilerplateStats(docs, "id", "text", 3, dfCap = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(st.length === 12)
+    // every doc holds the hot "common shingle here" 3-gram (df=12 ≥ 10);
+    // its other 3-grams are unique (df=1)
+    assert(st.forall { case (_, total, boiler, ratio) =>
+      boiler === 1L && total === 4L && math.abs(ratio - 0.25) < 1e-9
+    })
+  }
+}

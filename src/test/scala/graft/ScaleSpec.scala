@@ -77,6 +77,12 @@ class ScaleSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     assert(lsh === exact)
+    // fullRecall=true must equal the exact set STRUCTURALLY (prefix
+    // union), independent of banding luck
+    val full = graft.operators.Dedup.minhashVerifiedPairs(docs, "id", "text",
+      shingleN = 3, k = 32, rowsPerBand = 2, threshold = 0.6, fullRecall = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full === exact)
   }
 
   test("simhashPairs rejects maxHamming outside the band guarantee") {
