@@ -1334,6 +1334,36 @@ object SparkEntry {
         docs.filter(col("source") === "src0"),
         "doc_id", "text", shingleN = 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // Dedup survivors: one kept doc per duplicate cluster (min id) with
+    // the cluster size — the "which rows survive dedup" answer, fed by
+    // the same CC labels as q119.
+    "q122_dedup_keep" -> ((s, dir) =>
+      Cluster.clusterRepresentatives(
+        Cluster.connectedComponents(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, threshold = 0.5)
+            .select(col("id_a"), col("id_b")),
+          "id_a", "id_b"))
+        .orderBy(col("keep_id"))),
+
+    // Gap-based sessionization over the events stream (30-min gap):
+    // differs→cumsum composition, one shuffle on user_id, then a
+    // per-session aggregate. ts is nanos-as-long; micros match the
+    // oracle's epoch_us.
+    "q123_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+      Rolling.sessionize(e, Seq("user_id"),
+          Seq(col("ts_us"), col("event_id")), "ts_us", 1800L * 1000000)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          round(sum(col("value")), 6).as("total_value"))
+        .orderBy(col("user_id"), col("session_seq"))
     })
   )
 
@@ -2631,6 +2661,35 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_shared
         |FROM sh JOIN ev USING (s)
         |WHERE source <> 'src0'
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // dedup survivors: min-id representative + size per component of
+    // the exact jaccard pair graph (same recursive closure as q119)
+    "q122_dedup_keep" ->
+      s"""WITH RECURSIVE ${jaccardBody("0.5")},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |  UNION ALL SELECT id_b, id_a FROM jpairs),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id AS keep_id, count(*) AS n_docs
+         |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q123_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+        |b AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_seq FROM b)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  round(sum(value), 6) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -192,4 +192,23 @@ object Rolling {
     val prev = lag(col(valueCol), 1).over(wOrd(by, order))
     df.withColumn(out, !(col(valueCol) <=> prev))
   }
+
+  /** Gap-based sessionization: assign a per-key session ordinal that
+    * increments whenever the time since the previous row exceeds `gap`
+    * (same units as `timeCol`). The riptable idiom is a differs→cumsum
+    * composition over arrays (`rt_fastarray.py:4153` + cumsum); here it
+    * is the same composition as two window passes over one shuffle on
+    * the `by` keys — no group materialization, group size unbounded.
+    * Session ids are 1-based and dense within each key.
+    */
+  def sessionize(df: DataFrame, by: Seq[String], order: Seq[Column],
+                 timeCol: String, gap: Long,
+                 out: String = "session_seq"): DataFrame = {
+    val prev = lag(col(timeCol), 1).over(wOrd(by, order))
+    val boundary =
+      when(prev.isNull || col(timeCol) - prev > gap, 1L).otherwise(0L)
+    df.withColumn("__sess_b", boundary)
+      .withColumn(out, sum(col("__sess_b")).over(wCum(by, order)))
+      .drop("__sess_b")
+  }
 }

@@ -18,6 +18,18 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq(1.0, 3.0, 3.0, 7.0))
   }
 
+  test("sessionize: boundary strictly greater than gap; ids dense per key") {
+    // gap = 10: delta == 10 stays in-session, 11 starts a new one;
+    // second key gets its own 1-based sequence.
+    val df = Seq(
+      (1L, 0L), (1L, 10L), (1L, 21L), (1L, 31L), (1L, 43L),
+      (2L, 100L)
+    ).toDF("k", "t")
+    val out = Rolling.sessionize(df, Seq("k"), Seq(col("t")), "t", 10L)
+      .orderBy("k", "t").select("session_seq").as[Long].collect().toSeq
+    assert(out === Seq(1L, 1L, 2L, 2L, 3L, 1L))
+  }
+
   test("rolling fullWindowOnly nulls the warm-up rows") {
     val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0)).toDF("k", "t", "v")
     val out = Rolling.rollingAgg(df, Seq("k"), Seq(col("t")), 2, sum, "v", "rs",
