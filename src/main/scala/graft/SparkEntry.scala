@@ -1364,7 +1364,56 @@ object SparkEntry {
           max(col("ts_us")).as("end_us"),
           round(sum(col("value")), 6).as("total_value"))
         .orderBy(col("user_id"), col("session_seq"))
-    })
+    }),
+
+    // polyFit (rt_stats.py:230): degree-2 least squares per group from
+    // centered moment sums — closed-form Cramer solve, coefficients in
+    // the centered basis (the 100 TB-safe conditioning; see Stats).
+    "q124_polyfit" -> ((s, dir) =>
+      Stats.polyFit2(t(s, dir, "lineitem"), "l_extendedprice", "l_quantity",
+        Seq("l_returnflag"))
+        .select(col("l_returnflag"), round(col("xbar"), 6).as("xbar"),
+          round(col("c0"), 4).as("c0"), round(col("c1"), 4).as("c1"),
+          round(col("c2"), 4).as("c2"), col("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // rolling correlation value↔props.k over a 20-row frame per user —
+    // single window pass, full-window rows only (partial frames null)
+    "q125_rolling_corr" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("k"))
+      val ord = Seq(col("ts_us"), col("event_id"))
+      Rolling.rollingCorr(e, Seq("user_id"), ord, 20, "value", "k", "c_win")
+        .withColumn("c_win",
+          when(row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(ord: _*)) >= 20,
+            round(col("c_win"), 6)))
+        .select(col("user_id"), col("event_id"), col("c_win"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // class_error (rt_stats.py:108): per-group misclassification rate of
+    // a threshold rule — one map-side-combined aggregate
+    "q126_class_error" -> ((s, dir) =>
+      Stats.classError(
+        t(s, dir, "lineitem")
+          .withColumn("pred", when(col("l_quantity") > 25, "hi").otherwise("lo"))
+          .withColumn("truth", when(col("l_extendedprice") > 30000, "hi").otherwise("lo")),
+        "truth", "pred", Seq("l_returnflag"))
+        .select(col("l_returnflag"), round(col("class_error"), 6).as("class_error"),
+          col("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // ROLLUP subtotals: the multi-level Accum2-footer generalization in
+    // ONE shuffle (every grouping set partial-aggregated map-side);
+    // grouping_id disambiguates subtotal rows from genuine null keys
+    "q127_rollup" -> ((s, dir) =>
+      GroupOps.rollupAgg(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        "sum_qty" -> round(sum(col("l_quantity")), 4),
+        "n" -> count(lit(1)))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2690,6 +2739,59 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
         |  round(sum(value), 6) AS total_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical two-pass centered-moment Cramer solve, spelled with
+    // explicit products (pow() could diverge in the last ulp)
+    "q124_polyfit" ->
+      """WITH m AS (SELECT l_returnflag, avg(l_quantity) AS xbar
+        |  FROM lineitem GROUP BY 1),
+        |mo AS (SELECT l.l_returnflag, m.xbar,
+        |    CAST(count(*) AS DOUBLE) AS s0,
+        |    sum(l_quantity - xbar) AS s1,
+        |    sum((l_quantity - xbar) * (l_quantity - xbar)) AS s2,
+        |    sum((l_quantity - xbar) * (l_quantity - xbar) * (l_quantity - xbar)) AS s3,
+        |    sum((l_quantity - xbar) * (l_quantity - xbar) * (l_quantity - xbar) * (l_quantity - xbar)) AS s4,
+        |    sum(l_extendedprice) AS t0,
+        |    sum(l_extendedprice * (l_quantity - xbar)) AS t1,
+        |    sum(l_extendedprice * (l_quantity - xbar) * (l_quantity - xbar)) AS t2
+        |  FROM lineitem l JOIN m USING (l_returnflag)
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, round(xbar, 6) AS xbar,
+        |  round((t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2))
+        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) AS c0,
+        |  round((s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s2*s3) + s2*(s1*t2 - s2*t1))
+        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) AS c1,
+        |  round((s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s2*t1) + t0*(s1*s3 - s2*s2))
+        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) AS c2,
+        |  CAST(s0 AS BIGINT) AS n
+        |FROM mo ORDER BY 1""".stripMargin,
+
+    "q125_rolling_corr" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+        |    CAST(json_extract(props, '$.k') AS DOUBLE) AS k FROM events)
+        |SELECT user_id, event_id,
+        |  CASE WHEN row_number() OVER w >= 20
+        |    THEN round(corr(value, k) OVER
+        |      (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
+        |  END AS c_win
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q126_class_error" ->
+      """SELECT l_returnflag,
+        |  round(avg(CASE WHEN (CASE WHEN l_extendedprice > 30000 THEN 'hi' ELSE 'lo' END)
+        |    <> (CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END)
+        |    THEN 1.0 ELSE 0.0 END), 6) AS class_error,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q127_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
   )
 }

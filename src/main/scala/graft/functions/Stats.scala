@@ -70,4 +70,56 @@ object Stats {
   /** mae (rt_stats.py): mean absolute error. */
   def mae(df: DataFrame, actual: String, predicted: String): DataFrame =
     df.agg(avg(abs(col(actual) - col(predicted))).as("mae"))
+
+  /** class_error (rt_stats.py:108): misclassification rate — the mean of
+    * `pred != truth` over non-null rows. One map-side-combined aggregate.
+    */
+  def classError(df: DataFrame, truth: String, pred: String,
+                 by: Seq[String] = Nil): DataFrame = {
+    val err = avg(when(col(truth) =!= col(pred), 1.0).otherwise(0.0))
+      .as("class_error")
+    val n = count(when(col(truth).isNotNull && col(pred).isNotNull, 1)).as("n")
+    if (by.isEmpty) df.agg(err, n)
+    else df.groupBy(by.map(col): _*).agg(err, n)
+  }
+
+  /** polyFit (rt_stats.py:230): degree-2 least squares per group, via
+    * closed-form moment sums (no iteration, one shuffle).
+    *
+    * Numerics: x is CENTERED on its per-group mean before the moment
+    * sums — Σ(x−x̄)^4 stays small where Σx^4 overflows double precision
+    * at 100 TB row counts — and the reported coefficients are in the
+    * centered basis (y ≈ c0 + c1·(x−x̄) + c2·(x−x̄)²) alongside x̄, so no
+    * precision is lost re-expanding. The 3×3 normal system is solved in
+    * closed form (Cramer), identically re-computable by any engine.
+    * Two passes: a per-group mean (map-side combined), broadcast back,
+    * then one moment aggregate.
+    */
+  def polyFit2(df: DataFrame, yCol: String, xCol: String,
+               by: Seq[String]): DataFrame = {
+    val (y, x) = (col(yCol), col(xCol))
+    val means = df.groupBy(by.map(col): _*).agg(avg(x).as("xbar"))
+    val c = x - col("xbar")
+    val moments = df.join(broadcast(means), by)
+      .groupBy((by :+ "xbar").map(col): _*)
+      .agg(
+        count(lit(1)).cast("double").as("s0"),
+        sum(c).as("s1"), sum(c * c).as("s2"),
+        sum(c * c * c).as("s3"), sum(c * c * c * c).as("s4"),
+        sum(y).as("t0"), sum(y * c).as("t1"), sum(y * c * c).as("t2"))
+    val (s0, s1, s2, s3, s4) =
+      (col("s0"), col("s1"), col("s2"), col("s3"), col("s4"))
+    val (t0, t1, t2) = (col("t0"), col("t1"), col("t2"))
+    val det = s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) +
+      s2 * (s1 * s3 - s2 * s2)
+    val c0 = (t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) +
+      s2 * (t1 * s3 - s2 * t2)) / det
+    val c1 = (s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3) +
+      s2 * (s1 * t2 - s2 * t1)) / det
+    val c2 = (s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1) +
+      t0 * (s1 * s3 - s2 * s2)) / det
+    moments.select(
+      (by.map(col) ++ Seq(col("xbar"), c0.as("c0"), c1.as("c1"),
+        c2.as("c2"), s0.cast("long").as("n"))): _*)
+  }
 }

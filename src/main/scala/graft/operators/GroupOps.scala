@@ -111,6 +111,26 @@ object GroupOps {
     df.join(broadcast(cats), keys)
   }
 
+  /** Hierarchical subtotals in one pass: `ROLLUP(keys...)` — the
+    * multi-level generalization of Accum2's margin totals
+    * (`rt_accum2.py:39`; stacked footer rows `rt_accumtable.py`).
+    * Spark computes every grouping set in a single shuffle (partial
+    * aggregates fan out per set map-side); `grouping_id` disambiguates
+    * subtotal rows from genuine null keys.
+    */
+  def rollupAgg(df: DataFrame, keys: Seq[String], aggs: (String, Column)*): DataFrame =
+    df.rollup(keys.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, a) => a.as(n) } :+
+          grouping_id().cast("long").as("gid"): _*)
+
+  /** CUBE (all key subsets) — same single-shuffle shape as rollupAgg. */
+  def cubeAgg(df: DataFrame, keys: Seq[String], aggs: (String, Column)*): DataFrame =
+    df.cube(keys.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, a) => a.as(n) } :+
+          grouping_id().cast("long").as("gid"): _*)
+
   /** Multi-function agg with Multiset-flatten naming `f_col`
     * (riptable agg(list) → Multiset, `rt_groupbyops.py:890`;
     * Multiset.flatten `riptable/rt_multiset.py:631`).

@@ -66,6 +66,19 @@ object Rolling {
                    valueCol: String, out: String): DataFrame =
     rollingAgg(df, by, order, n, count, valueCol, out)
 
+  /** rolling correlation / covariance between two columns over the rows
+    * frame (pairs with riptable's rolling var/std family,
+    * rt_groupbyops.py:2926; corr itself via np_corrcoef pairing). Both
+    * are single-pass window aggregates — no self-join, no extra shuffle
+    * beyond the partitionBy.
+    */
+  def rollingCorr(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                  xCol: String, yCol: String, out: String): DataFrame =
+    df.withColumn(out, corr(col(xCol), col(yCol)).over(wRows(by, order, n)))
+  def rollingCov(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
+                 xCol: String, yCol: String, out: String): DataFrame =
+    df.withColumn(out, covar_samp(col(xCol), col(yCol)).over(wRows(by, order, n)))
+
   /** rolling_median / rolling_quantile (rt_groupbyops.py:2997,3070) —
     * exact percentile over the rows frame.
     */

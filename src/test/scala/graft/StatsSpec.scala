@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Stats
+import graft.operators.{GroupOps, Rolling}
+
+/** polyFit2 / classError / rollup-cube — the round-4 stats additions. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("polyFit2 recovers an exact quadratic") {
+    // y = 2 + 3x + 0.5x² sampled without noise — the LSQ solution is
+    // exact, and the centered coefficients must re-expand to it:
+    // c2 = 0.5, c1 = b + 2*c2*xbar = 3 + xbar, c0 = y(xbar).
+    val xs = (1 to 41).map(_.toDouble)
+    val df = xs.map(x => ("g", x, 2.0 + 3.0 * x + 0.5 * x * x)).toDF("g", "x", "y")
+    val r = Stats.polyFit2(df, "y", "x", Seq("g")).collect().head
+    val xbar = r.getAs[Double]("xbar")
+    assert(math.abs(xbar - 21.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("c2") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("c1") - (3.0 + xbar)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("c0") - (2.0 + 3.0 * xbar + 0.5 * xbar * xbar)) < 1e-9)
+    assert(r.getAs[Long]("n") === 41L)
+  }
+
+  test("polyFit2 degree-2 beats lm on curved data and is grouped") {
+    val df = (1 to 30).flatMap { i =>
+      val x = i.toDouble
+      Seq(("a", x, x * x), ("b", x, 10.0 * x))
+    }.toDF("g", "x", "y")
+    val out = Stats.polyFit2(df, "y", "x", Seq("g")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("a").getAs[Double]("c2") - 1.0) < 1e-9) // pure quadratic
+    assert(math.abs(out("b").getAs[Double]("c2")) < 1e-9)       // pure linear
+  }
+
+  test("classError counts rule disagreements per group") {
+    val df = Seq(
+      ("g1", "hi", "hi"), ("g1", "hi", "lo"), ("g1", "lo", "lo"), ("g1", "lo", "hi"),
+      ("g2", "hi", "hi"), ("g2", "hi", "hi")).toDF("g", "truth", "pred")
+    val m = Stats.classError(df, "truth", "pred", Seq("g")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("g1") === 0.5)
+    assert(m("g2") === 0.0)
+  }
+
+  test("rollingCorr matches whole-group corr when the frame covers the group") {
+    val df = (1 to 10).map(i => ("g", i, i.toDouble, i * 2.0 + (i % 3)))
+      .toDF("g", "ord", "x", "y")
+    val rolled = Rolling.rollingCorr(df, Seq("g"), Seq(col("ord")), 10, "x", "y", "c")
+      .filter(col("ord") === 10).select("c").as[Double].head()
+    val full = df.agg(corr(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(rolled - full) < 1e-12)
+  }
+
+  test("rollupAgg emits per-key rows, per-prefix subtotals, and a grand total") {
+    val df = Seq(("r", "s1", 1.0), ("r", "s2", 2.0), ("q", "s1", 4.0))
+      .toDF("a", "b", "v")
+    val out = GroupOps.rollupAgg(df, Seq("a", "b"), "sv" -> sum(col("v")),
+      "n" -> count(lit(1))).collect()
+    assert(out.length === 6) // 3 leaves + 2 a-subtotals + 1 grand
+    val grand = out.find(_.getAs[Long]("gid") == 3L).get
+    assert(grand.getAs[Double]("sv") === 7.0)
+    val aSub = out.filter(_.getAs[Long]("gid") == 1L)
+      .map(r => r.getString(0) -> r.getAs[Double]("sv")).toMap
+    assert(aSub === Map("r" -> 3.0, "q" -> 4.0))
+    // leaf rows carry gid 0 and both keys
+    assert(out.count(_.getAs[Long]("gid") == 0L) === 3)
+  }
+}
