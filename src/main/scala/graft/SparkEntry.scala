@@ -1413,7 +1413,29 @@ object SparkEntry {
         Seq("l_returnflag", "l_linestatus"),
         "sum_qty" -> round(sum(col("l_quantity")), 4),
         "n" -> count(lit(1)))
-        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // Edit-distance near-dup: PassJoin segment blocking (complete for
+    // dist ≤ 5 by pigeonhole) → banded Levenshtein verify. The oracle
+    // needs no blocking knowledge — plain all-pairs predicate.
+    "q128_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 5, prefixChars = 80)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Deterministic weighted sampling (Efraimidis–Spirakis with the RNG
+    // replaced by the portable id hash): longer docs proportionally more
+    // likely; same winners on any engine — top-k plan, no global sort
+    "q129_weighted_sample" -> ((s, dir) =>
+      Split.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Per-doc top-3 TF-IDF terms — keyword extraction for corpus
+    // curation; rounded-score ranking keeps the order engine-stable
+    "q130_tfidf" -> ((s, dir) =>
+      TextFns.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rk")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2792,6 +2814,49 @@ object SparkEntry {
         |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n,
         |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // the Spark side's PassJoin blocking is COMPLETE for dist ≤ 5, so
+    // the oracle is the plain padded-prefix predicate over all pairs
+    "q128_edit_distance" ->
+      """WITH d AS (SELECT doc_id,
+        |    rpad(substr(text, 1, 80), 80, chr(1)) AS p FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q129_weighted_sample" ->
+      """WITH hh AS (SELECT doc_id, n_chars,
+        |  CAST(list_sum(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      md5(CAST(doc_id AS VARCHAR))[i]) - 1 AS BIGINT)
+        |      << (4 * (15 - i)))) AS BIGINT) AS h FROM documents),
+        |keyed AS (SELECT doc_id, n_chars,
+        |  round(-ln(((h % 1073741824) + 1) / 1073741825.0) / n_chars, 9) AS k
+        |  FROM hh),
+        |rk AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY k, doc_id) AS rn FROM keyed)
+        |SELECT doc_id, n_chars FROM rk WHERE rn <= 50
+        |ORDER BY doc_id""".stripMargin,
+
+    "q130_tfidf" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS n FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(n) AS len FROM tf GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    round((CAST(tf.n AS DOUBLE) / dl.len) * ln(nd.nd / df.df), 6)
+        |      AS tfidf
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), nd),
+        |rk AS (SELECT doc_id, term, tfidf, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rk FROM rk WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin
   )
 }

@@ -90,4 +90,38 @@ object TextFns {
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** Per-doc top-k terms by TF-IDF — the classic keyword/topic signal
+    * for corpus curation. score = (tf/len)·ln(N/df); ranking uses the
+    * ROUNDED score (term asc tiebreak) so the order is reproducible
+    * across engines regardless of last-ulp ln() drift.
+    *
+    * Scale shape: two hash aggregates (doc×term counts, term df), the
+    * corpus size as a broadcast one-row aggregate (never a driver
+    * collect), a term-keyed join (shuffle bounded by the vocabulary),
+    * and a per-doc window top-k. No all-pairs, no global sort.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("n")).as("len"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val scored = tf
+      .join(docLen, Seq("doc_id"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round((col("n").cast("double") / col("len")) *
+          log(col("nd") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk").cast("long").as("rk"))
+  }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster assembly: connected components over a near-dup
   * pair set. (Builder-brief extension beyond the riptable surface —
@@ -16,8 +15,9 @@ import org.apache.spark.storage.StorageLevel
   * hops), so 3–5 rounds in practice. Each round is ONE shuffle join on
   * the edge list (never materializes the transitive closure, never
   * all-pairs), which is the standard Spark CC shape at web scale.
-  * Labels persist per round and the previous round unpersists, so
-  * memory is one (vertex, label) frame regardless of round count.
+  * Labels materialize per round via localCheckpoint (lineage
+  * truncation — constant per-round planning cost), so memory is one
+  * (vertex, label) frame regardless of round count.
   */
 object Cluster {
 
@@ -31,39 +31,60 @@ object Cluster {
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
                           maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
-    // undirected edge list, both directions (src -> dst)
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // undirected edge list, both directions from ONE scan of `pairs`
+    // (a union of two selects would evaluate the pair pipeline twice),
+    // pre-partitioned on src so the edge side — the big side at scale —
+    // is shuffled once at build time, not once per round
+    // localCheckpoint (not persist): the loop's lineage would otherwise
+    // grow by several joins per round, and Catalyst re-optimizes the
+    // WHOLE accumulated plan on every convergence-check action — at
+    // round 10 the planning alone dwarfs the (tiny) shuffles. Truncating
+    // to a materialized leaf keeps per-round cost constant. (Standard
+    // iterative-Spark practice; on a real cluster an executor loss costs
+    // a stage retry from the checkpoint, which is the right trade for a
+    // fixpoint loop.)
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("src"))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize before the loop mutates `labels`
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // candidate label per vertex: min over self and neighbor labels.
-      // The aggregate is map-side combined; shuffle carries one row per
-      // (dst) key, not per edge.
+      // candidate label per vertex: min over self, neighbor labels, and
+      // label-of-label (pointer-doubling shortcut — chains collapse in
+      // O(log diameter) rounds instead of O(diameter)). The neighbor
+      // aggregate is map-side combined; its shuffle carries one row per
+      // dst key, not per edge. The changed flag rides the same select,
+      // so convergence detection costs no extra join.
       val fromNbrs = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr"))
-      val next = labels.join(fromNbrs, Seq("id"), "left")
+      val viaLbl = labels.toDF("id", "lbl")
+        .join(labels.toDF("lbl", "lbl2"), Seq("lbl"))
+        .select(col("id"), col("lbl2").as("via"))
+      val next = labels
+        .join(fromNbrs, Seq("id"), "left")
+        .join(viaLbl, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = next
+          least(col("label"), coalesce(col("nbr"), col("label")),
+            coalesce(col("via"), col("label"))).as("label"),
+          (least(coalesce(col("nbr"), col("label")),
+            coalesce(col("via"), col("label"))) < col("label")).as("__chg"))
+        .localCheckpoint(true) // materialize + truncate in one action
+      val changed = next.filter(col("__chg")).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0L
       iter += 1
     }
-    edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
   }
 

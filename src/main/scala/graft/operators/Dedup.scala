@@ -351,6 +351,58 @@ object Dedup {
         round(col("n_boiler").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Edit-distance (Levenshtein ≤ k) self-join over a fixed-length text
+    * prefix, PassJoin-style (Li, Deng, Feng: "PassJoin: A Partition-
+    * based Method for Similarity Joins"): each padded prefix splits into
+    * k+1 fixed segments; ≤ k edits leave ≥ 1 segment untouched
+    * (pigeonhole), and an untouched segment re-appears in the other
+    * string shifted by at most k. So candidates = pairs sharing one
+    * exact (segment-index, substring) key with the probe side fanned out
+    * over the ±k positional shifts — a selective equi-join (13-char
+    * string keys), COMPLETE for the bound, never all-pairs. Verification
+    * is banded Levenshtein (threshold arg → O(len·k), not O(len²)).
+    *
+    * Texts are right-padded to `prefixChars` with U+0001 so segment
+    * positions are static; the reported distance is over the padded
+    * prefix (length differences inside the prefix count as edits).
+    * Completeness means a plain `levenshtein(a,b) ≤ k` oracle needs no
+    * knowledge of the blocking.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 5, prefixChars: Int = 80): DataFrame = {
+    val k = maxDist
+    val nSeg = k + 1
+    val baseLen = prefixChars / nSeg
+    val nLong = prefixChars % nSeg // trailing segments get the extra char
+    // (segIdx, 1-based pos, len), lengths summing to prefixChars
+    val segs = (0 until nSeg).scanLeft((0, 1, 0)) { case ((i, pos, len), j) =>
+      (j, pos + len, if (j >= nSeg - nLong) baseLen + 1 else baseLen)
+    }.tail
+    val padded = rpad(substring(col(textCol), 1, prefixChars), prefixChars,
+      "\u0001")
+    val base = docs.select(col(idCol).as("id"), padded.as("p"))
+    val aKeys = base.select(col("id").as("id_a"), col("p").as("p_a"),
+      explode(array(segs.map { case (i, pos, len) =>
+        struct(lit(i).as("i"), substring(col("p"), pos, len).as("seg"))
+      }: _*)).as("sk"))
+      .select(col("id_a"), col("p_a"), col("sk.i"), col("sk.seg"))
+    val bKeys = base.select(col("id").as("id_b"), col("p").as("p_b"),
+      explode(array(segs.flatMap { case (i, pos, len) =>
+        (-k to k).filter(s => pos + s >= 1 && pos + s <= prefixChars - len + 1)
+          .map(s => struct(lit(i).as("i"),
+            substring(col("p"), pos + s, len).as("seg")))
+      }: _*)).as("sk"))
+      .select(col("id_b"), col("p_b"), col("sk.i"), col("sk.seg"))
+    aKeys.join(bKeys, Seq("i", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("p_a"), col("p_b"))
+      .distinct()
+      // 3-arg levenshtein: banded DP, returns -1 past the threshold
+      .withColumn("dist", levenshtein(col("p_a"), col("p_b"), k))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** n-gram Jaccard near-dup pairs via inverted index: doc→distinct
     * shingles (explode), self-join on shingle to count co-occurrences,
     * then |A∩B| / (|A|+|B|−|A∩B|). Shuffle key = shingle; hot shingles

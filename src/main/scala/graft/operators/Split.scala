@@ -46,4 +46,29 @@ object Split {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Weighted sampling without replacement, deterministic: Efraimidis–
+    * Spirakis A-ES keys with the RNG replaced by the portable id hash.
+    * u = (h mod 2³⁰ + 1) / (2³⁰ + 1) ∈ (0, 1], key = −ln(u)/w; the k
+    * smallest keys win, so inclusion probability scales with weight,
+    * and the same rows win on any engine/cluster/rerun. The rank orders
+    * on the key ROUNDED to 9 decimals with the id as tiebreak — ln()
+    * differs across engines only in the last ulp (~1e-16 relative),
+    * far inside the rounding, so selection cannot flap at the boundary.
+    * One top-k (TakeOrderedAndProject at the plan level) — no shuffle
+    * of the full table, no RNG, no seed plumbing.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val m = 1073741824L // 2^30
+    val u = (pmod(Dedup.portableHash64(col(idCol).cast("string")), lit(m)) + 1)
+      .cast("double") / (m + 1).toDouble
+    val key = round(-log(u) / col(weightCol), 9)
+    // orderBy+limit → TakeOrderedAndProject: per-partition partial top-k,
+    // driver merges k·numPartitions candidates — never a global sort
+    df.withColumn("__key", key)
+      .orderBy(col("__key"), col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
 }
