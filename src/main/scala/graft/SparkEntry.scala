@@ -1435,7 +1435,43 @@ object SparkEntry {
     // curation; rounded-score ranking keeps the order engine-stable
     "q130_tfidf" -> ((s, dir) =>
       TextFns.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
-        .orderBy(col("doc_id"), col("rk")))
+        .orderBy(col("doc_id"), col("rk"))),
+
+    // Deterministic corpus mixing to target source proportions: src0
+    // upweighted to 30%, src1 to 20%, the rest sharing 50% — per-source
+    // hash-order budgets, no RNG, reproducible on any engine
+    "q131_corpus_mix" -> ((s, dir) => {
+      val rest = (2 to 19).map(i => s"src$i" -> (0.5 / 18)).toMap
+      Curate.mixSample(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.3, "src1" -> 0.2) ++ rest, k = 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
+    // Sequential sequence packing: docs (per source, in id order) into
+    // ~500-token training sequences via exclusive-prefix-sum bucketing —
+    // the map-side streaming shape of an LLM loader's packer
+    "q132_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("tokens", TextFns.tokenCount(col("text")).cast("long"))
+      Curate.packSequences(docs, Seq("source"), Seq(col("doc_id")),
+        "tokens", budget = 500L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tot_tokens"))
+        .orderBy(col("source"), col("pack_id"))
+    }),
+
+    // Curation funnel: per-source survival counts through the standard
+    // filter cascade (length band, quality, english-signal) in ONE
+    // conditional-sum aggregate — not one pass per stage
+    "q133_curation_funnel" -> ((s, dir) =>
+      Curate.funnel(t(s, dir, "documents"), Seq("source"), Seq(
+        "len" -> col("n_chars").between(50, 10000),
+        "quality" -> (TextFns.qualityScore(col("text")) >= 0.5),
+        "en" -> (TextFns.langScore(col("text"), "en") >= 1)))
+        .orderBy(col("source")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2857,6 +2893,60 @@ object SparkEntry {
         |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
         |  FROM scored)
         |SELECT doc_id, term, tfidf, rk FROM rk WHERE rk <= 3
-        |ORDER BY doc_id, rk""".stripMargin
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "q131_corpus_mix" ->
+      """WITH hh AS (SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      md5(CAST(doc_id AS VARCHAR))[i]) - 1 AS BIGINT)
+        |      << (4 * (15 - i)))) AS BIGINT) AS h FROM documents),
+        |rk AS (SELECT doc_id, source, row_number() OVER
+        |    (PARTITION BY source ORDER BY h, doc_id) AS rn FROM hh),
+        |kept AS (SELECT * FROM rk WHERE rn <= CASE source
+        |  WHEN 'src0' THEN floor(100 * 0.3)
+        |  WHEN 'src1' THEN floor(100 * 0.2)
+        |  ELSE floor(100 * (0.5 / 18)) END)
+        |SELECT source, count(*) AS n, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q132_seq_pack" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+        |      len(string_split_regex(lower(trim(text)), '\s+')) END
+        |      ::BIGINT AS tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, CAST(floor((cum - tokens) / 500) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tot_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q133_curation_funnel" ->
+      """WITH q AS (SELECT source, n_chars,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n,
+        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS p,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS st,
+        |  length(text) AS lc FROM documents),
+        |f AS (SELECT source,
+        |  (n_chars BETWEEN 50 AND 10000) AS pass_len,
+        |  round((
+        |    CASE WHEN lc >= 200 AND lc <= 10000 THEN 1.0
+        |      WHEN lc < 200 THEN lc / 200.0 ELSE 10000.0 / lc END
+        |    + CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - least(p / greatest(n, 1.0), 1.0) END
+        |    + CASE WHEN n = 0 THEN 0.0 ELSE least(st * 4.0 / greatest(n, 1.0), 1.0) END
+        |  ) / 3.0, 6) >= 0.5 AS pass_quality,
+        |  (st >= 1) AS pass_en FROM q)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        |  CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN pass_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN pass_len AND pass_quality AND pass_en THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_all
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

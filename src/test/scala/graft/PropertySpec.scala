@@ -229,4 +229,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("connectedComponents matches union-find on random graphs") {
+    import graft.operators.Cluster
+    for (trial <- 1 to 4) {
+      val n = 120
+      val nEdges = trial * 40 // sparse → denser: isolated chains → blobs
+      val edges = (0 until nEdges)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .distinct
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val brute = verts.map(v => v -> {
+        // component min = min vertex id in the component
+        val root = find(v.toInt)
+        verts.filter(u => find(u.toInt) == root).min
+      }).toMap
+      val got = Cluster.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === brute, s"trial=$trial nEdges=$nEdges")
+    }
+  }
 }
