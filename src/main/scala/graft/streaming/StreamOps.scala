@@ -148,6 +148,31 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
+  /** Stream-stream interval join: left events enriched with right-side
+    * events for the same key within a bounded lag (right.ts ∈
+    * [left.ts − maxLag, left.ts]). Both sides are watermarked and the
+    * join carries an explicit event-time range constraint — exactly what
+    * licenses Spark to EVICT buffered rows once the watermark passes
+    * their reach, so state stays bounded by (lateness + lag) × rate
+    * instead of growing with the stream. The canonical "clicks joined to
+    * impressions" shape.
+    */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+                               keyCol: String, maxLag: String,
+                               watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxLag") &&
+        col("r_ts") <= col("l_ts"),
+      "inner")
+  }
+
   /** File-source stream over a parquet directory (for tests: feed the
     * batch fixtures through the streaming engine via availableNow).
     */

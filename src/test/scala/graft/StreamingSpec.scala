@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSpec {
     assert(ids.intersect(Set(1L, 2L)).size === 1) // exactly one of the dups
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    // clicks (left) pick up views (right) for the same user within 7 min
+    val clicks = streamIn.filter($"event_type" === "click")
+    val views = streamIn.filter($"event_type" === "view")
+    val q = StreamOps.streamStreamIntervalJoin(views, clicks,
+      "user_id", "7 minutes")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT l_id, r_id FROM ssj")
+      .as[(Long, Long)].collect().toSet
+    // batch twin on the same fixture
+    val ev = spark.read.parquet(dir + "/in")
+    val bl = ev.filter($"event_type" === "view")
+      .select($"user_id".as("k"), $"ts".as("l_ts"), $"event_id".as("l_id"))
+    val br = ev.filter($"event_type" === "click")
+      .select($"user_id".as("k2"), $"ts".as("r_ts"), $"event_id".as("r_id"))
+    val brute = bl.join(br, $"k" === $"k2" &&
+        $"r_ts" >= $"l_ts" - expr("INTERVAL 7 minutes") && $"r_ts" <= $"l_ts")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got === brute && got.nonEmpty)
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
