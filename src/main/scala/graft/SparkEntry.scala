@@ -1471,7 +1471,18 @@ object SparkEntry {
         "len" -> col("n_chars").between(50, 10000),
         "quality" -> (TextFns.qualityScore(col("text")) >= 0.5),
         "en" -> (TextFns.langScore(col("text"), "en") >= 1)))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // linear_spline (rt_stats.py:154): continuous piecewise-linear least
+    // squares at knots (20, 35); the Cramer solve is the SAME generated
+    // SQL text on both engines (Stats.spline2SolveSql)
+    "q134_linear_spline" -> ((s, dir) =>
+      Stats.linearSpline(t(s, dir, "lineitem"), "l_extendedprice",
+        "l_quantity", (20.0, 35.0), Seq("l_returnflag"))
+        .select(col("l_returnflag"), round(col("c0"), 4).as("c0"),
+          round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"),
+          round(col("c3"), 4).as("c3"), col("n"))
+        .orderBy(col("l_returnflag")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2947,6 +2958,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pass_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
         |  CAST(sum(CASE WHEN pass_len AND pass_quality AND pass_en THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_all
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q134_linear_spline" -> {
+      val sols = Stats.spline2SolveSql
+      s"""WITH h AS (SELECT l_returnflag,
+         |    CAST(l_quantity AS DOUBLE) AS x,
+         |    CAST(l_extendedprice AS DOUBLE) AS y,
+         |    greatest(CAST(l_quantity AS DOUBLE) - 20.0, 0.0) AS h1,
+         |    greatest(CAST(l_quantity AS DOUBLE) - 35.0, 0.0) AS h2
+         |  FROM lineitem),
+         |a AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS s0,
+         |    sum(x) AS sx, sum(h1) AS sh1, sum(h2) AS sh2,
+         |    sum(x*x) AS sxx, sum(x*h1) AS sxh1, sum(x*h2) AS sxh2,
+         |    sum(h1*h1) AS sh1h1, sum(h1*h2) AS sh1h2, sum(h2*h2) AS sh2h2,
+         |    sum(y) AS vy, sum(x*y) AS vxy, sum(h1*y) AS vh1y,
+         |    sum(h2*y) AS vh2y
+         |  FROM h GROUP BY 1)
+         |SELECT l_returnflag, round(${sols(0)}, 4) AS c0,
+         |  round(${sols(1)}, 4) AS c1, round(${sols(2)}, 4) AS c2,
+         |  round(${sols(3)}, 4) AS c3, CAST(s0 AS BIGINT) AS n
+         |FROM a ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -122,4 +122,72 @@ object Stats {
       (by.map(col) ++ Seq(col("xbar"), c0.as("c0"), c1.as("c1"),
         c2.as("c2"), s0.cast("long").as("n"))): _*)
   }
+
+  // ---- linear_spline (rt_stats.py:154) ----
+  //
+  // Continuous piecewise-linear least squares with 2 fixed knots:
+  //   y ≈ c0 + c1·x + c2·max(0, x−t1) + c3·max(0, x−t2)
+  // The 4×4 normal system solves in closed form (Cramer). The solve is
+  // emitted as SQL TEXT and used via expr() on the Spark side and
+  // verbatim in the DuckDB oracle — both engines evaluate the IDENTICAL
+  // arithmetic expression over identically-defined aggregate aliases,
+  // so the only cross-engine drift is summation order (absorbed by
+  // output rounding). One aggregate pass; the per-group solve is a
+  // scalar projection.
+
+  private def det3(m: Seq[Seq[String]]): String =
+    s"(${m(0)(0)}*(${m(1)(1)}*${m(2)(2)} - ${m(1)(2)}*${m(2)(1)})" +
+      s" - ${m(0)(1)}*(${m(1)(0)}*${m(2)(2)} - ${m(1)(2)}*${m(2)(0)})" +
+      s" + ${m(0)(2)}*(${m(1)(0)}*${m(2)(1)} - ${m(1)(1)}*${m(2)(0)}))"
+
+  private def det4(m: Seq[Seq[String]]): String = {
+    def minor(j: Int): String =
+      det3(m.tail.map(r => r.zipWithIndex.collect { case (e, i) if i != j => e }))
+    s"(${m(0)(0)}*${minor(0)} - ${m(0)(1)}*${minor(1)}" +
+      s" + ${m(0)(2)}*${minor(2)} - ${m(0)(3)}*${minor(3)})"
+  }
+
+  /** The Cramer solutions (c0, c1, c2, c3) of the spline normal system,
+    * as SQL expressions over the aggregate aliases produced by
+    * `linearSpline` / its oracle mirror: s0 sx sh1 sh2 sxx sxh1 sxh2
+    * sh1h1 sh1h2 sh2h2 vy vxy vh1y vh2y.
+    */
+  def spline2SolveSql: Seq[String] = {
+    val a = Seq(
+      Seq("s0", "sx", "sh1", "sh2"),
+      Seq("sx", "sxx", "sxh1", "sxh2"),
+      Seq("sh1", "sxh1", "sh1h1", "sh1h2"),
+      Seq("sh2", "sxh2", "sh1h2", "sh2h2"))
+    val v = Seq("vy", "vxy", "vh1y", "vh2y")
+    val d = det4(a)
+    (0 until 4).map { i =>
+      val ai = a.zipWithIndex.map { case (row, r) => row.updated(i, v(r)) }
+      s"(${det4(ai)} / $d)"
+    }
+  }
+
+  /** linear_spline (rt_stats.py:154): continuous piecewise-linear least
+    * squares at exactly 2 knots (the closed-form Cramer solve above;
+    * more knots would need an LU solve — out of scope like the
+    * reference's display half). Output is the hinge-basis coefficients
+    * plus n.
+    */
+  def linearSpline(df: DataFrame, yCol: String, xCol: String,
+                   knots: (Double, Double), by: Seq[String]): DataFrame = {
+    val (x, y) = (col(xCol).cast("double"), col(yCol).cast("double"))
+    val h1 = greatest(x - knots._1, lit(0.0))
+    val h2 = greatest(x - knots._2, lit(0.0))
+    val agg = df.groupBy(by.map(col): _*).agg(
+      count(lit(1)).cast("double").as("s0"),
+      sum(x).as("sx"), sum(h1).as("sh1"), sum(h2).as("sh2"),
+      sum(x * x).as("sxx"), sum(x * h1).as("sxh1"), sum(x * h2).as("sxh2"),
+      sum(h1 * h1).as("sh1h1"), sum(h1 * h2).as("sh1h2"),
+      sum(h2 * h2).as("sh2h2"),
+      sum(y).as("vy"), sum(x * y).as("vxy"),
+      sum(h1 * y).as("vh1y"), sum(h2 * y).as("vh2y"))
+    val sols = spline2SolveSql
+    agg.select((by.map(col) ++ sols.zipWithIndex.map { case (s, i) =>
+      expr(s).as(s"c$i")
+    } :+ col("s0").cast("long").as("n")): _*)
+  }
 }

@@ -34,6 +34,19 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out("b").getAs[Double]("c2")) < 1e-9)       // pure linear
   }
 
+  test("linearSpline recovers a planted continuous piecewise function") {
+    // y = 10 + 2x + 3·(x−20)+ − 4·(x−35)+ sampled exactly: LSQ is exact
+    val xs = (1 to 50).map(_.toDouble)
+    def f(x: Double) = 10.0 + 2.0 * x + 3.0 * math.max(0, x - 20) - 4.0 * math.max(0, x - 35)
+    val df = xs.map(x => ("g", x, f(x))).toDF("g", "x", "y")
+    val r = Stats.linearSpline(df, "y", "x", (20.0, 35.0), Seq("g")).collect().head
+    assert(math.abs(r.getAs[Double]("c0") - 10.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("c1") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("c2") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("c3") - (-4.0)) < 1e-6)
+    assert(r.getAs[Long]("n") === 50L)
+  }
+
   test("classError counts rule disagreements per group") {
     val df = Seq(
       ("g1", "hi", "hi"), ("g1", "hi", "lo"), ("g1", "lo", "lo"), ("g1", "lo", "hi"),
