@@ -161,4 +161,31 @@ class MiscOpsSpec extends SparkSpec {
       .collect().toMap
     assert(out === Map(1L -> 6.0))
   }
+
+  test("rollupAgg computes every grouping set in ONE shuffle (single Expand)") {
+    val df = (1 to 200).map(i => (s"a${i % 3}", s"b${i % 5}", i.toDouble))
+      .toDF("a", "b", "v")
+    val plan = graft.operators.GroupOps.rollupAgg(df, Seq("a", "b"),
+      "sv" -> sum(col("v"))).queryExecution.executedPlan.toString
+    assert(plan.split("Expand").length - 1 === 1, plan)
+    // partial + final aggregate around exactly one exchange
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+  }
+
+  test("mixSample broadcasts the budget table (no shuffle of weights)") {
+    val docs = (1L to 500L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val w = (0 until 4).map(i => s"src$i" -> 0.25).toMap
+    val plan = graft.operators.Curate.mixSample(docs, "doc_id", "source", w, 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("editDistancePairs plans with no cartesian/nested-loop join") {
+    val docs = (1L to 50L).map(i => (i, s"document body number $i with text"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.editDistancePairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
