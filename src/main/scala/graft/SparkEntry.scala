@@ -2657,7 +2657,7 @@ object SparkEntry {
     "q106_ismember_idx" ->
       """WITH pos AS (SELECT o_custkey,
         |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders),
-        |idx AS (SELECT o_custkey, CAST(min(rn) AS INT) AS ismember_index
+        |idx AS (SELECT o_custkey, CAST(min(rn) AS BIGINT) AS ismember_index
         |  FROM pos GROUP BY 1)
         |SELECT c_custkey AS o_custkey,
         |  idx.o_custkey IS NOT NULL AS ismember, ismember_index

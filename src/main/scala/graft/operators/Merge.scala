@@ -116,15 +116,26 @@ object Merge {
   /** ismember with the MATLAB-style second output (`rt_numpy.py:1186`
     * returns (mask, index)): the 0-based position of each key's FIRST
     * occurrence in b. Positional semantics need a total order on b —
-    * riptable uses array position, the caller declares `bOrder`. The
-    * global numbering is a single-partition window (riptable's array is
-    * likewise one address space); keep b lookup-sized, or derive a
-    * key-local index with a keyed window instead.
+    * riptable uses array position, the caller declares `bOrder`.
+    *
+    * Global numbering WITHOUT a single-partition window: sort b on
+    * `bOrder` (a normal distributed range-partitioned sort), then
+    * `zipWithIndex` stamps contiguous global positions per partition
+    * (one extra count job for the offsets) — every stage stays
+    * parallel, so b may be fact-table sized.
     */
   def ismemberIndex(a: DataFrame, b: DataFrame, on: Seq[String],
                     bOrder: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(bOrder: _*)
-    val idx = b.withColumn("__pos", row_number().over(w) - 1)
+    val spark = b.sparkSession
+    // keep all of b's columns through the sort: bOrder may reference
+    // non-key columns (positions come from the full-row order)
+    val sorted = b.orderBy(bOrder: _*)
+    val schema = sorted.schema.add("__pos", org.apache.spark.sql.types.LongType)
+    val withPos = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    val idx = withPos
       .groupBy(on.map(col): _*)
       .agg(min(col("__pos")).as("ismember_index"))
     a.join(idx, on, "left")
