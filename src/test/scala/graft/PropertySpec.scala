@@ -230,6 +230,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rollupAgg totals equal brute-force recomputation per grouping set") {
+    val data = (0 until 400).map { _ =>
+      (s"a${rng.nextInt(4)}", s"b${rng.nextInt(6)}", rng.nextInt(100).toDouble)
+    }
+    val df = data.toDF("a", "b", "v")
+    val got = GroupOps.rollupAgg(df, Seq("a", "b"), "sv" -> sum(col("v")))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getAs[Long]("gid")) -> r.getAs[Double]("sv")).toMap
+    val leaves = data.groupBy(d => (d._1, d._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    leaves.foreach { case ((a, b), s) =>
+      assert(math.abs(got((Some(a), Some(b), 0L)) - s) < 1e-9) }
+    data.groupBy(_._1).view.mapValues(_.map(_._3).sum).foreach { case (a, s) =>
+      assert(math.abs(got((Some(a), None, 1L)) - s) < 1e-9) }
+    assert(math.abs(got((None, None, 3L)) - data.map(_._3).sum) < 1e-9)
+  }
+
+  test("packSequences matches the sequential reference packer") {
+    import graft.operators.Curate
+    val docs = (1 to 200).map(i => ("g", i.toLong, (rng.nextInt(300) + 1).toLong))
+    val df = docs.toDF("g", "id", "tokens")
+    val got = Curate.packSequences(df, Seq("g"), Seq(col("id")), "tokens", 512L)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    var cum = 0L
+    docs.sortBy(_._2).foreach { case (_, id, tok) =>
+      assert(got(id) === cum / 512L, s"id=$id")
+      cum += tok
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     import graft.operators.Cluster
     for (trial <- 1 to 4) {
