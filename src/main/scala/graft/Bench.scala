@@ -45,11 +45,18 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
+    // 2 timed iterations, report the MIN (the reference harness runs 1
+    // warmup + 5 timed iters, bench_merge.py:100-186): a single-shot
+    // timing on a shared host showed 2-6x per-query outliers from noisy
+    // neighbors; min-of-2 keeps the signal.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, runs.map(_._1).min, runs.forall(_._2))
     }
     def fmt(v: Double): String = f"$v%.3f"
     val allQs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
