@@ -79,7 +79,9 @@ object Bench {
       "q29_minhash", "q31_ann_brute", "q38_ema_decay", "q47_simhash_near",
       "q48_ann_lsh", "q62_ngroup", "q66_parquet_partitioned",
       "q79_qcut_scale", "q82_ann_ivf", "q83_asof_exec", "q86_tpch_q3",
-      "q87_tpch_q5", "q91_simhash_verified", "q99_apply_groups")
+      "q87_tpch_q5", "q91_simhash_verified", "q99_apply_groups",
+      "q119_dup_clusters", "q128_edit_distance", "q130_tfidf",
+      "q135_tpch_q6", "q136_tpch_q10")
     val qs = results.collect { case (k, v, _) if headline(k) =>
       "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nfailed":${failedNames.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")

@@ -1482,7 +1482,39 @@ object SparkEntry {
         .select(col("l_returnflag"), round(col("c0"), 4).as("c0"),
           round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"),
           round(col("c3"), 4).as("c3"), col("n"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // TPC-H Q6 shape: pure filter-scan aggregate — every predicate must
+    // reach the parquet scan (PushedFilters), zero joins, one partial+
+    // final agg. The "is pushdown working" headliner.
+    "q135_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n"))),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // fact-to-fact join on orderkey, broadcast customer dimension,
+    // TakeOrderedAndProject top-k (never a global sort)
+    "q136_tpch_q10" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(ord, Seq("o_orderkey"))
+        .join(broadcast(cust), Seq("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2979,6 +3011,24 @@ object SparkEntry {
          |  round(${sols(1)}, 4) AS c1, round(${sols(2)}, 4) AS c2,
          |  round(${sols(3)}, 4) AS c3, CAST(s0 AS BIGINT) AS n
          |FROM a ORDER BY 1""".stripMargin
-    }
+    },
+
+    "q135_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q136_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin
   )
 }
