@@ -1495,6 +1495,50 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
           .as("revenue"), count(lit(1)).as("n"))),
 
+    // FAString.extract multi-group → columns (rt_str.py:1030): one regex
+    // evaluation shape per group, codegen'd, scan-only
+    "q137_regex_extract" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "^(\\w+)\\s+(\\w+)\\s+(\\w+)", 1).as("t1"),
+          regexp_extract(col("p_type"), "^(\\w+)\\s+(\\w+)\\s+(\\w+)", 2).as("t2"),
+          regexp_extract(col("p_type"), "^(\\w+)\\s+(\\w+)\\s+(\\w+)", 3).as("t3"),
+          regexp_extract(col("p_brand"), "([0-9]+)$", 1).as("brand_num"))
+        .orderBy(col("p_partkey"))),
+
+    // DateTimeNano.diff / shift (rt_datetime.py:5675,5128): per-user
+    // inter-arrival time and previous event timestamp — lag over the
+    // user partition, micros arithmetic on the nanos-as-long column
+    "q138_dt_diff" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("gap_us", col("ts_us") - col("prev_us"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // AccumTable.accum_ratiop (rt_accumtable.py:1024): cross-tab cells
+    // as percent of the grand total (broadcast one-row total)
+    "q139_accum_ratiop" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+      val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+      val joined = cust.join(broadcast(nat), Seq("c_nationkey"))
+        .join(broadcast(reg), Seq("n_regionkey"))
+      val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+      val tab = Reshape.accum2(joined, "c_mktsegment", "r_name",
+        count(lit(1)).cast("double"), colValues = regions)
+      Reshape.accumRatioP(tab, "c_mktsegment")
+        .select(col("c_mktsegment"),
+          round(col("AFRICA"), 6).as("AFRICA"), round(col("AMERICA"), 6).as("AMERICA"),
+          round(col("ASIA"), 6).as("ASIA"), round(col("EUROPE"), 6).as("EUROPE"),
+          round(col("MIDDLE EAST"), 6).as("MIDDLE_EAST"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
     // fact-to-fact join on orderkey, broadcast customer dimension,
     // TakeOrderedAndProject top-k (never a global sort)
@@ -3029,6 +3073,43 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q137_regex_extract" ->
+      """SELECT p_partkey,
+        |  coalesce(regexp_extract(p_type, '^(\w+)\s+(\w+)\s+(\w+)', 1), '') AS t1,
+        |  coalesce(regexp_extract(p_type, '^(\w+)\s+(\w+)\s+(\w+)', 2), '') AS t2,
+        |  coalesce(regexp_extract(p_type, '^(\w+)\s+(\w+)\s+(\w+)', 3), '') AS t3,
+        |  coalesce(regexp_extract(p_brand, '([0-9]+)$', 1), '') AS brand_num
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q138_dt_diff" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  lag(ts_us) OVER w AS prev_us,
+        |  ts_us - lag(ts_us) OVER w AS gap_us
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q139_accum_ratiop" ->
+      """WITH body AS (SELECT c_mktsegment,
+        |    CAST(count(*) FILTER (r_name = 'AFRICA') AS DOUBLE) AS af,
+        |    CAST(count(*) FILTER (r_name = 'AMERICA') AS DOUBLE) AS am,
+        |    CAST(count(*) FILTER (r_name = 'ASIA') AS DOUBLE) AS asi,
+        |    CAST(count(*) FILTER (r_name = 'EUROPE') AS DOUBLE) AS eu,
+        |    CAST(count(*) FILTER (r_name = 'MIDDLE EAST') AS DOUBLE) AS me
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(af + am + asi + eu + me) AS grand FROM body)
+        |SELECT c_mktsegment,
+        |  round(af * 100.0 / grand, 6) AS "AFRICA",
+        |  round(am * 100.0 / grand, 6) AS "AMERICA",
+        |  round(asi * 100.0 / grand, 6) AS "ASIA",
+        |  round(eu * 100.0 / grand, 6) AS "EUROPE",
+        |  round(me * 100.0 / grand, 6) AS "MIDDLE_EAST"
+        |FROM body, tot ORDER BY 1""".stripMargin
   )
 }

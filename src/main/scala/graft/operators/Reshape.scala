@@ -119,4 +119,19 @@ object Reshape {
       num.columns.filterNot(_ == rowKey).toIndexedSeq
         .map(c => (col(c) / col(c + "__d")).as(c))): _*)
   }
+
+  /** AccumTable.accum_ratiop (rt_accumtable.py:1024): each cross-tab
+    * cell as a PERCENT of the table grand total. The total is a one-row
+    * aggregate broadcast back — no second pass over the fact table.
+    */
+  def accumRatioP(tab: DataFrame, rowKey: String): DataFrame = {
+    val cells = tab.columns.filterNot(_ == rowKey).toIndexedSeq
+    val total = tab.agg(
+      cells.map(c => sum(col(c)).as(c + "__t")).head,
+      cells.map(c => sum(col(c)).as(c + "__t")).tail: _*)
+      .select(cells.map(c => col(c + "__t")).reduce(_ + _).as("__grand"))
+    tab.crossJoin(broadcast(total))
+      .select((col(rowKey) +:
+        cells.map(c => (col(c) * 100.0 / col("__grand")).as(c))): _*)
+  }
 }
