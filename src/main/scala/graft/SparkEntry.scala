@@ -1520,6 +1520,16 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // Multi-probe LSH ANN: query bucket + all Hamming-1 buckets — the
+    // recall lever over q48's single probe; probe fan-out rides the
+    // broadcast query side, corpus still does one equi-join
+    "q140_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", 5, bits = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // AccumTable.accum_ratiop (rt_accumtable.py:1024): cross-tab cells
     // as percent of the grand total (broadcast one-row total)
     "q139_accum_ratiop" -> ((s, dir) => {
@@ -3091,6 +3101,29 @@ object SparkEntry {
         |  ts_us - lag(ts_us) OVER w AS gap_us
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q140_ann_multiprobe" -> {
+      val bits = 6
+      val bucket = (0 until bits).map(p =>
+        s"CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val probeSet = (0L +: (0 until bits).map(i => 1L << i)).mkString(", ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    ${cosineSql("c.embedding", "q.embedding")} AS cosine
+         |  FROM sig c JOIN sig q
+         |    ON xor(CAST(c.bucket AS BIGINT), CAST(q.bucket AS BIGINT))
+         |       IN ($probeSet)
+         |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT qid, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
 
     "q139_accum_ratiop" ->
       """WITH body AS (SELECT c_mktsegment,

@@ -232,6 +232,36 @@ object Similarity {
     * engine-independent (see lshSignature), the whole output — bucket
     * routing included — is oracle-checkable.
     */
+  /** Multi-probe LSH ANN: probe the query's bucket AND every bucket at
+    * Hamming distance 1 from it (bits+1 probes) — the standard recall
+    * lever when a near neighbor lands just across one hyperplane. The
+    * probe fan-out rides the (tiny, broadcast) query side as an explode;
+    * the corpus side still sees ONE equi-join on the bucket key, so the
+    * scan/shuffle shape is identical to single-probe at (bits+1)× the
+    * probed volume. Deterministic (same LCG hyperplanes), so the whole
+    * output — probe routing included — is oracle-checkable.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, qIdCol: String, k: Int,
+                        bits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol),
+      lshSignature(col(vecCol), bits).as("__bucket"))
+    val masks = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
+    val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"),
+        lshSignature(col(vecCol), bits).as("__qb"))
+      .withColumn("__bucket",
+        explode(transform(masks, m => col("__qb").bitwiseXOR(m))))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosine(col(vecCol), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol).as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qIdCol: String, k: Int, bits: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol),

@@ -180,6 +180,23 @@ class MiscOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("multi-probe LSH recall dominates single-probe vs brute force") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = hits(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", "vec_id", 5))
+    val single = hits(Similarity.lshTopK(emb, queries, "vec_id",
+      "embedding", "vec_id", 5, bits = 6))
+    val multi = hits(Similarity.lshTopKMultiProbe(emb, queries, "vec_id",
+      "embedding", "vec_id", 5, bits = 6))
+    val rs = (single intersect brute).size.toDouble / brute.size
+    val rm = (multi intersect brute).size.toDouble / brute.size
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(multi.size >= single.size) // probes only ADD candidates
+  }
+
   test("editDistancePairs plans with no cartesian/nested-loop join") {
     val docs = (1L to 50L).map(i => (i, s"document body number $i with text"))
       .toDF("doc_id", "text")
