@@ -1520,6 +1520,26 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // Unigram cross-entropy quality score — the LM-perplexity filter
+    // proxy: avg −ln p(token) under the corpus unigram distribution
+    "q141_unigram_xent" -> ((s, dir) =>
+      TextFns.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Corpus vocabulary stats: top-20 tokens by frequency with dense
+    // Zipf rank — the vocabulary health check before tokenizer training
+    "q142_vocab_stats" -> ((s, dir) => {
+      val freqs = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      freqs
+        .orderBy(col("tf").desc, col("term"))
+        .limit(20)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("tf").desc, col("term"))).cast("long"))
+    }),
+
     // Multi-probe LSH ANN: query bucket + all Hamming-1 buckets — the
     // recall lever over q48's single probe; probe fan-out rides the
     // broadcast query side, corpus still does one equi-join
@@ -3101,6 +3121,26 @@ object SparkEntry {
         |  ts_us - lag(ts_us) OVER w AS gap_us
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q141_unigram_xent" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS tot FROM f)
+        |SELECT doc_id, round(avg(-ln(CAST(tf AS DOUBLE) / tot)), 6) AS xent,
+        |  count(*) AS n_tokens
+        |FROM terms JOIN f USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q142_vocab_stats" ->
+      """WITH terms AS (SELECT
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
+        |top AS (SELECT term, tf FROM f ORDER BY tf DESC, term LIMIT 20)
+        |SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term) AS rnk
+        |FROM top ORDER BY rnk""".stripMargin,
 
     "q140_ann_multiprobe" -> {
       val bits = 6

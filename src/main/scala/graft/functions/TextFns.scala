@@ -101,6 +101,28 @@ object TextFns {
     * collect), a term-keyed join (shuffle bounded by the vocabulary),
     * and a per-doc window top-k. No all-pairs, no global sort.
     */
+  /** Unigram cross-entropy quality score: average −ln p(token) under
+    * the corpus's own unigram distribution — the cheap proxy for the
+    * LM-perplexity filters used in pre-training curation (a doc of
+    * common words scores low/fluent; rare-token soup scores high).
+    * Two aggregates (corpus token counts, per-doc fold) + one
+    * vocabulary-keyed join — same scale shape as TF-IDF; the corpus
+    * total rides a broadcast one-row frame.
+    */
+  def unigramCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String,
+                          out: String = "xent"): org.apache.spark.sql.DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val freqs = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = freqs.agg(sum(col("tf")).cast("double").as("tot"))
+    terms.join(freqs, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(col("tf").cast("double") / col("tot"))), 6).as(out),
+        count(lit(1)).as("n_tokens"))
+  }
+
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, topK: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
