@@ -173,6 +173,26 @@ object StreamOps {
       "inner")
   }
 
+  /** Streaming curation funnel: per event-time window, the row count
+    * surviving each named stage predicate plus the intersection — the
+    * streaming twin of operators.Curate.funnel for ingest monitoring
+    * ("how much of the last 5 minutes' crawl survived the filters").
+    * Stateless conditional sums inside a watermarked window aggregate —
+    * state is one row per (window, group), watermark-bounded.
+    */
+  def streamingFunnel(rows: DataFrame, windowLen: String, watermark: String,
+                      stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_total") +:
+      (stages.map { case (name, pred) =>
+        sum(when(pred, 1L).otherwise(0L)).as(s"n_$name")
+      } :+ sum(when(stages.map(_._2).reduce(_ && _), 1L).otherwise(0L))
+        .as("n_all"))
+    rows
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** File-source stream over a parquet directory (for tests: feed the
     * batch fixtures through the streaming engine via availableNow).
     */

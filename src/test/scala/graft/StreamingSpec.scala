@@ -194,6 +194,20 @@ class StreamingSpec extends SparkSpec {
     assert(got === brute && got.nonEmpty)
   }
 
+  test("streaming funnel counts stage survivors per window") {
+    val q = StreamOps.streamingFunnel(streamIn, "10 minutes", "10 minutes",
+      Seq("click" -> ($"event_type" === "click"), "big" -> ($"value" >= 2.0)))
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val r = spark.sql(
+      "SELECT sum(n_total), sum(n_click), sum(n_big), sum(n_all) FROM sfunnel")
+      .as[(Long, Long, Long, Long)].head()
+    // fixture: 5 events, 3 clicks, 4 with value>=2, clicks with value>=2: 2
+    assert(r === ((5L, 3L, 4L, 2L)))
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
