@@ -1520,6 +1520,26 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // showfilter=True analog (rt_groupbyops.py:1014 null/bin-0 group):
+    // the invalid-key rows surface as their own group row instead of
+    // silently dropping — SQL's default GROUP BY null-group behavior
+    "q143_showfilter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("k",
+          when(col("l_quantity") > 45, lit(null)).otherwise(col("l_returnflag")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(col("k").asc_nulls_first)),
+
+    // bool_to_fancy (rt_numpy.py:5449): positions of mask-true rows in
+    // o_orderkey order — distributed sort + zipWithIndex, then filter
+    "q144_bool_to_fancy" -> ((s, dir) =>
+      syntax.boolToFancy(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        col("o_totalprice") > 400000, Seq(col("o_orderkey")))
+        .select(col("o_orderkey"), col("position"))
+        .orderBy(col("position"))),
+
     // Unigram cross-entropy quality score — the LM-perplexity filter
     // proxy: avg −ln p(token) under the corpus unigram distribution
     "q141_unigram_xent" -> ((s, dir) =>
@@ -3121,6 +3141,18 @@ object SparkEntry {
         |  ts_us - lag(ts_us) OVER w AS gap_us
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q143_showfilter" ->
+      """SELECT CASE WHEN l_quantity > 45 THEN NULL ELSE l_returnflag END AS k,
+        |  count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    "q144_bool_to_fancy" ->
+      """WITH pos AS (SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS position
+        |  FROM orders)
+        |SELECT o_orderkey, CAST(position AS BIGINT) AS position
+        |FROM pos WHERE o_totalprice > 400000 ORDER BY position""".stripMargin,
 
     "q141_unigram_xent" ->
       """WITH terms AS (SELECT doc_id,

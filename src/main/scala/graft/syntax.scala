@@ -224,4 +224,24 @@ object syntax {
   def maskAnd(ms: Column*): Column = ms.reduce(_ && _)
   def maskXor(ms: Column*): Column = ms.reduce(_ =!= _)
   def maskAndNot(a: Column, b: Column): Column = a && !b
+
+  /** bool_to_fancy (`riptable/rt_numpy.py:5449`): the row POSITIONS (in
+    * a declared total order) where a mask is true — the fancy-index
+    * bridge for the rare op that genuinely needs array positions.
+    * Distributed: range-partitioned sort + `zipWithIndex` (per-partition
+    * contiguous numbering, one count job for offsets) — no
+    * single-partition window; the mask filter applies AFTER numbering so
+    * positions refer to the full frame, like numpy's.
+    */
+  def boolToFancy(df: DataFrame, mask: Column, order: Seq[Column],
+                  out: String = "position"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.withColumn("__mask", mask).orderBy(order: _*)
+    val schema = sorted.schema.add(out, org.apache.spark.sql.types.LongType)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+      .filter(col("__mask")).drop("__mask")
+  }
 }
