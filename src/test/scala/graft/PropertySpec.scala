@@ -260,6 +260,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tfidfTopTerms matches in-memory brute force on random docs") {
+    import graft.functions.TextFns
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1L to 30L).map { id =>
+      (id, (0 until (rng.nextInt(8) + 3)).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = TextFns.tfidfTopTerms(df, "doc_id", "text", 2)
+      .select("doc_id", "rk", "term").as[(Long, Long, String)]
+      .collect().map { case (d, r, t) => (d, r) -> t }.toMap
+    // brute force with the same formula and the same rounded-score ranking
+    val n = docs.size.toDouble
+    val tf = docs.flatMap { case (id, tx) =>
+      tx.split(" ").groupBy(identity).map { case (t, xs) => (id, t, xs.length) }
+    }
+    val len = tf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val dfreq = tf.groupBy(_._2).view.mapValues(_.size).toMap
+    val brute = tf.groupBy(_._1).flatMap { case (id, rows) =>
+      rows.map { case (_, t, c) =>
+          val score = BigDecimal(c.toDouble / len(id) * math.log(n / dfreq(t)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (t, score)
+        }.sortBy { case (t, s) => (-s, t) }.take(2).zipWithIndex
+        .map { case ((t, _), i) => (id, i + 1L) -> t }
+    }
+    assert(got === brute)
+  }
+
+  test("unigramCrossEntropy matches in-memory brute force") {
+    import graft.functions.TextFns
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 20L).map { id =>
+      (id, (0 until (rng.nextInt(6) + 2)).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val got = TextFns.unigramCrossEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    val all = docs.flatMap(_._2.split(" "))
+    val freq = all.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val tot = all.size.toDouble
+    docs.foreach { case (id, tx) =>
+      val toks = tx.split(" ")
+      val expect = toks.map(t => -math.log(freq(t) / tot)).sum / toks.length
+      assert(math.abs(got(id) - expect) < 2e-6, s"doc $id")
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     import graft.operators.Cluster
     for (trial <- 1 to 4) {
