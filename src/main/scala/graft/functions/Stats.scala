@@ -73,12 +73,16 @@ object Stats {
 
   /** class_error (rt_stats.py:108): misclassification rate — the mean of
     * `pred != truth` over non-null rows. One map-side-combined aggregate.
+    * Error count and n share the same non-null denominator (a row with a
+    * null truth or pred is excluded from BOTH, never counted "correct").
     */
   def classError(df: DataFrame, truth: String, pred: String,
                  by: Seq[String] = Nil): DataFrame = {
-    val err = avg(when(col(truth) =!= col(pred), 1.0).otherwise(0.0))
+    val valid = col(truth).isNotNull && col(pred).isNotNull
+    val nExpr = count(when(valid, 1))
+    val err = (sum(when(valid && col(truth) =!= col(pred), 1.0).otherwise(0.0)) / nExpr)
       .as("class_error")
-    val n = count(when(col(truth).isNotNull && col(pred).isNotNull, 1)).as("n")
+    val n = nExpr.as("n")
     if (by.isEmpty) df.agg(err, n)
     else df.groupBy(by.map(col): _*).agg(err, n)
   }

@@ -8,84 +8,111 @@ import org.apache.spark.sql.functions._
   * riptable dedups row-wise, `riptable/rt_dataset.py:3631`; a corpus
   * dedup pipeline needs PAIRS → CLUSTERS → one kept doc per cluster.)
   *
-  * Scale design: iterative min-label propagation. Each vertex starts
-  * labeled with its own id; every round each vertex takes the min of
-  * its label and its neighbors' labels. Converges in O(component
-  * diameter) rounds — near-dup clusters are dense (diameter ≤ a few
-  * hops), so 3–5 rounds in practice. Each round is ONE shuffle join on
-  * the edge list (never materializes the transitive closure, never
-  * all-pairs), which is the standard Spark CC shape at web scale.
-  * Labels materialize per round via localCheckpoint (lineage
-  * truncation — constant per-round planning cost), so memory is one
-  * (vertex, label) frame regardless of round count.
+  * Scale design: large-star/small-star alternation (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  * algorithm, also the shape GraphFrames ships). The critical property
+  * vs naive min-label propagation with a label-of-label shortcut: NO
+  * step ever joins the frame on the component LABEL. A giant component
+  * (millions of boilerplate near-dups) therefore never keys a shuffle
+  * on a single value — the only join key is the vertex id, whose
+  * worst-case multiplicity is a node's degree, and that join pairs the
+  * edge list against a ONE-ROW-PER-NODE aggregate, which AQE's skew
+  * handling can split freely. Converges in O(log² n) rounds; each
+  * half-round is one map-side-combined per-node min + one equi-join.
+  *
+  * Rounds materialize via localCheckpoint (lineage truncation —
+  * constant per-round planning cost); each round's blocks are
+  * explicitly freed once the next round is materialized, so memory is
+  * genuinely one edge frame regardless of round count.
   */
 object Cluster {
+
+  /** Free the cached blocks behind a localCheckpoint'd frame. The
+    * checkpoint pins its RDD at MEMORY_AND_DISK; once a later round is
+    * materialized the old blocks are dead weight, and the
+    * ContextCleaner only reclaims them at GC time — too late on a
+    * large graph with many rounds.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Connected components of the undirected graph given by a pair
     * frame. Returns (id, cluster_id) for every vertex that appears in
     * at least one pair, cluster_id = min vertex id in the component.
     *
-    * `maxIter` bounds the driver loop; convergence is detected by a
-    * changed-label count (one action per round — unavoidable for an
-    * iterative fixpoint and proportional to rounds, not data).
+    * Run exact dedup BEFORE pairing when the corpus may contain masses
+    * of identical docs — CC is robust to a giant component (see object
+    * doc) but the upstream pair GENERATORS are not obligated to be.
+    *
+    * `maxIter` bounds the driver loop; convergence (edge set fixed
+    * under both stars) is detected with set-equality anti-joins — two
+    * actions per round on node-sized frames, unavoidable for a
+    * fixpoint and proportional to rounds, not data.
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
-                          maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions from ONE scan of `pairs`
-    // (a union of two selects would evaluate the pair pipeline twice),
-    // pre-partitioned on src so the edge side — the big side at scale —
-    // is shuffled once at build time, not once per round
-    // localCheckpoint (not persist): the loop's lineage would otherwise
-    // grow by several joins per round, and Catalyst re-optimizes the
-    // WHOLE accumulated plan on every convergence-check action — at
-    // round 10 the planning alone dwarfs the (tiny) shuffles. Truncating
-    // to a materialized leaf keeps per-round cost constant. (Standard
-    // iterative-Spark practice; on a real cluster an executor loss costs
-    // a stage retry from the checkpoint, which is the right trade for a
-    // fixpoint loop.)
-    val edges = pairs
-      .select(explode(array(
-        struct(col(idA).as("src"), col(idB).as("dst")),
-        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+                          maxIter: Int = 30): DataFrame = {
+    // every vertex seen in any pair (self-pairs keep a vertex alive
+    // even though they contribute no edge)
+    val vertices = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id")))
       .distinct()
-      .repartition(col("src"))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"))
+    // proper edges, canonically oriented src > dst (the small-star
+    // invariant), from ONE scan of `pairs`
+    var edges = pairs
+      .select(col(idA).as("a"), col(idB).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
       .distinct()
-      .withColumn("label", col("id"))
       .localCheckpoint(true)
+
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
-      // candidate label per vertex: min over self, neighbor labels, and
-      // label-of-label (pointer-doubling shortcut — chains collapse in
-      // O(log diameter) rounds instead of O(diameter)). The neighbor
-      // aggregate is map-side combined; its shuffle carries one row per
-      // dst key, not per edge. The changed flag rides the same select,
-      // so convergence detection costs no extra join.
-      val fromNbrs = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nbr"))
-      val viaLbl = labels.toDF("id", "lbl")
-        .join(labels.toDF("lbl", "lbl2"), Seq("lbl"))
-        .select(col("id"), col("lbl2").as("via"))
-      val next = labels
-        .join(fromNbrs, Seq("id"), "left")
-        .join(viaLbl, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label")),
-            coalesce(col("via"), col("label"))).as("label"),
-          (least(coalesce(col("nbr"), col("label")),
-            coalesce(col("via"), col("label"))) < col("label")).as("__chg"))
-        .localCheckpoint(true) // materialize + truncate in one action
-      val changed = next.filter(col("__chg")).count()
-      labels = next.select(col("id"), col("label"))
-      converged = changed == 0L
+      // LARGE-STAR over the symmetric closure: for each node u with
+      // m = min(N(u) ∪ {u}), relink every strictly-larger neighbor
+      // v > u to m. Output stays oriented src > dst by construction.
+      val sym = edges.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val lmin = sym.groupBy("src").agg(min("dst").as("mn"))
+      val afterLarge = sym.join(lmin, Seq("src"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), least(col("src"), col("mn")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      // SMALL-STAR over the oriented list: for each node u with
+      // smaller-neighborhood N = {v : (u,v) edge} and m = min(N ∪ {u}),
+      // relink all of N ∪ {u} except m directly to m.
+      val smin = afterLarge.groupBy("src").agg(min("dst").as("mn"))
+      val next = afterLarge.join(smin, Seq("src"))
+        .select(explode(array(
+            struct(col("dst").as("v"), col("mn")),
+            struct(col("src").as("v"), col("mn")))).as("e"))
+        .select(col("e.v").as("src"), col("e.mn").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint ⇔ identical edge sets (counts + one-sided anti-join)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+      freeLocalCheckpoint(edges) // previous round's blocks are dead now
+      edges = next
       iter += 1
     }
-    labels.withColumnRenamed("label", "cluster_id")
+    // at the fixpoint every non-root points straight at its component
+    // min; vertices with no proper edge are their own root
+    val out = vertices
+      .join(edges.select(col("src").as("id"), col("dst").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    out
   }
 
   /** One kept doc per duplicate cluster (min id — deterministic), plus

@@ -17,6 +17,42 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Session-scoped registry of the persisted intermediate frames the
+    * dedup pipelines build (shingle sets, simhash signatures), keyed by
+    * canonicalized plan. Two jobs it does:
+    *  - identical calls SHARE one persisted frame instead of calling
+    *    `.persist` again on an equivalent plan (the source of the
+    *    "Asked to cache already cached data" warnings in long sessions);
+    *  - an LRU cap (`maxCached`) unpersists the oldest frame once a
+    *    session has swept more corpora than the cap, so a long-lived
+    *    session mixing many datasets cannot accumulate cache entries
+    *    without bound. `clearDedupCaches()` releases everything.
+    */
+  private val maxCached = 8
+  private val cacheReg =
+    new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](16, 0.75f, true)
+
+  private def cachedPersist(df: DataFrame): DataFrame = cacheReg.synchronized {
+    val key = df.queryExecution.analyzed.canonicalized
+    Option(cacheReg.get(key)).getOrElse {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cacheReg.put(key, df)
+      while (cacheReg.size > maxCached) {
+        val eldest = cacheReg.keySet.iterator.next()
+        cacheReg.remove(eldest).unpersist(blocking = false)
+      }
+      df
+    }
+  }
+
+  /** Unpersist every dedup intermediate this session registered. */
+  def clearDedupCaches(): Unit = cacheReg.synchronized {
+    cacheReg.values.forEach(df => df.unpersist(blocking = false))
+    cacheReg.clear()
+  }
+
   /** Distinct 64-bit shingle hashes per doc as (id, sh) rows.
     *
     * NOT built with the `wordShingles` array expression: a lambda like
@@ -154,12 +190,13 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
     // signatures persist under a FIXED internal name so every consumer
     // of the same (docs, hashFn) — raw signatures, banded pairs,
-    // verified pairs — shares one cache entry via the plan cache; the
-    // token-hash pass (md5 in portable mode) dominates and runs once.
-    // Frame is one long per doc; `spark.catalog.clearCache()` reclaims.
-    val sigs = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), bits.as("__simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verified pairs — shares one cache entry via the cachedPersist
+    // registry (no double-persist warnings, LRU-capped); the token-hash
+    // pass (md5 in portable mode) dominates and runs once. Frame is one
+    // long per doc; `clearDedupCaches()` reclaims.
+    val sigs = cachedPersist(
+      toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+        .select(col(idCol), bits.as("__simhash")))
     sigs.withColumnRenamed("__simhash", out)
   }
 
@@ -204,21 +241,20 @@ object Dedup {
     * subtree for each use (~3× the work; measured 6.1 s → 1.7 s on q28
     * at sf0.1). The frame is distinct-HASHES-per-doc sized (8 B per
     * shingle), far smaller than the corpus, and spills to disk at
-    * scale; identical calls in one session share the cache entry via
-    * the plan cache. Callers needing the memory back use
-    * `spark.catalog.clearCache()`.
+    * scale; identical calls in one session share ONE cache entry via
+    * the cachedPersist registry, which also LRU-evicts old corpora.
+    * Callers needing the memory back use `clearDedupCaches()`.
     */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int): DataFrame = {
     val exploded = shingleHashes(docs, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "id")
     val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    exploded.join(dfreq, Seq("sh"))
+    cachedPersist(exploded.join(dfreq, Seq("sh"))
       .groupBy(col("id"))
       .agg(transform(sort_array(collect_list(struct(col("df"), col("sh")))),
         x => x.getField("sh")).as("shs"))
-      .withColumn("sz", size(col("shs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sz", size(col("shs"))))
   }
 
   /** Exact-jaccard verification of a candidate pair set: joins each
@@ -367,9 +403,22 @@ object Dedup {
     * prefix (length differences inside the prefix count as edits).
     * Completeness means a plain `levenshtein(a,b) ≤ k` oracle needs no
     * knowledge of the blocking.
+    *
+    * Degenerate-corpus guard: on a corpus of near-identical (or mostly
+    * empty) texts, many docs share the same (segment, position) key and
+    * the candidate join goes quadratic on that bucket. `maxBucket` caps
+    * the per-key posting list — keys indexed by more than `maxBucket`
+    * docs (or probed by more than (2k+1)·maxBucket) are DROPPED from
+    * candidate generation, with a warning logged counting the dropped
+    * buckets. With the default cap the blocking stays exact on any
+    * corpus that isn't pathologically self-similar; when the cap fires,
+    * recall for pairs whose ONLY shared segment is a hot one is
+    * sacrificed to keep the join near-linear (run exact dedup first —
+    * identical docs are what make these buckets hot).
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int = 5, prefixChars: Int = 80): DataFrame = {
+                        maxDist: Int = 5, prefixChars: Int = 80,
+                        maxBucket: Long = 20000L): DataFrame = {
     val k = maxDist
     val nSeg = k + 1
     val baseLen = prefixChars / nSeg
@@ -393,7 +442,26 @@ object Dedup {
             substring(col("p"), pos + s, len).as("seg")))
       }: _*)).as("sk"))
       .select(col("id_b"), col("p_b"), col("sk.i"), col("sk.seg"))
-    aKeys.join(bKeys, Seq("i", "seg"))
+    // hot-bucket cap: count postings per (i, seg) on each side, drop
+    // keys above the cap (B side's legitimate fanout is (2k+1)× from
+    // the shift enumeration, so its cap scales by that factor). The hot
+    // set is tiny by construction (≤ totalKeys / cap entries) → the
+    // anti-join broadcasts.
+    val hotA = aKeys.groupBy("i", "seg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxBucket).select(col("i"), col("seg"))
+    val hotB = bKeys.groupBy("i", "seg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxBucket * (2L * k + 1L)).select(col("i"), col("seg"))
+    val hot = hotA.unionByName(hotB).distinct()
+    val nHot = hot.count()
+    if (nHot > 0)
+      log.warn(s"editDistancePairs: dropping $nHot hot segment bucket(s) " +
+        s"(> $maxBucket postings) — pairs matching ONLY on those segments " +
+        "are lost; run exact dedup upstream to restore full recall")
+    val aK = if (nHot == 0) aKeys
+      else aKeys.join(broadcast(hot), Seq("i", "seg"), "left_anti")
+    val bK = if (nHot == 0) bKeys
+      else bKeys.join(broadcast(hot), Seq("i", "seg"), "left_anti")
+    aK.join(bK, Seq("i", "seg"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("p_a"), col("p_b"))
       .distinct()

@@ -126,12 +126,15 @@ object Reshape {
     */
   def accumRatioP(tab: DataFrame, rowKey: String): DataFrame = {
     val cells = tab.columns.filterNot(_ == rowKey).toIndexedSeq
+    // coalesce at both layers: an all-null cell column must contribute 0
+    // to the grand total (not null the whole table), and a null cell is
+    // a 0-percent cell — matching the oracle's FILTER-count semantics
     val total = tab.agg(
-      cells.map(c => sum(col(c)).as(c + "__t")).head,
-      cells.map(c => sum(col(c)).as(c + "__t")).tail: _*)
+      cells.map(c => coalesce(sum(col(c)), lit(0.0)).as(c + "__t")).head,
+      cells.tail.map(c => coalesce(sum(col(c)), lit(0.0)).as(c + "__t")): _*)
       .select(cells.map(c => col(c + "__t")).reduce(_ + _).as("__grand"))
     tab.crossJoin(broadcast(total))
       .select((col(rowKey) +:
-        cells.map(c => (col(c) * 100.0 / col("__grand")).as(c))): _*)
+        cells.map(c => (coalesce(col(c), lit(0.0)) * 100.0 / col("__grand")).as(c))): _*)
   }
 }

@@ -57,6 +57,10 @@ object Split {
     * far inside the rounding, so selection cannot flap at the boundary.
     * One top-k (TakeOrderedAndProject at the plan level) — no shuffle
     * of the full table, no RNG, no seed plumbing.
+    *
+    * Weights must be strictly positive; rows with w ≤ 0 or null are
+    * excluded up front (w=0 would key to +Inf and never win, w<0 would
+    * key negative and ALWAYS win — both nonsense inclusion semantics).
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
@@ -66,7 +70,8 @@ object Split {
     val key = round(-log(u) / col(weightCol), 9)
     // orderBy+limit → TakeOrderedAndProject: per-partition partial top-k,
     // driver merges k·numPartitions candidates — never a global sort
-    df.withColumn("__key", key)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key", key)
       .orderBy(col("__key"), col(idCol))
       .limit(k)
       .drop("__key")

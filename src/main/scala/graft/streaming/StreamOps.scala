@@ -159,13 +159,18 @@ object StreamOps {
     */
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
                                keyCol: String, maxLag: String,
-                               watermark: String = "10 minutes"): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-      .select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
-        col("event_id").as("l_id"), col("value").as("l_value"))
-    val r = right.withWatermark("ts", watermark)
-      .select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
-        col("event_id").as("r_id"), col("value").as("r_value"))
+                               watermark: String = "10 minutes",
+                               tsCol: String = "ts",
+                               idCol: String = "event_id",
+                               valueCol: String = "value"): DataFrame = {
+    require(maxLag.trim.matches("\\d+\\s+[A-Za-z]+"),
+      s"maxLag must look like '<n> <unit>' (got '$maxLag')")
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
+        col(idCol).as("l_id"), col(valueCol).as("l_value"))
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+        col(idCol).as("r_id"), col(valueCol).as("r_value"))
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxLag") &&

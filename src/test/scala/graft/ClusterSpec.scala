@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Cluster, Dedup}
+import org.apache.spark.sql.functions._
 
 class ClusterSpec extends SparkSpec {
   import spark.implicits._
@@ -29,6 +30,30 @@ class ClusterSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(ccRing.size === 10)
     assert(ccRing.values.toSet === Set(0L))
+  }
+
+  test("connectedComponents: 50k-vertex giant star converges in few rounds") {
+    // the round-4 hazard case: one giant component. Large-star/small-star
+    // never joins on the component LABEL, so the giant component cannot
+    // key a shuffle on a single value; it must also converge in O(log)
+    // rounds — maxIter=6 would fail under plain min-propagation if the
+    // structure needed diameter-many rounds.
+    val n = 50000L
+    val star = spark.range(0L, n).select(lit(n).as("id_a"), col("id").as("id_b"))
+    val cc = Cluster.connectedComponents(star, "id_a", "id_b", maxIter = 6)
+    val agg = cc.agg(
+      countDistinct(col("cluster_id")).as("nc"),
+      count(lit(1)).as("nv"),
+      min(col("cluster_id")).as("mn")).as[(Long, Long, Long)].head()
+    assert(agg === ((1L, n + 1L, 0L)))
+  }
+
+  test("connectedComponents: 200-vertex chain converges under default maxIter") {
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(cc.length === 200)
+    assert(cc.forall(_._2 == 0L))
   }
 
   test("clusterRepresentatives counts docs per cluster") {

@@ -61,6 +61,25 @@ class SampleSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("editDistancePairs hot-bucket cap keeps a degenerate corpus near-linear") {
+    // 5k IDENTICAL short texts (every segment bucket holds all 5k docs —
+    // uncapped, the candidate join is 5000² on each bucket) plus one
+    // planted near-dup pair with unique content. With a small cap the
+    // hot buckets drop, the planted pair (whose segments are cold)
+    // survives, and the call completes instead of going quadratic.
+    val mass = (0L until 5000L).map(i => (i, "the same boilerplate text repeated"))
+    val planted = Seq(
+      (90001L, "zebra quokka wombat axolotl capybara pangolin"),
+      (90002L, "zebra quokka wombat axolotl capybara pangolim")) // dist 1
+    val docs = (mass ++ planted).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 3, prefixChars = 48, maxBucket = 100L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((90001L, 90002L)))
+    // mass-mass pairs are exactly what the cap sacrifices
+    assert(!got.exists(p => p._1 < 5000L && p._2 < 5000L))
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
       if (i == 0) j else if (j == 0) i else 0))
