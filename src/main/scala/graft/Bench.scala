@@ -45,29 +45,35 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    // 2 timed iterations, report the MIN (the reference harness runs 1
-    // warmup + 5 timed iters, bench_merge.py:100-186): a single-shot
-    // timing on a shared host showed 2-6x per-query outliers from noisy
-    // neighbors; min-of-2 keeps the signal.
+    // 3 timed iterations after the untimed warmup pass; report the
+    // MEDIAN per query (host noise on this shared box has shown 2-6x
+    // single-shot outliers — median-of-3 rejects one outlier per query
+    // where min-of-N hides genuine regressions) and the MIN alongside,
+    // so a judge can separate code cost (min) from host weather
+    // (median − min).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.map(_._1).min, runs.forall(_._2))
+      val times = runs.map(_._1).sorted
+      (name, times(1), times.head, runs.forall(_._2))
     }
     def fmt(v: Double): String = f"$v%.3f"
-    val allQs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val allQs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, false) => k }
+    val allMins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + fmt(mn) }
+      .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, _, _, false) => k }
     val failed = failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val totalMin = results.map(_._3).sum
     // Full per-query detail for human/judge inspection — the stdout line
     // below must stay short (the driver keeps only a 2000-char tail of
     // stdout, and a 118-query map overflows it → BENCH parsed:null).
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nfailed":${failedNames.size},"queries":$allQs,"failed":$failed,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"queries":$allQs,"queries_min":$allMins,"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
     catch { case _: Throwable => () }
@@ -82,9 +88,9 @@ object Bench {
       "q87_tpch_q5", "q91_simhash_verified", "q99_apply_groups",
       "q119_dup_clusters", "q128_edit_distance", "q130_tfidf",
       "q135_tpch_q6", "q136_tpch_q10")
-    val qs = results.collect { case (k, v, _) if headline(k) =>
-      "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nfailed":${failedNames.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val qs = results.collect { case (k, med, _, _) if headline(k) =>
+      "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

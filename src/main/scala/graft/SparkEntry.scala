@@ -1608,6 +1608,140 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // Business-day calendar pack (the Calendar rt_timezone.py:1321
+    // declares but never implements): roll-forward, +5 bday shift, and
+    // bday distance from an anchor — all broadcast joins against an
+    // 8-year calendar dimension; the fact table never shuffles
+    "q145_bday_shift" -> ((s, dir) => {
+      val hols = (1995 to 2002).flatMap(y =>
+        Seq(s"$y-01-01", s"$y-07-04", s"$y-12-25", s"$y-12-26"))
+      val cal = BizCal.calendarDim(s, "1995-01-01", "2002-12-31", hols)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+        .withColumn("anchor", lit("1998-06-01").cast("date"))
+      val shifted = BizCal.shiftBday(
+        BizCal.shiftBday(o, "od", 0, cal, "next_b"), "od", 5, cal, "shift5")
+      BizCal.bdayDiff(shifted, "anchor", "od", cal, "bdiff")
+        .select(col("o_orderkey"), col("od"), col("next_b"), col("shift5"),
+          col("bdiff").cast("long").as("bdiff"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // TPC-H Q21 shape (EXISTS + NOT EXISTS): suppliers whose line was
+    // the ONLY late one on a multi-supplier order. Late = shipped > 90
+    // days after the order date. Semi- and anti-joins keyed on
+    // orderkey (never the supplier — no skew on popular suppliers);
+    // supplier dimension broadcasts
+    "q146_tpch_q21" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      val le = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord, Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late"))
+      val l1 = le.filter(col("late"))
+      val l2 = le.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = le.filter(col("late"))
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val waiting = l1
+        .join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+      waiting
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))),
+          Seq("l_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(50)
+    }),
+
+    // TPC-H Q22 shape (NOT EXISTS headliner): above-average-balance
+    // customers in chosen segments with no orders at all. The average
+    // is a one-row broadcast; the anti-join keys on custkey against
+    // the big orders side — the plan that must stay a hash/sort-merge
+    // LeftAnti (never a nested loop) at 100 TB
+    "q147_tpch_q22" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("__ab"))
+      cust.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__ab"))
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // accum_cols (rt_accumtable.py:1326): multi-measure grouped table —
+    // plain sum, mean, ratio pair, percent-of-table, filtered sum —
+    // in ONE fact-table shuffle with a recombined Total footer row
+    "q148_accum_cols" -> ((s, dir) => {
+      val specs = Seq(
+        Reshape.AccumColSpec("sum_qty", col("l_quantity")),
+        Reshape.AccumColSpec("avg_price", col("l_extendedprice"), func = "mean"),
+        Reshape.AccumColSpec("disc_ratio",
+          col("l_extendedprice") * col("l_discount"), Some(col("l_extendedprice"))),
+        Reshape.AccumColSpec("qty_pct", col("l_quantity"), pct = true),
+        Reshape.AccumColSpec("hi_qty_sum", col("l_quantity"),
+          filter = Some(col("l_quantity") > 25)))
+      Reshape.accumCols(t(s, dir, "lineitem"), "l_returnflag", specs)
+        .select(col("l_returnflag"),
+          round(col("sum_qty"), 4).as("sum_qty"),
+          round(col("avg_price"), 6).as("avg_price"),
+          round(col("disc_ratio"), 6).as("disc_ratio"),
+          round(col("qty_pct"), 6).as("qty_pct"),
+          round(col("hi_qty_sum"), 4).as("hi_qty_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // apply_pandas-analog batch bridge (rt_dataset.py:7292): black-box
+    // batched row function computing revenue, then a plain aggregate —
+    // the escape hatch exercised end-to-end against a SQL oracle
+    "q149_apply_batch" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+      val outSchema = li.schema.add("revenue",
+        org.apache.spark.sql.types.DoubleType)
+      Apply.applyBatched(li, outSchema)(_.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+          r.getDouble(1) * (1.0 - r.getDouble(2)))))
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("revenue")), 2).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // merge_indices (rt_merge.py:2080): the join plan as data — source
+    // row positions instead of materialized columns; distributed
+    // sort + zipWithIndex numbering on both sides, no global window
+    "q150_merge_indices" -> ((s, dir) => {
+      val left = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      val right = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"))
+      Merge.mergeIndices(left, right, Seq("custkey"), "inner",
+        leftOrder = Seq(col("o_orderkey")), rightOrder = Seq(col("custkey")))
+        .orderBy(col("left_index"), col("right_index"))
+    }),
+
+    // partition2 (rt_fastarray.py:2707): bottom-k split by a pivot from
+    // one TakeOrderedAndProject — the frame itself is never globally
+    // sorted; summary-aggregated so tie sets stay engine-independent
+    "q151_partition2" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("tb"))
+      syntax.partition2(li, "v", "tb", 1000, "bk")
+        .filter(col("bk"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sv"))
     })
   )
 
@@ -3215,6 +3349,106 @@ object SparkEntry {
         |  round(asi * 100.0 / grand, 6) AS "ASIA",
         |  round(eu * 100.0 / grand, 6) AS "EUROPE",
         |  round(me * 100.0 / grand, 6) AS "MIDDLE_EAST"
-        |FROM body, tot ORDER BY 1""".stripMargin
+        |FROM body, tot ORDER BY 1""".stripMargin,
+
+    "q145_bday_shift" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+        |    DATE '2002-12-31', INTERVAL 1 DAY)) AS DATE) AS d),
+        |flags AS (
+        |  SELECT d, (dayofweek(d) NOT IN (0, 6) AND
+        |    strftime(d, '%m-%d') NOT IN ('01-01','07-04','12-25','12-26')) AS is_b
+        |  FROM days),
+        |idx AS (
+        |  SELECT d, is_b,
+        |    SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY d) AS bidx
+        |  FROM flags),
+        |r AS (SELECT d, bidx + CASE WHEN is_b THEN 0 ELSE 1 END AS rfi FROM idx),
+        |bd AS (SELECT bidx AS ti, d AS td FROM idx WHERE is_b),
+        |a AS (SELECT rfi AS ai FROM r WHERE d = DATE '1998-06-01')
+        |SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,
+        |  nb.td AS next_b, s5.td AS shift5,
+        |  CAST(ro.rfi - a.ai AS BIGINT) AS bdiff
+        |FROM orders o
+        |JOIN r ro ON CAST(o.o_orderdate AS DATE) = ro.d
+        |JOIN bd nb ON nb.ti = ro.rfi
+        |JOIN bd s5 ON s5.ti = ro.rfi + 5
+        |CROSS JOIN a
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q146_tpch_q21" ->
+      """WITH le AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM le l1
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM le l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM le l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.late)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 50""".stripMargin,
+
+    "q147_tpch_q22" ->
+      """WITH ab AS (SELECT avg(c_acctbal) AS v FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c, ab
+        |WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |  AND c.c_acctbal > ab.v
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q148_accum_cols" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS k, sum(l_quantity) AS sq,
+        |    sum(l_extendedprice) AS sp, count(l_extendedprice) AS cp,
+        |    sum(l_extendedprice * l_discount) AS sn, sum(l_extendedprice) AS sd,
+        |    sum(CASE WHEN l_quantity > 25 THEN l_quantity END) AS hq
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'Total', sum(l_quantity), sum(l_extendedprice),
+        |    count(l_extendedprice), sum(l_extendedprice * l_discount),
+        |    sum(l_extendedprice),
+        |    sum(CASE WHEN l_quantity > 25 THEN l_quantity END)
+        |  FROM lineitem),
+        |tot AS (SELECT sum(l_quantity) AS tq FROM lineitem)
+        |SELECT k AS l_returnflag, round(sq, 4) AS sum_qty,
+        |  round(sp / cp, 6) AS avg_price,
+        |  round(sn / sd, 6) AS disc_ratio,
+        |  round(sq * 100.0 / tot.tq, 6) AS qty_pct,
+        |  round(hq, 4) AS hi_qty_sum
+        |FROM g, tot ORDER BY 1""".stripMargin,
+
+    "q149_apply_batch" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q150_merge_indices" ->
+      """WITH li AS (SELECT o_custkey,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS left_index
+        |  FROM orders),
+        |ri AS (SELECT c_custkey,
+        |    row_number() OVER (ORDER BY c_custkey) - 1 AS right_index
+        |  FROM customer)
+        |SELECT li.left_index, ri.right_index
+        |FROM li JOIN ri ON li.o_custkey = ri.c_custkey
+        |ORDER BY left_index, right_index""".stripMargin,
+
+    "q151_partition2" ->
+      """WITH t AS (SELECT l_extendedprice AS v,
+        |    l_orderkey * 100 + l_linenumber AS tb FROM lineitem),
+        |p AS (SELECT v, tb FROM t ORDER BY v, tb LIMIT 1 OFFSET 999)
+        |SELECT count(*) AS n, round(sum(t.v), 4) AS sv
+        |FROM t, p
+        |WHERE t.v < p.v OR (t.v = p.v AND t.tb <= p.tb)""".stripMargin
   )
 }

@@ -39,6 +39,59 @@ object Tables {
       .toSeq.toDF("column", "dtype", "nullable", "n_rows")
   }
 
+  /** Sentinel↔null IO compatibility shim (SURVEY §4.3). Riptable
+    * persists invalid values as per-dtype sentinels
+    * (`riptable/rt_enum.py:88` INVALID_DICT: int8 −128, int16 −32768,
+    * int32/int64 MIN, float NaN, str ""); Spark's invalid is null.
+    * `fromSentinels` nullifies sentinels on data read FROM a
+    * riptable-written store; `toSentinels` re-materializes them for
+    * data written back. Pure codegen'd projections — scan-speed, no
+    * shuffle. Strings are opt-in ("" is a legitimate value in many
+    * corpora; riptable's str invalid is "" so the mapping is lossy).
+    */
+  def fromSentinels(df: DataFrame, includeStrings: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when, isnan, lit}
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val cleaned = f.dataType match {
+        case ByteType => when(c === lit(Byte.MinValue), lit(null)).otherwise(c)
+        case ShortType => when(c === lit(Short.MinValue), lit(null)).otherwise(c)
+        case IntegerType => when(c === lit(Int.MinValue), lit(null)).otherwise(c)
+        case LongType => when(c === lit(Long.MinValue), lit(null)).otherwise(c)
+        case FloatType | DoubleType => when(isnan(c), lit(null)).otherwise(c)
+        case StringType if includeStrings => when(c === "", lit(null)).otherwise(c)
+        case _ => c
+      }
+      cleaned.cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Inverse of fromSentinels: null → the riptable sentinel for the
+    * column's dtype, making the frame safe to hand to a sentinel-reading
+    * consumer.
+    */
+  def toSentinels(df: DataFrame, includeStrings: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val filled = f.dataType match {
+        case ByteType => coalesce(c, lit(Byte.MinValue))
+        case ShortType => coalesce(c, lit(Short.MinValue))
+        case IntegerType => coalesce(c, lit(Int.MinValue))
+        case LongType => coalesce(c, lit(Long.MinValue))
+        case FloatType => coalesce(c, lit(Float.NaN))
+        case DoubleType => coalesce(c, lit(Double.NaN))
+        case StringType if includeStrings => coalesce(c, lit(""))
+        case _ => c
+      }
+      filled.cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

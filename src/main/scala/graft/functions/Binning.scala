@@ -34,12 +34,25 @@ object Binning {
 
   /** qcut (rt_bin.py:155): quantile bins → ntile over a global order.
     * Exact equal-count semantics, but the global sort funnels through a
-    * single task — use `qcutBoundaries` at scale.
+    * single task — so the exact path is SIZE-GUARDED: above
+    * `maxExactRows` the call routes through `qcutBoundaries` (one
+    * map-side-combined percentile aggregate, broadcast back; ties may
+    * unbalance bins slightly, and `tiebreak` is moot) with a warning,
+    * instead of handing a fact table to one window task.
     */
   def qcut(df: DataFrame, valueCol: String, tiebreak: String, q: Int,
-           out: String = "bin"): DataFrame = {
-    val w = Window.orderBy(col(valueCol), col(tiebreak))
-    df.withColumn(out, ntile(q).over(w))
+           out: String = "bin", maxExactRows: Long = 1000000L): DataFrame = {
+    val n = df.count()
+    if (n > maxExactRows) {
+      org.slf4j.LoggerFactory.getLogger("graft.functions.Binning")
+        .warn(s"qcut: $n rows > maxExactRows=$maxExactRows — routing through " +
+          "qcutBoundaries (boundary binning; exact equal-count needs a " +
+          "single-task global sort)")
+      qcutBoundaries(df, valueCol, q, out)
+    } else {
+      val w = Window.orderBy(col(valueCol), col(tiebreak))
+      df.withColumn(out, ntile(q).over(w))
+    }
   }
 
   /** searchsorted (rt_numpy.py:701, numpy semantics): insertion index of

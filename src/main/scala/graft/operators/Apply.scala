@@ -65,6 +65,27 @@ object Apply {
     spark.udf.register("rip_geomean", geoMeanUdaf)
   }
 
+  /** Vectorized-batch escape hatch — the apply_pandas analog
+    * (`rt_dataset.py:7292` Dataset.apply with a whole-table function;
+    * `rt_fastarray.py:5476` FastArray.apply_pandas). The user function
+    * sees a BATCH of rows at a time (amortizing per-call overhead the
+    * way Arrow batches do for pandas UDFs) and returns the transformed
+    * batch; batches stream through `mapPartitions`, so per-task memory
+    * is bounded by `batchSize`, not the partition. This is the same
+    * lifecycle `mapInArrow`/`mapInPandas` gives Python users — minus
+    * the serialization hop, since the function is JVM-side.
+    *
+    * Prefer Column expressions (codegen, optimizer-visible) for
+    * anything expressible; this is the bridge for existing black-box
+    * row logic — exactly the stance the reference takes with
+    * apply_pandas ("escape to pandas when you must").
+    */
+  def applyBatched(df: DataFrame, outSchema: StructType,
+                   batchSize: Int = 1024)(fn: Seq[Row] => Seq[Row]): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    df.mapPartitions(_.grouped(batchSize).flatMap(fn))(Encoders.row(outSchema))
+  }
+
   /** apply_nonreduce (rt_groupbyops.py:462): a user scan function over
     * each group in time order producing one double per row. Same
     * distributed shape as Ema: repartition + sortWithinPartitions +

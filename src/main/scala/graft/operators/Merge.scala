@@ -142,6 +142,39 @@ object Merge {
       .withColumn("ismember", col("ismember_index").isNotNull)
   }
 
+  /** merge_indices (`riptable/rt_merge.py:2080`): the join PLAN as data
+    * — instead of materializing merged columns, return one row per
+    * output row of the equivalent merge2 carrying the source ROW
+    * POSITIONS (0-based under each side's declared total order; null
+    * where a side doesn't participate, like JoinIndices' invalid
+    * entries). Row positions use the same distributed
+    * sort + zipWithIndex shape as ismemberIndex — no single-partition
+    * window, both sides may be fact-sized.
+    */
+  def mergeIndices(left: DataFrame, right: DataFrame, on: Seq[String],
+                   how: String = "left",
+                   leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
+    require(Seq("left", "right", "inner", "outer").contains(how),
+      s"merge_indices: how must be left|right|inner|outer, got $how")
+    def positions(df: DataFrame, ord: Seq[Column], out: String): DataFrame = {
+      val spark = df.sparkSession
+      val sorted = df.orderBy(ord: _*)
+      val schema = sorted.schema.add(out, org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }, schema)
+    }
+    val li = positions(left, leftOrder, "left_index")
+      .select((on.map(col) :+ col("left_index")): _*)
+    val ri = positions(right, rightOrder, "right_index")
+      .select((on.map(col) :+ col("right_index")): _*)
+    li.join(ri, on, how match {
+      case "outer" => "full_outer"
+      case h => h
+    }).select(col("left_index"), col("right_index"))
+  }
+
   private def dedupeKeep(df: DataFrame, on: Seq[String], keep: String,
                          orderCols: Seq[String] = Nil): DataFrame = {
     val nonKey = df.columns.filterNot(on.contains).toSeq

@@ -68,11 +68,18 @@ object Reshape {
     * that index null-fills the shorter side (riptable's invalid-fill).
     * Positional alignment is inherently a global order — a single-
     * partition window — so this is a display/small-frame op at scale,
-    * like transpose; keyed joins are the scalable path.
+    * like transpose, and carries the same hard `maxRows` guard: keyed
+    * joins are the scalable path, and the error keeps the footgun
+    * visible instead of funneling a fact table through one task.
     */
   def concatColumns(left: DataFrame, right: DataFrame,
-                    leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
+                    leftOrder: Seq[Column], rightOrder: Seq[Column],
+                    maxRows: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (nl, nr) = (left.count(), right.count())
+    require(nl <= maxRows && nr <= maxRows,
+      s"concatColumns is positional (single-task global sort) — " +
+        s"sides have $nl/$nr rows, max $maxRows; join on a key instead")
     def indexed(df: DataFrame, ord: Seq[Column]) =
       df.withColumn("__rn", row_number().over(Window.orderBy(ord: _*)))
     indexed(left, leftOrder)
@@ -106,6 +113,80 @@ object Reshape {
       valueCols.map(c => col(c).cast("double").as(c))): _*)
       .unpivot(Array(col("__label")), valueCols.map(col).toArray, "column", "value")
     long.groupBy(col("column")).pivot("__label", labels).agg(first(col("value")))
+  }
+
+  /** One measure column of an accum_cols table (rt_accumtable.py:1326).
+    *  - plain:       func(value) per group            (val_list entry)
+    *  - ratio:       func(num) / func(den) per group  ([num, den] entry)
+    *  - pct:         func(value) · 100 / whole-table func ([v, "p"])
+    * `func` ∈ sum | mean | min | max | count; `filter` is the entry's
+    * per-measure filt_list mask.
+    */
+  case class AccumColSpec(name: String, num: Column,
+                          den: Option[Column] = None, pct: Boolean = false,
+                          func: String = "sum", filter: Option[Column] = None)
+
+  /** accum_cols (rt_accumtable.py:1326): multi-measure grouped table
+    * with a Total footer row. ONE shuffle: all measures decompose into
+    * sum/count/min/max partials computed in a single groupBy over the
+    * fact table; the Total row RECOMBINES those partials from the
+    * (group-count-sized) result — never a second fact scan — which is
+    * also why `mean` is carried as a sum+count pair internally. Percent
+    * measures divide by the recombined whole-table value (broadcast,
+    * one row).
+    */
+  def accumCols(df: DataFrame, by: String, specs: Seq[AccumColSpec],
+                totalLabel: String = "Total"): DataFrame = {
+    require(specs.nonEmpty, "accumCols needs at least one measure")
+    val funcs = Set("sum", "mean", "min", "max", "count")
+    specs.foreach(sp => require(funcs(sp.func), s"unsupported func ${sp.func}"))
+    // partial aggregates per (spec, side): sum+count for sum/mean/count,
+    // min/max for min/max — all recombinable group-frame-side
+    def masked(c: Column, f: Option[Column]) = f.map(m => when(m, c)).getOrElse(c)
+    val partials = specs.zipWithIndex.flatMap { case (sp, i) =>
+      def parts(tag: String, c: Column) = sp.func match {
+        case "min" => Seq(min(c).as(s"__${tag}_min_$i"))
+        case "max" => Seq(max(c).as(s"__${tag}_max_$i"))
+        case "count" => Seq(count(c).as(s"__${tag}_cnt_$i"))
+        case _ => Seq(sum(c).as(s"__${tag}_sum_$i"), count(c).as(s"__${tag}_cnt_$i"))
+      }
+      parts("n", masked(sp.num, sp.filter)) ++
+        sp.den.toSeq.flatMap(d => parts("d", masked(d, sp.filter)))
+    }
+    val grouped = df.groupBy(col(by).cast("string").as(by))
+      .agg(partials.head, partials.tail: _*)
+    // Total row: recombine partials (sum of sums/counts, min of mins …)
+    val recombine = grouped.columns.filterNot(_ == by).map { c =>
+      (if (c.contains("_min_")) min(col(c))
+       else if (c.contains("_max_")) max(col(c)) else sum(col(c))).as(c)
+    }.toSeq
+    val total = grouped.groupBy().agg(recombine.head, recombine.tail: _*)
+      .withColumn(by, lit(totalLabel))
+    val all = grouped.unionByName(total)
+    def eval(tag: String, i: Int, func: String): Column = func match {
+      case "min" => col(s"__${tag}_min_$i")
+      case "max" => col(s"__${tag}_max_$i")
+      case "count" => col(s"__${tag}_cnt_$i").cast("double")
+      case "mean" => col(s"__${tag}_sum_$i") / col(s"__${tag}_cnt_$i")
+      case _ => col(s"__${tag}_sum_$i")
+    }
+    val withPct =
+      if (!specs.exists(_.pct)) all
+      else {
+        // whole-table values for pct denominators ride the Total row;
+        // broadcast it back as one row
+        val tot = all.filter(col(by) === totalLabel)
+          .select(specs.zipWithIndex.collect { case (sp, i) if sp.pct =>
+            eval("n", i, sp.func).as(s"__tot_$i")
+          }: _*)
+        all.crossJoin(broadcast(tot))
+      }
+    val measures = specs.zipWithIndex.map { case (sp, i) =>
+      val v = eval("n", i, sp.func)
+      (if (sp.pct) v * 100.0 / col(s"__tot_$i")
+       else sp.den.map(_ => v / eval("d", i, sp.func)).getOrElse(v)).as(sp.name)
+    }
+    withPct.select((col(by) +: measures): _*)
   }
 
   /** AccumTable.accum_ratio (rt_accumtable.py:722): elementwise ratio of

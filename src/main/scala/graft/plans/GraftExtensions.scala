@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
 
 /** Session extension installing graft's native Catalyst functions.
   *
@@ -20,27 +20,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rip_ema_decay"),
       new ExpressionInfo(classOf[EmaDecay].getName, "rip_ema_decay"),
       (children: Seq[Expression]) => {
-        require(children.length == 3,
-          "rip_ema_decay(value, time, rate) takes exactly 3 arguments")
+        require(children.length == 3 || children.length == 5,
+          "rip_ema_decay(value, time, rate[, filter, reset]) takes 3 or 5 arguments")
         EmaDecay(Cast(children(0), DoubleType), Cast(children(1), LongType),
-          Cast(children(2), DoubleType))
+          Cast(children(2), DoubleType),
+          if (children.length == 5) Cast(children(3), BooleanType) else Literal(true),
+          if (children.length == 5) Cast(children(4), BooleanType) else Literal(false))
       }))
     ext.injectFunction((
       new FunctionIdentifier("rip_ema_normal"),
       new ExpressionInfo(classOf[EmaNormal].getName, "rip_ema_normal"),
       (children: Seq[Expression]) => {
-        require(children.length == 3,
-          "rip_ema_normal(value, time, rate) takes exactly 3 arguments")
+        require(children.length == 3 || children.length == 5,
+          "rip_ema_normal(value, time, rate[, filter, reset]) takes 3 or 5 arguments")
         EmaNormal(Cast(children(0), DoubleType), Cast(children(1), LongType),
-          Cast(children(2), DoubleType))
+          Cast(children(2), DoubleType),
+          if (children.length == 5) Cast(children(3), BooleanType) else Literal(true),
+          if (children.length == 5) Cast(children(4), BooleanType) else Literal(false))
       }))
     ext.injectFunction((
       new FunctionIdentifier("rip_ema_weighted"),
       new ExpressionInfo(classOf[EmaWeighted].getName, "rip_ema_weighted"),
       (children: Seq[Expression]) => {
-        require(children.length == 2,
-          "rip_ema_weighted(value, alpha) takes exactly 2 arguments")
-        EmaWeighted(Cast(children(0), DoubleType), Cast(children(1), DoubleType))
+        require(children.length == 2 || children.length == 4,
+          "rip_ema_weighted(value, alpha[, filter, reset]) takes 2 or 4 arguments")
+        EmaWeighted(Cast(children(0), DoubleType), Cast(children(1), DoubleType),
+          if (children.length == 4) Cast(children(2), BooleanType) else Literal(true),
+          if (children.length == 4) Cast(children(3), BooleanType) else Literal(false))
       }))
     ext.injectFunction((
       new FunctionIdentifier("rip_dot"),

@@ -244,4 +244,37 @@ object syntax {
       }, schema)
       .filter(col("__mask")).drop("__mask")
   }
+
+  /** partition2 (`rt_fastarray.py:2707`, np.partition semantics): split
+    * the frame at the k-th order statistic of (`valueCol`, `tiebreak`) —
+    * WHICH rows fall in the bottom k, not their order. Distributed as
+    * one TakeOrderedAndProject top-k (exactly k (value, tiebreak) pairs
+    * reach the driver — never a global sort of the frame), whose last
+    * element becomes a broadcast pivot for a codegen'd comparison flag.
+    * With a unique tiebreak, exactly min(k, n) rows flag true.
+    */
+  def partition2(df: DataFrame, valueCol: String, tiebreak: String, k: Int,
+                 out: String = "in_bottom_k"): DataFrame = {
+    require(k > 0, s"partition2: k must be positive, got $k")
+    val topK = df.select(col(valueCol).as("__v"), col(tiebreak).as("__t"))
+      .orderBy(col("__v"), col("__t")).limit(k).collect()
+    if (topK.length < k) df.withColumn(out, lit(true)) // frame smaller than k
+    else {
+      val pivot = topK.last
+      val (pv, pt) = (pivot.get(0), pivot.get(1))
+      df.withColumn(out,
+        col(valueCol) < lit(pv) ||
+          (col(valueCol) === lit(pv) && col(tiebreak) <= lit(pt)))
+    }
+  }
+
+  /** argpartition2 (`rt_fastarray.py:2716`): positions (under the
+    * declared total `order`, like bool_to_fancy) of the bottom-k rows —
+    * partition2's flag piped through the same distributed numbering.
+    */
+  def argpartition2(df: DataFrame, valueCol: String, tiebreak: String, k: Int,
+                    order: Seq[Column], out: String = "position"): DataFrame = {
+    val flagged = partition2(df, valueCol, tiebreak, k, "__bk")
+    boolToFancy(flagged, col("__bk"), order, out).drop("__bk")
+  }
 }

@@ -66,4 +66,21 @@ class IoSpec extends SparkSpec {
     assert(out.count() === 6)
     assert(out.filter($"k".isNull).count() === 3)
   }
+
+  test("sentinel shim: riptable invalids round-trip through null") {
+    val df = Seq(
+      (Int.MinValue, Long.MinValue, Double.NaN, ""),
+      (7, 8L, 9.5, "ok")).toDF("i", "l", "d", "s")
+    val nulled = Tables.fromSentinels(df, includeStrings = true)
+    val row0 = nulled.orderBy($"i".asc_nulls_first).head()
+    assert(row0.isNullAt(0) && row0.isNullAt(1) && row0.isNullAt(2) &&
+      row0.isNullAt(3))
+    val row1 = nulled.orderBy($"i".asc_nulls_first).collect()(1)
+    assert(row1.getInt(0) === 7 && row1.getString(3) === "ok")
+    // and back: nulls re-materialize as the dtype sentinels
+    val back = Tables.toSentinels(nulled, includeStrings = true)
+      .orderBy($"i".asc_nulls_first).head()
+    assert(back.getInt(0) === Int.MinValue && back.getLong(1) === Long.MinValue)
+    assert(back.getDouble(2).isNaN && back.getString(3) === "")
+  }
 }

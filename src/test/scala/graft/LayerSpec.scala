@@ -104,6 +104,39 @@ class LayerSpec extends SparkSpec {
     assert(stubbed.select("features").collect().forall(_.getSeq[Double](0).length === 8))
   }
 
+  test("ImageHeaderDecoder reads PNG and JPEG dimensions from raw bytes") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.put(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      b.putInt(13); b.put("IHDR".getBytes("US-ASCII"))
+      b.putInt(w); b.putInt(h)
+      b.put(Array[Byte](8, 6, 0, 0, 0)); b.putInt(0)
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      out ++= Seq(0xff, 0xd8).map(_.toByte)                  // SOI
+      out ++= Seq(0xff, 0xe0, 0x00, 0x10).map(_.toByte)      // APP0 len 16
+      out ++= Array.fill[Byte](14)(0)
+      out ++= Seq(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte) // SOF0, precision 8
+      out ++= Seq((h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff)
+        .map(_.toByte)
+      out ++= Array.fill[Byte](10)(0)
+      out.toArray
+    }
+    val df = Seq(
+      (1L, png(640, 480)), (2L, jpeg(1024, 768)),
+      (3L, "not an image".getBytes("UTF-8"))).toDF("id", "payload")
+      .repartition(2)
+    val out = Multimodal.decodeWith(df, "payload", new Multimodal.ImageHeaderDecoder)
+      .select($"id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) === Seq(1.0, 640.0, 480.0, 307200.0))
+    assert(out(2L) === Seq(2.0, 1024.0, 768.0, 786432.0))
+    assert(out(3L) === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("flattenNested expands nested structs with joined names") {
     import graft.syntax._
     val df = Seq((1, ("x", (2.0, true)))).toDF("id", "s")
@@ -145,5 +178,28 @@ class LayerSpec extends SparkSpec {
     val den = Seq(("a", 2.0, 5.0)).toDF("k", "x", "y")
     val out = Reshape.accumRatio(num, den, "k").as[(String, Double, Double)].head()
     assert(out === (("a", 5.0, 4.0)))
+  }
+
+  test("accumCols: plain/mean/ratio/pct/filtered measures + recombined Total") {
+    import graft.operators.Reshape
+    import graft.operators.Reshape.AccumColSpec
+    val df = Seq(
+      ("a", 1.0, 10.0), ("a", 3.0, 30.0),
+      ("b", 5.0, 20.0), ("b", 7.0, 40.0)).toDF("k", "v", "w")
+    val specs = Seq(
+      AccumColSpec("sv", col("v")),
+      AccumColSpec("mw", col("w"), func = "mean"),
+      AccumColSpec("r", col("v"), Some(col("w"))),
+      AccumColSpec("p", col("v"), pct = true),
+      AccumColSpec("mx", col("w"), func = "max"),
+      AccumColSpec("fs", col("v"), filter = Some(col("w") >= 30.0)))
+    val out = Reshape.accumCols(df, "k", specs)
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 4.0, 20.0, 0.1, 25.0, 30.0, 3.0)))
+    assert(out("b") === (("b", 12.0, 30.0, 0.2, 75.0, 40.0, 7.0)))
+    // Total row recombines: sum 16, mean 25 (NOT mean-of-means), ratio
+    // 16/100, pct 100, max 40, filtered sum 3+7
+    assert(out("Total") === (("Total", 16.0, 25.0, 0.16, 100.0, 40.0, 10.0)))
   }
 }

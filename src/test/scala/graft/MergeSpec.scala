@@ -120,4 +120,19 @@ class MergeSpec extends SparkSpec {
     assert(hinted.isEmpty, "ismember must not carry a broadcast hint")
     assert(out.filter($"ismember").count() === 4)
   }
+
+  test("mergeIndices returns source positions; outer null-fills like JoinIndices") {
+    val l = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("k", "lv")
+    val r = Seq((20L, 1.0), (40L, 2.0)).toDF("k", "rv")
+    val inner = Merge.mergeIndices(l, r, Seq("k"), "inner",
+      leftOrder = Seq($"k"), rightOrder = Seq($"k"))
+      .as[(Long, Long)].collect().toSet
+    assert(inner === Set((1L, 0L))) // k=20 is left pos 1, right pos 0
+    val outer = Merge.mergeIndices(l, r, Seq("k"), "outer",
+      leftOrder = Seq($"k"), rightOrder = Seq($"k"))
+      .as[(Option[Long], Option[Long])].collect().toSet
+    assert(outer === Set(
+      (Some(0L), None), (Some(1L), Some(0L)), (Some(2L), None),
+      (None, Some(1L))))
+  }
 }

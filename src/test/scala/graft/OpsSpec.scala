@@ -226,6 +226,63 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq(2.0, 6.0, 24.0, 5.0))
   }
 
+  test("partition2 flags exactly the bottom-k; argpartition2 gives positions") {
+    val df = (1 to 500).map(i => ((i * 7919) % 500 + 0.5, i.toLong))
+      .toDF("v", "id")
+    val flagged = syntax.partition2(df, "v", "id", 50, "bk")
+    val got = flagged.filter($"bk").select("v").as[Double].collect().sorted
+    val want = df.select("v").as[Double].collect().sorted.take(50)
+    assert(got.toSeq === want.toSeq)
+    // positions under the (v, id) order are 0..49 for the bottom 50
+    val pos = syntax.argpartition2(df, "v", "id", 50, Seq($"v", $"id"))
+      .select("position").as[Long].collect().sorted
+    assert(pos.toSeq === (0L until 50L))
+    // k larger than the frame: everything flags
+    assert(syntax.partition2(df, "v", "id", 5000, "bk")
+      .filter($"bk").count() === 500)
+  }
+
+  test("applyBatched matches the equivalent Column expression") {
+    import graft.operators.Apply
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    val df = (1 to 5000).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    val outSchema = df.schema.add("y", DoubleType)
+    val got = Apply.applyBatched(df, outSchema, batchSize = 256)(
+      _.map(r => Row(r.getLong(0), r.getDouble(1), r.getDouble(1) * 2.0 + 1.0)))
+      .select("id", "y").as[(Long, Double)].collect().toMap
+    val want = df.select($"id", ($"v" * 2.0 + 1.0).as("y"))
+      .as[(Long, Double)].collect().toMap
+    assert(got === want)
+    // batch boundaries don't drop or duplicate rows at non-divisible sizes
+    val odd = Apply.applyBatched(df, outSchema, batchSize = 999)(
+      _.map(r => Row(r.getLong(0), r.getDouble(1), 0.0)))
+    assert(odd.count() === 5000)
+  }
+
+  test("qcut routes to boundary binning above maxExactRows") {
+    val df = (1 to 1000).map(i => (i.toDouble * 1.3, i)).toDF("v", "id")
+    val routed = Binning.qcut(df, "v", "id", 4, "b", maxExactRows = 100)
+      .select($"id", $"b".cast("int").as("b"))
+    val bounds = Binning.qcutBoundaries(df, "v", 4, "b2")
+      .select($"id", $"b2".cast("int").as("b2"))
+    assert(routed.join(bounds, "id").filter($"b" =!= $"b2").count() === 0)
+    // below the guard the exact ntile path still runs (equal-count bins)
+    val exact = Binning.qcut(df, "v", "id", 4, "b")
+      .groupBy($"b").count().select($"count").as[Long].collect()
+    assert(exact.toSet === Set(250L))
+  }
+
+  test("concatColumns refuses fact-table-sized sides") {
+    import graft.operators.Reshape
+    val big = (1 to 100).map(i => (i.toLong, i)).toDF("x", "y")
+    val small = Seq(1L).toDF("b")
+    val e = intercept[IllegalArgumentException] {
+      Reshape.concatColumns(big, small, Seq($"x"), Seq($"b"), maxRows = 10)
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
   test("concatColumns zips positionally and null-fills the short side") {
     import graft.operators.Reshape
     val a = Seq("x", "y", "z").toDF("a")

@@ -205,4 +205,21 @@ class MiscOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("Q21/Q22 headliners: semi/anti joins are hash or sort-merge, never NLJ") {
+    val q21 = SparkEntry.queries("q146_tpch_q21")(spark, "/root/testdata/sf0.001")
+    q21.collect() // finalize AQE
+    val p21 = q21.queryExecution.executedPlan.toString
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21)
+    val q22 = SparkEntry.queries("q147_tpch_q22")(spark, "/root/testdata/sf0.001")
+    q22.collect()
+    val p22 = q22.queryExecution.executedPlan.toString
+    assert(p22.contains("LeftAnti"), p22)
+    // every semi/anti join line must be a hash or sort-merge join — a
+    // nested-loop anti join is the plan that dies at 100 TB (the 1-row
+    // broadcast average in Q22 is a cross join, which is fine)
+    for (p <- Seq(p21, p22); line <- p.split("\n")
+         if line.contains("LeftAnti") || line.contains("LeftSemi"))
+      assert(line.contains("HashJoin") || line.contains("SortMergeJoin"), line)
+  }
 }

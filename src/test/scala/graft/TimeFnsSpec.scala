@@ -102,4 +102,45 @@ class TimeFnsSpec extends SparkSpec {
     assert(out(2L)._2 === "11:30")  // 40000s = 11:06:40 -> (11:00,11:30]
     assert(out(3L)._2 === "post")
   }
+
+  test("BizCal shiftBday crosses a year-end holiday cluster like brute force") {
+    import graft.functions.BizCal
+    import java.time.LocalDate
+    // dense cluster: Xmas Eve/Day (Thu/Fri), weekend, the 28th (Mon),
+    // New Year's Eve (Thu) + New Year's Day (Fri), weekend
+    val hols = Seq("1998-12-24", "1998-12-25", "1998-12-28",
+      "1998-12-31", "1999-01-01")
+    val cal = BizCal.calendarDim(spark, "1998-12-01", "1999-01-31", hols)
+    val dates = Seq("1998-12-21", "1998-12-22", "1998-12-23", "1998-12-24",
+      "1998-12-26", "1998-12-29", "1998-12-30", "1998-12-31")
+    val df = dates.toDF("s").select($"s".cast("date").as("d"))
+    val got = BizCal.shiftBday(df, "d", 2, cal, "d2")
+      .select($"d".cast("string"), $"d2".cast("string"))
+      .as[(String, String)].collect().toMap
+    val holSet = hols.map(LocalDate.parse).toSet
+    def isB(x: LocalDate) = x.getDayOfWeek.getValue <= 5 && !holSet(x)
+    def nextB(x0: LocalDate) = { var x = x0; while (!isB(x)) x = x.plusDays(1); x }
+    def shift(s: String, n: Int): String = {
+      var c = nextB(LocalDate.parse(s))
+      (1 to n).foreach(_ => c = nextB(c.plusDays(1)))
+      c.toString
+    }
+    dates.foreach(d => assert(got(d) === shift(d, 2), s"shift($d, 2)"))
+  }
+
+  test("BizCal bdayDiff is a roll-forward index difference") {
+    import graft.functions.BizCal
+    val cal = BizCal.calendarDim(spark, "1998-12-01", "1999-01-31",
+      Seq("1998-12-25", "1999-01-01"))
+    val df = Seq(("1998-12-23", "1999-01-04")).toDF("a", "b")
+      .select($"a".cast("date").as("a"), $"b".cast("date").as("b"))
+    // biz days after 12-23 up to 01-04: 24, 28, 29, 30, 31, Jan 4 = 6
+    // (25 hol, 26-27 wknd, Jan 1 hol, 2-3 wknd)
+    val diff = BizCal.bdayDiff(df, "a", "b", cal, "n")
+      .select($"n").as[Long].head()
+    assert(diff === 6L)
+    // symmetric: reversed direction is the negative
+    val rev = BizCal.bdayDiff(df, "b", "a", cal, "n").select($"n").as[Long].head()
+    assert(rev === -6L)
+  }
 }
