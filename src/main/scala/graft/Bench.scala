@@ -51,7 +51,13 @@ object Bench {
     // where min-of-N hides genuine regressions) and the MIN alongside,
     // so a judge can separate code cost (min) from host weather
     // (median − min).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q130_tfidf,q28_jaccard — optional comma-set for
+    // isolated re-timing of suspect queries (debug aid, not the contract)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -87,7 +93,8 @@ object Bench {
       "q79_qcut_scale", "q82_ann_ivf", "q83_asof_exec", "q86_tpch_q3",
       "q87_tpch_q5", "q91_simhash_verified", "q99_apply_groups",
       "q119_dup_clusters", "q128_edit_distance", "q130_tfidf",
-      "q135_tpch_q6", "q136_tpch_q10")
+      "q135_tpch_q6", "q136_tpch_q10", "q145_bday_shift", "q146_tpch_q21",
+      "q149_apply_batch")
     val qs = results.collect { case (k, med, _, _) if headline(k) =>
       "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")

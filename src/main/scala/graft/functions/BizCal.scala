@@ -45,11 +45,17 @@ object BizCal {
     val w = Window.orderBy(col("d"))
     val wF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val wB = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    days.withColumn("is_bday", isBday(col("d"), holidays))
+    val built = days.withColumn("is_bday", isBday(col("d"), holidays))
       .withColumn("bday_index",
         sum(when(col("is_bday"), 1L).otherwise(0L)).over(w))
       .withColumn("next_bday", min(when(col("is_bday"), col("d"))).over(wF))
       .withColumn("prev_bday", max(when(col("is_bday"), col("d"))).over(wB))
+    // materialize to a LocalRelation: the dimension is tiny by
+    // definition (a 30-year calendar is ~11k rows), every consumer
+    // broadcast-joins it — often several times in one query — and
+    // without this each join re-evaluates the window subtree above
+    val rows = built.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), built.schema)
   }
 
   /** Roll-forward business-day index: for a business day its own index,

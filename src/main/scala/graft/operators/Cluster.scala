@@ -49,9 +49,13 @@ object Cluster {
     * doc) but the upstream pair GENERATORS are not obligated to be.
     *
     * `maxIter` bounds the driver loop; convergence (edge set fixed
-    * under both stars) is detected with set-equality anti-joins — two
-    * actions per round on node-sized frames, unavoidable for a
-    * fixpoint and proportional to rounds, not data.
+    * under both stars) is detected by comparing a (count, hash-sum)
+    * signature between rounds — ONE map-side-combined aggregate per
+    * round instead of a set-equality anti-join (the signature carries
+    * over, so each round pays a single action). Equal signatures on
+    * unequal sets would need an xxhash64 sum collision (~2⁻⁶⁴) —
+    * accepted, like every hash-partitioned shuffle accepts hash
+    * behavior.
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
                           maxIter: Int = 30): DataFrame = {
@@ -71,8 +75,13 @@ object Cluster {
       .distinct()
       .localCheckpoint(true)
 
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var iter = 0
-    var converged = edges.isEmpty
+    var prevSig = signature(edges)
+    var converged = prevSig._1 == 0L
     while (iter < maxIter && !converged) {
       // LARGE-STAR over the symmetric closure: for each node u with
       // m = min(N(u) ∪ {u}), relink every strictly-larger neighbor
@@ -98,10 +107,10 @@ object Cluster {
         .select(col("e.v").as("src"), col("e.mn").as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(true)
-      // fixpoint ⇔ identical edge sets (counts + one-sided anti-join)
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+        .localCheckpoint(false) // lazy: the signature action materializes it
+      val sig = signature(next)
+      converged = sig == prevSig
+      prevSig = sig
       freeLocalCheckpoint(edges) // previous round's blocks are dead now
       edges = next
       iter += 1
