@@ -336,4 +336,42 @@ class PropertySpec extends SparkSpec {
       assert(got === brute, s"trial=$trial nEdges=$nEdges")
     }
   }
+
+  test("BizCal shiftBday matches java.time brute force over random calendars") {
+    import graft.functions.BizCal
+    import java.time.LocalDate
+    val start = LocalDate.parse("2001-01-01")
+    for (trial <- 1 to 3; n <- Seq(0, 1, 5)) {
+      // random holiday set inside a 3-month window
+      val hols = (0 until 8).map(_ => start.plusDays(rng.nextInt(90)))
+        .distinct.map(_.toString)
+      val holSet = hols.map(LocalDate.parse).toSet
+      val cal = BizCal.calendarDim(spark, "2001-01-01", "2001-06-30", hols)
+      val dates = (0 until 25).map(_ => start.plusDays(rng.nextInt(75)).toString)
+      val df = dates.distinct.toDF("s").select($"s".cast("date").as("d"))
+      val got = BizCal.shiftBday(df, "d", n, cal, "out")
+        .select($"d".cast("string"), $"out".cast("string"))
+        .as[(String, String)].collect().toMap
+      def isB(x: LocalDate) =
+        x.getDayOfWeek.getValue <= 5 && !holSet(x)
+      def nextB(x0: LocalDate) = {
+        var x = x0; while (!isB(x)) x = x.plusDays(1); x }
+      dates.distinct.foreach { s =>
+        var c = nextB(LocalDate.parse(s))
+        (1 to n).foreach(_ => c = nextB(c.plusDays(1)))
+        assert(got(s) === c.toString, s"trial=$trial n=$n d=$s hols=$hols")
+      }
+    }
+  }
+
+  test("partition2 matches brute-force bottom-k over random frames") {
+    for (trial <- 1 to 3; k <- Seq(1, 17, 100)) {
+      val data = (0 until 400).map(i => (rng.nextInt(50).toDouble, i.toLong))
+      val df = data.toDF("v", "id")
+      val got = syntax.partition2(df, "v", "id", k, "bk")
+        .filter($"bk").select("v", "id").as[(Double, Long)].collect().toSet
+      val want = data.sortBy(identity).take(k).toSet
+      assert(got === want, s"trial=$trial k=$k")
+    }
+  }
 }
