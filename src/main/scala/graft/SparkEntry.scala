@@ -1742,6 +1742,24 @@ object SparkEntry {
       syntax.partition2(li, "v", "tb", 1000, "bk")
         .filter(col("bk"))
         .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sv"))
+    }),
+
+    // merge_cats (rt_grouping.py:136): two slices with different
+    // category dictionaries stacked under one unified dictionary —
+    // all dictionary joins broadcast, fact slices never shuffle
+    "q152_merge_cats" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+      val s1 = nat.filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey"), col("n_name"))
+      val s2 = nat.filter(col("n_regionkey").isin(1, 2))
+        .select(col("n_nationkey"), col("n_name"))
+      val (stackedDict, stacked) = Categorical.mergeCats(Seq(
+        (Categorical.encode(s1, "n_name"), Categorical.categories(s1, "n_name")),
+        (Categorical.encode(s2, "n_name"), Categorical.categories(s2, "n_name"))))
+      val _ = stackedDict
+      stacked.select(col("n_nationkey"), col("n_name"),
+        col("code").cast("long").as("code"))
+        .orderBy(col("n_nationkey"))
     })
   )
 
@@ -3449,6 +3467,17 @@ object SparkEntry {
         |p AS (SELECT v, tb FROM t ORDER BY v, tb LIMIT 1 OFFSET 999)
         |SELECT count(*) AS n, round(sum(t.v), 4) AS sv
         |FROM t, p
-        |WHERE t.v < p.v OR (t.v = p.v AND t.tb <= p.tb)""".stripMargin
+        |WHERE t.v < p.v OR (t.v = p.v AND t.tb <= p.tb)""".stripMargin,
+
+    "q152_merge_cats" ->
+      """WITH s1 AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0),
+        |s2 AS (SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_regionkey IN (1, 2)),
+        |allrows AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        |u AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS code
+        |  FROM (SELECT DISTINCT n_name FROM allrows))
+        |SELECT b.n_nationkey, b.n_name, u.code
+        |FROM allrows b JOIN u USING (n_name)
+        |ORDER BY n_nationkey""".stripMargin
   )
 }

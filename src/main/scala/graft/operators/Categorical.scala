@@ -72,6 +72,40 @@ object Categorical {
     df.select(keyCols.map(col): _*).na.drop().distinct()
       .withColumn("code", row_number().over(Window.orderBy(keyCols.map(col): _*)))
 
+  /** merge_cats (`riptable/rt_grouping.py:136`): hstack Categoricals
+    * that carry DIFFERENT dictionaries — e.g. slices of a stacked
+    * multi-file load where file 1 saw categories (A, C) and file 2 saw
+    * (B, C, D). Builds the unified dictionary (sorted distinct union of
+    * the slice dictionaries, 1-based; 0 stays the Filtered code) and
+    * remaps every slice's codes through old-code → label → new-code.
+    *
+    * Input: (codedFrame, dictionary) pairs, the dictionary as produced
+    * by `categories` (label column first, then `code`). Returns the
+    * unified dictionary and the remapped, name-aligned union of the
+    * slices (missing columns null-filled, riptable's invalid-fill).
+    * All dictionary joins broadcast — the fact slices never shuffle.
+    */
+  def mergeCats(slices: Seq[(DataFrame, DataFrame)],
+                codeCol: String = "code"): (DataFrame, DataFrame) = {
+    require(slices.nonEmpty, "mergeCats needs at least one slice")
+    val labelCols = slices.map(_._2.columns.head)
+    val unified = slices.map { case (_, d) =>
+      d.select(col(d.columns.head).as("__label"))
+    }.reduce(_ unionByName _).distinct()
+      .withColumn(codeCol, row_number().over(Window.orderBy(col("__label"))))
+    val remapped = slices.zip(labelCols).map { case ((df, dict), labelCol) =>
+      val old = dict.select(col(labelCol).as("__label"),
+        col(codeCol).as("__old"))
+      val newd = unified.select(col("__label"), col(codeCol).as("__new"))
+      df.withColumnRenamed(codeCol, "__old")
+        .join(broadcast(old), Seq("__old"), "left")
+        .join(broadcast(newd), Seq("__label"), "left")
+        .withColumn(codeCol, coalesce(col("__new"), lit(0))) // 0 = Filtered
+        .drop("__old", "__label", "__new")
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    (unified.withColumnRenamed("__label", labelCols.head), remapped)
+  }
+
   /** shift_cat (rt_categorical.py:3336): lag the key column per group. */
   def shiftCat(df: DataFrame, keyCol: String, by: Seq[String],
                order: Seq[Column], n: Int = 1, out: String = "shifted"): DataFrame =

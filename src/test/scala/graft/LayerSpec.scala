@@ -104,6 +104,27 @@ class LayerSpec extends SparkSpec {
     assert(stubbed.select("features").collect().forall(_.getSeq[Double](0).length === 8))
   }
 
+  test("mergeCats unifies slice dictionaries and remaps codes") {
+    import graft.operators.Categorical
+    // the rt_grouping.py:136 docstring example: file 1 saw (A, C),
+    // file 2 saw (B, C, D) — unified dict A,B,C,D with slice codes
+    // remapped through labels
+    val s1 = Seq((10L, "A"), (11L, "C")).toDF("id", "k")
+    val s2 = Seq((20L, "B"), (21L, "C"), (22L, "D"), (23L, null))
+      .toDF("id", "k")
+    val (c1, d1) = (Categorical.encode(s1, "k"), Categorical.categories(s1, "k"))
+    val (c2, d2) = (Categorical.encode(s2, "k"), Categorical.categories(s2, "k"))
+    // sanity: per-slice codes are local (C is 2 in both slices)
+    assert(c1.filter($"k" === "C").select("code").as[Int].head() === 2)
+    assert(c2.filter($"k" === "C").select("code").as[Int].head() === 2)
+    val (dict, stacked) = Categorical.mergeCats(Seq((c1, d1), (c2, d2)))
+    val d = dict.as[(String, Int)].collect().toMap
+    assert(d === Map("A" -> 1, "B" -> 2, "C" -> 3, "D" -> 4))
+    val got = stacked.select("id", "code").as[(Long, Int)].collect().toMap
+    assert(got === Map(10L -> 1, 11L -> 3, 20L -> 2, 21L -> 3, 22L -> 4,
+      23L -> 0)) // filtered/null keeps code 0
+  }
+
   test("ImageHeaderDecoder reads PNG and JPEG dimensions from raw bytes") {
     def png(w: Int, h: Int): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(33)
