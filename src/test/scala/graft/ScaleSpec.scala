@@ -206,6 +206,18 @@ class MiscOpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("bday-shift query: calendar joins all broadcast, fact side never shuffles pre-sort") {
+    val df = SparkEntry.queries("q145_bday_shift")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // every calendar join must be a broadcast (hash or 1-row NLJ) —
+    // a shuffled join against an 11k-row dimension would be wrong at
+    // any scale; the only Exchange allowed is the final orderBy sort
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("Q21/Q22 headliners: semi/anti joins are hash or sort-merge, never NLJ") {
     val q21 = SparkEntry.queries("q146_tpch_q21")(spark, "/root/testdata/sf0.001")
     q21.collect() // finalize AQE
