@@ -15,14 +15,19 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.operators.Apply.registerAll(spark)
     val targets = if (names == Seq("all")) SparkEntry.queries.keys.toSeq.sorted else names
     targets.foreach { n =>
       println(s"==== $n ====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable =>
+        println(s"EXPLAIN-ERROR: ${e.getClass.getSimpleName}: ${e.getMessage}") }
     }
     spark.stop()
   }
