@@ -33,6 +33,20 @@ class StreamingSpec extends SparkSpec {
     spark.readStream.schema(schemaFrom.schema).parquet(dir + "/in")
   }
 
+  test("stream-static enrichment matches the batch join (stateless)") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamOps.streamStaticEnrich(streamIn, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT event_id, tier FROM enriched")
+      .as[(Long, String)].collect().toMap
+    val want = spark.read.parquet(dir + "/in").join(dim, Seq("user_id"), "left")
+      .select($"event_id", $"tier").as[(Long, String)].collect().toMap
+    assert(got === want && got.size === 5)
+  }
+
   test("windowed aggregation over a replayed stream") {
     val q = StreamOps.windowedAgg(streamIn, "5 minutes", "10 minutes")
       .writeStream.format("memory").queryName("win_agg")
