@@ -37,4 +37,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+UseG1GC",
-)
+) ++
+  // SPARK_GRAFT_GCLOG=/tmp/gc.log — opt-in GC log for separating GC
+  // pauses from host noise when a bench query spikes unexpectedly
+  sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc*:file=$f").toSeq

@@ -58,6 +58,12 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // JMH-style hygiene: collect garbage BETWEEN queries (outside any
+      // timed window) so a heap built up by query N's allocations is not
+      // paid as a multi-second roaming GC pause inside query N+1's
+      // timings — observed as 3-20x min-of-3 spikes that MOVE between
+      // queries across otherwise-identical runs.
+      System.gc()
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -1760,6 +1760,72 @@ object SparkEntry {
       stacked.select(col("n_nationkey"), col("n_name"),
         col("code").cast("long").as("code"))
         .orderBy(col("n_nationkey"))
+    }),
+
+    // TPC-H Q17 shape (correlated scalar subquery): small-quantity
+    // orders for one brand vs 0.2× that part's average quantity. The
+    // decorrelated plan is the one that survives 100 TB: per-part avg
+    // is ONE partial-aggregated shuffle of (partkey, sum, count); the
+    // filtered brand side joins it on partkey; the part dim broadcasts
+    "q153_tpch_q17" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val avgQty = li.groupBy(col("l_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("__thresh"))
+      li.join(broadcast(brandParts),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgQty, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("__thresh"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders, HAVING pushed to a
+    // semi-filterable aggregate): sum lineitem qty per order FIRST (one
+    // keyed shuffle, map-side combined), keep >300, then enrich with
+    // orders + customer. The big-to-big join stays keyed on orderkey;
+    // the qualifying set after HAVING is tiny → AQE broadcasts it
+    "q154_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") >= 300)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q20 shape (nested semi-joins over an aggregated subquery;
+    // no partsupp in the synthetic schema, so "availability" is the
+    // 1997 shipped quantity per (part, supplier)): suppliers who
+    // shipped >1.5× the per-part average of any 'red%' part. Both
+    // aggregates key on partkey; the part-name filter broadcasts; the
+    // final supplier lookup is a semi-join on a distinct-reduced set
+    "q155_tpch_q20" -> ((s, dir) => {
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+      val perPartAvg = shipped.groupBy(col("l_partkey"))
+        .agg(avg(col("sq")).as("aq"))
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").like("red%")).select(col("p_partkey"))
+      val excess = shipped
+        .join(perPartAvg, Seq("l_partkey"))
+        .filter(col("sq") > col("aq") * 1.5)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy(col("s_name"))
     })
   )
 
@@ -3478,6 +3544,43 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT n_name FROM allrows))
         |SELECT b.n_nationkey, b.n_name, u.code
         |FROM allrows b JOIN u USING (n_name)
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q153_tpch_q17" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q154_tpch_q18" ->
+      """SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |  big.sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) >= 300) big
+        |JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q155_tpch_q20" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  GROUP BY 1, 2),
+        |ppa AS (SELECT l_partkey, avg(sq) AS aq FROM shipped GROUP BY 1)
+        |SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT sh.l_suppkey
+        |  FROM shipped sh
+        |  JOIN ppa ON ppa.l_partkey = sh.l_partkey
+        |  WHERE sh.sq > ppa.aq * 1.5
+        |    AND sh.l_partkey IN (SELECT p_partkey FROM part
+        |      WHERE p_name LIKE 'red%'))
+        |ORDER BY s.s_name""".stripMargin
   )
 }
