@@ -234,4 +234,34 @@ class MiscOpsSpec extends SparkSpec {
          if line.contains("LeftAnti") || line.contains("LeftSemi"))
       assert(line.contains("HashJoin") || line.contains("SortMergeJoin"), line)
   }
+
+  test("Q17/Q18/Q20 headliners: decorrelated aggregates, no NLJ, dims broadcast") {
+    // Q17: the per-part average must be a pre-join HashAggregate (the
+    // decorrelated shape), the brand dim a broadcast, and nothing NLJ
+    val q17 = SparkEntry.queries("q153_tpch_q17")(spark, "/root/testdata/sf0.001")
+    q17.collect()
+    val p17 = q17.queryExecution.executedPlan.toString
+    assert(p17.contains("BroadcastHashJoin"), p17)
+    assert(p17.contains("HashAggregate"), p17)
+    assert(!p17.contains("CartesianProduct") &&
+      !p17.contains("BroadcastNestedLoopJoin"), p17)
+    // Q18: the HAVING aggregate must sit BELOW the orders join (lineitem
+    // reduces to qualifying orderkeys before any enrichment join)
+    val q18 = SparkEntry.queries("q154_tpch_q18")(spark, "/root/testdata/sf0.001")
+    q18.collect()
+    val p18 = q18.queryExecution.executedPlan.toString
+    assert(p18.contains("HashAggregate"), p18)
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+    assert(!p18.contains("CartesianProduct") &&
+      !p18.contains("BroadcastNestedLoopJoin"), p18)
+    // Q20: both semi-joins must be hash/sort-merge — never nested-loop
+    val q20 = SparkEntry.queries("q155_tpch_q20")(spark, "/root/testdata/sf0.001")
+    q20.collect()
+    val p20 = q20.queryExecution.executedPlan.toString
+    assert(p20.contains("LeftSemi"), p20)
+    for (line <- p20.split("\n") if line.contains("LeftSemi"))
+      assert(line.contains("HashJoin") || line.contains("SortMergeJoin"), line)
+    assert(!p20.contains("CartesianProduct") &&
+      !p20.contains("BroadcastNestedLoopJoin"), p20)
+  }
 }
