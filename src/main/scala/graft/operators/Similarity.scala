@@ -78,7 +78,16 @@ object Similarity {
     * DuckDB oracle reproduces the exact signature, unlike a hash-seeded
     * plane). Projections accumulate in double, left-to-right.
     */
-  def lshSignature(vec: Column, bits: Int): Column = {
+  def lshSignature(vec: Column, bits: Int): Column =
+    call_function("rip_lsh_sig", vec, lit(bits))
+
+  /** The interpreted per-plane higher-order-function formulation
+    * rip_lsh_sig replaces — 2·bits interpreted array traversals per row
+    * (a `sequence` index array + a lambda chain per plane); kept as the
+    * cross-check twin (OpsSpec asserts bit equality, including the
+    * null-vector/null-element → 0 signature quirk both share).
+    */
+  def lshSignatureHof(vec: Column, bits: Int): Column = {
     val planes = (0 until bits).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

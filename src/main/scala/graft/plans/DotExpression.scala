@@ -1,7 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
@@ -79,4 +81,105 @@ case class RipDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RipDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** `rip_lsh_sig(vec, bits)`: the `bits`-plane random-hyperplane LSH
+  * signature of `Similarity.lshSignature` as ONE codegen'd pass over the
+  * vector. Plane p's weight for dimension d is the pure-LCG integer
+  *   w(p, d) = floorMod(1103515245·(131·p + d) + 12345, 2001) − 1000,
+  * each plane's projection accumulates left-to-right in double, and bit
+  * p is set iff its projection is > 0 — bit-identical to the
+  * `aggregate(zip_with(...))` per-plane formulation it replaces (kept as
+  * `Similarity.lshSignatureHof`, spec-asserted equal), which interprets
+  * its lambdas per element AND allocates a `sequence` index array per
+  * plane per row: 2·bits interpreted array traversals per row on both
+  * sides of the band self-join dominated the embedding near-dup pipeline.
+  *
+  * Null semantics mirror the HOF chain exactly: a null vector or any
+  * null element yields signature 0 (every plane's `when(null > 0)`
+  * falls to `otherwise(0)`), so the expression itself is never null.
+  */
+case class RipLshSig(child: Expression, bits: Int)
+  extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, s"rip_lsh_sig: bits must be in [1,63], got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val t = elemType
+    val accs = new Array[Double](bits)
+    var d = 0
+    while (d < n) {
+      if (a.isNullAt(d)) return 0L
+      val x = t match {
+        case FloatType   => a.getFloat(d).toDouble
+        case DoubleType  => a.getDouble(d)
+        case IntegerType => a.getInt(d).toDouble
+        case LongType    => a.getLong(d).toDouble
+        case other => throw new IllegalArgumentException(s"rip_lsh_sig: $other")
+      }
+      var p = 0
+      while (p < bits) {
+        accs(p) += x * (Math.floorMod(1103515245L * (131L * p + d) + 12345L, 2001L) - 1000L).toDouble
+        p += 1
+      }
+      d += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      if (accs(p) > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val a = c.value
+    val d = ctx.freshName("d")
+    val p = ctx.freshName("p")
+    val n = ctx.freshName("n")
+    val x = ctx.freshName("x")
+    val accs = ctx.freshName("accs")
+    val sig = ctx.freshName("sig")
+    val bad = ctx.freshName("bad")
+    val elemVal = CodeGenerator.getValue(a, elemType, d)
+    val resultCode =
+      code"""
+         |${c.code}
+         |long $sig = 0L;
+         |if (!${c.isNull}) {
+         |  int $n = $a.numElements();
+         |  boolean $bad = false;
+         |  double[] $accs = new double[$bits];
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    if ($a.isNullAt($d)) { $bad = true; break; }
+         |    double $x = (double)($elemVal);
+         |    for (int $p = 0; $p < $bits; $p++) {
+         |      $accs[$p] += $x * (double)(Math.floorMod(1103515245L * (131L * $p + $d) + 12345L, 2001L) - 1000L);
+         |    }
+         |  }
+         |  if (!$bad) {
+         |    for (int $p = 0; $p < $bits; $p++) {
+         |      if ($accs[$p] > 0.0) $sig |= (1L << $p);
+         |    }
+         |  }
+         |}
+         |final long ${ev.value} = $sig;
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RipLshSig =
+    copy(child = newChild)
 }

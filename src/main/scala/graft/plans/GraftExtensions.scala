@@ -56,6 +56,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RipDot(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("rip_lsh_sig"),
+      new ExpressionInfo(classOf[RipLshSig].getName, "rip_lsh_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "rip_lsh_sig(vec, bits) takes exactly 2 arguments")
+        val bits = children(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"rip_lsh_sig: bits must be an integer literal, got $other")
+        }
+        RipLshSig(children(0), bits)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rip_crc32c"),
       new ExpressionInfo(classOf[RipCrc32C].getName, "rip_crc32c"),
       (children: Seq[Expression]) => {

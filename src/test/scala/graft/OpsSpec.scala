@@ -145,6 +145,31 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq(None, Some(11.0)))
   }
 
+  test("rip_lsh_sig (codegen) equals the interpreted per-plane HOF signature") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    for (bits <- Seq(1, 8, 16)) {
+      val diff = emb.select(
+          Similarity.lshSignature($"embedding", bits).as("native"),
+          Similarity.lshSignatureHof($"embedding", bits).as("hof"))
+        .filter($"native" =!= $"hof").count()
+      assert(diff === 0, s"bits=$bits")
+    }
+    // shared quirk both formulations must keep: null vector and null
+    // element both collapse to signature 0 (per-plane when(null > 0)
+    // falls through to otherwise(0))
+    val odd = Seq(
+      (1L, null.asInstanceOf[Seq[java.lang.Float]]),
+      (2L, Seq[java.lang.Float](1.0f, null, 3.0f)),
+      (3L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f))
+    ).toDF("id", "v")
+    val out = odd.select($"id",
+        Similarity.lshSignature($"v", 8).as("n"),
+        Similarity.lshSignatureHof($"v", 8).as("h"))
+      .orderBy($"id").collect()
+    for (r <- out) assert(r.getLong(1) === r.getLong(2), s"id=${r.getLong(0)}")
+    assert(out(0).getLong(1) === 0L && out(1).getLong(1) === 0L)
+  }
+
   test("cosine similarity of identical vectors is 1") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
       (3L, Seq(-3.0f, 1.0f, 0.5f))).toDF("id", "vec")
