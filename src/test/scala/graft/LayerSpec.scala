@@ -158,6 +158,34 @@ class LayerSpec extends SparkSpec {
     assert(out(3L) === Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("WavHeaderDecoder reads rate/channels/duration from RIFF bytes") {
+    // minimal valid WAV: RIFF/WAVE + "fmt " (PCM, stereo, 44100 Hz,
+    // 16-bit) + "data" of 176400 bytes => exactly 1.0 s
+    def wav(rate: Int, channels: Int, bps: Int, dataLen: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")); b.putInt(36 + dataLen)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+      b.putShort(1.toShort); b.putShort(channels.toShort)
+      b.putInt(rate); b.putInt(rate * channels * bps / 8)
+      b.putShort((channels * bps / 8).toShort); b.putShort(bps.toShort)
+      b.put("data".getBytes("US-ASCII")); b.putInt(dataLen)
+      b.array() // header only — the decoder needs no payload bytes
+    }
+    val df = Seq(
+      (1L, wav(44100, 2, 16, 176400)),
+      (2L, wav(16000, 1, 16, 64000)),
+      (3L, "not audio".getBytes("UTF-8"))).toDF("id", "payload")
+      .repartition(2)
+    val out = Multimodal.decodeWith(df, "payload", new Multimodal.WavHeaderDecoder)
+      .select($"id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) === Seq(3.0, 44100.0, 2.0, 1.0))
+    assert(out(2L) === Seq(3.0, 16000.0, 1.0, 2.0))
+    assert(out(3L) === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("flattenNested expands nested structs with joined names") {
     import graft.syntax._
     val df = Seq((1, ("x", (2.0, true)))).toDF("id", "s")
