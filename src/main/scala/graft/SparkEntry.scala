@@ -1826,6 +1826,36 @@ object SparkEntry {
         .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
         .orderBy(col("s_name"))
+    }),
+
+    // TPC-H Q2 shape (argmin-per-group correlated subquery): the
+    // cheapest supplier of each small part — min(struct(bal, key)) is
+    // a plain map-side-combined aggregate (deterministic ties via the
+    // key tiebreak), NEVER a window over the fact; the part dim
+    // broadcasts; supplier enrichment re-joins on the one-row-per-part
+    // argmin result
+    "q156_tpch_q2" -> ((s, dir) => {
+      val supplied = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_acctbal"))),
+          Seq("l_suppkey"))
+      val best = supplied.groupBy(col("l_partkey"))
+        .agg(min(struct(col("s_acctbal"), col("l_suppkey"))).as("__m"))
+        .select(col("l_partkey"),
+          col("__m.s_acctbal").as("best_bal"),
+          col("__m.l_suppkey").as("best_supp"))
+      best
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_size") < 10)
+          .select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("best_supp") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          round(col("best_bal"), 2).as("s_acctbal"))
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -3581,6 +3611,23 @@ object SparkEntry {
         |  WHERE sh.sq > ppa.aq * 1.5
         |    AND sh.l_partkey IN (SELECT p_partkey FROM part
         |      WHERE p_name LIKE 'red%'))
-        |ORDER BY s.s_name""".stripMargin
+        |ORDER BY s.s_name""".stripMargin,
+
+    "q156_tpch_q2" ->
+      """WITH supplied AS (
+        |  SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_acctbal
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+        |best AS (
+        |  SELECT l_partkey, l_suppkey, s_acctbal,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY s_acctbal, l_suppkey) AS rn
+        |  FROM supplied)
+        |SELECT p.p_partkey, p.p_name, s.s_name,
+        |  round(b.s_acctbal, 2) AS s_acctbal
+        |FROM best b
+        |JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size < 10
+        |JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        |WHERE b.rn = 1
+        |ORDER BY p.p_partkey""".stripMargin
   )
 }
