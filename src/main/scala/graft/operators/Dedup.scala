@@ -495,6 +495,11 @@ object Dedup {
       .join(prefixes.toDF("id_b", "sh"), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(cand, sets, threshold)
+    // the verified pair set is the dedup stage's PRODUCT, consumed by
+    // several downstreams in one sweep (pair listing, connected
+    // components, cluster representatives) — persist it through the
+    // same LRU registry as the shingle sets so the banded join +
+    // verify run once per (corpus, τ), not once per consumer
+    cachedPersist(verifyJaccard(cand, sets, threshold))
   }
 }

@@ -263,5 +263,14 @@ class MiscOpsSpec extends SparkSpec {
       assert(line.contains("HashJoin") || line.contains("SortMergeJoin"), line)
     assert(!p20.contains("CartesianProduct") &&
       !p20.contains("BroadcastNestedLoopJoin"), p20)
+    // Q2: the argmin must be an aggregate (min(struct)), NEVER a window
+    // over the fact side, and every dim join a broadcast
+    val q2 = SparkEntry.queries("q156_tpch_q2")(spark, "/root/testdata/sf0.001")
+    q2.collect()
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(p2.contains("HashAggregate"), p2)
+    assert(!p2.contains("Window"), p2)
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2)
   }
 }
