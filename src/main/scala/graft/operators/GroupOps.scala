@@ -85,17 +85,39 @@ object GroupOps {
       .agg(avg(when(v >= col("__lo") && v <= col("__hi"), v)).as(out))
   }
 
-  /** nth element per group by explicit order (rt_groupbyops.py:3543). */
-  def gbNth(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame = {
+  /** Two-level bounded-per-group selection: keep the first `limit` rows
+    * per (group, input-partition) with a SALTED window first — every
+    * true top-`limit` row survives its own salt bucket — then rank the
+    * tiny survivor set with the real per-group window. A direct
+    * `partitionBy(keys)` window sends the whole fact table to
+    * `n_groups` reducers; with riptable-typical low-cardinality groups
+    * (returnflag has 3) that is 3 tasks sorting everything at any
+    * scale. Here the full-data sort parallelizes across
+    * groups × partitions, and the second window touches
+    * ≤ parts × limit rows per group. Result rows are identical (the
+    * survivor set is a superset of the answer).
+    */
+  private def twoLevelRanked(df: DataFrame, keys: Seq[String], limit: Int,
+                             order: Seq[Column]): DataFrame = {
+    val salted = Window
+      .partitionBy(keys.map(col) :+ col("__gb_salt"): _*).orderBy(order: _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === n + 1).drop("__rn")
+    df.withColumn("__gb_salt", spark_partition_id())
+      .withColumn("__rn1", row_number().over(salted))
+      .filter(col("__rn1") <= limit)
+      .withColumn("__rn", row_number().over(w))
+      .drop("__gb_salt", "__rn1")
   }
 
+  /** nth element per group by explicit order (rt_groupbyops.py:3543). */
+  def gbNth(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame =
+    twoLevelRanked(df, keys, n + 1, order)
+      .filter(col("__rn") === n + 1).drop("__rn")
+
   /** grouped head/tail (rt_groupbyops.py:3673,3699). */
-  def gbHead(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
-  }
+  def gbHead(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame =
+    twoLevelRanked(df, keys, n, order)
+      .filter(col("__rn") <= n).drop("__rn")
   def gbTail(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame =
     gbHead(df, keys, n, order.map(_.desc_nulls_last))
 
