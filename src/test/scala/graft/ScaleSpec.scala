@@ -273,4 +273,17 @@ class MiscOpsSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct") &&
       !p2.contains("BroadcastNestedLoopJoin"), p2)
   }
+
+  test("grouped head: the full-data window is salted, not per-group-funneled") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val out = graft.operators.GroupOps.gbHead(li, Seq("l_returnflag"), 2,
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
+    val plan = out.queryExecution.executedPlan.toString
+    // the exchange feeding the big sort must partition on the salt too —
+    // 3 returnflag groups would otherwise mean 3 reducers sorting
+    // everything at any scale
+    assert(plan.contains("__gb_salt"), plan)
+    assert(out.count() === 6)
+  }
 }
