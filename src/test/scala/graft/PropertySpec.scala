@@ -66,6 +66,26 @@ class PropertySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("two-level gbHead/gbNth match brute force under random repartitioning") {
+    // the salted pre-filter must be invisible in results: whatever the
+    // physical partitioning, the survivor set is a superset of the
+    // per-group top-n and the final window picks exactly it
+    for (parts <- Seq(1, 7, 32); keys <- Seq(2, 13)) {
+      val data = (0 until 600).map(i => (rng.nextInt(keys), rng.nextDouble(), i))
+      val df = data.toDF("k", "v", "id").repartition(parts)
+      val gotHead = GroupOps.gbHead(df, Seq("k"), 3, Seq($"v", $"id"))
+        .select("id").as[Int].collect().toSet
+      val wantHead = data.groupBy(_._1).values.flatMap(
+        _.sortBy(t => (t._2, t._3)).take(3).map(_._3)).toSet
+      assert(gotHead === wantHead, s"parts=$parts keys=$keys")
+      val gotNth = GroupOps.gbNth(df, Seq("k"), 2, Seq($"v", $"id"))
+        .select("id").as[Int].collect().toSet
+      val wantNth = data.groupBy(_._1).values.flatMap(
+        _.sortBy(t => (t._2, t._3)).drop(2).take(1).map(_._3)).toSet
+      assert(gotNth === wantNth, s"parts=$parts keys=$keys")
+    }
+  }
+
   test("parquet round-trip across dtypes preserves values (sds property)") {
     val data = (0 until 200).map { i =>
       (i.toLong, rng.nextInt(), rng.nextDouble(), rng.nextBoolean(),
