@@ -34,6 +34,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // "No Partition Defined" warnings here all come from DICTIONARY-sized
+    // windows (category encodes, ngroup ids, pivot duplicate checks) —
+    // deliberate one-partition evaluations of tiny frames (see VERDICT r4:
+    // do NOT "fix" these into broadcast regressions). Silence the logger,
+    // not the designs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // warmup: JIT, then cache base tables, then one untimed pass of
     // every query (codegen compile + shuffle-file warm)
