@@ -135,9 +135,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per-bit signed vote of token
-    * hashes. Pure nested array expression (tokens × 64 adds) — scan-only.
+    * hashes. Dispatches to the codegen'd `rip_simhash` expression
+    * (plans.RipSimhash) — one pass over the tokens instead of the
+    * tokens × 64 interpreted lambda adds of the HOF form below.
     */
-  def simhash(textCol: Column): Column = {
+  def simhash(textCol: Column): Column =
+    call_function("rip_simhash", TextFns.tokens(textCol))
+
+  /** The nested higher-order-function formulation rip_simhash replaces;
+    * kept as the cross-check twin (OpsSpec asserts bit equality).
+    */
+  def simhashHof(textCol: Column): Column = {
     val toks = TextFns.tokens(textCol)
     val votes = aggregate(
       toks,

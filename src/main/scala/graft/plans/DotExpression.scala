@@ -183,3 +183,56 @@ case class RipLshSig(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): RipLshSig =
     copy(child = newChild)
 }
+
+/** `rip_simhash(tokens)`: 64-bit SimHash of a token array in ONE pass —
+  * per token h = xxhash64(token) (Spark's seed-42 XXH64, bit-identical
+  * to the `xxhash64` expression), per-bit signed vote, bit j set iff
+  * its vote is positive. Replaces the nested
+  * `aggregate(tokens, zip_with(votes, sequence(0,63), ...))` chain
+  * (tokens × 64 interpreted lambda adds per ROW — the streaming
+  * near-dedup signature cost), kept as `Dedup.simhashHof` and asserted
+  * equal in OpsSpec. Null token elements contribute the seed unchanged
+  * (exactly what `xxhash64(null)` yields); a null array is null.
+  */
+case class RipSimhash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (a.isNullAt(i)) 42L
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(a.getUTF8String(i), org.apache.spark.sql.types.StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one virtual call per row into the primitive loop above — stays
+    // inside whole-stage codegen (no interpreted-Expression fallback)
+    val ref = ctx.addReferenceObj("ripSimhash", this, classOf[RipSimhash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RipSimhash =
+    copy(child = newChild)
+}

@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RipLshSig(children(0), bits)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("rip_simhash"),
+      new ExpressionInfo(classOf[RipSimhash].getName, "rip_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "rip_simhash(tokens) takes exactly 1 argument")
+        RipSimhash(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rip_crc32c"),
       new ExpressionInfo(classOf[RipCrc32C].getName, "rip_crc32c"),
       (children: Seq[Expression]) => {

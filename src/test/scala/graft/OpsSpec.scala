@@ -94,6 +94,24 @@ class OpsSpec extends SparkSpec {
     assert(colVersion === dfVersion)
   }
 
+  test("rip_simhash (codegen) equals the interpreted HOF simhash") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(300)
+    val diff = docs.select(
+        Dedup.simhash($"text").as("native"),
+        Dedup.simhashHof($"text").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff === 0)
+    // null text propagates null through both forms
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, "a b c"))
+      .toDF("id", "text")
+      .select($"id", Dedup.simhash($"text").as("n"),
+        Dedup.simhashHof($"text").as("h"))
+      .orderBy($"id").collect()
+    assert(nulls(0).isNullAt(1) && nulls(0).isNullAt(2))
+    assert(nulls(1).getLong(1) === nulls(1).getLong(2))
+  }
+
   test("jaccardPairs finds the duplicated doc pair") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
