@@ -1764,19 +1764,22 @@ object SparkEntry {
 
     // TPC-H Q17 shape (correlated scalar subquery): small-quantity
     // orders for one brand vs 0.2× that part's average quantity. The
-    // decorrelated plan is the one that survives 100 TB: per-part avg
-    // is ONE partial-aggregated shuffle of (partkey, sum, count); the
-    // filtered brand side joins it on partkey; the part dim broadcasts
+    // decorrelated plan is the one that survives 100 TB: the broadcast
+    // brand semi-join sits BELOW the per-part average (per-part means
+    // are independent across parts, so pre-filtering to Brand#23 parts
+    // leaves every surviving average unchanged while shrinking the
+    // aggregate input ~25×); the avg is then ONE partial-aggregated
+    // shuffle of (partkey, sum, count) over brand rows only
     "q153_tpch_q17" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       val brandParts = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
-      val avgQty = li.groupBy(col("l_partkey"))
+      val liBrand = li.join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"), "leftsemi")
+      val avgQty = liBrand.groupBy(col("l_partkey"))
         .agg((avg(col("l_quantity")) * 0.2).as("__thresh"))
-      li.join(broadcast(brandParts),
-          col("l_partkey") === col("p_partkey"))
-        .join(avgQty, Seq("l_partkey"))
+      liBrand.join(avgQty, Seq("l_partkey"))
         .filter(col("l_quantity") < col("__thresh"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }),

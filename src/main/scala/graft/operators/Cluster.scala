@@ -49,16 +49,30 @@ object Cluster {
     * doc) but the upstream pair GENERATORS are not obligated to be.
     *
     * `maxIter` bounds the driver loop; convergence (edge set fixed
-    * under both stars) is detected by comparing a (count, hash-sum)
+    * under both stars) is detected by comparing a (count, hash-xor)
     * signature between rounds — ONE map-side-combined aggregate per
     * round instead of a set-equality anti-join (the signature carries
-    * over, so each round pays a single action). Equal signatures on
-    * unequal sets would need an xxhash64 sum collision (~2⁻⁶⁴) —
-    * accepted, like every hash-partitioned shuffle accepts hash
-    * behavior.
+    * over, so each round pays a single action). XOR (not SUM) of the
+    * row hashes: overflow-free under ANSI mode (Spark 4 defaults
+    * `spark.sql.ansi.enabled=true`, where a sum of uniform-over-Long
+    * xxhash64 values would throw ArithmeticException almost surely),
+    * and order/duplication-safe because the edge set is `.distinct()`.
+    * Equal signatures on unequal sets would need an xxhash64 xor
+    * collision (~2⁻⁶⁴) — accepted, like every hash-partitioned shuffle
+    * accepts hash behavior.
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30): DataFrame =
+    connectedComponentsWithRounds(pairs, idA, idB, maxIter)._1
+
+  /** Same as connectedComponents, additionally returning the number of
+    * star rounds executed before the edge set reached its fixpoint —
+    * the empirical handle for the O(log² n) convergence contract (the
+    * scale-stress spec drives a ≥500k-vertex giant component through
+    * this and asserts the bound held).
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, idA: String, idB: String,
+                                    maxIter: Int = 30): (DataFrame, Int) = {
     // every vertex seen in any pair (self-pairs keep a vertex alive
     // even though they contribute no edge)
     val vertices = pairs.select(col(idA).as("id"))
@@ -76,7 +90,7 @@ object Cluster {
       .localCheckpoint(true)
 
     def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(xxhash64(col("src"), col("dst")))).head()
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var iter = 0
@@ -121,7 +135,7 @@ object Cluster {
       .join(edges.select(col("src").as("id"), col("dst").as("cluster_id")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-    out
+    (out, iter)
   }
 
   /** One kept doc per duplicate cluster (min id — deterministic), plus

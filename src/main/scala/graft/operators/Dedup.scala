@@ -31,17 +31,29 @@ object Dedup {
     *    without bound. `clearDedupCaches()` releases everything.
     */
   private val maxCached = 8
+  // keyed by (session, canonicalized plan): the registry is JVM-global
+  // but entries never cross SparkSessions, so LRU eviction can't call
+  // unpersist on a frame owned by a stopped context from a newer
+  // session's call. `safeUnpersist` is belt-and-braces for the session
+  // that DID own the frame being stopped mid-flight.
   private val cacheReg =
-    new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](16, 0.75f, true)
+    new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame](16, 0.75f, true)
+
+  private def safeUnpersist(df: DataFrame): Unit =
+    try {
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def cachedPersist(df: DataFrame): DataFrame = cacheReg.synchronized {
-    val key = df.queryExecution.analyzed.canonicalized
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    // entries from stopped sessions are dead weight — drop them first
+    cacheReg.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     Option(cacheReg.get(key)).getOrElse {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cacheReg.put(key, df)
       while (cacheReg.size > maxCached) {
         val eldest = cacheReg.keySet.iterator.next()
-        cacheReg.remove(eldest).unpersist(blocking = false)
+        safeUnpersist(cacheReg.remove(eldest))
       }
       df
     }
@@ -49,7 +61,7 @@ object Dedup {
 
   /** Unpersist every dedup intermediate this session registered. */
   def clearDedupCaches(): Unit = cacheReg.synchronized {
-    cacheReg.values.forEach(df => df.unpersist(blocking = false))
+    cacheReg.values.forEach(safeUnpersist)
     cacheReg.clear()
   }
 
@@ -424,6 +436,14 @@ object Dedup {
     * sacrificed to keep the join near-linear (run exact dedup first —
     * identical docs are what make these buckets hot).
     */
+  /** Diagnostic: hot-bucket count dropped by the MOST RECENT
+    * editDistancePairs call in this JVM (the cap's recall contract is
+    * observable, not silent — the scale-stress spec asserts it fires on
+    * a pathologically self-similar corpus). Written at plan-BUILD time
+    * (the hot count is an eager action inside editDistancePairs).
+    */
+  @volatile var lastHotBucketsDropped: Long = 0L
+
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 5, prefixChars: Int = 80,
                         maxBucket: Long = 20000L): DataFrame = {
@@ -461,6 +481,7 @@ object Dedup {
       .filter(col("__df") > maxBucket * (2L * k + 1L)).select(col("i"), col("seg"))
     val hot = hotA.unionByName(hotB).distinct()
     val nHot = hot.count()
+    lastHotBucketsDropped = nHot
     if (nHot > 0)
       log.warn(s"editDistancePairs: dropping $nHot hot segment bucket(s) " +
         s"(> $maxBucket postings) — pairs matching ONLY on those segments " +

@@ -155,13 +155,18 @@ object Reshape {
     }
     val grouped = df.groupBy(col(by).cast("string").as(by))
       .agg(partials.head, partials.tail: _*)
-    // Total row: recombine partials (sum of sums/counts, min of mins …)
-    val recombine = grouped.columns.filterNot(_ == by).map { c =>
-      (if (c.contains("_min_")) min(col(c))
-       else if (c.contains("_max_")) max(col(c)) else sum(col(c))).as(c)
-    }.toSeq
+      .withColumn("__is_total", lit(false))
+    // Total row: recombine partials (sum of sums/counts, min of mins …).
+    // The footer is marked by `__is_total`, NOT by its group-key value,
+    // so a genuine group named `totalLabel` can't collide with it.
+    val recombine = grouped.columns
+      .filterNot(c => c == by || c == "__is_total").map { c =>
+        (if (c.contains("_min_")) min(col(c))
+         else if (c.contains("_max_")) max(col(c)) else sum(col(c))).as(c)
+      }.toSeq
     val total = grouped.groupBy().agg(recombine.head, recombine.tail: _*)
       .withColumn(by, lit(totalLabel))
+      .withColumn("__is_total", lit(true))
     val all = grouped.unionByName(total)
     def eval(tag: String, i: Int, func: String): Column = func match {
       case "min" => col(s"__${tag}_min_$i")
@@ -175,7 +180,7 @@ object Reshape {
       else {
         // whole-table values for pct denominators ride the Total row;
         // broadcast it back as one row
-        val tot = all.filter(col(by) === totalLabel)
+        val tot = all.filter(col("__is_total"))
           .select(specs.zipWithIndex.collect { case (sp, i) if sp.pct =>
             eval("n", i, sp.func).as(s"__tot_$i")
           }: _*)

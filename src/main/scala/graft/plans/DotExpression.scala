@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -22,6 +23,17 @@ case class RipDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // analysis-time rejection of non-numeric-array inputs — without this,
+  // the SQL-registered function dies in codegen with an opaque
+  // ClassCastException instead of an AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if DotExprTypes.numericElem(lt) && DotExprTypes.numericElem(rt) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"rip_dot requires two array<float|double|int|bigint> arguments, got ${l.sql} and ${r.sql}")
+  }
   override def nullIntolerant: Boolean = true
   // null can arise from non-null inputs (length mismatch, null element),
   // so nullable must NOT follow the children — a false nullable makes
@@ -106,6 +118,13 @@ case class RipLshSig(child: Expression, bits: Int)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if DotExprTypes.numericElem(et) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rip_lsh_sig requires an array<float|double|int|bigint> argument, got ${other.sql}")
+  }
 
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
@@ -199,6 +218,13 @@ case class RipSimhash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rip_simhash requires an array<string> argument, got ${other.sql}")
+  }
+
   def compute(a: ArrayData): Long = {
     val n = a.numElements()
     val votes = new Array[Int](64)
@@ -235,4 +261,11 @@ case class RipSimhash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RipSimhash =
     copy(child = newChild)
+}
+
+private[plans] object DotExprTypes {
+  def numericElem(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | IntegerType | LongType => true
+    case _ => false
+  }
 }

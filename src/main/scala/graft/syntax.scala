@@ -248,23 +248,41 @@ object syntax {
   /** partition2 (`rt_fastarray.py:2707`, np.partition semantics): split
     * the frame at the k-th order statistic of (`valueCol`, `tiebreak`) —
     * WHICH rows fall in the bottom k, not their order. Distributed as
-    * one TakeOrderedAndProject top-k (exactly k (value, tiebreak) pairs
-    * reach the driver — never a global sort of the frame), whose last
-    * element becomes a broadcast pivot for a codegen'd comparison flag.
-    * With a unique tiebreak, exactly min(k, n) rows flag true.
+    * one TakeOrderedAndProject top-k whose k rows are immediately
+    * re-aggregated to `max(struct(value, tiebreak))`, so exactly ONE
+    * pivot row reaches the driver regardless of k — never a global sort
+    * of the frame and never a k-row transfer. The pivot then drives a
+    * codegen'd comparison flag. With a unique tiebreak, exactly
+    * min(k, n) rows flag true.
+    *
+    * Nulls: ordered FIRST (Spark's ascending default, and the same
+    * ordering `max(struct)` uses for null fields), so null values count
+    * toward the bottom k deterministically; the flag uses null-safe
+    * comparisons so no row ever gets a null flag.
     */
   def partition2(df: DataFrame, valueCol: String, tiebreak: String, k: Int,
                  out: String = "in_bottom_k"): DataFrame = {
     require(k > 0, s"partition2: k must be positive, got $k")
-    val topK = df.select(col(valueCol).as("__v"), col(tiebreak).as("__t"))
-      .orderBy(col("__v"), col("__t")).limit(k).collect()
-    if (topK.length < k) df.withColumn(out, lit(true)) // frame smaller than k
+    // strictly-below-pivot under nulls-first ordering; never null-valued
+    def ltNF(c: Column, v: Any): Column =
+      if (v == null) lit(false) // nothing sorts strictly below null
+      else c.isNull || (c < lit(v))
+    def eqNS(c: Column, v: Any): Column =
+      if (v == null) c.isNull else c <=> lit(v)
+    val r = df
+      .select(struct(col(valueCol).as("__v"), col(tiebreak).as("__t")).as("__p"))
+      .orderBy(col("__p.__v").asc_nulls_first, col("__p.__t").asc_nulls_first)
+      .limit(k)
+      .agg(count(lit(1)).as("__n"), max(col("__p")).as("__kth"))
+      .head()
+    if (r.getLong(0) < k) df.withColumn(out, lit(true)) // frame smaller than k
     else {
-      val pivot = topK.last
+      val pivot = r.getStruct(1)
       val (pv, pt) = (pivot.get(0), pivot.get(1))
       df.withColumn(out,
-        col(valueCol) < lit(pv) ||
-          (col(valueCol) === lit(pv) && col(tiebreak) <= lit(pt)))
+        ltNF(col(valueCol), pv) ||
+          (eqNS(col(valueCol), pv) &&
+            (ltNF(col(tiebreak), pt) || eqNS(col(tiebreak), pt))))
     }
   }
 

@@ -251,4 +251,45 @@ class LayerSpec extends SparkSpec {
     // 16/100, pct 100, max 40, filtered sum 3+7
     assert(out("Total") === (("Total", 16.0, 25.0, 0.16, 100.0, 40.0, 10.0)))
   }
+
+  test("Meta.applySchema/info/doc: descriptions live in column metadata") {
+    import graft.functions.Meta
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val (annotated, deviations) = Meta.applySchema(df, Map(
+      "id" -> Meta.ColSchema("primary key", "team-data", Some("monotonic")),
+      "name" -> Meta.ColSchema("display name"),
+      "ghost" -> Meta.ColSchema("not a column")))
+    assert(deviations === Seq("ghost"))
+    // metadata survives projection/rename chains (schema-carried)
+    val transformed = annotated.select(col("id"), col("name"))
+      .withColumnRenamed("name", "label").filter(col("id") > 0)
+    val inf = Meta.info(transformed, Some("t"))
+    val byName = inf.items.map(i => i.name -> i).toMap
+    assert(byName("id").description === "primary key")
+    assert(byName("id").steward === "team-data")
+    assert(byName("label").description === "display name")
+    assert(byName("label").steward === Meta.NoSteward)
+    assert(Meta.detail(transformed, "id") === Some("monotonic"))
+    val d = Meta.doc(transformed, Some("my table"))
+    assert(d.contains("my table") && d.contains("primary key") &&
+      d.contains("team-data"))
+  }
+
+  test("Meta.registerFunction: named registry with doc strings (register_function analog)") {
+    import graft.functions.Meta
+    Meta.registerFunction("count_by_k", "rows per key, sorted",
+      d => d.groupBy("k").count().orderBy("k"))
+    try {
+      assert(Meta.registeredFunctions.contains("count_by_k"))
+      assert(Meta.functionDoc("count_by_k") === Some("rows per key, sorted"))
+      val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+      val out = Meta.call("count_by_k", df).as[(String, Long)].collect().toSeq
+      assert(out === Seq(("a", 2L), ("b", 1L)))
+      // re-registering replaces (setattr semantics)
+      Meta.registerFunction("count_by_k", "v2", d => d.limit(1))
+      assert(Meta.functionDoc("count_by_k") === Some("v2"))
+      val err = intercept[IllegalArgumentException](Meta.call("nope", df))
+      assert(err.getMessage.contains("no registered function"))
+    } finally Meta.unregisterFunction("count_by_k")
+  }
 }

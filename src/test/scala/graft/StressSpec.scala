@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import graft.operators.{Cluster, Dedup, Merge, Reshape}
+
+/** Empirical scale/skew stress harness: the round-5 verdict's top item.
+  * The repo's 100-TB posture rested on plan-shape arguments (no join on
+  * a component label, hot-bucket caps, AQE skew splits); these tests
+  * synthesize adversarial inputs large enough that the skew machinery
+  * MUST engage, and measure that it did — converting "argued" into
+  * "observed". Each test stays in CI budget at local[4].
+  */
+class StressSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body` while recording the max per-task shuffle-read bytes —
+    * the direct observable of a single-reducer blowup (a giant
+    * component funneled to one task would read the whole graph, and a
+    * quadratic relabel would read gigabytes).
+    */
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val bytes = m.shuffleReadMetrics.totalBytesRead
+          var cur = maxTask.get()
+          while (bytes > cur && !maxTask.compareAndSet(cur, bytes)) cur = maxTask.get()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = body
+      // task-end events post async; give the bus a moment to drain
+      Thread.sleep(2000)
+      (r, maxTask.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("CC giant component (500k+ vertices): bounded rounds, no single-task blowup") {
+    // one giant star (400k spokes on hub 0) + 25 chains of 4096 — the
+    // adversarial mix: the star stresses degree skew (one vertex in 400k
+    // edges), the chains stress convergence depth (longest distance to
+    // the component min)
+    val nSpokes = 400000L
+    val chainLen = 4096L
+    val nChains = 25L
+    val star = spark.range(1L, nSpokes + 1L)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val chains = spark.range(nChains * (chainLen - 1L)).select(
+      (lit(1000000L) + expr(s"id div ${chainLen - 1L}") * chainLen
+        + (col("id") % (chainLen - 1L))).as("id_a"),
+      (lit(1000000L) + expr(s"id div ${chainLen - 1L}") * chainLen
+        + (col("id") % (chainLen - 1L)) + 1L).as("id_b"))
+    val pairs = star.unionByName(chains)
+    val t0 = System.nanoTime()
+    val ((cc, rounds), maxTaskBytes) = withMaxTaskShuffleRead {
+      val (df, r) = Cluster.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+      val sizes = df.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+        .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toMap
+      (sizes, r)
+    }
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // correctness: the star is one component of 400001 rooted at 0;
+    // every chain is a 4096-vertex component rooted at its own min
+    assert(cc(0L) === nSpokes + 1L)
+    (0L until nChains).foreach { c =>
+      assert(cc(1000000L + c * chainLen) === chainLen, s"chain $c")
+    }
+    // convergence contract: O(log² n) with small constants — a 4096
+    // chain under large/small-star halves eccentricity per round pair
+    assert(rounds <= 20, s"CC took $rounds rounds")
+    // skew contract: no task read more than 64 MB of shuffle data. The
+    // whole edge set is ~10 MB serialized; a label-keyed shuffle would
+    // put all of it (and with a quadratic relabel, many times it) in
+    // ONE task. 64 MB is ~6x headroom above "everything in one task
+    // once" yet far below any blowup signature.
+    assert(maxTaskBytes < 64L * 1024 * 1024,
+      s"max per-task shuffle read $maxTaskBytes bytes")
+    assert(wallSec < 300, s"CC wall time $wallSec s")
+  }
+
+  test("PassJoin on 100k near-identical strings: hot-bucket cap fires, cold pairs survive") {
+    // pathological self-similarity: 100k docs sharing one 80-char prefix
+    // (every (segment, substring) key collides) — uncapped, the
+    // candidate join is 100k² = 10^10 pairs and never finishes. Plus 10
+    // cold docs forming 5 true near-dup pairs in their own buckets.
+    val mass = spark.range(100000L).select(col("id"),
+      concat(lit("the quick brown fox jumps over the lazy dog and keeps on running fast"),
+        lit(" pad")).as("text"))
+    val cold = (0 until 10).map { i =>
+      val pairId = i / 2
+      // two docs per pair differing by 1 char near the end of the prefix
+      (1000000L + i,
+        s"cold document pair $pairId with distinctive content body " +
+          s"segment${pairId}x${if (i % 2 == 0) "a" else "b"} tail filler text")
+    }.toDF("id", "text")
+    val docs = mass.unionByName(cold)
+    val t0 = System.nanoTime()
+    val out = Dedup.editDistancePairs(docs, "id", "text",
+      maxDist = 5, prefixChars = 80, maxBucket = 5000L)
+    val pairsFound = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // the cap MUST have fired (the mass shares every segment key)
+    assert(Dedup.lastHotBucketsDropped > 0,
+      "expected hot buckets to be dropped on a near-identical corpus")
+    // and the job completes in bounded time — the empirical point
+    assert(wallSec < 120, s"editDistancePairs took $wallSec s")
+    // cold pairs (distinct buckets, distance 1) are all still found
+    val want = (0 until 5).map(p => (1000000L + 2 * p, 1000000L + 2 * p + 1)).toSet
+    assert(want.subsetOf(pairsFound), s"missing cold pairs: ${want -- pairsFound}")
+    // the identical mass matches only on hot (dropped) segments → no
+    // mass pairs reported (documented recall contract when the cap fires)
+    assert(pairsFound.forall { case (a, b) => a >= 1000000L && b >= 1000000L })
+  }
+
+  test("merge2 with one hot key under AQE: skew-join split triggers") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> conf.getOption(k).filter(_ != null))
+    try {
+      // force a sort-merge join and make AQE's skew detector sensitive
+      // enough to see a test-sized hot partition
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "131072")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 50% of fact rows on key 0 with a fat payload → one partition far
+      // above threshold × factor; dim side has all 1000 keys
+      val fact = spark.range(200000L).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 1000L).as("k"),
+        concat(lit("x"), repeat(lit("payload"), 10), col("id")).as("lv"))
+      val dim = spark.range(1000L).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("rv"))
+      val out = Merge.merge2(fact, dim, Seq("k"), how = "inner")
+      // execute THIS queryExecution (count() would plan a separate one
+      // and leave this AdaptiveSparkPlan un-finalized)
+      assert(out.collect().length === 200000)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot partition skew=true:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  // ---- ADVICE round-5 regression tests ----
+
+  test("connectedComponents works under ANSI mode (overflow-proof signature)") {
+    val saved = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      // hashes near Long extremes: a sum-based signature overflows with
+      // near-certainty on any non-trivial edge set under ANSI
+      val pairs = spark.range(5000L)
+        .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      val cc = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      assert(cc.filter(col("cluster_id") === 0L).count() === 5001L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", saved)
+  }
+
+  test("partition2 with null values: nulls count into the bottom-k, flag never null") {
+    val df = (1 to 100).map { i =>
+      (i.toLong, if (i % 10 == 0) None else Some(i.toDouble))
+    }.toDF("id", "v")
+    val out = graft.syntax.partition2(df, "v", "id", 20, "bk")
+    // flag is always a real boolean
+    assert(out.filter(col("bk").isNull).count() === 0)
+    // nulls sort first: all 10 null rows + the 10 smallest non-null
+    val flagged = out.filter(col("bk")).select("id").as[Long].collect().toSet
+    val nullIds = (1 to 100).filter(_ % 10 == 0).map(_.toLong).toSet
+    val smallest = (1 to 100).filterNot(_ % 10 == 0).map(_.toLong).sorted.take(10).toSet
+    assert(flagged === nullIds ++ smallest)
+  }
+
+  test("accumCols: a genuine group named 'Total' does not collide with the footer") {
+    val df = Seq(
+      ("Total", 10.0), ("Total", 20.0), ("b", 5.0), ("c", 15.0)
+    ).toDF("k", "v")
+    val out = Reshape.accumCols(df, "k", Seq(
+      Reshape.AccumColSpec("sv", col("v"), func = "sum"),
+      Reshape.AccumColSpec("pv", col("v"), func = "sum", pct = true)))
+    // 3 genuine groups + 1 footer — no broadcast-join duplication
+    assert(out.count() === 4)
+    val byK = out.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // two rows named Total: the genuine group (30) and the footer (50)
+    val totals = byK.filter(_._1 == "Total").map(_._2).sorted
+    assert(totals.toSeq === Seq(30.0, 50.0))
+    // pct denominators come from the FOOTER value (50), not the group
+    assert(byK.find(t => t._1 == "b").get._3 === 10.0)
+  }
+
+  test("rip_simhash / rip_lsh_sig / rip_dot reject wrong input types at analysis time") {
+    val df = Seq((Seq(1, 2, 3), Seq("a", "b"))).toDF("nums", "strs")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("rip_simhash", col("nums"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("rip_lsh_sig", col("strs"), lit(16))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("rip_dot", col("strs"), col("strs"))).collect()
+    }
+  }
+
+  test("dedup cache registry survives calls from a second SparkSession") {
+    // a second session on the same JVM: cachedPersist entries must be
+    // keyed per session so LRU eviction never touches a foreign context
+    val s2 = spark.newSession()
+    val docs = (1L to 30L).map(i => (i, s"doc body $i common words here"))
+      .toDF("id", "text")
+    val docs2 = { import s2.implicits._
+      (1L to 30L).map(i => (i, s"doc body $i common words here"))
+        .toDF("id", "text") }
+    val a = Dedup.jaccardPairs(docs, "id", "text", 3, 0.5).count()
+    val b = Dedup.jaccardPairs(docs2, "id", "text", 3, 0.5).count()
+    assert(a === b)
+    Dedup.clearDedupCaches()
+  }
+}
