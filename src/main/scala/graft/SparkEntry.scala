@@ -382,8 +382,11 @@ object SparkEntry {
 
     "q36_mode_nth" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val m = li.groupBy(col("l_returnflag"))
-        .agg(GroupOps.modeAgg(col("l_linestatus")).as("mode_status"))
+      // two-phase mode (GroupOps.modeBy): one row per (flag, status)
+      // crosses the wire, both aggregates codegen'd — replaces the
+      // interpreted map-buffer mode() (same deterministic tie rule)
+      val m = GroupOps.modeBy(li, Seq("l_returnflag"), "l_linestatus",
+        "mode_status")
       GroupOps.gbNth(li, Seq("l_returnflag"), 2,
         Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
@@ -1859,6 +1862,26 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_name"), col("s_name"),
           round(col("best_bal"), 2).as("s_acctbal"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // Nanosecond-precision grid (SURVEY §1.2's documented semantic gap,
+    // rt_datetime.py:2718 DateTimeNano): events.ts is TIMESTAMP(NANOS)
+    // parquet surfaced as int64 ns (`nanosAsLong`); accessors / diff /
+    // shift all run on the LONG. DuckDB (the oracle) reads ns parquet at
+    // µs resolution, so the oracle-checked grid floors BOTH sides to µs
+    // (ts - ts % 1000 == epoch_ns of DuckDB's µs timestamp) — the
+    // genuine sub-µs exactness of the long path is pinned separately by
+    // TimeFnsSpec's java.time grid, which needs no external oracle.
+    "q157_nanos" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_q"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ts_q", col("ts") - col("ts") % 1000L)
+        .select(col("event_id"), col("ts_q").as("ts_ns"),
+          (col("ts_q") % 1000000000L).as("ns_of_sec"),
+          (col("ts_q") - lag(col("ts_q"), 1).over(w)).as("diff_ns"),
+          (col("ts_q") + lit(86400000000000L)).as("ts_plus_day_ns"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -3631,6 +3654,16 @@ object SparkEntry {
         |JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size < 10
         |JOIN supplier s ON s.s_suppkey = b.l_suppkey
         |WHERE b.rn = 1
-        |ORDER BY p.p_partkey""".stripMargin
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    "q157_nanos" ->
+      """SELECT event_id,
+        |  epoch_ns(ts) AS ts_ns,
+        |  epoch_ns(ts) % 1000000000 AS ns_of_sec,
+        |  epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS diff_ns,
+        |  epoch_ns(ts) + 86400000000000 AS ts_plus_day_ns
+        |FROM events
+        |ORDER BY event_id""".stripMargin
   )
 }

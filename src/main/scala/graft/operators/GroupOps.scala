@@ -52,6 +52,25 @@ object GroupOps {
     */
   def modeAgg(c: Column): Column = mode(c, deterministic = true)
 
+  /** Deterministic mode as TWO codegen'd hash aggregates instead of the
+    * interpreted map-buffer `mode` aggregate: count per (keys, value) —
+    * map-side combined, so the shuffle carries one row per distinct
+    * (group, value) — then per-group argmax by (count desc, value asc).
+    * Same tie rule as modeAgg (lowest value wins). This is also the
+    * 100-TB shape: a giant group with a wide value dictionary shuffles
+    * one row per distinct value, never a per-partial hash map of the
+    * whole dictionary.
+    */
+  def modeBy(df: DataFrame, keys: Seq[String], valueCol: String,
+             out: String = "mode"): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    counts.groupBy(keys.map(col): _*)
+      .agg(min_by(col(valueCol),
+        struct((-col("__n")).as("nn"), col(valueCol).as("v"))).as(out))
+  }
+
   /** quantile / percentile, exact (rt_groupbyops.py:2517). */
   def quantile(c: Column, q: Double): Column = percentile(c, lit(q))
   def quantiles(c: Column, qs: Seq[Double]): Column =

@@ -132,6 +132,69 @@ object StreamOps {
       }.toDF()
   }
 
+  /** TRUE stream-stream as-of join (backward): two SEPARATE streams —
+    * left probes, right quotes — joined per key on "latest right at or
+    * before the left row's event time". The missing shape after
+    * streamingAsof (which requires both sides pre-tagged in ONE
+    * stream); reference semantics `rt_merge.py:3572` (merge_asof).
+    *
+    * Implementation: both sides are watermarked, aligned to a common
+    * schema, tagged, and UNIONed (Spark's multi-watermark policy takes
+    * the min across inputs), then one `flatMapGroupsWithState` per key
+    * holds only the latest right-side (ts, value) — the same recurrence
+    * the batch sort-merge (plans.AsofJoinExec) runs, in O(1) state per
+    * key. Within a micro-batch rows fold in event-time order with
+    * right-before-left on ties (backward as-of: a quote AT the probe
+    * timestamp matches). State is watermark-bounded: every key arms an
+    * event-time timeout at (latest event + stateRetentionMs) and evicts
+    * when the watermark passes it — bounded state on an unbounded key
+    * universe.
+    */
+  def streamStreamAsof(left: DataFrame, right: DataFrame,
+                       keyCol: String, tsCol: String, idCol: String,
+                       valueCol: String,
+                       watermark: String = "10 minutes",
+                       stateRetentionMs: Long = 3600000L): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.withWatermark(tsCol, watermark).select(
+      col(keyCol).cast("long").as("user_id"),
+      col(idCol).cast("long").as("event_id"),
+      col(tsCol).as("ts"), unix_micros(col(tsCol)).as("tsu"),
+      lit(1).as("side"), col(valueCol).cast("double").as("value"))
+    val r = right.withWatermark(tsCol, watermark).select(
+      col(keyCol).cast("long").as("user_id"),
+      lit(-1L).as("event_id"),
+      col(tsCol).as("ts"), unix_micros(col(tsCol)).as("tsu"),
+      lit(0).as("side"), col(valueCol).cast("double").as("value"))
+    l.unionByName(r)
+      .as[(Long, Long, java.sql.Timestamp, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(AsofState(Long.MinValue, 0.0, has = false))
+            var maxT = Long.MinValue
+            // (tsu, side) order: side 0 = right folds before a left row
+            // at the same timestamp (backward-inclusive semantics)
+            val out = rows.toSeq.sortBy(t => (t._4, t._5)).flatMap {
+              case (_, eid, _, t, side, v) =>
+                if (t > maxT) maxT = t
+                if (side == 0) { st = AsofState(t, v, has = true); None }
+                else Some(AsofOut(uid, eid, t,
+                  if (st.has && st.lastT <= t) Some(st.lastV) else None))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(),
+                if (maxT == Long.MinValue) 0L else maxT / 1000L) + stateRetentionMs)
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Streaming near-duplicate dedup for ingest pipelines: the first doc
     * per 64-bit simhash signature wins; later colliding docs drop.
     * Signature is the codegen'd Column-form simhash (per-row, no

@@ -128,6 +128,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream as-of join matches batch AsofJoin on the same events") {
+    // two genuinely separate streams from the same fixture: clicks
+    // probe, views quote
+    val clicks = streamIn.filter($"event_type" === "click")
+    val views = streamIn.filter($"event_type" === "view")
+    val q = StreamOps.streamStreamAsof(clicks, views,
+      "user_id", "ts", "event_id", "value")
+      .writeStream.format("memory").queryName("ss_asof")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT event_id, matched FROM ss_asof")
+      .as[(Long, Option[Double])].collect().toMap
+
+    val ev = spark.read.parquet(dir + "/in").withColumn("tsu", unix_micros($"ts"))
+    val bl = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tsu", $"event_id")
+    val br = ev.filter($"event_type" === "view")
+      .select($"user_id", $"tsu", $"value".as("mv"))
+    val batch = graft.operators.AsofJoin.asof(bl, br, "tsu",
+      Seq("user_id"), Seq("mv"))
+      .select("event_id", "mv").as[(Long, Option[Double])].collect().toMap
+    assert(streamed === batch && streamed.size === 3)
+  }
+
+  test("stream-stream as-of state evicts after retention (event-time timeout)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memL = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val memR = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val inL = memL.toDS().toDF("event_id", "ts", "user_id", "value")
+    val inR = memR.toDS().toDF("event_id", "ts", "user_id", "value")
+    val q = StreamOps.streamStreamAsof(inL, inR,
+      "user_id", "ts", "event_id", "value",
+      watermark = "1 minute", stateRetentionMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("ss_asof_evict")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: user 1 gets a quote (right side)
+    memR.addData((100L, t("2024-01-01 00:00:00"), 1L, 42.0))
+    q.processAllAvailable()
+    // batch 2: both sides 2h later push the watermark past user 1's
+    // timeout (00:30) → its quote state evicts
+    memR.addData((101L, t("2024-01-01 02:00:00"), 2L, 5.0))
+    memL.addData((1L, t("2024-01-01 02:00:00"), 2L, 0.0))
+    q.processAllAvailable()
+    // batch 3: a probe for user 1 AFTER eviction finds NO quote even
+    // though one arrived at 00:00 — evicted state means unmatched
+    memL.addData((2L, t("2024-01-01 02:30:00"), 1L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT event_id, matched FROM ss_asof_evict")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(5.0)) // user 2 matched within retention
+    assert(out(2L) === None)      // user 1's quote was evicted
+  }
+
   test("streaming EMA state evicts after retention (event-time timeout)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

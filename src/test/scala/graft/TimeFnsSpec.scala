@@ -143,4 +143,59 @@ class TimeFnsSpec extends SparkSpec {
     val rev = BizCal.bdayDiff(df, "b", "a", cal, "n").select($"n").as[Long].head()
     assert(rev === -6L)
   }
+
+  test("nanosecond grid: int64-ns arithmetic is exact; only the timestamp cast truncates") {
+    // SURVEY §1.2's documented gap, pinned: riptable DateTimeNano is
+    // int64 UTC nanos (rt_datetime.py:2718); Spark TimestampType is
+    // micros. Contract: ns held AS LONG round-trips parquet and
+    // supports exact accessor/diff/shift arithmetic; converting to
+    // TimestampType truncates ns→micros (floor), and that is the ONLY
+    // lossy edge.
+    val base = 1704067200L * 1000000000L // 2024-01-01 00:00:00 UTC in ns
+    // sub-microsecond digits deliberately non-zero
+    val nanos = Seq(base + 123456789L, base + 999999999L,
+      base + 86400L * 1000000000L + 1L, base, base + 1000L, base + 999L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    nanos.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "ts_ns").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).orderBy("id")
+
+    // 1) parquet round-trip of int64 ns is exact
+    assert(df.select($"ts_ns").as[Long].collect().toSeq === nanos)
+
+    // 2) accessors computed on the long are exact at ns granularity
+    val acc = df.select($"id", ($"ts_ns" % 1000000000L).as("ns_of_sec"),
+      expr("ts_ns div 1000000000").as("epoch_s")).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    nanos.zipWithIndex.foreach { case (n, i) =>
+      assert(acc(i.toLong) === ((n % 1000000000L, n / 1000000000L)), s"row $i")
+    }
+
+    // 3) diff/shift on longs: exact (including the 1-ns resolution case)
+    val d = df.select(($"ts_ns" + 1L - $"ts_ns").as("one")).as[Long].head()
+    assert(d === 1L)
+
+    // 4) THE lossy edge: long-ns → TimestampType floors to micros;
+    //    round-tripping back yields ts_ns - (ts_ns % 1000), never more
+    val rt = df.select($"ts_ns",
+      unix_micros(timestamp_micros(expr("ts_ns div 1000"))).as("micros"))
+      .as[(Long, Long)].collect()
+    rt.foreach { case (ns, us) =>
+      assert(us * 1000L === ns - (ns % 1000L), s"ns=$ns")
+      assert(math.abs(ns - us * 1000L) < 1000L)
+    }
+
+    // 5) java.time ground truth for the calendar accessors reached via
+    //    the micros cast (date parts are >> 1 µs, so the cast is safe
+    //    for them — that's WHY the engine converts at query edges)
+    val cal = df.select($"id",
+      year(timestamp_micros(expr("ts_ns div 1000"))).as("y"),
+      hour(timestamp_micros(expr("ts_ns div 1000"))).as("h"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    nanos.zipWithIndex.foreach { case (n, i) =>
+      val t = java.time.Instant.ofEpochSecond(n / 1000000000L, n % 1000000000L)
+        .atZone(java.time.ZoneOffset.UTC)
+      assert(cal(i.toLong) === ((t.getYear, t.getHour)), s"row $i")
+    }
+  }
 }
