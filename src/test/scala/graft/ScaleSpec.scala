@@ -274,6 +274,41 @@ class MiscOpsSpec extends SparkSpec {
       !p2.contains("BroadcastNestedLoopJoin"), p2)
   }
 
+  test("round-6 TPC-H batch (Q4,Q7-Q9,Q11-Q16,Q19): no cartesian, no fact NLJ") {
+    // Generic 100-TB plan audit over the whole q158-q168 batch: a
+    // CartesianProduct anywhere is fatal; a BroadcastNestedLoopJoin is
+    // tolerated ONLY for q162's one-row scalar-threshold broadcast
+    // (Q22's established pattern) — on any fact-fact pair it is the
+    // plan that dies at scale.
+    val batch = Seq("q158_tpch_q4", "q159_tpch_q7", "q160_tpch_q8",
+      "q161_tpch_q9", "q162_tpch_q11", "q163_tpch_q12", "q164_tpch_q13",
+      "q165_tpch_q14", "q166_tpch_q15", "q167_tpch_q16", "q168_tpch_q19")
+    for (name <- batch) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+      if (name != "q162_tpch_q11")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: $plan")
+      assert(plan.contains("PushedFilters: [") || !plan.contains("Scan parquet"),
+        s"$name: filters must reach the scans\n$plan")
+    }
+    // Q4's EXISTS must be a semi-join keyed on orderkey (hash or SMJ,
+    // never NLJ) with the +60-day date predicate inside the condition
+    val q4 = SparkEntry.queries("q158_tpch_q4")(spark, "/root/testdata/sf0.001")
+    q4.collect()
+    val p4 = q4.queryExecution.executedPlan.toString
+    assert(p4.contains("LeftSemi"), p4)
+    for (line <- p4.split("\n") if line.contains("LeftSemi"))
+      assert(line.contains("HashJoin") || line.contains("SortMergeJoin"), line)
+    // Q15's top-revenue supplier must come from a max(struct) aggregate
+    // over the per-supplier aggregate, never a fact-side window
+    val q15 = SparkEntry.queries("q166_tpch_q15")(spark, "/root/testdata/sf0.001")
+    q15.collect()
+    val p15 = q15.queryExecution.executedPlan.toString
+    assert(!p15.contains("Window"), p15)
+  }
+
   test("grouped head: the full-data window is salted, not per-group-funneled") {
     import org.apache.spark.sql.functions.col
     val li = graft.Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
