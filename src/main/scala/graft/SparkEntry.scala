@@ -2121,7 +2121,26 @@ object SparkEntry {
             col("l_quantity").between(20, 40)))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
-    })
+    }),
+
+    "q169_substring_dup" -> ((s, dir) =>
+      // Lee-et-al-style cross-document substring dedup: per doc, the
+      // fraction of its 8-token spans shared with another document.
+      operators.Dedup.substringDupStats(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+          col("dup_frac"))
+        .orderBy(col("doc_id"))),
+
+    "q170_prototype_prune" -> ((s, dir) =>
+      // Sorscher-et-al prototype pruning: rank embeddings by cosine to
+      // their cluster centroid; most-prototypical quartile is prunable.
+      operators.Curate.prototypeRank(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        pruneFrac = 0.25)
+        .select(col("vec_id"), col("label"), col("cos_centroid"),
+          col("prunable"))
+        .orderBy(col("vec_id")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -4017,6 +4036,41 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
         |       AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q169_substring_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+        |    i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |dg AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |nd AS (SELECT g, count(*) AS nd FROM dg GROUP BY 1)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS dup_grams,
+        |  round(CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac
+        |FROM dg JOIN nd USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q170_prototype_prune" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |d AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS v FROM e),
+        |c AS (SELECT label, i, avg(CAST(v AS DOUBLE)) AS m
+        |  FROM d GROUP BY 1, 2),
+        |cent AS (SELECT label, list(m ORDER BY i) AS cvec FROM c GROUP BY 1),
+        |s AS (SELECT vec_id, e.label AS label,
+        |  ${cosineSql("e.embedding", "cent.cvec")} AS cos
+        |  FROM e JOIN cent ON e.label = cent.label),
+        |r AS (SELECT vec_id, label, cos,
+        |  row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id)
+        |    AS rk,
+        |  count(*) OVER (PARTITION BY label) AS n FROM s)
+        |SELECT vec_id, label, round(cos, 6) AS cos_centroid,
+        |  rk <= floor(n * 0.25) AS prunable
+        |FROM r ORDER BY vec_id""".stripMargin
   )
 }

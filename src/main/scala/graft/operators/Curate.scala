@@ -67,4 +67,41 @@ object Curate {
         .as("n_all"))
     df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Prototype-based data pruning (the cluster-centroid ranking of
+    * Sorscher et al. 2022, "Beyond neural scaling laws: beating power
+    * law scaling via data pruning"): within each cluster, rank points
+    * by cosine similarity to the cluster centroid; the most prototypical
+    * (= most redundant) fraction is the prune candidate set. Shape:
+    * centroids are an element-wise mean via posexplode + one hash
+    * aggregate keyed on (cluster, dim-index) — never a collect_list of
+    * vectors — then a tiny (k × dim) centroid table broadcasts back and
+    * the rank is a window WITHIN a cluster (partition size = cluster
+    * size, which k-means granularity bounds; for degenerate giant
+    * clusters route through GroupOps' salted selection instead).
+    * Deterministic: vec_id breaks cosine ties.
+    */
+  def prototypeRank(df: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, pruneFrac: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = df.select(col(idCol), col(clusterCol),
+      posexplode(col(vecCol)).as(Seq("__i", "__v")))
+    val cent = dims.groupBy(col(clusterCol), col("__i"))
+      .agg(avg(col("__v").cast("double")).as("__m"))
+      .groupBy(col(clusterCol))
+      .agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__im"))
+      .select(col(clusterCol),
+        expr("transform(__im, x -> x.__m)").as("__cvec"))
+    val w = Window.partitionBy(col(clusterCol))
+    val wo = w.orderBy(col("__cos").desc, col(idCol).asc)
+    df.join(broadcast(cent), Seq(clusterCol))
+      .withColumn("__cos",
+        Similarity.cosine(col(vecCol).cast("array<double>"), col("__cvec")))
+      .withColumn("__rk", row_number().over(wo))
+      .withColumn("__n", count(lit(1)).over(w))
+      .select(col(idCol), col(clusterCol),
+        round(col("__cos"), 6).as("cos_centroid"),
+        (col("__rk") <= floor(col("__n") * lit(pruneFrac)))
+          .as("prunable"))
+  }
 }

@@ -389,6 +389,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared")) // (id, sh) is distinct → count = distinct shingles
   }
 
+  /** Cross-document substring-level duplication profile (the k-token-
+    * span dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", re-expressed as two hash aggregates):
+    * for every document, how many of its k-token spans also occur in at
+    * least one OTHER document. Spans are built with a single
+    * `transform(sequence(...))` over the token array (no window, no
+    * per-doc shuffle) and keyed by a 16-hex-char md5 prefix — a bounded
+    * shuffle key that is also portable to SQL oracles (xxhash64 is
+    * engine-specific). Shape: explode → two map-side-combined hash
+    * aggregates keyed on the gram hash + one co-partitioned join —
+    * the canonical MapReduce shingle pipeline; no all-pairs anywhere,
+    * and zipfian-hot grams are absorbed by partial aggregation.
+    * Documents shorter than k tokens are excluded (they have no span).
+    * Reference anchor: riptable has no corpus ops; this extends the
+    * §2 surface per the training-pipeline brief.
+    */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+    val grams = toks.select(col(idCol),
+      explode(expr(s"transform(sequence(1, size(__t) - ${k - 1}), " +
+        s"i -> substring(md5(array_join(slice(__t, i, $k), ' ')), 1, 16))"))
+        .as("__g"))
+    val perDocGram = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+    // perDocGram is distinct on (doc, gram) → count = document frequency
+    val docFreq = perDocGram.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nd"))
+    perDocGram.join(docFreq, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        sum(when(col("__nd") > 1, col("__cnt")).otherwise(lit(0L)))
+          .as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** Per-doc boilerplate profile: how much of each doc is made of
     * corpus-hot shingles (document frequency ≥ `dfCap`). The df-capped
     * shingle set is also exactly what a scalable jaccardPairs prefix

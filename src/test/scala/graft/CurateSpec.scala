@@ -40,4 +40,46 @@ class CurateSpec extends SparkSpec {
     assert(r.getAs[Long]("n_flagged") === 2L)
     assert(r.getAs[Long]("n_all") === 1L) // only id=2
   }
+
+  test("substringDupStats: shared k-token span counted, unique spans not") {
+    // d1/d2 share the 4-token span "a b c d" (d2 repeats it twice);
+    // d3 is disjoint; d4 is shorter than k and must be excluded.
+    val docs = Seq(
+      (1L, "a b c d x y"),          // grams: abcd,bcdx,cdxy → 1 dup
+      (2L, "q a b c d a b c d"),    // 6 grams, abcd twice + qabc,bcda,cdab
+      (3L, "m n o p q r"),          // 3 grams, none shared
+      (4L, "a b c")                 // < k tokens → excluded
+    ).toDF("doc_id", "text")
+    val byDoc = graft.operators.Dedup
+      .substringDupStats(docs, "doc_id", "text", k = 4)
+      .select("doc_id", "n_grams", "dup_grams")
+      .collect().map(r2 => (r2.getLong(0), (r2.getLong(1), r2.getLong(2)))).toMap
+    assert(byDoc === Map(
+      1L -> ((3L, 1L)),   // abcd shared with d2
+      2L -> ((6L, 2L)),   // both abcd occurrences count
+      3L -> ((3L, 0L))))
+    assert(!byDoc.contains(4L))
+  }
+
+  test("prototypeRank: quartile sizes exact, prunable = highest centroid-cosine") {
+    // cluster 0: 8 points on a line from the centroid direction —
+    // prunable must be the floor(8/4)=2 most centroid-aligned (ties by id)
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, 0, Array(1.0f, i.toFloat)) // angle grows with i
+    } ++ (0 until 3).map(i => (100L + i, 1, Array(1.0f, 1.0f)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val got = Curate.prototypeRank(df, "vec_id", "embedding", "label", 0.25)
+    val pruned = got.filter(col("prunable")).select("vec_id")
+      .as[Long].collect().toSet
+    // cluster 1: all identical → cosine ties, id ascending wins; floor(3/4)=0
+    assert(pruned.intersect(Set(100L, 101L, 102L)).isEmpty)
+    // cluster 0: exactly 2 prunable, and they are the 2 closest to the
+    // centroid by cosine — compute ground truth brute-force
+    val rows = got.filter(col("label") === 0)
+      .select("vec_id", "cos_centroid", "prunable")
+      .collect().map(r2 => (r2.getLong(0), r2.getDouble(1), r2.getBoolean(2)))
+    val top2 = rows.sortBy { case (id, c, _) => (-c, id) }.take(2).map(_._1).toSet
+    assert(rows.count(_._3) === 2)
+    assert(rows.filter(_._3).map(_._1).toSet === top2)
+  }
 }
