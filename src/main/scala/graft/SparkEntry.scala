@@ -2140,6 +2140,33 @@ object SparkEntry {
         pruneFrac = 0.25)
         .select(col("vec_id"), col("label"), col("cos_centroid"),
           col("prunable"))
+        .orderBy(col("vec_id"))),
+
+    "q171_bigram_xent" -> ((s, dir) =>
+      // CCNet-style fluency score: cross-entropy under a smoothed
+      // conditional bigram LM trained on the corpus itself
+      TextFns.bigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q172_dsir_weights" -> ((s, dir) =>
+      // DSIR domain selection: importance weight of each doc toward the
+      // English subset as the target domain, hashed-bigram features
+      operators.Curate.dsirLogWeights(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", buckets = 1024)
+        .orderBy(col("doc_id"))),
+
+    "q173_repetition" -> ((s, dir) =>
+      // Gopher-style within-doc repetition: top/duplicate 2- and 3-gram
+      // fractions per document
+      TextFns.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
+        ns = Seq(2, 3))
+        .orderBy(col("doc_id"))),
+
+    "q174_semdedup" -> ((s, dir) =>
+      // SemDeDup: within-cluster (label) cosine dups, keep-lowest-id
+      operators.Similarity.semanticDupFlags(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.35)
+        .select(col("vec_id"), col("label"), col("sem_dup"))
         .orderBy(col("vec_id")))
   )
 
@@ -4071,6 +4098,89 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY label) AS n FROM s)
         |SELECT vec_id, label, round(cos, 6) AS cos_centroid,
         |  rk <= floor(n * 0.25) AS prunable
-        |FROM r ORDER BY vec_id""".stripMargin
+        |FROM r ORDER BY vec_id""".stripMargin,
+
+    "q171_bigram_xent" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |bgs AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgs),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM c2)
+        |SELECT doc_id,
+        |  round(avg(-ln((CAST(c2 AS DOUBLE) + 1) / (CAST(c1 AS DOUBLE) + v))),
+        |    6) AS xent2,
+        |  count(*) AS n_bigrams
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q172_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |uni AS (SELECT doc_id, tgt, unnest(t) AS g FROM toks),
+        |bi AS (SELECT doc_id, tgt, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |gr AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |hb AS (SELECT doc_id, tgt, CAST(list_sum(list_transform(range(1, 16),
+        |  i -> CAST(strpos('0123456789abcdef', md5(g)[i]) - 1 AS BIGINT)
+        |    << (4 * (15 - i)))) AS BIGINT) % 1024 AS b FROM gr),
+        |cr AS (SELECT b, count(*) AS cr FROM hb GROUP BY 1),
+        |ct AS (SELECT b, count(*) AS ct FROM hb WHERE tgt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nr,
+        |  CAST(count(*) FILTER (WHERE tgt) AS DOUBLE) AS nt FROM hb),
+        |model AS (SELECT b,
+        |  ln((CAST(COALESCE(ct, 0) AS DOUBLE) + 1) / (nt + 1024)) -
+        |  ln((CAST(cr AS DOUBLE) + 1) / (nr + 1024)) AS lw
+        |  FROM cr LEFT JOIN ct USING (b), tot)
+        |SELECT doc_id, round(sum(lw), 6) AS log_weight,
+        |  count(*) AS n_grams
+        |FROM hb JOIN model USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q173_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |d2 AS (SELECT doc_id,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS top2_frac,
+        |  round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS dup2_frac FROM c2 GROUP BY 1),
+        |d3 AS (SELECT doc_id,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS top3_frac,
+        |  round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS dup3_frac FROM c3 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(top2_frac, 0) AS top2_frac,
+        |  COALESCE(dup2_frac, 0) AS dup2_frac,
+        |  COALESCE(top3_frac, 0) AS top3_frac,
+        |  COALESCE(dup3_frac, 0) AS dup3_frac
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q174_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT e.vec_id, e.label, dup.vec_id IS NOT NULL AS sem_dup
+         |FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+         |ORDER BY e.vec_id""".stripMargin
   )
 }

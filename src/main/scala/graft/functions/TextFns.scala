@@ -123,6 +123,84 @@ object TextFns {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Per-document cross-entropy under an add-one-smoothed CONDITIONAL
+    * bigram LM trained on the corpus itself — the two-gram upgrade of
+    * [[unigramCrossEntropy]] and the cheap stand-in for the KenLM
+    * perplexity filters of CCNet-style curation (Wenzek et al. 2020):
+    * rank documents by fluency under a corpus LM, drop the tail.
+    * p(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V), V = distinct w2 types;
+    * xent2 = mean over the doc's bigrams of −ln p.
+    *
+    * Scale shape: bigram extraction is a codegen'd array transform (no
+    * shuffle); the model is two hash aggregates over the VOCABULARY²
+    * -bounded bigram table; scoring is two gram-keyed joins plus a
+    * broadcast one-row V — the same posture as TF-IDF (q130), nothing
+    * keyed on a document. Docs with < 2 tokens have no bigrams and drop
+    * out (score them with [[unigramCrossEntropy]] instead).
+    */
+  def bigramCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String,
+                         out: String = "xent2"): org.apache.spark.sql.DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(expr(
+        // (w1, w2) for every adjacent pair; element_at is 1-based
+        "transform(slice(__t, 1, size(__t) - 1), " +
+          "(w, i) -> struct(w AS w1, element_at(__t, i + 2) AS w2))"))
+        .as("__b"))
+      .select(col("doc_id"), col("__b.w1"), col("__b.w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = c2.agg(count_distinct(col("w2")).cast("double").as("v"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log((col("c2").cast("double") + 1d) /
+        (col("c1").cast("double") + col("v")))), 6).as(out),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Within-document repetition signals — the self-repetition half of
+    * the Gopher quality rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Table A1): per document and per n in `ns`,
+    * `top{n}_frac` = occurrences of the most frequent n-gram / total
+    * n-grams, and `dup{n}_frac` = fraction of n-gram occurrences beyond
+    * the first of their kind = (total − distinct) / total. High values
+    * flag the degenerate keyword-stuffed / looping pages a pretraining
+    * filter drops. (Cross-document boilerplate is `boilerplateStats`,
+    * q120; exact substring spans are `substringDupStats`, q169.)
+    * Documents with fewer than n tokens have no n-grams → both
+    * fractions are 0.
+    *
+    * Scale shape: per n, one codegen'd n-gram transform + explode and
+    * two hash aggregates keyed (doc, gram) then (doc) — the gram stream
+    * is never keyed on the gram alone, so corpus-frequent grams cause
+    * no skew, and each aggregate is map-side combined. The per-n
+    * outputs are one-row-per-doc frames hash-joined back on the id.
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      ns: Seq[Int] = Seq(2, 3)): org.apache.spark.sql.DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val perN = ns.map { n =>
+      val grams = base.select(col(idCol), explode(expr(
+        s"transform(slice(__t, 1, greatest(size(__t) - ${n - 1}, 0)), " +
+          s"(w, i) -> array_join(slice(__t, i + 1, $n), ' '))")).as("__g"))
+      grams.groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol))
+        .agg(round(max(col("__c")) / sum(col("__c")), 6).as(s"top${n}_frac"),
+          round((sum(col("__c")) - count(lit(1))) / sum(col("__c")), 6)
+            .as(s"dup${n}_frac"))
+    }
+    perN.foldLeft(docs.select(col(idCol))) { (acc, d) =>
+      acc.join(d, Seq(idCol), "left")
+    }.na.fill(0.0, ns.flatMap(n => Seq(s"top${n}_frac", s"dup${n}_frac")))
+  }
+
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, topK: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -68,6 +68,56 @@ object Curate {
     df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed n-gram features are under a
+    * TARGET-domain bag-of-grams model than under the RAW-corpus model.
+    * Features are unigrams + bigrams hashed into `buckets` buckets
+    * (portable md5 hash, so the oracle recomputes the assignment);
+    * both models are add-one-smoothed multinomials over buckets;
+    * log w(doc) = Σ_gram [ln p_target(b(g)) − ln p_raw(b(g))].
+    * Selection is then a threshold or top-k on `log_weight` (the
+    * paper's Gumbel resampling adds RNG — deliberately left to the
+    * caller so the operator stays deterministic).
+    *
+    * Scale shape: one explode over tokens (codegen'd), the two bucket
+    * models are hash aggregates onto ≤ `buckets` rows, the scoring join
+    * BROADCASTS the bucket table (B rows regardless of corpus size),
+    * and the per-doc sum is map-side combined — the gram stream is
+    * never shuffled on a gram key. 100 TB-ready by construction.
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     targetFilter: Column, buckets: Int = 1024,
+                     out: String = "log_weight"): DataFrame = {
+    val grams = df
+      .withColumn("__tgt", targetFilter)
+      .select(col(idCol), col("__tgt"),
+        graft.functions.TextFns.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__tgt"), explode(concat(
+        col("__t"),
+        expr("transform(slice(__t, 1, size(__t) - 1), " +
+          "(w, i) -> concat(w, ' ', element_at(__t, i + 2)))"))).as("__g"))
+      .withColumn("__b", pmod(Dedup.portableHash64(col("__g")), lit(buckets)))
+      .select(col(idCol), col("__tgt"), col("__b"))
+    val cr = grams.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val ct = grams.filter(col("__tgt")).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__ct"))
+    val totals = grams.agg(
+      sum(lit(1)).cast("double").as("__nr"),
+      sum(when(col("__tgt"), 1).otherwise(0)).cast("double").as("__nt"))
+    val model = cr.join(ct, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)).cast("double") + 1d) /
+          (col("__nt") + buckets)) -
+          log((col("__cr").cast("double") + 1d) /
+            (col("__nr") + buckets))).as("__lw"))
+    grams.join(broadcast(model), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__lw")), 6).as(out),
+        count(lit(1)).as("n_grams"))
+  }
+
   /** Prototype-based data pruning (the cluster-centroid ranking of
     * Sorscher et al. 2022, "Beyond neural scaling laws: beating power
     * law scaling via data pruning"): within each cluster, rank points

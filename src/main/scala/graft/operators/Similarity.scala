@@ -235,6 +235,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): flag semantic
+    * duplicates WITHIN precomputed embedding clusters. A row is
+    * `sem_dup` iff some other member of its cluster with a LOWER id has
+    * cosine ≥ `threshold` — the deterministic keep-first analog of the
+    * paper's keep rule (the paper keeps the member farthest from the
+    * centroid; keep-lowest-id makes the output order- and
+    * engine-independent, hence oracle-checkable). Compose with the
+    * clustering of choice: `ivfTopK`'s Lloyd iterations or
+    * `Curate.prototypeRank`'s label column both produce a cluster id.
+    *
+    * Scale shape — the paper's own point: the pairwise join keys on the
+    * CLUSTER id, so candidates are Σ|cluster|², not N²; with k balanced
+    * clusters that is N²/k, and k is chosen to make each cluster
+    * driver-irrelevant (the paper uses 11k clusters for 600M docs).
+    * Only (cluster, id) pairs cross the candidate shuffle — vectors
+    * join back corpus-row-sized, as in [[cosineNearDupPairs]]. A
+    * pathologically hot cluster concentrates work like any hot join key
+    * — cap cluster sizes at clustering time (more centroids), the same
+    * contract as PassJoin's maxBucket.
+    */
+  def semanticDupFlags(corpus: DataFrame, idCol: String, vecCol: String,
+                       clusterCol: String, threshold: Double): DataFrame = {
+    val slim = corpus.select(col(clusterCol).as("__cl"), col(idCol),
+      col(vecCol), norm(col(vecCol)).as("__n"))
+    val a = slim.toDF("__cl", "id_a", "__va", "__na")
+    val b = slim.toDF("__cl", "id_b", "__vb", "__nb")
+    val dupIds = a.join(b, Seq("__cl"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+        >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(dupIds.withColumn("__d", lit(true)), Seq(idCol), "left")
+      .withColumn("sem_dup", coalesce(col("__d"), lit(false)))
+      .drop("__d")
+  }
+
   /** LSH-bucketed ANN: probe only the query's bucket. Recall is traded
     * for a 1/2^bits scan reduction; multi-probe = union over neighboring
     * buckets (not needed at test scale). Because the signature is

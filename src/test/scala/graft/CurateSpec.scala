@@ -82,4 +82,51 @@ class CurateSpec extends SparkSpec {
     assert(rows.count(_._3) === 2)
     assert(rows.filter(_._3).map(_._1).toSet === top2)
   }
+
+  test("dsirLogWeights matches in-memory brute force; target docs score higher") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the rug"),
+      (3L, "en", "the cat and the dog"),
+      (4L, "de", "der hund und die katze"),
+      (5L, "de", "die katze sitzt auf der matte"),
+      (6L, "de", "the cat der hund") // mixed
+    ).toDF("doc_id", "lang", "text")
+    val b = 64
+    val got = Curate.dsirLogWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets = b)
+      .collect().map(r2 => r2.getLong(0) -> (r2.getDouble(1), r2.getLong(2))).toMap
+
+    // brute force with the same portable md5 bucket hash
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val rows = Seq(
+      (1L, true, "the cat sat on the mat"), (2L, true, "the dog sat on the rug"),
+      (3L, true, "the cat and the dog"), (4L, false, "der hund und die katze"),
+      (5L, false, "die katze sitzt auf der matte"), (6L, false, "the cat der hund"))
+    val grams = rows.flatMap { case (id, tgt, tx) =>
+      val t = tx.split(" ")
+      (t ++ t.init.zip(t.tail).map { case (a, bb) => s"$a $bb" })
+        .map(g => (id, tgt, h60(g) % b))
+    }
+    val cr = grams.groupBy(_._3).view.mapValues(_.size.toDouble).toMap
+    val ct = grams.filter(_._2).groupBy(_._3).view.mapValues(_.size.toDouble).toMap
+    val (nr, nt) = (grams.size.toDouble, grams.count(_._2).toDouble)
+    rows.foreach { case (id, _, _) =>
+      val mine = grams.filter(_._1 == id)
+      val expect = mine.map { case (_, _, bk) =>
+        math.log((ct.getOrElse(bk, 0d) + 1) / (nt + b)) -
+          math.log((cr(bk) + 1) / (nr + b))
+      }.sum
+      assert(got(id)._2 === mine.size.toLong, s"doc $id n_grams")
+      assert(math.abs(got(id)._1 - expect) < 2e-6, s"doc $id log_weight")
+    }
+    // domain signal: every pure-English doc outweighs every pure-German doc
+    val minEn = Seq(1L, 2L, 3L).map(got(_)._1).min
+    val maxDe = Seq(4L, 5L).map(got(_)._1).max
+    assert(minEn > maxDe)
+  }
 }

@@ -328,6 +328,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bigramCrossEntropy matches in-memory brute force") {
+    import graft.functions.TextFns
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 20L).map { id =>
+      (id, (0 until (rng.nextInt(8) + 2)).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val got = TextFns.bigramCrossEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "xent2", "n_bigrams").as[(Long, Double, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val allBg = docs.flatMap { case (_, tx) =>
+      val t = tx.split(" "); t.init.zip(t.tail)
+    }
+    val c2 = allBg.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c1 = allBg.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val v = allBg.map(_._2).distinct.size.toDouble
+    docs.foreach { case (id, tx) =>
+      val t = tx.split(" ")
+      val bgs = t.init.zip(t.tail)
+      assert(got(id)._2 === bgs.length.toLong, s"doc $id n_bigrams")
+      val expect = bgs.map(b => -math.log((c2(b) + 1) / (c1(b._1) + v))).sum / bgs.length
+      assert(math.abs(got(id)._1 - expect) < 2e-6, s"doc $id xent2")
+    }
+  }
+
+  test("repetitionStats matches in-memory brute force") {
+    import graft.functions.TextFns
+    val vocab = Vector("a", "b", "c")
+    val docs = (1L to 24L).map { id =>
+      (id, (0 until rng.nextInt(10)).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val got = TextFns.repetitionStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", ns = Seq(2, 3))
+      .select("doc_id", "top2_frac", "dup2_frac", "top3_frac", "dup3_frac")
+      .as[(Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def fr(toks: Seq[String], n: Int): (Double, Double) = {
+      val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) (0.0, 0.0)
+      else {
+        val c = grams.groupBy(identity).view.mapValues(_.size).toMap
+        val tot = grams.size.toDouble
+        (c.values.max / tot, (tot - c.size) / tot)
+      }
+    }
+    docs.foreach { case (id, tx) =>
+      val toks = tx.split("\\s+").toSeq // "" → one empty token, like Spark
+      val (t2, d2) = fr(toks, 2)
+      val (t3, d3) = fr(toks, 3)
+      val g = got(id)
+      assert(math.abs(g._2 - t2) < 1e-6 && math.abs(g._3 - d2) < 1e-6,
+        s"doc $id 2-gram")
+      assert(math.abs(g._4 - t3) < 1e-6 && math.abs(g._5 - d3) < 1e-6,
+        s"doc $id 3-gram")
+    }
+  }
+
+  test("semanticDupFlags matches within-cluster brute force") {
+    import graft.operators.Similarity
+    val dim = 8
+    val rows = (0L until 80L).map { id =>
+      (id, (id % 4).toInt,
+        Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+    }
+    val thr = 0.2
+    val got = Similarity.semanticDupFlags(rows.toDF("id", "cl", "vec"),
+        "id", "vec", "cl", thr)
+      .select("id", "sem_dup").as[(Long, Boolean)].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    rows.foreach { case (id, cl, v) =>
+      val expect = rows.exists { case (id2, cl2, v2) =>
+        cl2 == cl && id2 < id && cos(v2, v) >= thr
+      }
+      assert(got(id) === expect, s"id $id")
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     import graft.operators.Cluster
     for (trial <- 1 to 4) {
