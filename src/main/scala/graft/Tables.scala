@@ -16,8 +16,49 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Engine time contract (SURVEY §1.2): `events.ts` is epoch-nanoseconds
+    * int64 — the DateTimeNano representation (riptable stores UTC nanos,
+    * `rt_datetime.py:4183`). The testdata generator has shipped this column
+    * both as int64 nanos and as parquet `timestamp[us]` (TIMESTAMP_NTZ in
+    * Spark); riptable's constructor likewise accepts ints, strings or
+    * datetimes (`rt_datetime.py:2718` DateTimeNano.__new__). We normalize
+    * at the load boundary so every downstream operator sees ONE dtype no
+    * matter which generation of parquet it reads. Sub-microsecond digits
+    * are zero when the source is µs-precision — documented in README.
+    *
+    * NTZ wall-clock is interpreted as UTC: the engine runs with
+    * `spark.sql.session.timeZone=UTC` (RipSession/Verify/Bench all set it),
+    * which matches DuckDB's `epoch_ns(ts)` on the same parquet.
+    */
+  private val epochNanosContract: Map[String, Set[String]] =
+    Map("events" -> Set("ts"))
+
+  /** Project Timestamp/TimestampNTZ columns under the epoch-nanos contract
+    * to int64 nanos, name-preserving; long columns pass through untouched.
+    * Pure codegen'd scan-level projection — no shuffle, pushdown intact.
+    */
+  def normalizeEpochNanos(df: DataFrame, cols: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types._
+    val needs = df.schema.fields.exists(f =>
+      cols(f.name) && (f.dataType == TimestampType || f.dataType == TimestampNTZType))
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType if cols(f.name) =>
+          (unix_micros(col(f.name)) * 1000L).as(f.name)
+        case TimestampNTZType if cols(f.name) =>
+          // NTZ→TS cast uses the session zone; engine contract is UTC.
+          (unix_micros(col(f.name).cast(TimestampType)) * 1000L).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    epochNanosContract.get(name).fold(raw)(normalizeEpochNanos(raw, _))
+  }
 
   /** Multi-file stacked load — the PDataset analog (`rt_pdataset.py:18`):
     * each input file becomes a slice tagged by its source path.
