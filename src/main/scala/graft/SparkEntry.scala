@@ -2199,6 +2199,22 @@ object SparkEntry {
           TextFns.qualityScore(col("text")).as("quality")),
         "doc_id", "quality")
         .orderBy(col("cluster_id"))
+    }),
+
+    // Winnowing (MOSS) fingerprint overlap: char-8-gram hashes, window-4
+    // min sampling, cross-doc shared-fingerprint profile.
+    "q177_winnowing" -> ((s, dir) =>
+      Dedup.winnowDupStats(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4)
+        .orderBy(col("doc_id"))),
+
+    // Hard-negative mining: top-5 nearest different-label vectors per
+    // query — contrastive-training batch construction.
+    "q178_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "label", "vec_id", 5)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -4276,6 +4292,45 @@ object SparkEntry {
          |    count(*) OVER (PARTITION BY cc.cluster_id) AS n_docs
          |  FROM cc JOIN qual ON cc.id = qual.doc_id)
          |SELECT cluster_id, id AS rep_id, n_docs, quality
-         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // winnowing mirror: identical normalize → char-8-gram md5-prefix
+    // hash → window-4 STRING-min selection (lexicographic min over
+    // fixed-width hex is engine-independent); both sides clamp short
+    // texts to one gram / one window
+    "q177_winnowing" ->
+      """WITH s AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS sx
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_transform(
+        |    range(1, greatest(length(sx) - 7, 1) + 1),
+        |    i -> substring(md5(substring(sx, i, 8)), 1, 16)) AS hs
+        |  FROM s),
+        |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    j -> list_min(hs[j:j+3])))) AS f
+        |  FROM g),
+        |df AS (SELECT f, count(*) AS nd FROM fp GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_fp,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_fp,
+        |  round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS shared_frac
+        |FROM fp JOIN df USING (f)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q178_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id, c.label,
+         |    ${cosineSql("c.embedding", "q.qv")} AS cosine
+         |  FROM embeddings c, q WHERE c.label <> q.ql),
+         |ranked AS (SELECT qid, vec_id, label, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS negative_id, label AS negative_label,
+         |  round(cosine, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
   )
 }

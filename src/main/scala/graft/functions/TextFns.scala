@@ -83,6 +83,34 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003, MOSS):
+    * hash every char k-gram of the normalized text, slide a w-hash
+    * window, keep each window's MINIMUM hash; the distinct survivors are
+    * the document's fingerprint set. GUARANTEE: any substring match of
+    * length ≥ w + k − 1 between two documents shares ≥ 1 fingerprint
+    * (every length-w window selects SOME gram inside the match), while
+    * density is ~2/(w+1) of all grams — the content-defined sampling
+    * that makes plagiarism/near-dup detection sublinear in stored
+    * fingerprints.
+    *
+    * Hashes are 16-hex-char md5 prefixes compared as STRINGS — the
+    * lexicographic min over fixed-width lowercase hex is a total order
+    * identical in any engine, so a SQL oracle reproduces the selection
+    * exactly without integer-fold gymnastics. Pure per-row Column
+    * expression: scan-speed, no shuffle, no UDF. Short texts
+    * (< k chars → one whole-text gram; < w windows → one clamped
+    * window) degrade to whole-text fingerprinting.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val s = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val nGrams = length(s) - (k - 1)
+    val hs = transform(sequence(lit(1), greatest(nGrams, lit(1))),
+      i => substring(md5(substr(s, i, lit(k))), 1, 16))
+    val nWins = greatest(nGrams - (w - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nWins),
+      j => array_min(slice(hs, j, lit(w)))))
+  }
+
   /** Character n-gram shingles (the unit for Jaccard/MinHash dedup). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -446,6 +446,27 @@ object Dedup {
         round(col("dup_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** Cross-document winnowing-fingerprint profile: per document, its
+    * fingerprint count and how many fingerprints occur in ≥ 1 OTHER
+    * document — the MOSS-style overlap signal at ~2/(w+1) the storage
+    * of full k-gram shingling (TextFns.winnowFingerprints holds the
+    * guarantee: substring matches of length ≥ w+k−1 can't hide). Shape
+    * mirrors substringDupStats: explode → shared-registry persist →
+    * document-frequency hash aggregate + co-partitioned scoring join.
+    */
+  def winnowDupStats(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = registryPersist(docs.select(col(idCol),
+      explode(TextFns.winnowFingerprints(col(textCol), k, w)).as("__fp")))
+    val docFreq = fps.groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
+    fps.join(docFreq, Seq("__fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("shared_fp"))
+      .withColumn("shared_frac",
+        round(col("shared_fp").cast("double") / col("n_fp"), 6))
+  }
+
   /** Per-doc boilerplate profile: how much of each doc is made of
     * corpus-hot shingles (document frequency ≥ `dfCap`). The df-capped
     * shingle set is also exactly what a scalable jaccardPairs prefix

@@ -71,6 +71,31 @@ object Similarity {
         col(idCol).as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * k most-similar corpus vectors with a DIFFERENT label — the
+    * highest-loss negatives an embedding trainer wants in-batch. Same
+    * broadcast shape as bruteForceTopK (corpus never shuffles; only
+    * nQueries × k survivors reach the top-k window); swap the brute
+    * scorer for lshTopK/sq8TopK candidates at billion-vector scale.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, qIdCol: String,
+                    k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val scored = corpus.select(col(idCol), col(vecCol), col(labelCol))
+      .crossJoin(broadcast(q))
+      .filter(col(labelCol) =!= col("__ql"))
+      .withColumn("cosine", cosine(col(vecCol), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol).as("negative_id"), col(labelCol).as("negative_label"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Scalar-quantized (SQ8) cosine top-k — the memory-bound scale path
     * (FAISS's IndexScalarQuantizer shape): store each dimension as ONE
     * byte on a per-dimension [min, max] grid learned from the corpus,

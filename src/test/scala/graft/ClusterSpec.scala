@@ -91,6 +91,33 @@ class ClusterSpec extends SparkSpec {
     })
   }
 
+  test("winnowing guarantee: substring match >= w+k-1 chars shares a fingerprint") {
+    import graft.functions.TextFns
+    // docs 1 and 2 share an 11-char substring (= w+k-1 with k=8, w=4)
+    // embedded in otherwise unrelated text; doc 3 shares nothing
+    val shared = "abcdefghijk"
+    val docs = Seq(
+      (1L, s"xxxx $shared yyyy completely different tail one"),
+      (2L, s"zz other prefix $shared ww unrelated ending two"),
+      (3L, "nothing in common here at all with those documents")
+    ).toDF("id", "text")
+    val fps = docs.select($"id",
+      explode(TextFns.winnowFingerprints($"text", 8, 4)).as("fp"))
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (id, a) => id -> a.map(_._2).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "guaranteed shared fingerprint missing for an 11-char common substring")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // density: winnowing stores FEWER fingerprints than grams
+    val n = docs.filter($"id" === 1L).select(
+      length(regexp_replace(lower(trim($"text")), "\\s+", " "))).as[Int].head - 7
+    assert(fps(1L).size < n)
+    // cross-doc stats surface the overlap
+    val st = Dedup.winnowDupStats(docs, "id", "text").orderBy("id")
+      .select("id", "shared_fp").as[(Long, Long)].collect()
+    assert(st(0)._2 > 0 && st(1)._2 > 0 && st(2)._2 === 0L)
+  }
+
   test("q122 keep-selection reuses q119's verified pair set via the registry") {
     // Both queries build the SAME jaccardPairs(documents, 3-gram, τ=0.5)
     // frame; the second consumer must HIT the LRU registry (same
