@@ -2215,7 +2215,70 @@ object SparkEntry {
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 3),
         "vec_id", "embedding", "label", "vec_id", 5)
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // PII scrubbing: the corpus text is synthetic word-soup with no
+    // natural PII, so the query EMBEDS deterministic emails/IPs/phones/
+    // SSNs keyed off doc_id (both engines build the identical string —
+    // the q157 synthesized-input pattern), then counts and redacts.
+    "q179_pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id")
+      def n(c: Column): Column = c.cast("string")
+      def m(c: Column, d: Int): Column = pmod(c, lit(d))
+      val synth = concat(col("text"),
+        when(m(id, 3) === 0, concat(lit(" contact u"), n(id),
+          lit("@ex"), n(m(id, 7)), lit(".com"))).otherwise(""),
+        when(m(id, 4) === 0, concat(lit(" from 10."), n(m(id, 256)),
+          lit("."), n(m(id * 7, 256)), lit("."),
+          n(m(id * 13, 256)))).otherwise(""),
+        when(m(id, 5) === 0, concat(lit(" call "), n(m(id, 700) + 200),
+          lit("-"), n(m(id * 3, 900) + 100), lit("-"),
+          n(m(id * 7, 9000) + 1000))).otherwise(""),
+        when(m(id, 7) === 0, concat(lit(" ssn "), n(m(id, 900) + 100),
+          lit("-"), n(m(id, 90) + 10), lit("-"),
+          n(m(id * 11, 9000) + 1000))).otherwise(""))
+      t(s, dir, "documents")
+        .select(col("source"), synth.as("__s"))
+        .select(col("source"),
+          TextFns.piiCount(col("__s"), TextFns.Pii.email).as("__e"),
+          TextFns.piiCount(col("__s"), TextFns.Pii.ipv4).as("__i"),
+          TextFns.piiCount(col("__s"), TextFns.Pii.phone).as("__p"),
+          TextFns.piiCount(col("__s"), TextFns.Pii.ssn).as("__n"),
+          length(TextFns.redactPii(col("__s"))).as("__len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__e")).as("emails"),
+          sum(col("__i")).as("ips"), sum(col("__p")).as("phones"),
+          sum(col("__n")).as("ssns"),
+          sum(col("__len")).as("redacted_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Asymmetric containment (Broder): ordered pairs where ≥60% of
+    // id_a's shingles appear in id_b — quote/nested-doc detection that
+    // jaccard misses when sizes differ.
+    "q180_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Two-stage ANN: SQ8 coarse shortlist-20 → exact float re-rank to
+    // top-5 (search-then-refine).
+    "q181_sq8_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8RerankTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Temperature-scaled (α-sampling) source mixing: α=0.5 flattening,
+    // 30% global budget; output per-source kept count + id checksum so
+    // the SELECTION is verified, not just the budget arithmetic.
+    "q182_temperature_mix" -> ((s, dir) =>
+      Curate.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
+        alpha = 0.5, frac = 0.3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -4331,6 +4394,132 @@ object SparkEntry {
          |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
          |  vec_id AS negative_id, label AS negative_label,
          |  round(cosine, 6) AS cosine
-         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // identical synthesized PII text (keyed off doc_id), identical
+    // pattern strings (Java-regex ∩ RE2 subset), identical replace
+    // order; DuckDB needs the 'g' flag for replace-ALL (Spark's
+    // regexp_replace is global by default)
+    "q179_pii_scrub" ->
+      """WITH synth AS (SELECT source, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id
+        |       || '@ex' || (doc_id % 7) || '.com' ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256)
+        |       || '.' || ((doc_id*7) % 256) || '.' || ((doc_id*13) % 256)
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' call ' || (doc_id % 700 + 200)
+        |       || '-' || ((doc_id*3) % 900 + 100) || '-'
+        |       || ((doc_id*7) % 9000 + 1000) ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' ssn ' || (doc_id % 900 + 100)
+        |       || '-' || (doc_id % 90 + 10) || '-'
+        |       || ((doc_id*11) % 9000 + 1000) ELSE '' END AS s
+        |  FROM documents),
+        |red AS (SELECT source,
+        |  len(regexp_extract_all(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |  len(regexp_extract_all(s,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
+        |  len(regexp_extract_all(s, '\b\d{3}-\d{3}-\d{4}\b')) AS p,
+        |  len(regexp_extract_all(s, '\b\d{3}-\d{2}-\d{4}\b')) AS n,
+        |  length(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS rlen
+        |  FROM synth)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS emails, CAST(sum(i) AS BIGINT) AS ips,
+        |  CAST(sum(p) AS BIGINT) AS phones, CAST(sum(n) AS BIGINT) AS ssns,
+        |  CAST(sum(rlen) AS BIGINT) AS redacted_chars
+        |FROM red GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // blocking-free ground truth: full shingle co-occurrence, ordered
+    // pairs, containment = co / |Sa| (the engine's prefix filter is a
+    // complete candidate generator at τ, so the sets coincide)
+    "q180_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
+        |    THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(co AS DOUBLE) / sa.sz, 6) AS containment
+        |FROM co JOIN sizes sa ON co.id_a = sa.doc_id
+        |WHERE CAST(co AS DOUBLE) / sa.sz >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q175's SQ8 body widened to a 20-deep shortlist, then re-ranked by
+    // EXACT double cosine on the raw float vectors (mirrors
+    // Similarity.cosine's element order and casts)
+    "q181_sq8_rerank" ->
+      s"""WITH st AS (
+         |  SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+         |  FROM (SELECT unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v FROM embeddings)
+         |  GROUP BY i),
+         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM st),
+         |rec AS (
+         |  SELECT vec_id, list_transform(range(1, len(embedding) + 1), i ->
+         |    CASE WHEN mxs[i] > mns[i] THEN
+         |      mns[i] + (LEAST(GREATEST(floor(
+         |        (CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i])
+         |          * 255 + 0.5), 0), 255) / 255) * (mxs[i] - mns[i])
+         |    ELSE mns[i] END) AS rv
+         |  FROM embeddings, mm),
+         |q AS (SELECT vec_id AS qid, rv AS qv FROM rec WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id, ${cosineSql("c.rv", "q.qv")} AS ac
+         |  FROM rec c, q WHERE c.vec_id <> q.qid),
+         |ranked AS (SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY ac DESC, vec_id) AS rnk FROM scored),
+         |short AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 20),
+         |ex AS (SELECT s.qid, s.vec_id,
+         |    ${cosineSql("c.embedding", "qe.embedding")} AS cosine
+         |  FROM short s JOIN embeddings c ON c.vec_id = s.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = s.qid),
+         |rr AS (SELECT qid, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM ex)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM rr WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // α-sampling mirror: w_s = n^α/Σn^α, budget rounded to 6dp BEFORE
+    // floor (pow-drift guard), selection by the portableHash64 mirror
+    // (md5 → 60-bit int) — verifies the actual kept SET via id_sum
+    "q182_temperature_mix" ->
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn, sum(pow(n, 0.5)) AS w FROM counts),
+        |budgets AS (SELECT source,
+        |  least(n, CAST(floor(round(0.3 * nn * pow(n, 0.5) / w, 6))
+        |    AS BIGINT)) AS b
+        |  FROM counts, tot),
+        |hh AS (SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      md5(CAST(doc_id AS VARCHAR))[i]) - 1 AS BIGINT)
+        |      << (4 * (15 - i)))) AS BIGINT) AS h
+        |  FROM documents),
+        |rk AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |  FROM hh),
+        |kept AS (SELECT rk.doc_id, rk.source
+        |  FROM rk JOIN budgets USING (source) WHERE rn <= b)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

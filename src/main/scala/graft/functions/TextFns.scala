@@ -111,6 +111,37 @@ object TextFns {
       j => array_min(slice(hs, j, lit(w)))))
   }
 
+  /** PII patterns for training-corpus scrubbing — the standard
+    * pre-release redaction pass (emails, IPv4s, US-style phone numbers,
+    * SSNs). Patterns stay inside the Java-regex ∩ RE2 common subset
+    * (no lookaround, no backreferences) so a DuckDB oracle runs the
+    * SAME pattern strings; redaction applies the patterns in one fixed
+    * order (email, ip, phone, ssn — emails first, since a dotted-quad
+    * inside an email domain would otherwise be eaten by the IP rule).
+    * All pure Column expressions — codegen'd, scan-speed, no UDFs: at
+    * 100 TB this is a map-only pass.
+    */
+  object Pii {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ssn   = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val all: Seq[(String, String)] = Seq(
+      "email" -> email, "ip" -> ipv4, "phone" -> phone, "ssn" -> ssn)
+  }
+
+  /** Count of matches for one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Replace every PII match with a typed placeholder (`<EMAIL>`,
+    * `<IP>`, `<PHONE>`, `<SSN>`), in the fixed order of `Pii.all`.
+    */
+  def redactPii(text: Column): Column =
+    Pii.all.foldLeft(text) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"<${name.toUpperCase}>")
+    }
+
   /** Character n-gram shingles (the unit for Jaccard/MinHash dedup). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -33,6 +33,58 @@ object Curate {
       .drop("__rn", "__budget")
   }
 
+  /** Temperature-scaled source mixing — the "alpha sampling" of
+    * multilingual pre-training (mBERT / XLM-R / mT5): source s with
+    * corpus share p_s = n_s/N is resampled with weight
+    * w_s ∝ p_s^α (α < 1 flattens the distribution, upsampling tail
+    * sources and downsampling the head; α = 1 is proportional; α = 0
+    * is uniform over sources). Since N^α cancels in the normalization,
+    * w_s = n_s^α / Σ_t n_t^α.
+    *
+    * Deterministic, engine-reproducible selection: per-source budget
+    *   b_s = min(n_s, floor(round(frac·N·w_s, 6)))
+    * (rounded to 6 dp BEFORE the floor so a last-ulp pow()/division
+    * drift across engines cannot flip the floor), kept as the b_s
+    * docs with the smallest portable id hash (ties by id) — no RNG,
+    * no seed, same rows win on any cluster size or rerun.
+    *
+    * Scale shape: source counts are ONE map-side-combined aggregate
+    * onto |sources| rows; the normalizer is a one-row aggregate over
+    * that tiny frame; budgets broadcast back to the corpus; selection
+    * is one window rank per source (the only full shuffle, on the
+    * source key — skew-prone for a dominant source, where AQE skew
+    * handling or pre-salting the rank applies as in grouped head/tail).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        alpha: Double, frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = temperatureBudgets(df, sourceCol, alpha, frac)
+      .select(col(sourceCol), col("budget").as("__budget"))
+    val h = Dedup.portableHash64(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))
+    df.join(broadcast(budgets), Seq(sourceCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__budget"))
+      .drop("__rn", "__budget")
+  }
+
+  /** The per-source budget table behind temperatureSample:
+    * (source, n, weight, budget). Tiny (|sources| rows) — broadcast by
+    * construction.
+    */
+  def temperatureBudgets(df: DataFrame, sourceCol: String,
+                         alpha: Double, frac: Double): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__N"),
+      sum(pow(col("n").cast("double"), lit(alpha))).as("__W"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        pow(col("n").cast("double"), lit(alpha)) / col("__W"))
+      .withColumn("budget", least(col("n"),
+        floor(round(lit(frac) * col("__N") * col("weight"), 6))))
+      .select(col(sourceCol), col("n"), col("weight"), col("budget"))
+  }
+
   /** Budget-quantized sequential packing: assign docs (in a fixed order
     * per `by` group) to training sequences of ~`budget` tokens each:
     * pack_id = ⌊exclusive-prefix-sum(tokens) / budget⌋. This is the

@@ -381,6 +381,55 @@ object Dedup {
     verifyJaccard(cand, shingleSets(docs, idCol, textCol, shingleN), threshold)
   }
 
+  /** Asymmetric containment pairs (quote / nested-document detection):
+    * C(a→b) = |Sa ∩ Sb| / |Sa|, the fraction of a's distinct shingles
+    * present in b (Broder 1997's containment, the partner measure to
+    * resemblance/Jaccard). Containment catches what Jaccard misses: a
+    * short document quoted whole inside a long one has tiny J but
+    * C(short→long) ≈ 1 — the standard nested-dup/quotation signal in
+    * corpus curation. Output is the ORDERED pair (id_a contained in
+    * id_b) with the exact containment.
+    *
+    * Completeness via an ASYMMETRIC prefix filter: with each doc's
+    * shingles in the shingleSets frame's rare-first (df-ascending)
+    * order, C(a→b) ≥ τ means at most sz_a − ceil(τ·sz_a) of a's
+    * shingles are absent from b, so a's first
+    * plen_a = sz_a − ceil(τ·sz_a) + 1 shingles must include one that
+    * hits b (pigeonhole). Candidates are a's rare-first PREFIX joined
+    * against the full exploded corpus — the containing side has no
+    * size bound, so it gets no prefix, but the probing side's factor
+    * shrinks from sz to (1−τ)·sz + 1 rare shingles, which is what
+    * keeps the equi-join candidate count bounded at corpus scale.
+    * Verification intersects the persisted shingle-set arrays (shared
+    * with every other dedup consumer via the cachedPersist registry).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3,
+                       threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    val withPlen = sets.withColumn("plen",
+      (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+    val prefixes = withPlen.select(col("id").as("id_a"),
+      explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+    val full = sets.select(col("id").as("id_b"),
+      explode(col("shs")).as("sh"))
+    val cand = prefixes.join(full, Seq("sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b")),
+        Seq("id_b"))
+      .withColumn("co", size(array_intersect(col("shs_a"), col("shs_b"))))
+      // filter on the RAW ratio (oracle WHERE matches); round only in
+      // the output projection — same boundary discipline as verifyJaccard
+      .withColumn("__c", col("co").cast("double") / col("sz_a"))
+      .filter(col("__c") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("__c"), 6).as("containment"))
+  }
+
   /** Benchmark decontamination: training docs that share at least one
     * distinct `shingleN`-gram with the eval/benchmark set, with the
     * count of shared shingles. The standard pre-training hygiene step:

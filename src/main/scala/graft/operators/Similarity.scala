@@ -155,6 +155,41 @@ object Similarity {
         round(col("approx_cosine"), 6).as("approx_cosine"))
   }
 
+  /** Two-stage retrieval: SQ8 coarse shortlist → EXACT re-rank — the
+    * production ANN shape (FAISS search-then-refine): the quantized
+    * index prunes the corpus to `shortlist` candidates per query at
+    * 1-byte-per-dim memory cost, then exact float cosine re-scores
+    * only those candidates, repairing any quantization-induced rank
+    * inversions inside the shortlist. With shortlist ≫ k the result
+    * equals exact brute-force top-k whenever SQ8 recall@shortlist
+    * holds — and only (nQueries × shortlist) full-precision vectors
+    * are ever touched after the coarse pass.
+    *
+    * Scale shape: the coarse pass is sq8TopK (corpus never shuffles);
+    * the shortlist frame (nQueries × shortlist rows) BROADCASTS to the
+    * corpus for the exact-vector fetch, so the re-rank is one
+    * broadcast-join scan + a (nQueries × shortlist)-row window.
+    */
+  def sq8RerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, qIdCol: String, k: Int,
+                    shortlist: Int = 20): DataFrame = {
+    val approx = sq8TopK(corpus, queries, idCol, vecCol, qIdCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactQ = queries.select(col(qIdCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"))
+      .join(broadcast(approx), Seq("neighbor_id"))
+      .join(broadcast(exactQ), Seq("query_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits; plane p's
     * component for dimension d is a zero-mean integer from a pure LCG,
     *   w(p, d) = ((1103515245·(131·p + d) + 12345) mod 2001) − 1000,
