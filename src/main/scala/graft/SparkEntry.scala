@@ -2278,7 +2278,22 @@ object SparkEntry {
         alpha = 0.5, frac = 0.3)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // RAG/pre-training chunker: 200-char windows, 50-char overlap; the
+    // md5 column checks every chunk's exact CONTENT, not just counts.
+    "q183_chunking" -> ((s, dir) =>
+      Curate.chunkDocs(t(s, dir, "documents"), "doc_id", "text", 200, 50)
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Keep-first novelty attribution: fraction of each doc's shingles
+    // unseen in lower-id docs (marginal-content curve over ingest order).
+    "q184_novelty" -> ((s, dir) =>
+      Dedup.noveltyStats(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -4520,6 +4535,39 @@ object SparkEntry {
         |  FROM rk JOIN budgets USING (source) WHERE rn <= b)
         |SELECT source, count(*) AS n_kept,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // n_chunks = max(1, ceil((L − 50)/150)) in integer-exact form;
+    // substr/length/md5 agree byte-for-byte on ASCII corpus text
+    "q183_chunking" ->
+      """WITH ch AS (SELECT doc_id, text,
+        |  unnest(range(0, greatest(1, CAST(floor(
+        |    (length(text) - 50 + 149) / 150) AS BIGINT)))) AS chunk_id
+        |  FROM documents)
+        |SELECT doc_id, chunk_id,
+        |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200))
+        |    AS INT) AS chunk_len,
+        |  md5(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200))
+        |    AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // first-occurrence attribution over distinct 3-gram shingles
+    "q184_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
+        |    THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+        |  FROM toks),
+        |fs AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN fs.first_id < sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_seen,
+        |  round(1.0 - CAST(sum(CASE WHEN fs.first_id < sh.doc_id
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM sh JOIN fs USING (s) GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

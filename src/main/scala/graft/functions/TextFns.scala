@@ -96,10 +96,17 @@ object TextFns {
     * Hashes are 16-hex-char md5 prefixes compared as STRINGS — the
     * lexicographic min over fixed-width lowercase hex is a total order
     * identical in any engine, so a SQL oracle reproduces the selection
-    * exactly without integer-fold gymnastics. Pure per-row Column
-    * expression: scan-speed, no shuffle, no UDF. Short texts
+    * exactly without integer-fold gymnastics. Short texts
     * (< k chars → one whole-text gram; < w windows → one clamped
     * window) degrade to whole-text fingerprinting.
+    *
+    * REFERENCE FORM ONLY — do not use in pipelines: the gram array
+    * and the normalization regex sit inside `transform` lambdas, and
+    * higher-order-function bodies evaluate interpreted PER ELEMENT,
+    * so this is O(len²)+ per document (a sf0.1 doc pinned a core for
+    * 45 min). Pipelines use `Dedup.winnowFingerprintsDf`, the
+    * explode+window formulation with identical output — the same
+    * split as simhash (Column form) vs simhashDf.
     */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
     val s = regexp_replace(lower(trim(text)), "\\s+", " ")

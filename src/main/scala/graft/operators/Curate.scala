@@ -105,6 +105,31 @@ object Curate {
       .drop("__cum")
   }
 
+  /** Overlapping fixed-size character chunking — the context-window
+    * splitter every RAG / pre-training pipeline runs before embedding
+    * or packing: doc → chunks of `size` chars starting every
+    * `size − overlap` chars, last chunk ragged. Chunk count is the
+    * integer-exact ⌈(L − overlap)/step⌉ clamped to ≥ 1 (identical
+    * arithmetic on any engine — no float division), so a short doc is
+    * one whole-text chunk. Pure codegen explode of substrings: one
+    * scan, no shuffle, no UDF — a map-only pass at 100 TB, and the
+    * output inherits the input's partitioning for the downstream
+    * embed/pack stage.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val step = size - overlap
+    val len = length(col(textCol))
+    val nChunks = greatest(lit(1L),
+      floor((len - overlap + (step - 1)) / step).cast("long"))
+    df.select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0L), nChunks - 1)).as(Seq("chunk_id", "__i")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col(textCol).substr((col("__i") * step + 1).cast("int"), lit(size))
+          .as("chunk"))
+  }
+
   /** Filter-funnel accounting: per group, the row count surviving each
     * named stage predicate and the intersection of all stages — the
     * "where did my corpus go" report, as ONE map-side-combined aggregate

@@ -452,6 +452,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared")) // (id, sh) is distinct → count = distinct shingles
   }
 
+  /** First-occurrence novelty attribution: for each doc, the fraction
+    * of its distinct `shingleN`-gram shingles NOT already present in
+    * any lower-id document — the keep-first dedup accounting view
+    * ("how much of this doc is new relative to everything crawled
+    * before it"), the per-snapshot duplication trend signal corpus
+    * curators track across crawl generations. With ids assigned in
+    * ingest order this is exactly the marginal-content curve.
+    *
+    * Scale shape: one gram explode → per-gram min(id) (map-side
+    * combined onto the distinct-gram space) → gram-keyed join back →
+    * per-doc conditional count. Two hash aggregates and one bounded
+    * join — no pair explosion, same shape as substringDupStats; the
+    * zipf-hot gram keys are absorbed by the partial aggregate before
+    * any shuffle.
+    */
+  def noveltyStats(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val grams = shingleHashes(docs, idCol, textCol, shingleN)
+    val firstSeen = grams.groupBy(col("sh")).agg(min(col(idCol)).as("__first"))
+    grams.join(firstSeen, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") < col(idCol), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty", round(
+        lit(1d) - col("n_seen").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Cross-document substring-level duplication profile (the k-token-
     * span dedup of Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better", re-expressed as two hash aggregates):
@@ -503,10 +530,49 @@ object Dedup {
     * mirrors substringDupStats: explode → shared-registry persist →
     * document-frequency hash aggregate + co-partitioned scoring join.
     */
+  /** DataFrame-level winnowing fingerprints: (id, __fp) rows, one per
+    * DISTINCT selected window-min hash. Same selection as
+    * TextFns.winnowFingerprints but restructured for pipelines: the
+    * Column form nests the normalized text AND the gram-hash array
+    * inside `transform` lambdas, and higher-order-function bodies
+    * evaluate INTERPRETED per element — the normalization regex and
+    * the md5 gram array re-run per window, O(len²)+ per doc (observed:
+    * a single sf0.1 bench task pinned a core for 45 min inside
+    * RegExpReplace.nullSafeEval). Here: normalize ONCE per doc in a
+    * projection below the Generate (the explode consumes it, so
+    * CollapseProject can't inline it into per-gram evaluation), hash
+    * each gram ONCE per gram row, and take window minima with a
+    * rows-between window — one narrow shuffle on the doc id, all
+    * codegen'd, O(len) md5s per doc. Same trade as shingleHashes
+    * (`:85`), same reason.
+    */
+  def winnowFingerprintsDf(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = docs.select(col(idCol),
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("__norm"))
+    val nGrams = greatest(length(col("__norm")) - (k - 1), lit(1))
+    val grams = norm
+      .select(col(idCol), col("__norm"),
+        posexplode(sequence(lit(1), nGrams)).as(Seq("__pos", "__i")))
+      .select(col(idCol), col("__pos"),
+        substring(md5(col("__norm").substr(col("__i"), lit(k))), 1, 16)
+          .as("__gh"),
+        (nGrams - (w - 1)).as("__nwins"))
+    val winMin = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__fp", min(col("__gh")).over(winMin))
+      // window j exists for __pos < max(nGrams−w+1, 1); trailing
+      // positions would be partial windows the Column form never emits
+      .filter(col("__pos") < greatest(col("__nwins"), lit(1)))
+      .select(col(idCol), col("__fp"))
+      .dropDuplicates(idCol, "__fp")
+  }
+
   def winnowDupStats(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, w: Int = 4): DataFrame = {
-    val fps = registryPersist(docs.select(col(idCol),
-      explode(TextFns.winnowFingerprints(col(textCol), k, w)).as("__fp")))
+    val fps = registryPersist(winnowFingerprintsDf(docs, idCol, textCol, k, w))
     val docFreq = fps.groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
     fps.join(docFreq, Seq("__fp"))
       .groupBy(col(idCol))

@@ -82,6 +82,22 @@ class PipelineR7Spec extends SparkSpec {
     assert(rr === exact)
   }
 
+  test("winnowFingerprintsDf equals the Column reference form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the  QUICK   brown fox"), // normalization collapses/lowers
+      (3L, "tiny"),                   // < k chars: whole-text gram
+      (4L, "exactly8"),               // == k chars: one gram
+      (5L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val ref = docs.select(col("doc_id"),
+      explode(TextFns.winnowFingerprints(col("text"), 8, 4)).as("fp"))
+      .as[(Long, String)].collect().toSet
+    val fast = Dedup.winnowFingerprintsDf(docs, "doc_id", "text", 8, 4)
+      .as[(Long, String)].collect().toSet
+    assert(fast === ref)
+  }
+
   test("temperatureBudgets: α=1 is proportional, α=0 is uniform-ish") {
     val docs = (1L to 1000L).map { i =>
       (i, if (i <= 800) "big" else if (i <= 950) "mid" else "small")
@@ -93,6 +109,53 @@ class PipelineR7Spec extends SparkSpec {
       .select("source", "budget").as[(String, Long)].collect().toMap
     // α=0: equal weights → 100 docs per source (small capped at 50)
     assert(flat === Map("big" -> 100L, "mid" -> 100L, "small" -> 50L))
+  }
+
+  test("chunkDocs covers the text with the right chunk grid") {
+    val docs = Seq(
+      (1L, "a" * 80),    // short: one whole-text chunk
+      (2L, "b" * 200),   // exactly size: one chunk
+      (3L, "c" * 201),   // one past: two chunks (second is 51 chars)
+      (4L, "d" * 350),   // exactly size+step: two chunks
+      (5L, "e" * 351)    // three chunks, last 51 chars
+    ).toDF("doc_id", "text")
+    val got = Curate.chunkDocs(docs, "doc_id", "text", 200, 50)
+      .select(col("doc_id"), col("chunk_id"), length(col("chunk")))
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got === Seq((1L, 0L, 80), (2L, 0L, 200), (3L, 0L, 200),
+      (3L, 1L, 51), (4L, 0L, 200), (4L, 1L, 200), (5L, 0L, 200),
+      (5L, 1L, 200), (5L, 2L, 51)))
+    // reconstruction: stripping the overlap from chunk i>0 re-yields text
+    val chunks = Curate.chunkDocs(docs, "doc_id", "text", 200, 50)
+      .as[(Long, Long, String)].collect().sorted
+    val rebuilt = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).zipWithIndex.map { case ((_, _, c), i) =>
+        if (i == 0) c else c.drop(50) }.mkString
+    }
+    docs.as[(Long, String)].collect().foreach { case (id, t) =>
+      assert(rebuilt(id) === t)
+    }
+  }
+
+  test("noveltyStats matches brute-force first-occurrence attribution") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),            // full dup of 1
+      (3L, "zeta eta theta iota kappa lambda"),          // all new
+      (4L, "alpha beta gamma zeta eta theta new words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyStats(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_shingles", "n_seen")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    def sh(t: String): Set[Seq[String]] =
+      t.split("\\s+").toSeq.sliding(3).map(_.toSeq).toSet
+    val all = docs.as[(Long, String)].collect().sortBy(_._1)
+    val want = all.map { case (id, t) =>
+      val mine = sh(t)
+      val before = all.filter(_._1 < id).flatMap(x => sh(x._2)).toSet
+      (id, mine.size.toLong, mine.count(before.contains).toLong)
+    }.toSeq
+    assert(got === want)
   }
 
   test("temperatureSample α=0.5 upsamples the tail share and is " +

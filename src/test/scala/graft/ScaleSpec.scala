@@ -350,4 +350,38 @@ class MiscOpsSpec extends SparkSpec {
     assert(plan.contains("__gb_salt"), plan)
     assert(out.count() === 6)
   }
+
+  test("round-7 ops: chunk/redact are map-only; mixing budgets broadcast; " +
+    "containment has no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 200L).map(i => (i, ("w" + i + " ") * 30, s"s${i % 5}"))
+      .toDF("doc_id", "text", "source")
+    // chunking and PII redaction must be pure scan-level projections
+    val pChunk = graft.operators.Curate.chunkDocs(docs, "doc_id", "text",
+      50, 10).queryExecution.executedPlan.toString
+    assert(!pChunk.contains("Exchange"), pChunk)
+    val pPii = docs.select(
+      graft.functions.TextFns.redactPii(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!pPii.contains("Exchange"), pPii)
+    // temperature mixing: the budget table joins as a broadcast
+    val pTemp = graft.operators.Curate.temperatureSample(docs, "doc_id",
+      "source", 0.5, 0.3).queryExecution.executedPlan.toString
+    assert(pTemp.contains("BroadcastHashJoin") ||
+      pTemp.contains("BroadcastExchange"), pTemp)
+    // containment candidates come from a shingle equi-join, never NLJ
+    val pCont = graft.operators.Dedup.containmentPairs(docs, "doc_id",
+      "text", 3, 0.8).queryExecution.executedPlan.toString
+    assert(!pCont.contains("CartesianProduct"), pCont)
+    assert(!pCont.contains("BroadcastNestedLoopJoin"), pCont)
+    // SQ8 re-rank: shortlist and queries broadcast back for the exact
+    // fetch — the corpus side must not hash-shuffle for those joins
+    val emb = (0L until 100L).map { i =>
+      (i, Seq.fill(8)((i % 13).toFloat / 13f))
+    }.toDF("vec_id", "embedding")
+    val pRr = graft.operators.Similarity.sq8RerankTopK(emb,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", "vec_id", 3,
+      shortlist = 10).queryExecution.executedPlan.toString
+    assert(pRr.contains("BroadcastHashJoin"), pRr)
+  }
 }

@@ -279,6 +279,23 @@ class StreamingSpec extends SparkSpec {
     assert(r === ((5L, 3L, 4L, 2L)))
   }
 
+  test("PII redaction composes with readStream (map-only, no state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text")
+      .withColumn("clean", graft.functions.TextFns.redactPii($"text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "mail a@b.co now"), (2L, "ip 1.2.3.4 clean 12.5"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT doc_id, clean FROM pii_stream ORDER BY doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "mail <EMAIL> now"),
+      (2L, "ip <IP> clean 12.5")))
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
