@@ -15,22 +15,74 @@ object Curate {
     * Each source `s` keeps its `floor(k · w_s)` docs with the smallest
     * portable id hash (ties by id) — the per-source budget of a global
     * sample of size ~k under mixture weights `w`. The weights table is
-    * tiny → broadcast; ranking is one shuffle on the source key.
+    * tiny → broadcast; selection is the threshold-prefiltered exact
+    * rank of `selectSmallestByHash` (see there for the scale shape).
     */
   def mixSample(df: DataFrame, idCol: String, sourceCol: String,
                 weights: Map[String, Double], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
     val budgets = weights.toSeq.map { case (s, w) =>
       (s, math.floor(k * w).toLong)
     }.toDF(sourceCol, "__budget")
+      .join(counts, Seq(sourceCol))
+    selectSmallestByHash(df, idCol, sourceCol, budgets)
+  }
+
+  /** Exact per-key selection of the `__budget` rows with the smallest
+    * (portableHash64(id), id) — the shared kernel of mixSample and
+    * temperatureSample.
+    *
+    * The naive form — row_number over a per-key window — funnels each
+    * key's ENTIRE partition through one reducer and sorts all of it: a
+    * 90%-dominant source at 100 TB is one task sorting 90 TB. Here the
+    * hash's uniformity (it is md5-derived, uniform regardless of the
+    * id distribution) turns selection into a THRESHOLD problem: the
+    * b-th smallest of n uniform draws on [0, 2⁶⁰) concentrates at
+    * (b/n)·2⁶⁰, so a map-only prefilter at that threshold (with
+    * relative slack ε + an additive floor for small b) keeps
+    * ~b·(1+ε) candidate rows per key, and only THOSE are ranked —
+    * the per-key reducer sorts (1+ε)·budget rows instead of n.
+    *
+    * Exactness is never probabilistic: if ≥ b rows survive the filter
+    * for a key, the b smallest by (h, id) all survive (count(h<t) ≥ b
+    * ⟹ the b-th smallest h < t — monotone), so ranking survivors IS
+    * the exact answer. Keys where the filter undershot (< b survivors
+    * — possible only when hash clumping beats the slack) fall back to
+    * ranking the full key, detected by comparing survivor counts to
+    * budgets: output is identical either way, the fast path is merely
+    * overwhelmingly likely. `budgets` must carry (key, __budget, __n).
+    */
+  private[graft] def selectSmallestByHash(
+      df: DataFrame, idCol: String, keyCol: String,
+      budgets: DataFrame, slack: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 1L << 60 // portableHash64 range
     val h = Dedup.portableHash64(col(idCol).cast("string"))
-    val w = Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))
-    df.join(broadcast(budgets), Seq(sourceCol))
+    // threshold: (b/n)(1+ε)·M plus an additive floor so small budgets
+    // (where relative concentration is weak) get absolute headroom
+    val thresh = least(lit(M.toDouble),
+      (col("__budget").cast("double") * (1 + slack) + 64d)
+        / col("__n") * M).cast("long")
+    val withB = df.join(broadcast(budgets), Seq(keyCol))
+      .withColumn("__h", h)
+      .withColumn("__t", thresh)
+    val surv = withB.filter(col("__h") < col("__t"))
+    // undershot keys: survivor count below budget (tiny frame — one
+    // map-side-combined count onto |keys| rows). LEFT join from the
+    // budget table so a key with ZERO survivors is still caught.
+    val survCnt = surv.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val short = budgets.join(survCnt, Seq(keyCol), "left_outer")
+      .filter(coalesce(col("__c"), lit(0L)) < col("__budget"))
+      .select(col(keyCol))
+    val fast = surv.join(broadcast(short), Seq(keyCol), "left_anti")
+    val slow = withB.join(broadcast(short), Seq(keyCol), "left_semi")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__h"), col(idCol))
+    fast.unionByName(slow)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__budget"))
-      .drop("__rn", "__budget")
+      .drop("__rn", "__h", "__t", "__budget", "__n")
   }
 
   /** Temperature-scaled source mixing — the "alpha sampling" of
@@ -51,21 +103,16 @@ object Curate {
     * Scale shape: source counts are ONE map-side-combined aggregate
     * onto |sources| rows; the normalizer is a one-row aggregate over
     * that tiny frame; budgets broadcast back to the corpus; selection
-    * is one window rank per source (the only full shuffle, on the
-    * source key — skew-prone for a dominant source, where AQE skew
-    * handling or pre-salting the rank applies as in grouped head/tail).
+    * goes through `selectSmallestByHash` — a map-only hash-threshold
+    * prefilter so the per-source rank sorts ~budget rows, not the
+    * whole source (the dominant-source skew killer).
     */
   def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
                         alpha: Double, frac: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budgets = temperatureBudgets(df, sourceCol, alpha, frac)
-      .select(col(sourceCol), col("budget").as("__budget"))
-    val h = Dedup.portableHash64(col(idCol).cast("string"))
-    val w = Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))
-    df.join(broadcast(budgets), Seq(sourceCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("__budget"))
-      .drop("__rn", "__budget")
+      .select(col(sourceCol), col("budget").as("__budget"),
+        col("n").as("__n"))
+    selectSmallestByHash(df, idCol, sourceCol, budgets)
   }
 
   /** The per-source budget table behind temperatureSample:

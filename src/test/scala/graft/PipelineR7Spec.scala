@@ -158,6 +158,38 @@ class PipelineR7Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("selectSmallestByHash equals the naive full-window selection " +
+    "and survives a forced fallback") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 2000L).map(i =>
+      (i, if (i % 10 == 0) "tail" else "head")).toDF("doc_id", "source")
+    val budgets = Seq(("head", 300L, 1800L), ("tail", 150L, 200L))
+      .toDF("source", "__budget", "__n")
+    def naive = {
+      val h = Dedup.portableHash64(col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      docs.join(broadcast(budgets), Seq("source"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= col("__budget"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    val fast = Curate.selectSmallestByHash(docs, "doc_id", "source", budgets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fast === naive)
+    // negative slack guarantees the filter undershoots → every key
+    // takes the exact fallback path; output must not change
+    val forced = Curate.selectSmallestByHash(docs, "doc_id", "source",
+      budgets, slack = -0.9999)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(forced === naive)
+    // budget larger than n: whole key comes back
+    val over = Seq(("head", 5000L, 1800L), ("tail", 0L, 200L))
+      .toDF("source", "__budget", "__n")
+    val all = Curate.selectSmallestByHash(docs, "doc_id", "source", over)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(all === Map("head" -> 1800L))
+  }
+
   test("temperatureSample α=0.5 upsamples the tail share and is " +
     "deterministic under repartitioning") {
     val docs = (1L to 1000L).map { i =>
