@@ -2293,7 +2293,19 @@ object SparkEntry {
     // unseen in lower-id docs (marginal-content curve over ingest order).
     "q184_novelty" -> ((s, dir) =>
       Dedup.noveltyStats(t(s, dir, "documents"), "doc_id", "text", 3)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Incremental crawl dedup: odd-id docs (the "new snapshot") checked
+    // for near-dups against even-id docs (the "index"); banded minhash
+    // + prefix full-recall → exact jaccard ≥ 0.5.
+    "q185_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusDupes(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_new"), col("id_old"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -4568,6 +4580,31 @@ object SparkEntry {
         |    AS BIGINT) AS n_seen,
         |  round(1.0 - CAST(sum(CASE WHEN fs.first_id < sh.doc_id
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
-        |FROM sh JOIN fs USING (s) GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sh JOIN fs USING (s) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // blocking-free cross-split ground truth (the engine's band+prefix
+    // candidates achieve full recall at τ, so the sets coincide)
+    "q185_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
+        |    THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |co AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+        |    count(*) AS co
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT id_new, id_old,
+        |  round(CAST(co AS DOUBLE) / (sa.sz + sb.sz - co), 6) AS jaccard
+        |FROM co JOIN sizes sa ON co.id_new = sa.doc_id
+        |  JOIN sizes sb ON co.id_old = sb.doc_id
+        |WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= 0.5
+        |ORDER BY id_new, id_old""".stripMargin
   )
 }

@@ -381,6 +381,75 @@ object Dedup {
     verifyJaccard(cand, shingleSets(docs, idCol, textCol, shingleN), threshold)
   }
 
+  /** Incremental / cross-corpus near-dup gate: which NEW docs are
+    * near-duplicates (jaccard ≥ threshold) of some doc in the EXISTING
+    * corpus — the per-crawl dedup pattern at 100 TB, where each
+    * snapshot is checked against the accumulated index instead of
+    * re-deduping the union from scratch (the new side is orders of
+    * magnitude smaller than the index, and the index side's shingle
+    * frame is registry-persisted across snapshots).
+    *
+    * Candidates: minhash band join new×old (same permutation constants
+    * both sides, so matching bands collide exactly as in
+    * minhashVerifiedPairs), plus — under `fullRecall` — a
+    * containment-style prefix branch: J(a,b) ≥ τ implies
+    * co/sz_a ≥ co/union = J ≥ τ, so a new doc's first
+    * sz_a − ceil(τ·sz_a) + 1 shingles must hit the old doc
+    * (pigeonhole — the ordering only matters for efficiency, rare-first
+    * keeps the probe factor small). Verification is exact jaccard on
+    * the two sets frames. Output (id_new, id_old, jaccard).
+    */
+  def crossCorpusDupes(newDocs: DataFrame, oldDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 3, k: Int = 32, rowsPerBand: Int = 2,
+                       threshold: Double = 0.8,
+                       fullRecall: Boolean = true): DataFrame = {
+    val setsN = shingleSets(newDocs, idCol, textCol, shingleN)
+    val setsO = shingleSets(oldDocs, idCol, textCol, shingleN)
+    val nBands = k / rowsPerBand
+    def banded(sets: DataFrame): DataFrame = {
+      val sh = sets.select(col("id"), explode(col("shs")).as("__h"))
+      val mins = (0 until k).map { i =>
+        val a = 0x9E3779B97F4A7C15L * (2L * i + 1L)
+        val b = 0xC2B2AE3D27D4EB4FL * (i + 1L)
+        min(pmod(col("__h") * lit(a) + lit(b), lit(Long.MaxValue))).as(s"__m$i")
+      }
+      val sigs = sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+        .select(col("id"),
+          array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      sigs.select(col("id"), posexplode(
+        array((0 until nBands).map(b =>
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+        .toDF("id", "band", "bandhash")
+    }
+    val bandCand = banded(setsN).toDF("id_new", "band", "bandhash")
+      .join(banded(setsO).toDF("id_old", "band", "bandhash"),
+        Seq("band", "bandhash"))
+      .select(col("id_new"), col("id_old"))
+    val cand =
+      if (!fullRecall) bandCand.distinct()
+      else {
+        val withPlen = setsN.withColumn("plen",
+          (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+        val prefN = withPlen.select(col("id").as("id_new"),
+          explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+        val fullO = setsO.select(col("id").as("id_old"),
+          explode(col("shs")).as("sh"))
+        bandCand.unionByName(prefN.join(fullO, Seq("sh"))
+          .select(col("id_new"), col("id_old"))).distinct()
+      }
+    cand
+      .join(setsN.select(col("id").as("id_new"), col("shs").as("shs_a"),
+        col("sz").as("sz_a")), Seq("id_new"))
+      .join(setsO.select(col("id").as("id_old"), col("shs").as("shs_b"),
+        col("sz").as("sz_b")), Seq("id_old"))
+      .withColumn("co", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("__j", col("co").cast("double")
+        / (col("sz_a") + col("sz_b") - col("co")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_new"), col("id_old"), round(col("__j"), 6).as("jaccard"))
+  }
+
   /** Asymmetric containment pairs (quote / nested-document detection):
     * C(a→b) = |Sa ∩ Sb| / |Sa|, the fraction of a's distinct shingles
     * present in b (Broder 1997's containment, the partner measure to

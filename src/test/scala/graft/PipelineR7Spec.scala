@@ -158,6 +158,38 @@ class PipelineR7Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("crossCorpusDupes equals brute-force cross-split jaccard") {
+    val mk = (i: Long, t: String) => (i, t)
+    val oldDocs = Seq(
+      mk(2L, "alpha beta gamma delta epsilon zeta eta"),
+      mk(4L, "one two three four five six seven eight"),
+      mk(6L, "totally unrelated content lives here now")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta"),      // dup of 2
+      mk(3L, "one two three four five six seven nine"),       // near 4
+      mk(5L, "fresh words never seen before at all")
+    ).toDF("doc_id", "text")
+    val tau = 0.5
+    val got = Dedup.crossCorpusDupes(newDocs, oldDocs, "doc_id", "text",
+      shingleN = 3, threshold = tau)
+      .select("id_new", "id_old", "jaccard")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def sh(t: String): Set[Seq[String]] =
+      t.split("\\s+").map(_.toLowerCase).toSeq.sliding(3).map(_.toSeq).toSet
+    val want = (for {
+      (in, tn) <- newDocs.as[(Long, String)].collect()
+      (io, to) <- oldDocs.as[(Long, String)].collect()
+      j = sh(tn).intersect(sh(to)).size.toDouble /
+        sh(tn).union(sh(to)).size if j >= tau
+    } yield (in, io) -> BigDecimal(j).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(got === want)
+    assert(got.contains((1L, 2L)))   // exact dup found
+    assert(got.contains((3L, 4L)))   // near dup found
+    assert(!got.keys.exists(_._1 == 5L)) // fresh doc clean
+  }
+
   test("selectSmallestByHash equals the naive full-window selection " +
     "and survives a forced fallback") {
     import org.apache.spark.sql.expressions.Window
