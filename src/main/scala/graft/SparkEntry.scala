@@ -2305,7 +2305,19 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", shingleN = 3, threshold = 0.5)
         .orderBy(col("id_new"), col("id_old"))
-    })
+    }),
+
+    // Leakage-safe 80/20 split: the split unit is the near-dup cluster
+    // (jaccard ≥ 0.5 components), so dup pairs can never straddle the
+    // train/test cut; id_sum verifies the exact assignment.
+    "q186_leakage_split" -> ((s, dir) =>
+      Split.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+        80, 3, 0.5)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -4605,6 +4617,35 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON co.id_new = sa.doc_id
         |  JOIN sizes sb ON co.id_old = sb.doc_id
         |WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= 0.5
-        |ORDER BY id_new, id_old""".stripMargin
+        |ORDER BY id_new, id_old""".stripMargin,
+
+    // recursive-CTE connected components over the exact jaccard pairs
+    // (q176's CC body), singleton docs self-clustered, then the q113
+    // portableHash64 mirror applied to cluster_id
+    "q186_leakage_split" ->
+      s"""WITH RECURSIVE ${jaccardBody("0.5")},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |  UNION ALL SELECT id_b, id_a FROM jpairs),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |lab AS (SELECT d.doc_id,
+         |    coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+         |hh AS (SELECT doc_id, cluster_id,
+         |  CAST(list_sum(list_transform(range(1, 16),
+         |    i -> CAST(strpos('0123456789abcdef',
+         |      md5(CAST(cluster_id AS VARCHAR))[i]) - 1 AS BIGINT)
+         |      << (4 * (15 - i)))) AS BIGINT) AS h
+         |  FROM lab),
+         |sp AS (SELECT doc_id, cluster_id,
+         |  CASE WHEN h % 100 < 80 THEN 'train' ELSE 'test' END AS split
+         |  FROM hh)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT cluster_id) AS n_clusters,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -30,6 +30,36 @@ object Split {
       when(hashBucket(col(idCol)) < trainPct, "train").otherwise("test"))
   }
 
+  /** Leakage-safe train/test split: near-duplicate documents must land
+    * on the SAME side of the cut — a per-doc hash split leaks content
+    * from train into test through dup pairs, silently inflating eval
+    * scores (the classic contamination trap in ML data prep). The
+    * split unit is therefore the NEAR-DUP CLUSTER: connected
+    * components over jaccard ≥ τ pairs, singleton docs as their own
+    * cluster, then the deterministic hash-bucket split runs on
+    * cluster_id, making every cluster atomic across the cut.
+    *
+    * Scale shape: the pair set and CC come from the shared dedup
+    * machinery (banded candidates, registry-persisted shingle frames,
+    * bounded-round large/small-star CC); the cluster-label frame is
+    * bounded by docs-that-have-a-dup, left-joined back; the split
+    * itself is a map-only hash.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       trainPct: Int, shingleN: Int = 3,
+                       tau: Double = 0.5,
+                       out: String = "split"): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0, 100)")
+    val pairs = Dedup.jaccardPairs(docs, idCol, textCol, shingleN, tau)
+      .select(col("id_a"), col("id_b"))
+    val cc = Cluster.connectedComponents(pairs, "id_a", "id_b")
+    docs.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn(out,
+        when(hashBucket(col("cluster_id")) < trainPct, "train")
+          .otherwise("test"))
+  }
+
   /** Deterministic k-per-group downsample: keep each group's k rows with
     * the smallest portable id hash (ties broken by id). The hash order
     * is a repeatable pseudo-random order, so this is stratified sampling

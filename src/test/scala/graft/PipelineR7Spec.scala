@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
-import graft.operators.{Curate, Dedup, Similarity}
+import graft.operators.{Curate, Dedup, Similarity, Split}
 
 /** Round-7 pipeline operators: PII scrubbing, containment dedup,
   * SQ8+exact re-rank retrieval, temperature source mixing.
@@ -156,6 +156,35 @@ class PipelineR7Spec extends SparkSpec {
       (id, mine.size.toLong, mine.count(before.contains).toLong)
     }.toSeq
     assert(got === want)
+  }
+
+  test("leakageSafeSplit keeps near-dup pairs on the same side") {
+    // pair (2k, 2k+1): identical text (J=1); ACROSS pairs only the
+    // 6-token base is shared → J = 4/16 = 0.25 < τ, distinct clusters
+    val base = "alpha beta gamma delta epsilon zeta"
+    val docs = ((2L to 41L).map { i =>
+      val k = i / 2
+      (i, base + s" t$k u$k v$k w$k x$k y$k")
+    } ++ Seq((100L, "solo document with completely different words here"),
+      (101L, "another standalone text nothing shared at all okay"))
+    ).toDF("doc_id", "text")
+    val got = Split.leakageSafeSplit(docs, "doc_id", "text", 80, 3, 0.5)
+    // every cluster lands wholly in one split
+    val spans = got.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(spans === 0L)
+    // dup partners co-located; pairs really are separate clusters
+    val rows = got.select("doc_id", "split", "cluster_id")
+      .as[(Long, String, Long)].collect()
+    val bySide = rows.map(r => r._1 -> r._2).toMap
+    val byCluster = rows.map(r => r._1 -> r._3).toMap
+    (2L to 40L by 2).foreach { i =>
+      assert(bySide(i) === bySide(i + 1), s"pair ($i,${i + 1}) split apart")
+      assert(byCluster(i) === byCluster(i + 1))
+    }
+    assert(rows.map(_._3).distinct.length === 22) // 20 pairs + 2 solos
+    assert(got.count() === 42)
   }
 
   test("crossCorpusDupes equals brute-force cross-split jaccard") {

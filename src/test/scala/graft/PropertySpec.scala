@@ -476,4 +476,28 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"trial=$trial k=$k")
     }
   }
+
+  test("chunkDocs matches the reference chunker over random sizes") {
+    val rng = new scala.util.Random(11)
+    def refChunks(t: String, size: Int, overlap: Int): Seq[String] = {
+      val step = size - overlap
+      val n = math.max(1L,
+        (t.length - overlap + step - 1).toLong / step).toInt
+      (0 until n).map(i => t.slice(i * step, i * step + size))
+    }
+    for ((size, overlap) <- Seq((200, 50), (64, 0), (10, 9), (7, 3))) {
+      val docs = (1L to 60L).map { i =>
+        (i, rng.alphanumeric.take(rng.nextInt(3 * size) + 1).mkString)
+      }
+      val got = graft.operators.Curate
+        .chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text",
+          size, overlap)
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      docs.foreach { case (id, t) =>
+        assert(got(id) === refChunks(t, size, overlap),
+          s"id=$id size=$size overlap=$overlap len=${t.length}")
+      }
+    }
+  }
 }
