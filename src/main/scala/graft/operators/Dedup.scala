@@ -601,43 +601,24 @@ object Dedup {
     */
   /** DataFrame-level winnowing fingerprints: (id, __fp) rows, one per
     * DISTINCT selected window-min hash. Same selection as
-    * TextFns.winnowFingerprints but restructured for pipelines: the
-    * Column form nests the normalized text AND the gram-hash array
-    * inside `transform` lambdas, and higher-order-function bodies
-    * evaluate INTERPRETED per element — the normalization regex and
-    * the md5 gram array re-run per window, O(len²)+ per doc (observed:
-    * a single sf0.1 bench task pinned a core for 45 min inside
-    * RegExpReplace.nullSafeEval). Here: normalize ONCE per doc in a
-    * projection below the Generate (the explode consumes it, so
-    * CollapseProject can't inline it into per-gram evaluation), hash
-    * each gram ONCE per gram row, and take window minima with a
-    * rows-between window — one narrow shuffle on the doc id, all
-    * codegen'd, O(len) md5s per doc. Same trade as shingleHashes
-    * (`:85`), same reason.
+    * TextFns.winnowFingerprints but safe for pipelines: the Column
+    * form nests the normalized text AND the gram-hash array inside
+    * `transform` lambdas, and higher-order-function bodies evaluate
+    * INTERPRETED per element — the normalization regex and the md5
+    * gram array re-run per window, O(len²)+ per doc (observed: a
+    * single sf0.1 bench task pinned a core for 45 min inside
+    * RegExpReplace.nullSafeEval). This form normalizes once per row
+    * in a plain projection and hands the single-pass gram-hash +
+    * window-min selection to the codegen'd `rip_winnow` expression
+    * (`plans.RipWinnow`) — O(len) md5s per doc, ZERO shuffle, no
+    * per-gram row explosion.
     */
   def winnowFingerprintsDf(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val norm = docs.select(col(idCol),
-      regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("__norm"))
-    val nGrams = greatest(length(col("__norm")) - (k - 1), lit(1))
-    val grams = norm
-      .select(col(idCol), col("__norm"),
-        posexplode(sequence(lit(1), nGrams)).as(Seq("__pos", "__i")))
-      .select(col(idCol), col("__pos"),
-        substring(md5(col("__norm").substr(col("__i"), lit(k))), 1, 16)
-          .as("__gh"),
-        (nGrams - (w - 1)).as("__nwins"))
-    val winMin = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("__fp", min(col("__gh")).over(winMin))
-      // window j exists for __pos < max(nGrams−w+1, 1); trailing
-      // positions would be partial windows the Column form never emits
-      .filter(col("__pos") < greatest(col("__nwins"), lit(1)))
-      .select(col(idCol), col("__fp"))
-      .dropDuplicates(idCol, "__fp")
-  }
+                           k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol),
+      explode(call_function("rip_winnow",
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+        lit(k), lit(w))).as("__fp"))
 
   def winnowDupStats(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, w: Int = 4): DataFrame = {

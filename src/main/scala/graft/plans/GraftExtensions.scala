@@ -77,6 +77,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RipSimhash(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("rip_winnow"),
+      new ExpressionInfo(classOf[RipWinnow].getName, "rip_winnow"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "rip_winnow(normText, k, w) takes exactly 3 arguments")
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"rip_winnow: $name must be an integer literal, got $other")
+        }
+        RipWinnow(children.head, intLit(children(1), "k"),
+          intLit(children(2), "w"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rip_crc32c"),
       new ExpressionInfo(classOf[RipCrc32C].getName, "rip_crc32c"),
       (children: Seq[Expression]) => {
