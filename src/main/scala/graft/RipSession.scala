@@ -26,6 +26,11 @@ object RipSession {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Runtime bloom-filter join pruning: the probe side of a selective
+      // join gets a bloom filter built from the build side pushed into
+      // its scan — at 100 TB this prunes fact-table row groups before
+      // the shuffle (complements AQE; a no-op on tiny local data).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // Nanosecond parquet timestamps surface as LongType ns-since-epoch
       // (SURVEY §1.2: nanos-as-long policy; TimestampType is µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2317,7 +2317,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("cluster_id")).as("n_clusters"),
           sum(col("doc_id")).as("id_sum"))
-        .orderBy(col("split")))
+        .orderBy(col("split"))),
+
+    // KMV distinct-count sketch: per-source distinct-shingle estimate
+    // from the 64 smallest portable hashes — deterministic, so the
+    // ESTIMATE itself is oracle-checked (HLL can't be), next to exact.
+    "q187_kmv_distinct" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").select(col("source"),
+        explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
+      Sketch.kmvDistinct(sh, Seq("source"), col("sh"), 64)
+        .join(sh.groupBy(col("source"))
+          .agg(countDistinct(col("sh")).as("n_exact")), Seq("source"))
+        .select(col("source"), col("n_exact"), col("distinct_est"),
+          col("sketch_size"))
+        .orderBy(col("source"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -4646,6 +4660,36 @@ object SparkEntry {
          |SELECT split, count(*) AS n_docs,
          |  count(DISTINCT cluster_id) AS n_clusters,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // KMV mirror: distinct (source, hash60(shingle)) → 64 smallest per
+    // source → (k−1)·2⁶⁰/h_k, exact when the group holds < k values
+    "q187_kmv_distinct" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT d.source, unnest(list_distinct(CASE WHEN len(tk.t) < 3
+        |    THEN [array_to_string(tk.t, ' ')]
+        |    ELSE list_transform(range(1, len(tk.t) - 1),
+        |      i -> tk.t[i] || ' ' || tk.t[i+1] || ' ' || tk.t[i+2]) END)) AS s
+        |  FROM toks tk JOIN documents d USING (doc_id)),
+        |ex AS (SELECT source, count(DISTINCT s) AS n_exact FROM sh
+        |  GROUP BY 1),
+        |hh AS (SELECT DISTINCT source,
+        |  CAST(list_sum(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT)
+        |      << (4 * (15 - i)))) AS BIGINT) AS h
+        |  FROM sh),
+        |rk AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+        |kk AS (SELECT source, count(*) AS cnt, max(h) AS hk
+        |  FROM rk WHERE rn <= 64 GROUP BY 1)
+        |SELECT kk.source, ex.n_exact,
+        |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |    ELSE round(63.0 * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(hk AS DOUBLE), 4) END AS distinct_est,
+        |  CAST(cnt AS BIGINT) AS sketch_size
+        |FROM kk JOIN ex USING (source) ORDER BY source""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
-import graft.operators.{Curate, Dedup, Similarity, Split}
+import graft.operators.{Curate, Dedup, Similarity, Sketch, Split}
 
 /** Round-7 pipeline operators: PII scrubbing, containment dedup,
   * SQ8+exact re-rank retrieval, temperature source mixing.
@@ -156,6 +156,31 @@ class PipelineR7Spec extends SparkSpec {
       (id, mine.size.toLong, mine.count(before.contains).toLong)
     }.toSeq
     assert(got === want)
+  }
+
+  test("kmvDistinct: exact below k, bounded error above, " +
+    "partition-invariant") {
+    val df = (1L to 30000L).map { i =>
+      (if (i <= 20000) "big" else "small",
+        if (i <= 20000) s"v${i % 5000}" else s"w${i % 40}")
+    }.toDF("g", "v")
+    val got = Sketch.kmvDistinct(df, Seq("g"), col("v"), 64)
+      .select("g", "distinct_est", "sketch_size")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    // small group: 40 < k=64 distinct values → exact, sketch holds all
+    assert(got("small") === ((40.0, 40L)))
+    // big group: 5000 distinct, KMV rel-err ~ 1/sqrt(62) ≈ 13%; allow 4σ
+    val (est, sz) = got("big")
+    assert(sz === 64L)
+    assert(math.abs(est - 5000) / 5000 < 0.5, s"est=$est")
+    // the estimate is a pure function of the data — any partitioning
+    // yields the identical sketch
+    val again = Sketch.kmvDistinct(df.repartition(13), Seq("g"),
+      col("v"), 64)
+      .select("g", "distinct_est").as[(String, Double)].collect().toMap
+    assert(again("big") === est)
+    assert(again("small") === 40.0)
   }
 
   test("leakageSafeSplit keeps near-dup pairs on the same side") {
