@@ -2331,6 +2331,29 @@ object SparkEntry {
         .select(col("source"), col("n_exact"), col("distinct_est"),
           col("sketch_size"))
         .orderBy(col("source"))
+    }),
+
+    // Unicode NFC at ingest: even docs get a decomposed suffix
+    // (e + U+0301), odd docs the precomposed form (U+00E9); after
+    // rip_nfc both collapse to identical bytes — cp counts and change
+    // flags verify the normalization itself.
+    "q188_nfc_normalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val synth = concat(col("text"),
+        when(pmod(id, lit(2)) === 0,
+          lit(" café résumé"))
+          .otherwise(lit(" café résumé")))
+      t(s, dir, "documents")
+        .select(col("source"), synth.as("__s"))
+        .select(col("source"), col("__s"), TextFns.nfc(col("__s")).as("__n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__n") =!= col("__s"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(length(col("__s"))).as("cp_raw"),
+          sum(length(col("__n"))).as("cp_nfc"),
+          countDistinct(md5(col("__n"))).as("n_distinct_nfc"))
+        .orderBy(col("source"))
     })
   )
 
@@ -4690,6 +4713,26 @@ object SparkEntry {
         |    ELSE round(63.0 * CAST(1152921504606846976 AS DOUBLE)
         |      / CAST(hk AS DOUBLE), 4) END AS distinct_est,
         |  CAST(cnt AS BIGINT) AS sketch_size
-        |FROM kk JOIN ex USING (source) ORDER BY source""".stripMargin
+        |FROM kk JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    // suffixes built from chr() so the byte sequences are unambiguous:
+    // chr(769) = U+0301 combining acute, chr(233) = precomposed é;
+    // nfc_normalize implements the same Unicode NFC as rip_nfc
+    "q188_nfc_normalize" ->
+      """WITH synth AS (SELECT source,
+        |  text || CASE WHEN doc_id % 2 = 0
+        |    THEN ' cafe' || chr(769) || ' re' || chr(769) || 'sume'
+        |      || chr(769)
+        |    ELSE ' caf' || chr(233) || ' r' || chr(233) || 'sum'
+        |      || chr(233) END AS s
+        |  FROM documents),
+        |nn AS (SELECT source, s, nfc_normalize(s) AS n FROM synth)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n <> s THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(length(s)) AS BIGINT) AS cp_raw,
+        |  CAST(sum(length(n)) AS BIGINT) AS cp_nfc,
+        |  count(DISTINCT md5(n)) AS n_distinct_nfc
+        |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

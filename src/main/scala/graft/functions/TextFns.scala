@@ -149,6 +149,13 @@ object TextFns {
       regexp_replace(acc, pat, s"<${name.toUpperCase}>")
     }
 
+  /** Unicode NFC normalization via the native `rip_nfc` expression
+    * (`plans.RipNfc`) — run at ingest before any hashing/dedup so
+    * decomposed and precomposed spellings of the same text can't
+    * register as distinct documents.
+    */
+  def nfc(text: Column): Column = call_function("rip_nfc", text)
+
   /** Character n-gram shingles (the unit for Jaccard/MinHash dedup). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RipSimhash(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("rip_nfc"),
+      new ExpressionInfo(classOf[RipNfc].getName, "rip_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "rip_nfc(text) takes exactly 1 argument")
+        RipNfc(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rip_winnow"),
       new ExpressionInfo(classOf[RipWinnow].getName, "rip_winnow"),
       (children: Seq[Expression]) => {

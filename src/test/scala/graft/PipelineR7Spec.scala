@@ -158,6 +158,25 @@ class PipelineR7Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("rip_nfc composes decomposed sequences; ASCII is a fixed point") {
+    val dec = "café résumé"
+    val pre = "café résumé"
+    val df = Seq((1L, dec), (2L, pre), (3L, "plain ascii text"))
+      .toDF("id", "s")
+    val got = df.select(col("id"), TextFns.nfc(col("s")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === pre) // decomposed → precomposed
+    assert(got(2L) === pre) // already NFC: unchanged
+    assert(got(3L) === "plain ascii text")
+    // idempotent + null-safe
+    val twice = df.select(TextFns.nfc(TextFns.nfc(col("s"))))
+      .as[String].collect().toSet
+    assert(twice === Set(pre, "plain ascii text"))
+    val nulls = Seq[(Long, String)]((1L, null)).toDF("id", "s")
+      .select(TextFns.nfc(col("s"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("kmvDistinct: exact below k, bounded error above, " +
     "partition-invariant") {
     val df = (1L to 30000L).map { i =>
