@@ -2354,7 +2354,13 @@ object SparkEntry {
           sum(length(col("__n"))).as("cp_nfc"),
           countDistinct(md5(col("__n"))).as("n_distinct_nfc"))
         .orderBy(col("source"))
-    })
+    }),
+
+    // BM25 keyword retrieval: top-10 docs for a 4-term query (Lucene
+    // idf form, k1=1.2, b=0.75) — the lexical baseline beside ANN.
+    "q189_bm25" -> ((s, dir) =>
+      TextFns.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "merge", "window", "stream"), 10))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -4733,6 +4739,27 @@ object SparkEntry {
         |  CAST(sum(length(s)) AS BIGINT) AS cp_raw,
         |  CAST(sum(length(n)) AS BIGINT) AS cp_nfc,
         |  count(DISTINCT md5(n)) AS n_distinct_nfc
-        |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Lucene-idf BM25 mirror; score rounded to 6dp BEFORE the ranking
+    // order on both sides, id tiebreak
+    "q189_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |st AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |ft AS (SELECT doc_id, dl, term, count(*) AS tf FROM st
+        |  WHERE term IN ('spark', 'merge', 'window', 'stream')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM st
+        |  WHERE term IN ('spark', 'merge', 'window', 'stream')
+        |  GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
+        |sc AS (SELECT doc_id,
+        |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM ft JOIN dfq USING (term), corpus GROUP BY 1)
+        |SELECT doc_id, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

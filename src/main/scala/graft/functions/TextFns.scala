@@ -297,4 +297,47 @@ object TextFns {
       .filter(col("rk") <= topK)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rk").cast("long").as("rk"))
   }
+
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; Lucene's idf
+    * variant, ln(1 + (N − df + ½)/(df + ½))) — the lexical baseline
+    * that sits beside the ANN stack in every retrieval pipeline:
+    *   score(d, Q) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)).
+    *
+    * Scale shape: ONE token pass — the explode filters to the query's
+    * terms at scan level (codegen isin) before any aggregation, so the
+    * (doc, term, tf) stream is bounded by docs-containing-query-terms;
+    * per-term df folds from the same stream; N and avgdl ride a
+    * one-row broadcast; the ≤|Q|-row df table broadcasts; the final
+    * top-k is TakeOrderedAndProject (no global sort). Ranking uses the
+    * score ROUNDED to 6 dp with the id tiebreak, so equal-content docs
+    * order deterministically on any engine.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("__len"),
+        explode(col("__t")).as("term"))
+      .filter(col("term").isin(query: _*))
+    val tf = toks.groupBy(col(idCol), col("__len"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+    val corpus = docs.agg(count(lit(1)).as("__N"),
+      avg(tokenCount(col(textCol))).as("__avgdl"))
+    val idf = log(lit(1d) + (col("__N") - col("__df") + 0.5)
+      / (col("__df") + 0.5))
+    // parenthesization mirrors the oracle SQL term by term so the
+    // doubles agree bit-for-bit: (1−b) + (b·dl)/avgdl, then ·k1
+    val termScore = idf * col("__tf") * (k1 + 1) /
+      (col("__tf") + (lit(1 - b) + lit(b) * col("__len") / col("__avgdl")) * k1)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__s", termScore)
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -158,6 +158,37 @@ class PipelineR7Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bm25TopK matches in-memory brute force") {
+    val docs = Seq(
+      (1L, "spark merge window spark spark"),
+      (2L, "merge merge merge stream"),
+      (3L, "window"),
+      (4L, "nothing relevant here at all whatsoever"),
+      (5L, "spark stream window merge all four terms present")
+    ).toDF("doc_id", "text")
+    val q = Seq("spark", "merge", "window", "stream")
+    val (k1, b) = (1.2, 0.75)
+    val got = TextFns.bm25TopK(docs, "doc_id", "text", q, 5)
+      .as[(Long, Double)].collect().toSeq
+    // brute force
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (i, t) => i -> t.split("\\s+").toSeq }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.size).sum / n
+    val dfm = q.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val want = toks.map { case (i, ts) =>
+      val s = q.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          tf * (k1 + 1) / (tf + k1 * (1 - b + b * ts.size / avgdl))
+      }.sum
+      i -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter(_._2 > 0).sortBy { case (i, s) => (-s, i) }.take(5)
+    assert(got === want)
+    assert(!got.map(_._1).contains(4L)) // no-match doc never surfaces
+  }
+
   test("rip_nfc composes decomposed sequences; ASCII is a fixed point") {
     val dec = "café résumé"
     val pre = "café résumé"
