@@ -2360,7 +2360,23 @@ object SparkEntry {
     // idf form, k1=1.2, b=0.75) — the lexical baseline beside ANN.
     "q189_bm25" -> ((s, dir) =>
       TextFns.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        Seq("spark", "merge", "window", "stream"), 10))
+        Seq("spark", "merge", "window", "stream"), 10)),
+
+    // Reciprocal-rank fusion of two BM25 rankings (two query
+    // formulations) — the hybrid-retrieval combiner, score-free.
+    "q190_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def ranked(terms: Seq[String]) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        TextFns.bm25TopK(docs, "doc_id", "text", terms, 20)
+          .withColumn("rank", row_number().over(w))
+      }
+      TextFns.rrfFuse(Seq(
+        ranked(Seq("spark", "merge", "window", "stream")),
+        ranked(Seq("filter", "join", "sort", "hash"))),
+        "doc_id", "rank", 10)
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -4760,6 +4776,38 @@ object SparkEntry {
         |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
         |  FROM ft JOIN dfq USING (term), corpus GROUP BY 1)
         |SELECT doc_id, score FROM sc
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // two BM25 top-20 rankings (same CTE body, different term sets)
+    // fused by 1/(60+rank); rank + fused score both on 6-dp-rounded
+    // values with id tiebreaks on both sides
+    "q190_hybrid_rrf" -> {
+      def bmCte(sfx: String, terms: String): String =
+        s"""ft$sfx AS (SELECT doc_id, dl, term, count(*) AS tf FROM st
+           |  WHERE term IN ($terms) GROUP BY 1, 2, 3),
+           |dfq$sfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM st
+           |  WHERE term IN ($terms) GROUP BY 1),
+           |sc$sfx AS (SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+           |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+           |  FROM ft$sfx JOIN dfq$sfx USING (term), corpus GROUP BY 1),
+           |rk$sfx AS (SELECT doc_id,
+           |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+           |  FROM (SELECT doc_id, score FROM sc$sfx
+           |    ORDER BY score DESC, doc_id LIMIT 20))""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |st AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+         |corpus AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
+         |${bmCte("a", "'spark', 'merge', 'window', 'stream'")},
+         |${bmCte("b", "'filter', 'join', 'sort', 'hash'")},
+         |u AS (SELECT doc_id, 1.0 / (rnk + 60) AS c FROM rka
+         |  UNION ALL SELECT doc_id, 1.0 / (rnk + 60) FROM rkb)
+         |SELECT doc_id, round(sum(c), 6) AS rrf_score,
+         |  count(*) AS n_lists
+         |FROM u GROUP BY 1
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+    }
   )
 }

@@ -298,6 +298,32 @@ object TextFns {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rk").cast("long").as("rk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher 2009) — the
+    * standard score-free combiner for hybrid retrieval (BM25 + dense
+    * ANN, or multiple query formulations):
+    *   RRF(d) = Σ_r 1/(c + rank_r(d)),
+    * summed over each input ranking that contains d. Rank-based, so
+    * incomparable score scales fuse without calibration. Inputs are
+    * (id, rank) frames (rank 1-based); an item missing from a ranking
+    * simply contributes nothing. Each input ranking is top-k-sized
+    * (tiny) — the union and aggregate are driver-free but effectively
+    * broadcast-scale; the final top-k is a TakeOrderedAndProject.
+    * Fused score ranks on the 6-dp ROUNDING (id tiebreak) for
+    * cross-engine determinism.
+    */
+  def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame], idCol: String,
+              rankCol: String, k: Int, c: Int = 60): org.apache.spark.sql.DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contrib = rankings.map(r => r.select(col(idCol),
+      (lit(1.0) / (col(rankCol) + c)).as("__c")))
+    contrib.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__c")), 6).as("rrf_score"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** BM25 keyword retrieval (Robertson/Spärck Jones; Lucene's idf
     * variant, ln(1 + (N − df + ½)/(df + ½))) — the lexical baseline
     * that sits beside the ANN stack in every retrieval pipeline:

@@ -189,6 +189,24 @@ class PipelineR7Spec extends SparkSpec {
     assert(!got.map(_._1).contains(4L)) // no-match doc never surfaces
   }
 
+  test("rrfFuse: reciprocal-rank sums, missing items contribute nothing") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val got = TextFns.rrfFuse(Seq(a, b), "id", "rank", 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      (10L, r6(1.0 / 61 + 1.0 / 62), 2L),
+      (20L, r6(1.0 / 62 + 1.0 / 61), 2L),
+      (30L, r6(1.0 / 63), 1L),
+      (40L, r6(1.0 / 63), 1L))
+      .sortBy { case (i, s, _) => (-s, i) }
+    assert(got === want)
+    // 10 and 20 tie exactly (symmetric ranks) → id ordering
+    assert(got.take(2).map(_._1) === Seq(10L, 20L))
+  }
+
   test("rip_nfc composes decomposed sequences; ASCII is a fixed point") {
     val dec = "café résumé"
     val pre = "café résumé"
