@@ -2362,6 +2362,15 @@ object SparkEntry {
       TextFns.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "merge", "window", "stream"), 10)),
 
+    // One-scan column profiler over orders (timestamp column excluded:
+    // fractional-second string rendering is engine-dependent); the KMV
+    // estimate makes even the cardinality column exactly checkable.
+    "q191_profile" -> ((s, dir) =>
+      Stats.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
+        .orderBy(col("colname"))),
+
     // Reciprocal-rank fusion of two BM25 rankings (two query
     // formulations) — the hybrid-retrieval combiner, score-free.
     "q190_hybrid_rrf" -> ((s, dir) => {
@@ -4777,6 +4786,42 @@ object SparkEntry {
         |  FROM ft JOIN dfq USING (term), corpus GROUP BY 1)
         |SELECT doc_id, score FROM sc
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // per-column UNION ALL long table, then the q187 KMV mirror keyed
+    // by colname; TRY_CAST mirrors ANSI-off cast-to-null
+    "q191_profile" -> {
+      val colsP = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val union = colsP.map(c =>
+        s"SELECT '$c' AS colname, CAST($c AS VARCHAR) AS v FROM orders")
+        .mkString("\n  UNION ALL ")
+      s"""WITH longt AS ($union),
+         |base AS (SELECT colname, count(*) AS n,
+         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  min(v) AS min_str, max(v) AS max_str,
+         |  round(min(TRY_CAST(v AS DOUBLE)), 6) AS min_num,
+         |  round(max(TRY_CAST(v AS DOUBLE)), 6) AS max_num
+         |  FROM longt GROUP BY 1),
+         |hh AS (SELECT DISTINCT colname,
+         |  CAST(list_sum(list_transform(range(1, 16),
+         |    i -> CAST(strpos('0123456789abcdef', md5(v)[i]) - 1 AS BIGINT)
+         |      << (4 * (15 - i)))) AS BIGINT) AS h
+         |  FROM longt WHERE v IS NOT NULL),
+         |rk AS (SELECT colname, h,
+         |  row_number() OVER (PARTITION BY colname ORDER BY h) AS rn
+         |  FROM hh),
+         |kk AS (SELECT colname, count(*) AS cnt, max(h) AS hk
+         |  FROM rk WHERE rn <= 64 GROUP BY 1),
+         |est AS (SELECT colname,
+         |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+         |    ELSE round(63.0 * CAST(1152921504606846976 AS DOUBLE)
+         |      / CAST(hk AS DOUBLE), 4) END AS distinct_est,
+         |  CAST(cnt AS BIGINT) AS sketch_size FROM kk)
+         |SELECT base.colname, n, n_null, min_str, max_str, min_num,
+         |  max_num, distinct_est, sketch_size
+         |FROM base JOIN est USING (colname) ORDER BY colname""".stripMargin
+    },
 
     // two BM25 top-20 rankings (same CTE body, different term sets)
     // fused by 1/(60+rank); rank + fused score both on 6-dp-rounded

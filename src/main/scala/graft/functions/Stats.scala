@@ -194,4 +194,34 @@ object Stats {
       expr(s).as(s"c$i")
     } :+ col("s0").cast("long").as("n")): _*)
   }
+
+  /** Column profiler — the "what's in this table" report run before any
+    * pipeline work: per column, row/null counts, string and numeric
+    * min/max, and the KMV distinct-count estimate (deterministic, so
+    * the whole report is oracle-checkable — see `Sketch.kmvDistinct`).
+    *
+    * Shape: ONE scan melts the chosen columns to (colname, value)
+    * long format (stack — a codegen projection, no shuffle), then one
+    * hash aggregate for the counts/extremes and the sketch's bounded
+    * selection. Values profile as their STRING forms (the numeric
+    * min/max re-casts; non-numeric columns yield null there, matching
+    * TRY_CAST) — callers exclude columns whose string rendering is
+    * engine-dependent (timestamps' fractional-second formatting).
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              sketchK: Int = 64): DataFrame = {
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+      ") as (colname, v)"
+    val longDf = df.select(expr(stackExpr))
+    val base = longDf.groupBy(col("colname")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      min(col("v")).as("min_str"), max(col("v")).as("max_str"),
+      round(min(col("v").cast("double")), 6).as("min_num"),
+      round(max(col("v").cast("double")), 6).as("max_num"))
+    val est = graft.operators.Sketch.kmvDistinct(
+      longDf.filter(col("v").isNotNull), Seq("colname"), col("v"), sketchK)
+    base.join(est, Seq("colname"))
+  }
 }

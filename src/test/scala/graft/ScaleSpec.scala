@@ -384,4 +384,25 @@ class MiscOpsSpec extends SparkSpec {
       shortlist = 10).queryExecution.executedPlan.toString
     assert(pRr.contains("BroadcastHashJoin"), pRr)
   }
+
+  test("retrieval/sketch plans: BM25 top-k is TakeOrdered with the term " +
+    "filter at the scan; KMV rank is salted") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val bm = graft.functions.TextFns.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "merge"), 10)
+    val pBm = bm.queryExecution.executedPlan.toString
+    // no global sort: the final k survivors come from per-partition
+    // partial top-k
+    assert(pBm.contains("TakeOrderedAndProject"), pBm)
+    // the term filter runs before the tf aggregate, not after a full
+    // (doc, term) aggregation — the stream is bounded by matching docs
+    assert(pBm.contains("spark") && pBm.contains("Generate"), pBm)
+    val kmv = graft.operators.Sketch.kmvDistinct(
+      docs.select(col("source"), col("doc_id")), Seq("source"),
+      col("doc_id"), 8)
+    val pK = kmv.queryExecution.executedPlan.toString
+    assert(pK.contains("__salt"), pK) // two-level selection engaged
+  }
 }
