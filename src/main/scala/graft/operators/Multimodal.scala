@@ -183,6 +183,48 @@ object Multimodal {
     }
   }
 
+  /** FULL pixel decode on the stock JVM: javax.imageio — PNG/JPEG/BMP/
+    * GIF readers ship in every JRE and are headless-safe, so image
+    * decode needs no external library at all. Features:
+    * [width, height, mean_r, mean_g, mean_b, mean_luma(Rec.709)];
+    * unreadable/empty payloads yield all −1 (the null-object row a
+    * downstream filter drops). This removes the "decode is stubbed"
+    * caveat for JRE-native image formats; audio/video frame decode
+    * (no JRE codec) remains on the header/stub path.
+    *
+    * Per-pixel getRGB is the clarity-over-speed choice for feature
+    * extraction on thumbnails; a production path would bulk-read the
+    * raster — the decoder LIFECYCLE (open/stream/close via decodeWith)
+    * is the part that carries over unchanged.
+    */
+  final class ImageIODecoder extends MediaDecoder {
+    def name = "imageio"
+    def decode(bytes: Array[Byte]): Array[Double] = {
+      val img =
+        if (bytes.isEmpty) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+      if (img == null) return Array.fill(6)(-1.0)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+      Array(w.toDouble, h.toDouble, mr, mg, mb,
+        0.2126 * mr + 0.7152 * mg + 0.0722 * mb)
+    }
+  }
+
   /** Run a decoder over a binary payload column, streaming per task.
     * The decoder rides the closure (serialized once per task), opens
     * before the first row and closes when the partition iterator

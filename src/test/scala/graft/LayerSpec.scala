@@ -158,6 +158,35 @@ class LayerSpec extends SparkSpec {
     assert(out(3L) === Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("ImageIODecoder: REAL pixel decode of generated PNGs (exact " +
+    "solid-color features); garbage bytes yield the null-object row") {
+    import java.awt.image.BufferedImage
+    def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, solidPng(8, 4, 255, 0, 0)),     // pure red
+      (2L, solidPng(3, 3, 10, 20, 30)),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, Array.emptyByteArray)
+    ).toDF("id", "payload").repartition(2)
+    val out = Multimodal.decodeWith(df, "payload",
+      new Multimodal.ImageIODecoder)
+      .select($"id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // solid colors decode to EXACT channel means (PNG is lossless)
+    assert(out(1L) === Seq(8.0, 4.0, 255.0, 0.0, 0.0, 0.2126 * 255))
+    assert(out(2L) === Seq(3.0, 3.0, 10.0, 20.0, 30.0,
+      0.2126 * 10 + 0.7152 * 20 + 0.0722 * 30))
+    assert(out(3L) === Seq(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0))
+    assert(out(4L) === Seq(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0))
+  }
+
   test("WavHeaderDecoder reads rate/channels/duration from RIFF bytes") {
     // minimal valid WAV: RIFF/WAVE + "fmt " (PCM, stereo, 44100 Hz,
     // 16-bit) + "data" of 176400 bytes => exactly 1.0 s
