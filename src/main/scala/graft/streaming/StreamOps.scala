@@ -279,4 +279,60 @@ object StreamOps {
     */
   def eventsStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
     spark.readStream.schema(schemaFrom.schema).parquet(dir)
+
+  case class TopEntry(value: Double, id: Long)
+  case class TopState(entries: List[TopEntry], seen: Long)
+  case class TopKOut(user_id: Long, event_id: Long, value: Double,
+                     rank: Int, n_seen: Long)
+
+  /** Per-key streaming top-k on the Spark 4 `transformWithState` API
+    * (the arbitrary-state successor to mapGroupsWithState, RocksDB-
+    * backed): state per key is exactly the current top-k list plus a
+    * seen-counter, merged against each batch's rows and re-emitted in
+    * Update mode — a continuously-maintained leaderboard whose state
+    * is O(k) per key regardless of stream length. `n_seen` stamps each
+    * emission so a consumer (and the spec) can identify the newest
+    * version per key without comparing whole lists.
+    */
+  class TopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Double), TopKOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM, _}
+    @transient private var st: ValueState[TopState] = _
+
+    override def init(outputMode: OM, timeMode: TM): Unit =
+      st = getHandle.getValueState[TopState]("topk",
+        org.apache.spark.sql.Encoders.product[TopState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Double)],
+                                 timerValues: TimerValues): Iterator[TopKOut] = {
+      val cur = if (st.exists()) st.get() else TopState(Nil, 0L)
+      var seen = cur.seen
+      val incoming = rows.map { r => seen += 1; TopEntry(r._3, r._2) }.toList
+      val merged = (cur.entries ++ incoming)
+        .sortBy(e => (-e.value, e.id)).take(k)
+      st.update(TopState(merged, seen))
+      merged.zipWithIndex.iterator.map { case (e, i) =>
+        TopKOut(key, e.id, e.value, i + 1, seen)
+      }
+    }
+  }
+
+  /** Streaming leaderboard: top-k events by value per user, maintained
+    * incrementally. Requires the RocksDB state store provider (the
+    * transformWithState backend).
+    */
+  def streamingTopK(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(),
+        OutputMode.Update())(org.apache.spark.sql.Encoders.product[TopKOut])
+      .toDF()
+  }
 }

@@ -296,6 +296,50 @@ class StreamingSpec extends SparkSpec {
       (2L, "ip <IP> clean 12.5")))
   }
 
+  test("transformWithState streaming top-k matches brute force and " +
+    "updates incrementally (RocksDB state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Double)]
+      val in = mem.toDS().toDF("event_id", "user_id", "value")
+      val q = StreamOps.streamingTopK(in, 2)
+        .writeStream.format("memory").queryName("tws_topk")
+        .outputMode("update").start()
+      mem.addData((1L, 1L, 5.0), (2L, 1L, 7.0), (3L, 1L, 3.0), (4L, 2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((5L, 1L, 9.0), (6L, 2L, 0.5))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.sql(
+        "SELECT user_id, event_id, value, rank, n_seen FROM tws_topk")
+        .as[(Long, Long, Double, Int, Long)].collect()
+      // newest emission per user = rows stamped with its max n_seen
+      val fin = rows.groupBy(_._1).map { case (u, rs) =>
+        val mx = rs.map(_._5).max
+        u -> rs.filter(_._5 == mx).sortBy(_._4).map(r => (r._2, r._3, r._4))
+          .toSeq
+      }
+      assert(fin(1L) === Seq((5L, 9.0, 1), (2L, 7.0, 2)))
+      assert(fin(2L) === Seq((4L, 1.0, 1), (6L, 0.5, 2)))
+      // batch 1's intermediate leaderboard was also emitted (top was
+      // (7.0, 5.0) after 3 events) — incremental, not recomputed
+      val mid1 = rows.filter(r => r._1 == 1L && r._5 == 3L).sortBy(_._4)
+        .map(r => (r._2, r._3)).toSeq
+      assert(mid1 === Seq((2L, 7.0), (1L, 5.0)))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
