@@ -319,6 +319,66 @@ object StreamOps {
     }
   }
 
+  case class KmvState(mins: List[Long], seen: Long)
+  case class KmvOut(key: String, distinct_est: Double, sketch_size: Long,
+                    n_seen: Long)
+
+  /** Streaming KMV distinct-count — the streaming twin of
+    * `Sketch.kmvDistinct`, same estimator, same portable hash: state
+    * per key is the k smallest distinct value-hashes (KMV sketches
+    * merge by unioning mins and re-taking the k smallest — which is
+    * literally the batch merge step, here applied incrementally), so
+    * the streaming estimate after any prefix of batches EQUALS the
+    * batch estimate over the same rows — deterministic, and the spec
+    * asserts the equality exactly, something an HLL stream can't offer.
+    * State is O(k) longs per key.
+    */
+  class KmvProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), KmvOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM, _}
+    @transient private var st: ValueState[KmvState] = _
+    private val M = (1L << 60).toDouble
+
+    override def init(outputMode: OM, timeMode: TM): Unit =
+      st = getHandle.getValueState[KmvState]("kmv",
+        org.apache.spark.sql.Encoders.product[KmvState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[KmvOut] = {
+      val cur = if (st.exists()) st.get() else KmvState(Nil, 0L)
+      var seen = cur.seen
+      val hs = rows.map { r => seen += 1; r._2 }.toList
+      val merged = (cur.mins ++ hs).distinct.sorted.take(k)
+      st.update(KmvState(merged, seen))
+      val cnt = merged.size
+      val est =
+        if (cnt < k) cnt.toDouble
+        else {
+          val hk = merged.last.toDouble
+          BigDecimal((k - 1).toDouble * M / hk)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      Iterator.single(KmvOut(key, est, cnt.toLong, seen))
+    }
+  }
+
+  /** Streaming per-key distinct-count estimate over `valueCol`. */
+  def streamingKmvDistinct(rows: DataFrame, keyCol: String,
+                           valueCol: String, k: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.select(col(keyCol).cast("string"),
+        graft.operators.Dedup.portableHash64(col(valueCol).cast("string")))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new KmvProcessor(k), TimeMode.None(),
+        OutputMode.Update())(org.apache.spark.sql.Encoders.product[KmvOut])
+      .toDF()
+  }
+
   /** Streaming leaderboard: top-k events by value per user, maintained
     * incrementally. Requires the RocksDB state store provider (the
     * transformWithState backend).

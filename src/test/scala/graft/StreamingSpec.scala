@@ -340,6 +340,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV distinct-count equals the batch sketch on every " +
+    "prefix (deterministic merge)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // k=8 with 40 distinct values per key → genuine estimation regime
+      val batch1 = (1 to 100).map(i => ("a", s"v${i % 40}")) ++
+        (1 to 10).map(i => ("b", s"w$i"))
+      val batch2 = (1 to 50).map(i => ("a", s"x${i % 25}")) ++
+        (1 to 5).map(i => ("b", s"w$i")) // b: pure dups, est unchanged
+      val mem = MemoryStream[(String, String)]
+      val in = mem.toDS().toDF("g", "v")
+      val q = StreamOps.streamingKmvDistinct(in, "g", "v", 8)
+        .writeStream.format("memory").queryName("tws_kmv")
+        .outputMode("update").start()
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      q.stop()
+      val rows = spark.sql(
+        "SELECT key, distinct_est, sketch_size, n_seen FROM tws_kmv")
+        .as[(String, Double, Long, Long)].collect()
+      def batchEst(data: Seq[(String, String)]): Map[String, (Double, Long)] =
+        graft.operators.Sketch.kmvDistinct(data.toDF("g", "v"), Seq("g"),
+          col("v"), 8)
+          .as[(String, Double, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      val after1 = batchEst(batch1)
+      val after2 = batchEst(batch1 ++ batch2)
+      def emitted(key: String, seen: Long) =
+        rows.find(r => r._1 == key && r._4 == seen).map(r => (r._2, r._3)).get
+      assert(emitted("a", 100L) === after1("a"))
+      assert(emitted("b", 10L) === after1("b"))
+      assert(emitted("a", 150L) === after2("a"))
+      assert(emitted("b", 15L) === after2("b"))
+      // key b saw only duplicate values in batch 2 → estimate unchanged
+      assert(emitted("b", 10L) === emitted("b", 15L))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
