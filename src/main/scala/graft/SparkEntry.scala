@@ -2325,9 +2325,9 @@ object SparkEntry {
     "q187_kmv_distinct" -> ((s, dir) => {
       val sh = t(s, dir, "documents").select(col("source"),
         explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
-      Sketch.kmvDistinct(sh, Seq("source"), col("sh"), 64)
-        .join(sh.groupBy(col("source"))
-          .agg(countDistinct(col("sh")).as("n_exact")), Seq("source"))
+      // kmvWithExact shares ONE explode+distinct pass between the
+      // exact count and the sketch (was 2 full passes — bench 4.3 s).
+      Sketch.kmvWithExact(sh, Seq("source"), col("sh"), 64)
         .select(col("source"), col("n_exact"), col("distinct_est"),
           col("sketch_size"))
         .orderBy(col("source"))

@@ -29,6 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
+  /** KMV estimate side-by-side with the exact distinct count, sharing
+    * ONE distinct pass: the expensive part of both pipelines is
+    * deduplicating the (group, value) stream (for q187's shingles, a
+    * full explode + shuffle). Computing them independently runs that
+    * explode+distinct twice; here the distinct frame is built once,
+    * registered in the dedup LRU, and feeds the exact `count` and the
+    * sketch (whose internal re-distinct then runs on the already-small
+    * set of hashes). Both outputs are per-group aggregates, so the
+    * final join is broadcast-sized.
+    */
+  def kmvWithExact(df: DataFrame, groupCols: Seq[String], value: Column,
+                   k: Int): DataFrame = {
+    val gs = groupCols.map(col)
+    val distinctVals = Dedup.registryPersist(
+      df.select(gs :+ value.as("__v"): _*).distinct())
+    val exact = distinctVals.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(kmvDistinct(distinctVals, groupCols, col("__v"), k), groupCols)
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
