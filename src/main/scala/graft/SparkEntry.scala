@@ -2385,7 +2385,43 @@ object SparkEntry {
         ranked(Seq("spark", "merge", "window", "stream")),
         ranked(Seq("filter", "join", "sort", "hash"))),
         "doc_id", "rank", 10)
-    })
+    }),
+
+    // Count–Min heavy hitters: the corpus's 10 most frequent tokens
+    // with exact count AND the deterministic 4×1024 CM estimate —
+    // overshoot observable, sketch oracle-checked (like q187's KMV).
+    "q192_countmin_hh" -> ((s, dir) =>
+      Sketch.countMinTopK(
+        t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("tok")),
+        col("tok"), d = 4, w = 1024, topK = 10)
+        .orderBy(col("rank"))),
+
+    // Hashing-trick linear scorer (fastText-shaped quality filter):
+    // integer-unit weights keep per-doc scores EXACT, so pass/fail
+    // decisions can't drift with summation order; min/max per source
+    // are order-independent selections.
+    "q193_hashed_scorer" -> ((s, dir) =>
+      Curate.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text",
+        buckets = 4096)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score_units") > 0, 1L).otherwise(0L)).as("n_pos"),
+          sum(col("score_units")).as("units_sum"),
+          min(col("score")).as("score_min"),
+          max(col("score")).as("score_max"))
+        .orderBy(col("source"))),
+
+    // Substring-dedup REMOVAL geometry (Lee et al. 2022): per doc, the
+    // interval UNION of its cross-doc-duplicated 8-token spans — the
+    // chars a span-level deduper would actually cut, not just the gram
+    // counts of q169.
+    "q194_dup_spans" -> ((s, dir) =>
+      operators.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id",
+        "text", k = 8)
+        .orderBy(col("doc_id")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -2417,6 +2453,15 @@ object SparkEntry {
   private def jaccardOracle(tau: String): String =
     s"""WITH ${jaccardBody(tau)}
        |SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of `Dedup.portableHash64`: the first 15 hex digits
+    * of md5 parsed as an integer (60-bit, non-negative). Same
+    * expression the q187 KMV oracle inlines.
+    */
+  private def hash60Sql(s: String): String =
+    s"CAST(list_sum(list_transform(range(1, 16), " +
+      s"i -> CAST(strpos('0123456789abcdef', md5($s)[i]) - 1 AS BIGINT) " +
+      s"<< (4 * (15 - i)))) AS BIGINT)"
 
   /** Double-precision dot product of two FLOAT[] columns — mirrors
     * Similarity.dot's element order and double casts bit-for-bit. */
@@ -4853,6 +4898,87 @@ object SparkEntry {
          |  count(*) AS n_lists
          |FROM u GROUP BY 1
          |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
-    }
+    },
+
+    // Count–Min mirror: additive d×w counters over hash60("j:token"),
+    // estimate = min over the d rows, checked against the exact count
+    "q192_countmin_hh" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+         |    AS v FROM documents),
+         |counts AS (SELECT v, count(*) AS n FROM toks GROUP BY 1),
+         |b AS (SELECT v, n, j,
+         |  ${hash60Sql("CAST(j AS VARCHAR) || ':' || v")} % 1024 AS bkt
+         |  FROM counts CROSS JOIN (SELECT unnest(range(4)) AS j) r),
+         |cm AS (SELECT j, bkt, sum(n) AS c FROM b GROUP BY 1, 2),
+         |top AS (SELECT v, n,
+         |  row_number() OVER (ORDER BY n DESC, v) AS rk
+         |  FROM counts QUALIFY rk <= 10),
+         |est AS (SELECT t.rk, t.v, t.n, min(cm.c) AS cm_est
+         |  FROM top t JOIN b USING (v)
+         |  JOIN cm ON cm.j = b.j AND cm.bkt = b.bkt
+         |  GROUP BY 1, 2, 3)
+         |SELECT rk AS rank, v AS value, CAST(n AS BIGINT) AS n_exact,
+         |  CAST(cm_est AS BIGINT) AS cm_est,
+         |  CAST(cm_est - n AS BIGINT) AS overcount
+         |FROM est ORDER BY rank""".stripMargin,
+
+    // hashed linear scorer mirror: integer-unit weights from the same
+    // affine-modular generator; per-doc LONG sums, ONE division at the
+    // end — bit-stable on both engines
+    "q193_hashed_scorer" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+         |    '\\s+')) AS tk FROM documents),
+         |w AS (SELECT j AS b, (j * 2654435761 + 104729) % 19997 - 9998
+         |    AS wt FROM (SELECT unnest(range(4096)) AS j)),
+         |tb AS (SELECT doc_id, ${hash60Sql("tk")} % 4096 AS b FROM toks),
+         |ds AS (SELECT doc_id, count(*) AS n_tokens, sum(wt) AS units
+         |  FROM tb JOIN w USING (b) GROUP BY 1),
+         |j AS (SELECT d.source, ds.units, ds.n_tokens
+         |  FROM ds JOIN documents d USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN units > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos,
+         |  CAST(sum(units) AS BIGINT) AS units_sum,
+         |  min(round(CAST(units AS DOUBLE) / (9998.0 * n_tokens), 6))
+         |    AS score_min,
+         |  max(round(CAST(units AS DOUBLE) / (9998.0 * n_tokens), 6))
+         |    AS score_max
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dup-span mirror: zipped unnest gives (position, gram-hash); spans
+    // of cross-doc grams merge via the same gaps-and-islands windows
+    "q194_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest(range(1, len(t) - 6)) AS i,
+        |  unnest(list_transform(range(1, len(t) - 6),
+        |    i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS gh
+        |  FROM toks WHERE len(t) >= 8),
+        |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+        |  GROUP BY gh HAVING count(*) > 1),
+        |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+        |  CAST(i + 7 AS BIGINT) AS e FROM g JOIN dup USING (gh)),
+        |fl AS (SELECT doc_id, s, e,
+        |  CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS nw FROM sp),
+        |isl AS (SELECT doc_id, s, e,
+        |  sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM fl),
+        |per AS (SELECT doc_id, isl, min(s) AS i0, max(e) AS i1
+        |  FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_spans,
+        |  sum(i1 - i0) AS covered FROM per GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.covered, 0) AS BIGINT) AS covered_tokens,
+        |  round(CAST(coalesce(a.covered, 0) AS DOUBLE) / len(t.t), 6)
+        |    AS covered_frac
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -252,6 +252,45 @@ object Curate {
         count(lit(1)).as("n_grams"))
   }
 
+  /** Hashing-trick linear text scorer — the shape of a fastText-style
+    * quality classifier applied at corpus scale (feature hashing:
+    * Weinberger et al. 2009; fastText: Joulin et al. 2016). Tokens hash
+    * onto `buckets` feature slots; each slot carries an INTEGER weight
+    * in units of 1/9998 from a fixed affine-modular generator (stand-in
+    * for trained weights — swap the generated table for a real model's);
+    * a document's score is the mean slot weight of its tokens.
+    *
+    * Integer units are the determinism trick: the per-doc accumulation
+    * is a LONG sum (exact, order-independent — float sums drift with
+    * Spark's partition order), with ONE float division at the end, so
+    * scores and above/below-zero decisions are bit-stable across
+    * cluster sizes and reproducible by any engine.
+    *
+    * Scale shape: weights table is `buckets` rows → broadcast; the
+    * token stream maps to (doc, bucket), joins the broadcast, and
+    * map-side-combines into per-doc sums — one explode, one bounded
+    * shuffle on the doc key, no token-key shuffle anywhere.
+    *
+    * Returns (id, n_tokens, score_units, score).
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val weights = spark.range(buckets.toLong).select(
+      col("id").as("__b"),
+      (pmod(col("id") * lit(2654435761L) + lit(104729L), lit(19997L))
+        - lit(9998L)).as("__w"))
+    df.select(col(idCol),
+      explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"))
+      .withColumn("__b", pmod(Dedup.portableHash64(col("__t")),
+        lit(buckets.toLong)))
+      .join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("score_units"))
+      .withColumn("score", round(col("score_units").cast("double")
+        / (lit(9998d) * col("n_tokens")), 6))
+  }
+
   /** Prototype-based data pruning (the cluster-centroid ranking of
     * Sorscher et al. 2022, "Beyond neural scaling laws: beating power
     * law scaling via data pruning"): within each cluster, rank points

@@ -591,6 +591,65 @@ object Dedup {
         round(col("dup_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** Duplicate-SPAN coverage — the removal geometry of substring-level
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): each k-token gram that also occurs in
+    * ANOTHER document marks the token interval [i, i+k) in this one;
+    * the per-doc UNION of those intervals (classic gaps-and-islands
+    * merge) is exactly the text a span-level deduper would cut.
+    * Complements `substringDupStats` (gram counts): overlapping dup
+    * grams double-count there, while the interval union answers "how
+    * much of THIS document is duplicated material".
+    *
+    * Scale shape: the gram explode reuses the substringDupStats
+    * pattern (md5-span hashes, map-side-combined doc-frequency
+    * aggregate); the islands merge is a window PARTITIONED BY doc —
+    * per-partition work bounded by document length, never corpus
+    * size. Docs with no dup spans are restored by a left join from
+    * the doc spine (count 0, coverage 0).
+    *
+    * Returns (id, n_tokens, n_spans, covered_tokens, covered_frac).
+    */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("__nt"), col("__t"))
+    val grams = toks.filter(col("__nt") >= k)
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(1, size(__t) - ${k - 1}), " +
+          s"i -> substring(md5(array_join(slice(__t, i, $k), ' ')), 1, 16))"))
+        .as(Seq("__i", "__g")))
+    val docFreq = grams.select(col(idCol), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+    val spans = grams.join(docFreq.filter(col("__nd") > 1), Seq("__g"))
+      .select(col(idCol), col("__i").as("__s"),
+        (col("__i") + k).as("__e"))
+    // gaps-and-islands: one start position per (doc, span) row, so the
+    // ORDER BY __s is already total within a doc
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__s"))
+    val runMax = max(col("__e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("__new",
+        when(runMax.isNull || col("__s") > runMax, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__ie") - col("__is")).as("covered_tokens"))
+    toks.select(col(idCol), col("__nt").cast("long").as("n_tokens"))
+      .join(islands, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("covered_frac"))
+  }
+
   /** Cross-document winnowing-fingerprint profile: per document, its
     * fingerprint count and how many fingerprints occur in ≥ 1 OTHER
     * document — the MOSS-style overlap signal at ~2/(w+1) the storage

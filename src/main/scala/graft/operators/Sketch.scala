@@ -49,6 +49,64 @@ object Sketch {
     exact.join(kmvDistinct(distinctVals, groupCols, col("__v"), k), groupCols)
   }
 
+  /** Count–Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    * d hash rows × w buckets of ADDITIVE counters; est(x) =
+    * min_j CM[j][h_j(x)] ≥ true count, overshoot bounded by εN with
+    * ε = e/w at δ = e^−d. Like KMV (above), the hashes are
+    * `portableHash64` of "j:value", so the sketch — and therefore the
+    * ESTIMATE — is a pure function of the data that a DuckDB oracle
+    * reproduces bit-for-bit (Spark's own approx API can't be checked
+    * that way).
+    *
+    * Scale shape, stage by stage:
+    *  - counters are built from the AGGREGATED (value, count) frame
+    *    (weighted inserts), never the raw stream: one map-side-combined
+    *    groupBy does the heavy lifting, then the d-way posexplode runs
+    *    on distinct values only (≪ instances);
+    *  - the CM table is ≤ d·w rows — broadcast-sized by construction,
+    *    whatever the input size;
+    *  - exact top-k uses the salted two-level rank (per-partition top-k
+    *    first), so no global window ever sees the full distinct set;
+    *  - the estimate lookup joins k·d probe rows against the tiny CM
+    *    table.
+    *
+    * Returns (rank, value, n_exact, cm_est, overcount) for the k most
+    * frequent values — the exact count next to the sketch estimate, so
+    * the overshoot is observable.
+    */
+  def countMinTopK(df: DataFrame, value: Column, d: Int = 4,
+                   w: Int = 1024, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(value.cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    def bucketsOf(v: Column): Column = array((0 until d).map { j =>
+      pmod(Dedup.portableHash64(concat_ws(":", lit(j), v)), lit(w.toLong))
+    }: _*)
+    val cm = counts
+      .select(col("__n"), posexplode(bucketsOf(col("__v"))))
+      .toDF("__n", "__j", "__b")
+      .groupBy(col("__j"), col("__b")).agg(sum(col("__n")).as("__c"))
+    val salted = Window.partitionBy(col("__salt"))
+      .orderBy(col("__n").desc, col("__v"))
+    val full = Window.orderBy(col("__n").desc, col("__v"))
+    val top = counts
+      .withColumn("__salt", spark_partition_id())
+      .withColumn("__r1", row_number().over(salted))
+      .filter(col("__r1") <= topK)
+      .withColumn("__rk", row_number().over(full))
+      .filter(col("__rk") <= topK)
+    top
+      .select(col("__rk"), col("__v"), col("__n"),
+        posexplode(bucketsOf(col("__v"))))
+      .toDF("__rk", "__v", "__n", "__j", "__b")
+      .join(broadcast(cm), Seq("__j", "__b"))
+      .groupBy(col("__rk"), col("__v"), col("__n"))
+      .agg(min(col("__c")).as("cm_est"))
+      .select(col("__rk").cast("long").as("rank"), col("__v").as("value"),
+        col("__n").as("n_exact"), col("cm_est"),
+        (col("cm_est") - col("__n")).as("overcount"))
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -358,4 +358,86 @@ class PipelineR7Spec extends SparkSpec {
       "source", 0.5, 0.4).select("doc_id").as[Long].collect().sorted.toSeq
     assert(again === kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("countMinTopK: never undercounts, exact without collisions, " +
+    "partition-invariant") {
+    // zipfy stream: token t_i appears 1000/i times, i = 1..50
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"t$i"))
+    val df = rows.toDF("tok")
+    val got = Sketch.countMinTopK(df, col("tok"), d = 4, w = 1024,
+      topK = 10)
+      .select("rank", "value", "n_exact", "cm_est", "overcount")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === (1 to 10).map(i => s"t$i"))
+    assert(got.map(_._3).toSeq === (1 to 10).map(i => (1000 / i).toLong))
+    // CM property: est >= exact always
+    got.foreach { r => assert(r._4 >= r._3 && r._5 === r._4 - r._3) }
+    // 50 tokens into 4×1024 buckets: no collisions → estimates exact
+    assert(got.forall(_._5 === 0L))
+    // tight table (w=4) forces collisions: still never undercounts
+    val tight = Sketch.countMinTopK(df, col("tok"), d = 2, w = 4,
+      topK = 10).select("n_exact", "cm_est")
+      .as[(Long, Long)].collect()
+    assert(tight.forall { case (n, e) => e >= n })
+    assert(tight.exists { case (n, e) => e > n }) // collisions observed
+    // additive counters are a pure function of the data
+    val again = Sketch.countMinTopK(df.repartition(13), col("tok"),
+      d = 4, w = 1024, topK = 10)
+      .select("rank", "value", "cm_est")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(again.map(r => (r._1, r._2, r._3)).toSeq ===
+      got.map(r => (r._1, r._2, r._4)).toSeq)
+  }
+
+  test("hashedLinearScore: integer-exact, text-deterministic, " +
+    "repartition-stable") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical text → identical score
+      (3L, "epsilon zeta eta theta iota kappa"),
+      (4L, "single")
+    ).toDF("doc_id", "text")
+    val got = Curate.hashedLinearScore(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "score_units", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(4L, 4L, 6L, 1L))
+    assert(got(0)._3 === got(1)._3 && got(0)._4 === got(1)._4)
+    got.foreach { r =>
+      // one division, then round — recomputable from the integer units
+      val want = BigDecimal(r._3.toDouble / (9998d * r._2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r._4 === want)
+      assert(r._3.abs <= 9998L * r._2) // weights bounded in [-9998, 9998]
+    }
+    val again = Curate.hashedLinearScore(docs.repartition(5), "doc_id",
+      "text").select("doc_id", "score_units")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.map(_._2).toSeq === got.map(_._3).toSeq)
+  }
+
+  test("dupSpanStats merges overlapping dup spans into islands") {
+    // d1/d2 share the 3-gram prefix (a b c d → grams @0,@1) and suffix
+    // (e f g h → grams @7,@8); middles are unique. Expected per doc:
+    // islands [0,4) and [7,11) → 2 spans, 8 of 11 tokens covered.
+    val docs = Seq(
+      (1L, "a b c d z1 z2 z3 e f g h"),
+      (2L, "a b c d q1 q2 q3 e f g h"),
+      (3L, "totally different words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_tokens", "n_spans", "covered_tokens",
+        "covered_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 11L, 2L, 8L, 0.727273)))
+    assert(got(1) === ((2L, 11L, 2L, 8L, 0.727273)))
+    assert(got(2) === ((3L, 9L, 0L, 0L, 0.0)))
+    // a doc whose dup grams CHAIN (every gram shared) → ONE island
+    val chain = Seq(
+      (1L, "p q r s t"), (2L, "p q r s t u")).toDF("doc_id", "text")
+    val full = Dedup.dupSpanStats(chain, "doc_id", "text", k = 3)
+      .select("doc_id", "n_spans", "covered_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(full(0) === ((1L, 1L, 5L))) // [0,5): whole doc one island
+    assert(full(1) === ((2L, 1L, 5L))) // [0,5) of 6 tokens
+  }
 }
