@@ -74,18 +74,36 @@ object Sketch {
     * frequent values — the exact count next to the sketch estimate, so
     * the overshoot is observable.
     */
+  /** The d bucket indices of a value — h_j(x) = hash60("j:x") mod w,
+    * shared by the batch table, the estimate probes, and the streaming
+    * twin (StreamOps.streamingCountMin).
+    */
+  def cmBuckets(v: Column, d: Int, w: Int): Column =
+    array((0 until d).map { j =>
+      pmod(Dedup.portableHash64(concat_ws(":", lit(j), v.cast("string"))),
+        lit(w.toLong))
+    }: _*)
+
+  /** The CM counter table itself: (__j, __b, __c), ≤ d·w rows. Built
+    * from the aggregated value counts (weighted inserts). Counters are
+    * ADDITIVE, so tables over disjoint row sets merge by summing —
+    * which is what makes the sketch streamable and cluster-mergeable.
+    */
+  def countMinTable(df: DataFrame, value: Column, d: Int,
+                    w: Int): DataFrame =
+    df.groupBy(value.cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__n"), posexplode(cmBuckets(col("__v"), d, w)))
+      .toDF("__n", "__j", "__b")
+      .groupBy(col("__j"), col("__b")).agg(sum(col("__n")).as("__c"))
+
   def countMinTopK(df: DataFrame, value: Column, d: Int = 4,
                    w: Int = 1024, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(value.cast("string").as("__v"))
       .agg(count(lit(1)).as("__n"))
-    def bucketsOf(v: Column): Column = array((0 until d).map { j =>
-      pmod(Dedup.portableHash64(concat_ws(":", lit(j), v)), lit(w.toLong))
-    }: _*)
-    val cm = counts
-      .select(col("__n"), posexplode(bucketsOf(col("__v"))))
-      .toDF("__n", "__j", "__b")
-      .groupBy(col("__j"), col("__b")).agg(sum(col("__n")).as("__c"))
+    def bucketsOf(v: Column): Column = cmBuckets(v, d, w)
+    val cm = countMinTable(df, value, d, w)
     val salted = Window.partitionBy(col("__salt"))
       .orderBy(col("__n").desc, col("__v"))
     val full = Window.orderBy(col("__n").desc, col("__v"))

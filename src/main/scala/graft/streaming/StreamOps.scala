@@ -379,6 +379,59 @@ object StreamOps {
       .toDF()
   }
 
+  case class CmOut(cm_j: Int, cm_b: Long, cnt: Long)
+
+  /** Streaming Count–Min — the streaming twin of
+    * `Sketch.countMinTable`: CM counters are ADDITIVE, so each (row j,
+    * bucket) cell is independent keyed state incremented by its batch
+    * contribution; the streaming table after any prefix of batches
+    * EQUALS the batch table over the same rows, cell for cell (the
+    * spec asserts it). State is one long per touched cell — ≤ d·w
+    * total regardless of stream length; a consumer estimates any
+    * value's frequency as min over its d cells, exactly as in batch.
+    */
+  class CmCellProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), CmOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM, _}
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TM): Unit =
+      st = getHandle.getValueState[Long]("cm",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[CmOut] = {
+      val cur = if (st.exists()) st.get() else 0L
+      val merged = cur + rows.size
+      st.update(merged)
+      Iterator.single(CmOut((key >> 32).toInt, key & 0xFFFFFFFFL, merged))
+    }
+  }
+
+  /** Streaming CM counter table over `valueCol`; emits each updated
+    * cell per batch in Update mode. `w` must fit in 32 bits (cell key
+    * packs (j, bucket) into one long).
+    */
+  def streamingCountMin(rows: DataFrame, valueCol: String, d: Int,
+                        w: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows
+      .select(posexplode(
+        graft.operators.Sketch.cmBuckets(col(valueCol), d, w)))
+      .toDF("j", "b")
+      .select((col("j").cast("long") * lit(1L << 32) + col("b")).as("cell"),
+        lit(1L).as("one"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CmCellProcessor, TimeMode.None(),
+        OutputMode.Update())(org.apache.spark.sql.Encoders.product[CmOut])
+      .toDF()
+  }
+
   /** Streaming leaderboard: top-k events by value per user, maintained
     * incrementally. Requires the RocksDB state store provider (the
     * transformWithState backend).

@@ -389,6 +389,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Count-Min table equals the batch sketch on every " +
+    "prefix (additive cells)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (d, w) = (3, 16) // tight table → collisions exercised
+      val batch1 = (1 to 60).map(i => s"t${i % 20}")
+      val batch2 = (1 to 30).map(i => s"u${i % 7}")
+      val mem = MemoryStream[String]
+      val q = StreamOps.streamingCountMin(mem.toDS().toDF("v"), "v", d, w)
+        .writeStream.format("memory").queryName("tws_cm")
+        .outputMode("update").start()
+      mem.addData(batch1: _*); q.processAllAvailable()
+      val afterB1 = spark.sql("SELECT cm_j, cm_b, max(cnt) FROM tws_cm " +
+        "GROUP BY 1, 2").as[(Int, Long, Long)].collect().toSet
+      mem.addData(batch2: _*); q.processAllAvailable()
+      q.stop()
+      // counters only grow → latest value per cell is its max
+      val afterB2 = spark.sql("SELECT cm_j, cm_b, max(cnt) FROM tws_cm " +
+        "GROUP BY 1, 2").as[(Int, Long, Long)].collect().toSet
+      def batchTable(data: Seq[String]): Set[(Int, Long, Long)] =
+        graft.operators.Sketch.countMinTable(data.toDF("v"), col("v"), d, w)
+          .as[(Int, Long, Long)].collect().toSet
+      assert(afterB1 === batchTable(batch1))
+      assert(afterB2 === batchTable(batch1 ++ batch2))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
