@@ -2403,9 +2403,7 @@ object SparkEntry {
     // are order-independent selections.
     "q193_hashed_scorer" -> ((s, dir) =>
       Curate.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text",
-        buckets = 4096)
-        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
-          Seq("doc_id"))
+        buckets = 4096, carryCols = Seq("source"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("score_units") > 0, 1L).otherwise(0L)).as("n_pos"),

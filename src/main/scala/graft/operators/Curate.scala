@@ -271,21 +271,26 @@ object Curate {
     * map-side-combines into per-doc sums — one explode, one bounded
     * shuffle on the doc key, no token-key shuffle anywhere.
     *
-    * Returns (id, n_tokens, score_units, score).
+    * Returns (id, carryCols..., n_tokens, score_units, score).
+    * `carryCols` ride through the per-doc aggregate (they're
+    * functionally dependent on the doc id), so a consumer grouping by
+    * e.g. source needs no second join back to the doc table.
     */
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
-                        buckets: Int = 4096): DataFrame = {
+                        buckets: Int = 4096,
+                        carryCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val weights = spark.range(buckets.toLong).select(
       col("id").as("__b"),
       (pmod(col("id") * lit(2654435761L) + lit(104729L), lit(19997L))
         - lit(9998L)).as("__w"))
-    df.select(col(idCol),
-      explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"))
+    val keys = (idCol +: carryCols).map(col)
+    df.select(keys :+
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"): _*)
       .withColumn("__b", pmod(Dedup.portableHash64(col("__t")),
         lit(buckets.toLong)))
       .join(broadcast(weights), Seq("__b"))
-      .groupBy(col(idCol))
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("score_units"))
       .withColumn("score", round(col("score_units").cast("double")
         / (lit(9998d) * col("n_tokens")), 6))

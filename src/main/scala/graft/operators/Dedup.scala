@@ -616,11 +616,14 @@ object Dedup {
     val toks = docs
       .select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
       .select(col(idCol), size(col("__t")).as("__nt"), col("__t"))
-    val grams = toks.filter(col("__nt") >= k)
+    // the md5-span explode feeds BOTH the doc-frequency aggregate and
+    // the span join — one registry-persisted pass (q169's measured
+    // pattern); frame is (id, pos, gram-hash)-sized, spills at scale
+    val grams = registryPersist(toks.filter(col("__nt") >= k)
       .select(col(idCol), posexplode(
         expr(s"transform(sequence(1, size(__t) - ${k - 1}), " +
           s"i -> substring(md5(array_join(slice(__t, i, $k), ' ')), 1, 16))"))
-        .as(Seq("__i", "__g")))
+        .as(Seq("__i", "__g"))))
     val docFreq = grams.select(col(idCol), col("__g")).distinct()
       .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
     val spans = grams.join(docFreq.filter(col("__nd") > 1), Seq("__g"))

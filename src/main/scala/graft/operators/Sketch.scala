@@ -91,8 +91,11 @@ object Sketch {
     */
   def countMinTable(df: DataFrame, value: Column, d: Int,
                     w: Int): DataFrame =
-    df.groupBy(value.cast("string").as("__v"))
-      .agg(count(lit(1)).as("__n"))
+    cmFromCounts(df.groupBy(value.cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n")), d, w)
+
+  private def cmFromCounts(counts: DataFrame, d: Int, w: Int): DataFrame =
+    counts
       .select(col("__n"), posexplode(cmBuckets(col("__v"), d, w)))
       .toDF("__n", "__j", "__b")
       .groupBy(col("__j"), col("__b")).agg(sum(col("__n")).as("__c"))
@@ -100,10 +103,15 @@ object Sketch {
   def countMinTopK(df: DataFrame, value: Column, d: Int = 4,
                    w: Int = 1024, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(value.cast("string").as("__v"))
-      .agg(count(lit(1)).as("__n"))
+    // the (value, count) aggregate is the expensive pass over the raw
+    // stream and feeds BOTH the CM table and the exact top-k — persist
+    // through the shared LRU registry so it runs once (same pattern as
+    // kmvWithExact; frame is distinct-values-sized, spills at scale)
+    val counts = Dedup.registryPersist(
+      df.groupBy(value.cast("string").as("__v"))
+        .agg(count(lit(1)).as("__n")))
     def bucketsOf(v: Column): Column = cmBuckets(v, d, w)
-    val cm = countMinTable(df, value, d, w)
+    val cm = cmFromCounts(counts, d, w)
     val salted = Window.partitionBy(col("__salt"))
       .orderBy(col("__n").desc, col("__v"))
     val full = Window.orderBy(col("__n").desc, col("__v"))
