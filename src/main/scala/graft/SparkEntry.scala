@@ -2419,6 +2419,15 @@ object SparkEntry {
     "q194_dup_spans" -> ((s, dir) =>
       operators.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id",
         "text", k = 8)
+        .orderBy(col("doc_id"))),
+
+    // The removal itself: corpus with every duplicated span CUT —
+    // cleaned text content-checked by md5, not just counted.
+    "q195_dedup_clean" -> ((s, dir) =>
+      operators.Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id",
+        "text", k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+          md5(col("cleaned_text")).as("cleaned_md5"))
         .orderBy(col("doc_id")))
   )
 
@@ -4977,6 +4986,36 @@ object SparkEntry {
         |  CAST(coalesce(a.covered, 0) AS BIGINT) AS covered_tokens,
         |  round(CAST(coalesce(a.covered, 0) AS DOUBLE) / len(t.t), 6)
         |    AS covered_frac
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // removal mirror: union of covered POSITIONS anti-joined away,
+    // remainder re-joined in position order — md5 checks exact content
+    "q195_dedup_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest(range(1, len(t) - 6)) AS i,
+        |  unnest(list_transform(range(1, len(t) - 6),
+        |    i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS gh
+        |  FROM toks WHERE len(t) >= 8),
+        |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+        |  GROUP BY gh HAVING count(*) > 1),
+        |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+        |  CAST(i + 7 AS BIGINT) AS e FROM g JOIN dup USING (gh)),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS pos
+        |  FROM sp),
+        |tokpos AS (SELECT doc_id,
+        |  CAST(unnest(range(0, len(t))) AS BIGINT) AS pos,
+        |  unnest(t) AS tok FROM toks),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        |  ANTI JOIN cov c ON tp.doc_id = c.doc_id AND tp.pos = c.pos),
+        |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+        |  string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  md5(coalesce(a.cleaned, '')) AS cleaned_md5
         |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -610,12 +610,13 @@ object Dedup {
     *
     * Returns (id, n_tokens, n_spans, covered_tokens, covered_frac).
     */
-  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 8): DataFrame = {
+  /** The merged (doc, island-start, island-end) intervals of cross-doc
+    * duplicated k-token grams — the shared core of `dupSpanStats`
+    * (coverage accounting) and `removeDupSpans` (text reconstruction).
+    */
+  private def dupIslands(toks: DataFrame, idCol: String,
+                         k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
-      .select(col(idCol), size(col("__t")).as("__nt"), col("__t"))
     // the md5-span explode feeds BOTH the doc-frequency aggregate and
     // the span join — one registry-persisted pass (q169's measured
     // pattern); frame is (id, pos, gram-hash)-sized, spills at scale
@@ -627,19 +628,31 @@ object Dedup {
     val docFreq = grams.select(col(idCol), col("__g")).distinct()
       .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
     val spans = grams.join(docFreq.filter(col("__nd") > 1), Seq("__g"))
-      .select(col(idCol), col("__i").as("__s"),
-        (col("__i") + k).as("__e"))
+      .select(col(idCol), col("__i").cast("long").as("__s"),
+        (col("__i") + k).cast("long").as("__e"))
     // gaps-and-islands: one start position per (doc, span) row, so the
     // ORDER BY __s is already total within a doc
     val w = Window.partitionBy(col(idCol)).orderBy(col("__s"))
     val runMax = max(col("__e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = spans
+    spans
       .withColumn("__new",
         when(runMax.isNull || col("__s") > runMax, 1).otherwise(0))
       .withColumn("__isl", sum(col("__new")).over(w))
       .groupBy(col(idCol), col("__isl"))
       .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+  }
+
+  private def tokensFrame(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("__nt"), col("__t"))
+
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8): DataFrame = {
+    val toks = tokensFrame(docs, idCol, textCol)
+    val islands = dupIslands(toks, idCol, k)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("__ie") - col("__is")).as("covered_tokens"))
@@ -651,6 +664,43 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
           / col("n_tokens"), 6).as("covered_frac"))
+  }
+
+  /** Substring-level dedup REMOVAL — produce the cleaned corpus, not
+    * just the accounting: every token inside a duplicated-span island
+    * is cut, the remainder re-joined in order. This is the output side
+    * of Lee et al. 2022 (their ExactSubstr deduplicator deletes the
+    * duplicated char ranges); `dupSpanStats` reports what WOULD be cut,
+    * this returns the text with it cut.
+    *
+    * Shape: islands collapse to one tiny sorted interval array per doc
+    * (≤ len/k entries), broadcast back onto the doc row by the join,
+    * and the cut is a per-row array filter — no extra shuffle beyond
+    * the islands computation itself (which shares its registry-persisted
+    * gram pass with `dupSpanStats` when both run). The filter lambda is
+    * interpreted per token (the known HOF cost), but its body is integer
+    * compares against a short interval list — bounded by doc length,
+    * never corpus size.
+    *
+    * Returns (id, n_tokens, kept_tokens, cleaned_text).
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val toks = tokensFrame(docs, idCol, textCol)
+    val islandArr = dupIslands(toks, idCol, k)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__is"), col("__ie"))))
+        .as("__isl"))
+    toks.join(islandArr, Seq(idCol), "left")
+      .withColumn("__isl", coalesce(col("__isl"),
+        array().cast("array<struct<__is:long,__ie:long>>")))
+      .withColumn("__keep", filter(col("__t"), (tok, i) =>
+        !exists(col("__isl"), p =>
+          i >= p.getField("__is") && i < p.getField("__ie"))))
+      .select(col(idCol),
+        col("__nt").cast("long").as("n_tokens"),
+        size(col("__keep")).cast("long").as("kept_tokens"),
+        array_join(col("__keep"), " ").as("cleaned_text"))
   }
 
   /** Cross-document winnowing-fingerprint profile: per document, its

@@ -440,4 +440,32 @@ class PipelineR7Spec extends SparkSpec {
     assert(full(0) === ((1L, 1L, 5L))) // [0,5): whole doc one island
     assert(full(1) === ((2L, 1L, 5L))) // [0,5) of 6 tokens
   }
+
+  test("removeDupSpans cuts exactly the island tokens and keeps order") {
+    val docs = Seq(
+      (1L, "a b c d z1 z2 z3 e f g h"),
+      (2L, "a b c d q1 q2 q3 e f g h"),
+      (3L, "totally different words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_tokens", "kept_tokens", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // islands [0,4) and [7,11) cut → middle survives in order
+    assert(got(0) === ((1L, 11L, 3L, "z1 z2 z3")))
+    assert(got(1) === ((2L, 11L, 3L, "q1 q2 q3")))
+    assert(got(2) === ((3L, 9L, 9L,
+      "totally different words only here nothing shared at all")))
+    // removal is consistent with the stats accounting
+    val stats = Dedup.dupSpanStats(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "covered_tokens").as[(Long, Long)]
+      .collect().toMap
+    got.foreach { r => assert(r._2 - r._3 === stats(r._1)) }
+    // a fully-duplicated doc comes back empty
+    val twin = Seq((1L, "p q r s t"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val wiped = Dedup.removeDupSpans(twin, "doc_id", "text", k = 3)
+      .select("kept_tokens", "cleaned_text")
+      .as[(Long, String)].collect()
+    wiped.foreach { r => assert(r === ((0L, ""))) }
+  }
 }
