@@ -2428,7 +2428,25 @@ object SparkEntry {
         "text", k = 8)
         .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
           md5(col("cleaned_text")).as("cleaned_md5"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Mergeable histogram quantiles (the sketch family's third member)
+    // beside the EXACT percentile — estimate AND its error both
+    // oracle-checked; one-bin-width error bound observable.
+    "q196_hist_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val qArr = array(qs.map(lit): _*)
+      val exact = li
+        .agg(percentile(col("l_extendedprice"), qArr).as("__ex"))
+        .select(posexplode(col("__ex")).as(Seq("__i", "__ev")))
+        .select(element_at(qArr, col("__i") + 1).as("q"),
+          round(col("__ev"), 6).as("exact_val"))
+      Sketch.histQuantiles(li, col("l_extendedprice"), 256, qs)
+        .join(exact, Seq("q"))
+        .select(col("q"), col("hist_est"), col("exact_val"))
+        .orderBy(col("q"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -5016,6 +5034,36 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
         |  md5(coalesce(a.cleaned, '')) AS cleaned_md5
-        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // histogram-quantile mirror: same equi-width binning arithmetic
+    // (division-then-multiply order matters for bit-equality), same
+    // crossing-bin interpolation; exact side is quantile_cont
+    "q196_hist_quantiles" ->
+      """WITH s AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+        |  max(CAST(l_extendedprice AS DOUBLE)) AS hi,
+        |  count(l_extendedprice) AS n FROM lineitem),
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+        |      / (hi - lo) * 256), 255) AS BIGINT) END AS bin,
+        |    count(*) AS c
+        |  FROM lineitem, s WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM b),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+        |  AS DOUBLE) AS q),
+        |cr AS (SELECT q, lo, hi, bin, c, cum,
+        |    greatest(ceil(q * n), 1) AS target,
+        |    row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+        |  FROM qs, s, cum WHERE cum >= greatest(ceil(q * n), 1)),
+        |ex AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+        |    AS DOUBLE) AS q,
+        |  unnest(quantile_cont(l_extendedprice,
+        |    [0.25, 0.5, 0.75, 0.9, 0.99])) AS ev FROM lineitem)
+        |SELECT cr.q,
+        |  round(lo + (hi - lo) / 256 * (bin + (target - (cum - c)) / c), 6)
+        |    AS hist_est,
+        |  round(ex.ev, 6) AS exact_val
+        |FROM cr JOIN ex ON cr.q = ex.q WHERE rn = 1
+        |ORDER BY cr.q""".stripMargin
   )
 }

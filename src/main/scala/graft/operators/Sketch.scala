@@ -133,6 +133,56 @@ object Sketch {
         (col("cm_est") - col("__n")).as("overcount"))
   }
 
+  /** Mergeable histogram quantiles — the third deterministic sketch
+    * beside KMV (cardinality) and Count–Min (frequency): an equi-width
+    * `bins`-bucket histogram over [min, max] with linear interpolation
+    * inside the crossing bucket. Bin counts are ADDITIVE (same merge
+    * story as CM cells: executors/batches sum), the estimate is a pure
+    * function of the data, and the error is bounded by one bin width —
+    * all things Spark's approx_percentile (an opaque KLL-family sketch)
+    * can't promise reproducibly across engines.
+    *
+    * Scale shape: one min/max/count aggregate (broadcast back as a
+    * one-row frame), one map-side-combined bin count onto ≤ `bins`
+    * rows, and a dictionary-sized cumulative window — the raw column
+    * is scanned twice and shuffled never (bin rows only).
+    *
+    * Returns (q, hist_est) for each requested quantile.
+    */
+  def histQuantiles(df: DataFrame, value: Column, bins: Int,
+                    qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = value.cast("double")
+    val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"),
+      count(v).as("__n"))
+    val binned = df.select(v.as("__x")).where(col("__x").isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((col("__x") - col("__lo"))
+            / (col("__hi") - col("__lo")) * lit(bins.toDouble)),
+          lit((bins - 1).toLong)).cast("long")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    // dictionary-sized frame (≤ bins rows) — single-partition window
+    // is deliberate
+    val cum = binned.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy(col("__b"))))
+    val qdf = qs.toDF("q")
+    val crossing = qdf
+      .crossJoin(broadcast(stats))
+      .withColumn("__target", greatest(ceil(col("q") * col("__n")), lit(1L)))
+      .join(cum, col("__cum") >= col("__target"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("__b"))))
+      .filter(col("__rn") === 1)
+    crossing.select(col("q"),
+      round(col("__lo") + (col("__hi") - col("__lo")) / lit(bins.toDouble)
+        * (col("__b") + (col("__target") - (col("__cum") - col("__c")))
+          / col("__c")), 6).as("hist_est"))
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -468,4 +468,26 @@ class PipelineR7Spec extends SparkSpec {
       .as[(Long, String)].collect()
     wiped.foreach { r => assert(r === ((0L, ""))) }
   }
+
+  test("histQuantiles: within one bin width of exact, exact on " +
+    "uniform grid, partition-invariant") {
+    val df = (1 to 10000).map(_.toDouble).toDF("x")
+    val qs = Seq(0.25, 0.5, 0.9)
+    val got = Sketch.histQuantiles(df, col("x"), 256, qs)
+      .as[(Double, Double)].collect().toMap
+    val binW = (10000.0 - 1.0) / 256
+    qs.foreach { q =>
+      val exact = 1 + q * 9999 // continuous quantile of the uniform grid
+      assert(math.abs(got(q) - exact) <= binW + 1e-6,
+        s"q=$q est=${got(q)} exact=$exact")
+    }
+    val again = Sketch.histQuantiles(df.repartition(17), col("x"), 256, qs)
+      .as[(Double, Double)].collect().toMap
+    assert(again === got)
+    // nulls ignored; single-value column degenerates to that value
+    val deg = Sketch.histQuantiles(
+      Seq[java.lang.Double](5.0, null, 5.0).toDF("x"), col("x"), 16,
+      Seq(0.5)).as[(Double, Double)].collect()
+    assert(deg.toSeq === Seq((0.5, 5.0)))
+  }
 }
