@@ -259,4 +259,35 @@ class StressSpec extends SparkSpec {
     assert(a === b)
     Dedup.clearDedupCaches()
   }
+
+  test("sketches under a 2M-row zipf stream: bounded shuffle, hot key " +
+    "absorbed map-side") {
+    import graft.operators.Sketch
+    // zipf-ish: value v_r drawn with frequency ~ 2M/(r+1); the hottest
+    // value alone is ~1M rows — a naive shuffle keyed on the raw value
+    // would funnel it to one reducer. Both sketches must absorb it in
+    // the map-side combine: per-task shuffle read stays KB-scale.
+    val n = 2000000L
+    val df = spark.range(n).select(
+      (floor(pow(rand(7), 8.0) * 200).cast("long")).as("r"))
+      .select(concat(lit("v"), col("r")).as("v"))
+    val ((top, hist), maxTaskBytes) = withMaxTaskShuffleRead {
+      val t = Sketch.countMinTopK(df, col("v"), d = 4, w = 1024,
+        topK = 5).collect()
+      val h = Sketch.histQuantiles(df.select(length(col("v"))
+        .cast("double").as("x")), col("x"), 64, Seq(0.5, 0.9)).collect()
+      (t, h)
+    }
+    assert(top.length === 5)
+    // CM guarantee holds on every returned row
+    top.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("n_exact"))
+    }
+    assert(hist.length === 2)
+    // the raw stream was never shuffled on the value key: only distinct
+    // values (≤ 200) and bin/cell rows cross the wire
+    assert(maxTaskBytes < 8L * 1024 * 1024,
+      s"max per-task shuffle read $maxTaskBytes bytes")
+    Dedup.clearDedupCaches()
+  }
 }
