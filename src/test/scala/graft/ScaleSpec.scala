@@ -405,4 +405,37 @@ class MiscOpsSpec extends SparkSpec {
     val pK = kmv.queryExecution.executedPlan.toString
     assert(pK.contains("__salt"), pK) // two-level selection engaged
   }
+
+  test("CM/scorer/span plans: sketch table and weights broadcast, " +
+    "no NLJ in the span pipeline") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+    val cm = graft.operators.Sketch.countMinTopK(toks, col("tok"),
+      4, 1024, 10)
+    cm.collect() // finalize AQE
+    val pCm = cm.queryExecution.executedPlan.toString
+    // the ≤ d·w-row CM table must broadcast onto the probe rows, and
+    // the exact top-k must go through the salted two-level rank
+    assert(pCm.contains("BroadcastHashJoin"), pCm)
+    assert(pCm.contains("__salt"), pCm)
+    val sc = graft.operators.Curate.hashedLinearScore(docs, "doc_id",
+      "text", 4096, Seq("source"))
+    sc.collect()
+    val pSc = sc.queryExecution.executedPlan.toString
+    // weights join is the broadcast — the token stream is never
+    // shuffled on a token/bucket key
+    assert(pSc.contains("BroadcastHashJoin"), pSc)
+    assert(!pSc.contains("SortMergeJoin") &&
+      !pSc.contains("ShuffledHashJoin"), pSc)
+    val rm = graft.operators.Dedup.removeDupSpans(docs, "doc_id",
+      "text", 8)
+    rm.collect()
+    val pRm = rm.queryExecution.executedPlan.toString
+    assert(!pRm.contains("CartesianProduct") &&
+      !pRm.contains("BroadcastNestedLoopJoin"), pRm)
+    graft.operators.Dedup.clearDedupCaches()
+  }
 }
