@@ -2446,7 +2446,26 @@ object SparkEntry {
         .join(exact, Seq("q"))
         .select(col("q"), col("hist_est"), col("exact_val"))
         .orderBy(col("q"))
-    })
+    }),
+
+    // Embedding covariance matrix: one distributed pass reduces the
+    // corpus to a d²-double buffer (typed Aggregator) — the "big data,
+    // tiny model" shape behind whitening/PCA curation.
+    "q197_cov_matrix" -> ((s, dir) =>
+      operators.Similarity.covarianceMatrix(
+        t(s, dir, "embeddings"), "embedding")
+        .select(col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"),
+          round(col("cov"), 6).as("cov"))
+        .orderBy(col("i"), col("j"))),
+
+    // PCA projection: dominant axis by driver power iteration on the
+    // 6-dp-rounded covariance (the cross-engine determinism contract),
+    // broadcast back as one rip_dot per row — zero shuffle.
+    "q198_pca_project" -> ((s, dir) =>
+      operators.Similarity.projectPc1(
+        t(s, dir, "embeddings"), "vec_id", "embedding", iters = 20)
+        .orderBy(col("vec_id")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -5064,6 +5083,55 @@ object SparkEntry {
         |    AS hist_est,
         |  round(ex.ev, 6) AS exact_val
         |FROM cr JOIN ex ON cr.q = ex.q WHERE rn = 1
-        |ORDER BY cr.q""".stripMargin
+        |ORDER BY cr.q""".stripMargin,
+
+    // covariance mirror: E[xy] − E[x]E[y] per dim pair, same division
+    // shape as the aggregator's finish; round(6) absorbs float-sum
+    // partition-order drift on both sides
+    "q197_cov_matrix" ->
+      """WITH d AS (SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT i, sum(v) AS s, count(*) AS n FROM d GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sp,
+        |  count(*) AS n FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2)
+        |SELECT p.i, p.j,
+        |  round(sp / p.n - (ma.s / ma.n) * (mb.s / mb.n), 6) AS cov
+        |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+        |ORDER BY p.i, p.j""".stripMargin,
+
+    // PCA mirror: the SAME 6-dp-rounded covariance, then the identical
+    // fixed-iteration recurrence w ← C·w as a recursive CTE (list_sum
+    // sums in list order = the driver loop's ascending-j order, so the
+    // iterate is bit-reproducible), one normalization at the end, and
+    // the dotSql-ordered projection. dim = 64 (testdata contract; the
+    // SchemaDriftSpec tripwire pins it).
+    "q198_pca_project" ->
+      """WITH RECURSIVE d AS (SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT i, sum(v) AS s, count(*) AS n FROM d GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sp,
+        |  count(*) AS n FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2),
+        |cov AS (SELECT p.i, p.j,
+        |  round(sp / p.n - (ma.s / ma.n) * (mb.s / mb.n), 6) AS c
+        |  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j),
+        |crow AS (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY 1),
+        |cmat AS (SELECT list(row ORDER BY i) AS mm FROM crow),
+        |it AS (
+        |  SELECT 0 AS t,
+        |    list_transform(range(1, 65), x -> 1.0 / sqrt(64.0)) AS w
+        |  UNION ALL
+        |  SELECT t + 1,
+        |    list_transform(range(1, 65), i ->
+        |      list_sum(list_transform(range(1, 65), j -> mm[i][j] * w[j])))
+        |  FROM it, cmat WHERE t < 20),
+        |wf AS (SELECT w FROM it WHERE t = 20),
+        |wn AS (SELECT list_transform(w, x ->
+        |  x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS w FROM wf)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CAST(embedding[i] AS DOUBLE) * w[i])), 6) AS pc1
+        |FROM embeddings, wn ORDER BY vec_id""".stripMargin
   )
 }

@@ -52,6 +52,113 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Raw second/first moments of an embedding column in ONE distributed
+    * pass: a typed Aggregator whose buffer is the d×d product-sum
+    * matrix + d column sums + count (a few KB for any realistic dim),
+    * accumulated with compiled loops per row and merged additively
+    * across partitions. This is the canonical "big data, tiny model"
+    * shape: the cluster reduces 100 TB of vectors to one d²-double
+    * buffer; everything downstream (covariance, PCA) is driver math.
+    */
+  private[operators] def covMoments(df: DataFrame, vecCol: String)
+    : (Int, Array[Double], Array[Double], Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    val agg = new CovMomentsAgg(d)
+    val r = df.select(col(vecCol).cast("array<double>").as("value"))
+      .as[Seq[Double]]
+      .select(agg.toColumn).head()
+    (d, r._1.toArray, r._2.toArray, r._3)
+  }
+
+  class CovMomentsAgg(d: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], (Array[Double], Array[Double], Long),
+      (Seq[Double], Seq[Double], Long)] {
+    def zero: (Array[Double], Array[Double], Long) =
+      (Array.ofDim[Double](d * d), Array.ofDim[Double](d), 0L)
+    def reduce(b: (Array[Double], Array[Double], Long),
+               v: Seq[Double]): (Array[Double], Array[Double], Long) = {
+      val a = v.toArray
+      var i = 0
+      while (i < d) {
+        val vi = a(i); b._2(i) += vi
+        var j = 0
+        val row = i * d
+        while (j < d) { b._1(row + j) += vi * a(j); j += 1 }
+        i += 1
+      }
+      (b._1, b._2, b._3 + 1)
+    }
+    def merge(x: (Array[Double], Array[Double], Long),
+              y: (Array[Double], Array[Double], Long)) = {
+      var i = 0
+      while (i < d * d) { x._1(i) += y._1(i); i += 1 }
+      i = 0
+      while (i < d) { x._2(i) += y._2(i); i += 1 }
+      (x._1, x._2, x._3 + y._3)
+    }
+    def finish(b: (Array[Double], Array[Double], Long)) =
+      (b._1.toSeq, b._2.toSeq, b._3)
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[
+      (Array[Double], Array[Double], Long)]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[
+      (Seq[Double], Seq[Double], Long)]
+  }
+
+  /** Population covariance matrix of the embedding column as (i, j,
+    * cov) rows — one distributed pass (covMoments), then d² driver-side
+    * rows. cov = E[xy] − E[x]E[y].
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (d, prods, sums, n) = covMoments(df, vecCol)
+    val rows = for (i <- 0 until d; j <- 0 until d) yield
+      (i, j, prods(i * d + j) / n - (sums(i) / n) * (sums(j) / n))
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** Dominant principal axis by power iteration ON THE DRIVER against
+    * the 6-dp-ROUNDED covariance matrix — the rounding is the
+    * cross-engine determinism contract: unrounded float sums drift with
+    * partition order, but both engines agree on the rounded matrix, and
+    * from identical C the fixed-iteration recurrence w ← C·w (ascending
+    * index order, single normalization at the end) is bit-reproducible.
+    * No extra cluster passes: the data was already reduced to C.
+    */
+  def pc1(df: DataFrame, vecCol: String, iters: Int = 20): Seq[Double] = {
+    val (d, prods, sums, n) = covMoments(df, vecCol)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = Array.tabulate(d, d)((i, j) =>
+      r6(prods(i * d + j) / n - (sums(i) / n) * (sums(j) / n)))
+    var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var t = 0
+    while (t < iters) {
+      val nw = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * w(j); j += 1 }
+        s
+      }
+      w = nw; t += 1
+    }
+    val nrm = math.sqrt(w.map(x => x * x).sum)
+    w.map(_ / nrm).toSeq
+  }
+
+  /** Projection of every vector onto the dominant principal axis —
+    * pc1's weight vector broadcasts back as a literal array; the
+    * projection is one codegen'd rip_dot per row, zero shuffle.
+    */
+  def projectPc1(df: DataFrame, idCol: String, vecCol: String,
+                 iters: Int = 20): DataFrame = {
+    val w = pc1(df, vecCol, iters)
+    df.select(col(idCol),
+      round(dot(col(vecCol), array(w.map(lit): _*)), 6).as("pc1"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. Queries are broadcast (BroadcastNestedLoopJoin —
     * the corpus never shuffles; only (nQueries × k)-sized results do).

@@ -490,4 +490,36 @@ class PipelineR7Spec extends SparkSpec {
       Seq(0.5)).as[(Double, Double)].collect()
     assert(deg.toSeq === Seq((0.5, 5.0)))
   }
+
+  test("covarianceMatrix and pc1 recover a planted principal axis") {
+    // points t·u + tiny orthogonal noise, u = (3,4)/5: the dominant
+    // eigenvector of the covariance must be ±u, and projections ≈ ±t
+    val u = Seq(0.6, 0.8)
+    val pts = (-50 to 50).map { i =>
+      val t = i / 5.0
+      (i.toLong + 51L,
+        Array((t * u(0) + 0.001 * i % 3 * 0.01).toFloat,
+          (t * u(1)).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cov = Similarity.covarianceMatrix(df, "embedding")
+      .as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // symmetric, and dominated by the u direction: cov ≈ Var(t)·u uᵀ
+    assert(math.abs(cov((0, 1)) - cov((1, 0))) < 1e-12)
+    assert(cov((0, 0)) > 0 && cov((1, 1)) > 0)
+    assert(math.abs(cov((0, 1)) / math.sqrt(cov((0, 0)) * cov((1, 1))))
+      > 0.99) // near-perfect correlation along the planted axis
+    val w = Similarity.pc1(df, "embedding")
+    val align = math.abs(w(0) * u(0) + w(1) * u(1))
+    assert(align > 0.999, s"pc1=$w align=$align")
+    assert(math.abs(math.sqrt(w.map(x => x * x).sum) - 1.0) < 1e-9)
+    // projection is deterministic under repartitioning (rounded-C
+    // contract)
+    val p1 = Similarity.projectPc1(df, "vec_id", "embedding")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val p2 = Similarity.projectPc1(df.repartition(7), "vec_id",
+      "embedding").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(p1 === p2)
+  }
 }

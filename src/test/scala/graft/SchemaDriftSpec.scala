@@ -96,6 +96,17 @@ class SchemaDriftSpec extends AnyFunSuite with SparkSpec {
     assert(drifted.isEmpty, "\nSCHEMA DRIFT DETECTED:\n" + drifted.mkString("\n"))
   }
 
+  test("embedding dim is 64 (the q198 PCA oracle hardcodes it)") {
+    import org.apache.spark.sql.functions._
+    // the q198_pca_project DuckDB oracle iterates range(1, 65): if the
+    // driver regenerates embeddings at another dim, update that oracle
+    // (and this pin) together — the Spark side adapts automatically
+    val d = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+    assert(d.toSeq === Seq(64),
+      s"embedding dims arrived as ${d.mkString(",")} — q198 oracle assumes 64")
+  }
+
   test("events.ts normalization yields UTC epoch nanos matching unix_micros x1000") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
