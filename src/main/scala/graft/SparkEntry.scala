@@ -2465,7 +2465,16 @@ object SparkEntry {
     "q198_pca_project" -> ((s, dir) =>
       operators.Similarity.projectPc1(
         t(s, dir, "embeddings"), "vec_id", "embedding", iters = 20)
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // Per-group heavy hitters: an independent CM sketch + exact top-5
+    // per source — the per-domain vocabulary shape.
+    "q199_countmin_by_source" -> ((s, dir) =>
+      Sketch.countMinTopKBy(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextFns.tokens(col("text"))).as("tok")),
+        Seq("source"), col("tok"), d = 4, w = 1024, topK = 5)
+        .orderBy(col("source"), col("rank")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -5132,6 +5141,32 @@ object SparkEntry {
         |SELECT vec_id,
         |  round(list_sum(list_transform(range(1, 65), i ->
         |    CAST(embedding[i] AS DOUBLE) * w[i])), 6) AS pc1
-        |FROM embeddings, wn ORDER BY vec_id""".stripMargin
+        |FROM embeddings, wn ORDER BY vec_id""".stripMargin,
+
+    // per-source CM mirror: q192's sketch partitioned by source
+    "q199_countmin_by_source" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split_regex(lower(trim(text)),
+         |    '\\s+')) AS v FROM documents),
+         |counts AS (SELECT source, v, count(*) AS n FROM toks
+         |  GROUP BY 1, 2),
+         |b AS (SELECT source, v, n, j,
+         |  ${hash60Sql("CAST(j AS VARCHAR) || ':' || v")} % 1024 AS bkt
+         |  FROM counts CROSS JOIN (SELECT unnest(range(4)) AS j) r),
+         |cm AS (SELECT source, j, bkt, sum(n) AS c FROM b
+         |  GROUP BY 1, 2, 3),
+         |top AS (SELECT source, v, n, row_number() OVER (
+         |    PARTITION BY source ORDER BY n DESC, v) AS rk
+         |  FROM counts QUALIFY rk <= 5),
+         |est AS (SELECT t.source, t.rk, t.v, t.n, min(cm.c) AS cm_est
+         |  FROM top t JOIN b ON b.source = t.source AND b.v = t.v
+         |  JOIN cm ON cm.source = b.source AND cm.j = b.j
+         |    AND cm.bkt = b.bkt
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT source, rk AS rank, v AS value, CAST(n AS BIGINT)
+         |    AS n_exact,
+         |  CAST(cm_est AS BIGINT) AS cm_est,
+         |  CAST(cm_est - n AS BIGINT) AS overcount
+         |FROM est ORDER BY source, rank""".stripMargin
   )
 }

@@ -101,36 +101,55 @@ object Sketch {
       .groupBy(col("__j"), col("__b")).agg(sum(col("__n")).as("__c"))
 
   def countMinTopK(df: DataFrame, value: Column, d: Int = 4,
-                   w: Int = 1024, topK: Int = 10): DataFrame = {
+                   w: Int = 1024, topK: Int = 10): DataFrame =
+    countMinTopKBy(df, Nil, value, d, w, topK)
+
+  /** Per-group heavy hitters — one independent CM sketch and exact
+    * top-k PER GROUP (the per-domain/per-shard shape). The counter
+    * table is ≤ |groups|·d·w rows keyed (group, row, bucket): with few
+    * groups AQE broadcasts it; with many it stays a well-bucketed equi
+    * join — never a skew risk, since the table side is bounded per
+    * group by construction. Global case (groupCols = Nil) broadcasts
+    * explicitly.
+    */
+  def countMinTopKBy(df: DataFrame, groupCols: Seq[String], value: Column,
+                     d: Int = 4, w: Int = 1024, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the (value, count) aggregate is the expensive pass over the raw
-    // stream and feeds BOTH the CM table and the exact top-k — persist
-    // through the shared LRU registry so it runs once (same pattern as
-    // kmvWithExact; frame is distinct-values-sized, spills at scale)
+    val gs = groupCols.map(col)
+    // the (group, value, count) aggregate is the expensive pass over
+    // the raw stream and feeds BOTH the CM table and the exact top-k —
+    // persist through the shared LRU registry so it runs once (same
+    // pattern as kmvWithExact; distinct-values-sized, spills at scale)
     val counts = Dedup.registryPersist(
-      df.groupBy(value.cast("string").as("__v"))
+      df.groupBy(gs :+ value.cast("string").as("__v"): _*)
         .agg(count(lit(1)).as("__n")))
-    def bucketsOf(v: Column): Column = cmBuckets(v, d, w)
-    val cm = cmFromCounts(counts, d, w)
-    val salted = Window.partitionBy(col("__salt"))
+    val cm = counts
+      .select(gs ++ Seq(col("__n"),
+        posexplode(cmBuckets(col("__v"), d, w)).as(Seq("__j", "__b"))): _*)
+      .groupBy(gs ++ Seq(col("__j"), col("__b")): _*)
+      .agg(sum(col("__n")).as("__c"))
+    val salted = Window.partitionBy(gs :+ col("__salt"): _*)
       .orderBy(col("__n").desc, col("__v"))
-    val full = Window.orderBy(col("__n").desc, col("__v"))
+    val full = Window.partitionBy(gs: _*)
+      .orderBy(col("__n").desc, col("__v"))
     val top = counts
       .withColumn("__salt", spark_partition_id())
       .withColumn("__r1", row_number().over(salted))
       .filter(col("__r1") <= topK)
       .withColumn("__rk", row_number().over(full))
       .filter(col("__rk") <= topK)
-    top
-      .select(col("__rk"), col("__v"), col("__n"),
-        posexplode(bucketsOf(col("__v"))))
-      .toDF("__rk", "__v", "__n", "__j", "__b")
-      .join(broadcast(cm), Seq("__j", "__b"))
-      .groupBy(col("__rk"), col("__v"), col("__n"))
+    val probes = top
+      .select(gs ++ Seq(col("__rk"), col("__v"), col("__n"),
+        posexplode(cmBuckets(col("__v"), d, w)).as(Seq("__j", "__b"))): _*)
+    val joined =
+      if (groupCols.isEmpty) probes.join(broadcast(cm), Seq("__j", "__b"))
+      else probes.join(cm, groupCols ++ Seq("__j", "__b"))
+    joined
+      .groupBy(gs ++ Seq(col("__rk"), col("__v"), col("__n")): _*)
       .agg(min(col("__c")).as("cm_est"))
-      .select(col("__rk").cast("long").as("rank"), col("__v").as("value"),
-        col("__n").as("n_exact"), col("cm_est"),
-        (col("cm_est") - col("__n")).as("overcount"))
+      .select(gs ++ Seq(col("__rk").cast("long").as("rank"),
+        col("__v").as("value"), col("__n").as("n_exact"), col("cm_est"),
+        (col("cm_est") - col("__n")).as("overcount")): _*)
   }
 
   /** Mergeable histogram quantiles — the third deterministic sketch

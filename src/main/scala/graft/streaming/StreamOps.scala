@@ -432,6 +432,36 @@ object StreamOps {
       .toDF()
   }
 
+  /** Streaming equi-width histogram over fixed [lo, hi) — the
+    * streaming twin of `Sketch.histQuantiles`' bin table (the batch op
+    * derives [lo, hi] from the data; a stream can't, so the caller
+    * fixes the range — the standard streaming-histogram contract). Bin
+    * counts are additive cells exactly like CM counters, so the SAME
+    * CmCellProcessor maintains them (cell key = bin), and the
+    * streaming table after any batch prefix equals the batch bin
+    * counts over the same rows. A consumer interpolates quantiles from
+    * the emitted table precisely as the batch estimator does.
+    */
+  def streamingHistogram(rows: DataFrame, valueCol: String, lo: Double,
+                         hi: Double, bins: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.select(col(valueCol).cast("double").as("x"))
+      .where(col("x").isNotNull)
+      .select(when(lit(hi) === lit(lo), lit(0L))
+        .otherwise(least(greatest(
+          floor((col("x") - lit(lo)) / (lit(hi) - lit(lo))
+            * lit(bins.toDouble)), lit(0L)),
+          lit((bins - 1).toLong)).cast("long")).as("cell"),
+        lit(1L).as("one"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CmCellProcessor, TimeMode.None(),
+        OutputMode.Update())(org.apache.spark.sql.Encoders.product[CmOut])
+      .toDF().select(col("cm_b").as("bin"), col("cnt"))
+  }
+
   /** Streaming leaderboard: top-k events by value per user, maintained
     * incrementally. Requires the RocksDB state store provider (the
     * transformWithState backend).

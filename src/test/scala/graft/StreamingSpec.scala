@@ -427,6 +427,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming histogram bins equal the batch binning on every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (lo, hi, bins) = (0.0, 100.0, 8)
+      val batch1 = (1 to 200).map(i => (i * 7 % 100).toDouble)
+      val batch2 = (1 to 90).map(i => (i * 13 % 100).toDouble)
+      def expected(data: Seq[Double]): Map[Long, Long] =
+        data.groupBy(x => math.min(
+          math.floor((x - lo) / (hi - lo) * bins).toLong, bins - 1L))
+          .map { case (b, xs) => b -> xs.size.toLong }
+      val mem = MemoryStream[Double]
+      val q = StreamOps.streamingHistogram(mem.toDS().toDF("v"), "v",
+        lo, hi, bins)
+        .writeStream.format("memory").queryName("tws_hist")
+        .outputMode("update").start()
+      mem.addData(batch1: _*); q.processAllAvailable()
+      val after1 = spark.sql(
+        "SELECT bin, max(cnt) FROM tws_hist GROUP BY 1")
+        .as[(Long, Long)].collect().toMap
+      mem.addData(batch2: _*); q.processAllAvailable()
+      q.stop()
+      val after2 = spark.sql(
+        "SELECT bin, max(cnt) FROM tws_hist GROUP BY 1")
+        .as[(Long, Long)].collect().toMap
+      assert(after1 === expected(batch1))
+      assert(after2 === expected(batch1 ++ batch2))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
