@@ -64,7 +64,10 @@ object Similarity {
     : (Int, Array[Double], Array[Double], Long) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val d = df.select(size(col(vecCol))).head().getInt(0)
+    // dim peek tolerates the empty frame (partition-pruned scans)
+    val d = df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0) return (0, Array.empty, Array.empty, 0L)
     val agg = new CovMomentsAgg(d)
     val r = df.select(col(vecCol).cast("array<double>").as("value"))
       .as[Seq[Double]]
@@ -130,6 +133,7 @@ object Similarity {
     */
   def pc1(df: DataFrame, vecCol: String, iters: Int = 20): Seq[Double] = {
     val (d, prods, sums, n) = covMoments(df, vecCol)
+    if (d == 0 || n == 0L) return Seq.empty
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val c = Array.tabulate(d, d)((i, j) =>
@@ -155,7 +159,9 @@ object Similarity {
   def projectPc1(df: DataFrame, idCol: String, vecCol: String,
                  iters: Int = 20): DataFrame = {
     val w = pc1(df, vecCol, iters)
-    df.select(col(idCol),
+    if (w.isEmpty) // empty input: correctly-shaped empty result
+      df.filter(lit(false)).select(col(idCol), lit(0.0d).as("pc1"))
+    else df.select(col(idCol),
       round(dot(col(vecCol), array(w.map(lit): _*)), 6).as("pc1"))
   }
 

@@ -61,4 +61,26 @@ class EmptyInputSpec extends SparkSpec {
       (Categorical.encode(e, "k"), Categorical.categories(e, "k"))))
     assert(dict.count() === 0 && stacked.count() === 0)
   }
+
+  test("round-7 sketches, span ops, scorer, and PCA on empty frames") {
+    val eV = Seq.empty[String].toDF("v")
+    assert(Sketch.countMinTopK(eV, col("v")).count() === 0)
+    assert(Sketch.countMinTopKBy(
+      Seq.empty[(String, String)].toDF("g", "v"), Seq("g"),
+      col("v")).count() === 0)
+    assert(Sketch.kmvWithExact(
+      Seq.empty[(String, String)].toDF("g", "v"), Seq("g"), col("v"), 8)
+      .count() === 0)
+    assert(Sketch.histQuantiles(
+      Seq.empty[Double].toDF("x"), col("x"), 16, Seq(0.5)).count() === 0)
+    assert(Dedup.dupSpanStats(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.removeDupSpans(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Curate.hashedLinearScore(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    val eE = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.covarianceMatrix(eE, "embedding").count() === 0)
+    assert(Similarity.pc1(eE, "embedding").isEmpty)
+    assert(Similarity.projectPc1(eE, "vec_id", "embedding").count() === 0)
+    Dedup.clearDedupCaches()
+  }
 }
