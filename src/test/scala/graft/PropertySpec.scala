@@ -500,4 +500,58 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dupSpanStats / removeDupSpans match interval brute force on " +
+    "random overlapping docs") {
+    // tiny vocabulary forces dense cross-doc gram collisions
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (k <- Seq(2, 3); trial <- 1 to 3) {
+      val docs = (1L to 25L).map { i =>
+        (i, Seq.fill(rng.nextInt(30) + 1)(vocab(rng.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      def grams(t: String): Seq[(Int, String)] = {
+        val toks = t.split("\\s+").toSeq
+        if (toks.size < k) Nil
+        else (0 to toks.size - k).map(i =>
+          i -> toks.slice(i, i + k).mkString(" "))
+      }
+      val docFreq = docs.flatMap { case (id, t) =>
+        grams(t).map(_._2).distinct.map(_ -> id)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val want = docs.map { case (id, t) =>
+        val toks = t.split("\\s+").toSeq
+        val covered = Array.fill(toks.size)(false)
+        grams(t).foreach { case (i, g) =>
+          if (docFreq(g) > 1) (i until i + k).foreach(covered(_) = true)
+        }
+        // islands = maximal covered runs
+        val spans = covered.zipWithIndex.foldLeft(0) {
+          case (acc, (c, i)) =>
+            if (c && (i == 0 || !covered(i - 1))) acc + 1 else acc
+        }
+        val cleaned = toks.zipWithIndex.collect {
+          case (tok, i) if !covered(i) => tok }.mkString(" ")
+        id -> ((toks.size.toLong, spans.toLong, covered.count(identity).toLong,
+          cleaned))
+      }.toMap
+      val df = docs.toDF("doc_id", "text")
+      val gotStats = graft.operators.Dedup
+        .dupSpanStats(df, "doc_id", "text", k)
+        .select("doc_id", "n_tokens", "n_spans", "covered_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+      gotStats.foreach { case (id, nt, ns, cv) =>
+        val (wnt, wns, wcv, _) = want(id)
+        assert((nt, ns, cv) === ((wnt, wns, wcv)), s"id=$id k=$k")
+      }
+      val gotClean = graft.operators.Dedup
+        .removeDupSpans(df, "doc_id", "text", k)
+        .select("doc_id", "cleaned_text").as[(Long, String)]
+        .collect().toMap
+      want.foreach { case (id, (_, _, _, cleaned)) =>
+        assert(gotClean(id) === cleaned, s"id=$id k=$k")
+      }
+      graft.operators.Dedup.clearDedupCaches()
+    }
+  }
 }
