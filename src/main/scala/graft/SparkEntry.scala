@@ -2474,7 +2474,44 @@ object SparkEntry {
         t(s, dir, "documents").select(col("source"),
           explode(TextFns.tokens(col("text"))).as("tok")),
         Seq("source"), col("tok"), d = 4, w = 1024, topK = 5)
-        .orderBy(col("source"), col("rank")))
+        .orderBy(col("source"), col("rank"))),
+
+    // Flagship composition: the full curation funnel a corpus team
+    // actually runs — NFC → language gate → model-based quality gate →
+    // exact dedup keep-first → per-source cap via the skew-safe
+    // hash-threshold selection — with per-stage counts AND the final
+    // selection identity-checked (id_sum), end to end in ONE plan.
+    "q200_curation_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("lang"), TextFns.nfc(col("text")).as("text"))
+      val d1 = d0.filter(col("lang") === "en")
+      val pass = Curate.hashedLinearScore(d1, "doc_id", "text", 4096)
+        .filter(col("score_units") > 0).select(col("doc_id"))
+      val d2 = d1.join(pass, Seq("doc_id"))
+      val wf = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      val d3 = d2.withColumn("__fp", md5(col("text")))
+        .withColumn("__rn", row_number().over(wf))
+        .filter(col("__rn") === 1).drop("__fp", "__rn")
+      val budgets = d3.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+        .withColumn("__budget", least(lit(20L), col("__n")))
+      val d4 = Curate.selectSmallestByHash(d3, "doc_id", "source", budgets)
+      def cnt(df: DataFrame, n: String) =
+        df.groupBy(col("source")).agg(count(lit(1)).as(n))
+      cnt(d0, "n_raw")
+        .join(cnt(d1, "n_en"), Seq("source"), "left")
+        .join(cnt(d2, "n_quality"), Seq("source"), "left")
+        .join(cnt(d3, "n_dedup"), Seq("source"), "left")
+        .join(d4.groupBy(col("source")).agg(count(lit(1)).as("n_final"),
+          sum(col("doc_id")).as("id_sum")), Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_en"), lit(0L)).as("n_en"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+        .orderBy(col("source"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -5167,6 +5204,49 @@ object SparkEntry {
          |    AS n_exact,
          |  CAST(cm_est AS BIGINT) AS cm_est,
          |  CAST(cm_est - n AS BIGINT) AS overcount
-         |FROM est ORDER BY source, rank""".stripMargin
+         |FROM est ORDER BY source, rank""".stripMargin,
+
+    // e2e funnel mirror: every stage re-expressed from the fragments
+    // already proven (q188 nfc, q193 scorer, q24 keep-first, q182
+    // hash-rank selection), joined into one per-source funnel row
+    "q200_curation_e2e" ->
+      s"""WITH d0 AS (SELECT doc_id, source, lang,
+         |  nfc_normalize(text) AS text FROM documents),
+         |d1 AS (SELECT * FROM d0 WHERE lang = 'en'),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(
+         |  lower(trim(text)), '\\s+')) AS tk FROM d1),
+         |wt AS (SELECT j AS b, (j * 2654435761 + 104729) % 19997 - 9998
+         |    AS wt FROM (SELECT unnest(range(4096)) AS j)),
+         |tb AS (SELECT doc_id, ${hash60Sql("tk")} % 4096 AS b FROM toks),
+         |us AS (SELECT doc_id, sum(wt) AS units FROM tb JOIN wt USING (b)
+         |  GROUP BY 1),
+         |d2 AS (SELECT d1.* FROM d1 JOIN us USING (doc_id)
+         |  WHERE units > 0),
+         |d3 AS (SELECT * FROM (SELECT d2.*, row_number() OVER (
+         |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM d2)
+         |  WHERE rn = 1),
+         |bud AS (SELECT source, least(20, count(*)) AS b FROM d3
+         |  GROUP BY 1),
+         |hh AS (SELECT doc_id, source,
+         |  ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM d3),
+         |rk AS (SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source ORDER BY h, doc_id) AS rn FROM hh),
+         |d4 AS (SELECT rk.doc_id, rk.source FROM rk JOIN bud
+         |  USING (source) WHERE rn <= b),
+         |c0 AS (SELECT source, count(*) AS n_raw FROM d0 GROUP BY 1),
+         |c1 AS (SELECT source, count(*) AS n_en FROM d1 GROUP BY 1),
+         |c2 AS (SELECT source, count(*) AS n_quality FROM d2 GROUP BY 1),
+         |c3 AS (SELECT source, count(*) AS n_dedup FROM d3 GROUP BY 1),
+         |c4 AS (SELECT source, count(*) AS n_final,
+         |  sum(doc_id) AS id_sum FROM d4 GROUP BY 1)
+         |SELECT c0.source, c0.n_raw,
+         |  CAST(coalesce(n_en, 0) AS BIGINT) AS n_en,
+         |  CAST(coalesce(n_quality, 0) AS BIGINT) AS n_quality,
+         |  CAST(coalesce(n_dedup, 0) AS BIGINT) AS n_dedup,
+         |  CAST(coalesce(n_final, 0) AS BIGINT) AS n_final,
+         |  CAST(coalesce(id_sum, 0) AS BIGINT) AS id_sum
+         |FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+         |LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)
+         |ORDER BY source""".stripMargin
   )
 }
