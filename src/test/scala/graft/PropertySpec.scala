@@ -501,6 +501,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Driver-side twin of Dedup.portableHash64: first 15 hex digits of
+    * md5 as a long — pins the Scala↔SQL hash contract independently of
+    * the DuckDB oracle.
+    */
+  private def refHash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("countMinTopKBy matches a driver brute force (zipf groups)") {
+    val (d, w, k) = (3, 64, 4)
+    val data = (1 to 3000).map { i =>
+      (s"g${i % 3}", s"t${(math.pow(i % 97 / 97.0, 2) * 30).toInt}")
+    }
+    val want = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .groupBy(_._1._1).flatMap { case (g, m) =>
+        val counts = m.map { case ((_, v), n) => v -> n }
+        val cm = Array.ofDim[Long](d, w)
+        counts.foreach { case (v, n) =>
+          (0 until d).foreach { j =>
+            cm(j)((refHash60(s"$j:$v") % w).toInt) += n
+          }
+        }
+        counts.toSeq.sortBy { case (v, n) => (-n, v) }.take(k)
+          .zipWithIndex.map { case ((v, n), r) =>
+            val est = (0 until d)
+              .map(j => cm(j)((refHash60(s"$j:$v") % w).toInt)).min
+            (g, r + 1L, v) -> ((n, est, est - n))
+          }
+      }
+    val got = graft.operators.Sketch.countMinTopKBy(
+      data.toDF("g", "v"), Seq("g"), col("v"), d, w, k)
+      .as[(String, Long, String, Long, Long, Long)].collect()
+    assert(got.length === want.size)
+    got.foreach { case (g, r, v, n, est, over) =>
+      assert(want((g, r, v)) === ((n, est, over)), s"($g, $r, $v)")
+    }
+    graft.operators.Dedup.clearDedupCaches()
+  }
+
+  test("hashedLinearScore matches a driver brute force") {
+    val buckets = 512
+    val docs = (1L to 40L).map { i =>
+      (i, (1 to (i % 7 + 1).toInt).map(j => s"w${(i * j) % 23}")
+        .mkString(" "))
+    }
+    def refW(b: Long): Long = (b * 2654435761L + 104729L) % 19997L - 9998L
+    val want = docs.map { case (id, t) =>
+      val toks = t.toLowerCase.trim.split("\\s+").toSeq
+      val units = toks.map(tk => refW(refHash60(tk) % buckets)).sum
+      id -> ((toks.size.toLong, units))
+    }.toMap
+    val got = graft.operators.Curate.hashedLinearScore(
+      docs.toDF("doc_id", "text"), "doc_id", "text", buckets)
+      .select("doc_id", "n_tokens", "score_units")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, nt, u) =>
+      assert(want(id) === ((nt, u)), s"id=$id")
+    }
+  }
+
   test("dupSpanStats / removeDupSpans match interval brute force on " +
     "random overlapping docs") {
     // tiny vocabulary forces dense cross-doc gram collisions
