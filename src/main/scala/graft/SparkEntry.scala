@@ -2511,6 +2511,25 @@ object SparkEntry {
           coalesce(col("n_final"), lit(0L)).as("n_final"),
           coalesce(col("id_sum"), lit(0L)).as("id_sum"))
         .orderBy(col("source"))
+    }),
+
+    // Z-ordered sink round-trip: events laid out Morton-interleaved on
+    // (user_id, value) so BOTH dimensions carry tight per-file
+    // min/max envelopes (IoSpec measures the pruning); the multi-dim
+    // predicate + aggregate must be layout-invariant vs the oracle's
+    // direct scan.
+    "q201_zorder_scan" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_zord_${dir.replaceAll("[^0-9.]", "")}"
+      Tables.writeZOrdered(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("value")),
+        Seq("user_id", "value"), tmp, nFiles = 8)
+      s.read.parquet(tmp)
+        .filter(col("user_id").between(100, 300)
+          && col("value").between(10.0, 60.0))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_v"),
+          sum(col("event_id")).as("id_sum"))
     })
   )
 
@@ -5247,6 +5266,15 @@ object SparkEntry {
          |  CAST(coalesce(id_sum, 0) AS BIGINT) AS id_sum
          |FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
          |LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+
+    // layout-invariance mirror: the same predicate + aggregate over the
+    // ORIGINAL table — the z-ordered sink must change nothing
+    "q201_zorder_scan" ->
+      """SELECT count(*) AS n, round(sum(value), 6) AS sum_v,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 300
+        |  AND value BETWEEN 10.0 AND 60.0""".stripMargin
   )
 }

@@ -68,6 +68,63 @@ object Tables {
     spark.read.parquet(paths: _*).withColumn("p_src", input_file_name())
   }
 
+  /** Z-order (Morton) value over numeric columns — the layout key for
+    * multi-dimensional data skipping. Each column is width-binned into
+    * 2^bits buckets over its [min, max] (stats broadcast as a one-row
+    * frame, same shape as Sketch.histQuantiles), and the bucket bits
+    * interleave into one long, so rows close in Z are close in EVERY
+    * keyed dimension. Writing range-partitioned by this value gives
+    * each parquet file a tight min/max envelope on ALL the keyed
+    * columns at once — a predicate on ANY of them prunes most files at
+    * planning time, where a single-column sort only skips on its
+    * leading column. Pure codegen'd projection; the only shuffle is
+    * the range partitioning the writer needs anyway.
+    */
+  def zOrderValue(df: DataFrame, cols: Seq[String],
+                  bits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size * bits <= 62,
+      s"${cols.size} cols x $bits bits must fit a long")
+    val n = (1L << bits) - 1
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      min(col(c).cast("double")).as(s"__lo$i")
+    } ++ cols.zipWithIndex.map { case (c, i) =>
+      max(col(c).cast("double")).as(s"__hi$i")
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val binned = df.crossJoin(broadcast(stats))
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (col(s"__lo$i"), col(s"__hi$i"))
+      when(hi === lo, lit(0L)).otherwise(least(
+        floor((col(c).cast("double") - lo) / (hi - lo)
+          * lit((n + 1).toDouble)), lit(n))).cast("long")
+    }
+    // interleave: bit b of column i lands at position b*k + i
+    val k = cols.size
+    val z = (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (bk, i) =>
+        shiftleft(shiftright(bk, b).bitwiseAND(1), b * k + i)
+      }
+    }.reduce((a, c) => a.bitwiseOR(c))
+    binned.withColumn("__z", z)
+      .drop((0 until k).flatMap(i => Seq(s"__lo$i", s"__hi$i")): _*)
+  }
+
+  /** Write `df` z-ordered by `cols` into `nFiles` range-partitioned
+    * parquet files. Each file's footer then carries a tight min/max on
+    * every keyed column — the planning-time skipping that makes
+    * multi-dimensional point/range scans cheap at 100 TB.
+    */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
+                    nFiles: Int, bits: Int = 12): Unit = {
+    import org.apache.spark.sql.functions.col
+    zOrderValue(df, cols, bits)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** sds_info / sds_tree analog (`riptable/rt_sds.py:1015,1026`):
     * inspect a parquet dataset's schema + size from footers without a
     * full load.

@@ -83,4 +83,35 @@ class IoSpec extends SparkSpec {
     assert(back.getInt(0) === Int.MinValue && back.getLong(1) === Long.MinValue)
     assert(back.getDouble(2).isNaN && back.getString(3) === "")
   }
+
+  test("z-ordered layout prunes files on EVERY keyed dimension") {
+    // two independent uniform columns: an x-sorted layout skips on x
+    // but every file spans the full y range; the z-ordered layout
+    // gives every file a tight envelope on BOTH, so a point-range
+    // predicate on either column intersects ~sqrt(files) envelopes
+    val df = spark.range(20000L).select(
+      pmod(col("id") * 48271L, lit(65537L)).cast("double").as("x"),
+      pmod(col("id") * 16807L, lit(65521L)).cast("double").as("y"))
+    val dirZ = Files.createTempDirectory("graft_zord").toString + "/z"
+    val dirX = Files.createTempDirectory("graft_zord").toString + "/x"
+    Tables.writeZOrdered(df, Seq("x", "y"), dirZ, nFiles = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dirX)
+    // per-file min/max = exactly what the parquet footer publishes
+    def envelopes(dir: String, c: String): Seq[(Double, Double)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .select("lo", "hi").as[(Double, Double)].collect().toSeq
+    def hits(env: Seq[(Double, Double)], lo: Double, hi: Double): Int =
+      env.count { case (a, b) => b >= lo && a < hi }
+    // row counts identical — layout never changes content
+    assert(spark.read.parquet(dirZ).count() === 20000L)
+    val (qLo, qHi) = (30000.0, 31000.0)
+    // x-sorted: y-predicates prune nothing
+    assert(hits(envelopes(dirX, "y"), qLo, qHi) >= 14)
+    // z-ordered: BOTH dimensions prune to ~a quarter of the files
+    assert(hits(envelopes(dirZ, "y"), qLo, qHi) <= 8)
+    assert(hits(envelopes(dirZ, "x"), qLo, qHi) <= 8)
+  }
 }
