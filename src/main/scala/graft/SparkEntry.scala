@@ -2518,6 +2518,24 @@ object SparkEntry {
     // min/max envelopes (IoSpec measures the pruning); the multi-dim
     // predicate + aggregate must be layout-invariant vs the oracle's
     // direct scan.
+    // Per-source histogram quantiles beside the per-source EXACT
+    // percentile — the grouped-sketch matrix closes (KMV, CM, and
+    // quantiles all have grouped forms).
+    "q202_hist_quantiles_by" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = Seq(0.5, 0.9)
+      val qArr = array(qs.map(lit): _*)
+      val exact = docs.groupBy(col("source"))
+        .agg(percentile(col("n_chars"), qArr).as("__ex"))
+        .select(col("source"), posexplode(col("__ex")).as(Seq("__i", "__ev")))
+        .select(col("source"), element_at(qArr, col("__i") + 1).as("q"),
+          round(col("__ev"), 6).as("exact_val"))
+      Sketch.histQuantilesBy(docs, Seq("source"), col("n_chars"), 64, qs)
+        .join(exact, Seq("source", "q"))
+        .select(col("source"), col("q"), col("hist_est"), col("exact_val"))
+        .orderBy(col("source"), col("q"))
+    }),
+
     "q201_zorder_scan" -> ((s, dir) => {
       val tmp = s"/tmp/graft_zord_${dir.replaceAll("[^0-9.]", "")}"
       Tables.writeZOrdered(
@@ -5275,6 +5293,38 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events
         |WHERE user_id BETWEEN 100 AND 300
-        |  AND value BETWEEN 10.0 AND 60.0""".stripMargin
+        |  AND value BETWEEN 10.0 AND 60.0""".stripMargin,
+
+    // per-source histogram mirror: q196's estimator with every frame
+    // keyed by source; exact side is grouped quantile_cont
+    "q202_hist_quantiles_by" ->
+      """WITH s AS (SELECT source, min(CAST(n_chars AS DOUBLE)) AS lo,
+        |  max(CAST(n_chars AS DOUBLE)) AS hi, count(n_chars) AS n
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT d.source, CASE WHEN hi = lo THEN 0
+        |    ELSE CAST(least(floor((CAST(n_chars AS DOUBLE) - lo)
+        |      / (hi - lo) * 64), 63) AS BIGINT) END AS bin,
+        |    count(*) AS c
+        |  FROM documents d JOIN s ON d.source = s.source
+        |  WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT source, bin, c,
+        |  sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum FROM b),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+        |cr AS (SELECT s.source, q, lo, hi, bin, c, cum,
+        |    greatest(ceil(q * n), 1) AS target,
+        |    row_number() OVER (PARTITION BY s.source, q ORDER BY bin)
+        |      AS rn
+        |  FROM qs, s JOIN cum ON cum.source = s.source
+        |  WHERE cum >= greatest(ceil(q * n), 1)),
+        |ex0 AS (SELECT source, quantile_cont(n_chars, [0.5, 0.9]) AS evs
+        |  FROM documents GROUP BY 1),
+        |ex AS (SELECT source, CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q,
+        |  unnest(evs) AS ev FROM ex0)
+        |SELECT cr.source, cr.q,
+        |  round(lo + (hi - lo) / 64 * (bin + (target - (cum - c)) / c), 6)
+        |    AS hist_est,
+        |  round(ex.ev, 6) AS exact_val
+        |FROM cr JOIN ex ON cr.source = ex.source AND cr.q = ex.q
+        |WHERE rn = 1 ORDER BY cr.source, cr.q""".stripMargin
   )
 }

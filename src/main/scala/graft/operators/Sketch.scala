@@ -202,6 +202,47 @@ object Sketch {
           / col("__c")), 6).as("hist_est"))
   }
 
+  /** Per-group histogram quantiles — one independent equi-width
+    * histogram per group (per-domain length/score distributions). Same
+    * estimator as the global form; the per-group stats frame is
+    * |groups|-rows broadcast, the bin table ≤ |groups|·bins rows, and
+    * the cumulative window partitions BY GROUP so no partition ever
+    * exceeds `bins` rows. Returns (group..., q, hist_est).
+    */
+  def histQuantilesBy(df: DataFrame, groupCols: Seq[String], value: Column,
+                      bins: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gs = groupCols.map(col)
+    val v = value.cast("double")
+    val stats = df.groupBy(gs: _*).agg(min(v).as("__lo"),
+      max(v).as("__hi"), count(v).as("__n"))
+    val binned = df.select(gs :+ v.as("__x"): _*)
+      .where(col("__x").isNotNull)
+      .join(broadcast(stats), groupCols)
+      .select(gs :+ when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((col("__x") - col("__lo"))
+            / (col("__hi") - col("__lo")) * lit(bins.toDouble)),
+          lit((bins - 1).toLong)).cast("long")).as("__b"): _*)
+      .groupBy(gs :+ col("__b"): _*).agg(count(lit(1)).as("__c"))
+    val cum = binned.withColumn("__cum", sum(col("__c")).over(
+      Window.partitionBy(gs: _*).orderBy(col("__b"))))
+    val crossing = stats.crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("__target",
+        greatest(ceil(col("q") * col("__n")), lit(1L)))
+      .join(cum, groupCols)
+      .filter(col("__cum") >= col("__target"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(gs :+ col("q"): _*).orderBy(col("__b"))))
+      .filter(col("__rn") === 1)
+    crossing.select(gs ++ Seq(col("q"),
+      round(col("__lo") + (col("__hi") - col("__lo")) / lit(bins.toDouble)
+        * (col("__b") + (col("__target") - (col("__cum") - col("__c")))
+          / col("__c")), 6).as("hist_est")): _*)
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -489,6 +489,17 @@ class PipelineR7Spec extends SparkSpec {
       Seq[java.lang.Double](5.0, null, 5.0).toDF("x"), col("x"), 16,
       Seq(0.5)).as[(Double, Double)].collect()
     assert(deg.toSeq === Seq((0.5, 5.0)))
+    // grouped form: per-group error bound on groups with different
+    // ranges; a constant group degenerates to its value
+    val gdf = ((1 to 1000).map(i => ("a", i.toDouble)) ++
+      (1 to 400).map(i => ("b", 10.0 * i)) ++
+      Seq(("c", 7.0), ("c", 7.0))).toDF("g", "x")
+    val gq = Sketch.histQuantilesBy(gdf, Seq("g"), col("x"), 64, Seq(0.5))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(math.abs(gq("a") - (1 + 0.5 * 999)) <= 999.0 / 64 + 1e-6)
+    assert(math.abs(gq("b") - (10 + 0.5 * 3990)) <= 3990.0 / 64 + 1e-6)
+    assert(gq("c") === 7.0)
   }
 
   test("covarianceMatrix and pc1 recover a planted principal axis") {
