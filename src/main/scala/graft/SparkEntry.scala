@@ -2536,6 +2536,26 @@ object SparkEntry {
         .orderBy(col("source"), col("q"))
     }),
 
+    // Quality-classifier gate: tie-aware ROC-AUC of doc length as a
+    // predictor of lang=='en' (discrete score → exact average ranks).
+    "q203_roc_auc" -> ((s, dir) =>
+      functions.Stats.rocAuc(t(s, dir, "documents"),
+        col("n_chars"), (col("lang") === "en").cast("int"))),
+
+    // UniMax token-budget allocation: 2-epoch cap per source, total
+    // budget = 40% of corpus tokens, remainder water-fills uniformly.
+    "q204_unimax_mix" -> ((s, dir) =>
+      Curate.unimaxBudgets(t(s, dir, "documents"), "source",
+          col("n_chars"), epochCap = 2.0, budgetFrac = 0.4)
+        .orderBy(col("source"))),
+
+    // Robust length-outlier screen: per-source median/MAD of n_chars,
+    // count of docs beyond 3 MADs.
+    "q205_mad_outliers" -> ((s, dir) =>
+      functions.Stats.madOutliers(t(s, dir, "documents"), Seq("source"),
+          "n_chars", k = 3.0)
+        .orderBy(col("source"))),
+
     "q201_zorder_scan" -> ((s, dir) => {
       val tmp = s"/tmp/graft_zord_${dir.replaceAll("[^0-9.]", "")}"
       Tables.writeZOrdered(
@@ -5325,6 +5345,62 @@ object SparkEntry {
         |    AS hist_est,
         |  round(ex.ev, 6) AS exact_val
         |FROM cr JOIN ex ON cr.source = ex.source AND cr.q = ex.q
-        |WHERE rn = 1 ORDER BY cr.source, cr.q""".stripMargin
+        |WHERE rn = 1 ORDER BY cr.source, cr.q""".stripMargin,
+
+    // Mann-Whitney U with average ranks over the DISTINCT-score frame —
+    // the same tie-exact formulation as Stats.rocAuc
+    "q203_roc_auc" ->
+      """WITH per AS (SELECT n_chars AS s, count(*) AS n,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |r AS (SELECT s, n, npos,
+        |  coalesce(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_below
+        |  FROM per)
+        |SELECT round((sum(npos * (cum_below + (n + 1) / 2.0))
+        |    - sum(npos) * (sum(npos) + 1) / 2.0)
+        |    / (sum(npos) * sum(n - npos)), 6) AS auc,
+        |  CAST(sum(npos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n - npos) AS BIGINT) AS n_neg
+        |FROM r""".stripMargin,
+
+    // water-filling closed form of the UniMax sequential allocation:
+    // level t solves sum(min(cap, t)) = B; allocations are exact
+    // integer-valued doubles so the window sums carry no float drift
+    "q204_unimax_mix" ->
+      """WITH c AS (SELECT source,
+        |  CAST(sum(n_chars) AS DOUBLE) AS tokens,
+        |  CAST(sum(n_chars) AS DOUBLE) * 2.0 AS cap
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(tokens) * 0.4 AS B, count(*) AS k FROM c),
+        |st AS (SELECT source, tokens, cap, B, k,
+        |  coalesce(sum(cap) OVER (ORDER BY cap, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_prev,
+        |  row_number() OVER (ORDER BY cap, source) AS j
+        |  FROM c, tot),
+        |lv AS (SELECT max(CASE WHEN (B - cum_prev) / (k - j + 1) <= cap
+        |  THEN (B - cum_prev) / (k - j + 1) END) AS level FROM st)
+        |SELECT source, tokens, cap,
+        |  round(least(cap, coalesce(level, cap)), 6) AS alloc
+        |FROM st, lv ORDER BY source""".stripMargin,
+
+    // per-source median + MAD via quantile_cont (same linear
+    // interpolation as Spark's exact percentile), 3-MAD outlier count
+    "q205_mad_outliers" ->
+      """WITH med AS (SELECT source,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        |  FROM documents GROUP BY 1),
+        |mad AS (SELECT d.source,
+        |  quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5) AS mad
+        |  FROM documents d JOIN med USING (source) GROUP BY 1)
+        |SELECT d.source, count(*) AS n,
+        |  round(min(m.med), 6) AS med, round(min(a.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN abs(CAST(n_chars AS DOUBLE) - m.med)
+        |    > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM documents d JOIN med m USING (source)
+        |  JOIN mad a ON d.source = a.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }

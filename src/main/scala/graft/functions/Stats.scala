@@ -224,4 +224,74 @@ object Stats {
       longDf.filter(col("v").isNotNull), Seq("colname"), col("v"), sketchK)
     base.join(est, Seq("colname"))
   }
+
+  /** Tie-aware ROC-AUC of a score against a binary label — the
+    * standard gate on a trained quality classifier before it filters a
+    * corpus (is the model's score actually predictive of the label?).
+    * Computed from the Mann-Whitney U statistic with AVERAGE ranks for
+    * ties, so discrete scores (lengths, integer counts) are handled
+    * exactly: AUC = (Σ avgrank(pos) − n₊(n₊+1)/2) / (n₊·n₋).
+    *
+    * Scale shape: one hash aggregate collapses the corpus to its
+    * DISTINCT score values (map-side combined — the corpus never
+    * shuffles whole), then ONE ordered window over that distinct-score
+    * frame computes cumulative counts. The window is partition-less but
+    * runs over |distinct scores| rows, not |corpus| — callers with a
+    * continuous score round it first (6dp) to bound that frame. Output
+    * is a single row.
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .select(score.as("s"), label.cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("cum_below",
+      coalesce(sum(col("n")).over(w), lit(0L)))
+    // Σ avgrank over positives: every positive at score s has average
+    // rank cum_below + (n+1)/2 (1-based ranks over the whole sample)
+    ranked.agg(
+        sum(col("npos") * (col("cum_below") + (col("n") + 1) / 2.0))
+          .as("sum_rank_pos"),
+        sum(col("npos")).as("n_pos"),
+        sum(col("n") - col("npos")).as("n_neg"))
+      .select(
+        round((col("sum_rank_pos") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+          / (col("n_pos") * col("n_neg")), 6).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation), and the count of rows beyond `k`·MAD — the
+    * length-outlier screen in curation pipelines, immune to the heavy
+    * tails that wreck a mean/σ z-score on document lengths.
+    *
+    * Shape: two grouped exact-percentile aggregates (mergeable buffers,
+    * map-side combined) with a broadcast-sized per-group stats join
+    * between them — the corpus scans twice, shuffles only its per-group
+    * partials, and the (group, med) / (group, med, mad) frames are
+    * dictionary-sized by construction.
+    */
+  def madOutliers(df: DataFrame, by: Seq[String], valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val keys = by.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), by)
+    val mad = withMed.groupBy(keys: _*)
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"),
+        first(col("med")).as("med2"))
+      .select((keys :+ col("med2").as("med") :+ col("mad")): _*)
+    df.join(broadcast(mad), by)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(abs(v - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -332,4 +332,51 @@ object Curate {
         (col("__rk") <= floor(col("__n") * lit(pruneFrac)))
           .as("prunable"))
   }
+
+  /** UniMax corpus mixing (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): allocate a total token budget B across sources with
+    * a per-source repeat cap — each source may contribute at most
+    * `epochCap` epochs of its own tokens, and the remainder of the
+    * budget spreads UNIFORMLY over the sources that can still absorb
+    * it. UniMax's sequential scan over sources (ascending by size,
+    * "give each its fair share or its cap, whichever is smaller") is
+    * exactly water-filling, so it has a closed form: find the level t
+    * with Σᵢ min(capᵢ, t) = B, then allocᵢ = min(capᵢ, t). That closed
+    * form is one window over the per-source frame — no iteration.
+    *
+    * Shape: ONE map-side-combined aggregate collapses the corpus to
+    * |sources| rows (token sums); the water-level search is a window +
+    * one-row aggregate over that dictionary-sized frame; nothing about
+    * the corpus itself shuffles. Output: (source, tokens, cap, alloc),
+    * Σ alloc = min(B, Σ cap) up to float rounding.
+    */
+  def unimaxBudgets(df: DataFrame, sourceCol: String, tokens: Column,
+                    epochCap: Double, budgetFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = df.groupBy(col(sourceCol))
+      .agg(sum(tokens).cast("double").as("tokens"))
+      .withColumn("cap", col("tokens") * lit(epochCap))
+    val tot = perSrc.agg((sum(col("tokens")) * lit(budgetFrac)).as("__B"),
+      count(lit(1)).as("__k"))
+    // ascending by cap (ties by source name): row j's candidate level
+    // t_j = (B − Σ_{i<j} cap_i) / (k − j + 1) is the uniform fill of
+    // the remaining sources; the water level is the FIRST (= largest)
+    // candidate that does not overflow its own row's cap.
+    val wOrd = Window.orderBy(col("cap"), col(sourceCol))
+    val staged = perSrc.crossJoin(broadcast(tot))
+      .withColumn("__cum_prev",
+        coalesce(sum(col("cap")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0d)))
+      .withColumn("__j", row_number().over(wOrd))
+      .withColumn("__t",
+        (col("__B") - col("__cum_prev")) / (col("__k") - col("__j") + 1))
+    val level = staged
+      .agg(max(when(col("__t") <= col("cap"), col("__t"))).as("__level"))
+    staged.crossJoin(broadcast(level))
+      .select(col(sourceCol), col("tokens"), col("cap"),
+        // no valid level ⇒ B ≥ Σ cap ⇒ every source fills to its cap
+        round(least(col("cap"), coalesce(col("__level"), col("cap"))), 6)
+          .as("alloc"))
+  }
 }

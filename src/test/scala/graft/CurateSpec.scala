@@ -129,4 +129,28 @@ class CurateSpec extends SparkSpec {
     val maxDe = Seq(4L, 5L).map(got(_)._1).max
     assert(minEn > maxDe)
   }
+
+  test("unimaxBudgets water-fills: caps bind small sources, the level splits the rest") {
+    // tokens a=10, b=40, c=400; epochCap=2 → caps 20, 80, 800;
+    // B = 0.5 * 450 = 225; a fills to its cap (20), the remaining 205
+    // splits... level t solves min(20,t)+min(80,t)+min(800,t)=225 →
+    // 20 + 80 + t = 225 → t = 125 ≥ 80? then b also caps: t = 125,
+    // allocs = (20, 80, 125), sum 225.
+    val df = (1 to 10).map(i => ("a", 1L)) ++ (1 to 10).map(i => ("b", 4L)) ++
+      (1 to 10).map(i => ("c", 40L))
+    val out = Curate.unimaxBudgets(df.toDF("src", "tok"), "src", col("tok"),
+      epochCap = 2.0, budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("alloc")).toMap
+    assert(out === Map("a" -> 20.0, "b" -> 80.0, "c" -> 125.0))
+    // budget beyond all caps → every source allocates its full cap
+    val all = Curate.unimaxBudgets(df.toDF("src", "tok"), "src", col("tok"),
+      epochCap = 1.0, budgetFrac = 5.0)
+      .collect().map(r => r.getAs[Double]("alloc")).sum
+    assert(all === 450.0)
+    // conservation: Σ alloc = B whenever the budget binds
+    val out2 = Curate.unimaxBudgets(df.toDF("src", "tok"), "src", col("tok"),
+      epochCap = 3.0, budgetFrac = 0.2)
+      .collect().map(_.getAs[Double]("alloc")).sum
+    assert(math.abs(out2 - 90.0) < 1e-9)
+  }
 }

@@ -110,8 +110,12 @@ class IoSpec extends SparkSpec {
     val (qLo, qHi) = (30000.0, 31000.0)
     // x-sorted: y-predicates prune nothing
     assert(hits(envelopes(dirX, "y"), qLo, qHi) >= 14)
-    // z-ordered: BOTH dimensions prune to ~a quarter of the files
-    assert(hits(envelopes(dirZ, "y"), qLo, qHi) <= 8)
-    assert(hits(envelopes(dirZ, "x"), qLo, qHi) <= 8)
+    // z-ordered: BOTH dimensions prune well below the no-pruning
+    // baseline. The bound is ~sqrt(nFiles) + interleave edge effects,
+    // NOT a knife-edge constant: repartitionByRange picks its split
+    // points by SAMPLING, so the file envelopes wobble a little from
+    // run to run (observed 4-9 hits for 16 files).
+    assert(hits(envelopes(dirZ, "y"), qLo, qHi) <= 10)
+    assert(hits(envelopes(dirZ, "x"), qLo, qHi) <= 10)
   }
 }

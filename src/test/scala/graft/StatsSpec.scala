@@ -80,4 +80,32 @@ class StatsSpec extends SparkSpec {
     // leaf rows carry gid 0 and both keys
     assert(out.count(_.getAs[Long]("gid") == 0L) === 3)
   }
+
+  test("rocAuc matches the hand-computed tie-aware AUC") {
+    // scores: pos {3, 2, 2}, neg {1, 2, 0}; avg ranks over [0,1,2,2,2,3]
+    // = [1, 2, 4, 4, 4, 6]; sum-rank(pos) = 6 + 4 + 4 = 14;
+    // U = 14 - 3*4/2 = 8; AUC = 8 / (3*3) = 0.888889
+    val df = Seq((3, 1), (2, 1), (2, 1), (1, 0), (2, 0), (0, 0))
+      .toDF("s", "y")
+    val r = Stats.rocAuc(df, col("s"), col("y")).head()
+    assert(r.getAs[Double]("auc") === 0.888889)
+    assert(r.getAs[Long]("n_pos") === 3L && r.getAs[Long]("n_neg") === 3L)
+    // perfect separation → 1.0; anti-separation → 0.0
+    val sep = Seq((10, 1), (9, 1), (2, 0), (1, 0)).toDF("s", "y")
+    assert(Stats.rocAuc(sep, col("s"), col("y")).head().getDouble(0) === 1.0)
+    assert(Stats.rocAuc(sep, -col("s"), col("y")).head().getDouble(0) === 0.0)
+  }
+
+  test("madOutliers finds the planted outlier and not the bulk") {
+    // g1 = 100..109 plus one 500: med 105, MAD 3, only 500 beyond 3 MADs;
+    // g2 is constant (MAD 0) so even a tiny wiggle flags
+    val rows = (0 until 10).map(i => ("g1", 100 + i)) :+ (("g1", 500)) :+
+      (("g2", 7)) :+ (("g2", 7)) :+ (("g2", 8))
+    val out = Stats.madOutliers(rows.toDF("g", "v"), Seq("g"), "v", k = 3.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getAs[Long]("n_outliers") === 1L)
+    assert(out("g1").getAs[Double]("med") === 105.0)
+    assert(out("g2").getAs[Double]("mad") === 0.0)
+    assert(out("g2").getAs[Long]("n_outliers") === 1L) // the 8 vs MAD 0
+  }
 }
