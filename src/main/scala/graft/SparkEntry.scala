@@ -2556,6 +2556,15 @@ object SparkEntry {
           "n_chars", k = 3.0)
         .orderBy(col("source"))),
 
+    // PQ-ADC ANN: 4×16-dim subspaces, 16 hash-sampled codewords each,
+    // asymmetric distance against the 64×-compressed code frame.
+    "q206_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q201_zorder_scan" -> ((s, dir) => {
       val tmp = s"/tmp/graft_zord_${dir.replaceAll("[^0-9.]", "")}"
       Tables.writeZOrdered(
@@ -5401,6 +5410,43 @@ object SparkEntry {
         |    > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM documents d JOIN med m USING (source)
         |  JOIN mad a ON d.source = a.source
-        |GROUP BY d.source ORDER BY d.source""".stripMargin
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // full PQ replay: hash-ranked codebook sample → per-subspace argmin
+    // encode (ties to the lowest codeword) → ADC distance as an
+    // s-ordered list_sum, mirroring pqTopK's fold order bit-for-bit
+    "q206_pq_ann" ->
+      s"""WITH hv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS hh
+         |  FROM embeddings),
+         |cb AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1
+         |    AS INT) AS w, v AS cv
+         |  FROM hv ORDER BY hh, vec_id LIMIT 16),
+         |sd AS (SELECT CAST(s AS BIGINT) AS s FROM range(4) t(s)),
+         |d2 AS (SELECT hv.vec_id, s, w,
+         |    list_sum(list_transform(range(1, 17), i ->
+         |      (v[s * 16 + i] - cv[s * 16 + i])
+         |        * (v[s * 16 + i] - cv[s * 16 + i]))) AS d
+         |  FROM hv, sd, cb),
+         |enc AS (SELECT vec_id, s, w FROM (
+         |    SELECT vec_id, s, w, row_number() OVER (
+         |      PARTITION BY vec_id, s ORDER BY d, w) AS rn FROM d2)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM hv WHERE vec_id < 3),
+         |part AS (SELECT q.qid, e.vec_id, e.s,
+         |    list_sum(list_transform(range(1, 17), i ->
+         |      (qv[e.s * 16 + i] - cv[e.s * 16 + i])
+         |        * (qv[e.s * 16 + i] - cv[e.s * 16 + i]))) AS ds
+         |  FROM q, enc e JOIN cb ON e.w = cb.w
+         |  WHERE e.vec_id <> q.qid),
+         |dist AS (SELECT qid, vec_id,
+         |    list_sum(list(ds ORDER BY s)) AS d
+         |  FROM part GROUP BY qid, vec_id),
+         |rk AS (SELECT qid, vec_id, d, row_number() OVER (
+         |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
   )
 }

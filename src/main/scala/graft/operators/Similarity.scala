@@ -540,6 +540,88 @@ object Similarity {
         col(idCol).as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Squared L2 distance of two double-array columns, accumulated
+    * left-to-right in element order — the subspace metric of the PQ
+    * path below; the oracle mirrors it as an ordered list_sum of
+    * (a[i]-b[i])·(a[i]-b[i]).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, v) => acc + v)
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): split each vector into `m`
+    * subspaces, quantize every subvector to one of `ksub` codewords,
+    * and answer queries with the asymmetric distance — the sum over
+    * subspaces of the exact distance from the query's subvector to the
+    * corpus row's CODEWORD. The corpus collapses from m·subdim floats
+    * to m byte-sized codes (64× compression at the default geometry),
+    * which is what makes billion-vector search RAM-resident.
+    *
+    * Codebooks are a deterministic hash-sample of the corpus itself
+    * (the `ksub` rows with the smallest portable md5 hash of their id,
+    * codeword index = hash rank) rather than a k-means fit: the sample
+    * IS the k-means init, every engine can replay it exactly (the
+    * DuckDB oracle rebuilds codebooks, codes, and distances
+    * bit-for-bit), and refining it with Lloyd iterations would only
+    * perturb constants the test cannot pin. Encoding is a per-row
+    * argmin over the broadcast codebook literal — ZERO shuffle, one
+    * corpus scan, exactly like `assignToCentroids`.
+    *
+    * Scale shape: encode = map-only scan (m·ksub·subdim flops/row);
+    * the query side ships as a broadcast literal-sized frame; the only
+    * shuffle is the per-query top-k reduction over n_queries·k rows.
+    * At cluster scale the codes frame is what you PERSIST (bytes, not
+    * floats); ADC against it never touches raw vectors again.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, qIdCol: String, k: Int,
+             m: Int = 4, ksub: Int = 16): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    // deterministic codebook sample: ksub lowest-hash rows, rank = code
+    val sampled = corpus
+      .select(col(idCol), vecD.as("__v"))
+      .withColumn("__h", Dedup.portableHash64(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(ksub)
+      .collect()
+    val cb: Seq[(Int, Seq[Double])] = sampled.zipWithIndex.map {
+      case (r, w) => (w, r.getSeq[Double](1))
+    }.toSeq
+    val dim = cb.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subdim = dim / m
+    val cbLit = typedlit(cb) // array<struct<_1: int, _2: array<double>>>
+
+    def sub(v: Column, s: Column): Column =
+      slice(v, s * subdim + 1, lit(subdim))
+    // argmin codeword for subspace s: max over (-d2, -w) structs
+    def codeFor(s: Column): Column = {
+      val best = array_max(transform(cbLit, c =>
+        struct((-l2sq(sub(vecD, s), sub(c.getField("_2"), s))).as("negd"),
+          (-c.getField("_1")).as("negw"))))
+      (-best.getField("negw")).cast("int")
+    }
+    val codes = corpus.select(col(idCol),
+      transform(sequence(lit(0), lit(m - 1)), s => codeFor(s)).as("__codes"))
+
+    val q = queries.select(col(qIdCol).as("query_id"), vecD.as("__qv"))
+    // ADC: dist = Σ_s l2sq(query_sub_s, codeword(codes[s])_sub_s),
+    // accumulated in subspace order (the oracle sums an s-ordered list)
+    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, s) =>
+      acc + l2sq(sub(col("__qv"), s),
+        sub(element_at(cbLit, element_at(col("__codes"), s + 1) + 1)
+          .getField("_2"), s)))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__d", dist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol).as("neighbor_id"), round(col("__d"), 6).as("approx_dist"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qIdCol: String, k: Int, bits: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol),

@@ -51,6 +51,22 @@ class ScaleSpec extends SparkSpec {
     assert(top === 500L)
   }
 
+  test("PQ-ADC finds an exact duplicate as top neighbor (codes argmin ⇒ minimal ADC)") {
+    val rng = new scala.util.Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(16)(rng.nextFloat() * 2 - 1))
+    }
+    val dup = Seq((500L, base(3)._2)) // exact duplicate of vec 3
+    val df = (base ++ dup).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(df, df.filter($"vec_id" === 3L),
+      "vec_id", "embedding", "vec_id", k = 3, m = 4, ksub = 16)
+    // the duplicate carries vec 3's own argmin codes, so its ADC
+    // distance is the minimum achievable — nothing can rank above it
+    val top = out.filter($"rank" === 1).select("neighbor_id").as[Long].head()
+    assert(top === 500L)
+    assert(out.count() === 3)
+  }
+
   test("centroid assignment is zero-shuffle (no Exchange in the plan)") {
     val rng = new scala.util.Random(3)
     val df = (0 until 100).map { i =>
