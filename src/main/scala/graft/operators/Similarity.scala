@@ -587,6 +587,11 @@ object Similarity {
     val cb: Seq[(Int, Seq[Double])] = sampled.zipWithIndex.map {
       case (r, w) => (w, r.getSeq[Double](1))
     }.toSeq
+    if (cb.isEmpty) // empty corpus: the correctly-typed empty result
+      return corpus.select(col(idCol)).limit(0)
+        .crossJoin(queries.select(col(qIdCol).as("query_id")).limit(0))
+        .select(col("query_id"), lit(0).as("rank"),
+          col(idCol).as("neighbor_id"), lit(0d).as("approx_dist"))
     val dim = cb.head._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subdim = dim / m

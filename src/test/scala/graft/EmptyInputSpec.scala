@@ -83,4 +83,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.projectPc1(eE, "vec_id", "embedding").count() === 0)
     Dedup.clearDedupCaches()
   }
+
+  test("AUC, UniMax, MAD, and PQ on empty frames") {
+    val eSY = Seq.empty[(Int, Int)].toDF("s", "y")
+    // whole-table reduce: one row of nulls (the classError convention)
+    assert(Stats.rocAuc(eSY, col("s"), col("y")).count() === 1)
+    val eST = Seq.empty[(String, Long)].toDF("src", "tok")
+    assert(Curate.unimaxBudgets(eST, "src", col("tok"), 2.0, 0.5)
+      .count() === 0)
+    assert(Stats.madOutliers(eST, Seq("src"), "tok").count() === 0)
+    val eE = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(eE, eE.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", "vec_id", k = 3)
+    assert(pq.count() === 0)
+    assert(pq.columns.toSeq ===
+      Seq("query_id", "rank", "neighbor_id", "approx_dist"))
+  }
 }
