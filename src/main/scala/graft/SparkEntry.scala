@@ -2433,15 +2433,13 @@ object SparkEntry {
     // Mergeable histogram quantiles (the sketch family's third member)
     // beside the EXACT percentile — estimate AND its error both
     // oracle-checked; one-bin-width error bound observable.
+    // exact side = histogram-REFINEMENT quantiles (no single-reducer
+    // value buffer like Spark's percentile — the 100-TB exact path)
     "q196_hist_quantiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-      val qArr = array(qs.map(lit): _*)
-      val exact = li
-        .agg(percentile(col("l_extendedprice"), qArr).as("__ex"))
-        .select(posexplode(col("__ex")).as(Seq("__i", "__ev")))
-        .select(element_at(qArr, col("__i") + 1).as("q"),
-          round(col("__ev"), 6).as("exact_val"))
+      val exact = Sketch.exactQuantiles(li, col("l_extendedprice"), qs)
+        .select(col("q"), round(col("exact_val"), 6).as("exact_val"))
       Sketch.histQuantiles(li, col("l_extendedprice"), 256, qs)
         .join(exact, Seq("q"))
         .select(col("q"), col("hist_est"), col("exact_val"))

@@ -502,6 +502,38 @@ class PipelineR7Spec extends SparkSpec {
     assert(gq("c") === 7.0)
   }
 
+  test("exactQuantiles equals Spark's exact percentile bit-for-bit") {
+    // heavy ties + a skewed tail + negative values, awkward n
+    val rng = new scala.util.Random(11)
+    val data = (1 to 5003).map(_ =>
+      if (rng.nextBoolean()) rng.nextInt(20).toDouble - 5
+      else math.exp(rng.nextDouble() * 8) - 100)
+    val df = data.toDF("x")
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)
+    val got = Sketch.exactQuantiles(df, col("x"), qs)
+      .as[(Double, Double)].collect().toMap
+    val want = df.agg(percentile(col("x"), array(qs.map(lit): _*)))
+      .as[Seq[Double]].head()
+    qs.zip(want).foreach { case (q, w) =>
+      assert(got(q) === w, s"q=$q") // EXACT double equality
+    }
+    // partition invariance (the single-reducer percentile can't drift
+    // either, but the refinement path must not depend on layout)
+    val again = Sketch.exactQuantiles(df.repartition(13), col("x"), qs)
+      .as[(Double, Double)].collect().toMap
+    assert(again === got)
+    // integral positions (n-1 divisible): no interpolation, and the
+    // degenerate constant column collapses to one crowded bin but
+    // still answers exactly
+    val grid = (1 to 101).map(_.toDouble).toDF("x")
+    val g = Sketch.exactQuantiles(grid, col("x"), Seq(0.25, 0.5), bins = 4)
+      .as[(Double, Double)].collect().toMap
+    assert(g(0.25) === 26.0 && g(0.5) === 51.0)
+    val const = Seq.fill(100)(3.14).toDF("x")
+    assert(Sketch.exactQuantiles(const, col("x"), Seq(0.5))
+      .as[(Double, Double)].head()._2 === 3.14)
+  }
+
   test("covarianceMatrix and pc1 recover a planted principal axis") {
     // points t·u + tiny orthogonal noise, u = (3,4)/5: the dominant
     // eigenvector of the covariance must be ±u, and projections ≈ ±t
