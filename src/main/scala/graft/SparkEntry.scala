@@ -2563,6 +2563,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // grouped EXACT quantiles without per-group value buffers — the
+    // skew-safe replacement for groupBy().agg(percentile(...))
+    "q207_exact_quantiles_by" -> ((s, dir) =>
+      Sketch.exactQuantilesBy(t(s, dir, "documents"), Seq("source"),
+          col("n_chars"), Seq(0.5, 0.95), bins = 64)
+        .select(col("source"), col("q"),
+          round(col("exact_val"), 6).as("exact_val"))
+        .orderBy(col("source"), col("q"))),
+
     "q201_zorder_scan" -> ((s, dir) => {
       val tmp = s"/tmp/graft_zord_${dir.replaceAll("[^0-9.]", "")}"
       Tables.writeZOrdered(
@@ -5409,6 +5418,16 @@ object SparkEntry {
         |FROM documents d JOIN med m USING (source)
         |  JOIN mad a ON d.source = a.source
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // grouped continuous quantiles — the refinement path must land on
+    // quantile_cont's exact interpolation per group
+    "q207_exact_quantiles_by" ->
+      """WITH ex0 AS (SELECT source,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), [0.5, 0.95]) AS evs
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+        |SELECT source, CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q,
+        |  round(unnest(evs), 6) AS exact_val
+        |FROM ex0 ORDER BY source, q""".stripMargin,
 
     // full PQ replay: hash-ranked codebook sample → per-subspace argmin
     // encode (ties to the lowest codeword) → ADC distance as an

@@ -243,6 +243,73 @@ object Sketch {
           / col("__c")), 6).as("hist_est")): _*)
   }
 
+  /** Grouped exact quantiles by histogram refinement — the per-group
+    * analog of `exactQuantiles`, and the giant-group-safe replacement
+    * for `groupBy(...).agg(percentile(...))`: Spark's exact percentile
+    * buffers every (value, count) of a group in ONE aggregation buffer,
+    * so a skewed group (one domain with 80% of the corpus) concentrates
+    * the whole column on one task. Here the heavy lifting is the same
+    * two passes as the global form, with every frame additionally keyed
+    * by group: bin counts ≤ |groups|·bins rows, candidate ranking
+    * windows partitioned by (group, bin) — a giant group still fans out
+    * over its `bins` bins. Returns (group..., q, exact_val).
+    */
+  def exactQuantilesBy(df: DataFrame, groupCols: Seq[String], value: Column,
+                       qs: Seq[Double], bins: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gs = groupCols.map(col)
+    val v = value.cast("double")
+    val stats = df.groupBy(gs: _*).agg(min(v).as("__lo"),
+      max(v).as("__hi"), count(v).as("__n"))
+    def binOf(x: Column): Column =
+      when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((x - col("__lo"))
+            / (col("__hi") - col("__lo")) * lit(bins.toDouble)),
+          lit((bins - 1).toLong)).cast("long"))
+    val vals = df.select(gs :+ v.as("__x"): _*)
+      .where(col("__x").isNotNull)
+      .join(broadcast(stats), groupCols)
+    val binned = vals.select(gs :+ binOf(col("__x")).as("__b"): _*)
+      .groupBy(gs :+ col("__b"): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(gs: _*).orderBy(col("__b"))))
+    val ks = stats.crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("__pos", col("q") * (col("__n") - 1))
+      .withColumn("__k1", (floor(col("__pos")) + 1).cast("long"))
+      .withColumn("__k2",
+        least(ceil(col("__pos")) + 1, col("__n")).cast("long"))
+    val targets = ks.select(gs ++ Seq(col("q"), col("__pos"),
+      explode(array(col("__k1"), col("__k2"))).as("__k")): _*)
+    val located = targets
+      .join(binned, groupCols)
+      .filter(col("__cum") >= col("__k"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(gs ++ Seq(col("q"), col("__k")): _*)
+          .orderBy(col("__b"))))
+      .filter(col("__rn") === 1)
+      .select(gs ++ Seq(col("q"), col("__pos"), col("__k"), col("__b"),
+        (col("__cum") - col("__c")).as("__below")): _*)
+    val neededBins = located.select(gs :+ col("__b"): _*).distinct()
+    val candidates = vals
+      .select(gs ++ Seq(col("__x"), binOf(col("__x")).as("__b")): _*)
+      .join(broadcast(neededBins), groupCols :+ "__b")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(gs :+ col("__b"): _*).orderBy(col("__x"))))
+    val picked = located
+      .join(candidates, (groupCols :+ "__b").toSeq)
+      .filter(col("__k") - col("__below") === col("__rk"))
+      .select(gs ++ Seq(col("q"), col("__pos"), col("__k"), col("__x")): _*)
+    picked.groupBy(gs ++ Seq(col("q"), col("__pos")): _*)
+      .agg(min_by(col("__x"), col("__k")).as("__v1"),
+        max_by(col("__x"), col("__k")).as("__v2"))
+      .select(gs ++ Seq(col("q"),
+        (col("__v1") + (col("__pos") - floor(col("__pos")))
+          * (col("__v2") - col("__v1"))).as("exact_val")): _*)
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -534,6 +534,26 @@ class PipelineR7Spec extends SparkSpec {
       .as[(Double, Double)].head()._2 === 3.14)
   }
 
+  test("exactQuantilesBy equals grouped percentile, including a skewed giant group") {
+    val rng = new scala.util.Random(23)
+    // group a: 90% of rows (the skew case the operator exists for)
+    val rows = (1 to 9000).map(_ => ("a", rng.nextGaussian() * 50)) ++
+      (1 to 900).map(_ => ("b", rng.nextInt(10).toDouble)) ++
+      Seq(("c", 42.0)) // 1-row group
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.1, 0.5, 0.9)
+    val got = Sketch.exactQuantilesBy(df, Seq("g"), col("x"), qs, bins = 32)
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("x"), array(qs.map(lit): _*)).as("p"))
+      .as[(String, Seq[Double])].collect()
+      .flatMap { case (g, vs) => qs.zip(vs).map { case (q, v) => (g, q) -> v } }
+      .toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(v === want(k), s"at $k") }
+  }
+
   test("covarianceMatrix and pc1 recover a planted principal axis") {
     // points t·u + tiny orthogonal noise, u = (3,4)/5: the dominant
     // eigenvector of the covariance must be ±u, and projections ≈ ±t
