@@ -617,4 +617,66 @@ class PropertySpec extends SparkSpec {
       graft.operators.Dedup.clearDedupCaches()
     }
   }
+
+  test("unimaxBudgets water-filling equals UniMax's published sequential scan") {
+    // the paper's procedure: walk sources ASCENDING by size; give each
+    // min(cap, remaining/remaining_sources); subtract and continue.
+    // The closed form must reproduce it on random inputs.
+    def sequential(caps: Seq[Double], b: Double): Seq[Double] = {
+      var remaining = b
+      val sorted = caps.zipWithIndex.sortBy(_._1)
+      val out = Array.fill(caps.length)(0.0)
+      sorted.zipWithIndex.foreach { case ((cap, origIdx), pos) =>
+        val fair = remaining / (caps.length - pos)
+        val alloc = math.min(cap, fair)
+        out(origIdx) = alloc
+        remaining -= alloc
+      }
+      out.toSeq
+    }
+    for (trial <- 1 to 8) {
+      val nSrc = 2 + rng.nextInt(9)
+      val counts = (0 until nSrc).map(i =>
+        (s"s$i", 1L + rng.nextInt(1000).toLong))
+      val epochs = Seq(1.0, 2.0, 3.5)(trial % 3)
+      val frac = Seq(0.1, 0.5, 0.9, 2.0, 10.0)(trial % 5)
+      val rows = counts.flatMap { case (src, n) =>
+        // split each source's tokens across a few rows
+        val a = n / 2; Seq((src, a), (src, n - a))
+      }
+      val got = graft.operators.Curate.unimaxBudgets(
+        rows.toDF("src", "tok"), "src", col("tok"), epochs, frac)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("alloc")).toMap
+      val caps = counts.map(_._2.toDouble * epochs)
+      val b = math.min(counts.map(_._2).sum * frac, caps.sum)
+      val want = sequential(caps, counts.map(_._2).sum * frac)
+      // the operator rounds allocations to 6dp — tolerate that, and its
+      // accumulation across sources in the conservation check
+      counts.map(_._1).zip(want).foreach { case (src, w) =>
+        assert(math.abs(got(src) - w) < 1e-5,
+          s"trial=$trial src=$src got=${got(src)} want=$w")
+      }
+      assert(math.abs(got.values.sum - math.min(b, caps.sum)) < 1e-4)
+    }
+  }
+
+  test("rocAuc matches the brute-force pair-counting AUC on random data") {
+    for (trial <- 1 to 5) {
+      val n = 100 + rng.nextInt(200)
+      // coarse scores force heavy ties
+      val data = (0 until n).map(_ =>
+        (rng.nextInt(12), if (rng.nextDouble() < 0.4) 1 else 0))
+      if (data.exists(_._2 == 1) && data.exists(_._2 == 0)) {
+        val got = graft.functions.Stats.rocAuc(
+          data.toDF("s", "y"), col("s"), col("y"))
+          .head().getAs[Double]("auc")
+        val pos = data.filter(_._2 == 1).map(_._1)
+        val neg = data.filter(_._2 == 0).map(_._1)
+        val wins = (for (p <- pos; q <- neg) yield
+          if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val want = wins / (pos.size.toDouble * neg.size)
+        assert(math.abs(got - want) < 1e-6, s"trial=$trial")
+      }
+    }
+  }
 }

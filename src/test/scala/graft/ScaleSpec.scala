@@ -67,6 +67,35 @@ class ScaleSpec extends SparkSpec {
     assert(out.count() === 3)
   }
 
+  test("PQ encode is zero-shuffle; exactQuantiles ranks per-bin, not globally") {
+    val rng = new scala.util.Random(5)
+    val df = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(16)(rng.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    // the expensive part of pqTopK — the corpus encode — must not
+    // exchange: codebook rides in as a literal, argmin is per-row.
+    // Reproduce the encode shape via assignToCentroids' plan cousin:
+    // the full pqTopK plan may shuffle only for the top-k window.
+    val full = Similarity.pqTopK(df, df.filter($"vec_id" < 2L),
+      "vec_id", "embedding", "vec_id", k = 3, m = 4, ksub = 8)
+    val planStr = full.queryExecution.executedPlan.toString
+    // exactly one window (per-query top-k) and no shuffle of the
+    // corpus by anything except that window's query_id partitioning
+    assert(planStr.contains("windowspecdefinition(query_id"))
+    assert(!planStr.contains("SortMergeJoin"), "corpus must not SMJ")
+
+    // exactQuantiles: the candidate ranking must be partitioned by BIN
+    // (a partition-less row_number over the raw column would be the
+    // single-task funnel the operator exists to avoid)
+    val vals = (1 to 5000).map(_ => rng.nextGaussian() * 10).toDF("x")
+    val eq = graft.operators.Sketch.exactQuantiles(vals, col("x"),
+      Seq(0.5, 0.9), bins = 64)
+    val eqPlan = eq.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(__b#\\d+L, __x#\\d+ ASC".r
+      .findFirstIn(eqPlan).isDefined,
+      "candidate ranking must partition by bin")
+  }
+
   test("centroid assignment is zero-shuffle (no Exchange in the plan)") {
     val rng = new scala.util.Random(3)
     val df = (0 until 100).map { i =>
