@@ -2572,6 +2572,16 @@ object SparkEntry {
           round(col("exact_val"), 6).as("exact_val"))
         .orderBy(col("source"), col("q"))),
 
+    // cross-source score calibration: within-source percentile rank
+    // (skew-safe — the corpus never sorts per source; the distinct-
+    // score frame does)
+    "q208_score_calibration" -> ((s, dir) =>
+      Curate.calibrateScores(t(s, dir, "documents"), "source",
+          col("n_chars"))
+        .select(col("doc_id"), col("source"),
+          round(col("calibrated"), 6).as("calibrated"))
+        .orderBy(col("doc_id"))),
+
     "q201_zorder_scan" -> ((s, dir) => {
       val tmp = s"/tmp/graft_zord_${dir.replaceAll("[^0-9.]", "")}"
       Tables.writeZOrdered(
@@ -5418,6 +5428,13 @@ object SparkEntry {
         |FROM documents d JOIN med m USING (source)
         |  JOIN mad a ON d.source = a.source
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // the one-window reference formulation of the skew-safe calibration
+    "q208_score_calibration" ->
+      """SELECT doc_id, source,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars), 6) AS calibrated
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // grouped continuous quantiles — the refinement path must land on
     // quantile_cont's exact interpolation per group

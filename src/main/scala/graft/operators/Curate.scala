@@ -351,6 +351,44 @@ object Curate {
     * the corpus itself shuffles. Output: (source, tokens, cap, alloc),
     * Σ alloc = min(B, Σ cap) up to float rounding.
     */
+  /** Cross-source score calibration: replace a raw quality score with
+    * its within-source percentile rank, so one threshold means the
+    * same thing in every domain (a classifier's raw scores are not
+    * comparable across domains — the standard fix before a global
+    * quality cut). Semantics = SQL `percent_rank() OVER (PARTITION BY
+    * source ORDER BY score)`: (min_rank − 1)/(n − 1), ties share the
+    * min rank, a 1-row source calibrates to 0.
+    *
+    * Shape: NOT a window over the corpus — `percent_rank` would sort
+    * each source in one task (the giant-source funnel). Instead the
+    * corpus collapses map-side to its DISTINCT (source, score) frame;
+    * one window over that small frame computes cumulative counts (=
+    * min-ranks); the per-score calibration broadcast-joins back. The
+    * corpus itself never shuffles; the window frame is bounded by
+    * distinct scores per source (round a continuous score first).
+    */
+  def calibrateScores(df: DataFrame, sourceCol: String, score: Column,
+                      out: String = "calibrated"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df.select(col(sourceCol), score.as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col(sourceCol), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col(sourceCol))
+    val calib = perScore
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wn))
+      .select(col(sourceCol), col("__s"),
+        when(col("__n") === 1, lit(0d))
+          .otherwise(col("__below").cast("double") / (col("__n") - 1))
+          .as(out))
+    df.withColumn("__s", score)
+      .join(broadcast(calib), Seq(sourceCol, "__s"), "left")
+      .drop("__s")
+  }
+
   def unimaxBudgets(df: DataFrame, sourceCol: String, tokens: Column,
                     epochCap: Double, budgetFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -130,6 +130,24 @@ class CurateSpec extends SparkSpec {
     assert(minEn > maxDe)
   }
 
+  test("calibrateScores equals percent_rank per source, ties and 1-row groups included") {
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, s"s${rng.nextInt(4)}", rng.nextInt(15))) :+
+      ((999L, "lonely", 7)) // single-row source → 0.0
+    val df = rows.toDF("id", "src", "sc")
+    val got = Curate.calibrateScores(df, "src", col("sc"))
+      .select(col("id"), col("calibrated")).as[(Long, Double)]
+      .collect().toMap
+    val want = df.withColumn("pr",
+        percent_rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("sc"))))
+      .select(col("id"), col("pr")).as[(Long, Double)].collect().toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, v) => assert(v === want(id), s"id=$id") }
+    assert(got(999L) === 0.0)
+  }
+
   test("unimaxBudgets water-fills: caps bind small sources, the level splits the rest") {
     // tokens a=10, b=40, c=400; epochCap=2 → caps 20, 80, 800;
     // B = 0.5 * 450 = 225; a fills to its cap (20), the remaining 205
