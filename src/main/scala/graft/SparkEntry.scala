@@ -2582,6 +2582,14 @@ object SparkEntry {
           round(col("calibrated"), 6).as("calibrated"))
         .orderBy(col("doc_id"))),
 
+    // token-mass quantiles: the doc length below which a q-fraction of
+    // the corpus CHARACTERS sit, per source (weighted quantiles)
+    "q209_weighted_quantiles" -> ((s, dir) =>
+      Sketch.weightedQuantilesBy(t(s, dir, "documents"), Seq("source"),
+          col("n_chars"), col("n_chars"), Seq(0.25, 0.5, 0.9), bins = 64)
+        .select(col("source"), col("q"), round(col("wq"), 6).as("wq"))
+        .orderBy(col("source"), col("q"))),
+
     "q201_zorder_scan" -> ((s, dir) => {
       val tmp = s"/tmp/graft_zord_${dir.replaceAll("[^0-9.]", "")}"
       Tables.writeZOrdered(
@@ -5428,6 +5436,23 @@ object SparkEntry {
         |FROM documents d JOIN med m USING (source)
         |  JOIN mad a ON d.source = a.source
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // lower weighted quantile: smallest value whose cumulative weight
+    // (over distinct values ascending) reaches q·W — integer-valued
+    // weights make every cumulative sum exact in double
+    "q209_weighted_quantiles" ->
+      """WITH base AS (SELECT source, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(n_chars AS DOUBLE) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |dv AS (SELECT source, v, sum(w) AS w FROM base GROUP BY 1, 2),
+        |cum AS (SELECT source, v,
+        |  sum(w) OVER (PARTITION BY source ORDER BY v) AS cw FROM dv),
+        |tot AS (SELECT source, sum(w) AS W FROM base GROUP BY 1),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+        |SELECT c.source, q, round(min(v), 6) AS wq
+        |FROM cum c JOIN tot USING (source), qs
+        |WHERE cw >= q * W
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the one-window reference formulation of the skew-safe calibration
     "q208_score_calibration" ->

@@ -310,6 +310,78 @@ object Sketch {
           * (col("__v2") - col("__v1"))).as("exact_val")): _*)
   }
 
+  /** WEIGHTED quantiles by the same histogram refinement — "the value
+    * below which a q-fraction of the WEIGHT sits", e.g. the doc length
+    * below which half the corpus TOKENS live (token-mass median), or a
+    * budget cutoff by byte mass. Definition (lower weighted quantile,
+    * deterministic, no interpolation): the smallest value v with
+    * cumWeight(≤ v) ≥ q·W. Rows with null or non-positive weights are
+    * excluded.
+    *
+    * Shape mirrors `exactQuantilesBy`: per-(group, bin) weight sums
+    * locate each target's crossing bin; pass 2 aggregates ONLY that
+    * bin's rows to their distinct values (map-side combined — row
+    * order among ties can never matter) and a per-(group, bin) window
+    * finds the crossing value. With integer-valued weights every
+    * cumulative sum is exact in double, so the ≥ q·W comparison is
+    * engine-independent; fractional weights put the usual FP caveat on
+    * exact-boundary targets.
+    *
+    * Returns (group..., q, wq).
+    */
+  def weightedQuantilesBy(df: DataFrame, groupCols: Seq[String],
+                          value: Column, weight: Column, qs: Seq[Double],
+                          bins: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gs = groupCols.map(col)
+    val v = value.cast("double")
+    val base = df.select(gs ++ Seq(v.as("__x"),
+        weight.cast("double").as("__w")): _*)
+      .where(col("__x").isNotNull && col("__w").isNotNull &&
+        col("__w") > 0)
+    val stats = base.groupBy(gs: _*).agg(min(col("__x")).as("__lo"),
+      max(col("__x")).as("__hi"), sum(col("__w")).as("__tw"))
+    def binOf(x: Column): Column =
+      when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((x - col("__lo"))
+            / (col("__hi") - col("__lo")) * lit(bins.toDouble)),
+          lit((bins - 1).toLong)).cast("long"))
+    val vals = base.join(broadcast(stats), groupCols)
+    val binned = vals
+      .select(gs ++ Seq(binOf(col("__x")).as("__b"), col("__w")): _*)
+      .groupBy(gs :+ col("__b"): _*).agg(sum(col("__w")).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(gs: _*).orderBy(col("__b"))))
+    val targets = stats.crossJoin(broadcast(qs.toDF("q")))
+      .select(gs ++ Seq(col("q"), (col("q") * col("__tw")).as("__t")): _*)
+    val located = targets
+      .join(binned, groupCols)
+      .filter(col("__cum") >= col("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(gs :+ col("q"): _*).orderBy(col("__b"))))
+      .filter(col("__rn") === 1)
+      .select(gs ++ Seq(col("q"), col("__t"), col("__b"),
+        (col("__cum") - col("__c")).as("__below")): _*)
+    val neededBins = located.select(gs :+ col("__b"): _*).distinct()
+    // distinct values within the crossing bins, weights pre-summed —
+    // the cumulative walk is over values, never rows
+    val dvals = vals
+      .select(gs ++ Seq(binOf(col("__x")).as("__b"), col("__x"),
+        col("__w")): _*)
+      .join(broadcast(neededBins), groupCols :+ "__b")
+      .groupBy(gs ++ Seq(col("__b"), col("__x")): _*)
+      .agg(sum(col("__w")).as("__vw"))
+      .withColumn("__cw", sum(col("__vw")).over(
+        Window.partitionBy(gs :+ col("__b"): _*).orderBy(col("__x"))))
+    located.join(dvals, (groupCols :+ "__b").toSeq)
+      .filter(col("__below") + col("__cw") >= col("__t"))
+      .groupBy(gs :+ col("q"): _*)
+      .agg(min(col("__x")).as("wq"))
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -554,6 +554,42 @@ class PipelineR7Spec extends SparkSpec {
     got.foreach { case (k, v) => assert(v === want(k), s"at $k") }
   }
 
+  test("weightedQuantilesBy matches the in-memory weighted-quantile walk") {
+    val rng = new scala.util.Random(41)
+    val rows = (1 to 3000).map { _ =>
+      val g = s"g${rng.nextInt(3)}"
+      (g, rng.nextInt(50).toDouble, 1L + rng.nextInt(9).toLong)
+    } :+ (("solo", 7.0, 5L))
+    val df = rows.toDF("g", "v", "w")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = graft.operators.Sketch.weightedQuantilesBy(
+      df, Seq("g"), col("v"), col("w"), qs, bins = 16)
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val byG = rows.groupBy(_._1)
+    val want = byG.flatMap { case (g, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).groupBy(_._1).toSeq
+        .map { case (v, ws) => (v, ws.map(_._2).sum.toDouble) }
+        .sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      qs.map { q =>
+        var cum = 0.0; var ans = Double.NaN
+        sorted.foreach { case (v, w) =>
+          cum += w; if (ans.isNaN && cum >= q * tot) ans = v
+        }
+        (g, q) -> ans
+      }
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, w) => assert(got(k) === w, s"at $k") }
+    // unit weights reduce to the lower (type-1) unweighted quantile
+    val u = graft.operators.Sketch.weightedQuantilesBy(
+      (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "v"),
+      Seq("g"), col("v"), lit(1L), Seq(0.5), bins = 8)
+      .as[(String, Double, Double)].head()
+    assert(u._3 === 50.0)
+  }
+
   test("covarianceMatrix and pc1 recover a planted principal axis") {
     // points t·u + tiny orthogonal noise, u = (3,4)/5: the dominant
     // eigenvector of the covariance must be ±u, and projections ≈ ±t
