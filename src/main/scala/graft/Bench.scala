@@ -83,6 +83,30 @@ object Bench {
       (name, times(1), times.head, runs.forall(_._2))
     }
     def fmt(v: Double): String = f"$v%.3f"
+    // Per-query regression tripwire (r7 verdict #5): q156 slipped 42%
+    // while the TOTAL improved — totals hide per-query slips. Diff this
+    // run's times against the previous round's committed bench_full.json
+    // BEFORE overwriting it. A query is flagged only when BOTH its
+    // median and its min exceed 1.25× the previous median by >0.25 s:
+    // median-only spikes are host weather (the min stays at code cost),
+    // and the absolute floor keeps 0.1 s queries from tripping on noise.
+    val prevMedians: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+      val qblock = "\"queries\":\\{([^}]*)\\}".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qblock)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val regressions = results.flatMap { case (name, med, mn, _) =>
+      prevMedians.get(name).collect {
+        case prev if med > prev * 1.25 && med - prev > 0.25 &&
+          mn > prev * 1.25 && mn - prev > 0.25 => (name, prev, med)
+      }
+    }
+    val regJson = regressions.take(10).map { case (k, prev, now) =>
+      "\"" + k + "\":[" + fmt(prev) + "," + fmt(now) + "]"
+    }.mkString("{", ",", "}")
     val allQs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val allMins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + fmt(mn) }
@@ -94,10 +118,13 @@ object Bench {
     // Full per-query detail for human/judge inspection — the stdout line
     // below must stay short (the driver keeps only a 2000-char tail of
     // stdout, and a 118-query map overflows it → BENCH parsed:null).
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"queries":$allQs,"queries_min":$allMins,"failed":$failed,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
-    catch { case _: Throwable => () }
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJson,"queries":$allQs,"queries_min":$allMins,"failed":$failed,"sf":"$sfDir"}"""
+    // partial (SPARK_GRAFT_ONLY) debug runs must NOT clobber the
+    // committed full-run file — it is the tripwire's baseline
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
+      catch { case _: Throwable => () }
     // Headline subset: one representative per operator family. Keep this
     // line under ~1500 chars or the driver cannot parse it.
     val headline = Set(
@@ -114,7 +141,7 @@ object Bench {
       "q196_hist_quantiles", "q198_pca_project", "q200_curation_e2e")
     val qs = results.collect { case (k, med, _, _) if headline(k) =>
       "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJson,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,6 +59,17 @@ object Similarity {
     * across partitions. This is the canonical "big data, tiny model"
     * shape: the cluster reduces 100 TB of vectors to one d²-double
     * buffer; everything downstream (covariance, PCA) is driver math.
+    *
+    * Determinism contract (the hashedLinearScore trick, applied to
+    * moments): each per-row term is floored to 1e-9 units and
+    * accumulated as a LONG — long sums are associative and exact, so
+    * the reduced moments are bit-identical for ANY partition count or
+    * merge order, and any other engine applying the same per-row
+    * flooring (`floor(x * 1e9)` on the same IEEE doubles) reproduces
+    * them exactly. Headroom: |v| = O(1) ⇒ ≤ ~1e9 units/row/cell, so
+    * 2^63 overflows only past ~9e9 rows per cell; at larger scale
+    * shrink the unit. The returned moments are back in natural units
+    * (long / 1e9 — one exact-for-<2^53 conversion per cell).
     */
   private[operators] def covMoments(df: DataFrame, vecCol: String)
     : (Int, Array[Double], Array[Double], Long) = {
@@ -72,47 +83,51 @@ object Similarity {
     val r = df.select(col(vecCol).cast("array<double>").as("value"))
       .as[Seq[Double]]
       .select(agg.toColumn).head()
-    (d, r._1.toArray, r._2.toArray, r._3)
+    (d, r._1.map(_ / 1e9).toArray, r._2.map(_ / 1e9).toArray, r._3)
   }
 
   class CovMomentsAgg(d: Int)
     extends org.apache.spark.sql.expressions.Aggregator[
-      Seq[Double], (Array[Double], Array[Double], Long),
-      (Seq[Double], Seq[Double], Long)] {
-    def zero: (Array[Double], Array[Double], Long) =
-      (Array.ofDim[Double](d * d), Array.ofDim[Double](d), 0L)
-    def reduce(b: (Array[Double], Array[Double], Long),
-               v: Seq[Double]): (Array[Double], Array[Double], Long) = {
+      Seq[Double], (Array[Long], Array[Long], Long),
+      (Seq[Long], Seq[Long], Long)] {
+    def zero: (Array[Long], Array[Long], Long) =
+      (Array.ofDim[Long](d * d), Array.ofDim[Long](d), 0L)
+    def reduce(b: (Array[Long], Array[Long], Long),
+               v: Seq[Double]): (Array[Long], Array[Long], Long) = {
       val a = v.toArray
       var i = 0
       while (i < d) {
-        val vi = a(i); b._2(i) += vi
+        val vi = a(i); b._2(i) += math.floor(vi * 1e9).toLong
         var j = 0
         val row = i * d
-        while (j < d) { b._1(row + j) += vi * a(j); j += 1 }
+        while (j < d) {
+          b._1(row + j) += math.floor(vi * a(j) * 1e9).toLong; j += 1
+        }
         i += 1
       }
       (b._1, b._2, b._3 + 1)
     }
-    def merge(x: (Array[Double], Array[Double], Long),
-              y: (Array[Double], Array[Double], Long)) = {
+    def merge(x: (Array[Long], Array[Long], Long),
+              y: (Array[Long], Array[Long], Long)) = {
       var i = 0
       while (i < d * d) { x._1(i) += y._1(i); i += 1 }
       i = 0
       while (i < d) { x._2(i) += y._2(i); i += 1 }
       (x._1, x._2, x._3 + y._3)
     }
-    def finish(b: (Array[Double], Array[Double], Long)) =
+    def finish(b: (Array[Long], Array[Long], Long)) =
       (b._1.toSeq, b._2.toSeq, b._3)
     def bufferEncoder = org.apache.spark.sql.Encoders.product[
-      (Array[Double], Array[Double], Long)]
+      (Array[Long], Array[Long], Long)]
     def outputEncoder = org.apache.spark.sql.Encoders.product[
-      (Seq[Double], Seq[Double], Long)]
+      (Seq[Long], Seq[Long], Long)]
   }
 
   /** Population covariance matrix of the embedding column as (i, j,
     * cov) rows — one distributed pass (covMoments), then d² driver-side
-    * rows. cov = E[xy] − E[x]E[y].
+    * rows. cov = E[xy] − E[x]E[y], computed from the integer-unit
+    * moments, so every cell is bit-identical across engines BEFORE any
+    * display rounding (covMoments' determinism contract).
     */
   def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -124,10 +139,11 @@ object Similarity {
   }
 
   /** Dominant principal axis by power iteration ON THE DRIVER against
-    * the 6-dp-ROUNDED covariance matrix — the rounding is the
-    * cross-engine determinism contract: unrounded float sums drift with
-    * partition order, but both engines agree on the rounded matrix, and
-    * from identical C the fixed-iteration recurrence w ← C·w (ascending
+    * the 6-dp-rounded covariance matrix. Since covMoments accumulates
+    * in integer units, C is already bit-identical across engines; the
+    * residual round(6) pins the iteration input to a short decimal so
+    * the oracle's recursive-CTE twin starts from literally equal cells.
+    * From identical C the fixed-iteration recurrence w ← C·w (ascending
     * index order, single normalization at the end) is bit-reproducible.
     * No extra cluster passes: the data was already reduced to C.
     */

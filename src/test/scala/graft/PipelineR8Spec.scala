@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Round-8 fixes: cross-corpus prefix×prefix completeness, the
+  * materialized dedup-pair artifact, and the integer-unit covariance
+  * determinism contract.
+  */
+class PipelineR8Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** word-3-shingle sets mirroring shingleHashes semantics (distinct,
+    * short docs collapse to one whole-text shingle). */
+  private def shingles(t: String): Set[String] = {
+    val toks = t.split("\\s+").map(_.toLowerCase).toSeq
+    if (toks.size < 3) Set(toks.mkString(" "))
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("crossCorpusDupes(fullRecall) equals brute-force cross-corpus " +
+    "jaccard — df ranks differ per corpus, so only a SHARED order is sound") {
+    // engineered so each corpus's own df-rank order differs: shingles
+    // common in the new side are rare in the old side and vice versa.
+    // A prefix filter built on per-corpus rare-first ordering could
+    // miss pairs; the hash-order prefixes must not.
+    val newDocs = Seq(
+      (1L, "a b c d e f g h"),
+      (3L, "a b c d e f x y"),
+      (5L, "p q r s t u v w"),
+      (7L, "m n o p q r"),
+      (9L, "zz yy xx ww vv uu"),
+      (11L, "a b c a b c a b c") // repeated-shingle degenerate
+    ).toDF("doc_id", "text")
+    val oldDocs = Seq(
+      (2L, "a b c d e f g h"), // exact dup of 1
+      (4L, "a b c d e f x z"), // near 3 (and borderline 1: J = 0.5)
+      (6L, "p q r s t u v k"), // near 5
+      (8L, "totally different content here"),
+      (10L, "m n o p q r") // exact dup of 7
+    ).toDF("doc_id", "text")
+    val tau = 0.5
+    val got = Dedup.crossCorpusDupes(newDocs, oldDocs, "doc_id", "text",
+      shingleN = 3, threshold = tau)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val nS = newDocs.as[(Long, String)].collect().map { case (i, t) =>
+      i -> shingles(t) }
+    val oS = oldDocs.as[(Long, String)].collect().map { case (i, t) =>
+      i -> shingles(t) }
+    val want = (for {
+      (ia, sa) <- nS; (ib, sb) <- oS
+      co = (sa & sb).size
+      j = co.toDouble / (sa.size + sb.size - co) if j >= tau
+    } yield (ia, ib) -> (math.round(j * 1e6) / 1e6)).toMap
+    assert(want.nonEmpty && want.size >= 5) // incl. the J = 0.5 boundary
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-9, k) }
+  }
+
+  test("crossCorpusDupes banded path (fullRecall=false) recalls exact dups") {
+    val newDocs = Seq((1L, "m n o p q r s t u v w x"),
+      (3L, "completely unrelated words here now ok")).toDF("doc_id", "text")
+    val oldDocs = Seq((2L, "m n o p q r s t u v w x")).toDF("doc_id", "text")
+    // identical docs ⇒ identical signatures ⇒ every band collides
+    val got = Dedup.crossCorpusDupes(newDocs, oldDocs, "doc_id", "text",
+      shingleN = 3, threshold = 0.9, fullRecall = false)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("pair artifact: bucketed warm scan, zero-Exchange groupBy, " +
+    "no re-shingling, ensurePairs skips the rebuild") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c d e f g h i k"),
+      (4L, "other words entirely different over here"),
+      (5L, "other words entirely different over here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val table = "graft_pairs_spec"
+    Dedup.writePairs(pairs, table, buckets = 4)
+    val warm = Dedup.readPairs(spark, table)
+    // round trip: artifact content equals the live pair set
+    assert(warm.as[(Long, Long, Double)].collect().toSet ===
+      pairs.as[(Long, Long, Double)].collect().toSet)
+    // warm consumer plan: the bucketed scan already hash-distributes on
+    // id_a, so the per-doc aggregate needs NO shuffle — and nothing in
+    // the plan re-tokenizes/re-hashes the corpus
+    val agg = warm.groupBy(col("id_a")).agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("xxhash64"), plan)
+    // the same aggregate over the UNBUCKETED pair frame does shuffle —
+    // the comparison proves the bucket metadata (not AQE luck) removed it
+    val cold = pairs.groupBy(col("id_a")).agg(count(lit(1)).as("n"))
+    assert(cold.queryExecution.executedPlan.toString.contains("Exchange"))
+    // ensurePairs warm gate: the build thunk must not run again
+    var built = 0
+    Dedup.ensurePairs(spark, table) { built += 1; pairs }.count()
+    assert(built === 0)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
+  test("covMoments integer-unit accumulation is partition-order invariant " +
+    "bit for bit") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val a = operators.Similarity.covarianceMatrix(vecs, "embedding")
+      .as[(Int, Int, Double)].collect().toSet
+    val b = operators.Similarity.covarianceMatrix(
+      vecs.repartition(13), "embedding")
+      .as[(Int, Int, Double)].collect().toSet
+    // EXACT equality (no tolerance): long sums are associative, so any
+    // partitioning reduces to the same integers
+    assert(a === b)
+    assert(a.size === 64)
+  }
+}
