@@ -2634,7 +2634,30 @@ object SparkEntry {
           sum(col("id_b")).as("partner_id_sum"),
           max(col("jaccard")).as("j_max"))
         .orderBy(col("id_a"))
-    })
+    }),
+
+    // Multiset.cascade (rt_multiset.py:745): multi-func agg → flattened
+    // multiset frame → a per-member transform cascaded over every
+    // member Dataset, re-flattened with the member_col naming restored.
+    "q211_multiset_cascade" -> ((s, dir) => {
+      val ms = GroupOps.aggMulti(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice"),
+        Seq("sum" -> (sum(_)), "mean" -> (avg(_))))
+      MultisetOps.cascade(ms, Seq("l_returnflag")) { d =>
+        d.select(col("l_returnflag"),
+          round(col("l_quantity"), 2).as("l_quantity"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"))
+      }.orderBy(col("l_returnflag"))
+    }),
+
+    // Seeded-sample shim (FastArray.sample(seed), rt_fastarray.py:1827):
+    // the seed folds into the portable hash, so the SAMPLE ITSELF is
+    // oracle-checkable row for row — the deterministic replacement for
+    // engine RNG documented in README.
+    "q212_seeded_sample" -> ((s, dir) =>
+      Split.sampleSeeded(t(s, dir, "documents"), "doc_id", 0.25, seed = 42L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -5427,7 +5450,8 @@ object SparkEntry {
     "q203_roc_auc" ->
       """WITH per AS (SELECT n_chars AS s, count(*) AS n,
         |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos
-        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
         |r AS (SELECT s, n, npos,
         |  coalesce(sum(n) OVER (ORDER BY s
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -5494,6 +5518,24 @@ object SparkEntry {
         |FROM cum c JOIN tot USING (source), qs
         |WHERE cw >= q * W
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // cascade mirror: member-wise rounding over the multi-func agg,
+    // flattened names matching GroupOps.aggMulti's f_col convention
+    "q211_multiset_cascade" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity), 2) AS sum_l_quantity,
+        |  round(sum(l_extendedprice), 2) AS sum_l_extendedprice,
+        |  round(avg(l_quantity), 2) AS mean_l_quantity,
+        |  round(avg(l_extendedprice), 2) AS mean_l_extendedprice
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // seeded-sample mirror: the same md5-derived hash with the seed
+    // folded in; mod 2^30 under 0.25 ⇔ mod < 268435456 (exact)
+    "q212_seeded_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${hash60Sql("'42:' || CAST(doc_id AS VARCHAR)")}
+         |  % 1073741824 < 268435456
+         |ORDER BY doc_id""".stripMargin,
 
     // per-doc dup-degree over the exact τ=0.5 pair set — the engine
     // side reads it from the bucketed artifact, which must equal

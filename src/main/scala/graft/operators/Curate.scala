@@ -333,24 +333,6 @@ object Curate {
           .as("prunable"))
   }
 
-  /** UniMax corpus mixing (Chung et al. 2023, "UniMax: Fairer and More
-    * Effective Language Sampling for Large-Scale Multilingual
-    * Pretraining"): allocate a total token budget B across sources with
-    * a per-source repeat cap — each source may contribute at most
-    * `epochCap` epochs of its own tokens, and the remainder of the
-    * budget spreads UNIFORMLY over the sources that can still absorb
-    * it. UniMax's sequential scan over sources (ascending by size,
-    * "give each its fair share or its cap, whichever is smaller") is
-    * exactly water-filling, so it has a closed form: find the level t
-    * with Σᵢ min(capᵢ, t) = B, then allocᵢ = min(capᵢ, t). That closed
-    * form is one window over the per-source frame — no iteration.
-    *
-    * Shape: ONE map-side-combined aggregate collapses the corpus to
-    * |sources| rows (token sums); the water-level search is a window +
-    * one-row aggregate over that dictionary-sized frame; nothing about
-    * the corpus itself shuffles. Output: (source, tokens, cap, alloc),
-    * Σ alloc = min(B, Σ cap) up to float rounding.
-    */
   /** Cross-source score calibration: replace a raw quality score with
     * its within-source percentile rank, so one threshold means the
     * same thing in every domain (a classifier's raw scores are not
@@ -389,6 +371,24 @@ object Curate {
       .drop("__s")
   }
 
+  /** UniMax corpus mixing (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): allocate a total token budget B across sources with
+    * a per-source repeat cap — each source may contribute at most
+    * `epochCap` epochs of its own tokens, and the remainder of the
+    * budget spreads UNIFORMLY over the sources that can still absorb
+    * it. UniMax's sequential scan over sources (ascending by size,
+    * "give each its fair share or its cap, whichever is smaller") is
+    * exactly water-filling, so it has a closed form: find the level t
+    * with Σᵢ min(capᵢ, t) = B, then allocᵢ = min(capᵢ, t). That closed
+    * form is one window over the per-source frame — no iteration.
+    *
+    * Shape: ONE map-side-combined aggregate collapses the corpus to
+    * |sources| rows (token sums); the water-level search is a window +
+    * one-row aggregate over that dictionary-sized frame; nothing about
+    * the corpus itself shuffles. Output: (source, tokens, cap, alloc),
+    * Σ alloc = min(B, Σ cap) up to float rounding.
+    */
   def unimaxBudgets(df: DataFrame, sourceCol: String, tokens: Column,
                     epochCap: Double, budgetFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -635,6 +635,10 @@ object Similarity {
     val scored = codes.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("__d", dist)
+      // a query vector whose length mismatches the codebook dim yields
+      // null ADC distances (zip_with pads with nulls) — drop them, or
+      // the ascending rank would promote garbage rows into the top-k
+      .filter(col("__d").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__d").asc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))

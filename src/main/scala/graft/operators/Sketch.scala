@@ -355,11 +355,18 @@ object Sketch {
       .groupBy(gs :+ col("__b"): _*).agg(sum(col("__w")).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(
         Window.partitionBy(gs: _*).orderBy(col("__b"))))
+      .withColumn("__maxcum", max(col("__cum")).over(
+        Window.partitionBy(gs: _*)))
     val targets = stats.crossJoin(broadcast(qs.toDF("q")))
       .select(gs ++ Seq(col("q"), (col("q") * col("__tw")).as("__t")): _*)
     val located = targets
       .join(binned, groupCols)
-      .filter(col("__cum") >= col("__t"))
+      // boundary clamp: with FRACTIONAL weights the per-bin cumulative
+      // sum can land one ulp below q·W at q = 1.0 (different summation
+      // order than stats' __tw) and the quantile would silently vanish;
+      // clamping the target to the group's max cumulative guarantees
+      // every q resolves to a bin (q ≥ 1 ⇒ the group max)
+      .filter(col("__cum") >= least(col("__t"), col("__maxcum")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(gs :+ col("q"): _*).orderBy(col("__b"))))
       .filter(col("__rn") === 1)
@@ -376,8 +383,13 @@ object Sketch {
       .agg(sum(col("__w")).as("__vw"))
       .withColumn("__cw", sum(col("__vw")).over(
         Window.partitionBy(gs :+ col("__b"): _*).orderBy(col("__x"))))
+      .withColumn("__maxcw", max(col("__cw")).over(
+        Window.partitionBy(gs :+ col("__b"): _*)))
     located.join(dvals, (groupCols :+ "__b").toSeq)
-      .filter(col("__below") + col("__cw") >= col("__t"))
+      // same ulp clamp within the crossing bin: the last value's
+      // cumulative weight always satisfies the (clamped) target
+      .filter(col("__below") + col("__cw") >=
+        least(col("__t"), col("__below") + col("__maxcw")))
       .groupBy(gs :+ col("q"): _*)
       .agg(min(col("__x")).as("wq"))
   }

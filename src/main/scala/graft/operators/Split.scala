@@ -20,6 +20,37 @@ object Split {
   def hashBucket(id: Column, buckets: Int = 100): Column =
     pmod(Dedup.portableHash64(id.cast("string")), lit(buckets.toLong))
 
+  /** Seeded-sample compat shim (`FastArray.sample(N, seed)`
+    * `riptable/rt_fastarray.py:1827`; `Date.random`/`random_invalid`
+    * `rt_datetime.py:6041,6098`): the engine's sampling contract is
+    * deterministic hash-rank selection, not RNG — so the "seed" folds
+    * into the portable hash instead of seeding a generator. Same
+    * (seed, id) → same keep/drop decision on any engine, partitioning,
+    * or cluster size; different seeds → independent samples (md5
+    * avalanche). Map-only, zero shuffle.
+    */
+  def sampleSeeded(df: DataFrame, idCol: String, frac: Double,
+                   seed: Long): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "frac in [0, 1]")
+    val m = 1073741824L // 2^30
+    val u = pmod(Dedup.portableHash64(
+      concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+      lit(m)).cast("double") / m.toDouble
+    df.filter(u < lit(frac))
+  }
+
+  /** Exact-k variant of sampleSeeded — the `sample(N)` form. Hash-rank
+    * top-k plans as TakeOrderedAndProject (per-partition partial top-k,
+    * driver merges k·numPartitions candidates), never a global sort.
+    */
+  def sampleSeededK(df: DataFrame, idCol: String, k: Int,
+                    seed: Long): DataFrame =
+    df.withColumn("__rk", Dedup.portableHash64(
+      concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+      .orderBy(col("__rk"), col(idCol))
+      .limit(k)
+      .drop("__rk")
+
   /** Add a `split` label: "train" for the first `trainPct` buckets of
     * 100, "test" for the rest.
     */

@@ -478,4 +478,138 @@ object StreamOps {
         OutputMode.Update())(org.apache.spark.sql.Encoders.product[TopKOut])
       .toDF()
   }
+
+  // ---- streaming incremental dedup (Dedup.crossCorpusDupes twin) ----
+
+  case class BandedDoc(band: Int, band_key: Int, id: Long,
+                       shs: Array[Long], sig: Array[Long])
+  case class CrossDupOut(id_new: Long, id_old: Long, jaccard: Double)
+
+  /** The keyed band index of `streamingCrossDedup`: state per
+    * (band, band-hash) bucket is the list of docs whose signature
+    * landed there — the old-corpus posting list. Each arriving doc is
+    * verified (exact jaccard over the stored shingle sets) against its
+    * bucket's residents, then appended.
+    *
+    * Exactly-once pair emission without any cross-key dedup state: a
+    * colliding pair shares EVERY band where its sig slices agree, so
+    * each bucket recomputes the pair's minimum colliding band from the
+    * two signatures and only the bucket whose band index equals it
+    * emits. (A murmur band-hash collision without sig equality routes
+    * the pair to no emitter — candidates here are sig-slice-exact,
+    * STRICTER than the batch band join's hash equality; the difference
+    * is a 32-bit-collision rarity and the batch verify would have to
+    * pass it anyway.)
+    */
+  class CrossDedupProcessor(threshold: Double, rowsPerBand: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Int, Int), BandedDoc, CrossDupOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM, _}
+    @transient private var docs: ListState[BandedDoc] = _
+
+    override def init(outputMode: OM, timeMode: TM): Unit =
+      docs = getHandle.getListState[BandedDoc]("docs",
+        org.apache.spark.sql.Encoders.product[BandedDoc], TTLConfig.NONE)
+
+    // shs arrays arrive sorted (sort_array upstream): two-pointer co-count
+    private def jaccard(a: Array[Long], b: Array[Long]): Double = {
+      var i = 0; var j = 0; var co = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { co += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      co.toDouble / (a.length + b.length - co)
+    }
+
+    private def minCollidingBand(s1: Array[Long], s2: Array[Long]): Int = {
+      val nBands = s1.length / rowsPerBand
+      var b = 0
+      while (b < nBands) {
+        var r = 0; var eq = true
+        while (r < rowsPerBand && eq) {
+          if (s1(b * rowsPerBand + r) != s2(b * rowsPerBand + r)) eq = false
+          r += 1
+        }
+        if (eq) return b
+        b += 1
+      }
+      -1
+    }
+
+    override def handleInputRows(key: (Int, Int),
+                                 rows: Iterator[BandedDoc],
+                                 timerValues: TimerValues): Iterator[CrossDupOut] = {
+      val out = scala.collection.mutable.ArrayBuffer[CrossDupOut]()
+      rows.foreach { d =>
+        val it = docs.get()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.id != d.id && minCollidingBand(d.sig, e.sig) == d.band) {
+            val j = jaccard(d.shs, e.shs)
+            if (j >= threshold)
+              out += CrossDupOut(d.id, e.id,
+                BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
+          }
+        }
+        docs.appendValue(d)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming incremental cross-corpus dedup — the streaming twin of
+    * `Dedup.crossCorpusDupes`: every arriving doc is checked for
+    * near-duplication (exact jaccard ≥ threshold) against ALL docs
+    * seen before it, with the accumulated corpus held as a keyed
+    * minhash BAND INDEX in transformWithState state (RocksDB-backed)
+    * instead of a re-scanned static side. Emits (id_new, id_old,
+    * jaccard), id_old the earlier arrival.
+    *
+    * Signature math is the SAME Column expressions as the batch
+    * pipeline (xxhash64 word shingles; per-permutation
+    * pmod(h·aᵢ+bᵢ, 2⁶³−1) minima — array_min per row ≡ the batch
+    * groupBy-min over exploded rows; murmur band hashes over sig
+    * slices), so after ANY prefix of batches the emitted pair set
+    * equals `minhashVerifiedPairs` over the same docs (StreamingSpec
+    * asserts it) — the banded-recall caveat is likewise identical.
+    *
+    * State shape: each doc's (shs, sig) is stored once per band
+    * (k/rowsPerBand copies) — the denormalized posting-list layout; at
+    * index scale, store doc payloads once in a side table and keep ids
+    * in the band lists. Verification cost per arrival is bounded by
+    * its buckets' occupancy, never the corpus.
+    */
+  def streamingCrossDedup(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 32,
+                          rowsPerBand: Int = 2,
+                          threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val shs = sort_array(array_distinct(transform(
+      graft.functions.TextFns.wordShingles(col(textCol), shingleN),
+      s => xxhash64(s))))
+    val sigEls = (0 until k).map { i =>
+      val a = 0x9E3779B97F4A7C15L * (2L * i + 1L)
+      val b = 0xC2B2AE3D27D4EB4FL * (i + 1L)
+      array_min(transform(col("shs"),
+        h => pmod(h * lit(a) + lit(b), lit(Long.MaxValue))))
+    }
+    val nBands = k / rowsPerBand
+    docs
+      .select(col(idCol).cast("long").as("id"), shs.as("shs"))
+      .withColumn("sig", array(sigEls: _*))
+      .select(posexplode(array((0 until nBands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("band", "band_key")),
+        col("id"), col("shs"), col("sig"))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.band_key))
+      .transformWithState(new CrossDedupProcessor(threshold, rowsPerBand),
+        TimeMode.None(), OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[CrossDupOut])
+      .toDF()
+  }
 }

@@ -193,6 +193,42 @@ object syntax {
       df.select(cols: _*)
     }
 
+    /** Struct.flatten_undo (`riptable/rt_struct.py:2247`): re-nest
+      * `parent<sep>child` columns back into struct columns — the
+      * inverse of flattenNested. Riptable records the original tree in
+      * a metastring it stashes on the flattened Struct; the relational
+      * analog derives the tree from the naming convention alone, so
+      * the round-trip is the identity exactly when leaf names do not
+      * themselves contain `sep` (riptable's default sep "/" relies on
+      * the same property for member names). Columns without `sep`
+      * stay top-level; member order and column order are preserved.
+      * Pure projection — zero shuffle, codegen'd.
+      */
+    def flattenUndo(sep: String = "_"): DataFrame = {
+      import scala.collection.mutable
+      def build(items: Seq[(String, Column)]): Seq[Column] = {
+        val groups =
+          mutable.LinkedHashMap[String, mutable.ArrayBuffer[(String, Column)]]()
+        val out = mutable.ArrayBuffer[Either[Column, String]]()
+        items.foreach { case (name, c) =>
+          val i = name.indexOf(sep)
+          if (i < 0) out += Left(c.as(name))
+          else {
+            val (p, rest) = (name.substring(0, i), name.substring(i + sep.length))
+            if (!groups.contains(p)) {
+              groups(p) = mutable.ArrayBuffer(); out += Right(p)
+            }
+            groups(p) += ((rest, c))
+          }
+        }
+        out.toSeq.map {
+          case Left(c) => c
+          case Right(p) => struct(build(groups(p).toSeq): _*).as(p)
+        }
+      }
+      df.select(build(df.columns.toSeq.map(n => (n, col(n)))): _*)
+    }
+
     /** Dataset.melt (`rt_dataset.py:6781`) — wide→long. */
     def melt(ids: Seq[String], values: Seq[String],
              varName: String = "variable", valName: String = "value"): DataFrame =

@@ -321,4 +321,82 @@ class LayerSpec extends SparkSpec {
       assert(err.getMessage.contains("no registered function"))
     } finally Meta.unregisterFunction("count_by_k")
   }
+
+  test("flattenNested -> flattenUndo is the identity on nested frames") {
+    import graft.syntax._
+    val df = Seq((1L, ("x", 2.0, (true, 7L)), 9.0))
+      .toDF("id", "s", "v")
+      .select(col("id"),
+        col("s._1").as("a"),
+        struct(col("s._2").as("m"),
+          struct(col("s._3._1").as("f"), col("s._3._2").as("g")).as("inner"))
+          .as("nest"),
+        col("v"))
+    val flat = df.flattenNested("/")
+    assert(flat.columns.toSeq ===
+      Seq("id", "a", "nest/m", "nest/inner/f", "nest/inner/g", "v"))
+    val undone = flat.flattenUndo("/")
+    assert(undone.schema === df.schema)
+    assert(undone.collect().toSeq === df.collect().toSeq)
+  }
+
+  test("MultisetOps.cascade(f) equals applying f per member; members split keys") {
+    import graft.operators.{GroupOps, MultisetOps}
+    val df = Seq(("a", 1.0, 10.0), ("a", 2.0, 20.0), ("b", 3.0, 30.0))
+      .toDF("k", "x", "y")
+    // multi-func agg -> flattened multiset frame (sum_x, sum_y, mean_x, mean_y)
+    val ms = GroupOps.aggMulti(df, Seq("k"), Seq("x", "y"),
+      Seq("sum" -> (sum(_)), "mean" -> (avg(_))))
+    val mem = MultisetOps.members(ms, Seq("k"), "_")
+    assert(mem.keySet === Set("sum", "mean"))
+    assert(mem("sum").columns.toSeq === Seq("k", "x", "y"))
+    // cascade a per-member transform (scale both value cols by 10)
+    val scaled = MultisetOps.cascade(ms, Seq("k"), "_") { d =>
+      d.select(col("k"), (col("x") * 10).as("x"), (col("y") * 10).as("y"))
+    }
+    val got = scaled.orderBy("k")
+      .select("k", "sum_x", "sum_y", "mean_x", "mean_y")
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(("a", 30.0, 300.0, 15.0, 150.0),
+      ("b", 30.0, 300.0, 30.0, 300.0)))
+    // cascade(reduce) == per-member whole-frame agg (rt_multiset cascade
+    // of Dataset.sum): keys kept as the grouping of the reduce
+    val reduced = MultisetOps.cascade(ms, Seq("k"), "_") { d =>
+      d.groupBy(col("k")).agg(sum(col("x")).as("x"))
+    }
+    assert(reduced.columns.toSeq === Seq("k", "sum_x", "mean_x"))
+  }
+
+  test("sampleSeeded: deterministic per seed, independent across seeds, frac-sized") {
+    import graft.operators.Split
+    val df = spark.range(0, 2000).toDF("id")
+    val a1 = Split.sampleSeeded(df, "id", 0.3, seed = 7L)
+      .as[Long].collect().toSet
+    val a2 = Split.sampleSeeded(df.repartition(13), "id", 0.3, seed = 7L)
+      .as[Long].collect().toSet
+    assert(a1 === a2) // partitioning-invariant
+    assert(math.abs(a1.size - 600) < 80, s"got ${a1.size}")
+    val b = Split.sampleSeeded(df, "id", 0.3, seed = 8L).as[Long].collect().toSet
+    assert(b !== a1) // different seed, different sample
+    val overlap = (a1 & b).size.toDouble / a1.size
+    assert(overlap > 0.15 && overlap < 0.5, s"overlap $overlap") // ~0.3
+    // exact-k form: deterministic and k-sized
+    val k1 = Split.sampleSeededK(df, "id", 50, seed = 7L).as[Long].collect().toSet
+    val k2 = Split.sampleSeededK(df.repartition(7), "id", 50, seed = 7L)
+      .as[Long].collect().toSet
+    assert(k1 === k2 && k1.size === 50)
+  }
+
+  test("weightedQuantilesBy resolves q = 1.0 with fractional weights (ulp clamp)") {
+    import graft.operators.Sketch
+    // weights engineered as many small fractions - cumulative FP sums
+    // will not exactly reproduce the total; q=1.0 must still resolve
+    val df = (1 to 997).map(i => ("g", i.toDouble, 0.1 + (i % 7) * 0.01))
+      .toDF("k", "v", "w")
+    val got = Sketch.weightedQuantilesBy(df, Seq("k"), col("v"), col("w"),
+      Seq(0.5, 1.0), bins = 32)
+      .orderBy("q").as[(String, Double, Double)].collect()
+    assert(got.length === 2, s"lost a boundary quantile: ${got.mkString(",")}")
+    assert(got(1)._3 === 997.0) // q=1.0 == the max value
+  }
 }

@@ -96,6 +96,26 @@ class SchemaDriftSpec extends AnyFunSuite with SparkSpec {
     assert(drifted.isEmpty, "\nSCHEMA DRIFT DETECTED:\n" + drifted.mkString("\n"))
   }
 
+  test("forward drift: new tables/columns in testdata are flagged, not ignored") {
+    // the reverse direction of the contract check: a REGENERATION that
+    // ADDS a table or column is also a semantic signal (new workload
+    // surface the driver expects covered) — surface it as a named
+    // failure instead of silently scanning past it
+    val dirs = new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+    val newTables = dirs.toSet -- Tables.names.toSet
+    assert(newTables.isEmpty,
+      s"NEW testdata table(s) arrived: ${newTables.mkString(", ")} — add a " +
+        "loader in Tables.names, a contract entry here, and consider queries")
+    val newCols = Tables.names.flatMap { name =>
+      val got = Tables.table(spark, sfDir, name).schema.fieldNames.toSet
+      (got -- contract(name).keySet).map(c => s"$name.$c")
+    }
+    assert(newCols.isEmpty,
+      s"NEW column(s) arrived: ${newCols.mkString(", ")} — extend the " +
+        "contract (and normalization if time-typed) deliberately")
+  }
+
   test("embedding dim is 64 (the q198 PCA oracle hardcodes it)") {
     import org.apache.spark.sql.functions._
     // the q198_pca_project DuckDB oracle iterates range(1, 65): if the

@@ -477,4 +477,58 @@ class StreamingSpec extends SparkSpec {
     // user 2: 0:40 and 7:20 → two sessions. Total 4 sessions.
     assert(spark.sql("SELECT count(*) FROM sess_agg").as[Long].head() === 4L)
   }
+
+  test("streaming cross-corpus dedup equals the batch band+verify gate " +
+    "on every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def doc(seed: Int, tweak: String = ""): String =
+        ((1 to 20).map(i => s"w${(i * seed) % 97}") :+ tweak).mkString(" ").trim
+      // batch 1: (1,2) identical; 3,4 unrelated
+      val b1 = Seq(1L -> doc(3), 2L -> doc(3), 3L -> doc(5), 4L -> doc(7))
+      // batch 2: 5 near-dups 3 (one tweaked token), 6 unrelated,
+      // (7,8) identical within the SAME batch
+      val b2 = Seq(5L -> doc(5, "zz"), 6L -> doc(11),
+        7L -> doc(13), 8L -> doc(13))
+      val mem = MemoryStream[(Long, String)]
+      val in = mem.toDS().toDF("doc_id", "text")
+      val q = StreamOps.streamingCrossDedup(in, "doc_id", "text",
+        shingleN = 3, k = 32, rowsPerBand = 2, threshold = 0.8)
+        .writeStream.format("memory").queryName("tws_xdedup")
+        .outputMode("append").start()
+      def emitted(): Set[(Long, Long, Double)] = spark.sql(
+        "SELECT id_new, id_old, jaccard FROM tws_xdedup")
+        .as[(Long, Long, Double)].collect().toSet
+      def norm(p: Set[(Long, Long, Double)]): Set[(Long, Long, Double)] =
+        p.map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }
+      def batchPairs(docs: Seq[(Long, String)]): Set[(Long, Long, Double)] =
+        graft.operators.Dedup.minhashVerifiedPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          shingleN = 3, k = 32, rowsPerBand = 2, threshold = 0.8)
+          .as[(Long, Long, Double)].collect().toSet
+      mem.addData(b1: _*); q.processAllAvailable()
+      val after1 = emitted()
+      assert(norm(after1) === batchPairs(b1)) // (1,2) found, nothing else
+      assert(after1.forall { case (n, o, _) => n > o }) // new after old
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      // cumulative streamed pairs = the batch gate over ALL docs: the
+      // cross-batch near-dup (3,5) AND the within-batch pair (7,8)
+      val all = norm(emitted())
+      assert(all === batchPairs(b1 ++ b2))
+      assert(all.exists(p => p._1 == 3L && p._2 == 5L))
+      assert(all.exists(p => p._1 == 7L && p._2 == 8L))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
