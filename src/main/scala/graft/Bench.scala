@@ -137,10 +137,14 @@ object Bench {
       "q119_dup_clusters", "q128_edit_distance", "q130_tfidf",
       "q135_tpch_q6", "q136_tpch_q10", "q145_bday_shift", "q146_tpch_q21",
       "q149_apply_batch", "q153_tpch_q17", "q156_tpch_q2",
-      "q187_kmv_distinct", "q192_countmin_hh", "q195_dedup_clean",
-      "q196_hist_quantiles", "q198_pca_project", "q200_curation_e2e")
-    val qs = results.collect { case (k, med, _, _) if headline(k) =>
-      "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
+      "q185_incremental_dedup", "q187_kmv_distinct", "q192_countmin_hh",
+      "q195_dedup_clean", "q196_hist_quantiles", "q198_pca_project",
+      "q200_curation_e2e", "q210_pair_artifact")
+    // partial runs are small — print every timed query, not just the
+    // headline subset (the 1500-char stdout cap only binds full runs)
+    val qs = results.collect {
+      case (k, med, _, _) if headline(k) || only.isDefined =>
+        "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJson,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

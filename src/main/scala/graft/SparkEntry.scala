@@ -2657,7 +2657,20 @@ object SparkEntry {
     "q212_seeded_sample" -> ((s, dir) =>
       Split.sampleSeeded(t(s, dir, "documents"), "doc_id", 0.25, seed = 42L)
         .select(col("doc_id"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // IVF-PQ composed index (FAISS IndexIVFPQ shape): coarse routing +
+    // byte codes + ADC. nprobe = nCentroids here, so the routing is
+    // semantically the identity and the output must EQUAL pqTopK's —
+    // the oracle verifies the whole composition; pruned-probe
+    // degradation is PipelineR8Spec-pinned.
+    "q213_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "vec_id", k = 5,
+          nCentroids = 8, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -5567,7 +5580,19 @@ object SparkEntry {
     // full PQ replay: hash-ranked codebook sample → per-subspace argmin
     // encode (ties to the lowest codeword) → ADC distance as an
     // s-ordered list_sum, mirroring pqTopK's fold order bit-for-bit
-    "q206_pq_ann" ->
+    "q206_pq_ann" -> pqAnnOracle,
+
+    // IVF-PQ with nprobe = nCentroids: routing prunes nothing, so the
+    // composed index must reproduce the pure-PQ ADC ranking exactly —
+    // one oracle checks codebooks, codes, routing join, and ADC
+    "q213_ivfpq_ann" -> pqAnnOracle
+  )
+
+  /** DuckDB replay of the PQ pipeline (hash-sampled codebooks → argmin
+    * codes → s-ordered ADC fold → per-query top-5) — shared by q206
+    * (pqTopK) and q213 (ivfPqTopK at full probe, where the IVF routing
+    * is semantically the identity). */
+  private def pqAnnOracle: String =
       s"""WITH hv AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          |    ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS hh
@@ -5600,5 +5625,4 @@ object SparkEntry {
          |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
          |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
          |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
-  )
 }

@@ -590,54 +590,155 @@ object Similarity {
     * At cluster scale the codes frame is what you PERSIST (bytes, not
     * floats); ADC against it never touches raw vectors again.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, qIdCol: String, k: Int,
-             m: Int = 4, ksub: Int = 16): DataFrame = {
-    val vecD = col(vecCol).cast("array<double>")
-    // deterministic codebook sample: ksub lowest-hash rows, rank = code
-    val sampled = corpus
-      .select(col(idCol), vecD.as("__v"))
+  /** Deterministic PQ codebook sample: the ksub lowest-portable-hash
+    * corpus rows, hash rank = codeword index (see pqTopK scaladoc for
+    * why a hash sample, not k-means). */
+  private def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                         ksub: Int): Seq[(Int, Seq[Double])] =
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__h", Dedup.portableHash64(col(idCol).cast("string")))
       .orderBy(col("__h"), col(idCol)).limit(ksub)
-      .collect()
-    val cb: Seq[(Int, Seq[Double])] = sampled.zipWithIndex.map {
-      case (r, w) => (w, r.getSeq[Double](1))
-    }.toSeq
-    if (cb.isEmpty) // empty corpus: the correctly-typed empty result
-      return corpus.select(col(idCol)).limit(0)
-        .crossJoin(queries.select(col(qIdCol).as("query_id")).limit(0))
-        .select(col("query_id"), lit(0).as("rank"),
-          col(idCol).as("neighbor_id"), lit(0d).as("approx_dist"))
-    val dim = cb.head._2.length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subdim = dim / m
-    val cbLit = typedlit(cb) // array<struct<_1: int, _2: array<double>>>
+      .collect().zipWithIndex
+      .map { case (r, w) => (w, r.getSeq[Double](1)) }.toSeq
 
-    def sub(v: Column, s: Column): Column =
-      slice(v, s * subdim + 1, lit(subdim))
-    // argmin codeword for subspace s: max over (-d2, -w) structs
+  private def pqSub(subdim: Int)(v: Column, s: Column): Column =
+    slice(v, s * subdim + 1, lit(subdim))
+
+  /** Per-row PQ encoding: m byte-sized codeword indices (argmin over
+    * the broadcast codebook literal — zero shuffle). */
+  private def pqCodesCol(vecD: Column, cbLit: Column, m: Int,
+                         subdim: Int): Column = {
+    val sub = pqSub(subdim) _
     def codeFor(s: Column): Column = {
       val best = array_max(transform(cbLit, c =>
         struct((-l2sq(sub(vecD, s), sub(c.getField("_2"), s))).as("negd"),
           (-c.getField("_1")).as("negw"))))
       (-best.getField("negw")).cast("int")
     }
-    val codes = corpus.select(col(idCol),
-      transform(sequence(lit(0), lit(m - 1)), s => codeFor(s)).as("__codes"))
+    transform(sequence(lit(0), lit(m - 1)), s => codeFor(s))
+  }
 
-    val q = queries.select(col(qIdCol).as("query_id"), vecD.as("__qv"))
-    // ADC: dist = Σ_s l2sq(query_sub_s, codeword(codes[s])_sub_s),
-    // accumulated in subspace order (the oracle sums an s-ordered list)
-    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, s) =>
-      acc + l2sq(sub(col("__qv"), s),
-        sub(element_at(cbLit, element_at(col("__codes"), s + 1) + 1)
+  /** ADC distance: Σ_s l2sq(query_sub_s, codeword(codes[s])_sub_s),
+    * accumulated in subspace order (the oracle sums an s-ordered
+    * list). */
+  private def pqAdcDist(qv: Column, codes: Column, cbLit: Column, m: Int,
+                        subdim: Int): Column = {
+    val sub = pqSub(subdim) _
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, s) =>
+      acc + l2sq(sub(qv, s),
+        sub(element_at(cbLit, element_at(codes, s + 1) + 1)
           .getField("_2"), s)))
+  }
+
+  private def pqEmptyResult(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, qIdCol: String): DataFrame =
+    corpus.select(col(idCol)).limit(0)
+      .crossJoin(queries.select(col(qIdCol).as("query_id")).limit(0))
+      .select(col("query_id"), lit(0).as("rank"),
+        col(idCol).as("neighbor_id"), lit(0d).as("approx_dist"))
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, qIdCol: String, k: Int,
+             m: Int = 4, ksub: Int = 16): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val cb = pqCodebook(corpus, idCol, vecCol, ksub)
+    if (cb.isEmpty) // empty corpus: the correctly-typed empty result
+      return pqEmptyResult(corpus, queries, idCol, qIdCol)
+    val dim = cb.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subdim = dim / m
+    val cbLit = typedlit(cb) // array<struct<_1: int, _2: array<double>>>
+    val codes = corpus.select(col(idCol),
+      pqCodesCol(vecD, cbLit, m, subdim).as("__codes"))
+    val q = queries.select(col(qIdCol).as("query_id"), vecD.as("__qv"))
     val scored = codes.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("__d", dist)
+      .withColumn("__d",
+        pqAdcDist(col("__qv"), col("__codes"), cbLit, m, subdim))
       // a query vector whose length mismatches the codebook dim yields
       // null ADC distances (zip_with pads with nulls) — drop them, or
       // the ascending rank would promote garbage rows into the top-k
+      .filter(col("__d").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol).as("neighbor_id"), round(col("__d"), 6).as("approx_dist"))
+  }
+
+  /** IVF-PQ composed index (the FAISS IndexIVFPQ shape — the standard
+    * billion-vector layout): IVF coarse routing picks each query's
+    * `nprobe` nearest centroid lists, and distances inside a probed
+    * list are PQ asymmetric distances against byte codes. The index
+    * frame carries ONLY (id, cid, m codes) — bytes per row, never the
+    * raw vectors; both the centroid array and the PQ codebook ship as
+    * broadcast literals, so indexing is one zero-shuffle corpus scan
+    * and search touches ~nprobe/nCentroids of the CODES frame.
+    *
+    * Determinism: centroids = lowest-xxhash corpus rows refined by
+    * `iters` Lloyd steps (same recipe as ivfTopK); codebooks = the PQ
+    * hash sample. With nprobe = nCentroids the routing prunes nothing,
+    * so the output EQUALS pqTopK's — which is how the oracle checks
+    * the whole composition (q213); pruned-probe degradation is pinned
+    * by PipelineR8Spec's rank-wise distance bound instead.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, qIdCol: String, k: Int,
+                nCentroids: Int = 8, nprobe: Int = 8, iters: Int = 0,
+                m: Int = 4, ksub: Int = 16): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val cb = pqCodebook(corpus, idCol, vecCol, ksub)
+    if (cb.isEmpty)
+      return pqEmptyResult(corpus, queries, idCol, qIdCol)
+    val dim = cb.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subdim = dim / m
+    val cbLit = typedlit(cb)
+
+    // IVF coarse quantizer: deterministic seeds + optional Lloyd steps
+    var centroids: Seq[(Int, Seq[Double])] = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(nCentroids)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(
+        corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
+      val dims = centroids.head._2.length
+      val meanCols = (0 until dims).map(d =>
+        avg(element_at(col(vecCol), d + 1)).as(s"d$d"))
+      val means = assigned.groupBy(col("cid"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0),
+          (0 until dims).map(d => r.getDouble(d + 1)).toSeq)).toMap
+      centroids = centroids.map { case (cid, v) =>
+        (cid, means.getOrElse(cid, v)) }
+    }
+
+    // ONE corpus scan builds the whole index: routing cid + PQ codes
+    val index = assignToCentroids(
+      corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .select(col(idCol), col("cid"),
+        pqCodesCol(vecD, cbLit, m, subdim).as("__codes"))
+
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), vecD.as("__qv"))
+      .withColumn("__scored", sort_array(transform(
+        centroidArray(centroids), c =>
+          struct((-(dot(col("__qv"), cVec(c)) / cNorm(c))).as("negsim"),
+            cCid(c).as("cid")))))
+      .select(col("query_id"), col("__qv"),
+        explode(slice(transform(col("__scored"), s => s.getField("cid")),
+          1, nprobe)).as("cid"))
+
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__d",
+        pqAdcDist(col("__qv"), col("__codes"), cbLit, m, subdim))
       .filter(col("__d").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__d").asc, col(idCol).asc)

@@ -103,6 +103,34 @@ class PipelineR8Spec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
+  test("ivfPqTopK: full probe equals pqTopK exactly; pruned probe only " +
+    "degrades distances rank-wise") {
+    import graft.operators.Similarity
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.cos(i * 13 + j * 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 2)
+    val full = Similarity.ivfPqTopK(vecs, qs, "vec_id", "embedding",
+      "vec_id", k = 5, nCentroids = 4, nprobe = 4, iters = 1, m = 4, ksub = 8)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val pq = Similarity.pqTopK(vecs, qs, "vec_id", "embedding", "vec_id",
+      k = 5, m = 4, ksub = 8)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // nprobe = nCentroids ⇒ routing prunes nothing ⇒ identical output
+    assert(full === pq)
+    // nprobe = 1: a SUBSET of candidates per query, so at every rank
+    // the ADC distance can only be equal or worse — never better
+    val pruned = Similarity.ivfPqTopK(vecs, qs, "vec_id", "embedding",
+      "vec_id", k = 5, nCentroids = 4, nprobe = 1, iters = 1, m = 4, ksub = 8)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(pruned.nonEmpty)
+    val fullByRank = full.map(r => (r._1, r._2) -> r._4).toMap
+    pruned.foreach { case (q, rank, _, d) =>
+      assert(d >= fullByRank((q, rank)) - 1e-9,
+        s"pruned probe beat the full probe at ($q, $rank)")
+    }
+  }
+
   test("covMoments integer-unit accumulation is partition-order invariant " +
     "bit for bit") {
     val vecs = (0 until 200).map { i =>
