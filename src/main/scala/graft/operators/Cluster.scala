@@ -65,6 +65,20 @@ object Cluster {
                           maxIter: Int = 30): DataFrame =
     connectedComponentsWithRounds(pairs, idA, idB, maxIter)._1
 
+  // Call-level memo: the star loop is an EAGER driver loop (one action
+  // per round), so lazy-plan caching cannot share it — q119/q122/q176/
+  // q186 all cluster the SAME pair set and would each pay the full
+  // O(log² n) rounds. Keyed by the canonicalized input plan (the same
+  // discipline as Dedup's registry); the memoized result is pinned via
+  // localCheckpoint and the loop's intermediate blocks are freed, so a
+  // hit costs one cached-frame scan. LRU-capped; entries from stopped
+  // sessions are dropped; evicted results free their blocks.
+  private val ccMemo = new java.util.LinkedHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    (DataFrame, Int)](16, 0.75f, true)
+  private val maxMemo = 4
+
   /** Same as connectedComponents, additionally returning the number of
     * star rounds executed before the edge set reached its fixpoint —
     * the empirical handle for the O(log² n) convergence contract (the
@@ -72,7 +86,30 @@ object Cluster {
     * this and asserts the bound held).
     */
   def connectedComponentsWithRounds(pairs: DataFrame, idA: String, idB: String,
-                                    maxIter: Int = 30): (DataFrame, Int) = {
+                                    maxIter: Int = 30): (DataFrame, Int) =
+    ccMemo.synchronized {
+      val key = (pairs.sparkSession,
+        pairs.queryExecution.analyzed.canonicalized, maxIter)
+      ccMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(ccMemo.get(key)).getOrElse {
+        val (out, rounds) = computeCC(pairs, idA, idB, maxIter)
+        // pin the RESULT (vertex-count rows), then free the loop's
+        // final frames — consumers only ever need the pinned output
+        val pinned = out.localCheckpoint(true)
+        freeLocalCheckpoint(out)
+        val entry = (pinned, rounds)
+        ccMemo.put(key, entry)
+        while (ccMemo.size > maxMemo) {
+          val eldest = ccMemo.keySet.iterator.next()
+          try freeLocalCheckpoint(ccMemo.remove(eldest)._1)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        entry
+      }
+    }
+
+  private def computeCC(pairs: DataFrame, idA: String, idB: String,
+                        maxIter: Int): (DataFrame, Int) = {
     // every vertex seen in any pair (self-pairs keep a vertex alive
     // even though they contribute no edge)
     val vertices = pairs.select(col(idA).as("id"))
