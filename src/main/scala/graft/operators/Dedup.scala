@@ -903,6 +903,50 @@ object Dedup {
     cachedPersist(verifyJaccard(cand, sets, threshold))
   }
 
+  /** Benchmark-decontamination gate (cross-corpus containment): which
+    * corpus docs CONTAIN an eval/benchmark doc — C(eval→doc) =
+    * |S_eval ∩ S_doc| / |S_eval| ≥ τ (Broder containment, the standard
+    * "is the test set inside the training data" check run before every
+    * model release). Asymmetric by design: a benchmark item quoted
+    * inside a long web page has tiny Jaccard but containment ≈ 1.
+    *
+    * Candidates: the eval side's prefix (first sz − ⌈τ·sz⌉ + 1
+    * shingles, pigeonhole — if none of them is in S_doc the overlap is
+    * < ⌈τ·sz⌉) joined against the FULL exploded corpus. Unlike the
+    * symmetric cross-corpus case, NO shared order is needed: the
+    * pigeonhole argument works for any fixed order of the EVAL set
+    * alone, because the corpus side contributes only membership. The
+    * eval set is tiny relative to the corpus (that's the use case), so
+    * the prefix stream is benchmark-sized and the equi-join output
+    * stays bounded even with the corpus fully exploded — the corpus
+    * explode is one scan, the same cost profile as building any
+    * inverted index over it. Output (id_eval, id_doc, containment).
+    */
+  def crossContainment(evalDocs: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 3,
+                       threshold: Double = 0.8): DataFrame = {
+    val setsE = shingleSets(evalDocs, idCol, textCol, shingleN)
+    val setsC = shingleSets(corpus, idCol, textCol, shingleN)
+    val pref = setsE.withColumn("plen",
+      (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+      .select(col("id").as("id_eval"),
+        explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+    val corpusEx = setsC.select(col("id").as("id_doc"),
+      explode(col("shs")).as("sh"))
+    pref.join(corpusEx, Seq("sh"))
+      .select(col("id_eval"), col("id_doc")).distinct()
+      .join(setsE.select(col("id").as("id_eval"), col("shs").as("shs_e"),
+        col("sz").as("sz_e")), Seq("id_eval"))
+      .join(setsC.select(col("id").as("id_doc"), col("shs").as("shs_c")),
+        Seq("id_doc"))
+      .withColumn("co", size(array_intersect(col("shs_e"), col("shs_c"))))
+      .withColumn("__c", col("co").cast("double") / col("sz_e"))
+      .filter(col("__c") >= threshold)
+      .select(col("id_eval"), col("id_doc"),
+        round(col("__c"), 6).as("containment"))
+  }
+
   /** Persist a verified pair set as a BUCKETED sorted parquet table —
     * the real pipeline shape at 100 TB: dedup ONCE per (corpus, τ),
     * consume MANY times (split assignment, cluster survivors, removal

@@ -103,6 +103,35 @@ class PipelineR8Spec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
+  test("crossContainment equals brute-force cross-corpus containment") {
+    val evalDocs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // quoted whole in 1
+      (20L, "one two three four five six seven"), // partially in 2
+      (30L, "never seen anywhere in the corpus at all")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words alpha beta gamma delta epsilon zeta outro more"),
+      (2L, "one two three four nine ten eleven twelve"),
+      (3L, "completely unrelated content right here")
+    ).toDF("doc_id", "text")
+    val tau = 0.8
+    val got = Dedup.crossContainment(evalDocs, corpus, "doc_id", "text",
+      shingleN = 3, threshold = tau)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val eS = evalDocs.as[(Long, String)].collect().map { case (i, t) =>
+      i -> shingles(t) }
+    val cS = corpus.as[(Long, String)].collect().map { case (i, t) =>
+      i -> shingles(t) }
+    val want = (for {
+      (ie, se) <- eS; (ic, sc) <- cS
+      c = (se & sc).size.toDouble / se.size if c >= tau
+    } yield (ie, ic) -> (math.round(c * 1e6) / 1e6)).toMap
+    assert(want.nonEmpty && want.keySet.contains((10L, 1L)))
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, c) => assert(math.abs(got(k) - c) < 1e-9, k) }
+  }
+
   test("ivfPqTopK: full probe equals pqTopK exactly; pruned probe only " +
     "degrades distances rank-wise") {
     import graft.operators.Similarity
