@@ -606,9 +606,19 @@ object Similarity {
     slice(v, s * subdim + 1, lit(subdim))
 
   /** Per-row PQ encoding: m byte-sized codeword indices (argmin over
-    * the broadcast codebook literal — zero shuffle). */
+    * the broadcast codebook literal — zero shuffle). Native codegen'd
+    * `rip_pq_codes` (plans.RipPqCodes): the HOF twin below interprets
+    * m × ksub l2sq lambda chains per ROW — the encode bottleneck at
+    * corpus scale; the native form is m·ksub·subdim primitive flops,
+    * bit-identical (PipelineR8Spec asserts equality). */
   private def pqCodesCol(vecD: Column, cbLit: Column, m: Int,
-                         subdim: Int): Column = {
+                         subdim: Int): Column =
+    call_function("rip_pq_codes", vecD, cbLit, lit(m))
+
+  /** The interpreted higher-order-function encode rip_pq_codes
+    * replaces — kept as the cross-check twin. */
+  private[graft] def pqCodesColHof(vecD: Column, cbLit: Column, m: Int,
+                                   subdim: Int): Column = {
     val sub = pqSub(subdim) _
     def codeFor(s: Column): Column = {
       val best = array_max(transform(cbLit, c =>
@@ -621,9 +631,16 @@ object Similarity {
 
   /** ADC distance: Σ_s l2sq(query_sub_s, codeword(codes[s])_sub_s),
     * accumulated in subspace order (the oracle sums an s-ordered
-    * list). */
+    * list). Native codegen'd `rip_pq_adc` — ADC runs once per
+    * CANDIDATE row, the search-side hot loop; bit-identical to the
+    * HOF twin (PipelineR8Spec). */
   private def pqAdcDist(qv: Column, codes: Column, cbLit: Column, m: Int,
-                        subdim: Int): Column = {
+                        subdim: Int): Column =
+    call_function("rip_pq_adc", qv, codes, cbLit, lit(m))
+
+  /** The interpreted ADC fold rip_pq_adc replaces — cross-check twin. */
+  private[graft] def pqAdcDistHof(qv: Column, codes: Column, cbLit: Column,
+                                  m: Int, subdim: Int): Column = {
     val sub = pqSub(subdim) _
     aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, s) =>
       acc + l2sq(sub(qv, s),

@@ -105,6 +105,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RipCrc32C(Cast(children.head, org.apache.spark.sql.types.BinaryType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("rip_pq_codes"),
+      new ExpressionInfo(classOf[RipPqCodes].getName, "rip_pq_codes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "rip_pq_codes(vec, codebook, m) takes exactly 3 arguments")
+        RipPqCodes(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rip_pq_adc"),
+      new ExpressionInfo(classOf[RipPqAdc].getName, "rip_pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "rip_pq_adc(query, codes, codebook, m) takes exactly 4 arguments")
+        RipPqAdc(children(0), children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rip_product"),
       new ExpressionInfo(classOf[RipProduct].getName, "rip_product"),
       (children: Seq[Expression]) => {

@@ -160,6 +160,39 @@ class PipelineR8Spec extends SparkSpec {
     }
   }
 
+  test("rip_pq_codes / rip_pq_adc equal their interpreted HOF twins " +
+    "bit for bit") {
+    import graft.operators.Similarity
+    val m = 4; val dim = 16; val subdim = dim / m
+    val cb = (0 until 8).map(w =>
+      (w, Seq.tabulate(dim)(j => math.sin(w * 17 + j))))
+    val cbLit = typedlit(cb)
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.cos(i * 3 + j).toFloat))
+    }.toDF("id", "v")
+    val vecD = col("v").cast("array<double>")
+    val codesBoth = vecs.select(
+      call_function("rip_pq_codes", vecD, cbLit, lit(m)).as("native"),
+      Similarity.pqCodesColHof(vecD, cbLit, m, subdim).as("hof"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    codesBoth.foreach { case (n, h) => assert(n === h) }
+    val q = vecs.filter(col("id") === 0).select(vecD.as("qv"))
+    val adcBoth = vecs
+      .select(col("id"),
+        call_function("rip_pq_codes", vecD, cbLit, lit(m)).as("codes"))
+      .crossJoin(broadcast(q))
+      .select(
+        call_function("rip_pq_adc", col("qv"), col("codes"), cbLit, lit(m))
+          .as("native"),
+        Similarity.pqAdcDistHof(col("qv"), col("codes"), cbLit, m, subdim)
+          .as("hof"))
+      .as[(Double, Double)].collect()
+    assert(adcBoth.nonEmpty)
+    // EXACT double equality — same IEEE op order by construction
+    adcBoth.foreach { case (n, h) =>
+      assert(java.lang.Double.compare(n, h) === 0, s"$n != $h") }
+  }
+
   test("covMoments integer-unit accumulation is partition-order invariant " +
     "bit for bit") {
     val vecs = (0 until 200).map { i =>
