@@ -2814,6 +2814,14 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // groups/iter_groups materialization (rt_groupbyops.py:108) with
+    // the engine's scale contract: capped ids per group + true size +
+    // truncation flag (windowed rank, never an unbounded group buffer).
+    "q221_groups" -> ((s, dir) =>
+      GroupOps.groupRows(t(s, dir, "documents"), Seq("source"), "doc_id",
+          cap = 50)
+        .orderBy(col("source"))),
+
     // Benchmark decontamination: which corpus docs CONTAIN an eval doc
     // (containment ≥ 0.8 of the eval doc's shingles) — eval set = the
     // doc_id % 10 == 0 slice, corpus = the rest.
@@ -5774,6 +5782,16 @@ object SparkEntry {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // capped per-group id materialization mirror: the 50 smallest ids,
+    // exact size, truncation flag
+    "q221_groups" ->
+      """WITH r AS (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS rn FROM documents)
+        |SELECT source,
+        |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 50) AS ids,
+        |  count(*) AS n_rows, count(*) > 50 AS truncated
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // cross-corpus containment ground truth: |S_eval ∩ S_doc| / |S_eval|
     // over exact shingle sets, eval slice vs the rest

@@ -184,6 +184,33 @@ object GroupOps {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** groups / iter_groups (`rt_groupbyops.py:108,153,214`): materialize
+    * each group's member row-ids. Riptable returns the FULL fancy-index
+    * per group — fine in one address space, the canonical scale
+    * anti-pattern on a cluster (a hot group materializes into one
+    * task's heap). The engine surface is therefore CAPPED: the `cap`
+    * smallest ids per group (windowed rank — a streaming frame, never
+    * an unbounded per-group buffer), beside the TRUE group size and a
+    * truncation flag, so a consumer can page (re-call with a floor),
+    * or escalate to `applyGroups`, which streams the group instead of
+    * holding it. Output: (keys..., ids array, n_rows, truncated).
+    */
+  def groupRows(df: DataFrame, keys: Seq[String], idCol: String,
+                cap: Int = 1000): DataFrame = {
+    require(cap > 0, "groupRows: cap must be positive")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.select((keys.map(col) :+ col(idCol)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        // collect_list skips nulls → only the first `cap` ids survive;
+        // sort_array pins the order independent of arrival
+        sort_array(collect_list(when(col("__rn") <= cap, col(idCol))))
+          .as("ids"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("truncated", col("n_rows") > cap)
+  }
+
   /** cumcount (rt_groupbyops.py:3129). */
   def cumcount(df: DataFrame, keys: Seq[String], order: Seq[Column],
                out: String = "cumcount"): DataFrame = {
