@@ -2817,9 +2817,16 @@ object SparkEntry {
     // groups/iter_groups materialization (rt_groupbyops.py:108) with
     // the engine's scale contract: capped ids per group + true size +
     // truncation flag (windowed rank, never an unbounded group buffer).
+    // The id list is EXACT-content-checked via md5 of its joined form
+    // (first array-typed query surface — scalar columns keep the
+    // driver's hash compare engine-neutral).
     "q221_groups" -> ((s, dir) =>
       GroupOps.groupRows(t(s, dir, "documents"), Seq("source"), "doc_id",
           cap = 50)
+        .select(col("source"),
+          md5(concat_ws(",", col("ids").cast("array<string>")))
+            .as("ids_md5"),
+          size(col("ids")).as("n_ids"), col("n_rows"), col("truncated"))
         .orderBy(col("source"))),
 
     // Benchmark decontamination: which corpus docs CONTAIN an eval doc
@@ -5783,15 +5790,18 @@ object SparkEntry {
         |      AND o.o_orderdate >= '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // capped per-group id materialization mirror: the 50 smallest ids,
-    // exact size, truncation flag
+    // capped per-group id materialization mirror: the 50 smallest ids
+    // (content-checked via md5 of the joined list), exact size,
+    // truncation flag
     "q221_groups" ->
       """WITH r AS (SELECT source, doc_id, row_number() OVER (
-        |    PARTITION BY source ORDER BY doc_id) AS rn FROM documents)
-        |SELECT source,
-        |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 50) AS ids,
-        |  count(*) AS n_rows, count(*) > 50 AS truncated
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+        |    PARTITION BY source ORDER BY doc_id) AS rn FROM documents),
+        |g AS (SELECT source,
+        |    list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 50) AS ids,
+        |    count(*) AS n_rows FROM r GROUP BY 1)
+        |SELECT source, md5(array_to_string(ids, ',')) AS ids_md5,
+        |  CAST(len(ids) AS INT) AS n_ids, n_rows, n_rows > 50 AS truncated
+        |FROM g ORDER BY source""".stripMargin,
 
     // cross-corpus containment ground truth: |S_eval ∩ S_doc| / |S_eval|
     // over exact shingle sets, eval slice vs the rest
