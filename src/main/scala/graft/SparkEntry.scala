@@ -2672,126 +2672,6 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // TPC-H Q7 shape (volume shipping between two nations): both
-    // nation-tagged dimension maps broadcast; the ONLY keyed shuffle is
-    // lineitem⋈orders, and both sides are semi-shrunk (~2/25 of rows)
-    // by their broadcast nation filters BEFORE that join
-    "q214_tpch_q7" -> ((s, dir) => {
-      val (na, nb) = ("NATION_1", "NATION_2")
-      val suppN = t(s, dir, "supplier")
-        .join(broadcast(t(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-        .filter(col("supp_nation").isin(na, nb))
-      val custN = t(s, dir, "customer")
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("cust_nation"))
-        .filter(col("cust_nation").isin(na, nb))
-      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= "1996-01-01"
-          && col("l_shipdate") < "1998-01-01")
-        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .filter((col("supp_nation") === na && col("cust_nation") === nb)
-          || (col("supp_nation") === nb && col("cust_nation") === na))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          2).as("revenue"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-    }),
-
-    // TPC-H Q8 shape (market share of one supplier nation in a region's
-    // promo-part volume): every dimension broadcasts; lineitem is
-    // semi-shrunk by promo parts before the one keyed orders join;
-    // share = conditional sum / sum in ONE aggregate
-    "q215_tpch_q8" -> ((s, dir) => {
-      val asiaN = t(s, dir, "nation")
-        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey"))
-      val custAsia = t(s, dir, "customer")
-        .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"),
-          "left_semi")
-        .select(col("c_custkey"))
-      val ordAsia = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= "1996-01-01"
-          && col("o_orderdate") < "1998-01-01")
-        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"),
-          "left_semi")
-        .select(col("o_orderkey"),
-          year(col("o_orderdate")).cast("long").as("o_year"))
-      val suppN = t(s, dir, "supplier")
-        .join(broadcast(t(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-      t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
-          .select(col("p_partkey"))),
-          col("l_partkey") === col("p_partkey"), "left_semi")
-        .join(ordAsia, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
-        .withColumn("volume",
-          col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .groupBy(col("o_year"))
-        .agg(round(sum(when(col("supp_nation") === "NATION_5",
-          col("volume")).otherwise(0d)) / sum(col("volume")), 6)
-          .as("mkt_share"))
-        .orderBy(col("o_year"))
-    }),
-
-    // TPC-H Q13 shape (customer order-count distribution incl. zero):
-    // the left join and the per-customer count share ONE shuffle key
-    // (custkey), then the distribution is a dictionary-sized aggregate
-    "q216_tpch_q13" -> ((s, dir) =>
-      t(s, dir, "customer").select(col("c_custkey"))
-        .join(t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy(col("c_count"))
-        .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)),
-
-    // TPC-H Q14 shape (promo revenue share in one month): month filter
-    // pushed to the scan, part dim broadcast, one conditional aggregate
-    "q217_tpch_q14" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= "1996-03-01"
-          && col("l_shipdate") < "1996-04-01")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_type"))),
-          col("l_partkey") === col("p_partkey"))
-        .agg(round(sum(when(col("p_type") === "PROMO",
-          col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .otherwise(0d)) * 100.0
-          / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-          .as("promo_revenue"))),
-
-    // TPC-H Q15 shape (top supplier by quarterly revenue, ties kept):
-    // per-supplier revenue is one keyed aggregate; the max is a
-    // broadcast one-row frame; equality compares CENT-ROUNDED revenues
-    // so both engines rank identical values
-    "q218_tpch_q15" -> ((s, dir) => {
-      val rev = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= "1996-01-01"
-          && col("l_shipdate") < "1996-04-01")
-        .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          2).as("total_revenue"))
-      val mx = rev.agg(max(col("total_revenue")).as("__mx"))
-      rev.crossJoin(broadcast(mx))
-        .filter(col("total_revenue") === col("__mx"))
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_name"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-        .orderBy(col("s_suppkey"))
-    }),
-
     // TPC-H Q22 shape (rich but INACTIVE customers, by nation): global
     // avg broadcasts as a one-row frame; the anti-join keys on custkey
     // against the date-filtered orders (never a NOT IN scan); output
@@ -5718,66 +5598,6 @@ object SparkEntry {
          |WHERE ${hash60Sql("'42:' || CAST(doc_id AS VARCHAR)")}
          |  % 1073741824 < 268435456
          |ORDER BY doc_id""".stripMargin,
-
-    "q214_tpch_q7" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  year(l_shipdate) AS l_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem l
-        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
-        |JOIN orders o ON o.o_orderkey = l.l_orderkey
-        |JOIN customer c ON c.c_custkey = o.o_custkey
-        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-        |WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-
-    "q215_tpch_q8" ->
-      """SELECT year(o.o_orderdate) AS o_year,
-        |  round(sum(CASE WHEN n1.n_name = 'NATION_5'
-        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
-        |FROM lineitem l
-        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
-        |JOIN orders o ON o.o_orderkey = l.l_orderkey
-        |JOIN customer c ON c.c_custkey = o.o_custkey
-        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-        |JOIN region r ON r.r_regionkey = n2.n_regionkey
-        |  AND r.r_name = 'ASIA'
-        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
-        |WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q216_tpch_q13" ->
-      """SELECT c_count, count(*) AS custdist FROM (
-        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-        |  GROUP BY 1) t
-        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
-
-    "q217_tpch_q14" ->
-      """SELECT round(sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
-        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE l_shipdate >= '1996-03-01'
-        |  AND l_shipdate < '1996-04-01'""".stripMargin,
-
-    "q218_tpch_q15" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2)
-        |      AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
-        |  GROUP BY 1)
-        |SELECT s.s_suppkey, s.s_name, rev.total_revenue
-        |FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
-        |WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
-        |ORDER BY s.s_suppkey""".stripMargin,
 
     "q219_tpch_q22" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
