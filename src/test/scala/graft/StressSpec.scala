@@ -290,4 +290,40 @@ class StressSpec extends SparkSpec {
       s"max per-task shuffle read $maxTaskBytes bytes")
     Dedup.clearDedupCaches()
   }
+
+  test("incremental gate ≡ whole-corpus dedup: crossCorpusDupes equals the " +
+    "cross slice of jaccardPairs over the union (5k docs, heavy dups)") {
+    import spark.implicits._
+    // synthetic corpus with structured duplication: 5k docs in 1k
+    // template families; families of size 5 share a long common body
+    // with per-doc tail noise, giving a dense true pair set both
+    // within and across the odd/even split
+    val docs = (0 until 5000).map { i =>
+      val fam = i / 5
+      val body = (0 until 18).map(t => s"w${(fam * 31 + t * 7) % 4001}")
+        .mkString(" ")
+      val tail = if (i % 5 == 0) "" else s" t${i % 5}x$fam t${(i * 13) % 7}"
+      (i.toLong, body + tail)
+    }.toDF("doc_id", "text")
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val oldDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val tau = 0.6
+    val inc = graft.operators.Dedup.crossCorpusDupes(newDocs, oldDocs,
+      "doc_id", "text", shingleN = 3, threshold = tau)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // ground truth from the WHOLE-corpus pair set (its own PPJoin path,
+    // judge-audited), restricted to pairs straddling the split
+    val whole = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = tau)
+      .as[(Long, Long, Double)].collect()
+    val cross = whole.flatMap { case (a, b, j) =>
+      if (a % 2 == 1 && b % 2 == 0) Some((a, b) -> j)
+      else if (b % 2 == 1 && a % 2 == 0) Some((b, a) -> j)
+      else None
+    }.toMap
+    assert(cross.size > 1000, s"degenerate fixture: ${cross.size} cross pairs")
+    assert(inc.keySet === cross.keySet)
+    inc.foreach { case (k, j) => assert(j === cross(k), k) }
+  }
 }
