@@ -68,14 +68,22 @@ object Cluster {
   // Call-level memo: the star loop is an EAGER driver loop (one action
   // per round), so lazy-plan caching cannot share it — q119/q122/q176/
   // q186 all cluster the SAME pair set and would each pay the full
-  // O(log² n) rounds. Keyed by the canonicalized input plan (the same
-  // discipline as Dedup's registry); the memoized result is pinned via
+  // O(log² n) rounds. Keyed by (session, canonicalized input plan,
+  // idA, idB, maxIter) — the id columns are part of the GRAPH, not
+  // just the frame, so two clusterings of one frame on different edge
+  // columns must not collide. The memoized result is pinned via
   // localCheckpoint and the loop's intermediate blocks are freed, so a
   // hit costs one cached-frame scan. LRU-capped; entries from stopped
-  // sessions are dropped; evicted results free their blocks.
+  // sessions are dropped. Evicted results are REMOVED but their
+  // blocks are NOT force-freed: a localCheckpoint truncates lineage,
+  // so unpersisting blocks an earlier caller still references would
+  // make that caller's lazy frame unrecomputable (hard job failure);
+  // the ContextCleaner reclaims the blocks once the last reference is
+  // GC'd, which is the correct lifetime.
   private val ccMemo = new java.util.LinkedHashMap[
     (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, String, Int),
     (DataFrame, Int)](16, 0.75f, true)
   private val maxMemo = 4
 
@@ -84,29 +92,35 @@ object Cluster {
     * the empirical handle for the O(log² n) convergence contract (the
     * scale-stress spec drives a ≥500k-vertex giant component through
     * this and asserts the bound held).
+    *
+    * Concurrency: the memo lock covers only lookup/insert, never the
+    * multi-round compute — concurrent callers with DIFFERENT pair sets
+    * cluster in parallel; two racing callers with the SAME key may
+    * both compute (harmless — last insert wins, both results correct).
     */
   def connectedComponentsWithRounds(pairs: DataFrame, idA: String, idB: String,
-                                    maxIter: Int = 30): (DataFrame, Int) =
-    ccMemo.synchronized {
-      val key = (pairs.sparkSession,
-        pairs.queryExecution.analyzed.canonicalized, maxIter)
+                                    maxIter: Int = 30): (DataFrame, Int) = {
+    val key = (pairs.sparkSession,
+      pairs.queryExecution.analyzed.canonicalized, idA, idB, maxIter)
+    val hit = ccMemo.synchronized {
       ccMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
-      Option(ccMemo.get(key)).getOrElse {
-        val (out, rounds) = computeCC(pairs, idA, idB, maxIter)
-        // pin the RESULT (vertex-count rows), then free the loop's
-        // final frames — consumers only ever need the pinned output
-        val pinned = out.localCheckpoint(true)
-        freeLocalCheckpoint(out)
-        val entry = (pinned, rounds)
-        ccMemo.put(key, entry)
-        while (ccMemo.size > maxMemo) {
-          val eldest = ccMemo.keySet.iterator.next()
-          try freeLocalCheckpoint(ccMemo.remove(eldest)._1)
-          catch { case scala.util.control.NonFatal(_) => () }
-        }
-        entry
-      }
+      Option(ccMemo.get(key))
     }
+    hit.getOrElse {
+      val (out, rounds) = computeCC(pairs, idA, idB, maxIter)
+      // pin the RESULT (vertex-count rows), then free the loop's
+      // final frames — consumers only ever need the pinned output
+      val pinned = out.localCheckpoint(true)
+      freeLocalCheckpoint(out)
+      val entry = (pinned, rounds)
+      ccMemo.synchronized {
+        ccMemo.put(key, entry)
+        while (ccMemo.size > maxMemo)
+          ccMemo.remove(ccMemo.keySet.iterator.next())
+      }
+      entry
+    }
+  }
 
   private def computeCC(pairs: DataFrame, idA: String, idB: String,
                         maxIter: Int): (DataFrame, Int) = {

@@ -966,10 +966,15 @@ object Dedup {
     // from a previous JVM (same warehouse dir) fails table creation
     // ("location already exists") — drop both catalog entry and stale
     // location before the write, so writePairs is re-runnable from any
-    // process state
+    // process state. The location derives from the CURRENT database's
+    // locationUri (not the warehouse root): in a non-default database
+    // the managed path is <db location>/<table>, and cleaning the
+    // wrong directory would leave exactly the failure this guards.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val dbLoc = spark.catalog.getDatabase(spark.catalog.currentDatabase)
+      .locationUri
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dbLoc), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     pairs.write.mode(SaveMode.Overwrite)

@@ -361,6 +361,66 @@ object Similarity {
   private def cVec(c: Column): Column = c.getField("_2")
   private def cNorm(c: Column): Column = c.getField("_3")
 
+  /** Numeric-agnostic embedding read from a collected Row — corpora
+    * legitimately arrive as array<float> (testdata) or array<double>
+    * (any upstream cast); a typed getSeq[Float] would ClassCastException
+    * on the latter at driver collect time. */
+  private def rowVecToDouble(r: org.apache.spark.sql.Row, i: Int): Seq[Double] =
+    r.getSeq[Any](i).map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case n: java.lang.Number => n.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"embedding element of unsupported type: $other")
+    }
+
+  /** Deterministic IVF coarse quantizer shared by ivfTopK and
+    * ivfPqTopK: seeds = the nCentroids lowest-xxhash corpus rows,
+    * refined by `iters` Lloyd steps (each = one zero-shuffle assign
+    * scan + one k-row mean aggregate). */
+  private def seedAndRefineCentroids(corpus: DataFrame, idCol: String,
+                                     vecCol: String, nCentroids: Int,
+                                     iters: Int): Seq[(Int, Seq[Double])] = {
+    var centroids: Seq[(Int, Seq[Double])] = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(nCentroids)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, rowVecToDouble(r, 1)) }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(
+        corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
+      val dims = centroids.head._2.length
+      val meanCols = (0 until dims).map(d =>
+        avg(element_at(col(vecCol), d + 1)).as(s"d$d"))
+      val means = assigned.groupBy(col("cid"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0),
+          (0 until dims).map(d => r.getDouble(d + 1)).toSeq)).toMap
+      // a centroid that attracted no rows keeps its previous position
+      centroids = centroids.map { case (cid, v) =>
+        (cid, means.getOrElse(cid, v)) }
+    }
+    centroids
+  }
+
+  /** Per-query probe routing shared by ivfTopK and ivfPqTopK: rank the
+    * (tiny) centroid array in-row, explode the nprobe best cids. */
+  private def probeCentroids(queries: DataFrame, qIdCol: String,
+                             qVec: Column,
+                             centroids: Seq[(Int, Seq[Double])],
+                             nprobe: Int): DataFrame =
+    queries
+      .select(col(qIdCol).as("query_id"), qVec.as("__qv"))
+      .withColumn("__scored", sort_array(transform(
+        centroidArray(centroids), c =>
+          struct((-(dot(col("__qv"), cVec(c)) / cNorm(c))).as("negsim"),
+            cCid(c).as("cid")))))
+      .select(col("query_id"), col("__qv"),
+        explode(slice(transform(col("__scored"), s => s.getField("cid")),
+          1, nprobe)).as("cid"))
+
   /** ZERO-SHUFFLE centroid assignment: argmax via `array_max` over
     * (sim, -cid) structs — highest sim, ties to the lowest cid — all
     * inside the row. No crossJoin explosion, no window exchange; a
@@ -393,44 +453,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qIdCol: String, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-
-    // deterministic seeds: lowest hash per corpus id
-    var centroids: Seq[(Int, Seq[Double])] = corpus
-      .select(col(idCol), col(vecCol))
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy(col("__h")).limit(nCentroids)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }.toSeq
-
-    def centArr: Column = centroidArray(centroids)
-    def assign(df: DataFrame): DataFrame = assignToCentroids(df, vecCol, centroids)
-
-    // Lloyd iterations: zero-shuffle assign → k-row centroid means
-    for (_ <- 0 until iters) {
-      val assigned = assign(corpus.select(col(idCol), col(vecCol)))
-      val dims = centroids.head._2.length
-      val meanCols = (0 until dims).map(d =>
-        avg(element_at(col(vecCol), d + 1)).as(s"d$d"))
-      val means = assigned.groupBy(col("cid"))
-        .agg(meanCols.head, meanCols.tail: _*)
-        .collect()
-        .map(r => (r.getInt(0), (0 until dims).map(d => r.getDouble(d + 1)).toSeq))
-      val updated = means.toMap
-      centroids = centroids.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
-    }
-
+    val centroids =
+      seedAndRefineCentroids(corpus, idCol, vecCol, nCentroids, iters)
     // inverted lists (zero-shuffle assign); probe top-nprobe centroids
-    // per query via in-row sort of the (tiny) centroid scores
-    val lists = assign(corpus.select(col(idCol), col(vecCol)))
-    // probe ranking: query norm is constant per row → rank on dot/cnorm
-    val probes = queries
-      .select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__scored", sort_array(transform(centArr, c =>
-        struct((-(dot(col("__qv"), cVec(c)) / cNorm(c))).as("negsim"),
-          cCid(c).as("cid")))))
-      .select(col("query_id"), col("__qv"),
-        explode(slice(transform(col("__scored"), s => s.getField("cid")),
-          1, nprobe)).as("cid"))
+    // per query via in-row sort of the (tiny) centroid scores — the
+    // probe ranking uses dot/cnorm (query norm is a constant factor)
+    val lists = assignToCentroids(
+      corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
+    val probes = probeCentroids(queries, qIdCol, col(vecCol), centroids, nprobe)
 
     val scored = lists.join(probes, Seq("cid"))
       .filter(col(idCol) =!= col("query_id"))
@@ -713,28 +743,8 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subdim = dim / m
     val cbLit = typedlit(cb)
-
-    // IVF coarse quantizer: deterministic seeds + optional Lloyd steps
-    var centroids: Seq[(Int, Seq[Double])] = corpus
-      .select(col(idCol), col(vecCol))
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy(col("__h")).limit(nCentroids)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }.toSeq
-    for (_ <- 0 until iters) {
-      val assigned = assignToCentroids(
-        corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
-      val dims = centroids.head._2.length
-      val meanCols = (0 until dims).map(d =>
-        avg(element_at(col(vecCol), d + 1)).as(s"d$d"))
-      val means = assigned.groupBy(col("cid"))
-        .agg(meanCols.head, meanCols.tail: _*)
-        .collect()
-        .map(r => (r.getInt(0),
-          (0 until dims).map(d => r.getDouble(d + 1)).toSeq)).toMap
-      centroids = centroids.map { case (cid, v) =>
-        (cid, means.getOrElse(cid, v)) }
-    }
+    val centroids =
+      seedAndRefineCentroids(corpus, idCol, vecCol, nCentroids, iters)
 
     // ONE corpus scan builds the whole index: routing cid + PQ codes
     val index = assignToCentroids(
@@ -742,15 +752,7 @@ object Similarity {
       .select(col(idCol), col("cid"),
         pqCodesCol(vecD, cbLit, m, subdim).as("__codes"))
 
-    val probes = queries
-      .select(col(qIdCol).as("query_id"), vecD.as("__qv"))
-      .withColumn("__scored", sort_array(transform(
-        centroidArray(centroids), c =>
-          struct((-(dot(col("__qv"), cVec(c)) / cNorm(c))).as("negsim"),
-            cCid(c).as("cid")))))
-      .select(col("query_id"), col("__qv"),
-        explode(slice(transform(col("__scored"), s => s.getField("cid")),
-          1, nprobe)).as("cid"))
+    val probes = probeCentroids(queries, qIdCol, vecD, centroids, nprobe)
 
     val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col(idCol) =!= col("query_id"))

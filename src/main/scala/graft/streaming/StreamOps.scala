@@ -541,7 +541,14 @@ object StreamOps {
                                  rows: Iterator[BandedDoc],
                                  timerValues: TimerValues): Iterator[CrossDupOut] = {
       val out = scala.collection.mutable.ArrayBuffer[CrossDupOut]()
-      rows.foreach { d =>
+      // WITHIN one micro-batch, shuffle delivery order is arbitrary —
+      // process the batch's rows in id order so the emitted
+      // (id_new, id_old) orientation is deterministic: across batches
+      // id_old is the earlier ARRIVAL (state resident); within a batch
+      // the lower id stands in as the earlier arrival (monotone ingest
+      // ids, the incremental-crawl contract). Buffer is batch×bucket
+      // sized, not stream-sized.
+      rows.toSeq.sortBy(_.id).foreach { d =>
         val it = docs.get()
         while (it.hasNext) {
           val e = it.next()

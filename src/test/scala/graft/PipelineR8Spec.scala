@@ -158,6 +158,23 @@ class PipelineR8Spec extends SparkSpec {
       assert(d >= fullByRank((q, rank)) - 1e-9,
         s"pruned probe beat the full probe at ($q, $rank)")
     }
+    // array<double> corpora must behave identically (regression: a
+    // typed getSeq[Float] at the centroid collect crashed on double
+    // input; float→double cast is exact so the results must be equal)
+    val vecsD = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val qsD = vecsD.filter(col("vec_id") < 2)
+    val fullD = Similarity.ivfPqTopK(vecsD, qsD, "vec_id", "embedding",
+      "vec_id", k = 5, nCentroids = 4, nprobe = 4, iters = 1, m = 4, ksub = 8)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(fullD === full)
+    val ivfF = Similarity.ivfTopK(vecs, qs, "vec_id", "embedding",
+      "vec_id", k = 3, nCentroids = 4, nprobe = 4, iters = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val ivfD = Similarity.ivfTopK(vecsD, qsD, "vec_id", "embedding",
+      "vec_id", k = 3, nCentroids = 4, nprobe = 4, iters = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivfD === ivfF)
   }
 
   test("rip_pq_codes / rip_pq_adc equal their interpreted HOF twins " +
