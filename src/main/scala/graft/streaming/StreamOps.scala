@@ -566,6 +566,48 @@ object StreamOps {
     }
   }
 
+  /** Streaming benchmark-decontamination gate — the ingest twin of
+    * `Dedup.crossContainment`: every arriving doc is checked for
+    * CONTAINING an eval/benchmark doc (containment = |S_eval ∩ S_doc|
+    * / |S_eval| ≥ threshold) and emits (id, id_eval, containment) for
+    * each hit. The eval set is benchmark-sized by contract, so its
+    * shingle sets collect once on the driver and ship as ONE literal —
+    * the check is a stateless map-only projection per micro-batch: no
+    * state store, no watermark, no shuffle of the stream; exactly the
+    * shape an ingest pipeline wants for a contamination kill-switch.
+    * Shingle hashes match the batch pipeline (same word shingles, same
+    * xxhash64), so per-doc decisions equal crossContainment's
+    * (StreamingSpec asserts it).
+    */
+  def streamingDecontamination(docs: DataFrame, evalDocs: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 3,
+                               threshold: Double = 0.8): DataFrame = {
+    def shsOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sort_array(array_distinct(transform(
+        graft.functions.TextFns.wordShingles(text, shingleN),
+        s => xxhash64(s))))
+    val evalSets: Seq[(Long, Seq[Long])] = evalDocs
+      .select(col(idCol).cast("long"), shsOf(col(textCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val evLit = typedlit(evalSets)
+    // filter on the RAW ratio, round only in the output projection —
+    // same discipline as the batch gate (a rounded filter would admit
+    // true containment in [τ − 5e-7, τ))
+    val hits = filter(
+      transform(evLit, e => struct(
+        e.getField("_1").as("id_eval"),
+        (size(array_intersect(e.getField("_2"), col("__shs")))
+          .cast("double") / size(e.getField("_2"))).as("c"))),
+      h => h.getField("c") >= threshold)
+    docs
+      .withColumn("__shs", shsOf(col(textCol)))
+      .withColumn("__hit", explode(hits))
+      .select(col(idCol), col("__hit.id_eval").as("id_eval"),
+        round(col("__hit.c"), 6).as("containment"))
+  }
+
   /** Streaming incremental cross-corpus dedup — the streaming twin of
     * `Dedup.crossCorpusDupes`: every arriving doc is checked for
     * near-duplication (exact jaccard ≥ threshold) against ALL docs

@@ -531,4 +531,38 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming decontamination gate equals the batch crossContainment " +
+    "decisions (stateless, map-only)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (200L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> "prefix words alpha beta gamma delta epsilon zeta suffix here",
+      2L -> "one two three four nine ten eleven twelve",
+      3L -> "entirely unrelated content in this row",
+      4L -> "x one two three four five six seven y z"
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingDecontamination(
+      mem.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .writeStream.format("memory").queryName("tws_decon")
+      .outputMode("append").start()
+    mem.addData(corpus: _*); q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id, id_eval, containment FROM tws_decon")
+      .as[(Long, Long, Double)].collect().toSet
+    // batch ground truth (note the argument/column orientation swap:
+    // crossContainment emits (id_eval, id_doc))
+    val want = graft.operators.Dedup.crossContainment(
+      evalDocs, corpus.toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._2, r._1, r._3)).toSet
+    assert(want.nonEmpty && want.exists(_._1 == 1L) && want.exists(_._1 == 4L))
+    assert(got === want)
+  }
 }
