@@ -90,13 +90,22 @@ object Bench {
     // median and its min exceed 1.25× the previous median by >0.25 s:
     // median-only spikes are host weather (the min stays at code cost),
     // and the absolute floor keeps 0.1 s queries from tripping on noise.
+    // The baseline is only comparable at the SAME scale factor: a
+    // committed sf0.01 baseline vs an sf0.1 run would flag every query
+    // (and the reverse would mask every real slip). Mismatched sf →
+    // no tripwire this run (the overwrite below re-seats the baseline).
     val prevMedians: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_full.json")), "UTF-8")
-      val qblock = "\"queries\":\\{([^}]*)\\}".r
-        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qblock)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val prevSf = "\"sf\":\"([^\"]*)\"".r
+        .findFirstMatchIn(txt).map(_.group(1))
+      if (!prevSf.contains(sfDir)) Map.empty[String, Double]
+      else {
+        val qblock = "\"queries\":\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qblock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty[String, Double] }
     val regressions = results.flatMap { case (name, med, mn, _) =>
       prevMedians.get(name).collect {

@@ -100,9 +100,17 @@ object Cluster {
     */
   def connectedComponentsWithRounds(pairs: DataFrame, idA: String, idB: String,
                                     maxIter: Int = 30): (DataFrame, Int) = {
-    val key = (pairs.sparkSession,
-      pairs.queryExecution.analyzed.canonicalized, idA, idB, maxIter)
-    val hit = ccMemo.synchronized {
+    val analyzed = pairs.queryExecution.analyzed
+    // Memo precondition: canonicalized-plan equality only implies
+    // result equality for DETERMINISTIC plans. A pair frame built via
+    // rand()/sample/uuid canonicalizes identically across two
+    // materializations that produce different edges — a memo hit would
+    // silently return the FIRST run's clustering. Such plans bypass
+    // the memo entirely (compute every time, still correct).
+    val memoizable =
+      !analyzed.exists(p => p.expressions.exists(e => e.exists(!_.deterministic)))
+    val key = (pairs.sparkSession, analyzed.canonicalized, idA, idB, maxIter)
+    val hit = if (!memoizable) None else ccMemo.synchronized {
       ccMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
       Option(ccMemo.get(key))
     }
@@ -113,7 +121,7 @@ object Cluster {
       val pinned = out.localCheckpoint(true)
       freeLocalCheckpoint(out)
       val entry = (pinned, rounds)
-      ccMemo.synchronized {
+      if (memoizable) ccMemo.synchronized {
         ccMemo.put(key, entry)
         while (ccMemo.size > maxMemo)
           ccMemo.remove(ccMemo.keySet.iterator.next())

@@ -641,8 +641,7 @@ object Similarity {
     * m × ksub l2sq lambda chains per ROW — the encode bottleneck at
     * corpus scale; the native form is m·ksub·subdim primitive flops,
     * bit-identical (PipelineR8Spec asserts equality). */
-  private def pqCodesCol(vecD: Column, cbLit: Column, m: Int,
-                         subdim: Int): Column =
+  private def pqCodesCol(vecD: Column, cbLit: Column, m: Int): Column =
     call_function("rip_pq_codes", vecD, cbLit, lit(m))
 
   /** The interpreted higher-order-function encode rip_pq_codes
@@ -664,8 +663,8 @@ object Similarity {
     * list). Native codegen'd `rip_pq_adc` — ADC runs once per
     * CANDIDATE row, the search-side hot loop; bit-identical to the
     * HOF twin (PipelineR8Spec). */
-  private def pqAdcDist(qv: Column, codes: Column, cbLit: Column, m: Int,
-                        subdim: Int): Column =
+  private def pqAdcDist(qv: Column, codes: Column, cbLit: Column,
+                        m: Int): Column =
     call_function("rip_pq_adc", qv, codes, cbLit, lit(m))
 
   /** The interpreted ADC fold rip_pq_adc replaces — cross-check twin. */
@@ -694,15 +693,14 @@ object Similarity {
       return pqEmptyResult(corpus, queries, idCol, qIdCol)
     val dim = cb.head._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subdim = dim / m
     val cbLit = typedlit(cb) // array<struct<_1: int, _2: array<double>>>
     val codes = corpus.select(col(idCol),
-      pqCodesCol(vecD, cbLit, m, subdim).as("__codes"))
+      pqCodesCol(vecD, cbLit, m).as("__codes"))
     val q = queries.select(col(qIdCol).as("query_id"), vecD.as("__qv"))
     val scored = codes.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("__d",
-        pqAdcDist(col("__qv"), col("__codes"), cbLit, m, subdim))
+        pqAdcDist(col("__qv"), col("__codes"), cbLit, m))
       // a query vector whose length mismatches the codebook dim yields
       // null ADC distances (zip_with pads with nulls) — drop them, or
       // the ascending rank would promote garbage rows into the top-k
@@ -741,7 +739,6 @@ object Similarity {
       return pqEmptyResult(corpus, queries, idCol, qIdCol)
     val dim = cb.head._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subdim = dim / m
     val cbLit = typedlit(cb)
     val centroids =
       seedAndRefineCentroids(corpus, idCol, vecCol, nCentroids, iters)
@@ -750,14 +747,14 @@ object Similarity {
     val index = assignToCentroids(
       corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
       .select(col(idCol), col("cid"),
-        pqCodesCol(vecD, cbLit, m, subdim).as("__codes"))
+        pqCodesCol(vecD, cbLit, m).as("__codes"))
 
     val probes = probeCentroids(queries, qIdCol, vecD, centroids, nprobe)
 
     val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("__d",
-        pqAdcDist(col("__qv"), col("__codes"), cbLit, m, subdim))
+        pqAdcDist(col("__qv"), col("__codes"), cbLit, m))
       .filter(col("__d").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__d").asc, col(idCol).asc)

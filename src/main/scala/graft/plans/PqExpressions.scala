@@ -14,23 +14,57 @@ import org.apache.spark.sql.types._
   * which every row pays a compiled loop, not an interpreted
   * higher-order-function lambda per element. */
 private[plans] object PqExprUtil {
+  /** Decode + validate the codebook literal. The static type check
+    * only sees array<struct<int, array<double>>>; the VALUES still
+    * come from arbitrary SQL, so shape violations (null entries,
+    * non-dense codeword ids, ragged vectors) must fail with a named
+    * error here — not as CCE/AIOOBE/NPE inside the per-row loop. */
   def materialize(cbEval: Any): Array[Array[Double]] = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"pq codebook: $msg (expected array<struct<codeword int, " +
+        "vec array<double>>> with dense codewords 0..n-1 and " +
+        "uniform non-null vectors)")
     val arr = cbEval.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = Array.ofDim[Array[Double]](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) bad(s"null struct at position $i")
       val row = arr.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1)) bad(s"null field at position $i")
       val w = row.getInt(0)
+      if (w < 0 || w >= n) bad(s"codeword id $w out of [0, $n)")
+      if (out(w) != null) bad(s"duplicate codeword id $w")
       val v = row.getArray(1)
       val d = v.numElements()
       val vec = new Array[Double](d)
       var j = 0
-      while (j < d) { vec(j) = v.getDouble(j); j += 1 }
+      while (j < d) {
+        if (v.isNullAt(j)) bad(s"null element in codeword $w")
+        vec(j) = v.getDouble(j); j += 1
+      }
       out(w) = vec
       i += 1
     }
+    // the id-range + duplicate checks above make the ids a permutation
+    // of 0..n-1, so every slot is filled; ragged vectors remain
+    var k = 1
+    while (k < n) {
+      if (out(k).length != out(0).length)
+        bad(s"ragged vectors (${out(k).length} vs ${out(0).length})")
+      k += 1
+    }
     out
+  }
+
+  /** Validated subspace count: m must be a positive divisor of the
+    * codebook dim or the subspace offsets silently truncate. */
+  def checkedM(m: Int, cb: Array[Array[Double]], fn: String): Int = {
+    val dim = if (cb.isEmpty) 0 else cb(0).length
+    if (m <= 0 || (dim > 0 && dim % m != 0))
+      throw new IllegalArgumentException(
+        s"$fn: m=$m must be a positive divisor of codebook dim $dim")
+    m
   }
 
   def numericElem(t: DataType): Boolean = t match {
@@ -49,7 +83,10 @@ private[plans] object PqExprUtil {
   val codebookType: DataType => Boolean = {
     case ArrayType(StructType(fs), _) if fs.length == 2 &&
       fs(0).dataType == IntegerType &&
-      fs(1).dataType.isInstanceOf[ArrayType] => true
+      (fs(1).dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) => true
     case _ => false
   }
 }
@@ -93,7 +130,8 @@ case class RipPqCodes(vec: Expression, codebook: Expression, m: Expression)
 
   @transient private lazy val cb: Array[Array[Double]] =
     PqExprUtil.materialize(codebook.eval(null))
-  @transient private lazy val mVal: Int = m.eval(null).asInstanceOf[Int]
+  @transient private lazy val mVal: Int =
+    PqExprUtil.checkedM(m.eval(null).asInstanceOf[Int], cb, "rip_pq_codes")
   @transient private lazy val elemT: DataType =
     vec.dataType.asInstanceOf[ArrayType].elementType
 
@@ -198,7 +236,8 @@ case class RipPqAdc(qv: Expression, codes: Expression,
 
   @transient private lazy val cb: Array[Array[Double]] =
     PqExprUtil.materialize(codebook.eval(null))
-  @transient private lazy val mVal: Int = m.eval(null).asInstanceOf[Int]
+  @transient private lazy val mVal: Int =
+    PqExprUtil.checkedM(m.eval(null).asInstanceOf[Int], cb, "rip_pq_adc")
   @transient private lazy val qT: DataType =
     qv.dataType.asInstanceOf[ArrayType].elementType
   @transient private lazy val cT: DataType =

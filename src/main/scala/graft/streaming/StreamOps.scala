@@ -548,10 +548,18 @@ object StreamOps {
       // the lower id stands in as the earlier arrival (monotone ingest
       // ids, the incremental-crawl contract). Buffer is batch×bucket
       // sized, not stream-sized.
+      // Read the bucket's posting list ONCE per micro-batch (a state
+      // ListState scan deserializes every resident; re-scanning per
+      // input row would pay rows×residents reads on a hot bucket) and
+      // verify against the local buffer — same-batch earlier rows are
+      // in the buffer, so within-batch pairs still emit.
+      val resident = scala.collection.mutable.ArrayBuffer[BandedDoc]()
+      val it0 = docs.get()
+      while (it0.hasNext) resident += it0.next()
       rows.toSeq.sortBy(_.id).foreach { d =>
-        val it = docs.get()
-        while (it.hasNext) {
-          val e = it.next()
+        var i = 0
+        while (i < resident.length) {
+          val e = resident(i)
           if (e.id != d.id && minCollidingBand(d.sig, e.sig) == d.band) {
             val j = jaccard(d.shs, e.shs)
             if (j >= threshold)
@@ -559,7 +567,9 @@ object StreamOps {
                 BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
                   .toDouble)
           }
+          i += 1
         }
+        resident += d
         docs.appendValue(d)
       }
       out.iterator

@@ -210,6 +210,53 @@ class PipelineR8Spec extends SparkSpec {
       assert(java.lang.Double.compare(n, h) === 0, s"$n != $h") }
   }
 
+  test("rip_pq_codes rejects malformed codebooks with named errors, " +
+    "not CCE/AIOOBE/NPE") {
+    val one = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    // float inner array → clean analysis-time failure (the kernel
+    // decodes doubles; a float codebook used to CCE at first eval)
+    val exF = intercept[Exception] {
+      one.select(call_function("rip_pq_codes", col("v"),
+        expr("array(struct(0, array(cast(1.0 as float), cast(2.0 as float))))"),
+        lit(1))).collect()
+    }
+    assert(exF.getMessage.contains("rip_pq_codes"))
+    // out-of-range codeword id → named runtime error (was AIOOBE)
+    def run(cbSql: String, m: Int = 1): Throwable = intercept[Throwable] {
+      one.select(call_function("rip_pq_codes", col("v"),
+        expr(cbSql), lit(m))).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && c != c.getCause) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(run("array(struct(5, array(1.0d, 2.0d)))"))
+      .contains("pq codebook"))
+    // duplicate codeword ids (0,0) → named error (was silent null slot → NPE)
+    assert(rootMsg(run(
+      "array(struct(0, array(1.0d, 2.0d)), struct(0, array(3.0d, 4.0d)))"))
+      .contains("pq codebook"))
+    // ragged vectors → named error
+    assert(rootMsg(run(
+      "array(struct(0, array(1.0d, 2.0d)), struct(1, array(3.0d)))"))
+      .contains("pq codebook"))
+    // m that does not divide the dim → named error (was silent
+    // truncation); vector length must reach the codebook dim or the
+    // too-short guard nulls out before m is ever validated
+    val three = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    val exM = intercept[Throwable] {
+      three.select(call_function("rip_pq_codes", col("v"),
+        expr("array(struct(0, array(1.0d, 2.0d, 3.0d)))"), lit(2))).collect()
+    }
+    assert(rootMsg(exM).contains("positive divisor"))
+    // and the well-formed case still works
+    val ok = one.select(call_function("rip_pq_codes", col("v"),
+      expr("array(struct(0, array(1.0d, 2.0d)), struct(1, array(9.0d, 9.0d)))"),
+      lit(1))).as[Seq[Int]].collect()
+    assert(ok.head === Seq(0))
+  }
+
   test("covMoments integer-unit accumulation is partition-order invariant " +
     "bit for bit") {
     val vecs = (0 until 200).map { i =>
