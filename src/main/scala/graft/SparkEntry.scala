@@ -2719,7 +2719,34 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         "doc_id", "text", shingleN = 3, threshold = 0.8)
         .orderBy(col("id_eval"), col("id_doc"))
-    })
+    }),
+
+    // Corpus drift: JS divergence / PSI / TVD between src0's and src1's
+    // TOKEN distributions — "did this crawl shift against the last
+    // one". One token-keyed hash aggregate + broadcast totals; the
+    // metric sums over the vocabulary frame, never the corpus.
+    "q222_drift_metrics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Drift.categoricalDrift(
+        docs.select(col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term")),
+        col("term"), col("source"), "src0", "src1")
+    }),
+
+    // Two-sample KS statistic on document length between src0 and
+    // src1 — the numeric-column drift twin of q222. The cumulative
+    // window runs over the DISTINCT length frame (domain-sized).
+    "q223_ks_lengths" -> ((s, dir) =>
+      Drift.ksStatistic(t(s, dir, "documents"), col("n_chars"),
+        col("source"), "src0", "src1")),
+
+    // Deterministic shard publication: hash-assigned shard + in-shard
+    // sequence — the reproducible global shuffle a trainer consumes.
+    // Checked row for row (md5-portable hash, q212 contract).
+    "q224_publish_shards" -> ((s, dir) =>
+      Drift.publishShards(t(s, dir, "documents"), "doc_id",
+          nShards = 8, seed = 7L)
+        .orderBy(col("shard"), col("seq")))
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -5682,7 +5709,65 @@ object SparkEntry {
     // IVF-PQ with nprobe = nCentroids: routing prunes nothing, so the
     // composed index must reproduce the pure-PQ ADC ranking exactly —
     // one oracle checks codebooks, codes, routing join, and ADC
-    "q213_ivfpq_ann" -> pqAnnOracle
+    "q213_ivfpq_ann" -> pqAnnOracle,
+
+    // token-distribution drift mirror: same union-support JS, both-
+    // sides-only PSI, and TVD on exact count ratios (ln on identical
+    // doubles — the q130/q141 discipline)
+    "q222_drift_metrics" ->
+      """WITH terms AS (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT term,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |    CAST(sum(cb) AS DOUBLE) AS nb FROM c),
+        |f AS (SELECT CAST(ca AS DOUBLE) / na AS p,
+        |    CAST(cb AS DOUBLE) / nb AS q, ca, cb FROM c, tot)
+        |SELECT
+        |  round(sum(
+        |    (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2)) / 2
+        |      ELSE 0 END) +
+        |    (CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2)) / 2
+        |      ELSE 0 END)), 6) AS js_nats,
+        |  round(sum(CASE WHEN ca > 0 AND cb > 0
+        |    THEN (p - q) * ln(p / q) ELSE 0 END), 6) AS psi,
+        |  round(sum(abs(p - q)) / 2, 6) AS tvd,
+        |  count(*) AS n_cats
+        |FROM f""".stripMargin,
+
+    // two-sample KS mirror: cumulative counts over the distinct length
+    // frame; single division per value, then max |F_a − F_b|
+    "q223_ks_lengths" ->
+      """WITH c AS (SELECT n_chars AS v,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT
+        |    CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) / na AS fa,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) / nb AS fb,
+        |    na, nb FROM c, tot)
+        |SELECT round(max(abs(fa - fb)), 6) AS ks_d,
+        |  max(na) AS n_a, max(nb) AS n_b, count(*) AS n_values
+        |FROM cum""".stripMargin,
+
+    // shard publication mirror: the same md5-derived hash with the
+    // seed folded in, mod 8; seq = hash rank within the shard
+    "q224_publish_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${hash60Sql("'7:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents)
+         |SELECT CAST(hv % 8 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hv % 8
+         |    ORDER BY hv, doc_id) AS INT) AS seq,
+         |  doc_id
+         |FROM h ORDER BY shard, seq""".stripMargin
   )
 
   /** DuckDB replay of the PQ pipeline (hash-sampled codebooks → argmin

@@ -52,7 +52,15 @@ object Dedup {
   @volatile var registryHits: Long = 0L
 
   private def cachedPersist(df: DataFrame): DataFrame = cacheReg.synchronized {
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    val analyzed = df.queryExecution.analyzed
+    // Registry precondition (same as the CC memo's): canonicalized-plan
+    // equality only implies frame equality for DETERMINISTIC plans — a
+    // rand()/sample-derived frame must not be served from the registry
+    // across materializations. Hand it back unpersisted: its consumers
+    // see exactly the semantics the nondeterministic plan already has.
+    if (analyzed.exists(p => p.expressions.exists(e => e.exists(!_.deterministic))))
+      return df
+    val key = (df.sparkSession, analyzed.canonicalized)
     // entries from stopped sessions are dead weight — drop them first
     cacheReg.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     Option(cacheReg.get(key)).map { hit => registryHits += 1; hit }.getOrElse {

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus drift monitoring — distribution-shift metrics between two
+  * sources (or two crawl snapshots) of one corpus, and the
+  * deterministic shard publisher that closes the pipeline.
+  *
+  * (Builder-brief extension beyond the riptable surface: riptable
+  * compares distributions only via describe/statx per-frame
+  * (`riptable/rt_groupbyops.py`, `rt_stats.py`); a 100-TB training-data
+  * pipeline needs the BETWEEN-corpora question answered as a first-class
+  * operator — "did this month's crawl shift against last month's?" —
+  * before mixing (q131/q182/q204) and publication.)
+  *
+  * Scale shape shared by all metrics here: one hash aggregate keyed on
+  * the category/value (map-side combined — a hot category is absorbed
+  * per-partition before the shuffle), totals as a broadcast one-row
+  * frame, and the metric as a second aggregate over the CATEGORY frame,
+  * which is vocabulary/domain-sized, not corpus-sized. Nothing is ever
+  * keyed on a document, and no step materializes per-row state.
+  */
+object Drift {
+
+  /** One-row frame of shift metrics between the categorical
+    * distributions of `catCol` in two sources:
+    *
+    *  - `js_nats`: Jensen–Shannon divergence, natural log —
+    *    0.5·KL(P‖M) + 0.5·KL(Q‖M) with M = (P+Q)/2. Defined on the
+    *    union support (a category absent on one side contributes only
+    *    the other side's term), bounded by ln 2.
+    *  - `psi`: population stability index Σ (p−q)·ln(p/q), the
+    *    industry drift gauge — over categories present in BOTH sources
+    *    (PSI diverges on zeros; the restriction is the standard
+    *    no-smoothing treatment and is documented output contract).
+    *  - `tvd`: total variation distance 0.5·Σ|p−q| on the union
+    *    support — log-free, so exact up to the final rounding.
+    *  - `n_cats`: union-support size (the frame the metrics summed).
+    *
+    * Determinism contract: every per-category term is one division
+    * chain + one `ln` on exact count ratios — the same IEEE doubles on
+    * any engine (q130/q141 discipline) — and the final sums round to
+    * 6 dp with ~1e-11 order-drift headroom.
+    */
+  def categoricalDrift(df: DataFrame, catCol: Column, sourceCol: Column,
+                       srcA: String, srcB: String): DataFrame = {
+    // registry-persisted: the totals branch and the metric branch both
+    // consume this vocab-sized frame — without the persist each would
+    // re-run the corpus scan + token aggregate (two full passes)
+    val counts = Dedup.registryPersist(df
+      .filter((sourceCol === srcA || sourceCol === srcB) && catCol.isNotNull)
+      .groupBy(catCol.as("cat"))
+      .agg(sum(when(sourceCol === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(sourceCol === srcB, 1L).otherwise(0L)).as("cb")))
+    val totals = counts.agg(sum(col("ca")).cast("double").as("na"),
+      sum(col("cb")).cast("double").as("nb"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    val m = (p + q) / 2d
+    val jsTerm =
+      when(col("ca") > 0, p * log(p / m) / 2d).otherwise(0d) +
+        when(col("cb") > 0, q * log(q / m) / 2d).otherwise(0d)
+    val psiTerm = when(col("ca") > 0 && col("cb") > 0,
+      (p - q) * log(p / q)).otherwise(0d)
+    counts.crossJoin(broadcast(totals))
+      .agg(round(sum(jsTerm), 6).as("js_nats"),
+        round(sum(psiTerm), 6).as("psi"),
+        round(sum(abs(p - q)) / 2d, 6).as("tvd"),
+        count(lit(1)).as("n_cats"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the distributions
+    * of a numeric column in two sources: D = sup_x |F_a(x) − F_b(x)|,
+    * with per-side counts alongside (the caller turns (D, n_a, n_b)
+    * into a significance call; the classic reject-at-α threshold is
+    * c(α)·√((n_a+n_b)/(n_a·n_b))).
+    *
+    * The cumulative window runs over the DISTINCT-VALUE frame —
+    * domain-sized, not corpus-sized (doc lengths, scores, dates all
+    * have bounded domains), so the single unpartitioned running sum is
+    * a dictionary-scale sort, the same accepted shape as the exact-
+    * quantile bin walk (q196). The corpus itself is touched by exactly
+    * one map-side-combined count aggregate.
+    */
+  def ksStatistic(df: DataFrame, valCol: Column, sourceCol: Column,
+                  srcA: String, srcB: String): DataFrame = {
+    // registry-persisted for the same two-consumer reason as
+    // categoricalDrift (totals + cumulative walk)
+    val counts = Dedup.registryPersist(df
+      .filter((sourceCol === srcA || sourceCol === srcB) && valCol.isNotNull)
+      .groupBy(valCol.as("v"))
+      .agg(sum(when(sourceCol === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(sourceCol === srcB, 1L).otherwise(0L)).as("cb")))
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__fa", sum(col("ca")).over(w).cast("double") / col("na"))
+      .withColumn("__fb", sum(col("cb")).over(w).cast("double") / col("nb"))
+      .agg(round(max(abs(col("__fa") - col("__fb"))), 6).as("ks_d"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        count(lit(1)).as("n_values"))
+  }
+
+  /** Deterministic training-shard publication — the reproducible
+    * global shuffle that ends a curation run: every surviving doc gets
+    * `shard` = portable-hash(seed:id) mod `nShards` and `seq` = the
+    * rank of its hash within the shard. Hash-derived on the ID alone,
+    * so the assignment is stable under re-runs, independent of
+    * partitioning, and oracle-checkable row for row (same
+    * deterministic-sampling contract as q212/q113 — README §sampling);
+    * changing `seed` is a full reshuffle.
+    *
+    * Scale shape: the hash is one codegen'd projection; `seq` is a
+    * per-shard window sort — inherent to producing ORDERED shard
+    * files (the trainer consumes `seq` as the within-shard read
+    * order), parallel across shards, and each shard's sort is
+    * corpus/nShards-sized. A real deployment writes the result with
+    * `partitionBy("shard")` and gets one ordered file set per shard.
+    */
+  def publishShards(df: DataFrame, idCol: String, nShards: Int,
+                    seed: Long): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = Dedup.portableHash64(
+      concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("seq", row_number().over(w))
+      .select(col("shard"), col("seq"), col(idCol))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Drift
+
+/** Drift metrics (q222–q224): closed-form checks on tiny hand-computed
+  * distributions, invariance properties, and the shard publisher's
+  * determinism/coverage contract.
+  */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkCats(aCounts: Map[String, Int],
+                     bCounts: Map[String, Int]) = {
+    val rows = aCounts.toSeq.flatMap { case (c, n) =>
+      Seq.fill(n)((c, "A")) } ++
+      bCounts.toSeq.flatMap { case (c, n) => Seq.fill(n)((c, "B")) }
+    rows.toDF("cat", "src")
+  }
+
+  test("categoricalDrift matches hand-computed JS/PSI/TVD") {
+    // P = {x: .5, y: .5}, Q = {x: .25, y: .25, z: .5}
+    val df = mkCats(Map("x" -> 2, "y" -> 2),
+      Map("x" -> 1, "y" -> 1, "z" -> 2))
+    val r = Drift.categoricalDrift(df, col("cat"), col("src"), "A", "B")
+      .as[(Double, Double, Double, Long)].collect().head
+    def term(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      (if (p > 0) p * math.log(p / m) / 2 else 0d) +
+        (if (q > 0) q * math.log(q / m) / 2 else 0d)
+    }
+    val js = term(.5, .25) + term(.5, .25) + term(0, .5)
+    val psi = (.5 - .25) * math.log(.5 / .25) * 2 // z absent on A side
+    val tvd = (math.abs(.5 - .25) * 2 + .5) / 2
+    assert(math.abs(r._1 - js) < 1e-6)
+    assert(math.abs(r._2 - psi) < 1e-6)
+    assert(math.abs(r._3 - tvd) < 1e-6)
+    assert(r._4 === 3L)
+  }
+
+  test("categoricalDrift: identical distributions score zero; " +
+    "disjoint supports hit the JS ln2 / TVD 1 bounds") {
+    val same = mkCats(Map("x" -> 3, "y" -> 1), Map("x" -> 6, "y" -> 2))
+    val r0 = Drift.categoricalDrift(same, col("cat"), col("src"), "A", "B")
+      .as[(Double, Double, Double, Long)].collect().head
+    assert(r0._1 === 0d && r0._2 === 0d && r0._3 === 0d)
+    val disj = mkCats(Map("x" -> 4), Map("z" -> 4))
+    val r1 = Drift.categoricalDrift(disj, col("cat"), col("src"), "A", "B")
+      .as[(Double, Double, Double, Long)].collect().head
+    assert(math.abs(r1._1 - math.log(2)) < 1e-6) // JS max
+    assert(r1._2 === 0d) // PSI: no shared categories
+    assert(math.abs(r1._3 - 1d) < 1e-6) // TVD max
+  }
+
+  test("ksStatistic equals the brute-force sup over both samples") {
+    val a = Seq(1, 2, 2, 3, 5, 8, 13, 21).map((_, "A"))
+    val b = Seq(2, 3, 3, 4, 4, 9).map((_, "B"))
+    val df = (a ++ b).toDF("v", "src")
+    val r = Drift.ksStatistic(df, col("v"), col("src"), "A", "B")
+      .as[(Double, Long, Long, Long)].collect().head
+    val av = a.map(_._1.toDouble); val bv = b.map(_._1.toDouble)
+    val sup = (av ++ bv).distinct.map { x =>
+      math.abs(av.count(_ <= x).toDouble / av.size -
+        bv.count(_ <= x).toDouble / bv.size)
+    }.max
+    assert(math.abs(r._1 - sup) < 1e-6)
+    assert(r._2 === 8L && r._3 === 6L)
+    assert(r._4 === (av ++ bv).distinct.size.toLong)
+    // same distribution → D = 0
+    val eq = Drift.ksStatistic(
+      (a ++ a.map { case (v, _) => (v, "B") }).toDF("v", "src"),
+      col("v"), col("src"), "A", "B")
+      .as[(Double, Long, Long, Long)].collect().head
+    assert(eq._1 === 0d)
+  }
+
+  test("publishShards: deterministic, covering, seed-sensitive, " +
+    "seq is a dense per-shard permutation") {
+    val ids = (1L to 500L).toDF("id")
+    val s1 = Drift.publishShards(ids, "id", nShards = 8, seed = 7L)
+      .as[(Int, Int, Long)].collect().toSeq
+    val s2 = Drift.publishShards(ids, "id", nShards = 8, seed = 7L)
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(s1.toSet === s2.toSet) // re-run stable
+    assert(s1.map(_._3).toSet === (1L to 500L).toSet) // every row placed once
+    assert(s1.map(_._1).toSet.subsetOf((0 until 8).toSet))
+    // seq is 1..n within each shard, ordered by the hash
+    s1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1 to rows.size))
+    }
+    val s3 = Drift.publishShards(ids, "id", nShards = 8, seed = 8L)
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(s3.toSet !== s1.toSet) // a new seed is a full reshuffle
+    // roughly balanced (hash-uniform: no shard over 2x the mean)
+    val sizes = s1.groupBy(_._1).values.map(_.size)
+    assert(sizes.max <= 2 * (500 / 8))
+  }
+}
