@@ -2746,7 +2746,26 @@ object SparkEntry {
     "q224_publish_shards" -> ((s, dir) =>
       Drift.publishShards(t(s, dir, "documents"), "doc_id",
           nShards = 8, seed = 7L)
-        .orderBy(col("shard"), col("seq")))
+        .orderBy(col("shard"), col("seq"))),
+
+    // BPE merge learning (Sennrich 2016): 10 rounds of most-frequent-
+    // pair merges over the word-frequency table — ONE corpus scan,
+    // then every round is vocab-sized. The oracle replays the full
+    // merge cascade as 10 unrolled CTE rounds.
+    "q225_bpe_merges" -> ((s, dir) =>
+      Bpe.bpeMerges(t(s, dir, "documents"), "text", rounds = 10)
+        .orderBy(col("round"))),
+
+    // Applying the learned merges: the corpus' subword-vocabulary
+    // histogram under the 10-round merge table — proves the APPLY
+    // path (priority-ordered replace chain) end to end.
+    "q226_bpe_segments" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val learned = Bpe.bpeMerges(docs, "text", rounds = 10)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.bpeSegmentCounts(docs, "text", learned).orderBy(col("token"))
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -5767,8 +5786,60 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY hv % 8
          |    ORDER BY hv, doc_id) AS INT) AS seq,
          |  doc_id
-         |FROM h ORDER BY shard, seq""".stripMargin
+         |FROM h ORDER BY shard, seq""".stripMargin,
+
+    // full BPE replay: the same 10 merge rounds unrolled as chained
+    // CTEs — per round, pair counts over the symbol lists, the
+    // (count desc, pair asc) argmax, and the boundary-bracketed
+    // replace that IS the merge application
+    "q225_bpe_merges" ->
+      s"""WITH ${bpeCtes(10)}
+         |SELECT * FROM (${(1 to 10).map(r =>
+             s"SELECT $r AS round, l AS lhs, r AS rhs, l || r AS merged, " +
+               s"c AS cnt FROM b$r").mkString("\n  UNION ALL ")})
+         |ORDER BY round""".stripMargin,
+
+    // subword histogram under the learned cascade: unnest the final
+    // round's segmentations, weight by word count
+    "q226_bpe_segments" ->
+      s"""WITH ${bpeCtes(10)}
+         |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT unnest(string_split(trim(sym, chr(1)), chr(1))) AS token,
+         |    cnt FROM w10)
+         |GROUP BY 1 ORDER BY token""".stripMargin
   )
+
+  /** DuckDB replay of `Bpe.bpeMerges`' driver loop, unrolled: `w0` is
+    * the U+0001-bracketed character segmentation of the ASCII-printable
+    * word-frequency table; each round r computes pair counts `p{r}`,
+    * the deterministic argmax `b{r}` (≥2 occurrences, ties to the
+    * lexicographically least pair), and the merged table `w{r}`. An
+    * exhausted round leaves `b{r}` empty, which empties every later
+    * `w`/`b` — exactly the Scala loop's early stop.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val head =
+      s"""wf AS (SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE len(w) > 0 AND regexp_matches(w, '^[ -~]+$$') GROUP BY 1),
+         |w0 AS (SELECT chr(1) || array_to_string(
+         |    list_filter(string_split(w, ''), x -> x <> ''), chr(1)) ||
+         |    chr(1) AS sym, cnt FROM wf)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+         |      i -> struct_pack(l := t[i], r := t[i+1]))) AS pr, cnt
+         |    FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS t, cnt
+         |      FROM w${r - 1}))
+         |  GROUP BY 1, 2 HAVING sum(cnt) >= 2),
+         |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS (SELECT replace(sym, chr(1) || l || chr(1) || r || chr(1),
+         |    chr(1) || l || r || chr(1)) AS sym, cnt FROM w${r - 1}, b$r)"""
+        .stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   /** DuckDB replay of the PQ pipeline (hash-sampled codebooks → argmin
     * codes → s-ordered ADC fold → per-query top-5) — shared by q206

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** BPE merge learning / application (q225–q226): hand-traced merges on
+  * the classic Sennrich example shape, determinism, exhaustion, the
+  * boundary-bracketing corruption guard, and conservation laws for the
+  * segment histogram.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpeMerges learns the hand-traced cascade on a tiny corpus") {
+    // word counts: "hug" x4, "hugs" x2, "bug" x1
+    val docs = Seq("hug hug hugs bug", "hug hug hugs").toDF("text")
+    val m = Bpe.bpeMerges(docs, "text", rounds = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // pairs r1: (h,u)=6 (u,g)=7 (g,s)=2 (b,u)=1 -> merge (u,g) c=7
+    assert(m(0) === ((1, "u", "g", "ug", 7L)))
+    // r2: syms hug->[h,ug] x6, hugs->[h,ug,s]x2 wait hug x4 + hugs x2:
+    // [h,ug] x4, [h,ug,s] x2, [b,ug] x1 -> (h,ug)=6, (ug,s)=2, (b,ug)=1
+    assert(m(1) === ((2, "h", "ug", "hug", 6L)))
+    // r3: [hug] x4, [hug,s] x2, [b,ug] x1 -> (hug,s)=2 only pair >=2
+    assert(m(2) === ((3, "hug", "s", "hugs", 2L)))
+  }
+
+  test("bpeMerges stops early when no pair repeats; ties break " +
+    "lexicographically") {
+    // every word unique chars, no repeated pair anywhere
+    val dry = Seq("ab cd ef").toDF("text")
+    assert(Bpe.bpeMerges(dry, "text", rounds = 5).count() === 0L)
+    // (a,b) and (c,d) both count 2 -> lexicographically least wins
+    val tie = Seq("ab ab cd cd").toDF("text")
+    val m = Bpe.bpeMerges(tie, "text", rounds = 1)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(m.head === ((1, "a", "b", "ab", 2L)))
+  }
+
+  test("merge application is boundary-bracketed: a pair never matches " +
+    "the tail of a longer symbol") {
+    // After (a,b) merges, word "xab" is [x, ab]; a naive unbracketed
+    // replace of "a<sep>b" would also corrupt "xa b" -> "xab" in
+    // ["xa","b"]-shaped segmentations. Build one: merge (x,a) first.
+    val docs = Seq("xa xa xab xab b b").toDF("text")
+    val m = Bpe.bpeMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, String, Long)].collect()
+    // r1 pairs: (x,a)=4, (a,b)=2 -> merge (x,a)
+    assert(m(0)._4 === "xa")
+    // r2: words: [xa] x2, [xa,b] x2, [b] x2 -> (xa,b)=2 merges; the
+    // learned rhs must be the WHOLE symbol b against xa — and applying
+    // it must not have corrupted anything (counts below prove it)
+    assert(m(1) === ((2, "xa", "b", "xab", 2L)))
+    val seg = Bpe.bpeSegmentCounts(docs, "text", m.map(x => (x._2, x._3)))
+      .as[(String, Long)].collect().toMap
+    assert(seg === Map("xa" -> 2L, "xab" -> 2L, "b" -> 2L))
+  }
+
+  test("segment histogram conserves characters and respects merge " +
+    "priority order") {
+    val docs = Seq("low lower lowest low low", "lower newest newest").toDF("text")
+    val merges = Bpe.bpeMerges(docs, "text", rounds = 6)
+      .orderBy(col("round")).as[(Int, String, String, String, Long)]
+      .collect().map(x => (x._2, x._3)).toSeq
+    val seg = Bpe.bpeSegmentCounts(docs, "text", merges)
+      .as[(String, Long)].collect().toSeq
+    // conservation: sum over tokens of n * len(token) = total chars
+    val totalChars = "low lower lowest low low lower newest newest"
+      .split(" ").map(_.length).sum
+    assert(seg.map { case (t, n) => t.length * n }.sum === totalChars)
+    // determinism: training twice gives identical tables
+    val again = Bpe.bpeMerges(docs, "text", rounds = 6)
+      .orderBy(col("round")).as[(Int, String, String, String, Long)]
+      .collect().map(x => (x._2, x._3)).toSeq
+    assert(again === merges)
+  }
+
+  test("non-ASCII words are excluded from the training slice") {
+    val docs = Seq("café café abba abba").toDF("text")
+    val m = Bpe.bpeMerges(docs, "text", rounds = 1)
+      .as[(Int, String, String, String, Long)].collect()
+    // only "abba" trains: pairs (a,b)=2, (b,b)=2, (b,a)=2 -> (a,b)
+    assert(m.head === ((1, "a", "b", "ab", 2L)))
+  }
+}
