@@ -671,4 +671,67 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[CrossDupOut])
       .toDF()
   }
+
+  /** Streaming drift monitor — the ingest-time twin of
+    * `Drift.categoricalDrift`: per event-time tumbling window, the
+    * JS / PSI / TVD of the window's categorical distribution against a
+    * FIXED reference distribution (the baseline corpus' shares,
+    * dictionary-sized by contract — languages, sources, length
+    * buckets). This is the textbook monitoring shape: PSI is
+    * classically computed over the reference's fixed bins, so the
+    * monitor tracks exactly the reference support plus one OTHER
+    * bucket for never-seen categories (q-only mass: it contributes
+    * the q·ln2/2 JS term and its TVD share; PSI, per its fixed-bin
+    * definition, sums only reference bins the window populated).
+    *
+    * Scale shape: the reference unrolls into one `sum(when(...))`
+    * column per category — a SINGLE watermarked streaming aggregation
+    * (map-side combined, state = one row of longs per open window),
+    * then the metrics are a stateless projection. No chained stateful
+    * operators, no per-event state, nothing collected.
+    */
+  def streamingDriftMonitor(events: DataFrame, tsCol: String,
+                            catCol: String,
+                            reference: Seq[(String, Double)],
+                            windowDur: String,
+                            watermarkDelay: String): DataFrame = {
+    require(reference.nonEmpty, "reference distribution is empty")
+    require(reference.forall(_._2 > 0d),
+      "reference probabilities must be positive (drop zero-mass bins)")
+    require(math.abs(reference.map(_._2).sum - 1d) < 1e-9,
+      "reference probabilities must sum to 1")
+    val cats = reference.map(_._1)
+    val counts = reference.zipWithIndex.map { case ((c, _), i) =>
+      sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val otherC = sum(when(!col(catCol).isInCollection(cats), 1L)
+      .otherwise(0L)).as("__oth")
+    val agg = events
+      .filter(col(catCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(counts.head, (counts.tail :+ otherC :+
+        count(lit(1)).as("__n")): _*)
+    val total = col("__n").cast("double")
+    def q(i: Int) = col(s"__c$i").cast("double") / total
+    val qOth = col("__oth").cast("double") / total
+    val jsTerms = reference.zipWithIndex.map { case ((_, p), i) =>
+      val m = (lit(p) + q(i)) / 2d
+      lit(p) * log(lit(p) / m) / 2d +
+        when(col(s"__c$i") > 0, q(i) * log(q(i) / m) / 2d).otherwise(0d)
+    } :+ when(col("__oth") > 0, qOth * log(lit(2d)) / 2d).otherwise(0d)
+    val psiTerms = reference.zipWithIndex.map { case ((_, p), i) =>
+      when(col(s"__c$i") > 0, (lit(p) - q(i)) * log(lit(p) / q(i)))
+        .otherwise(0d)
+    }
+    val tvdTerms = reference.zipWithIndex.map { case ((_, p), i) =>
+      abs(lit(p) - q(i))
+    } :+ qOth
+    agg.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      round(jsTerms.reduce(_ + _), 6).as("js_nats"),
+      round(psiTerms.reduce(_ + _), 6).as("psi"),
+      round(tvdTerms.reduce(_ + _) / 2d, 6).as("tvd"),
+      col("__n").as("n_events"))
+  }
 }

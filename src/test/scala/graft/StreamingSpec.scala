@@ -467,6 +467,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift monitor matches hand-computed per-window " +
+    "metrics against a fixed reference") {
+    // reference: click .5, view .5; window 1: 3 clicks / 1 view;
+    // window 2 (00:05-00:10): 2 views -> q(click)=0 exercises the
+    // q-zero JS branch; no OTHER categories in the fixture
+    val ref = Seq("click" -> 0.5, "view" -> 0.5)
+    val q = StreamOps.streamingDriftMonitor(streamIn, "ts", "event_type",
+      ref, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("drift_mon")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql(
+      "SELECT window_start, js_nats, psi, tvd, n_events FROM drift_mon")
+      .as[(java.sql.Timestamp, Double, Double, Double, Long)]
+      .collect().map(r => r._1.toString -> ((r._2, r._3, r._4, r._5))).toMap
+    def expected(qc: Double, qv: Double): (Double, Double, Double) = {
+      def half(p: Double, qq: Double) = {
+        val m = (p + qq) / 2
+        p * math.log(p / m) / 2 +
+          (if (qq > 0) qq * math.log(qq / m) / 2 else 0d)
+      }
+      val js = half(.5, qc) + half(.5, qv)
+      val psi = (if (qc > 0) (.5 - qc) * math.log(.5 / qc) else 0d) +
+        (if (qv > 0) (.5 - qv) * math.log(.5 / qv) else 0d)
+      val tvd = (math.abs(.5 - qc) + math.abs(.5 - qv)) / 2
+      (js, psi, tvd)
+    }
+    // events: 00:00-00:05 -> click x3 (+1 view at 00:06/00:07 window)
+    val (js1, psi1, tvd1) = expected(1.0, 0.0)
+    val w1 = out("2024-01-01 00:00:00.0")
+    assert(math.abs(w1._1 - js1) < 1e-6 && math.abs(w1._2 - psi1) < 1e-6
+      && math.abs(w1._3 - tvd1) < 1e-6 && w1._4 === 3L)
+    val (js2, psi2, tvd2) = expected(0.0, 1.0)
+    val w2 = out("2024-01-01 00:05:00.0")
+    assert(math.abs(w2._1 - js2) < 1e-6 && math.abs(w2._2 - psi2) < 1e-6
+      && math.abs(w2._3 - tvd2) < 1e-6 && w2._4 === 2L)
+    // no drift -> all zeros: feed the reference distribution itself
+    val flat = Seq(("2024-01-01 00:00:01", "click"),
+      ("2024-01-01 00:00:02", "view")).toDF("ts_s", "event_type")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val d2 = Files.createTempDirectory("graft_drift").toString
+    flat.write.parquet(d2 + "/in")
+    val st2 = spark.readStream.schema(flat.schema).parquet(d2 + "/in")
+    val q2 = StreamOps.streamingDriftMonitor(st2, "ts", "event_type",
+      ref, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("drift_mon0")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val z = spark.sql("SELECT js_nats, psi, tvd FROM drift_mon0")
+      .as[(Double, Double, Double)].collect().head
+    assert(z === ((0d, 0d, 0d)))
+  }
+
   test("session windows group events by gap") {
     val q = StreamOps.sessionAgg(streamIn, "3 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sess_agg")
