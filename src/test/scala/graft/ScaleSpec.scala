@@ -483,4 +483,38 @@ class MiscOpsSpec extends SparkSpec {
       !pRm.contains("BroadcastNestedLoopJoin"), pRm)
     graft.operators.Dedup.clearDedupCaches()
   }
+
+  test("drift metrics share one persisted counts frame; shard " +
+    "publication is one shuffle") {
+    import graft.operators.Drift
+    val df = (0 until 400).map(i =>
+      (s"c${i % 7}", if (i % 2 == 0) "A" else "B")).toDF("cat", "src")
+    val m = Drift.categoricalDrift(df, $"cat", $"src", "A", "B")
+    m.collect()
+    val plan = m.queryExecution.executedPlan.toString
+    // both the totals branch and the metric branch must read the
+    // registry-persisted counts frame, not recompute the corpus scan
+    assert(plan.split("InMemoryTableScan").length - 1 >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val sh = Drift.publishShards((1L to 300L).toDF("id"), "id", 4, 1L)
+    val pSh = sh.queryExecution.executedPlan.toString
+    // exactly the per-shard window repartition, nothing else
+    assert(pSh.split("Exchange hashpartitioning").length - 1 === 1, pSh)
+    graft.operators.Dedup.clearDedupCaches()
+  }
+
+  test("BPE round plan is vocab-sized: merge application is a " +
+    "zero-shuffle projection chain") {
+    import graft.functions.Bpe
+    val docs = Seq.fill(50)("the quick brown fox the lazy dog").toDF("text")
+    val seg = Bpe.bpeSegmentCounts(docs, "text",
+      Seq(("t", "h"), ("th", "e")))
+    seg.collect()
+    val plan = seg.queryExecution.executedPlan.toString
+    // word-frequency aggregate + final token aggregate: exactly two
+    // exchanges, and the replace chain adds NO shuffle between them
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
 }
