@@ -5800,12 +5800,15 @@ object SparkEntry {
          |ORDER BY round""".stripMargin,
 
     // subword histogram under the learned cascade: unnest the final
-    // round's segmentations, weight by word count
+    // round's segmentations, weight by word count. (Assumes ≥10 viable
+    // merge rounds — true of every driver corpus; on an exhausted
+    // corpus w10 would be empty while the engine still segments with
+    // the k<10 learned merges. BpeSpec covers exhaustion directly.)
     "q226_bpe_segments" ->
       s"""WITH ${bpeCtes(10)}
          |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
-         |  SELECT unnest(string_split(trim(sym, chr(1)), chr(1))) AS token,
-         |    cnt FROM w10)
+         |  SELECT unnest(string_split(trim(sym, chr(1)),
+         |    chr(1) || chr(1))) AS token, cnt FROM w10)
          |GROUP BY 1 ORDER BY token""".stripMargin
   )
 
@@ -5818,23 +5821,29 @@ object SparkEntry {
     * `w`/`b` — exactly the Scala loop's early stop.
     */
   private def bpeCtes(rounds: Int): String = {
+    // DOUBLE chr(1) separators (ss below): the merge pattern takes only
+    // the INNER separator of each boundary, leaving the outer one for
+    // the adjacent occurrence — one non-overlapping replace sweep ≡
+    // sequential leftmost BPE (see Bpe.scala's representation note)
     val head =
       s"""wf AS (SELECT w, count(*) AS cnt FROM (
          |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
          |    FROM documents)
          |  WHERE len(w) > 0 AND regexp_matches(w, '^[ -~]+$$') GROUP BY 1),
-         |w0 AS (SELECT chr(1) || array_to_string(
-         |    list_filter(string_split(w, ''), x -> x <> ''), chr(1)) ||
-         |    chr(1) AS sym, cnt FROM wf)""".stripMargin
+         |w0 AS (SELECT chr(1) || chr(1) || array_to_string(
+         |    list_filter(string_split(w, ''), x -> x <> ''),
+         |    chr(1) || chr(1)) || chr(1) || chr(1) AS sym, cnt
+         |  FROM wf)""".stripMargin
     val steps = (1 to rounds).map { r =>
       s"""p$r AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c
          |  FROM (SELECT unnest(list_transform(range(1, len(t)),
          |      i -> struct_pack(l := t[i], r := t[i+1]))) AS pr, cnt
-         |    FROM (SELECT string_split(trim(sym, chr(1)), chr(1)) AS t, cnt
-         |      FROM w${r - 1}))
+         |    FROM (SELECT string_split(trim(sym, chr(1)),
+         |        chr(1) || chr(1)) AS t, cnt FROM w${r - 1}))
          |  GROUP BY 1, 2 HAVING sum(cnt) >= 2),
          |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-         |w$r AS (SELECT replace(sym, chr(1) || l || chr(1) || r || chr(1),
+         |w$r AS (SELECT replace(sym,
+         |    chr(1) || l || chr(1) || chr(1) || r || chr(1),
          |    chr(1) || l || r || chr(1)) AS sym, cnt FROM w${r - 1}, b$r)"""
         .stripMargin
     }

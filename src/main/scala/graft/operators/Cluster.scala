@@ -107,8 +107,7 @@ object Cluster {
     // materializations that produce different edges — a memo hit would
     // silently return the FIRST run's clustering. Such plans bypass
     // the memo entirely (compute every time, still correct).
-    val memoizable =
-      !analyzed.exists(p => p.expressions.exists(e => e.exists(!_.deterministic)))
+    val memoizable = !GraftPlanUtil.nondeterministic(analyzed)
     val key = (pairs.sparkSession, analyzed.canonicalized, idA, idB, maxIter)
     val hit = if (!memoizable) None else ccMemo.synchronized {
       ccMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)

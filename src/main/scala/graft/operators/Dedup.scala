@@ -58,8 +58,7 @@ object Dedup {
     // rand()/sample-derived frame must not be served from the registry
     // across materializations. Hand it back unpersisted: its consumers
     // see exactly the semantics the nondeterministic plan already has.
-    if (analyzed.exists(p => p.expressions.exists(e => e.exists(!_.deterministic))))
-      return df
+    if (GraftPlanUtil.nondeterministic(analyzed)) return df
     val key = (df.sparkSession, analyzed.canonicalized)
     // entries from stopped sessions are dead weight — drop them first
     cacheReg.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
@@ -76,9 +75,10 @@ object Dedup {
 
   /** Share the LRU registry with sibling curation operators whose
     * pipelines consume one expensive exploded frame several times
-    * (Curate.dsirLogWeights' gram stream, substringDupStats' span set).
+    * (Curate.dsirLogWeights' gram stream, substringDupStats' span set,
+    * Bpe's word-frequency slice, Drift's count frames).
     */
-  private[operators] def registryPersist(df: DataFrame): DataFrame =
+  private[graft] def registryPersist(df: DataFrame): DataFrame =
     cachedPersist(df)
 
   /** Unpersist every dedup intermediate this session registered. */

@@ -64,11 +64,22 @@ object Drift {
         when(col("cb") > 0, q * log(q / m) / 2d).otherwise(0d)
     val psiTerm = when(col("ca") > 0 && col("cb") > 0,
       (p - q) * log(p / q)).otherwise(0d)
+    // An empty side (typo'd source name, empty corpus) would make the
+    // count ratios NULL — and PSI would come out 0.0, silently reading
+    // as "no drift" to a thresholding gate. Fail loudly instead.
+    val ok = col("__na") > 0 && col("__nb") > 0
+    def gated(c: Column, out: String): Column =
+      when(ok, c).otherwise(raise_error(lit(
+        s"categoricalDrift: a source has zero rows — check the source " +
+          "names")).cast("double")).as(out)
     counts.crossJoin(broadcast(totals))
-      .agg(round(sum(jsTerm), 6).as("js_nats"),
-        round(sum(psiTerm), 6).as("psi"),
-        round(sum(abs(p - q)) / 2d, 6).as("tvd"),
-        count(lit(1)).as("n_cats"))
+      .agg(round(sum(jsTerm), 6).as("__js"),
+        round(sum(psiTerm), 6).as("__psi"),
+        round(sum(abs(p - q)) / 2d, 6).as("__tvd"),
+        count(lit(1)).as("n_cats"),
+        max(col("na")).as("__na"), max(col("nb")).as("__nb"))
+      .select(gated(col("__js"), "js_nats"), gated(col("__psi"), "psi"),
+        gated(col("__tvd"), "tvd"), col("n_cats"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the distributions
@@ -99,9 +110,15 @@ object Drift {
     counts.crossJoin(broadcast(totals))
       .withColumn("__fa", sum(col("ca")).over(w).cast("double") / col("na"))
       .withColumn("__fb", sum(col("cb")).over(w).cast("double") / col("nb"))
-      .agg(round(max(abs(col("__fa") - col("__fb"))), 6).as("ks_d"),
+      .agg(round(max(abs(col("__fa") - col("__fb"))), 6).as("__d"),
         max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         count(lit(1)).as("n_values"))
+      // same fail-loud contract as categoricalDrift: an empty side
+      // yields NULL cumulative shares, not a statistic
+      .select(when(col("n_a") > 0 && col("n_b") > 0, col("__d"))
+        .otherwise(raise_error(lit("ksStatistic: a source has zero " +
+          "rows — check the source names")).cast("double")).as("ks_d"),
+        col("n_a"), col("n_b"), col("n_values"))
   }
 
   /** Deterministic training-shard publication — the reproducible

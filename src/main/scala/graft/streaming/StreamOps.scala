@@ -696,6 +696,9 @@ object StreamOps {
                             windowDur: String,
                             watermarkDelay: String): DataFrame = {
     require(reference.nonEmpty, "reference distribution is empty")
+    require(reference.map(_._1).distinct.size == reference.size,
+      "duplicate category names in reference (each bin counts every " +
+        "matching event — the q-shares would sum above 1)")
     require(reference.forall(_._2 > 0d),
       "reference probabilities must be positive (drop zero-mass bins)")
     require(math.abs(reference.map(_._2).sum - 1d) < 1e-9,

@@ -75,6 +75,29 @@ class BpeSpec extends SparkSpec {
     assert(again === merges)
   }
 
+  test("adjacent occurrences sharing a symbol boundary all merge in " +
+    "one pass (double-separator representation)") {
+    // 'abab' = [a,b,a,b]: with a SINGLE separator the two (a,b)
+    // occurrences share the middle boundary char, the non-overlapping
+    // replace consumes it, and the second occurrence is skipped ->
+    // [ab,a,b]. The double-separator pattern leaves the outer boundary
+    // char for the neighbor, so BPE-correct [ab,ab] comes out.
+    val docs = Seq("abab abab ab ab").toDF("text")
+    val m = Bpe.bpeMerges(docs, "text", rounds = 1)
+      .as[(Int, String, String, String, Long)].collect()
+    // pair counts on [a,b,a,b] x2 + [a,b] x2: (a,b) = 6, (b,a) = 2
+    assert(m.head === ((1, "a", "b", "ab", 6L)))
+    val seg = Bpe.bpeSegmentCounts(docs, "text", Seq(("a", "b")))
+      .as[(String, Long)].collect().toMap
+    assert(seg === Map("ab" -> 6L)) // no stray [a] / [b] survivors
+    // self-pair runs resolve left-to-right like sequential BPE:
+    // 'aaaa' -> [aa,aa], 'aaa' -> [aa,a]
+    val runs = Seq("aaaa aaa").toDF("text")
+    val segR = Bpe.bpeSegmentCounts(runs, "text", Seq(("a", "a")))
+      .as[(String, Long)].collect().toMap
+    assert(segR === Map("aa" -> 3L, "a" -> 1L))
+  }
+
   test("non-ASCII words are excluded from the training slice") {
     val docs = Seq("café café abba abba").toDF("text")
     val m = Bpe.bpeMerges(docs, "text", rounds = 1)

@@ -52,6 +52,22 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(r1._3 - 1d) < 1e-6) // TVD max
   }
 
+  test("an empty side fails loudly instead of reporting zero drift") {
+    val df = mkCats(Map("x" -> 3), Map("y" -> 2))
+    // typo'd source name: side B has zero rows -> PSI would read 0.0
+    val exC = intercept[Exception] {
+      Drift.categoricalDrift(df, col("cat"), col("src"), "A", "Z").collect()
+    }
+    assert(exC.getMessage.contains("zero rows") ||
+      Option(exC.getCause).exists(_.getMessage.contains("zero rows")))
+    val exK = intercept[Exception] {
+      Drift.ksStatistic(Seq((1, "A"), (2, "A")).toDF("v", "src"),
+        col("v"), col("src"), "A", "Z").collect()
+    }
+    assert(exK.getMessage.contains("zero rows") ||
+      Option(exK.getCause).exists(_.getMessage.contains("zero rows")))
+  }
+
   test("ksStatistic equals the brute-force sup over both samples") {
     val a = Seq(1, 2, 2, 3, 5, 8, 13, 21).map((_, "A"))
     val b = Seq(2, 3, 3, 4, 4, 9).map((_, "B"))

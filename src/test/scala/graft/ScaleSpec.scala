@@ -510,7 +510,10 @@ class MiscOpsSpec extends SparkSpec {
     val seg = Bpe.bpeSegmentCounts(docs, "text",
       Seq(("t", "h"), ("th", "e")))
     seg.collect()
+    // after AQE finalization toString prints Final AND Initial plans —
+    // count exchanges in the final section only
     val plan = seg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     // word-frequency aggregate + final token aggregate: exactly two
     // exchanges, and the replace chain adds NO shuffle between them
     assert(plan.split("Exchange hashpartitioning").length - 1 === 2, plan)
