@@ -2748,6 +2748,19 @@ object SparkEntry {
           nShards = 8, seed = 7L)
         .orderBy(col("shard"), col("seq"))),
 
+    // Pairwise drift matrix across ALL sources (the mixing-stage
+    // diagnostic): shared-support decomposition — one token-keyed
+    // count frame, one category equi-join (≤ k rows/side/category),
+    // never a full outer join per pair.
+    "q227_drift_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Drift.categoricalDriftMatrix(
+        docs.select(col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term")),
+        col("term"), col("source"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // BPE merge learning (Sennrich 2016): 10 rounds of most-frequent-
     // pair merges over the word-frequency table — ONE corpus scan,
     // then every round is vocab-sized. The oracle replays the full
@@ -5787,6 +5800,38 @@ object SparkEntry {
          |    ORDER BY hv, doc_id) AS INT) AS seq,
          |  doc_id
          |FROM h ORDER BY shard, seq""".stripMargin,
+
+    // drift-matrix mirror: the same shared-support decomposition
+    // (category equi-join + per-source totals; disjoint-pair extremes
+    // from the all-pairs left join)
+    "q227_drift_matrix" ->
+      """WITH terms AS (SELECT source AS src,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS cat
+        |  FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT src, cat, count(*) AS cc FROM terms GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(sum(cc) AS BIGINT) AS n FROM c GROUP BY 1),
+        |f AS (SELECT c.src, c.cat, CAST(c.cc AS DOUBLE) / t.n AS p
+        |  FROM c JOIN tot t ON c.src = t.src),
+        |sh AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    sum(a.p * ln(a.p / ((a.p + b.p) / 2)) / 2 +
+        |        b.p * ln(b.p / ((a.p + b.p) / 2)) / 2) AS jsS,
+        |    sum((a.p - b.p) * ln(a.p / b.p)) AS psi0,
+        |    sum(abs(a.p - b.p)) AS tvdS,
+        |    sum(a.p) AS sp, sum(b.p) AS sq, count(*) AS ns
+        |  FROM f a JOIN f b ON a.cat = b.cat AND a.src < b.src
+        |  GROUP BY 1, 2),
+        |ap AS (SELECT ta.src AS src_a, tb.src AS src_b
+        |  FROM tot ta, tot tb WHERE ta.src < tb.src)
+        |SELECT src_a, src_b,
+        |  round(coalesce(jsS, 0) +
+        |    (2 - coalesce(sp, 0) - coalesce(sq, 0)) * ln(2) / 2, 6)
+        |    AS js_nats,
+        |  round(coalesce(psi0, 0), 6) AS psi,
+        |  round((coalesce(tvdS, 0) + 2 - coalesce(sp, 0)
+        |    - coalesce(sq, 0)) / 2, 6) AS tvd,
+        |  CAST(coalesce(ns, 0) AS BIGINT) AS n_shared
+        |FROM ap LEFT JOIN sh USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // full BPE replay: the same 10 merge rounds unrolled as chained
     // CTEs — per round, pair counts over the symbol lists, the

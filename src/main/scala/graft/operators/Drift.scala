@@ -121,6 +121,65 @@ object Drift {
         col("n_a"), col("n_b"), col("n_values"))
   }
 
+  /** Pairwise drift matrix across ALL sources — the mixing-stage
+    * diagnostic ("which crawls/domains have diverged from which"):
+    * one row per unordered source pair with the same JS / PSI / TVD as
+    * [[categoricalDrift]], plus the shared-support size.
+    *
+    * The union-support metrics decompose over the SHARED support:
+    * a category present only in source a contributes p·ln2/2 to JS and
+    * p/2 to TVD, and Σ_only-a p = 1 − Σ_shared p — so one equi-join on
+    * the category (never a full outer per pair) plus per-source totals
+    * yields every pair's exact union-support metric:
+    * JS = Σ_shared [p·ln(p/m) + q·ln(q/m)]/2 + (2 − Σp − Σq)·ln2/2,
+    * TVD = [Σ_shared |p−q| + (2 − Σp − Σq)]/2, PSI is shared-only by
+    * definition.
+    *
+    * Scale shape: ONE corpus scan builds the (cat, source) count frame
+    * (map-side combined, registry-persisted); the self-join is keyed
+    * on the category with ≤ k rows per side per category (k = number
+    * of sources, dictionary-sized), so the join output is bounded by
+    * vocab · k² — vocabulary-scale, never corpus-scale.
+    */
+  def categoricalDriftMatrix(df: DataFrame, catCol: Column,
+                             sourceCol: Column): DataFrame = {
+    val counts = Dedup.registryPersist(df
+      .filter(catCol.isNotNull && sourceCol.isNotNull)
+      .groupBy(sourceCol.as("src"), catCol.as("cat"))
+      .agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val a = counts.join(totals, "src")
+      .select(col("src").as("src_a"), col("cat"),
+        (col("c").cast("double") / col("n")).as("p"))
+    val b = counts.join(totals, "src")
+      .select(col("src").as("src_b"), col("cat"),
+        (col("c").cast("double") / col("n")).as("q"))
+    val p = col("p"); val q = col("q")
+    val m = (p + q) / 2d
+    val shared = a.join(b, Seq("cat")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(p * log(p / m) / 2d + q * log(q / m) / 2d).as("__jsS"),
+        sum((p - q) * log(p / q)).as("__psi"),
+        sum(abs(p - q)).as("__tvdS"),
+        sum(p).as("__sp"), sum(q).as("__sq"),
+        count(lit(1)).as("__ns"))
+    // a pair with NO shared category has no join rows — left-join a
+    // dictionary-sized all-pairs frame so it still reports the
+    // disjoint-support extremes (JS = ln2, TVD = 1, PSI = 0)
+    val allPairs = totals.select(col("src").as("src_a"))
+      .crossJoin(totals.select(col("src").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val full = allPairs.join(shared, Seq("src_a", "src_b"), "left")
+    val onlyMass = lit(2d) - coalesce(col("__sp"), lit(0d)) -
+      coalesce(col("__sq"), lit(0d))
+    full.select(col("src_a"), col("src_b"),
+      round(coalesce(col("__jsS"), lit(0d)) +
+        onlyMass * lit(math.log(2)) / 2d, 6).as("js_nats"),
+      round(coalesce(col("__psi"), lit(0d)), 6).as("psi"),
+      round((coalesce(col("__tvdS"), lit(0d)) + onlyMass) / 2d, 6).as("tvd"),
+      coalesce(col("__ns"), lit(0L)).as("n_shared"))
+  }
+
   /** Deterministic training-shard publication — the reproducible
     * global shuffle that ends a curation run: every surviving doc gets
     * `shard` = portable-hash(seed:id) mod `nShards` and `seq` = the

@@ -98,6 +98,78 @@ class BpeSpec extends SparkSpec {
     assert(segR === Map("aa" -> 3L, "a" -> 1L))
   }
 
+  // Reference implementation: textbook sequential BPE (Sennrich
+  // learn_bpe shape) — pair stats count every adjacent position,
+  // argmax ties to the lexicographically least pair, application
+  // merges leftmost-first one occurrence at a time until none remain.
+  private def refBpe(words: Map[String, Long], rounds: Int)
+  : (Seq[(Int, String, String, Long)], Map[String, Long]) = {
+    var segs: Map[Vector[String], Long] =
+      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      segs.foreach { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) += c
+        }
+      }
+      val viable = counts.filter(_._2 >= 2)
+      if (viable.isEmpty) done = true
+      else {
+        val ((l, rr), c) = viable.minBy { case ((l, rr), c) => (-c, l, rr) }
+        merges += ((r, l, rr, c))
+        def applySeq(v: Vector[String]): Vector[String] = {
+          var cur = v
+          var idx = cur.indices.dropRight(1)
+            .find(i => cur(i) == l && cur(i + 1) == rr)
+          while (idx.isDefined) {
+            val i = idx.get
+            cur = (cur.take(i) :+ (l + rr)) ++ cur.drop(i + 2)
+            idx = cur.indices.dropRight(1)
+              .find(j => cur(j) == l && cur(j + 1) == rr)
+          }
+          cur
+        }
+        segs = segs.groupMapReduce { case (syms, _) => applySeq(syms) }(
+          _._2)(_ + _)
+        r += 1
+      }
+    }
+    val hist = segs.toSeq.flatMap { case (syms, c) => syms.map((_, c)) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    (merges.result(), hist)
+  }
+
+  test("fuzz: bpeMerges + bpeSegmentCounts equal sequential reference " +
+    "BPE on random corpora") {
+    val rng = new scala.util.Random(77)
+    for (trial <- 0 until 5) {
+      val alphabet = "abc"
+      val words = (0 until 12).map { _ =>
+        (1 to (1 + rng.nextInt(5)))
+          .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      }
+      val corpus = (0 until 40).map(_ => words(rng.nextInt(words.size)))
+      val docs = corpus.grouped(8).map(_.mkString(" ")).toSeq.toDF("text")
+      val wc = corpus.groupBy(identity).map { case (w, g) =>
+        (w, g.size.toLong) }
+      val (refMerges, refHist) = refBpe(wc, rounds = 6)
+      val gotMerges = Bpe.bpeMerges(docs, "text", rounds = 6)
+        .orderBy(col("round"))
+        .as[(Int, String, String, String, Long)].collect()
+        .map(x => (x._1, x._2, x._3, x._5)).toSeq
+      assert(gotMerges === refMerges, s"trial $trial corpus=$corpus")
+      val gotHist = Bpe.bpeSegmentCounts(docs, "text",
+        refMerges.map(m => (m._2, m._3)))
+        .as[(String, Long)].collect().toMap
+      assert(gotHist === refHist, s"trial $trial corpus=$corpus")
+    }
+  }
+
   test("non-ASCII words are excluded from the training slice") {
     val docs = Seq("café café abba abba").toDF("text")
     val m = Bpe.bpeMerges(docs, "text", rounds = 1)

@@ -90,6 +90,29 @@ class DriftSpec extends SparkSpec {
     assert(eq._1 === 0d)
   }
 
+  test("driftMatrix rows equal pairwise categoricalDrift; disjoint " +
+    "pairs hit the ln2/1/0 extremes") {
+    val df = mkCats(Map("x" -> 2, "y" -> 2),
+      Map("x" -> 1, "y" -> 1, "z" -> 2))
+      .union(Seq.fill(4)(("w", "C")).toDF("cat", "src"))
+    val m = Drift.categoricalDriftMatrix(df, col("cat"), col("src"))
+      .as[(String, String, Double, Double, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(m.size === 3) // all pairs present, incl. zero-overlap ones
+    // (A,B) must equal the dedicated two-source operator
+    val ab = Drift.categoricalDrift(df, col("cat"), col("src"), "A", "B")
+      .as[(Double, Double, Double, Long)].collect().head
+    val mAB = m(("A", "B"))
+    assert(mAB._1 === ab._1 && mAB._2 === ab._2 && mAB._3 === ab._3)
+    assert(mAB._4 === 2L) // shared support {x, y}
+    // C is disjoint from both: JS = ln2, PSI = 0, TVD = 1
+    for (pair <- Seq(("A", "C"), ("B", "C"))) {
+      val r = m(pair)
+      assert(math.abs(r._1 - math.log(2)) < 1e-6)
+      assert(r._2 === 0d && math.abs(r._3 - 1d) < 1e-6 && r._4 === 0L)
+    }
+  }
+
   test("publishShards: deterministic, covering, seed-sensitive, " +
     "seq is a dense per-shard permutation") {
     val ids = (1L to 500L).toDF("id")
