@@ -672,6 +672,59 @@ object StreamOps {
       .toDF()
   }
 
+  /** Streaming curation funnel — the ingest twin of the q200 batch
+    * flagship: NFC normalize → language gate → model quality gate →
+    * exact-dedup keep-first → deterministic ingest cap, emitting the
+    * CURATED STREAM itself (the real product of a curation pipeline).
+    *
+    * Stage shapes:
+    *  - NFC + language gate: map-only projections/filters.
+    *  - quality gate: `Curate.hashedLinearScore`'s weights are a PURE
+    *    hash function of the feature bucket, so the per-doc score
+    *    collapses to one `aggregate` fold over the token array — no
+    *    weight join, no aggregation, map-only; integer units make the
+    *    stream/batch decision bit-identical.
+    *  - dedup: `dropDuplicatesWithinWatermark` on the md5 fingerprint
+    *    of the NORMALIZED text — keep-first-arrival with state bounded
+    *    by the watermark horizon (the production contract: an ingest
+    *    gate dedups against the recent horizon; whole-history dedup is
+    *    the batch pipeline's job, q27/q185).
+    *  - cap: a fixed portable-hash admission threshold (keep ≈
+    *    `keepFrac` of surviving ids) — the ingest-time stand-in for
+    *    the batch funnel's budget selection, deterministic per id so
+    *    replays admit the same docs.
+    */
+  def streamingCurationFunnel(docs: DataFrame, idCol: String,
+                              sourceCol: String, langCol: String,
+                              textCol: String, tsCol: String,
+                              buckets: Int = 4096,
+                              keepFrac: Double = 1.0,
+                              watermarkDelay: String = "10 minutes",
+                              lang: String = "en"): DataFrame = {
+    require(keepFrac > 0d && keepFrac <= 1d, s"keepFrac $keepFrac not in (0,1]")
+    val nfcText = graft.functions.TextFns.nfc(col(textCol))
+    def weight(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(b * lit(2654435761L) + lit(104729L), lit(19997L)) - lit(9998L)
+    val units = aggregate(
+      graft.functions.TextFns.tokens(col("__text")), lit(0L),
+      (acc, t) => acc + weight(pmod(
+        graft.operators.Dedup.portableHash64(t), lit(buckets.toLong))))
+    val M = 1L << 30
+    val admit = pmod(graft.operators.Dedup.portableHash64(
+      col(idCol).cast("string")), lit(M)) < lit((keepFrac * M).toLong)
+    docs
+      .withColumn("__text", nfcText)
+      .filter(col(langCol) === lang)
+      .withColumn("score_units", units)
+      .filter(col("score_units") > 0)
+      .withColumn("__fp", md5(col("__text")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .filter(admit)
+      .select(col(idCol), col(sourceCol), col(tsCol),
+        col("score_units"), col("__fp").as("fingerprint"))
+  }
+
   /** Streaming drift monitor — the ingest-time twin of
     * `Drift.categoricalDrift`: per event-time tumbling window, the
     * JS / PSI / TVD of the window's categorical distribution against a

@@ -90,6 +90,32 @@ class DriftSpec extends SparkSpec {
     assert(eq._1 === 0d)
   }
 
+  test("fuzz: JS/PSI/TVD are symmetric under source swap and vanish " +
+    "on identical distributions") {
+    val rng = new scala.util.Random(13)
+    for (_ <- 0 until 3) {
+      val cats = ('a' to 'f').map(_.toString)
+      val aCounts = cats.map(c => c -> (1 + rng.nextInt(9))).toMap
+      val bCounts = cats.filter(_ => rng.nextBoolean())
+        .map(c => c -> (1 + rng.nextInt(9))).toMap + ("z" -> 3)
+      val df = mkCats(aCounts, bCounts)
+      val ab = Drift.categoricalDrift(df, col("cat"), col("src"), "A", "B")
+        .as[(Double, Double, Double, Long)].collect().head
+      val ba = Drift.categoricalDrift(df, col("cat"), col("src"), "B", "A")
+        .as[(Double, Double, Double, Long)].collect().head
+      // every metric is symmetric: JS by construction, PSI because
+      // (p-q)ln(p/q) = (q-p)ln(q/p), TVD trivially
+      assert(math.abs(ab._1 - ba._1) < 1e-6)
+      assert(math.abs(ab._2 - ba._2) < 1e-6)
+      assert(math.abs(ab._3 - ba._3) < 1e-6)
+      assert(ab._4 === ba._4)
+      // JS within [0, ln2], TVD within [0, 1], PSI >= 0
+      assert(ab._1 >= 0d && ab._1 <= math.log(2) + 1e-9)
+      assert(ab._3 >= 0d && ab._3 <= 1d + 1e-9)
+      assert(ab._2 >= -1e-9)
+    }
+  }
+
   test("driftMatrix rows equal pairwise categoricalDrift; disjoint " +
     "pairs hit the ln2/1/0 extremes") {
     val df = mkCats(Map("x" -> 2, "y" -> 2),

@@ -99,4 +99,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(pq.columns.toSeq ===
       Seq("query_id", "rank", "neighbor_id", "approx_dist"))
   }
+
+  test("round-8 drift / shards / BPE on empty frames") {
+    // drift matrix + shard publication degrade to empty results; BPE
+    // learns no merges and segments nothing. (The TWO-source drift
+    // operators deliberately RAISE on an empty side — that contract is
+    // DriftSpec's fail-loud test, not an empty-degrade case.)
+    val eCats = Seq.empty[(String, String)].toDF("cat", "src")
+    assert(Drift.categoricalDriftMatrix(eCats, $"cat", $"src").count() === 0)
+    val eIds = Seq.empty[Tuple1[Long]].toDF("id")
+    val sh = Drift.publishShards(eIds, "id", nShards = 4, seed = 1L)
+    assert(sh.count() === 0 &&
+      sh.columns.toSeq === Seq("shard", "seq", "id"))
+    assert(Bpe.bpeMerges(emptyDocs, "text", rounds = 3).count() === 0)
+    assert(Bpe.bpeSegmentCounts(emptyDocs, "text",
+      Seq(("a", "b"))).count() === 0)
+    Dedup.clearDedupCaches()
+  }
 }

@@ -467,6 +467,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation funnel applies the q200 gates: lang, " +
+    "quality, dedup-within-watermark, deterministic cap") {
+    import graft.operators.Curate
+    // find a word the hashed linear scorer dislikes, so the quality
+    // gate provably fires (weights are a pure hash — data-independent)
+    val cand = (0 until 60).map(i => (i.toLong, s"word$i"))
+      .toDF("doc_id", "text")
+    val scoredCand = Curate.hashedLinearScore(cand, "doc_id", "text")
+      .join(cand, Seq("doc_id")).select($"text", $"score_units")
+      .as[(String, Long)].collect()
+    val badWord = scoredCand.filter(_._2 < 0).minBy(_._1)._1
+    val posWords = scoredCand.filter(_._2 > 0).map(_._1).sorted
+    // single positive word repeated -> certainly positive total score
+    val goodText = s"${posWords(0)} ${posWords(0)} ${posWords(0)}"
+    val otherText = s"${posWords(1)} ${posWords(1)}"
+    val fx = Seq(
+      (1L, "s0", "en", goodText, "2024-01-01 00:00:01"),
+      (2L, "s0", "de", goodText, "2024-01-01 00:00:02"), // lang gate
+      (3L, "s0", "en", goodText, "2024-01-01 00:00:03"), // dup of 1
+      (4L, "s1", "en", badWord, "2024-01-01 00:00:04"),  // quality gate
+      (5L, "s1", "en", otherText, "2024-01-01 00:00:05")
+    ).toDF("doc_id", "source", "lang", "text", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val d = Files.createTempDirectory("graft_funnel").toString
+    fx.write.parquet(d + "/in")
+    val src = spark.readStream
+      .schema(spark.read.parquet(d + "/in").schema).parquet(d + "/in")
+    val q = StreamOps.streamingCurationFunnel(src, "doc_id", "source",
+      "lang", "text", "ts")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT doc_id, source, score_units, fingerprint FROM funnel_stream")
+      .as[(Long, String, Long, String)].collect()
+    // batch replay of the same gates
+    val b = spark.read.parquet(d + "/in")
+      .withColumn("__text", graft.functions.TextFns.nfc($"text"))
+      .filter($"lang" === "en")
+    val scored = Curate.hashedLinearScore(b, "doc_id", "__text")
+      .filter($"score_units" > 0)
+    val batchSurv = b.join(scored.select($"doc_id", $"score_units"),
+        Seq("doc_id"))
+      .withColumn("__fp", md5($"__text"))
+    // one survivor per fingerprint; same fingerprint set, same scores
+    val wantFps = batchSurv.select($"__fp").distinct()
+      .as[String].collect().toSet
+    assert(got.map(_._4).toSet === wantFps)
+    assert(got.length === wantFps.size)
+    val batchIdsByFp = batchSurv.select($"__fp", $"doc_id")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (id, _, _, fp) =>
+      assert(batchIdsByFp(fp).contains(id)) }
+    // the gates actually fired: doc 2 (lang) and doc 4 (quality) out,
+    // docs 1/3 collapsed to one survivor
+    assert(!got.map(_._1).contains(2L) && !got.map(_._1).contains(4L))
+    assert(got.count(x => x._4 === batchSurv.filter($"doc_id" === 1)
+      .select($"__fp").as[String].head()) === 1)
+    // keepFrac cap is deterministic: admitted set is a subset chosen
+    // by the id hash, identical across replays
+    val capped1 = StreamOps.streamingCurationFunnel(
+      spark.readStream.schema(fx.schema).parquet(d + "/in"),
+      "doc_id", "source", "lang", "text", "ts", keepFrac = 0.5)
+    val q2 = capped1.writeStream.format("memory").queryName("funnel_cap")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val cappedIds = spark.sql("SELECT doc_id FROM funnel_cap")
+      .as[Long].collect().toSet
+    assert(cappedIds.subsetOf(got.map(_._1).toSet))
+  }
+
   test("streaming drift monitor matches hand-computed per-window " +
     "metrics against a fixed reference") {
     // reference: click .5, view .5; window 1: 3 clicks / 1 view;
