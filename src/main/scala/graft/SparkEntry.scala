@@ -5821,17 +5821,16 @@ object SparkEntry {
         |  FROM f a JOIN f b ON a.cat = b.cat AND a.src < b.src
         |  GROUP BY 1, 2),
         |ap AS (SELECT ta.src AS src_a, tb.src AS src_b
-        |  FROM tot ta, tot tb WHERE ta.src < tb.src)
+        |  FROM tot ta, tot tb WHERE ta.src < tb.src),
+        |om AS (SELECT src_a, src_b, jsS, psi0, tvdS, ns,
+        |    greatest(0, 2 - coalesce(sp, 0) - coalesce(sq, 0)) AS only_m
+        |  FROM ap LEFT JOIN sh USING (src_a, src_b))
         |SELECT src_a, src_b,
-        |  round(coalesce(jsS, 0) +
-        |    (2 - coalesce(sp, 0) - coalesce(sq, 0)) * ln(2) / 2, 6)
-        |    AS js_nats,
+        |  round(coalesce(jsS, 0) + only_m * ln(2) / 2, 6) AS js_nats,
         |  round(coalesce(psi0, 0), 6) AS psi,
-        |  round((coalesce(tvdS, 0) + 2 - coalesce(sp, 0)
-        |    - coalesce(sq, 0)) / 2, 6) AS tvd,
+        |  round((coalesce(tvdS, 0) + only_m) / 2, 6) AS tvd,
         |  CAST(coalesce(ns, 0) AS BIGINT) AS n_shared
-        |FROM ap LEFT JOIN sh USING (src_a, src_b)
-        |ORDER BY src_a, src_b""".stripMargin,
+        |FROM om ORDER BY src_a, src_b""".stripMargin,
 
     // full BPE replay: the same 10 merge rounds unrolled as chained
     // CTEs — per round, pair counts over the symbol lists, the

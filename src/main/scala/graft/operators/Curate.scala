@@ -276,14 +276,19 @@ object Curate {
     * functionally dependent on the doc id), so a consumer grouping by
     * e.g. source needs no second join back to the doc table.
     */
+  /** The scorer's weight generator — a pure hash of the feature
+    * bucket, shared with the streaming funnel so the ingest-time
+    * admit/reject decision can never desynchronize from this scorer.
+    */
+  private[graft] def hashedWeight(b: Column): Column =
+    pmod(b * lit(2654435761L) + lit(104729L), lit(19997L)) - lit(9998L)
+
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
                         buckets: Int = 4096,
                         carryCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val weights = spark.range(buckets.toLong).select(
-      col("id").as("__b"),
-      (pmod(col("id") * lit(2654435761L) + lit(104729L), lit(19997L))
-        - lit(9998L)).as("__w"))
+      col("id").as("__b"), hashedWeight(col("id")).as("__w"))
     val keys = (idCol +: carryCols).map(col)
     df.select(keys :+
         explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"): _*)

@@ -170,8 +170,13 @@ object Drift {
       .crossJoin(totals.select(col("src").as("src_b")))
       .filter(col("src_a") < col("src_b"))
     val full = allPairs.join(shared, Seq("src_a", "src_b"), "left")
-    val onlyMass = lit(2d) - coalesce(col("__sp"), lit(0d)) -
-      coalesce(col("__sq"), lit(0d))
+    // clamp: for identical-support pairs Σp sums to 1 ± a few ulps, so
+    // the analytic residual can be ~-1e-16 — which would push the
+    // exact-zero metrics negative (and the two engines could even
+    // disagree on the residue's sign). The true only-mass is >= 0.
+    val onlyMass = greatest(lit(0d),
+      lit(2d) - coalesce(col("__sp"), lit(0d)) -
+        coalesce(col("__sq"), lit(0d)))
     full.select(col("src_a"), col("src_b"),
       round(coalesce(col("__jsS"), lit(0d)) +
         onlyMass * lit(math.log(2)) / 2d, 6).as("js_nats"),

@@ -703,11 +703,9 @@ object StreamOps {
                               lang: String = "en"): DataFrame = {
     require(keepFrac > 0d && keepFrac <= 1d, s"keepFrac $keepFrac not in (0,1]")
     val nfcText = graft.functions.TextFns.nfc(col(textCol))
-    def weight(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      pmod(b * lit(2654435761L) + lit(104729L), lit(19997L)) - lit(9998L)
     val units = aggregate(
       graft.functions.TextFns.tokens(col("__text")), lit(0L),
-      (acc, t) => acc + weight(pmod(
+      (acc, t) => acc + graft.operators.Curate.hashedWeight(pmod(
         graft.operators.Dedup.portableHash64(t), lit(buckets.toLong))))
     val M = 1L << 30
     val admit = pmod(graft.operators.Dedup.portableHash64(

@@ -536,9 +536,11 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").trigger(
         org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q2.awaitTermination(60000)
-    val cappedIds = spark.sql("SELECT doc_id FROM funnel_cap")
-      .as[Long].collect().toSet
-    assert(cappedIds.subsetOf(got.map(_._1).toSet))
+    // fingerprints are stable across runs; the dedup SURVIVOR id is
+    // first-arrival and not guaranteed identical between two queries
+    val cappedFps = spark.sql("SELECT fingerprint FROM funnel_cap")
+      .as[String].collect().toSet
+    assert(cappedFps.subsetOf(got.map(_._4).toSet))
   }
 
   test("streaming drift monitor matches hand-computed per-window " +
