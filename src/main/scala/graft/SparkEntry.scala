@@ -2761,6 +2761,14 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // Fixed-bin PSI on a numeric column (the production continuous-
+    // drift gauge): codegen'd cut into reference bins, then the
+    // categorical metric path over the bins-sized frame.
+    "q228_binned_psi" -> ((s, dir) =>
+      Drift.binnedDrift(t(s, dir, "documents"), col("n_chars"),
+        col("source"), "src0", "src1",
+        Seq(0, 100, 200, 300, 400, 500, 600))),
+
     // BPE merge learning (Sennrich 2016): 10 rounds of most-frequent-
     // pair merges over the word-frequency table — ONE corpus scan,
     // then every round is vocab-sized. The oracle replays the full
@@ -5831,6 +5839,36 @@ object SparkEntry {
         |  round((coalesce(tvdS, 0) + only_m) / 2, 6) AS tvd,
         |  CAST(coalesce(ns, 0) AS BIGINT) AS n_shared
         |FROM om ORDER BY src_a, src_b""".stripMargin,
+
+    // binned-PSI mirror: the same CASE bins, then the q222 metric SQL
+    "q228_binned_psi" ->
+      """WITH b AS (SELECT CASE
+        |    WHEN n_chars >= 0 AND n_chars <= 100 THEN 1
+        |    WHEN n_chars > 100 AND n_chars <= 200 THEN 2
+        |    WHEN n_chars > 200 AND n_chars <= 300 THEN 3
+        |    WHEN n_chars > 300 AND n_chars <= 400 THEN 4
+        |    WHEN n_chars > 400 AND n_chars <= 500 THEN 5
+        |    WHEN n_chars > 500 AND n_chars <= 600 THEN 6 END AS bin,
+        |    source FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT bin,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM b WHERE bin IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |    CAST(sum(cb) AS DOUBLE) AS nb FROM c),
+        |f AS (SELECT CAST(ca AS DOUBLE) / na AS p,
+        |    CAST(cb AS DOUBLE) / nb AS q, ca, cb FROM c, tot)
+        |SELECT
+        |  round(sum(
+        |    (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2)) / 2
+        |      ELSE 0 END) +
+        |    (CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2)) / 2
+        |      ELSE 0 END)), 6) AS js_nats,
+        |  round(sum(CASE WHEN ca > 0 AND cb > 0
+        |    THEN (p - q) * ln(p / q) ELSE 0 END), 6) AS psi,
+        |  round(sum(abs(p - q)) / 2, 6) AS tvd,
+        |  count(*) AS n_cats
+        |FROM f""".stripMargin,
 
     // full BPE replay: the same 10 merge rounds unrolled as chained
     // CTEs — per round, pair counts over the symbol lists, the

@@ -121,6 +121,26 @@ object Drift {
         col("n_a"), col("n_b"), col("n_values"))
   }
 
+  /** Fixed-bin drift on a NUMERIC column — the production-standard
+    * continuous-drift gauge (PSI is classically defined over fixed
+    * bins chosen from the reference period): `Binning.cut` the value
+    * into the caller's bin edges, then [[categoricalDrift]] over the
+    * bin ids. Values outside the edges land in bin NULL and are
+    * excluded (the caller's edge list defines the monitored domain —
+    * widen the outer edges to catch tails). Shape: the cut is a
+    * codegen'd projection; everything after is the categorical path
+    * (bins-sized frames).
+    */
+  def binnedDrift(df: DataFrame, valCol: Column, sourceCol: Column,
+                  srcA: String, srcB: String,
+                  edges: Seq[Double]): DataFrame = {
+    require(edges.size >= 2, "need at least two bin edges")
+    categoricalDrift(
+      df.select(graft.functions.Binning.cut(valCol, edges).as("__bin"),
+        sourceCol.as("__src")),
+      col("__bin"), col("__src"), srcA, srcB)
+  }
+
   /** Pairwise drift matrix across ALL sources — the mixing-stage
     * diagnostic ("which crawls/domains have diverged from which"):
     * one row per unordered source pair with the same JS / PSI / TVD as
