@@ -326,4 +326,46 @@ class StressSpec extends SparkSpec {
     assert(inc.keySet === cross.keySet)
     inc.foreach { case (k, j) => assert(j === cross(k), k) }
   }
+
+  test("drift metrics under a hot category: the category-keyed " +
+    "aggregate absorbs the hot key map-side") {
+    import graft.operators.Drift
+    // 1M rows, 90% one category — the shape a stopword creates in a
+    // token-drift run. The count aggregate must combine map-side: the
+    // max per-task shuffle read stays dictionary-scale, never ~rows.
+    val n = 1000000
+    val df = spark.range(n.toLong).select(
+      when(pmod(col("id"), lit(10)) < 9, lit("the"))
+        .otherwise(concat(lit("w"), pmod(col("id"), lit(997)))).as("cat"),
+      when(pmod(col("id"), lit(2)) === 0, lit("A")).otherwise(lit("B"))
+        .as("src"))
+    val (row, maxRead) = withMaxTaskShuffleRead {
+      Drift.categoricalDrift(df, col("cat"), col("src"), "A", "B")
+        .collect().head
+    }
+    assert(row.getLong(3) === 998L) // 'the' + w0..w996
+    assert(maxRead < (4L << 20),
+      s"per-task shuffle read $maxRead — hot category not combined map-side")
+    graft.operators.Dedup.clearDedupCaches()
+  }
+
+  test("BPE on a 50k-word vocabulary: merge rounds are vocab-sized " +
+    "(driver rounds stay sub-second after the one corpus scan)") {
+    import graft.functions.Bpe
+    // 200k corpus words over a 50k-type vocabulary; every training
+    // round must touch only the vocab frame, not the corpus
+    val docs = spark.range(20000).select(
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("tok"), pmod(col("id") * lit(7) + lit(j * 13),
+          lit(50000)))): _*).as("text"))
+    val t0 = System.nanoTime()
+    val merges = Bpe.bpeMerges(docs, "text", rounds = 4)
+      .as[(Int, String, String, String, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length === 4)
+    // generous CI bound: the corpus scan + 4 vocab-sized rounds; a
+    // per-round corpus rescan would blow far past this
+    assert(secs < 60.0, s"BPE took ${secs}s — rounds not vocab-sized?")
+    graft.operators.Dedup.clearDedupCaches()
+  }
 }
