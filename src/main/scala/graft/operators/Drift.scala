@@ -135,6 +135,10 @@ object Drift {
                   srcA: String, srcB: String,
                   edges: Seq[Double]): DataFrame = {
     require(edges.size >= 2, "need at least two bin edges")
+    // unsorted/duplicate edges would bin EVERY row to NULL and surface
+    // downstream as a misleading "source has zero rows" error
+    require(edges.sliding(2).forall { case Seq(a, b) => a < b; case _ => true },
+      s"bin edges must be strictly increasing, got $edges")
     categoricalDrift(
       df.select(graft.functions.Binning.cut(valCol, edges).as("__bin"),
         sourceCol.as("__src")),

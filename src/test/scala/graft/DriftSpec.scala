@@ -116,6 +116,43 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("binnedDrift: include-lowest boundary semantics, out-of-range " +
+    "exclusion, and edge validation") {
+    import org.apache.spark.sql.functions.col
+    // edges [0,10,20]: bin1 = [0,10], bin2 = (10,20]; -1 and 21 excluded
+    val rows = Seq(
+      (0.0, "A"), (10.0, "A"), (10.0, "A"), (15.0, "A"),   // A: b1x3? no: 0,10,10 -> bin1; 15 -> bin2
+      (-1.0, "A"), (21.0, "A"),                            // excluded
+      (5.0, "B"), (20.0, "B"), (11.0, "B"), (0.0, "B")     // B: bin1 x2, bin2 x2
+    ).toDF("v", "src")
+    val r = Drift.binnedDrift(rows, col("v"), col("src"), "A", "B",
+      Seq(0.0, 10.0, 20.0))
+      .as[(Double, Double, Double, Long)].collect().head
+    // A: bin1=3/4, bin2=1/4 (out-of-range dropped); B: bin1=2/4, bin2=2/4
+    def half(p: Double, q: Double) = {
+      val m = (p + q) / 2
+      p * math.log(p / m) / 2 + q * math.log(q / m) / 2
+    }
+    val js = half(.75, .5) + half(.25, .5)
+    val psi = (.75 - .5) * math.log(.75 / .5) +
+      (.25 - .5) * math.log(.25 / .5)
+    assert(math.abs(r._1 - js) < 1e-6)
+    assert(math.abs(r._2 - psi) < 1e-6)
+    assert(math.abs(r._3 - (math.abs(.75 - .5) + math.abs(.25 - .5)) / 2)
+      < 1e-6)
+    assert(r._4 === 2L)
+    // unsorted / duplicate edges fail fast with the real cause
+    val ex = intercept[IllegalArgumentException] {
+      Drift.binnedDrift(rows, col("v"), col("src"), "A", "B",
+        Seq(20.0, 0.0, 10.0))
+    }
+    assert(ex.getMessage.contains("strictly increasing"))
+    intercept[IllegalArgumentException] {
+      Drift.binnedDrift(rows, col("v"), col("src"), "A", "B",
+        Seq(0.0, 10.0, 10.0))
+    }
+  }
+
   test("driftMatrix rows equal pairwise categoricalDrift; disjoint " +
     "pairs hit the ln2/1/0 extremes") {
     val df = mkCats(Map("x" -> 2, "y" -> 2),

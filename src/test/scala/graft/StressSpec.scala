@@ -337,8 +337,8 @@ class StressSpec extends SparkSpec {
     val df = spark.range(n.toLong).select(
       when(pmod(col("id"), lit(10)) < 9, lit("the"))
         .otherwise(concat(lit("w"), pmod(col("id"), lit(997)))).as("cat"),
-      when(pmod(col("id"), lit(2)) === 0, lit("A")).otherwise(lit("B"))
-        .as("src"))
+      when(pmod(expr("id div 10"), lit(2)) === 0, lit("A"))
+        .otherwise(lit("B")).as("src"))
     val (row, maxRead) = withMaxTaskShuffleRead {
       Drift.categoricalDrift(df, col("cat"), col("src"), "A", "B")
         .collect().head
@@ -358,14 +358,22 @@ class StressSpec extends SparkSpec {
       concat_ws(" ", (0 until 10).map(j =>
         concat(lit("tok"), pmod(col("id") * lit(7) + lit(j * 13),
           lit(50000)))): _*).as("text"))
-    val t0 = System.nanoTime()
+    graft.operators.Dedup.clearDedupCaches()
     val merges = Bpe.bpeMerges(docs, "text", rounds = 4)
       .as[(Int, String, String, String, Long)].collect()
-    val secs = (System.nanoTime() - t0) / 1e9
     assert(merges.length === 4)
-    // generous CI bound: the corpus scan + 4 vocab-sized rounds; a
-    // per-round corpus rescan would blow far past this
-    assert(secs < 60.0, s"BPE took ${secs}s — rounds not vocab-sized?")
+    // the real observable for "one corpus scan": training registered
+    // the word frame; application must HIT the registry (a rescan
+    // would re-register instead), and its plan must read the cache
+    val hits0 = graft.operators.Dedup.registryHits
+    val seg = Bpe.bpeSegmentCounts(docs, "text",
+      merges.map(m => (m._2, m._3)).toSeq)
+    seg.collect()
+    assert(graft.operators.Dedup.registryHits > hits0,
+      "bpeSegmentCounts did not reuse the registered word frame")
+    val plan = seg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan"), plan)
     graft.operators.Dedup.clearDedupCaches()
   }
 }
