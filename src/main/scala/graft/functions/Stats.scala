@@ -210,16 +210,28 @@ object Stats {
     */
   def profile(df: DataFrame, cols: Seq[String],
               sketchK: Int = 64): DataFrame = {
-    val stackExpr = s"stack(${cols.length}, " +
+    // counts/extremes need NO row melt: one wide single-row aggregate
+    // over the original frame (map-side combined to one row per
+    // partition — ncols× cheaper than aggregating the melted stream),
+    // then the ONE-row result unpivots with a driver-tiny stack
+    val aggs = cols.flatMap { c =>
+      val v = col(s"`$c`").cast("string")
+      Seq(sum(when(v.isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        min(v).as(s"__min_$c"), max(v).as(s"__max_$c"),
+        round(min(v.cast("double")), 6).as(s"__minn_$c"),
+        round(max(v.cast("double")), 6).as(s"__maxn_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val base = wide.select(expr(
+      s"stack(${cols.length}, " + cols.map(c =>
+        s"'$c', __n, `__null_$c`, `__min_$c`, `__max_$c`, " +
+          s"`__minn_$c`, `__maxn_$c`").mkString(", ") +
+        ") as (colname, n, n_null, min_str, max_str, min_num, max_num)"))
+    // the melt survives only where it is genuinely needed: the
+    // per-column distinct sketch
+    val longDf = df.select(expr(s"stack(${cols.length}, " +
       cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
-      ") as (colname, v)"
-    val longDf = df.select(expr(stackExpr))
-    val base = longDf.groupBy(col("colname")).agg(
-      count(lit(1)).as("n"),
-      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-      min(col("v")).as("min_str"), max(col("v")).as("max_str"),
-      round(min(col("v").cast("double")), 6).as("min_num"),
-      round(max(col("v").cast("double")), 6).as("max_num"))
+      ") as (colname, v)"))
     val est = graft.operators.Sketch.kmvDistinct(
       longDf.filter(col("v").isNotNull), Seq("colname"), col("v"), sketchK)
     base.join(est, Seq("colname"))
