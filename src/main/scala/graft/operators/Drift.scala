@@ -191,7 +191,7 @@ object Drift {
     // dictionary-sized all-pairs frame so it still reports the
     // disjoint-support extremes (JS = ln2, TVD = 1, PSI = 0)
     val allPairs = totals.select(col("src").as("src_a"))
-      .crossJoin(totals.select(col("src").as("src_b")))
+      .crossJoin(broadcast(totals.select(col("src").as("src_b"))))
       .filter(col("src_a") < col("src_b"))
     val full = allPairs.join(shared, Seq("src_a", "src_b"), "left")
     // clamp: for identical-support pairs Σp sums to 1 ± a few ulps, so
