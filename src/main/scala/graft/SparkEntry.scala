@@ -2769,6 +2769,13 @@ object SparkEntry {
         col("source"), "src0", "src1",
         Seq(0, 100, 200, 300, 400, 500, 600))),
 
+    // Pairwise KS matrix across sources (numeric twin of q227):
+    // densified union-value grid, per-source ECDF windows over the
+    // domain-sized frame, value-keyed pair join.
+    "q229_ks_matrix" -> ((s, dir) =>
+      Drift.ksMatrix(t(s, dir, "documents"), col("n_chars"), col("source"))
+        .orderBy(col("src_a"), col("src_b"))),
+
     // BPE merge learning (Sennrich 2016): 10 rounds of most-frequent-
     // pair merges over the word-frequency table — ONE corpus scan,
     // then every round is vocab-sized. The oracle replays the full
@@ -5869,6 +5876,25 @@ object SparkEntry {
         |  round(sum(abs(p - q)) / 2, 6) AS tvd,
         |  count(*) AS n_cats
         |FROM f""".stripMargin,
+
+    // KS-matrix mirror: the same densified grid + per-source ECDF
+    "q229_ks_matrix" ->
+      """WITH c AS (SELECT source AS src, n_chars AS v, count(*) AS cc
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(sum(cc) AS BIGINT) AS n FROM c GROUP BY 1),
+        |grid AS (SELECT v, src, n FROM (SELECT DISTINCT v FROM c), tot),
+        |dense AS (SELECT g.src, g.v, g.n, coalesce(c.cc, 0) AS cc
+        |  FROM grid g LEFT JOIN c ON c.src = g.src AND c.v = g.v),
+        |ecdf AS (SELECT src, v, n,
+        |    CAST(sum(cc) OVER (PARTITION BY src ORDER BY v) AS DOUBLE) / n
+        |      AS f
+        |  FROM dense)
+        |SELECT a.src AS src_a, b.src AS src_b,
+        |  round(max(abs(a.f - b.f)), 6) AS ks_d,
+        |  CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b
+        |FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // full BPE replay: the same 10 merge rounds unrolled as chained
     // CTEs — per round, pair counts over the symbol lists, the

@@ -209,6 +209,46 @@ object Drift {
       coalesce(col("__ns"), lit(0L)).as("n_shared"))
   }
 
+  /** Pairwise two-sample KS matrix across ALL sources — the numeric
+    * twin of [[categoricalDriftMatrix]]: one row per unordered source
+    * pair with D = sup_v |F_a(v) − F_b(v)| and both sample sizes.
+    *
+    * Shape: one value-keyed count aggregate collapses the corpus to
+    * the (source, value) frame; the distinct-value grid crosses with
+    * the source dictionary (domain × k rows) so every source's ECDF
+    * is defined on the UNION grid (a source with no mass at v carries
+    * its running F forward); cumulative sums are windows PARTITIONED
+    * per source over the domain-sized grid; the pair sup is one
+    * value-keyed self-join (k rows per side per value — k² per value,
+    * dictionary-bounded) and a max aggregate. Nothing is ever keyed
+    * on a corpus-sized stream.
+    */
+  def ksMatrix(df: DataFrame, valCol: Column,
+               sourceCol: Column): DataFrame = {
+    val counts = Dedup.registryPersist(df
+      .filter(valCol.isNotNull && sourceCol.isNotNull)
+      .groupBy(sourceCol.as("src"), valCol.as("v"))
+      .agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val grid = counts.select(col("v")).distinct()
+      .crossJoin(broadcast(totals))
+    val dense = grid.join(counts, Seq("src", "v"), "left")
+      .withColumn("__c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy(col("src")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = dense
+      .withColumn("__f", sum(col("__c")).over(w).cast("double") / col("n"))
+      .select(col("src"), col("v"), col("__f"), col("n"))
+    val a = ecdf.select(col("src").as("src_a"), col("v"),
+      col("__f").as("__fa"), col("n").as("n_a"))
+    val b = ecdf.select(col("src").as("src_b"), col("v"),
+      col("__f").as("__fb"), col("n").as("n_b"))
+    a.join(b, Seq("v")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(max(abs(col("__fa") - col("__fb"))), 6).as("ks_d"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+  }
+
   /** Deterministic training-shard publication — the reproducible
     * global shuffle that ends a curation run: every surviving doc gets
     * `shard` = portable-hash(seed:id) mod `nShards` and `seq` = the

@@ -176,6 +176,23 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("ksMatrix rows equal pairwise ksStatistic over every source pair") {
+    val rows = (Seq(1, 2, 2, 3, 5, 8).map((_, "A")) ++
+      Seq(2, 3, 3, 4, 9).map((_, "B")) ++
+      Seq(7, 7, 8, 10).map((_, "C"))).toDF("v", "src")
+    val m = Drift.ksMatrix(rows, col("v"), col("src"))
+      .as[(String, String, Double, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(m.size === 3)
+    for ((sa, sb) <- Seq(("A", "B"), ("A", "C"), ("B", "C"))) {
+      val two = Drift.ksStatistic(rows, col("v"), col("src"), sa, sb)
+        .as[(Double, Long, Long, Long)].collect().head
+      val got = m((sa, sb))
+      assert(got._1 === two._1, s"($sa,$sb)")
+      assert(got._2 === two._2 && got._3 === two._3)
+    }
+  }
+
   test("publishShards: deterministic, covering, seed-sensitive, " +
     "seq is a dense per-shard permutation") {
     val ids = (1L to 500L).toDF("id")
