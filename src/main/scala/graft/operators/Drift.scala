@@ -236,9 +236,12 @@ object Drift {
       .withColumn("__c", coalesce(col("c"), lit(0L)))
     val w = Window.partitionBy(col("src")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ecdf = dense
+    // registry-persisted: both sides of the value-keyed pair join read
+    // this frame — without the persist the grid build + window cumsum
+    // would execute twice per action
+    val ecdf = Dedup.registryPersist(dense
       .withColumn("__f", sum(col("__c")).over(w).cast("double") / col("n"))
-      .select(col("src"), col("v"), col("__f"), col("n"))
+      .select(col("src"), col("v"), col("__f"), col("n")))
     val a = ecdf.select(col("src").as("src_a"), col("v"),
       col("__f").as("__fa"), col("n").as("n_a"))
     val b = ecdf.select(col("src").as("src_b"), col("v"),
