@@ -2776,6 +2776,28 @@ object SparkEntry {
       Drift.ksMatrix(t(s, dir, "documents"), col("n_chars"), col("source"))
         .orderBy(col("src_a"), col("src_b"))),
 
+    // Rejection attribution over the q200 gate sequence: every doc
+    // labeled with the FIRST gate that drops it (lang -> quality ->
+    // dedup keep-first), per-source breakdown. Context-dependent gates
+    // (score, first-occurrence) precompute as columns; attribution is
+    // one when-chain + one count aggregate.
+    "q230_rejection_reasons" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("lang"), TextFns.nfc(col("text")).as("text"))
+      val scored = Curate.hashedLinearScore(d0, "doc_id", "text")
+        .select(col("doc_id"), col("score_units"))
+      val wf = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      val flagged = d0.join(scored, Seq("doc_id"))
+        .withColumn("__fp", md5(col("text")))
+        .withColumn("__rn", row_number().over(wf))
+      Curate.rejectionReasons(flagged, Seq("source"), Seq(
+          "lang" -> (col("lang") === "en"),
+          "quality" -> (col("score_units") > 0),
+          "duplicate" -> (col("__rn") === 1)))
+        .orderBy(col("source"), col("reason"))
+    }),
+
     // BPE merge learning (Sennrich 2016): 10 rounds of most-frequent-
     // pair merges over the word-frequency table — ONE corpus scan,
     // then every round is vocab-sized. The oracle replays the full
@@ -5895,6 +5917,31 @@ object SparkEntry {
         |  CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b
         |FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // rejection-attribution mirror: the q200 scoring blocks (hash
+    // buckets + weight table), dedup rank over ALL docs (gates are
+    // flagged independently; attribution order is the CASE chain)
+    "q230_rejection_reasons" ->
+      s"""WITH d0 AS (SELECT doc_id, source, lang,
+         |  nfc_normalize(text) AS text FROM documents),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(
+         |  lower(trim(text)), '\\s+')) AS tk FROM d0),
+         |wt AS (SELECT j AS b, (j * 2654435761 + 104729) % 19997 - 9998
+         |    AS wt FROM (SELECT unnest(range(4096)) AS j)),
+         |tb AS (SELECT doc_id, ${hash60Sql("tk")} % 4096 AS b FROM toks),
+         |us AS (SELECT doc_id, sum(wt) AS units FROM tb JOIN wt USING (b)
+         |  GROUP BY 1),
+         |fp AS (SELECT d0.doc_id, d0.source, d0.lang, us.units,
+         |    row_number() OVER (PARTITION BY md5(d0.text)
+         |      ORDER BY d0.doc_id) AS rn
+         |  FROM d0 JOIN us USING (doc_id))
+         |SELECT source,
+         |  CASE WHEN NOT coalesce(lang = 'en', FALSE) THEN 'lang'
+         |    WHEN NOT coalesce(units > 0, FALSE) THEN 'quality'
+         |    WHEN NOT coalesce(rn = 1, FALSE) THEN 'duplicate'
+         |    ELSE 'kept' END AS reason,
+         |  count(*) AS n
+         |FROM fp GROUP BY 1, 2 ORDER BY source, reason""".stripMargin,
 
     // full BPE replay: the same 10 merge rounds unrolled as chained
     // CTEs — per round, pair counts over the symbol lists, the

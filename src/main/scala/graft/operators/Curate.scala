@@ -192,6 +192,34 @@ object Curate {
     df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-document rejection attribution — the ops-facing complement of
+    * [[funnel]]: each row is labeled with the FIRST gate (in the given
+    * order) that rejects it, `kept` if every gate passes, and the
+    * result is the per-group (reason, count) breakdown — "why did 40%
+    * of crawl X get dropped". A NULL gate predicate counts as a
+    * REJECTION by that gate (a null lang can't prove itself English —
+    * the same conservative stance the funnel's filters take).
+    *
+    * Shape: one when-chain projection (codegen'd, first-match order is
+    * the chain order) + one map-side-combined count aggregate. Gates
+    * whose predicate needs context (the dedup keep-first flag, a model
+    * score) are precomputed COLUMNS by the caller — attribution itself
+    * never joins or shuffles beyond the final dictionary-sized count.
+    */
+  def rejectionReasons(df: DataFrame, by: Seq[String],
+                       stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one gate")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "duplicate gate names")
+    val head = when(!coalesce(stages.head._2, lit(false)),
+      lit(stages.head._1))
+    val reason = stages.tail.foldLeft(head) { case (acc, (n, p)) =>
+      acc.when(!coalesce(p, lit(false)), lit(n))
+    }.otherwise(lit("kept"))
+    df.groupBy((by.map(col) :+ reason.as("reason")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by how much more likely its hashed n-gram features are under a

@@ -171,4 +171,31 @@ class CurateSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("alloc")).sum
     assert(math.abs(out2 - 90.0) < 1e-9)
   }
+  test("rejectionReasons: first-failing-gate attribution, null " +
+    "predicates reject, duplicate names refused") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s0", "en", 5, 1),    // kept
+      (2L, "s0", "de", 5, 1),    // lang (first gate wins)
+      (3L, "s0", "de", -1, 2),   // lang, not quality/duplicate
+      (4L, "s0", "en", -1, 1),   // quality
+      (5L, "s0", "en", 5, 2),    // duplicate
+      (6L, "s1", null, 5, 1)     // null lang -> rejected by lang
+    ).toDF("id", "source", "lang", "score", "rn")
+    val out = graft.operators.Curate.rejectionReasons(df, Seq("source"), Seq(
+        "lang" -> (col("lang") === "en"),
+        "quality" -> (col("score") > 0),
+        "duplicate" -> (col("rn") === 1)))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map(
+      ("s0", "kept") -> 1L, ("s0", "lang") -> 2L,
+      ("s0", "quality") -> 1L, ("s0", "duplicate") -> 1L,
+      ("s1", "lang") -> 1L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Curate.rejectionReasons(df, Seq("source"), Seq(
+        "g" -> lit(true), "g" -> lit(false)))
+    }
+  }
 }
