@@ -2778,17 +2778,27 @@ object SparkEntry {
 
     // Rejection attribution over the q200 gate sequence: every doc
     // labeled with the FIRST gate that drops it (lang -> quality ->
-    // dedup keep-first), per-source breakdown. Context-dependent gates
-    // (score, first-occurrence) precompute as columns; attribution is
-    // one when-chain + one count aggregate.
+    // dedup keep-first AMONG survivors, matching the funnel's d3-on-d2
+    // rank), per-source breakdown. Context-dependent gates (score,
+    // first-occurrence) precompute as columns; attribution is one
+    // when-chain + one count aggregate. kept counts == q200 n_dedup.
     "q230_rejection_reasons" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("source"),
         col("lang"), TextFns.nfc(col("text")).as("text"))
       val scored = Curate.hashedLinearScore(d0, "doc_id", "text")
         .select(col("doc_id"), col("score_units"))
-      val wf = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
-      val flagged = d0.join(scored, Seq("doc_id"))
+      // LEFT join: a doc the scorer produced no row for (null/empty
+      // text -> zero tokens) must land in the quality bucket, not
+      // vanish from the breakdown
+      val passed = col("lang") === "en" &&
+        coalesce(col("score_units") > 0, lit(false))
+      // the funnel dedups AMONG gate survivors (q200's d3 ranks d2):
+      // partitioning the rank by the passed flag reproduces that —
+      // docs dropped earlier never occupy a survivor rank slot
+      val wf = Window.partitionBy(col("__fp"), passed)
+        .orderBy(col("doc_id"))
+      val flagged = d0.join(scored, Seq("doc_id"), "left")
         .withColumn("__fp", md5(col("text")))
         .withColumn("__rn", row_number().over(wf))
       Curate.rejectionReasons(flagged, Seq("source"), Seq(
@@ -2852,6 +2862,25 @@ object SparkEntry {
     * of md5 parsed as an integer (60-bit, non-negative). Same
     * expression the q187 KMV oracle inlines.
     */
+  /** Shared DuckDB CTE block for the q200/q230 mirrors: NFC'd
+    * documents (d0) + the hashed-linear scorer tables (toks/wt/tb/us).
+    * ONE copy so the weight generator can never diverge between the
+    * funnel and attribution oracles (the Scala side shares
+    * `Curate.hashedWeight` the same way). Scoring runs over ALL docs —
+    * the weights are a pure hash, so per-doc units are independent of
+    * which other docs are scored.
+    */
+  private def scorerCtesSql: String =
+    s"""d0 AS (SELECT doc_id, source, lang,
+       |  nfc_normalize(text) AS text FROM documents),
+       |toks AS (SELECT doc_id, unnest(string_split_regex(
+       |  lower(trim(text)), '\\s+')) AS tk FROM d0),
+       |wt AS (SELECT j AS b, (j * 2654435761 + 104729) % 19997 - 9998
+       |    AS wt FROM (SELECT unnest(range(4096)) AS j)),
+       |tb AS (SELECT doc_id, ${hash60Sql("tk")} % 4096 AS b FROM toks),
+       |us AS (SELECT doc_id, sum(wt) AS units FROM tb JOIN wt USING (b)
+       |  GROUP BY 1)""".stripMargin
+
   private def hash60Sql(s: String): String =
     s"CAST(list_sum(list_transform(range(1, 16), " +
       s"i -> CAST(strpos('0123456789abcdef', md5($s)[i]) - 1 AS BIGINT) " +
@@ -5523,16 +5552,8 @@ object SparkEntry {
     // already proven (q188 nfc, q193 scorer, q24 keep-first, q182
     // hash-rank selection), joined into one per-source funnel row
     "q200_curation_e2e" ->
-      s"""WITH d0 AS (SELECT doc_id, source, lang,
-         |  nfc_normalize(text) AS text FROM documents),
+      s"""WITH ${scorerCtesSql},
          |d1 AS (SELECT * FROM d0 WHERE lang = 'en'),
-         |toks AS (SELECT doc_id, unnest(string_split_regex(
-         |  lower(trim(text)), '\\s+')) AS tk FROM d1),
-         |wt AS (SELECT j AS b, (j * 2654435761 + 104729) % 19997 - 9998
-         |    AS wt FROM (SELECT unnest(range(4096)) AS j)),
-         |tb AS (SELECT doc_id, ${hash60Sql("tk")} % 4096 AS b FROM toks),
-         |us AS (SELECT doc_id, sum(wt) AS units FROM tb JOIN wt USING (b)
-         |  GROUP BY 1),
          |d2 AS (SELECT d1.* FROM d1 JOIN us USING (doc_id)
          |  WHERE units > 0),
          |d3 AS (SELECT * FROM (SELECT d2.*, row_number() OVER (
@@ -5922,19 +5943,12 @@ object SparkEntry {
     // buckets + weight table), dedup rank over ALL docs (gates are
     // flagged independently; attribution order is the CASE chain)
     "q230_rejection_reasons" ->
-      s"""WITH d0 AS (SELECT doc_id, source, lang,
-         |  nfc_normalize(text) AS text FROM documents),
-         |toks AS (SELECT doc_id, unnest(string_split_regex(
-         |  lower(trim(text)), '\\s+')) AS tk FROM d0),
-         |wt AS (SELECT j AS b, (j * 2654435761 + 104729) % 19997 - 9998
-         |    AS wt FROM (SELECT unnest(range(4096)) AS j)),
-         |tb AS (SELECT doc_id, ${hash60Sql("tk")} % 4096 AS b FROM toks),
-         |us AS (SELECT doc_id, sum(wt) AS units FROM tb JOIN wt USING (b)
-         |  GROUP BY 1),
+      s"""WITH ${scorerCtesSql},
          |fp AS (SELECT d0.doc_id, d0.source, d0.lang, us.units,
-         |    row_number() OVER (PARTITION BY md5(d0.text)
+         |    row_number() OVER (PARTITION BY md5(d0.text),
+         |      (d0.lang = 'en' AND coalesce(us.units > 0, FALSE))
          |      ORDER BY d0.doc_id) AS rn
-         |  FROM d0 JOIN us USING (doc_id))
+         |  FROM d0 LEFT JOIN us USING (doc_id))
          |SELECT source,
          |  CASE WHEN NOT coalesce(lang = 'en', FALSE) THEN 'lang'
          |    WHEN NOT coalesce(units > 0, FALSE) THEN 'quality'

@@ -211,6 +211,8 @@ object Curate {
     require(stages.nonEmpty, "need at least one gate")
     require(stages.map(_._1).distinct.size == stages.size,
       "duplicate gate names")
+    require(!stages.exists(_._1 == "kept"),
+      "'kept' is the reserved pass label — rename the gate")
     val head = when(!coalesce(stages.head._2, lit(false)),
       lit(stages.head._1))
     val reason = stages.tail.foldLeft(head) { case (acc, (n, p)) =>
