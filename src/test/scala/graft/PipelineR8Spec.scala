@@ -273,4 +273,14 @@ class PipelineR8Spec extends SparkSpec {
     assert(a === b)
     assert(a.size === 64)
   }
+  test("q230 'kept' counts equal q200's n_dedup per source (the " +
+    "attribution is the funnel's complement)") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("q230_rejection_reasons")(spark, dir)
+      .filter($"reason" === "kept")
+      .select($"source", $"n").as[(String, Long)].collect().toMap
+    val funnel = SparkEntry.queries("q200_curation_e2e")(spark, dir)
+      .select($"source", $"n_dedup").as[(String, Long)].collect().toMap
+    assert(kept === funnel.filter(_._2 > 0))
+  }
 }
