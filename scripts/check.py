@@ -12,13 +12,15 @@ import json, math, sys, glob, os
 import duckdb
 
 def canon(rows, cols):
-    # rows as list of tuples in sorted-column order; -0.0 normalized to 0.0
-    # so str()-based sort keys can't misalign rows that compare equal
+    # rows as list of tuples in sorted-column order. Sort KEYS normalize
+    # -0.0 to 0.0 (so rows that differ only in zero sign still align and
+    # reach eq, which then flags the sign diff like the driver's string
+    # hash does); the stored VALUES keep their sign bit.
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     def norm(x):
         return x + 0.0 if isinstance(x, float) else x
-    out = [tuple(norm(r[i]) for i in idx) for r in rows]
-    return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
+    out = [tuple(r[i] for i in idx) for r in rows]
+    return sorted(cols), sorted(out, key=lambda r: tuple(str(norm(x)) for x in r))
 
 def eq(a, b):
     # EXACT compare — mirrors the driver's hash gate (no float tolerance).
@@ -28,6 +30,11 @@ def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        # the driver hashes string forms, where -0.0 != 0.0 — the r8 q197
+        # red was exactly this (DuckDB round() keeps IEEE -0.0, Spark's
+        # BigDecimal round() doesn't); compare sign bits, not just ==
+        if a == 0.0 and b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     if a is None or b is None:
         return False

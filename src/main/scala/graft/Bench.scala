@@ -73,11 +73,17 @@ object Bench {
       // timings — observed as 3-20x min-of-3 spikes that MOVE between
       // queries across otherwise-identical runs.
       System.gc()
+      val regDebug = sys.env.contains("SPARK_GRAFT_REG_DEBUG")
       val runs = (1 to 3).map { _ =>
+        val (h0, m0, e0) = (operators.Dedup.registryHits,
+          operators.Dedup.registryMisses, operators.Dedup.registryEvictions)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (regDebug && dt > 0.5)
+          System.err.println(f"REGDBG $name%s $dt%.3f s hits+${operators.Dedup.registryHits - h0} miss+${operators.Dedup.registryMisses - m0} evict+${operators.Dedup.registryEvictions - e0}")
+        (dt, ok)
       }
       val times = runs.map(_._1).sorted
       (name, times(1), times.head, runs.forall(_._2))
@@ -94,19 +100,54 @@ object Bench {
     // committed sf0.01 baseline vs an sf0.1 run would flag every query
     // (and the reverse would mask every real slip). Mismatched sf →
     // no tripwire this run (the overwrite below re-seats the baseline).
-    val prevMedians: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_full.json")), "UTF-8")
-      val prevSf = "\"sf\":\"([^\"]*)\"".r
-        .findFirstMatchIn(txt).map(_.group(1))
-      if (!prevSf.contains(sfDir)) Map.empty[String, Double]
+    // Extract `"queries":{...}` by brace counting, not a [^}]* regex —
+    // survives reordered keys / pretty-printing / nested values; a
+    // format drift that silently disabled the tripwire is what let the
+    // r8 q28 regression through (ADVICE r8).
+    def queriesBlock(txt: String): Map[String, Double] = {
+      val at = txt.indexOf("\"queries\":")
+      if (at < 0) Map.empty
       else {
-        val qblock = "\"queries\":\\{([^}]*)\\}".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qblock)
+        val open = txt.indexOf('{', at)
+        var i = open; var depth = 0
+        while (i < txt.length && (depth > 0 || i == open)) {
+          if (txt.charAt(i) == '{') depth += 1
+          else if (txt.charAt(i) == '}') depth -= 1
+          i += 1
+        }
+        val block = txt.substring(open + 1, math.max(open + 1, i - 1))
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(block)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
-    } catch { case _: Throwable => Map.empty[String, Double] }
+    }
+    def loadBaseline(path: java.nio.file.Path): Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      val prevSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+        .findFirstMatchIn(txt).map(_.group(1))
+      if (!prevSf.contains(sfDir)) Map.empty else queriesBlock(txt)
+    } catch { case _: Throwable => Map.empty }
+    val localBase = loadBaseline(java.nio.file.Paths.get("bench_full.json"))
+    // Second baseline: the newest driver-committed BENCH_r*.json — the
+    // r8 q28 slip was visible only in the DRIVER's numbers (the local
+    // baseline had already re-seated on a slow run). A query regresses
+    // if it slipped vs EITHER baseline.
+    val driverBase: Map[String, Double] = try {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(".")
+      val benches = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json")).toSeq
+        .sortBy(_.getFileName.toString)
+      benches.lastOption.map(loadBaseline).getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    if (localBase.isEmpty && driverBase.isEmpty)
+      System.err.println("bench tripwire: NO baseline parsed " +
+        s"(bench_full.json/BENCH_r*.json missing, unparsable, or other sf than $sfDir) " +
+        "— regressions are NOT being checked this run")
+    val prevMedians: Map[String, Double] =
+      (localBase.keySet ++ driverBase.keySet).map { k =>
+        k -> math.min(localBase.getOrElse(k, Double.MaxValue),
+          driverBase.getOrElse(k, Double.MaxValue))
+      }.toMap
     val regressions = results.flatMap { case (name, med, mn, _) =>
       prevMedians.get(name).collect {
         case prev if med > prev * 1.25 && med - prev > 0.25 &&

@@ -1634,9 +1634,14 @@ object SparkEntry {
 
     // TPC-H Q21 shape (EXISTS + NOT EXISTS): suppliers whose line was
     // the ONLY late one on a multi-supplier order. Late = shipped > 90
-    // days after the order date. Semi- and anti-joins keyed on
-    // orderkey (never the supplier — no skew on popular suppliers);
-    // supplier dimension broadcasts
+    // days after the order date. Single-scan rewrite (r8 verdict #4 —
+    // the semi+anti formulation recomputed lineitem⋈orders three
+    // times): one per-(order, supplier) pre-aggregate, then one
+    // per-order rollup computes |suppliers|, |late suppliers|, the sole
+    // late supplier, and its late-line count — a waiting line is late
+    // with ≥2 suppliers on the order and exactly 1 late supplier. No
+    // expand (two plain aggregates instead of twin count-distincts),
+    // keys stay on orderkey (no supplier skew); supplier dim broadcasts
     "q146_tpch_q21" -> ((s, dir) => {
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
@@ -1646,20 +1651,22 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
             .as("late"))
-      val l1 = le.filter(col("late"))
-      val l2 = le.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-      val l3 = le.filter(col("late"))
-        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
-      val waiting = l1
-        .join(l2, col("l_orderkey") === col("o2") &&
-          col("l_suppkey") =!= col("s2"), "left_semi")
-        .join(l3, col("l_orderkey") === col("o3") &&
-          col("l_suppkey") =!= col("s3"), "left_anti")
+      val perSupp = le.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("any_late"),
+          count(when(col("late"), lit(1))).as("n_late_lines"))
+      val waiting = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("any_late"), lit(1)).otherwise(lit(0))).as("n_late_supp"),
+          max(when(col("any_late"), col("l_suppkey"))).as("l_suppkey"),
+          sum(when(col("any_late"), col("n_late_lines"))).as("n_late_lines"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .select(col("l_suppkey"), col("n_late_lines"))
       waiting
         .join(broadcast(t(s, dir, "supplier")
           .select(col("s_suppkey").as("l_suppkey"), col("s_name"))),
           Seq("l_suppkey"))
-        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(50)
     }),
@@ -2808,6 +2815,22 @@ object SparkEntry {
         .orderBy(col("source"), col("reason"))
     }),
 
+    // FAString niche byte-ops (rt_str.py:621,642,1232,1278): char /
+    // index_any_of (strpbrk) / substr_char_stop both flavors — pure
+    // codegen'd Column expressions, one scan-speed projection
+    "q231_fastring" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFns.charAt(col("text"), lit(0)).as("c0"),
+        TextFns.charAt(col("text"), lit(-1)).as("clast"),
+        TextFns.charAt(col("text"), lit(9999)).as("coob"),
+        TextFns.indexAnyOf(col("text"), "aeiou").cast("long").as("vowel_idx"),
+        TextFns.indexAnyOf(col("text"), "zq!").cast("long").as("rare_idx"),
+        TextFns.substrCharStop(col("text"), " ").as("first_word"),
+        TextFns.substrCharStop(col("text"), " ", inclusive = true)
+          .as("first_word_sp"))
+        .orderBy(col("doc_id"))),
+
     // BPE merge learning (Sennrich 2016): 10 rounds of most-frequent-
     // pair merges over the word-frequency table — ONE corpus scan,
     // then every round is vocab-sized. The oracle replays the full
@@ -3079,7 +3102,7 @@ object SparkEntry {
     "q12_shift_diff" ->
       """SELECT event_id, user_id,
         |  round(lag(value, 1) OVER w, 6) AS prev_value,
-        |  round(value - lag(value, 1) OVER w, 6) AS dvalue
+        |  round(value - lag(value, 1) OVER w, 6) + 0.0 AS dvalue
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
@@ -3496,7 +3519,7 @@ object SparkEntry {
 
     "q44_normalize" ->
       """SELECT c_custkey,
-        |  round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 6) AS z,
+        |  round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 6) + 0.0 AS z,
         |  round((c_acctbal - min(c_acctbal) OVER ())
         |    / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6) AS mm
         |FROM customer ORDER BY c_custkey""".stripMargin,
@@ -3568,10 +3591,10 @@ object SparkEntry {
 
     "q55_regr" ->
       """SELECT l_returnflag,
-        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
-        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-        |  round(corr(l_extendedprice, l_quantity), 6) AS corr,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) + 0.0 AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) + 0.0 AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
+        |  round(corr(l_extendedprice, l_quantity), 6) + 0.0 AS corr,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -4199,11 +4222,11 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT l_returnflag, round(xbar, 6) AS xbar,
         |  round((t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2))
-        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) AS c0,
+        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) + 0.0 AS c0,
         |  round((s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s2*s3) + s2*(s1*t2 - s2*t1))
-        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) AS c1,
+        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) + 0.0 AS c1,
         |  round((s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s2*t1) + t0*(s1*s3 - s2*s2))
-        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) AS c2,
+        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) + 0.0 AS c2,
         |  CAST(s0 AS BIGINT) AS n
         |FROM mo ORDER BY 1""".stripMargin,
 
@@ -4214,7 +4237,7 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN row_number() OVER w >= 20
         |    THEN round(corr(value, k) OVER
-        |      (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
+        |      (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) + 0.0
         |  END AS c_win
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
@@ -5481,7 +5504,7 @@ object SparkEntry {
         |  count(*) AS n FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2)
         |SELECT p.i, p.j,
         |  round((sp / 1e9) / p.n
-        |    - ((ma.s / 1e9) / ma.n) * ((mb.s / 1e9) / mb.n), 6) AS cov
+        |    - ((ma.s / 1e9) / ma.n) * ((mb.s / 1e9) / mb.n), 6) + 0.0 AS cov
         |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
         |ORDER BY p.i, p.j""".stripMargin,
 
@@ -5502,7 +5525,7 @@ object SparkEntry {
         |  count(*) AS n FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2),
         |cov AS (SELECT p.i, p.j,
         |  round((sp / 1e9) / p.n
-        |    - ((ma.s / 1e9) / ma.n) * ((mb.s / 1e9) / mb.n), 6) AS c
+        |    - ((ma.s / 1e9) / ma.n) * ((mb.s / 1e9) / mb.n), 6) + 0.0 AS c
         |  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j),
         |crow AS (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY 1),
         |cmat AS (SELECT list(row ORDER BY i) AS mm FROM crow),
@@ -5519,7 +5542,7 @@ object SparkEntry {
         |  x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS w FROM wf)
         |SELECT vec_id,
         |  round(list_sum(list_transform(range(1, 65), i ->
-        |    CAST(embedding[i] AS DOUBLE) * w[i])), 6) AS pc1
+        |    CAST(embedding[i] AS DOUBLE) * w[i])), 6) + 0.0 AS pc1
         |FROM embeddings, wn ORDER BY vec_id""".stripMargin,
 
     // per-source CM mirror: q192's sketch partitioned by source
@@ -5956,6 +5979,30 @@ object SparkEntry {
          |    ELSE 'kept' END AS reason,
          |  count(*) AS n
          |FROM fp GROUP BY 1, 2 ORDER BY source, reason""".stripMargin,
+
+    // FAString niche byte-ops: char as bounded substr, index_any_of as
+    // the length of the leading non-matching run, substr_char_stop via
+    // instr — all 0/-1 conventions mirror rt_str.py
+    "q231_fastring" ->
+      """SELECT doc_id,
+        |  substr(text, 1, 1) AS c0,
+        |  CASE WHEN length(text) >= 1
+        |    THEN substr(text, length(text), 1) ELSE '' END AS clast,
+        |  CASE WHEN length(text) > 9999
+        |    THEN substr(text, 10000, 1) ELSE '' END AS coob,
+        |  CAST(CASE WHEN length(regexp_extract(text, '^[^aeiou]*'))
+        |      = length(text) THEN -1
+        |    ELSE length(regexp_extract(text, '^[^aeiou]*'))
+        |    END AS BIGINT) AS vowel_idx,
+        |  CAST(CASE WHEN length(regexp_extract(text, '^[^zq!]*'))
+        |      = length(text) THEN -1
+        |    ELSE length(regexp_extract(text, '^[^zq!]*'))
+        |    END AS BIGINT) AS rare_idx,
+        |  CASE WHEN instr(text, ' ') = 0 THEN text
+        |    ELSE substr(text, 1, instr(text, ' ') - 1) END AS first_word,
+        |  CASE WHEN instr(text, ' ') = 0 THEN text
+        |    ELSE substr(text, 1, instr(text, ' ')) END AS first_word_sp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // full BPE replay: the same 10 merge rounds unrolled as chained
     // CTEs — per round, pair counts over the symbol lists, the

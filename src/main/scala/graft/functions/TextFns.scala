@@ -366,4 +366,50 @@ object TextFns {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  // --- FAString niche byte-ops (rt_str.py:621,642,1232,1278) ---------
+  // The generic FAString surface maps 1:1 onto built-ins (scaladoc at
+  // the top); these four have no direct builtin and get dedicated
+  // Column helpers. All pure expressions — codegen'd, scan-speed.
+
+  /** Single character at `pos` (0-based; negative counts from the end)
+    * — FAString.char (`rt_str.py:1278`). Out-of-bounds positions yield
+    * the empty string (the reference raises; the relational analog is
+    * the empty match, consistent with substring past the end).
+    */
+  def charAt(s: Column, pos: Column): Column = {
+    val p = when(pos < 0, length(s) + pos).otherwise(pos)
+    when(p < 0 || p >= length(s), lit(""))
+      .otherwise(s.substr(p.cast("int") + 1, lit(1)))
+  }
+
+  /** 0-based index of the first occurrence of ANY character of `chars`,
+    * or -1 when none occur — FAString.index_any_of / strpbrk
+    * (`rt_str.py:621,642`). Empty `chars` returns 0 for every row
+    * (reference parity).
+    */
+  def indexAnyOf(s: Column, chars: String): Column =
+    if (chars.isEmpty) when(s.isNotNull, lit(0))
+    else {
+      // escape every non-alphanumeric so the class is literal
+      val cls = "[" + chars.flatMap(c =>
+        if (c.isLetterOrDigit) c.toString else "\\" + c) + "]"
+      (regexp_instr(s, lit(cls)) - 1).cast("int")
+    }
+
+  /** Deprecated reference alias of [[indexAnyOf]] (`rt_str.py:642`). */
+  def strpbrk(s: Column, chars: String): Column = indexAnyOf(s, chars)
+
+  /** Prefix of each string up to (by default excluding) the first
+    * occurrence of `stop`; the whole string when `stop` is absent —
+    * FAString.substr_char_stop (`rt_str.py:1232`). `inclusive` keeps
+    * one extra character, exactly like the reference's `int_stop += 1`.
+    */
+  def substrCharStop(s: Column, stop: String,
+                     inclusive: Boolean = false): Column = {
+    val idx = instr(s, stop) // 1-based, 0 when absent
+    val n = when(idx === 0, length(s))
+      .otherwise(idx - 1 + (if (inclusive) 1 else 0))
+    s.substr(lit(1), n)
+  }
 }

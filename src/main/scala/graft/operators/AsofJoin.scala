@@ -39,16 +39,20 @@ object AsofJoin {
       rightCols: Seq[String],
       allowExactMatches: Boolean = true,
       tolerance: Option[Long] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      matchedOn: Boolean = false): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asofExec supports backward/forward/nearest, got $direction")
     // forward == backward on negated time (latest -rt ≤ -lt ⇔ earliest rt ≥ lt)
     if (direction == "forward") {
       val ln = left.withColumn("__negt", -col(on))
       val rn = right.withColumn("__negt", -col(on)).drop(on)
-      return asofExec(ln.drop(on), rn, "__negt", by, rightCols,
-        allowExactMatches, tolerance)
+      val neg = asofExec(ln.drop(on), rn, "__negt", by, rightCols,
+        allowExactMatches, tolerance, matchedOn = matchedOn)
         .withColumn(on, -col("__negt")).drop("__negt")
+      // the recursive call matched on negated time — undo for callers
+      return if (matchedOn) neg.withColumn("matched_on", -col("matched_on"))
+             else neg
     }
     import graft.plans.AsofJoinNode
     val spark = left.sparkSession
@@ -61,13 +65,19 @@ object AsofJoin {
              name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
+    // matched_on (rt_merge.py:3572) is just the right time column riding
+    // the rightValues projection — the exec needs no special case
+    val rightVals = rightCols.map(c => attr(rPlan, s"__r_$c")) ++
+      (if (matchedOn) Seq(attr(rPlan, s"__r_$on")) else Nil)
     val node = AsofJoinNode(
       lPlan, rPlan,
       by.map(attr(lPlan, _)), by.map(b => attr(rPlan, s"__r_$b")),
       attr(lPlan, on), attr(rPlan, s"__r_$on"),
-      rightCols.map(c => attr(rPlan, s"__r_$c")),
+      rightVals,
       allowExactMatches, tolerance, nearest = direction == "nearest")
-    val out = org.apache.spark.sql.GraftInternal.ofRows(spark, node)
+    val out0 = org.apache.spark.sql.GraftInternal.ofRows(spark, node)
+    val out = if (matchedOn)
+      out0.withColumnRenamed(s"__r_$on", "matched_on") else out0
     rightCols.foldLeft(out)((d, c) => d.withColumnRenamed(s"__r_$c", c))
   }
 

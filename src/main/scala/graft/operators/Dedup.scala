@@ -30,7 +30,9 @@ object Dedup {
     *    session mixing many datasets cannot accumulate cache entries
     *    without bound. `clearDedupCaches()` releases everything.
     */
-  private val maxCached = 8
+  private val maxCached =
+    try sys.props.getOrElse("graft.dedup.maxCached", "32").toInt
+    catch { case _: NumberFormatException => 32 }
   // keyed by (session, canonicalized plan): the registry is JVM-global
   // but entries never cross SparkSessions, so LRU eviction can't call
   // unpersist on a frame owned by a stopped context from a newer
@@ -51,6 +53,15 @@ object Dedup {
     */
   @volatile var registryHits: Long = 0L
 
+  /** Diagnostics for sizing `maxCached` to a workload's working set: a
+    * bench pass whose evictions keep climbing while hits stall is
+    * thrashing — the cap is below the set of frames the queries re-use
+    * (the r8 driver bench showed exactly this: 225 queries vs cap 8 →
+    * q28's shingle frame rebuilt 17× slower than its warm cost).
+    */
+  @volatile var registryMisses: Long = 0L
+  @volatile var registryEvictions: Long = 0L
+
   private def cachedPersist(df: DataFrame): DataFrame = cacheReg.synchronized {
     val analyzed = df.queryExecution.analyzed
     // Registry precondition (same as the CC memo's): canonicalized-plan
@@ -63,10 +74,13 @@ object Dedup {
     // entries from stopped sessions are dead weight — drop them first
     cacheReg.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     Option(cacheReg.get(key)).map { hit => registryHits += 1; hit }.getOrElse {
+      registryMisses += 1
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cacheReg.put(key, df)
       while (cacheReg.size > maxCached) {
         val eldest = cacheReg.keySet.iterator.next()
+        registryEvictions += 1
+        log.info(s"dedup registry evicting LRU frame (size ${cacheReg.size} > cap $maxCached)")
         safeUnpersist(cacheReg.remove(eldest))
       }
       df
@@ -427,16 +441,35 @@ object Dedup {
                        shingleN: Int = 3, k: Int = 32, rowsPerBand: Int = 2,
                        threshold: Double = 0.8,
                        fullRecall: Boolean = true): DataFrame = {
-    val setsN = shingleSets(newDocs, idCol, textCol, shingleN)
-    val setsO = shingleSets(oldDocs, idCol, textCol, shingleN)
+    // One SHARED total order for both corpora's shingle arrays: doc
+    // frequency over the UNION (rare-first), hash tie-break. Within-
+    // corpus df orders disagree across corpora, and raw-hash order (the
+    // r8 plan's corpus-independent fallback) puts HOT shingles into
+    // prefixes — fat posting lists locally, a skewed join key at scale.
+    // The pigeonhole argument needs only SOME shared total order, so
+    // union-df rare-first restores short prefixes on both sides.
+    val exN = shingleHashes(newDocs, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "id")
+    val exO = shingleHashes(oldDocs, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "id")
+    val dfreq = registryPersist(
+      exN.select(col("sh")).unionAll(exO.select(col("sh")))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df")))
+    def mkSets(ex: DataFrame): DataFrame = cachedPersist(
+      ex.join(dfreq, Seq("sh"))
+        .groupBy(col("id"))
+        .agg(transform(sort_array(collect_list(struct(col("df"), col("sh")))),
+          x => x.getField("sh")).as("shs"))
+        .withColumn("sz", size(col("shs"))))
+    val setsN = mkSets(exN)
+    val setsO = mkSets(exO)
     val cand =
       if (fullRecall) {
         def prefixes(sets: DataFrame, outId: String): DataFrame =
           sets.withColumn("plen",
             (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
             .select(col("id").as(outId),
-              explode(slice(sort_array(col("shs")), lit(1), col("plen")))
-                .as("sh"))
+              explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
         prefixes(setsN, "id_new").join(prefixes(setsO, "id_old"), Seq("sh"))
           .select(col("id_new"), col("id_old")).distinct()
       } else {

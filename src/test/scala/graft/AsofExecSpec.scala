@@ -57,6 +57,29 @@ class AsofExecSpec extends SparkSpec {
     }
   }
 
+  test("exec matched_on equals window matched_on across directions " +
+    "(rt_merge.py:3572 matched_on parity)") {
+    for (dir <- Seq("backward", "forward", "nearest");
+         exact <- Seq(true, false); tol <- Seq(None, Some(4L))) {
+      val exec = AsofJoin.asofExec(l, r, "t", Seq("g"), Seq("rv"),
+        allowExactMatches = exact, tolerance = tol, direction = dir,
+        matchedOn = true)
+        .select("lid", "rv", "matched_on")
+        .as[(Int, Option[Double], Option[Long])].collect()
+        .map(x => x._1 -> (x._2, x._3)).toMap
+      val win = AsofJoin.asof(l, r, "t", Seq("g"), Seq("rv"),
+        direction = dir, allowExactMatches = exact, tolerance = tol,
+        matchedOn = true)
+        .select("lid", "rv", "matched_on")
+        .as[(Int, Option[Double], Option[Long])].collect()
+        .map(x => x._1 -> (x._2, x._3)).toMap
+      assert(exec === win, s"dir=$dir exact=$exact tol=$tol")
+      // unmatched rows must null matched_on too
+      exec.foreach { case (lid, (rv, mo)) =>
+        assert(rv.isDefined === mo.isDefined, s"lid=$lid dir=$dir") }
+    }
+  }
+
   test("exec nearest ties break backward; equal-time runs resolved") {
     // right has duplicate times straddling lids: t=20 twice, left t=20
     val rr = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 20L, 3.0), (1L, 30L, 4.0))

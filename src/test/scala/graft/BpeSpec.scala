@@ -145,9 +145,9 @@ class BpeSpec extends SparkSpec {
   }
 
   test("fuzz: bpeMerges + bpeSegmentCounts equal sequential reference " +
-    "BPE on random corpora") {
+    "BPE on random corpora, across safe-prefix lookahead widths") {
     val rng = new scala.util.Random(77)
-    for (trial <- 0 until 5) {
+    for (trial <- 0 until 8) {
       val alphabet = "abc"
       val words = (0 until 12).map { _ =>
         (1 to (1 + rng.nextInt(5)))
@@ -158,16 +158,93 @@ class BpeSpec extends SparkSpec {
       val wc = corpus.groupBy(identity).map { case (w, g) =>
         (w, g.size.toLong) }
       val (refMerges, refHist) = refBpe(wc, rounds = 6)
-      val gotMerges = Bpe.bpeMerges(docs, "text", rounds = 6)
-        .orderBy(col("round"))
-        .as[(Int, String, String, String, Long)].collect()
-        .map(x => (x._1, x._2, x._3, x._5)).toSeq
-      assert(gotMerges === refMerges, s"trial $trial corpus=$corpus")
+      // lookahead 1 = plain sequential; 2 exercises the (B+1)-th-row
+      // bound; 64 exercises whole-table selection with trim/fallback
+      for (la <- Seq(1, 2, 64)) {
+        val gotMerges = Bpe.bpeMerges(docs, "text", rounds = 6,
+          lookahead = la)
+          .orderBy(col("round"))
+          .as[(Int, String, String, String, Long)].collect()
+          .map(x => (x._1, x._2, x._3, x._5)).toSeq
+        assert(gotMerges === refMerges,
+          s"trial $trial lookahead=$la corpus=$corpus")
+      }
       val gotHist = Bpe.bpeSegmentCounts(docs, "text",
         refMerges.map(m => (m._2, m._3)))
         .as[(String, Long)].collect().toMap
       assert(gotHist === refHist, s"trial $trial corpus=$corpus")
     }
+  }
+
+  test("bpeMergesBatched: batchCap=1 equals exact sequential bpeMerges") {
+    val docs = Seq("low lower lowest low low", "lower newest newest")
+      .toDF("text")
+    val exact = Bpe.bpeMerges(docs, "text", rounds = 6)
+      .orderBy(col("round")).as[(Int, String, String, String, Long)]
+      .collect().toSeq
+    val batched = Bpe.bpeMergesBatched(docs, "text", rounds = 6,
+      batchCap = 1)
+      .orderBy(col("round")).as[(Int, String, String, String, Long)]
+      .collect().toSeq
+    assert(batched === exact)
+  }
+
+  test("bpeMergesBatched validity laws: unique merged strings, " +
+    "character conservation under the learned table") {
+    val rng = new scala.util.Random(11)
+    val words = (0 until 200).map { _ =>
+      (1 to (2 + rng.nextInt(4))).map(_ => ('a' + rng.nextInt(8)).toChar)
+        .mkString
+    }
+    val corpus = words ++ words // every word twice -> every pair viable
+    val docs = corpus.grouped(20).map(_.mkString(" ")).toSeq.toDF("text")
+    val m = Bpe.bpeMergesBatched(docs, "text", rounds = 60, batchCap = 8)
+      .orderBy(col("round")).as[(Int, String, String, String, Long)]
+      .collect().toSeq
+    assert(m.nonEmpty)
+    assert(m.map(_._4).distinct.size === m.size, "duplicate merged string")
+    assert(m.forall(x => x._2 + x._3 === x._4))
+    val seg = Bpe.bpeSegmentCounts(docs, "text", m.map(x => (x._2, x._3)))
+      .as[(String, Long)].collect().toSeq
+    val totalChars = corpus.map(_.length).sum.toLong
+    assert(seg.map { case (t, n) => t.length * n }.sum === totalChars)
+  }
+
+  test("bpeMergesBatched scale bound: 1000 merges in at most 20 Spark " +
+    "jobs (one top-k collect per driver round)") {
+    // deterministic synthetic vocabulary: 2000 distinct 4-char words
+    // over a 62-symbol alphabet, each word twice so every in-word pair
+    // is viable — wide enough that each round finds ~alphabet/2
+    // disjoint merges and the batch size compounds
+    val alpha = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
+    val rng = new scala.util.Random(42)
+    val words = (0 until 4000).map { _ =>
+      (1 to 8).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    }.distinct
+    val corpus = words ++ words
+    val docs = corpus.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // pre-warm the word frame OUTSIDE the counted window so the
+    // registry-persist scan (shared with every other consumer) isn't
+    // charged to the training loop
+    Bpe.bpeSegmentCounts(docs, "text", Seq(("a", "b"))).count()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m = Bpe.bpeMergesBatched(docs, "text", rounds = 1000,
+        batchCap = 256, lookahead = 8192)
+        .collect()
+      // listener events are async — poll until the count is stable
+      var last = -1
+      while (jobs.get() != last) { last = jobs.get(); Thread.sleep(200) }
+      assert(m.length === 1000, s"learned ${m.length} merges")
+      assert(jobs.get() <= 20, s"took ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("non-ASCII words are excluded from the training slice") {

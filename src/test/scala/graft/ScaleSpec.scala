@@ -292,19 +292,32 @@ class MiscOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("Q21/Q22 headliners: semi/anti joins are hash or sort-merge, never NLJ") {
+  test("Q21/Q22 headliners: Q21 single lineitem scan, Q22 anti join " +
+    "is hash or sort-merge, never NLJ") {
+    // Q21 is the single-scan rewrite: one per-(order,supplier)
+    // aggregate then one per-order rollup — the EXISTS/NOT-EXISTS
+    // semi+anti formulation scanned lineitem⋈orders three times
     val q21 = SparkEntry.queries("q146_tpch_q21")(spark, "/root/testdata/sf0.001")
     q21.collect() // finalize AQE
+    // AQE's toString prints Final AND Initial sections — count scans
+    // in the final plan only
     val p21 = q21.queryExecution.executedPlan.toString
-    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21)
+      .split("== Initial Plan ==").head
+    assert(!p21.contains("LeftSemi") && !p21.contains("LeftAnti"), p21)
+    assert(p21.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) <= 1,
+      s"lineitem scanned more than once:\n$p21")
+    assert(p21.contains("BroadcastHashJoin"), p21) // supplier dim
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"), p21)
     val q22 = SparkEntry.queries("q147_tpch_q22")(spark, "/root/testdata/sf0.001")
     q22.collect()
     val p22 = q22.queryExecution.executedPlan.toString
     assert(p22.contains("LeftAnti"), p22)
-    // every semi/anti join line must be a hash or sort-merge join — a
+    // every anti join line must be a hash or sort-merge join — a
     // nested-loop anti join is the plan that dies at 100 TB (the 1-row
     // broadcast average in Q22 is a cross join, which is fine)
-    for (p <- Seq(p21, p22); line <- p.split("\n")
+    for (line <- p22.split("\n")
          if line.contains("LeftAnti") || line.contains("LeftSemi"))
       assert(line.contains("HashJoin") || line.contains("SortMergeJoin"), line)
   }
