@@ -2632,7 +2632,10 @@ object SparkEntry {
     // identically-rounded jaccards), so the hash compare is exact.
     "q210_pair_artifact" -> ((s, dir) => {
       val table = "graft_pairs_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      Dedup.ensurePairs(s, table) {
+      // fingerprint the corpus dir: a persisted table from a PREVIOUS
+      // testdata generation rebuilds instead of serving stale pairs
+      val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+      Dedup.ensurePairs(s, table, fingerprint = Some(fp)) {
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, threshold = 0.5)
       }

@@ -116,7 +116,14 @@ object Cluster {
     hit.getOrElse {
       val (out, rounds) = computeCC(pairs, idA, idB, maxIter)
       // pin the RESULT (vertex-count rows), then free the loop's
-      // final frames — consumers only ever need the pinned output
+      // final frames — consumers only ever need the pinned output.
+      // localCheckpoint trades fault tolerance for speed: blocks live
+      // in executor storage and do NOT survive executor loss, so on a
+      // long-lived cluster with decommissioning/dynamic allocation a
+      // later consumer can fail hard with no recompute path. Right for
+      // this engine's job-scoped pipelines (and the single-JVM bench);
+      // a service holding results across hours should use reliable
+      // `checkpoint()` to a cluster FS instead.
       val pinned = out.localCheckpoint(true)
       freeLocalCheckpoint(out)
       val entry = (pinned, rounds)

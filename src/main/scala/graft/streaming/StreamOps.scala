@@ -558,9 +558,11 @@ object StreamOps {
       while (it0.hasNext) resident += it0.next()
       rows.toSeq.sortBy(_.id).foreach { d =>
         var i = 0
+        var replay = false
         while (i < resident.length) {
           val e = resident(i)
-          if (e.id != d.id && minCollidingBand(d.sig, e.sig) == d.band) {
+          if (e.id == d.id) replay = true
+          else if (minCollidingBand(d.sig, e.sig) == d.band) {
             val j = jaccard(d.shs, e.shs)
             if (j >= threshold)
               out += CrossDupOut(d.id, e.id,
@@ -569,8 +571,10 @@ object StreamOps {
           }
           i += 1
         }
-        resident += d
-        docs.appendValue(d)
+        // idempotent per id: a replayed/duplicate doc (source retry,
+        // reprocessing) must not accumulate extra state residents —
+        // each copy would re-emit the same pair for every later arrival
+        if (!replay) { resident += d; docs.appendValue(d) }
       }
       out.iterator
     }
@@ -597,11 +601,22 @@ object StreamOps {
       sort_array(array_distinct(transform(
         graft.functions.TextFns.wordShingles(text, shingleN),
         s => xxhash64(s))))
-    val evalSets: Seq[(Long, Seq[Long])] = evalDocs
-      .select(col(idCol).cast("long"), shsOf(col(textCol)))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
-    val evLit = typedlit(evalSets)
+    // id stays its ORIGINAL type (long, string, UUID text, …) — the
+    // batch twin crossContainment is id-type-agnostic and a forced
+    // cast('long') would null-corrupt string ids at collect time
+    val evalRows = evalDocs
+      .select(col(idCol), shsOf(col(textCol))).collect()
+    if (evalRows.isEmpty) {
+      // empty eval set hits nothing; keep the output schema
+      val evalIdType = evalDocs.schema(idCol).dataType
+      return docs.select(col(idCol),
+        lit(null).cast(evalIdType).as("id_eval"),
+        lit(null).cast("double").as("containment"))
+        .filter(lit(false))
+    }
+    val evLit = array(evalRows.toSeq.map { r =>
+      struct(lit(r.get(0)).as("_1"), typedlit(r.getSeq[Long](1)).as("_2"))
+    }: _*)
     // filter on the RAW ratio, round only in the output projection —
     // same discipline as the batch gate (a rounded filter would admit
     // true containment in [τ − 5e-7, τ))

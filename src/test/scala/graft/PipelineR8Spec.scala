@@ -100,6 +100,23 @@ class PipelineR8Spec extends SparkSpec {
     var built = 0
     Dedup.ensurePairs(spark, table) { built += 1; pairs }.count()
     assert(built === 0)
+    // fingerprint gate: a matching fingerprint stays warm; a CHANGED
+    // fingerprint (regenerated corpus under a surviving table) rebuilds
+    Dedup.ensurePairs(spark, table, fingerprint = Some("fpA")) {
+      built += 1; pairs }.count()
+    assert(built === 1, "first fingerprinted call must stamp the table")
+    Dedup.ensurePairs(spark, table, fingerprint = Some("fpA")) {
+      built += 1; pairs }.count()
+    assert(built === 1, "same fingerprint must stay warm")
+    Dedup.ensurePairs(spark, table, fingerprint = Some("fpB")) {
+      built += 1; pairs }.count()
+    assert(built === 2, "changed fingerprint must rebuild")
+    // sourceFingerprint is stable per directory state and
+    // distinguishes absent paths
+    val f1 = Dedup.sourceFingerprint(spark, "/root/testdata/sf0.001")
+    assert(f1 === Dedup.sourceFingerprint(spark, "/root/testdata/sf0.001"))
+    assert(f1 !== Dedup.sourceFingerprint(spark, "/root/testdata/sf0.01"))
+    assert(f1 !== Dedup.sourceFingerprint(spark, "/no/such/dir"))
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 

@@ -696,4 +696,65 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty && want.exists(_._1 == 1L) && want.exists(_._1 == 4L))
     assert(got === want)
   }
+
+  test("streaming decontamination keeps non-numeric ids intact " +
+    "(id-type-agnostic like the batch gate)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDocs = Seq(
+      ("ev-alpha", "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(String, String)]
+    val q = StreamOps.streamingDecontamination(
+      mem.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .writeStream.format("memory").queryName("tws_decon_str")
+      .outputMode("append").start()
+    mem.addData(
+      "doc-1" -> "xx alpha beta gamma delta epsilon zeta yy",
+      "doc-2" -> "nothing shared at all in this one")
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id, id_eval FROM tws_decon_str")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("doc-1", "ev-alpha")))
+  }
+
+  test("streaming cross-corpus dedup is idempotent per doc id: a " +
+    "replayed doc neither re-pairs nor duplicates state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def doc(seed: Int): String =
+        (1 to 20).map(i => s"w${(i * seed) % 97}").mkString(" ")
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingCrossDedup(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, k = 32, rowsPerBand = 2, threshold = 0.8)
+        .writeStream.format("memory").queryName("tws_xdedup_replay")
+        .outputMode("append").start()
+      // batch 1: doc 1 alone; batch 2: doc 1 REPLAYED (source retry)
+      // plus its duplicate doc 2; batch 3: another duplicate doc 3
+      mem.addData(1L -> doc(3)); q.processAllAvailable()
+      mem.addData(1L -> doc(3), 2L -> doc(3)); q.processAllAvailable()
+      mem.addData(3L -> doc(3)); q.processAllAvailable()
+      q.stop()
+      val pairs = spark.sql(
+        "SELECT id_new, id_old FROM tws_xdedup_replay")
+        .as[(Long, Long)].collect().toSeq
+      // without ingestion idempotency the replayed copy of doc 1 emits
+      // (2,1) twice and doc 3 pairs against THREE residents incl. two
+      // copies of 1 — exactly one pair per distinct partner instead
+      assert(pairs.sorted === Seq((2L, 1L), (3L, 1L), (3L, 2L)))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
