@@ -1651,7 +1651,14 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
             .as("late"))
-      val perSupp = le.groupBy(col("l_orderkey"), col("l_suppkey"))
+      // one shuffle for BOTH aggregates: hash-partitioning on
+      // l_orderkey alone satisfies the (l_orderkey, l_suppkey) group
+      // clustering too, so the per-order rollup below is exchange-free
+      // (the default plan would shuffle on (o,s) and then AGAIN on o —
+      // and (o,s) is near-unique here, so that first exchange moves
+      // the full line count for zero reduction)
+      val perSupp = le.repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("late")).as("any_late"),
           count(when(col("late"), lit(1))).as("n_late_lines"))
       val waiting = perSupp.groupBy(col("l_orderkey"))
