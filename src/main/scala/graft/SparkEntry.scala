@@ -1,6116 +1,25 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators._
-import graft.functions._
-import graft.syntax._
-
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  *
-  * Each `queries` entry exercises one operator family from SURVEY §2 and
-  * has a DuckDB-equivalent `oracleSql` (column names aligned on both
-  * sides). Queries order their output deterministically and keep floats
-  * rounded where engine-side summation order could differ in the last ulp.
+/** Driver contract facade (SURVEY §7): `entry` smoke query, `queries`
+  * (one entry per implemented SURVEY §2 operator), `oracleSql` (the
+  * DuckDB twin of every query). The registries themselves live in
+  * `graft.registry` — `src/main/scala/graft/registry/Queries*.scala`
+  * paired file-by-file with `Oracles*.scala`, split by operator family
+  * so each stays reviewable.
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.table(s, dir, name)
-
   /** Flagship: TPC-H Q1 shape (SURVEY §7 step 2) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    q1(spark, "/root/testdata/sf0.001")
-
-  // ---- §2.4 aggregation ----
-
-  private def q1(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit("1998-09-02"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        // sum_qty: integral doubles sum exactly; money sums reach ~3e9
-        // at sf0.1 where order drift is ~1e-5 — round(2), not round(4)
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
-
-  // ---- the map ----
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> ((s, dir) => q1(s, dir)),
-
-    "q2_filter_project" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .filterRows(col("l_quantity") > 45 && col("l_discount") >= 0.05)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
-
-    "q3_join_inner" -> ((s, dir) =>
-      Merge.merge2(
-        t(s, dir, "orders"), t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
-        on = Seq("o_custkey"), how = "inner")
-        .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
-          count(lit(1)).as("n_orders"))
-        .orderBy(col("c_mktsegment"))),
-
-    "q4_join_outer" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val agg = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_items"))
-        .withColumnRenamed("l_orderkey", "o_orderkey")
-      Merge.merge2(orders.select(col("o_orderkey"), col("o_orderstatus")), agg,
-        on = Seq("o_orderkey"), how = "outer", indicator = true)
-        .groupBy(col("o_orderstatus"), col("merge_indicator"))
-        .agg(count(lit(1)).as("n"), sum(col("n_items")).as("sum_items"))
-        .orderBy(col("o_orderstatus"), col("merge_indicator"))
-    }),
-
-    "q5_merge_lookup" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
-      Merge.mergeLookup(cust, nat, on = Seq("c_nationkey"), orderCol = Some("n_name"))
-        .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
-        .orderBy(col("n_name"))
-    }),
-
-    "q6_ismember" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val orders = t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
-      Merge.ismember(cust, orders, Seq("c_custkey"))
-        .groupBy(col("ismember")).agg(count(lit(1)).as("n"))
-        .orderBy(col("ismember"))
-    }),
-
-    "q7_gb_quantiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(GroupOps.nanmedian(col("l_quantity")), 6).as("med_qty"),
-          round(GroupOps.quantile(col("l_extendedprice"), 0.9), 6).as("p90_price"),
-          round(GroupOps.nanvar(col("l_quantity")), 6).as("var_qty"),
-          round(GroupOps.nanstd(col("l_discount")), 6).as("std_disc"),
-          GroupOps.countUniques(col("l_partkey")).as("n_parts"))
-        .orderBy(col("l_returnflag"))),
-
-    "q8_gb_firstlast" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          GroupOps.firstBy(col("o_totalprice"), col("o_orderkey")).as("first_price"),
-          GroupOps.lastBy(col("o_totalprice"), col("o_orderkey")).as("last_price"),
-          min(col("o_orderdate")).as("min_date"),
-          max(col("o_orderdate")).as("max_date"))
-        .orderBy(col("o_orderpriority"))),
-
-    "q9_gb_transform" -> ((s, dir) =>
-      GroupOps.transform(
-        t(s, dir, "orders"), Seq("o_orderstatus"),
-        "status_total" -> sum(col("o_totalprice")),
-        "status_n" -> count(lit(1)))
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          // round(2): group sums reach ~1.2e10 at sf0.1, where
-          // engine-side summation-order drift is ~1e-4 — round(4) sat
-          // exactly on that edge (flipped at sf0.1, fine at sf0.01)
-          round(col("status_total"), 2).as("status_total"), col("status_n"))
-        .orderBy(col("o_orderkey"))),
-
-    // ---- §2.5 window / ordered ----
-
-    "q10_rolling" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val withRoll = Rolling.rollingSum(ev, Seq("user_id"),
-        Seq(col("ts"), col("event_id")), 3, "value", "roll_sum")
-      Rolling.rollingMean(withRoll, Seq("user_id"),
-        Seq(col("ts"), col("event_id")), 3, "value", "roll_mean")
-        .select(col("event_id"), col("user_id"),
-          round(col("roll_sum"), 6).as("roll_sum"),
-          round(col("roll_mean"), 6).as("roll_mean"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q11_cumsum" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val c1 = Rolling.cumsum(ev, Seq("user_id"), Seq(col("ts"), col("event_id")),
-        "value", "cum_value")
-      GroupOps.cumcount(c1, Seq("user_id"), Seq(col("ts"), col("event_id")), "cum_n")
-        .select(col("event_id"), col("user_id"),
-          round(col("cum_value"), 6).as("cum_value"), col("cum_n").cast("long").as("cum_n"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q12_shift_diff" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val sh = Rolling.shift(ev, Seq("user_id"), Seq(col("ts"), col("event_id")), 1,
-        "value", "prev_value")
-      Rolling.diff(sh, Seq("user_id"), Seq(col("ts"), col("event_id")), 1,
-        "value", "dvalue")
-        .select(col("event_id"), col("user_id"),
-          round(col("prev_value"), 6).as("prev_value"),
-          round(col("dvalue"), 6).as("dvalue"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q13_ffill" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("v", when(col("value") < 10.0, lit(null)).otherwise(col("value")))
-      ev.fillForward("v", Seq("user_id"), Seq("ts", "event_id"))
-        .select(col("event_id"), col("user_id"), round(col("v"), 6).as("v_filled"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q14_rank" -> ((s, dir) =>
-      Rolling.rankIn(t(s, dir, "events"), Seq("user_id"),
-        Seq(col("value"), col("event_id")), "min", "rnk")
-        .select(col("event_id"), col("user_id"), col("rnk"))
-        .orderBy(col("event_id"))),
-
-    // ---- §2.3 as-of join ----
-
-    "q15_asof_backward" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tsu"), col("event_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu"), col("value").as("purchase_value"))
-      AsofJoin.asof(clicks, purchases, on = "tsu", by = Seq("user_id"),
-        rightCols = Seq("purchase_value"), direction = "backward")
-        .select(col("event_id"), col("user_id"),
-          round(col("purchase_value"), 6).as("purchase_value"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q16_asof_forward" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tsu"), col("event_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu"), col("value").as("purchase_value"))
-      AsofJoin.asof(clicks, purchases, on = "tsu", by = Seq("user_id"),
-        rightCols = Seq("purchase_value"), direction = "forward")
-        .select(col("event_id"), col("user_id"),
-          round(col("purchase_value"), 6).as("purchase_value"))
-        .orderBy(col("event_id"))
-    }),
-
-    // ---- §2.8 scalar packs ----
-
-    "q17_datetime" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .select(
-          col("o_orderkey"),
-          year(col("o_orderdate")).cast("long").as("yr"),
-          month(col("o_orderdate")).cast("long").as("mo"),
-          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
-          dayofweek(col("o_orderdate")).cast("long").as("dow"),
-          dayofyear(col("o_orderdate")).cast("long").as("doy"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
-          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100
-            + dayofmonth(col("o_orderdate"))).cast("long").as("yyyymmdd"))
-        .orderBy(col("o_orderkey"))),
-
-    "q18_strings" -> ((s, dir) =>
-      t(s, dir, "part")
-        .select(
-          col("p_partkey"),
-          upper(col("p_name")).as("name_upper"),
-          length(col("p_name")).cast("long").as("name_len"),
-          col("p_type").contains("BRASS").as("is_brass"),
-          col("p_name").startsWith("a").as("starts_a"),
-          substring(col("p_brand"), 1, 5).as("brand5"),
-          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
-          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first"))
-        .orderBy(col("p_partkey"))),
-
-    "q19_cut" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .withColumn("qty_bin", Binning.cut(col("l_quantity"), Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0)))
-        .groupBy(col("qty_bin")).agg(count(lit(1)).as("n"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"))
-        .orderBy(col("qty_bin"))),
-
-    "q20_qcut" -> ((s, dir) =>
-      Binning.qcut(t(s, dir, "orders"), "o_totalprice", "o_orderkey", 4, "price_q")
-        .withColumn("price_q", col("price_q").cast("long"))
-        .groupBy(col("price_q")).agg(count(lit(1)).as("n"),
-          round(min(col("o_totalprice")), 6).as("lo"),
-          round(max(col("o_totalprice")), 6).as("hi"))
-        .orderBy(col("price_q"))),
-
-    // ---- §2.7 reshape ----
-
-    "q21_hstack" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val a = li.filter(col("l_linestatus") === "O")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      val b = li.filter(col("l_linestatus") === "F")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"))
-      a.hstack(b)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }),
-
-    "q22_pivot" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
-      val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
-      val joined = cust.join(broadcast(nat), Seq("c_nationkey"))
-        .join(broadcast(reg), Seq("n_regionkey"))
-      Reshape.accum2(joined, "c_mktsegment", "r_name", count(lit(1)),
-        colValues = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
-        .na.fill(0L)
-        .withColumnRenamed("MIDDLE EAST", "MIDDLE_EAST")
-        .orderBy(col("c_mktsegment"))
-    }),
-
-    "q23_melt" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-        .melt(Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_discount"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("variable"))),
-
-    "q24_dropdup" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .dropDuplicatesKeep(Seq("l_orderkey"), "first", Seq("l_linenumber", "l_quantity", "l_partkey"))
-        .select(col("l_orderkey"), col("l_linenumber"), round(col("l_quantity"), 6).as("l_quantity"))
-        .orderBy(col("l_orderkey"))),
-
-    "q25_onehot" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .oneHotEncode("o_orderstatus", Seq("F", "O", "P"))
-        .groupBy(col("o_orderpriority"))
-        .agg(sum(col("o_orderstatus_F")).as("n_f"),
-          sum(col("o_orderstatus_O")).as("n_o"),
-          sum(col("o_orderstatus_P")).as("n_p"))
-        .orderBy(col("o_orderpriority"))),
-
-    // ---- text analysis / dedup / similarity (LLM-pipeline pack) ----
-
-    "q26_tokens" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
-          TextFns.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))),
-
-    "q27_exact_dedup" -> ((s, dir) =>
-      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("n_docs"), col("keep_id"))
-        .orderBy(col("keep_id"))),
-
-    "q28_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))),
-
-    // Full MinHash pipeline: banded LSH candidates → exact-jaccard verify.
-    // Output is signature-independent, so it oracles against the exact
-    // jaccard pair set. ACCEPTED RISK (deterministic, not flaky): banding
-    // at k=32/r=2 recalls a J=τ=0.8 pair w.p. 1−(1−J²)¹⁶ ≈ 1−8e-8; a
-    // miss would fail the gate at that SF reproducibly. Verified green at
-    // sf0.001/0.01/0.1 (28/25/≥25 pairs). Structural recall 1 is available
-    // via fullRecall=true (unions the prefix-filter candidates; asserted
-    // equal to the exact pair set in ScaleSpec) — this query leaves it
-    // off to keep the MinHash path itself under test.
-    "q29_minhash" -> ((s, dir) =>
-      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, k = 32, rowsPerBand = 2, threshold = 0.8)
-        .orderBy(col("id_a"), col("id_b"))),
-
-    // portableHash64 token hash → the signature itself is reproducible
-    // in DuckDB (md5-derived), so signatures oracle-check exactly.
-    "q30_simhash" -> ((s, dir) =>
-      Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text", "simhash",
-        Dedup.portableHash64)
-        .orderBy(col("doc_id"))),
-
-    "q31_ann_brute" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 3)
-      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", 5)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    "q32_langid" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextFns.langScore(col("text"), "en").cast("long").as("en_score"),
-          TextFns.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))),
-
-    // ---- batch 2: strict aggs, trimbr, ohlc, mode/nth, head/tail, EMA,
-    //      time windows, resample, set ops, describe, normalize, media ----
-
-    "q33_strict_agg" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .withColumn("v", when(col("l_quantity") > 48, lit(null)).otherwise(col("l_quantity")))
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(GroupOps.nansum(col("v")), 6).as("nansum_v"),
-          round(GroupOps.strictSum(col("v")), 6).as("sum_v"),
-          round(GroupOps.strictMean(col("v")), 6).as("mean_v"),
-          round(GroupOps.strictMax(col("v")), 6).as("max_v"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }),
-
-    "q34_trimbr" -> ((s, dir) =>
-      GroupOps.trimbr(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
-        .select(col("l_returnflag"), round(col("trimbr"), 6).as("trimbr"))
-        .orderBy(col("l_returnflag"))),
-
-    "q35_ohlc" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          round(GroupOps.firstBy(col("value"), col("event_id")), 6).as("open"),
-          round(max(col("value")), 6).as("high"),
-          round(min(col("value")), 6).as("low"),
-          round(GroupOps.lastBy(col("value"), col("event_id")), 6).as("close"),
-          round(GroupOps.sem(col("value")), 6).as("sem"))
-        .orderBy(col("event_type"))),
-
-    "q36_mode_nth" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      // two-phase mode (GroupOps.modeBy): one row per (flag, status)
-      // crosses the wire, both aggregates codegen'd — replaces the
-      // interpreted map-buffer mode() (same deterministic tie rule)
-      val m = GroupOps.modeBy(li, Seq("l_returnflag"), "l_linestatus",
-        "mode_status")
-      GroupOps.gbNth(li, Seq("l_returnflag"), 2,
-        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
-        .join(m, Seq("l_returnflag"))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    "q37_gb_headtail" -> ((s, dir) => {
-      val ord = t(s, dir, "orders")
-      val h = GroupOps.gbHead(ord, Seq("o_orderstatus"), 2, Seq(col("o_orderkey")))
-        .withColumn("which", lit("head"))
-      val tl = GroupOps.gbTail(ord, Seq("o_orderstatus"), 2, Seq(col("o_orderkey")))
-        .withColumn("which", lit("tail"))
-      h.unionByName(tl).select(col("o_orderstatus"), col("which"), col("o_orderkey"))
-        .orderBy(col("o_orderstatus"), col("which"), col("o_orderkey"))
-    }),
-
-    "q38_ema_decay" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"), col("value"))
-      Ema.ema(ev, "user_id", "tsu", "value", rate = 1.0 / 6.0e8, Ema.Decay, "ema")
-        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q39_timewindow" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
-      Rolling.timewindowAgg(ev, Seq("user_id"), "tsu", 600000000L, sum, "value", "tw_sum")
-        .select(col("event_id"), col("user_id"), round(col("tw_sum"), 6).as("tw_sum"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q40_resample" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("bucket", expr("(ts div 1000000000) div 300 * 300"))
-        .groupBy(col("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
-        .orderBy(col("bucket"), col("event_type"))),
-
-    "q41_time_of_day" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
-        .select(col("event_id"),
-          hour(col("tstamp")).cast("long").as("hr"),
-          minute(col("tstamp")).cast("long").as("mi"),
-          second(col("tstamp")).cast("long").as("se"),
-          expr("(ts div 1000) % 86400000000").as("us_since_midnight"))
-        .orderBy(col("event_id"))),
-
-    "q42_setops" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
-      val building = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-      val inter = building.intersect(withOrders).withColumn("op", lit("intersect"))
-      val exc = building.except(withOrders).withColumn("op", lit("except"))
-      inter.unionByName(exc).orderBy(col("op"), col("c_custkey"))
-    }),
-
-    "q43_describe" -> ((s, dir) =>
-      t(s, dir, "lineitem").agg(
-        count(col("l_quantity")).as("n"),
-        round(avg(col("l_quantity")), 6).as("mean"),
-        round(stddev_samp(col("l_quantity")), 6).as("std"),
-        round(min(col("l_quantity")), 6).as("mn"),
-        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
-        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"),
-        round(max(col("l_quantity")), 6).as("mx"))),
-
-    "q44_normalize" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .normalizeZscore("c_acctbal", "z")
-        .normalizeMinmax("c_acctbal", "mm")
-        .select(col("c_custkey"), round(col("z"), 6).as("z"), round(col("mm"), 6).as("mm"))
-        .orderBy(col("c_custkey"))),
-
-    "q45_isin_where" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .filterRows(maskAnd(col("l_returnflag").isin("A", "R"),
-          col("l_quantity").between(10, 20)))
-        .whereCol("disc_class", col("l_discount") >= 0.05, lit("hi"), lit("lo"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("disc_class"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
-
-    "q46_astype_fill" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .withColumn("v", when(col("l_discount") < 0.02, lit(null)).otherwise(col("l_extendedprice")))
-        .fillnaValue(0.0d, Seq("v"))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          floor(col("l_quantity")).cast("long").as("qty_int"),
-          round(col("v"), 6).as("v_filled"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
-
-    // SimHash near-dup pairs at the distance the banding GUARANTEES
-    // (hamming ≤ 3 ⇒ one shared 16-bit band, pigeonhole). With the
-    // portable token hash the oracle recomputes signatures + banding
-    // exactly — output equality, not a recall gamble.
-    "q47_simhash_near" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, hashFn = Dedup.portableHash64)
-        .orderBy(col("id_a"), col("id_b"))),
-
-    "q48_ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-        "vec_id", 5, bits = 4)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    "q49_multimodal" -> ((s, dir) =>
-      Multimodal.withMediaFeatures(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("media.media_type").as("media_type"),
-          col("n_bytes").cast("long").as("n_bytes"),
-          size(col("features")).as("n_features"))
-        .orderBy(col("doc_id"))),
-
-    "q50_pdataset" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("p_date", expr("ts div 86400000000000"))
-        .groupBy(col("p_date"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
-        .orderBy(col("p_date"), col("event_type"))),
-
-    "q51_accum2_totals" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
-      val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
-      val joined = cust.join(broadcast(nat), Seq("c_nationkey"))
-        .join(broadcast(reg), Seq("n_regionkey"))
-      Reshape.accum2(joined, "c_mktsegment", "r_name", count(lit(1)),
-        colValues = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"),
-        totals = true)
-        .na.fill(0L)
-        .withColumnRenamed("MIDDLE EAST", "MIDDLE_EAST")
-        .orderBy(col("c_mktsegment"))
-    }),
-
-    "q52_merge_keep" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
-        .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_partkey"))
-      Merge.merge2(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
-        li, on = Seq("o_orderkey"), how = "left", keepRight = Some("last"),
-        keepOrderCols = Seq("l_linenumber", "l_quantity", "l_partkey"))
-        .select(col("o_orderkey"), col("o_orderstatus"), col("l_linenumber"),
-          round(col("l_quantity"), 6).as("l_quantity"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // ---- batch 3: categorical, UDAF registry, stats, interp, multiset ----
-
-    "q53_categorical" -> ((s, dir) =>
-      Categorical.encode(t(s, dir, "customer"), "c_mktsegment")
-        .withColumn("code", col("code").cast("long"))
-        .groupBy(col("code"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("code"))),
-
-    "q54_udaf" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(round(Apply.weightedMean(col("l_extendedprice"), col("l_quantity")), 6)
-          .as("wmean_price"))
-        .orderBy(col("l_returnflag"))),
-
-    "q55_regr" -> ((s, dir) =>
-      Stats.lm(t(s, dir, "lineitem"), "l_extendedprice", "l_quantity", Seq("l_returnflag"))
-        .select(col("l_returnflag"), round(col("slope"), 6).as("slope"),
-          round(col("intercept"), 6).as("intercept"),
-          round(col("r2"), 6).as("r2"), round(col("corr"), 6).as("corr"), col("n"))
-        .orderBy(col("l_returnflag"))),
-
-    "q56_winsorize" -> ((s, dir) =>
-      Stats.winsorize(t(s, dir, "orders"), "o_totalprice", 0.05, 0.95, "w")
-        .agg(round(avg(col("w")), 6).as("wmean"),
-          round(min(col("w")), 6).as("wmin"),
-          round(max(col("w")), 6).as("wmax"))),
-
-    "q57_bincount" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_linenumber"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("bits", bit_count(col("l_linenumber").cast("long")).cast("int"))
-        .orderBy(col("l_linenumber"))),
-
-    "q58_transitions" -> ((s, dir) => {
-      val ev = Rolling.differs(
-        Categorical.shiftCat(t(s, dir, "events"), "event_type", Seq("user_id"),
-          Seq(col("ts"), col("event_id"))),
-        Seq("user_id"), Seq(col("ts"), col("event_id")), "event_type", "chg")
-      ev.groupBy(col("user_id"))
-        .agg(sum(when(col("shifted").isNotNull && col("chg"), 1).otherwise(0)).as("n_trans"))
-        .orderBy(col("user_id"))
-    }),
-
-    "q59_shift_cat" -> ((s, dir) =>
-      Categorical.shiftCat(t(s, dir, "events"), "event_type", Seq("user_id"),
-        Seq(col("ts"), col("event_id")))
-        .select(col("event_id"), col("user_id"), col("shifted"))
-        .orderBy(col("event_id"))),
-
-    "q60_multiset" -> ((s, dir) =>
-      GroupOps.aggMulti(t(s, dir, "lineitem"), Seq("l_returnflag"),
-        Seq("l_quantity", "l_discount"),
-        Seq("sum" -> (c => round(sum(c), 6)), "mean" -> (c => round(avg(c), 6)),
-          "min" -> (c => round(min(c), 6)), "max" -> (c => round(max(c), 6))))
-        .orderBy(col("l_returnflag"))),
-
-    "q61_rolling_quantile" -> ((s, dir) =>
-      Rolling.rollingQuantile(t(s, dir, "events"), Seq("user_id"),
-        Seq(col("ts"), col("event_id")), 5, 0.5, "value", "roll_med")
-        .select(col("event_id"), col("user_id"), round(col("roll_med"), 6).as("roll_med"))
-        .orderBy(col("event_id"))),
-
-    "q62_ngroup" -> ((s, dir) =>
-      GroupOps.ngroup(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), "gid")
-        .withColumn("gid", col("gid").cast("long"))
-        .groupBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("gid"))),
-
-    "q63_accum_ratio" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
-      val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
-      val joined = cust.join(broadcast(nat), Seq("c_nationkey"))
-        .join(broadcast(reg), Seq("n_regionkey"))
-      val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
-      val num = Reshape.accum2(joined, "c_mktsegment", "r_name",
-        sum(col("c_acctbal")), colValues = regions)
-      val den = Reshape.accum2(joined, "c_mktsegment", "r_name",
-        count(lit(1)), colValues = regions)
-      val ratio = Reshape.accumRatio(num, den, "c_mktsegment")
-      ratio.select(col("c_mktsegment"),
-          round(col("AFRICA"), 6).as("AFRICA"), round(col("AMERICA"), 6).as("AMERICA"),
-          round(col("ASIA"), 6).as("ASIA"), round(col("EUROPE"), 6).as("EUROPE"),
-          round(col("MIDDLE EAST"), 6).as("MIDDLE_EAST"))
-        .orderBy(col("c_mktsegment"))
-    }),
-
-    "q64_interp" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
-      val queries = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tsu"), col("event_id"))
-      val points = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("tsu"), col("value"))
-      Interp.interp(queries, points, "tsu", Seq("user_id"), "value", "iv")
-        .select(col("event_id"), col("user_id"), round(col("iv"), 6).as("iv"))
-        .orderBy(col("event_id"))
-    }),
-
-    // ---- batch 4: IO round-trips (SDS/PDataset analogs), string/datetime/
-    //      math packs ----
-
-    "q65_csv_roundtrip" -> ((s, dir) => {
-      // load_csv_as_dataset analog (riptable/rt_csv.py:15): write the part
-      // table to CSV, read it back with schema inference, aggregate.
-      val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^0-9.]", "")}"
-      t(s, dir, "part").write.mode("overwrite").option("header", "true").csv(tmp)
-      s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 6).as("avg_price"))
-        .orderBy(col("p_brand"))
-    }),
-
-    "q66_parquet_partitioned" -> ((s, dir) => {
-      // save_sds/load_sds + PDataset analog (riptable/rt_sds.py:719,1855;
-      // rt_pdataset.py:18): partitioned parquet write, read back with
-      // partition pruning, per-partition aggregate.
-      val tmp = s"/tmp/graft_pq_${dir.replaceAll("[^0-9.]", "")}"
-      t(s, dir, "orders").write.mode("overwrite")
-        .partitionBy("o_orderstatus").parquet(tmp)
-      s.read.parquet(tmp)
-        .filter(col("o_orderstatus").isin("F", "O"))
-        .groupBy(col("o_orderstatus"))
-        // round(2): per-status sums reach ~1.2e10 at sf0.1 where the
-        // sf0.1 'F' fraction sits 2e-5 from a 4-decimal boundary —
-        // same latent flake class the full-scale check caught in q9
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
-        .orderBy(col("o_orderstatus"))
-    }),
-
-    "q67_strings2" -> ((s, dir) =>
-      t(s, dir, "part")
-        .select(col("p_partkey"),
-          locate("a", col("p_name")).as("pos_a"),
-          reverse(col("p_name")).as("rev"),
-          rtrim(col("p_name")).as("rtrimmed"),
-          split_part(col("p_type"), lit(" "), lit(1)).as("type_word1"),
-          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
-          concat(col("p_name"), lit("_sfx")).as("appended"),
-          lower(col("p_name")).as("lowered"),
-          ltrim(col("p_name")).as("ltrimmed"))
-        .orderBy(col("p_partkey"))),
-
-    "q68_datetime2" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          dayofweek(col("o_orderdate")).isin(1, 7).as("is_weekend"),
-          date_trunc("week", col("o_orderdate")).as("week_start"),
-          datediff(col("o_orderdate"), lit("1970-01-01")).as("days_since_epoch"),
-          ((year(col("o_orderdate")) % 4 === 0 && year(col("o_orderdate")) % 100 =!= 0) ||
-            year(col("o_orderdate")) % 400 === 0).as("is_leapyear"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
-          quarter(col("o_orderdate")).cast("long").as("qtr"),
-          weekofyear(col("o_orderdate")).as("woy"))
-        .orderBy(col("o_orderkey"))),
-
-    "q69_math" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .select(col("c_custkey"),
-          round(abs(col("c_acctbal")), 6).as("abs_bal"),
-          ceil(col("c_acctbal")).cast("long").as("ceil_bal"),
-          floor(col("c_acctbal")).cast("long").as("floor_bal"),
-          round(col("c_acctbal"), 1).as("round1"),
-          signum(col("c_acctbal")).cast("int").as("sign_bal"),
-          round(sqrt(abs(col("c_acctbal"))), 6).as("sqrt_bal"),
-          round(log(greatest(abs(col("c_acctbal")), lit(1.0))), 6).as("ln_bal"),
-          round(log10(greatest(abs(col("c_acctbal")), lit(1.0))), 6).as("log10_bal"),
-          round(pow(col("c_acctbal"), 2), 6).as("sq_bal"))
-        .orderBy(col("c_custkey"))),
-
-    // ---- batch 5: mbget, top-k, replace, date range, windowed argmax ----
-
-    "q70_mbget" -> ((s, dir) => {
-      // mbget(values, index, default) (riptable/rt_utils.py:631): gather
-      // with a default for misses → left join + coalesce.
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey").as("p_partkey"))
-      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
-      li.join(broadcast(parts), Seq("p_partkey"), "left")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          coalesce(col("p_name"), lit("__MISSING__")).as("part_name"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }),
-
-    "q71_topk" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(10)
-        .select(col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice"))),
-
-    "q72_replace" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .na.replace("l_returnflag", Map("N" -> "NONE", "A" -> "ACCEPT"))
-        .withColumn("qty_nanorzero",
-          col("l_quantity").isNull || isnan(col("l_quantity")) || col("l_quantity") === 0.0)
-        .groupBy(col("l_returnflag"), col("qty_nanorzero"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"), col("qty_nanorzero"))),
-
-    "q73_daterange" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .filter(col("o_orderkey") <= 5)
-        .select(col("o_orderkey"), explode(sequence(col("o_orderdate"),
-          col("o_orderdate") + expr("INTERVAL 3 DAYS"),
-          expr("INTERVAL 1 DAY"))).as("d"))
-        .orderBy(col("o_orderkey"), col("d"))),
-
-    "q74_move_arg" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-4, Window.currentRow)
-      t(s, dir, "events")
-        // composite order key: ties on value resolve by event_id in both engines
-        .withColumn("__ord", round(col("value") * 1000).cast("long") * lit(100000000L) + col("event_id"))
-        .withColumn("arg_max_ev", max_by(col("event_id"), col("__ord")).over(w))
-        .withColumn("move_max", max(col("value")).over(w))
-        .select(col("event_id"), col("user_id"), col("arg_max_ev"),
-          round(col("move_max"), 6).as("move_max"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q75_ema_window" -> ((s, dir) =>
-      // native Catalyst AggregateWindowFunction path (graft.plans.EmaDecay),
-      // cross-checked against the mapPartitions scan in EmaWindowSpec
-      t(s, dir, "events")
-        .withColumn("tsu", expr("ts div 1000"))
-        .withColumn("ema", expr(
-          // E-notation → DOUBLE literal (plain 1.0/6e8 would parse as DECIMAL)
-          "rip_ema_decay(value, tsu, 1.6666666666666667E-9) OVER " +
-          "(PARTITION BY user_id ORDER BY tsu, event_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
-        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
-        .orderBy(col("event_id"))),
-
-    // ---- batch 6: native product agg, asof nearest, scalable qcut ----
-
-    "q76_timewindow_prod" -> ((s, dir) =>
-      // timewindow_prod (rt_fastarray.py:2648) via the native RipProduct
-      // aggregate over a trailing RANGE frame
-      t(s, dir, "events")
-        .withColumn("tsu", expr("ts div 1000"))
-        .withColumn("f", lit(1.0) + col("value") / 10000.0)
-        .withColumn("twp", expr(
-          "rip_product(f) OVER (PARTITION BY user_id ORDER BY tsu " +
-          "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"))
-        .select(col("event_id"), col("user_id"), round(col("twp"), 6).as("twp"))
-        .orderBy(col("event_id"))),
-
-    "q77_asof_nearest" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tsu"), col("event_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu"), col("value").as("pv"))
-      AsofJoin.asof(clicks, purchases, on = "tsu", by = Seq("user_id"),
-        rightCols = Seq("pv"), direction = "nearest",
-        tolerance = Some(3600000000L), matchedOn = true)
-        .select(col("event_id"), col("user_id"), round(col("pv"), 6).as("pv"),
-          col("matched_on"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q78_product_gb" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .withColumn("mo", date_trunc("month", col("l_shipdate")))
-        .groupBy(col("l_returnflag"), col("mo"))
-        .agg(expr("round(rip_product(1.0 + l_discount / 10.0), 6)").as("prod_disc"),
-          count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"), col("mo"))),
-
-    "q79_qcut_scale" -> ((s, dir) =>
-      Binning.qcutBoundaries(t(s, dir, "orders"), "o_totalprice", 4, "price_q")
-        .groupBy(col("price_q")).agg(count(lit(1)).as("n"),
-          round(min(col("o_totalprice")), 6).as("lo"),
-          round(max(col("o_totalprice")), 6).as("hi"))
-        .orderBy(col("price_q"))),
-
-    "q80_ema_normal" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("tsu", expr("ts div 1000"))
-        .withColumn("ema", expr(
-          "rip_ema_normal(value, tsu, 1.6666666666666667E-9) OVER " +
-          "(PARTITION BY user_id ORDER BY tsu, event_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
-        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
-        .orderBy(col("event_id"))),
-
-    // No round(): the recurrence uses only dyadic coefficients (0.25/0.75)
-    // and +/* — Spark and DuckDB produce bit-identical doubles, while
-    // round(x,6) diverges on exact half-way decimals (Spark BigDecimal
-    // HALF_UP vs DuckDB multiply-based round). Dyadic blends land on
-    // .xxxxxx5 boundaries often, so raw doubles are the SAFER compare here.
-    "q81_ema_weighted" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("ema", expr(
-          "rip_ema_weighted(value, 0.25) OVER " +
-          "(PARTITION BY user_id ORDER BY ts, event_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
-        .select(col("event_id"), col("user_id"), col("ema"))
-        .orderBy(col("event_id"))),
-
-    "q82_ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
-        "embedding", "vec_id", k = 5, nCentroids = 8, nprobe = 8, iters = 1)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    "q83_asof_exec" -> ((s, dir) => {
-      // native sort-merge as-of (custom LogicalPlan/Strategy/Exec path)
-      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tsu"), col("event_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu"), col("value").as("purchase_value"))
-      AsofJoin.asofExec(clicks, purchases, on = "tsu", by = Seq("user_id"),
-        rightCols = Seq("purchase_value"))
-        .select(col("event_id"), col("user_id"),
-          round(col("purchase_value"), 6).as("purchase_value"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q84_multiq" -> ((s, dir) =>
-      // multi-q quantile (GB_QUANTILE_MULT, rt_groupbyops.py:2517):
-      // one percentile-array aggregate, columns extracted from it
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(GroupOps.quantiles(col("l_extendedprice"), Seq(0.25, 0.5, 0.75)).as("qs"))
-        .select(col("l_returnflag"),
-          round(element_at(col("qs"), 1), 6).as("p25"),
-          round(element_at(col("qs"), 2), 6).as("p50"),
-          round(element_at(col("qs"), 3), 6).as("p75"))
-        .orderBy(col("l_returnflag"))),
-
-    "q85_interval_join" -> ((s, dir) => {
-      // interval join: lineitems shipped within 30 days of their order date
-      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
-        col("l_linenumber"), col("l_shipdate"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
-      RangeJoin.intervalJoin(li, ord, Seq("o_orderkey"),
-        time = li("l_shipdate"),
-        start = ord("o_orderdate"),
-        end = ord("o_orderdate") + expr("INTERVAL 30 DAYS"))
-        .select(li("o_orderkey").as("o_orderkey"), col("l_linenumber"))
-        .orderBy(col("o_orderkey"), col("l_linenumber"))
-    }),
-
-    // ---- TPC-H-shaped multi-join headliners ----
-
-    "q86_tpch_q3" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey").as("o_custkey"))
-      val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate") < lit("1998-01-01"))
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") > lit("1996-01-01"))
-        .select(col("l_orderkey").as("o_orderkey"),
-          col("l_extendedprice"), col("l_discount"))
-      li.join(ord, Seq("o_orderkey"))
-        .join(broadcast(cust), Seq("o_custkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
-    }),
-
-    "q87_tpch_q5" -> ((s, dir) => {
-      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
-        .select(col("r_regionkey").as("n_regionkey"))
-      val nat = t(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("n_nationkey"))
-      val ord = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"),
-          col("l_extendedprice"), col("l_discount"))
-      li.join(ord, Seq("o_orderkey"))
-        .join(cust, Seq("o_custkey"))
-        .join(broadcast(nat.join(broadcast(reg), Seq("n_regionkey"))), Seq("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"), count(lit(1)).as("n"))
-        .orderBy(col("n_name"))
-    }),
-
-    // ---- round 3: TimeZone/Calendar pack (rt_timezone.py / rt_datetime.py) ----
-
-    "q88_astimezone" -> ((s, dir) => {
-      // astimezone + to_iso (rt_datetime.py:4717,4766): UTC nanos →
-      // wall clocks in two zones (Kolkata exercises a +5:30 offset)
-      val ev = t(s, dir, "events")
-        .withColumn("utc", timestamp_micros(expr("ts div 1000")))
-      ev.select(col("event_id"),
-        TimeFns.astimezone(col("utc"), "America/New_York").as("ny_wall"),
-        hour(TimeFns.astimezone(col("utc"), "America/New_York")).cast("long").as("ny_hour"),
-        TimeFns.astimezone(col("utc"), "Asia/Kolkata").as("kolkata_wall"),
-        TimeFns.toIso(col("utc")).as("iso"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q89_strftime" -> ((s, dir) =>
-      // strftime (rt_datetime.py:4572) over a 6.5-year date span
-      t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          TimeFns.strftime(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("s_full"),
-          TimeFns.strftime(col("o_orderdate"), "MM/dd/yyyy").as("s_us"),
-          TimeFns.strftime(col("o_orderdate"), "DDD").as("s_doy"),
-          TimeFns.toIso(col("o_orderdate")).as("s_iso"))
-        .orderBy(col("o_orderkey"))),
-
-    "q90_fix_dst" -> ((s, dir) => {
-      // fix_dst/to_utc + set_timezone (rt_timezone.py:1237,1294;
-      // rt_datetime.py:4666): orders span 1995–2001, both DST seasons,
-      // so per-row offsets flip −300/−240 (NY) and 0/60 (London).
-      // o_orderdate is TIMESTAMP_NTZ in parquet; cast once to an
-      // instant (identity under the UTC session zone).
-      val utc = col("o_orderdate").cast("timestamp")
-      t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          TimeFns.fixDstMicros(unix_micros(utc), "America/New_York")
-            .as("ny_micros"),
-          TimeFns.tzOffsetMinutes(utc, "America/New_York").as("ny_off_min"),
-          TimeFns.tzOffsetMinutes(utc, "Europe/London").as("lon_off_min"),
-          TimeFns.setTimezone(utc, "America/New_York").as("utc_of_ny_wall"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // SimHash-banded candidates → exact-jaccard verify, portable hashes
-    // end to end: output = {pairs: hamming ≤ 3 ∧ J ≥ 0.5}, fully
-    // engine-reproducible (md5 simhash + shingle-set jaccard)
-    "q91_simhash_verified" -> ((s, dir) =>
-      Dedup.simhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, shingleN = 3, threshold = 0.5,
-        hashFn = Dedup.portableHash64)
-        .orderBy(col("id_a"), col("id_b"))),
-
-    "q92_asof_exec_nearest" -> ((s, dir) => {
-      // q77 semantics through the NATIVE sort-merge exec (nearest +
-      // tolerance + matched-on); the right time rides as a value column
-      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tsu"), col("event_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tsu"), col("value").as("pv"))
-        .withColumn("mt", col("tsu"))
-      AsofJoin.asofExec(clicks, purchases, on = "tsu", by = Seq("user_id"),
-        rightCols = Seq("pv", "mt"), direction = "nearest",
-        tolerance = Some(3600000000L))
-        .select(col("event_id"), col("user_id"), round(col("pv"), 6).as("pv"),
-          col("mt").as("matched_on"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q93_interp_extrap" -> ((s, dir) => {
-      // rt_numpy.py:5388 — q64's shape, extrapolating past the hull
-      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
-      val queries = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tsu"), col("event_id"))
-      val points = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("tsu"), col("value"))
-      Interp.interpExtrap(queries, points, "tsu", Seq("user_id"), "value", "iv")
-        .select(col("event_id"), col("user_id"), round(col("iv"), 6).as("iv"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q94_crc32" -> ((s, dir) =>
-      // crc32 (rt_numpy.py:2489) — Spark's codegen'd crc32 over UTF-8
-      // bytes; the oracle rebuilds CRC-32/IEEE with a recursive CTE
-      t(s, dir, "part")
-        .select(col("p_partkey"),
-          crc32(col("p_name").cast("binary")).as("crc"))
-        .orderBy(col("p_partkey"))),
-
-    "q95_putmask" -> ((s, dir) =>
-      // putmask (rt_numpy.py:4684): masked in-place assign
-      t(s, dir, "lineitem")
-        .putmask("l_quantity", col("l_discount") >= 0.08, lit(25.0))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_quantity"), 6).as("qty_masked"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
-
-    "q96_pivot_noagg" -> ((s, dir) => {
-      // Dataset.pivot without aggregation (rt_dataset.py:7987) over a
-      // pre-aggregated unique (label, column) frame
-      val agg = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 4).as("qty"))
-      Reshape.pivotNoAgg(agg, "l_returnflag", "l_linestatus", "qty", Seq("F", "O"))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    "q97_cat_isin" -> ((s, dir) =>
-      // Categorical.isin at dictionary level (rt_categorical.py:4171)
-      Categorical.isinCategories(t(s, dir, "nation"), "n_name",
-        Seq("CHINA", "INDIA", "FRANCE"))
-        .select(col("n_nationkey"), col("n_name"), col("isin"))
-        .orderBy(col("n_nationkey"))),
-
-    "q98_gb_filter" -> ((s, dir) =>
-      // per-op filter= fused into the aggregate (rt_grouping.py:3330)
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(sum(GroupOps.filtered(col("l_quantity"), col("l_discount") > 0.05)), 4)
-            .as("qty_hi_disc"),
-          count(GroupOps.filtered(col("l_quantity"), col("l_discount") > 0.05))
-            .as("n_hi_disc"),
-          round(avg(GroupOps.filtered(col("l_extendedprice"), col("l_tax") < 0.03)), 6)
-            .as("avg_price_lo_tax"))
-        .orderBy(col("l_returnflag"))),
-
-    "q99_apply_groups" -> ((s, dir) => {
-      // Grouping.apply (rt_grouping.py:2944): per-group UDTF — top-3
-      // prices per flag, streamed with a bounded buffer (no group
-      // materialization)
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      val in = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"))
-      val outSchema = StructType(Seq(
-        StructField("l_returnflag", StringType),
-        StructField("rnk", IntegerType),
-        StructField("l_extendedprice", DoubleType),
-        StructField("l_orderkey", LongType)))
-      val ord = Ordering.by[(Double, Long, Int), (Double, Long, Int)](
-        x => (-x._1, x._2, x._3))
-      GroupOps.applyGroups(in, Seq("l_returnflag"), outSchema) { (k, it) =>
-        val buf = scala.collection.mutable.ArrayBuffer[(Double, Long, Int)]()
-        it.foreach { r =>
-          buf += ((r.getDouble(1), r.getLong(2), r.getInt(3)))
-          if (buf.length > 64) {
-            val kept = buf.sorted(ord).take(3); buf.clear(); buf ++= kept
-          }
-        }
-        buf.sorted(ord).take(3).zipWithIndex.iterator.map { case ((p, o, _), i) =>
-          Row(k.getString(0), i + 1, p, o)
-        }
-      }.orderBy(col("l_returnflag"), col("rnk"))
-    }),
-
-    "q100_concat_cols" -> ((s, dir) => {
-      // concat_columns (rt_dataset.py:6995): positional zip of two
-      // frames, shorter side null-filled
-      val a = t(s, dir, "nation").select(col("n_name"))
-      val b = t(s, dir, "region").select(col("r_name"))
-      Reshape.concatColumns(a, b, Seq(col("n_name")), Seq(col("r_name")))
-        .orderBy(col("n_name"))
-    }),
-
-    "q101_rankdata" -> ((s, dir) =>
-      // rankdata (rt_fastarray.py:2710): average-tie ranks per group —
-      // l_quantity is integral-valued, so ties are everywhere
-      Rolling.rankdata(t(s, dir, "lineitem"), Seq("l_returnflag"),
-        "l_quantity", "rnk")
-        .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
-
-    "q102_accum2_filtered" -> ((s, dir) => {
-      // Accum2 showfilter (rt_accum2.py:39): invalid row keys surface as
-      // the Filtered bin instead of vanishing; totals footers on top
-      val masked = t(s, dir, "orders").withColumn("o_orderpriority",
-        when(col("o_totalprice") < 20000, lit(null))
-          .otherwise(col("o_orderpriority")))
-      val out = Reshape.accum2(masked, "o_orderpriority", "o_orderstatus",
-        count(lit(1)), colValues = Seq("F", "O", "P"),
-        totals = true, showFilter = true)
-      out.select(col("o_orderpriority"),
-          coalesce(col("F"), lit(0L)).as("F"),
-          coalesce(col("O"), lit(0L)).as("O"),
-          coalesce(col("P"), lit(0L)).as("P"),
-          col("Total"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    "q103_imatrix" -> ((s, dir) =>
-      // imatrix (rt_dataset.py:1792): numeric columns as a per-row
-      // vector + a fold over it (zero shuffle, codegen'd). Output is
-      // scalarized (im[i] columns) — the verify harness compares flat
-      // columns only.
-      t(s, dir, "lineitem")
-        .imatrix("im", Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          element_at(col("im"), 1).as("im_0"),
-          element_at(col("im"), 2).as("im_1"),
-          element_at(col("im"), 3).as("im_2"),
-          round(aggregate(col("im"), lit(0.0d), (acc, x) => acc + x), 6)
-            .as("rowsum"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
-
-    "q104_cumprod" -> ((s, dir) => {
-      // cumprod (rt_groupbyops.py:3239) via the native RipProduct
-      // aggregate over an unbounded-preceding frame; per-order groups
-      // keep the running product bounded
-      val li = t(s, dir, "lineitem")
-        .withColumn("opt", lit(1.0) + col("l_tax"))
-      // (orderkey, linenumber) is NOT unique in the synthetic data —
-      // the frame order ties must break on a full column list or the
-      // running product is engine-dependent
-      val ord = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax").map(col)
-      Rolling.cumprod(li, Seq("l_orderkey"), ord, "opt", "cp")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("cp"), 6).as("cp"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }),
-
-    "q105_ffill_limit" -> ((s, dir) => {
-      // fill_forward limit= (rt_fastarraynumba.py:149): values stop
-      // propagating after `limit` consecutive invalid rows
-      val ev = t(s, dir, "events")
-        .withColumn("v", when(col("event_type") === "purchase", col("value")))
-      ev.fillForward("v", Seq("user_id"), Seq("ts", "event_id"), limit = Some(2))
-        .select(col("event_id"), col("user_id"), round(col("v"), 6).as("v"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q106_ismember_idx" -> ((s, dir) =>
-      // ismember's second output (rt_numpy.py:1186): first-occurrence
-      // position of each customer's key in the o_orderkey-ordered orders
-      Merge.ismemberIndex(
-        t(s, dir, "customer").select(col("c_custkey").as("o_custkey")),
-        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
-        Seq("o_custkey"), Seq(col("o_orderkey")))
-        .select(col("o_custkey"), col("ismember"), col("ismember_index"))
-        .orderBy(col("o_custkey"))),
-
-    "q116_json_props" -> ((s, dir) =>
-      // semi-structured payloads (events.props is JSON): scan-side
-      // extraction with get_json_object — codegen'd, no UDFs, the
-      // training-pipeline path for metadata-bearing event streams
-      t(s, dir, "events")
-        .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"),
-          (get_json_object(col("props"), "$.k").cast("long") > 90).as("is_high"))
-        .orderBy(col("event_id"))),
-
-    "q114_hash_sample" -> ((s, dir) =>
-      // deterministic stratified downsample: 5 rows per event_type in
-      // portable-hash order (no RNG — reproducible across engines)
-      Split.sampleKPerGroup(t(s, dir, "events"), "event_id",
-        Seq("event_type"), 5)
-        .select(col("event_type"), col("event_id"))
-        .orderBy(col("event_type"), col("event_id"))),
-
-    "q115_repetition" -> ((s, dir) => {
-      // repeated-ngram quality signal (Gopher-style filter): fraction of
-      // non-distinct 3-gram shingles per doc; distinct counts ride the
-      // existing shingle-hash machinery, totals are token arithmetic
-      val docs = t(s, dir, "documents")
-      val tot = docs.select(col("doc_id"),
-        greatest(TextFns.tokenCount(col("text")) - 2, lit(1)).cast("long")
-          .as("n_total"))
-      val dis = Dedup.shingleHashes(docs, "doc_id", "text", 3)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
-      tot.join(dis, Seq("doc_id"))
-        .withColumn("rep_ratio",
-          round(lit(1.0) - col("n_distinct") / col("n_total"), 6))
-        .orderBy(col("doc_id"))
-    }),
-
-    "q113_hash_split" -> ((s, dir) => {
-      // deterministic 80/20 train/test split on a portable id hash —
-      // same assignment on any engine/cluster (no RNG, no seed plumbing)
-      val split = Split.trainTest(t(s, dir, "documents"), "doc_id", 80)
-      split.groupBy(col("split"))
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
-          max(col("doc_id")).as("max_id"))
-        .orderBy(col("split"))
-    }),
-
-    "q112_crc32c" -> ((s, dir) =>
-      // crc32c (rt_numpy.py:2489, rc.CalculateCRC — Castagnoli; crc64
-      // is deprecated onto it): native codegen expression, since
-      // Spark's crc32 is the ISO polynomial
-      t(s, dir, "part")
-        .select(col("p_partkey"),
-          expr("rip_crc32c(p_name)").as("crc"))
-        .orderBy(col("p_partkey"))),
-
-    "q111_bpe_tokens" -> ((s, dir) =>
-      // BPE-ish subword count (brief: token counting beyond whitespace)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFns.tokenCountBpeIsh(col("text")).cast("long").as("n_subwords"),
-          TextFns.tokenCount(col("text")).cast("long").as("n_words"))
-        .orderBy(col("doc_id"))),
-
-    "q110_ema_filtered" -> ((s, dir) => {
-      // ema_decay filter=/reset= kwargs (rt_fastarraynumba.py:507):
-      // only clicks contribute; high-value clicks reset the state
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("tsu"), col("value").cast("double"),
-          (col("event_type") === "click").as("pass"),
-          (col("event_type") === "click" && col("value") > 95).as("rst"))
-      Ema.ema(ev, "user_id", "tsu", "value", rate = 1.6666666666666667e-9,
-        Ema.Decay, "ema", filterCol = Some("pass"), resetCol = Some("rst"))
-        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q109_accum2_footers" -> ((s, dir) => {
-      // AccumTable stacked footers (rt_accumtable.py:235): Total and
-      // Mean rows under one pivot body
-      val body = Reshape.accum2(t(s, dir, "orders"), "o_orderpriority",
-        "o_orderstatus", count(lit(1)), colValues = Seq("F", "O", "P"))
-      val filled = body.select(col("o_orderpriority"),
-        coalesce(col("F"), lit(0L)).cast("double").as("F"),
-        coalesce(col("O"), lit(0L)).cast("double").as("O"),
-        coalesce(col("P"), lit(0L)).cast("double").as("P"))
-      Reshape.withFooters(filled, "o_orderpriority", Seq(
-          "Total" -> (c => sum(c)), "Mean" -> (c => avg(c))))
-        .select(col("o_orderpriority"), round(col("F"), 6).as("F"),
-          round(col("O"), 6).as("O"), round(col("P"), 6).as("P"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    "q108_embed_neardup" -> ((s, dir) =>
-      // embedding-cosine near-dup pairs: LSH-band blocking + exact
-      // cosine verify (brief's dedup family; τ sized to the synthetic
-      // corpus, whose random vectors top out at cosine ≈ 0.51)
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.45, bits = 8, bands = 2)
-        .orderBy(col("id_a"), col("id_b"))),
-
-    "q107_strptime" -> ((s, dir) => {
-      // strptime_to_nano round-trip (rt_datetime.py:274) + yyyymmdd
-      // (:3298) + time_since_midnight (:4017) accessors
-      val ev = t(s, dir, "events")
-        .withColumn("utc", timestamp_micros(expr("ts div 1000")))
-      ev.select(col("event_id"),
-        to_timestamp(date_format(col("utc"), "yyyy-MM-dd HH:mm:ss"),
-          "yyyy-MM-dd HH:mm:ss").as("parsed"),
-        (year(col("utc")) * 10000 + month(col("utc")) * 100 +
-          dayofmonth(col("utc"))).as("yyyymmdd"),
-        (unix_micros(col("utc")) - unix_micros(date_trunc("day", col("utc"))))
-          .as("tsm_us"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q117_cut_time" -> ((s, dir) => {
-      // cut_time (rt_datetime.py:5149): time-of-day bucketing, dates
-      // ignored — NYC session 9:30–16:15 in 30 min buckets, left labels,
-      // out-of-session rows Filtered (null). Pure comparison chain +
-      // label-array lookup: per-row map, zero shuffle.
-      val (bin, label) = TimeFns.cutTime(
-        expr("(ts div 1000) % 86400000000"),
-        start = (9, 30), end = (16, 15), bucketMinutes = 30,
-        labelSide = "left", labelFmt = "HH:mm", unit = "micros")
-      t(s, dir, "events")
-        .select(col("event_id"), bin.cast("long").as("tod_bin"),
-          label.as("tod_label"))
-        .orderBy(col("event_id"))
-    }),
-
-    "q118_searchsorted" -> ((s, dir) =>
-      // searchsorted (rt_numpy.py:701): insertion index into a sorted
-      // boundary list, both numpy sides — unrolled codegen chain
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          Binning.searchsorted(col("l_quantity"),
-            Seq(5.0, 10.0, 20.0, 30.0, 40.0, 45.0), "left").as("ss_left"),
-          Binning.searchsorted(col("l_quantity"),
-            Seq(5.0, 10.0, 20.0, 30.0, 40.0, 45.0), "right").as("ss_right"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
-
-    // Near-dup pairs → duplicate CLUSTERS: iterative min-label
-    // connected components (O(diameter) shuffle rounds, never the
-    // transitive closure). Oracle recomputes components via a
-    // recursive CTE over the exact jaccard pair set.
-    "q119_dup_clusters" -> ((s, dir) =>
-      Cluster.connectedComponents(
-        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, threshold = 0.5)
-          .select(col("id_a"), col("id_b")),
-        "id_a", "id_b")
-        .orderBy(col("id"))),
-
-    // Per-doc boilerplate profile: share of shingles that are corpus-hot
-    // (df ≥ 10 docs) — the df-cap signal a scalable prefix index drops.
-    "q120_boilerplate" -> ((s, dir) =>
-      Dedup.boilerplateStats(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, dfCap = 10)
-        .orderBy(col("doc_id"))),
-
-    // Benchmark decontamination: train docs (source ≠ src0) sharing a
-    // distinct 5-gram with the eval set (source = src0), with counts.
-    "q121_decontam" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.contaminatedDocs(
-        docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"),
-        "doc_id", "text", shingleN = 5)
-        .orderBy(col("doc_id"))
-    }),
-
-    // Dedup survivors: one kept doc per duplicate cluster (min id) with
-    // the cluster size — the "which rows survive dedup" answer, fed by
-    // the same CC labels as q119.
-    "q122_dedup_keep" -> ((s, dir) =>
-      Cluster.clusterRepresentatives(
-        Cluster.connectedComponents(
-          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-            shingleN = 3, threshold = 0.5)
-            .select(col("id_a"), col("id_b")),
-          "id_a", "id_b"))
-        .orderBy(col("keep_id"))),
-
-    // Gap-based sessionization over the events stream (30-min gap):
-    // differs→cumsum composition, one shuffle on user_id, then a
-    // per-session aggregate. ts is nanos-as-long; micros match the
-    // oracle's epoch_us.
-    "q123_sessionize" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("value"))
-      Rolling.sessionize(e, Seq("user_id"),
-          Seq(col("ts_us"), col("event_id")), "ts_us", 1800L * 1000000)
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts_us")).as("start_us"),
-          max(col("ts_us")).as("end_us"),
-          round(sum(col("value")), 6).as("total_value"))
-        .orderBy(col("user_id"), col("session_seq"))
-    }),
-
-    // polyFit (rt_stats.py:230): degree-2 least squares per group from
-    // centered moment sums — closed-form Cramer solve, coefficients in
-    // the centered basis (the 100 TB-safe conditioning; see Stats).
-    "q124_polyfit" -> ((s, dir) =>
-      Stats.polyFit2(t(s, dir, "lineitem"), "l_extendedprice", "l_quantity",
-        Seq("l_returnflag"))
-        .select(col("l_returnflag"), round(col("xbar"), 6).as("xbar"),
-          round(col("c0"), 4).as("c0"), round(col("c1"), 4).as("c1"),
-          round(col("c2"), 4).as("c2"), col("n"))
-        .orderBy(col("l_returnflag"))),
-
-    // rolling correlation value↔props.k over a 20-row frame per user —
-    // single window pass, full-window rows only (partial frames null)
-    "q125_rolling_corr" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("ts_us"), col("value"),
-        get_json_object(col("props"), "$.k").cast("double").as("k"))
-      val ord = Seq(col("ts_us"), col("event_id"))
-      Rolling.rollingCorr(e, Seq("user_id"), ord, 20, "value", "k", "c_win")
-        .withColumn("c_win",
-          when(row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id")).orderBy(ord: _*)) >= 20,
-            round(col("c_win"), 6)))
-        .select(col("user_id"), col("event_id"), col("c_win"))
-        .orderBy(col("user_id"), col("event_id"))
-    }),
-
-    // class_error (rt_stats.py:108): per-group misclassification rate of
-    // a threshold rule — one map-side-combined aggregate
-    "q126_class_error" -> ((s, dir) =>
-      Stats.classError(
-        t(s, dir, "lineitem")
-          .withColumn("pred", when(col("l_quantity") > 25, "hi").otherwise("lo"))
-          .withColumn("truth", when(col("l_extendedprice") > 30000, "hi").otherwise("lo")),
-        "truth", "pred", Seq("l_returnflag"))
-        .select(col("l_returnflag"), round(col("class_error"), 6).as("class_error"),
-          col("n"))
-        .orderBy(col("l_returnflag"))),
-
-    // ROLLUP subtotals: the multi-level Accum2-footer generalization in
-    // ONE shuffle (every grouping set partial-aggregated map-side);
-    // grouping_id disambiguates subtotal rows from genuine null keys
-    "q127_rollup" -> ((s, dir) =>
-      GroupOps.rollupAgg(t(s, dir, "lineitem"),
-        Seq("l_returnflag", "l_linestatus"),
-        "sum_qty" -> round(sum(col("l_quantity")), 4),
-        "n" -> count(lit(1)))
-        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
-
-    // Edit-distance near-dup: PassJoin segment blocking (complete for
-    // dist ≤ 5 by pigeonhole) → banded Levenshtein verify. The oracle
-    // needs no blocking knowledge — plain all-pairs predicate.
-    "q128_edit_distance" -> ((s, dir) =>
-      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 5, prefixChars = 80)
-        .orderBy(col("id_a"), col("id_b"))),
-
-    // Deterministic weighted sampling (Efraimidis–Spirakis with the RNG
-    // replaced by the portable id hash): longer docs proportionally more
-    // likely; same winners on any engine — top-k plan, no global sort
-    "q129_weighted_sample" -> ((s, dir) =>
-      Split.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", 50)
-        .select(col("doc_id"), col("n_chars"))
-        .orderBy(col("doc_id"))),
-
-    // Per-doc top-3 TF-IDF terms — keyword extraction for corpus
-    // curation; rounded-score ranking keeps the order engine-stable
-    "q130_tfidf" -> ((s, dir) =>
-      TextFns.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
-        .orderBy(col("doc_id"), col("rk"))),
-
-    // Deterministic corpus mixing to target source proportions: src0
-    // upweighted to 30%, src1 to 20%, the rest sharing 50% — per-source
-    // hash-order budgets, no RNG, reproducible on any engine
-    "q131_corpus_mix" -> ((s, dir) => {
-      val rest = (2 to 19).map(i => s"src$i" -> (0.5 / 18)).toMap
-      Curate.mixSample(t(s, dir, "documents"), "doc_id", "source",
-        Map("src0" -> 0.3, "src1" -> 0.2) ++ rest, k = 100)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
-          max(col("doc_id")).as("max_id"))
-        .orderBy(col("source"))
-    }),
-
-    // Sequential sequence packing: docs (per source, in id order) into
-    // ~500-token training sequences via exclusive-prefix-sum bucketing —
-    // the map-side streaming shape of an LLM loader's packer
-    "q132_seq_pack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("tokens", TextFns.tokenCount(col("text")).cast("long"))
-      Curate.packSequences(docs, Seq("source"), Seq(col("doc_id")),
-        "tokens", budget = 500L)
-        .groupBy(col("source"), col("pack_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tot_tokens"))
-        .orderBy(col("source"), col("pack_id"))
-    }),
-
-    // Curation funnel: per-source survival counts through the standard
-    // filter cascade (length band, quality, english-signal) in ONE
-    // conditional-sum aggregate — not one pass per stage
-    "q133_curation_funnel" -> ((s, dir) =>
-      Curate.funnel(t(s, dir, "documents"), Seq("source"), Seq(
-        "len" -> col("n_chars").between(50, 10000),
-        "quality" -> (TextFns.qualityScore(col("text")) >= 0.5),
-        "en" -> (TextFns.langScore(col("text"), "en") >= 1)))
-        .orderBy(col("source"))),
-
-    // linear_spline (rt_stats.py:154): continuous piecewise-linear least
-    // squares at knots (20, 35); the Cramer solve is the SAME generated
-    // SQL text on both engines (Stats.spline2SolveSql)
-    "q134_linear_spline" -> ((s, dir) =>
-      Stats.linearSpline(t(s, dir, "lineitem"), "l_extendedprice",
-        "l_quantity", (20.0, 35.0), Seq("l_returnflag"))
-        .select(col("l_returnflag"), round(col("c0"), 4).as("c0"),
-          round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"),
-          round(col("c3"), 4).as("c3"), col("n"))
-        .orderBy(col("l_returnflag"))),
-
-    // TPC-H Q6 shape: pure filter-scan aggregate — every predicate must
-    // reach the parquet scan (PushedFilters), zero joins, one partial+
-    // final agg. The "is pushdown working" headliner.
-    "q135_tpch_q6" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= "1996-01-01" &&
-          col("l_shipdate") < "1997-01-01" &&
-          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
-          .as("revenue"), count(lit(1)).as("n"))),
-
-    // FAString.extract multi-group → columns (rt_str.py:1030): one regex
-    // evaluation shape per group, codegen'd, scan-only
-    "q137_regex_extract" -> ((s, dir) =>
-      t(s, dir, "part")
-        .select(col("p_partkey"),
-          regexp_extract(col("p_type"), "^(\\w+)\\s+(\\w+)\\s+(\\w+)", 1).as("t1"),
-          regexp_extract(col("p_type"), "^(\\w+)\\s+(\\w+)\\s+(\\w+)", 2).as("t2"),
-          regexp_extract(col("p_type"), "^(\\w+)\\s+(\\w+)\\s+(\\w+)", 3).as("t3"),
-          regexp_extract(col("p_brand"), "([0-9]+)$", 1).as("brand_num"))
-        .orderBy(col("p_partkey"))),
-
-    // DateTimeNano.diff / shift (rt_datetime.py:5675,5128): per-user
-    // inter-arrival time and previous event timestamp — lag over the
-    // user partition, micros arithmetic on the nanos-as-long column
-    "q138_dt_diff" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-        .withColumn("gap_us", col("ts_us") - col("prev_us"))
-        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
-    }),
-
-    // showfilter=True analog (rt_groupbyops.py:1014 null/bin-0 group):
-    // the invalid-key rows surface as their own group row instead of
-    // silently dropping — SQL's default GROUP BY null-group behavior
-    "q143_showfilter" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .withColumn("k",
-          when(col("l_quantity") > 45, lit(null)).otherwise(col("l_returnflag")))
-        .groupBy(col("k"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
-        .orderBy(col("k").asc_nulls_first)),
-
-    // bool_to_fancy (rt_numpy.py:5449): positions of mask-true rows in
-    // o_orderkey order — distributed sort + zipWithIndex, then filter
-    "q144_bool_to_fancy" -> ((s, dir) =>
-      syntax.boolToFancy(
-        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
-        col("o_totalprice") > 400000, Seq(col("o_orderkey")))
-        .select(col("o_orderkey"), col("position"))
-        .orderBy(col("position"))),
-
-    // Unigram cross-entropy quality score — the LM-perplexity filter
-    // proxy: avg −ln p(token) under the corpus unigram distribution
-    "q141_unigram_xent" -> ((s, dir) =>
-      TextFns.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))),
-
-    // Corpus vocabulary stats: top-20 tokens by frequency with dense
-    // Zipf rank — the vocabulary health check before tokenizer training
-    "q142_vocab_stats" -> ((s, dir) => {
-      val freqs = t(s, dir, "documents")
-        .select(explode(TextFns.tokens(col("text"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
-      freqs
-        .orderBy(col("tf").desc, col("term"))
-        .limit(20)
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("tf").desc, col("term"))).cast("long"))
-    }),
-
-    // Multi-probe LSH ANN: query bucket + all Hamming-1 buckets — the
-    // recall lever over q48's single probe; probe fan-out rides the
-    // broadcast query side, corpus still does one equi-join
-    "q140_ann_multiprobe" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 3),
-        "vec_id", "embedding", "vec_id", 5, bits = 6)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // AccumTable.accum_ratiop (rt_accumtable.py:1024): cross-tab cells
-    // as percent of the grand total (broadcast one-row total)
-    "q139_accum_ratiop" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
-      val reg = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
-      val joined = cust.join(broadcast(nat), Seq("c_nationkey"))
-        .join(broadcast(reg), Seq("n_regionkey"))
-      val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
-      val tab = Reshape.accum2(joined, "c_mktsegment", "r_name",
-        count(lit(1)).cast("double"), colValues = regions)
-      Reshape.accumRatioP(tab, "c_mktsegment")
-        .select(col("c_mktsegment"),
-          round(col("AFRICA"), 6).as("AFRICA"), round(col("AMERICA"), 6).as("AMERICA"),
-          round(col("ASIA"), 6).as("ASIA"), round(col("EUROPE"), 6).as("EUROPE"),
-          round(col("MIDDLE EAST"), 6).as("MIDDLE_EAST"))
-        .orderBy(col("c_mktsegment"))
-    }),
-
-    // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
-    // fact-to-fact join on orderkey, broadcast customer dimension,
-    // TakeOrderedAndProject top-k (never a global sort)
-    "q136_tpch_q10" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      val ord = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("o_orderkey"),
-          col("l_extendedprice"), col("l_discount"))
-      li.join(ord, Seq("o_orderkey"))
-        .join(broadcast(cust), Seq("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20)
-    }),
-
-    // Business-day calendar pack (the Calendar rt_timezone.py:1321
-    // declares but never implements): roll-forward, +5 bday shift, and
-    // bday distance from an anchor — all broadcast joins against an
-    // 8-year calendar dimension; the fact table never shuffles
-    "q145_bday_shift" -> ((s, dir) => {
-      val hols = (1995 to 2002).flatMap(y =>
-        Seq(s"$y-01-01", s"$y-07-04", s"$y-12-25", s"$y-12-26"))
-      val cal = BizCal.calendarDim(s, "1995-01-01", "2002-12-31", hols)
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
-        .withColumn("anchor", lit("1998-06-01").cast("date"))
-      val shifted = BizCal.shiftBday(
-        BizCal.shiftBday(o, "od", 0, cal, "next_b"), "od", 5, cal, "shift5")
-      BizCal.bdayDiff(shifted, "anchor", "od", cal, "bdiff")
-        .select(col("o_orderkey"), col("od"), col("next_b"), col("shift5"),
-          col("bdiff").cast("long").as("bdiff"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // TPC-H Q21 shape (EXISTS + NOT EXISTS): suppliers whose line was
-    // the ONLY late one on a multi-supplier order. Late = shipped > 90
-    // days after the order date. Single-scan rewrite (r8 verdict #4 —
-    // the semi+anti formulation recomputed lineitem⋈orders three
-    // times): one per-(order, supplier) pre-aggregate, then one
-    // per-order rollup computes |suppliers|, |late suppliers|, the sole
-    // late supplier, and its late-line count — a waiting line is late
-    // with ≥2 suppliers on the order and exactly 1 late supplier. No
-    // expand (two plain aggregates instead of twin count-distincts),
-    // keys stay on orderkey (no supplier skew); supplier dim broadcasts
-    "q146_tpch_q21" -> ((s, dir) => {
-      val ord = t(s, dir, "orders")
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
-      val le = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        .join(ord, Seq("l_orderkey"))
-        .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-            .as("late"))
-      // one shuffle for BOTH aggregates: hash-partitioning on
-      // l_orderkey alone satisfies the (l_orderkey, l_suppkey) group
-      // clustering too, so the per-order rollup below is exchange-free
-      // (the default plan would shuffle on (o,s) and then AGAIN on o —
-      // and (o,s) is near-unique here, so that first exchange moves
-      // the full line count for zero reduction)
-      val perSupp = le.repartition(col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(col("late")).as("any_late"),
-          count(when(col("late"), lit(1))).as("n_late_lines"))
-      val waiting = perSupp.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"),
-          sum(when(col("any_late"), lit(1)).otherwise(lit(0))).as("n_late_supp"),
-          max(when(col("any_late"), col("l_suppkey"))).as("l_suppkey"),
-          sum(when(col("any_late"), col("n_late_lines"))).as("n_late_lines"))
-        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-        .select(col("l_suppkey"), col("n_late_lines"))
-      waiting
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))),
-          Seq("l_suppkey"))
-        .groupBy(col("s_name"))
-        .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-        .limit(50)
-    }),
-
-    // TPC-H Q22 shape (NOT EXISTS headliner): above-average-balance
-    // customers in chosen segments with no orders at all. The average
-    // is a one-row broadcast; the anti-join keys on custkey against
-    // the big orders side — the plan that must stay a hash/sort-merge
-    // LeftAnti (never a nested loop) at 100 TB
-    "q147_tpch_q22" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg(avg(col("c_acctbal")).as("__ab"))
-      cust.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-        .crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("__ab"))
-        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
-          Seq("c_custkey"), "left_anti")
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal")), 2).as("totacctbal"))
-        .orderBy(col("c_mktsegment"))
-    }),
-
-    // accum_cols (rt_accumtable.py:1326): multi-measure grouped table —
-    // plain sum, mean, ratio pair, percent-of-table, filtered sum —
-    // in ONE fact-table shuffle with a recombined Total footer row
-    "q148_accum_cols" -> ((s, dir) => {
-      val specs = Seq(
-        Reshape.AccumColSpec("sum_qty", col("l_quantity")),
-        Reshape.AccumColSpec("avg_price", col("l_extendedprice"), func = "mean"),
-        Reshape.AccumColSpec("disc_ratio",
-          col("l_extendedprice") * col("l_discount"), Some(col("l_extendedprice"))),
-        Reshape.AccumColSpec("qty_pct", col("l_quantity"), pct = true),
-        Reshape.AccumColSpec("hi_qty_sum", col("l_quantity"),
-          filter = Some(col("l_quantity") > 25)))
-      Reshape.accumCols(t(s, dir, "lineitem"), "l_returnflag", specs)
-        .select(col("l_returnflag"),
-          round(col("sum_qty"), 4).as("sum_qty"),
-          round(col("avg_price"), 6).as("avg_price"),
-          round(col("disc_ratio"), 6).as("disc_ratio"),
-          round(col("qty_pct"), 6).as("qty_pct"),
-          round(col("hi_qty_sum"), 4).as("hi_qty_sum"))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    // apply_pandas-analog batch bridge (rt_dataset.py:7292): black-box
-    // batched row function computing revenue, then a plain aggregate —
-    // the escape hatch exercised end-to-end against a SQL oracle
-    "q149_apply_batch" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
-        col("l_extendedprice"), col("l_discount"))
-      val outSchema = li.schema.add("revenue",
-        org.apache.spark.sql.types.DoubleType)
-      Apply.applyBatched(li, outSchema)(_.map(r =>
-        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
-          r.getDouble(1) * (1.0 - r.getDouble(2)))))
-        .groupBy(col("l_returnflag"))
-        .agg(round(sum(col("revenue")), 2).as("rev"),
-          count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    // merge_indices (rt_merge.py:2080): the join plan as data — source
-    // row positions instead of materialized columns; distributed
-    // sort + zipWithIndex numbering on both sides, no global window
-    "q150_merge_indices" -> ((s, dir) => {
-      val left = t(s, dir, "orders")
-        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
-      val right = t(s, dir, "customer")
-        .select(col("c_custkey").as("custkey"))
-      Merge.mergeIndices(left, right, Seq("custkey"), "inner",
-        leftOrder = Seq(col("o_orderkey")), rightOrder = Seq(col("custkey")))
-        .orderBy(col("left_index"), col("right_index"))
-    }),
-
-    // partition2 (rt_fastarray.py:2707): bottom-k split by a pivot from
-    // one TakeOrderedAndProject — the frame itself is never globally
-    // sorted; summary-aggregated so tie sets stay engine-independent
-    "q151_partition2" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"),
-        (col("l_orderkey") * 100 + col("l_linenumber")).as("tb"))
-      syntax.partition2(li, "v", "tb", 1000, "bk")
-        .filter(col("bk"))
-        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sv"))
-    }),
-
-    // merge_cats (rt_grouping.py:136): two slices with different
-    // category dictionaries stacked under one unified dictionary —
-    // all dictionary joins broadcast, fact slices never shuffle
-    "q152_merge_cats" -> ((s, dir) => {
-      val nat = t(s, dir, "nation")
-      val s1 = nat.filter(col("n_regionkey") === 0)
-        .select(col("n_nationkey"), col("n_name"))
-      val s2 = nat.filter(col("n_regionkey").isin(1, 2))
-        .select(col("n_nationkey"), col("n_name"))
-      val (stackedDict, stacked) = Categorical.mergeCats(Seq(
-        (Categorical.encode(s1, "n_name"), Categorical.categories(s1, "n_name")),
-        (Categorical.encode(s2, "n_name"), Categorical.categories(s2, "n_name"))))
-      val _ = stackedDict
-      stacked.select(col("n_nationkey"), col("n_name"),
-        col("code").cast("long").as("code"))
-        .orderBy(col("n_nationkey"))
-    }),
-
-    // TPC-H Q17 shape (correlated scalar subquery): small-quantity
-    // orders for one brand vs 0.2× that part's average quantity. The
-    // decorrelated plan is the one that survives 100 TB: the broadcast
-    // brand semi-join sits BELOW the per-part average (per-part means
-    // are independent across parts, so pre-filtering to Brand#23 parts
-    // leaves every surviving average unchanged while shrinking the
-    // aggregate input ~25×); the avg is then ONE partial-aggregated
-    // shuffle of (partkey, sum, count) over brand rows only
-    "q153_tpch_q17" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      val brandParts = t(s, dir, "part")
-        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
-      val liBrand = li.join(broadcast(brandParts),
-        col("l_partkey") === col("p_partkey"), "leftsemi")
-      val avgQty = liBrand.groupBy(col("l_partkey"))
-        .agg((avg(col("l_quantity")) * 0.2).as("__thresh"))
-      liBrand.join(avgQty, Seq("l_partkey"))
-        .filter(col("l_quantity") < col("__thresh"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
-    }),
-
-    // TPC-H Q18 shape (large-volume orders, HAVING pushed to a
-    // semi-filterable aggregate): sum lineitem qty per order FIRST (one
-    // keyed shuffle, map-side combined), keep >300, then enrich with
-    // orders + customer. The big-to-big join stays keyed on orderkey;
-    // the qualifying set after HAVING is tiny → AQE broadcasts it
-    "q154_tpch_q18" -> ((s, dir) => {
-      val big = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity")).as("sum_qty"))
-        .filter(col("sum_qty") >= 300)
-      t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
-          col("o_totalprice"), col("sum_qty"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(100)
-    }),
-
-    // TPC-H Q20 shape (nested semi-joins over an aggregated subquery;
-    // no partsupp in the synthetic schema, so "availability" is the
-    // 1997 shipped quantity per (part, supplier)): suppliers who
-    // shipped >1.5× the per-part average of any 'red%' part. Both
-    // aggregates key on partkey; the part-name filter broadcasts; the
-    // final supplier lookup is a semi-join on a distinct-reduced set
-    "q155_tpch_q20" -> ((s, dir) => {
-      val shipped = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= "1997-01-01" &&
-          col("l_shipdate") < "1998-01-01")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("l_quantity")).as("sq"))
-      val perPartAvg = shipped.groupBy(col("l_partkey"))
-        .agg(avg(col("sq")).as("aq"))
-      val redParts = t(s, dir, "part")
-        .filter(col("p_name").like("red%")).select(col("p_partkey"))
-      val excess = shipped
-        .join(perPartAvg, Seq("l_partkey"))
-        .filter(col("sq") > col("aq") * 1.5)
-        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
-          "left_semi")
-        .select(col("l_suppkey")).distinct()
-      t(s, dir, "supplier")
-        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
-        .orderBy(col("s_name"))
-    }),
-
-    // TPC-H Q2 shape (argmin-per-group correlated subquery): the
-    // cheapest supplier of each small part — min(struct(bal, key)) is
-    // a plain map-side-combined aggregate (deterministic ties via the
-    // key tiebreak), NEVER a window over the fact; the part dim
-    // broadcasts; supplier enrichment re-joins on the one-row-per-part
-    // argmin result
-    "q156_tpch_q2" -> ((s, dir) => {
-      // the p_size<10 filter is on the GROUP KEY, so it commutes below
-      // the distinct and the argmin aggregate: broadcast-semi-join the
-      // surviving part keys onto lineitem FIRST, and the
-      // (l_partkey, l_suppkey) distinct's shuffle carries only ~20% of
-      // the pairs (the round-6 Q17 brand-semi-join move)
-      val smallParts = t(s, dir, "part")
-        .filter(col("p_size") < 10)
-        .select(col("p_partkey"), col("p_name"))
-      val supplied = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(smallParts.select(col("p_partkey"))),
-          col("l_partkey") === col("p_partkey"), "left_semi")
-        .distinct()
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey").as("l_suppkey"), col("s_acctbal"))),
-          Seq("l_suppkey"))
-      val best = supplied.groupBy(col("l_partkey"))
-        .agg(min(struct(col("s_acctbal"), col("l_suppkey"))).as("__m"))
-        .select(col("l_partkey"),
-          col("__m.s_acctbal").as("best_bal"),
-          col("__m.l_suppkey").as("best_supp"))
-      best
-        .join(broadcast(smallParts),
-          col("l_partkey") === col("p_partkey"))
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_name"))),
-          col("best_supp") === col("s_suppkey"))
-        .select(col("p_partkey"), col("p_name"), col("s_name"),
-          round(col("best_bal"), 2).as("s_acctbal"))
-        .orderBy(col("p_partkey"))
-    }),
-
-    // Nanosecond-precision grid (SURVEY §1.2's documented semantic gap,
-    // rt_datetime.py:2718 DateTimeNano): the engine contract is int64
-    // epoch-nanos for events.ts, enforced at the Tables boundary
-    // (Tables.normalizeEpochNanos) whatever the parquet physical type —
-    // int64 nanos pass through; timestamp[us] is widened µs×1000, so
-    // sub-µs digits are zero on that generation of data. Accessors /
-    // diff / shift all run on the LONG. The grid still floors to µs
-    // (ts - ts % 1000) so it hash-matches DuckDB's epoch_ns on either
-    // physical type; genuine sub-µs exactness of the long path is pinned
-    // by TimeFnsSpec's java.time grid over true-nanos parquet
-    // (nanosAsLong), which needs no external oracle.
-    "q157_nanos" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_q"), col("event_id"))
-      t(s, dir, "events")
-        .withColumn("ts_q", col("ts") - col("ts") % 1000L)
-        .select(col("event_id"), col("ts_q").as("ts_ns"),
-          (col("ts_q") % 1000000000L).as("ns_of_sec"),
-          (col("ts_q") - lag(col("ts_q"), 1).over(w)).as("diff_ns"),
-          (col("ts_q") + lit(86400000000000L)).as("ts_plus_day_ns"))
-        .orderBy(col("event_id"))
-    }),
-
-    // ---- round 6: the remaining TPC-H headliners ----
-    // Adapted where the synthetic schema lacks columns (no partsupp, no
-    // l_commitdate/l_receiptdate/l_shipmode, no p_container); each query
-    // notes its substitution but keeps the canonical plan shape the
-    // original demands at scale: broadcast dims, semi-joins before fat
-    // aggregates, scalar one-row broadcasts, no fact-side windows.
-
-    "q158_tpch_q4" -> ((s, dir) => {
-      // Q4 order-priority check. "Late" = shipped >60 days after order
-      // date (stands in for commitdate < receiptdate). EXISTS becomes a
-      // leftsemi keyed on orderkey with the date predicate inside the
-      // join condition — the fact side never expands.
-      val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-07-01") &&
-          col("o_orderdate") < lit("1996-10-01"))
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_shipdate"))
-      ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
-          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
-          "leftsemi")
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("order_count"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    "q159_tpch_q7" -> ((s, dir) => {
-      // Q7 volume shipping between two nations (3 and 18 — both carry
-      // suppliers at every SF). Suppliers and nation names broadcast;
-      // customers pre-filtered to the pair BEFORE their custkey shuffle,
-      // so both fact joins run on already-reduced inputs.
-      val natS = t(s, dir, "nation")
-        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation"))
-      val natC = t(s, dir, "nation")
-        .select(col("n_nationkey").as("c_nationkey"), col("n_name").as("cust_nation"))
-      val supp = broadcast(t(s, dir, "supplier")
-        .filter(col("s_nationkey").isin(3, 18))
-        .join(natS, Seq("s_nationkey"))
-        .select(col("s_suppkey").as("l_suppkey"), col("supp_nation")))
-      val cust = t(s, dir, "customer")
-        .filter(col("c_nationkey").isin(3, 18))
-        .join(broadcast(natC), Seq("c_nationkey"))
-        .select(col("c_custkey").as("o_custkey"), col("cust_nation"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
-          col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
-      li.join(supp, Seq("l_suppkey"))
-        .join(ord.join(cust, Seq("o_custkey")), Seq("o_orderkey"))
-        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_18") ||
-          (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_3"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-    }),
-
-    "q160_tpch_q8" -> ((s, dir) => {
-      // Q8 national market share: NATION_21's share of ECONOMY-part
-      // volume sold into AMERICA, by order year. Part + supplier +
-      // nation/region dims broadcast; the fact shuffles key on orderkey
-      // then custkey, and the share is a CASE inside ONE aggregate.
-      val part = broadcast(t(s, dir, "part")
-        .filter(col("p_type") === "ECONOMY")
-        .select(col("p_partkey").as("l_partkey")))
-      val supp = broadcast(t(s, dir, "supplier")
-        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")))
-      val natR = t(s, dir, "nation")
-        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey").as("c_nationkey"))
-      val cust = t(s, dir, "customer").join(broadcast(natR), Seq("c_nationkey"))
-        .select(col("c_custkey").as("o_custkey"))
-      val ord = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
-          col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
-      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      li.join(part, Seq("l_partkey")).join(supp, Seq("l_suppkey"))
-        .join(ord, Seq("o_orderkey")).join(cust, Seq("o_custkey"))
-        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(sum(when(col("s_nationkey") === 21, vol).otherwise(lit(0.0))) /
-          sum(vol), 6).as("mkt_share"))
-        .orderBy(col("o_year"))
-    }),
-
-    "q161_tpch_q9" -> ((s, dir) => {
-      // Q9 product-type profit. Supply cost ≈ 0.5 × p_retailprice (no
-      // partsupp table). Profit per supplier-nation × order year over
-      // '%red%' parts; part and supplier⨝nation broadcast, one orderkey
-      // shuffle for the year column.
-      val part = broadcast(t(s, dir, "part")
-        .filter(col("p_name").contains("red"))
-        .select(col("p_partkey").as("l_partkey"), col("p_retailprice")))
-      val supp = broadcast(t(s, dir, "supplier")
-        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey").as("l_suppkey"), col("n_name")))
-      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
-          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"))
-      li.join(part, Seq("l_partkey")).join(supp, Seq("l_suppkey"))
-        .join(ord, Seq("o_orderkey"))
-        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-          lit(0.5) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
-        .orderBy(col("n_name"), col("o_year").desc)
-    }),
-
-    "q162_tpch_q11" -> ((s, dir) => {
-      // Q11 important stock, re-keyed to lineitem revenue (no partsupp):
-      // parts whose revenue exceeds 1.2× the per-part average — a
-      // scale-invariant threshold (a fixed fraction of the total would
-      // degenerate as the part count grows). The average is a one-row
-      // broadcast against the per-part aggregate (Q22's scalar shape),
-      // never a single-partition shuffle.
-      val li = t(s, dir, "lineitem")
-      val perPart = li.groupBy(col("l_partkey"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
-      val thr = perPart.agg((avg(col("value")) * lit(1.2)).as("thr"))
-      perPart.join(broadcast(thr))
-        .filter(col("value") > col("thr"))
-        .select(col("l_partkey"), round(col("value"), 2).as("value"))
-        .orderBy(col("value").desc, col("l_partkey"))
-    }),
-
-    "q163_tpch_q12" -> ((s, dir) => {
-      // Q12 shipping modes: l_linestatus stands in for the absent
-      // l_shipmode, "late" = shipped >90 days after order date. One
-      // orderkey shuffle, priority split as CASE sums in one aggregate.
-      val ord = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1997-01-01") &&
-          col("l_shipdate") < lit("1998-01-01"))
-        .select(col("l_orderkey").as("o_orderkey"), col("l_linestatus"),
-          col("l_shipdate"))
-      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      li.join(ord, Seq("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-        .groupBy(col("l_linestatus"))
-        .agg(sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
-          sum(when(!hi, 1).otherwise(0)).cast("long").as("low_line_count"))
-        .orderBy(col("l_linestatus"))
-    }),
-
-    "q164_tpch_q13" -> ((s, dir) => {
-      // Q13 customer order-count distribution. Orders pre-aggregate per
-      // custkey BEFORE touching customer (the left join and the count
-      // share one custkey partitioning); the histogram re-agg input is
-      // one row per customer and the output dictionary-sized.
-      val ord = t(s, dir, "orders")
-        .filter(col("o_orderpriority") =!= "5-LOW")
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
-      val cust = t(s, dir, "customer").select(col("c_custkey").as("o_custkey"))
-      cust.join(ord, Seq("o_custkey"), "left")
-        .select(coalesce(col("n"), lit(0L)).as("c_count"))
-        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
-    }),
-
-    "q165_tpch_q14" -> ((s, dir) => {
-      // Q14 promo revenue share in one year: broadcast part dim, single
-      // partial-aggregated scan, one row out.
-      val part = broadcast(t(s, dir, "part")
-        .select(col("p_partkey").as("l_partkey"), col("p_type")))
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1997-01-01") &&
-          col("l_shipdate") < lit("1998-01-01"))
-        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      li.join(part, Seq("l_partkey"))
-        .agg(round(sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) *
-          100.0 / sum(vol), 6).as("promo_revenue"))
-    }),
-
-    "q166_tpch_q15" -> ((s, dir) => {
-      // Q15 top supplier: quarterly revenue per supplier, keep the max.
-      // Revenue is rounded BEFORE the max/equality compare on BOTH the
-      // Spark and oracle side, so summation-order drift cannot split the
-      // argmax; the max is a one-row broadcast, names a broadcast dim.
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01") &&
-          col("l_shipdate") < lit("1996-04-01"))
-      val rev = li.groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("total_revenue"))
-      val best = rev.agg(max(col("total_revenue")).as("best"))
-      val supp = broadcast(t(s, dir, "supplier")
-        .select(col("s_suppkey").as("l_suppkey"), col("s_name")))
-      rev.join(broadcast(best)).filter(col("total_revenue") === col("best"))
-        .join(supp, Seq("l_suppkey"))
-        .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
-          col("total_revenue"))
-        .orderBy(col("s_suppkey"))
-    }),
-
-    "q167_tpch_q16" -> ((s, dir) => {
-      // Q16 supplier counts per part attribute. The part↔supplier
-      // relation comes from lineitem (no partsupp); the NOT-conditions
-      // mirror the original. Filtered part dim broadcast, one hash
-      // aggregate with count_distinct.
-      val part = broadcast(t(s, dir, "part")
-        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
-          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
-        .select(col("p_partkey").as("l_partkey"), col("p_brand"),
-          col("p_type"), col("p_size")))
-      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
-      li.join(part, Seq("l_partkey"))
-        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-          col("p_size"))
-    }),
-
-    "q168_tpch_q19" -> ((s, dir) => {
-      // Q19 discounted revenue: OR-of-ANDs over part attrs (p_size
-      // bands stand in for p_container) and lineitem ranges. The whole
-      // predicate sits in one broadcast-hash-join filter — the fact
-      // table is never shuffled.
-      val part = broadcast(t(s, dir, "part")
-        .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size")))
-      val li = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"))
-      li.join(part, Seq("l_partkey"))
-        .filter(
-          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
-            col("l_quantity").between(1, 20)) ||
-          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
-            col("l_quantity").between(10, 30)) ||
-          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
-            col("l_quantity").between(20, 40)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-    }),
-
-    "q169_substring_dup" -> ((s, dir) =>
-      // Lee-et-al-style cross-document substring dedup: per doc, the
-      // fraction of its 8-token spans shared with another document.
-      operators.Dedup.substringDupStats(
-        t(s, dir, "documents"), "doc_id", "text", k = 8)
-        .select(col("doc_id"), col("n_grams"), col("dup_grams"),
-          col("dup_frac"))
-        .orderBy(col("doc_id"))),
-
-    "q170_prototype_prune" -> ((s, dir) =>
-      // Sorscher-et-al prototype pruning: rank embeddings by cosine to
-      // their cluster centroid; most-prototypical quartile is prunable.
-      operators.Curate.prototypeRank(
-        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
-        pruneFrac = 0.25)
-        .select(col("vec_id"), col("label"), col("cos_centroid"),
-          col("prunable"))
-        .orderBy(col("vec_id"))),
-
-    "q171_bigram_xent" -> ((s, dir) =>
-      // CCNet-style fluency score: cross-entropy under a smoothed
-      // conditional bigram LM trained on the corpus itself
-      TextFns.bigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))),
-
-    "q172_dsir_weights" -> ((s, dir) =>
-      // DSIR domain selection: importance weight of each doc toward the
-      // English subset as the target domain, hashed-bigram features
-      operators.Curate.dsirLogWeights(t(s, dir, "documents"), "doc_id",
-        "text", col("lang") === "en", buckets = 1024)
-        .orderBy(col("doc_id"))),
-
-    "q173_repetition" -> ((s, dir) =>
-      // Gopher-style within-doc repetition: top/duplicate 2- and 3-gram
-      // fractions per document
-      TextFns.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
-        ns = Seq(2, 3))
-        .orderBy(col("doc_id"))),
-
-    "q174_semdedup" -> ((s, dir) =>
-      // SemDeDup: within-cluster (label) cosine dups, keep-lowest-id
-      operators.Similarity.semanticDupFlags(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", threshold = 0.35)
-        .select(col("vec_id"), col("label"), col("sem_dup"))
-        .orderBy(col("vec_id"))),
-
-    // ---- round 7: SQ8 quantized ANN + quality-aware dedup survivors ----
-
-    // Scalar-quantized (int8) ANN: per-dim [min,max] grid from one
-    // corpus scan, symmetric quantize-reconstruct, cosine on the
-    // reconstructions — the 4× memory-cut index layout (FAISS SQ shape).
-    "q175_sq8_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 3),
-        "vec_id", "embedding", "vec_id", 5)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Near-dup clusters → keep the BEST-quality member per cluster
-    // (not min-id): jaccard pairs (shared registry frame with q119/q122)
-    // → connected components → per-cluster quality argmax.
-    "q176_cluster_rep_quality" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cc = Cluster.connectedComponents(
-        Dedup.jaccardPairs(docs, "doc_id", "text",
-          shingleN = 3, threshold = 0.5)
-          .select(col("id_a"), col("id_b")),
-        "id_a", "id_b")
-      Cluster.clusterRepresentativesBy(cc,
-        docs.select(col("doc_id"),
-          TextFns.qualityScore(col("text")).as("quality")),
-        "doc_id", "quality")
-        .orderBy(col("cluster_id"))
-    }),
-
-    // Winnowing (MOSS) fingerprint overlap: char-8-gram hashes, window-4
-    // min sampling, cross-doc shared-fingerprint profile.
-    "q177_winnowing" -> ((s, dir) =>
-      Dedup.winnowDupStats(t(s, dir, "documents"), "doc_id", "text",
-        k = 8, w = 4)
-        .orderBy(col("doc_id"))),
-
-    // Hard-negative mining: top-5 nearest different-label vectors per
-    // query — contrastive-training batch construction.
-    "q178_hard_negatives" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 3),
-        "vec_id", "embedding", "label", "vec_id", 5)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // PII scrubbing: the corpus text is synthetic word-soup with no
-    // natural PII, so the query EMBEDS deterministic emails/IPs/phones/
-    // SSNs keyed off doc_id (both engines build the identical string —
-    // the q157 synthesized-input pattern), then counts and redacts.
-    "q179_pii_scrub" -> ((s, dir) => {
-      val id = col("doc_id")
-      def n(c: Column): Column = c.cast("string")
-      def m(c: Column, d: Int): Column = pmod(c, lit(d))
-      val synth = concat(col("text"),
-        when(m(id, 3) === 0, concat(lit(" contact u"), n(id),
-          lit("@ex"), n(m(id, 7)), lit(".com"))).otherwise(""),
-        when(m(id, 4) === 0, concat(lit(" from 10."), n(m(id, 256)),
-          lit("."), n(m(id * 7, 256)), lit("."),
-          n(m(id * 13, 256)))).otherwise(""),
-        when(m(id, 5) === 0, concat(lit(" call "), n(m(id, 700) + 200),
-          lit("-"), n(m(id * 3, 900) + 100), lit("-"),
-          n(m(id * 7, 9000) + 1000))).otherwise(""),
-        when(m(id, 7) === 0, concat(lit(" ssn "), n(m(id, 900) + 100),
-          lit("-"), n(m(id, 90) + 10), lit("-"),
-          n(m(id * 11, 9000) + 1000))).otherwise(""))
-      t(s, dir, "documents")
-        .select(col("source"), synth.as("__s"))
-        .select(col("source"),
-          TextFns.piiCount(col("__s"), TextFns.Pii.email).as("__e"),
-          TextFns.piiCount(col("__s"), TextFns.Pii.ipv4).as("__i"),
-          TextFns.piiCount(col("__s"), TextFns.Pii.phone).as("__p"),
-          TextFns.piiCount(col("__s"), TextFns.Pii.ssn).as("__n"),
-          length(TextFns.redactPii(col("__s"))).as("__len"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("__e")).as("emails"),
-          sum(col("__i")).as("ips"), sum(col("__p")).as("phones"),
-          sum(col("__n")).as("ssns"),
-          sum(col("__len")).as("redacted_chars"))
-        .orderBy(col("source"))
-    }),
-
-    // Asymmetric containment (Broder): ordered pairs where ≥60% of
-    // id_a's shingles appear in id_b — quote/nested-doc detection that
-    // jaccard misses when sizes differ.
-    "q180_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, threshold = 0.6)
-        .orderBy(col("id_a"), col("id_b"))),
-
-    // Two-stage ANN: SQ8 coarse shortlist-20 → exact float re-rank to
-    // top-5 (search-then-refine).
-    "q181_sq8_rerank" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.sq8RerankTopK(emb, emb.filter(col("vec_id") < 3),
-        "vec_id", "embedding", "vec_id", 5, shortlist = 20)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Temperature-scaled (α-sampling) source mixing: α=0.5 flattening,
-    // 30% global budget; output per-source kept count + id checksum so
-    // the SELECTION is verified, not just the budget arithmetic.
-    "q182_temperature_mix" -> ((s, dir) =>
-      Curate.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
-        alpha = 0.5, frac = 0.3)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
-        .orderBy(col("source"))),
-
-    // RAG/pre-training chunker: 200-char windows, 50-char overlap; the
-    // md5 column checks every chunk's exact CONTENT, not just counts.
-    "q183_chunking" -> ((s, dir) =>
-      Curate.chunkDocs(t(s, dir, "documents"), "doc_id", "text", 200, 50)
-        .select(col("doc_id"), col("chunk_id"),
-          length(col("chunk")).as("chunk_len"),
-          md5(col("chunk")).as("chunk_md5"))
-        .orderBy(col("doc_id"), col("chunk_id"))),
-
-    // Keep-first novelty attribution: fraction of each doc's shingles
-    // unseen in lower-id docs (marginal-content curve over ingest order).
-    "q184_novelty" -> ((s, dir) =>
-      Dedup.noveltyStats(t(s, dir, "documents"), "doc_id", "text", 3)
-        .orderBy(col("doc_id"))),
-
-    // Incremental crawl dedup: odd-id docs (the "new snapshot") checked
-    // for near-dups against even-id docs (the "index"); banded minhash
-    // + prefix full-recall → exact jaccard ≥ 0.5.
-    "q185_incremental_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.crossCorpusDupes(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-        "doc_id", "text", shingleN = 3, threshold = 0.5)
-        .orderBy(col("id_new"), col("id_old"))
-    }),
-
-    // Leakage-safe 80/20 split: the split unit is the near-dup cluster
-    // (jaccard ≥ 0.5 components), so dup pairs can never straddle the
-    // train/test cut; id_sum verifies the exact assignment.
-    "q186_leakage_split" -> ((s, dir) =>
-      Split.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
-        80, 3, 0.5)
-        .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("cluster_id")).as("n_clusters"),
-          sum(col("doc_id")).as("id_sum"))
-        .orderBy(col("split"))),
-
-    // KMV distinct-count sketch: per-source distinct-shingle estimate
-    // from the 64 smallest portable hashes — deterministic, so the
-    // ESTIMATE itself is oracle-checked (HLL can't be), next to exact.
-    "q187_kmv_distinct" -> ((s, dir) => {
-      val sh = t(s, dir, "documents").select(col("source"),
-        explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
-      // kmvWithExact shares ONE explode+distinct pass between the
-      // exact count and the sketch (was 2 full passes — bench 4.3 s).
-      Sketch.kmvWithExact(sh, Seq("source"), col("sh"), 64)
-        .select(col("source"), col("n_exact"), col("distinct_est"),
-          col("sketch_size"))
-        .orderBy(col("source"))
-    }),
-
-    // Unicode NFC at ingest: even docs get a decomposed suffix
-    // (e + U+0301), odd docs the precomposed form (U+00E9); after
-    // rip_nfc both collapse to identical bytes — cp counts and change
-    // flags verify the normalization itself.
-    "q188_nfc_normalize" -> ((s, dir) => {
-      val id = col("doc_id")
-      val synth = concat(col("text"),
-        when(pmod(id, lit(2)) === 0,
-          lit(" café résumé"))
-          .otherwise(lit(" café résumé")))
-      t(s, dir, "documents")
-        .select(col("source"), synth.as("__s"))
-        .select(col("source"), col("__s"), TextFns.nfc(col("__s")).as("__n"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("__n") =!= col("__s"), 1L).otherwise(0L))
-            .as("n_changed"),
-          sum(length(col("__s"))).as("cp_raw"),
-          sum(length(col("__n"))).as("cp_nfc"),
-          countDistinct(md5(col("__n"))).as("n_distinct_nfc"))
-        .orderBy(col("source"))
-    }),
-
-    // BM25 keyword retrieval: top-10 docs for a 4-term query (Lucene
-    // idf form, k1=1.2, b=0.75) — the lexical baseline beside ANN.
-    "q189_bm25" -> ((s, dir) =>
-      TextFns.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        Seq("spark", "merge", "window", "stream"), 10)),
-
-    // One-scan column profiler over orders (timestamp column excluded:
-    // fractional-second string rendering is engine-dependent); the KMV
-    // estimate makes even the cardinality column exactly checkable.
-    "q191_profile" -> ((s, dir) =>
-      Stats.profile(t(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-          "o_orderpriority"))
-        .orderBy(col("colname"))),
-
-    // Reciprocal-rank fusion of two BM25 rankings (two query
-    // formulations) — the hybrid-retrieval combiner, score-free.
-    "q190_hybrid_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      def ranked(terms: Seq[String]) = {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("doc_id"))
-        TextFns.bm25TopK(docs, "doc_id", "text", terms, 20)
-          .withColumn("rank", row_number().over(w))
-      }
-      TextFns.rrfFuse(Seq(
-        ranked(Seq("spark", "merge", "window", "stream")),
-        ranked(Seq("filter", "join", "sort", "hash"))),
-        "doc_id", "rank", 10)
-    }),
-
-    // Count–Min heavy hitters: the corpus's 10 most frequent tokens
-    // with exact count AND the deterministic 4×1024 CM estimate —
-    // overshoot observable, sketch oracle-checked (like q187's KMV).
-    "q192_countmin_hh" -> ((s, dir) =>
-      Sketch.countMinTopK(
-        t(s, dir, "documents")
-          .select(explode(TextFns.tokens(col("text"))).as("tok")),
-        col("tok"), d = 4, w = 1024, topK = 10)
-        .orderBy(col("rank"))),
-
-    // Hashing-trick linear scorer (fastText-shaped quality filter):
-    // integer-unit weights keep per-doc scores EXACT, so pass/fail
-    // decisions can't drift with summation order; min/max per source
-    // are order-independent selections.
-    "q193_hashed_scorer" -> ((s, dir) =>
-      Curate.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text",
-        buckets = 4096, carryCols = Seq("source"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("score_units") > 0, 1L).otherwise(0L)).as("n_pos"),
-          sum(col("score_units")).as("units_sum"),
-          min(col("score")).as("score_min"),
-          max(col("score")).as("score_max"))
-        .orderBy(col("source"))),
-
-    // Substring-dedup REMOVAL geometry (Lee et al. 2022): per doc, the
-    // interval UNION of its cross-doc-duplicated 8-token spans — the
-    // chars a span-level deduper would actually cut, not just the gram
-    // counts of q169.
-    "q194_dup_spans" -> ((s, dir) =>
-      operators.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id",
-        "text", k = 8)
-        .orderBy(col("doc_id"))),
-
-    // The removal itself: corpus with every duplicated span CUT —
-    // cleaned text content-checked by md5, not just counted.
-    "q195_dedup_clean" -> ((s, dir) =>
-      operators.Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id",
-        "text", k = 8)
-        .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
-          md5(col("cleaned_text")).as("cleaned_md5"))
-        .orderBy(col("doc_id"))),
-
-    // Mergeable histogram quantiles (the sketch family's third member)
-    // beside the EXACT percentile — estimate AND its error both
-    // oracle-checked; one-bin-width error bound observable.
-    // exact side = histogram-REFINEMENT quantiles (no single-reducer
-    // value buffer like Spark's percentile — the 100-TB exact path)
-    "q196_hist_quantiles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-      val exact = Sketch.exactQuantiles(li, col("l_extendedprice"), qs)
-        .select(col("q"), round(col("exact_val"), 6).as("exact_val"))
-      Sketch.histQuantiles(li, col("l_extendedprice"), 256, qs)
-        .join(exact, Seq("q"))
-        .select(col("q"), col("hist_est"), col("exact_val"))
-        .orderBy(col("q"))
-    }),
-
-    // Embedding covariance matrix: one distributed pass reduces the
-    // corpus to a d²-double buffer (typed Aggregator) — the "big data,
-    // tiny model" shape behind whitening/PCA curation.
-    "q197_cov_matrix" -> ((s, dir) =>
-      operators.Similarity.covarianceMatrix(
-        t(s, dir, "embeddings"), "embedding")
-        .select(col("i").cast("long").as("i"),
-          col("j").cast("long").as("j"),
-          round(col("cov"), 6).as("cov"))
-        .orderBy(col("i"), col("j"))),
-
-    // PCA projection: dominant axis by driver power iteration on the
-    // 6-dp-rounded covariance (the cross-engine determinism contract),
-    // broadcast back as one rip_dot per row — zero shuffle.
-    "q198_pca_project" -> ((s, dir) =>
-      operators.Similarity.projectPc1(
-        t(s, dir, "embeddings"), "vec_id", "embedding", iters = 20)
-        .orderBy(col("vec_id"))),
-
-    // Per-group heavy hitters: an independent CM sketch + exact top-5
-    // per source — the per-domain vocabulary shape.
-    "q199_countmin_by_source" -> ((s, dir) =>
-      Sketch.countMinTopKBy(
-        t(s, dir, "documents").select(col("source"),
-          explode(TextFns.tokens(col("text"))).as("tok")),
-        Seq("source"), col("tok"), d = 4, w = 1024, topK = 5)
-        .orderBy(col("source"), col("rank"))),
-
-    // Flagship composition: the full curation funnel a corpus team
-    // actually runs — NFC → language gate → model-based quality gate →
-    // exact dedup keep-first → per-source cap via the skew-safe
-    // hash-threshold selection — with per-stage counts AND the final
-    // selection identity-checked (id_sum), end to end in ONE plan.
-    "q200_curation_e2e" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d0 = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        col("lang"), TextFns.nfc(col("text")).as("text"))
-      val d1 = d0.filter(col("lang") === "en")
-      val pass = Curate.hashedLinearScore(d1, "doc_id", "text", 4096)
-        .filter(col("score_units") > 0).select(col("doc_id"))
-      val d2 = d1.join(pass, Seq("doc_id"))
-      val wf = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
-      val d3 = d2.withColumn("__fp", md5(col("text")))
-        .withColumn("__rn", row_number().over(wf))
-        .filter(col("__rn") === 1).drop("__fp", "__rn")
-      val budgets = d3.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-        .withColumn("__budget", least(lit(20L), col("__n")))
-      val d4 = Curate.selectSmallestByHash(d3, "doc_id", "source", budgets)
-      def cnt(df: DataFrame, n: String) =
-        df.groupBy(col("source")).agg(count(lit(1)).as(n))
-      cnt(d0, "n_raw")
-        .join(cnt(d1, "n_en"), Seq("source"), "left")
-        .join(cnt(d2, "n_quality"), Seq("source"), "left")
-        .join(cnt(d3, "n_dedup"), Seq("source"), "left")
-        .join(d4.groupBy(col("source")).agg(count(lit(1)).as("n_final"),
-          sum(col("doc_id")).as("id_sum")), Seq("source"), "left")
-        .select(col("source"), col("n_raw"),
-          coalesce(col("n_en"), lit(0L)).as("n_en"),
-          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
-          coalesce(col("n_final"), lit(0L)).as("n_final"),
-          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
-        .orderBy(col("source"))
-    }),
-
-    // Z-ordered sink round-trip: events laid out Morton-interleaved on
-    // (user_id, value) so BOTH dimensions carry tight per-file
-    // min/max envelopes (IoSpec measures the pruning); the multi-dim
-    // predicate + aggregate must be layout-invariant vs the oracle's
-    // direct scan.
-    // Per-source histogram quantiles beside the per-source EXACT
-    // percentile — the grouped-sketch matrix closes (KMV, CM, and
-    // quantiles all have grouped forms).
-    "q202_hist_quantiles_by" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val qs = Seq(0.5, 0.9)
-      val qArr = array(qs.map(lit): _*)
-      val exact = docs.groupBy(col("source"))
-        .agg(percentile(col("n_chars"), qArr).as("__ex"))
-        .select(col("source"), posexplode(col("__ex")).as(Seq("__i", "__ev")))
-        .select(col("source"), element_at(qArr, col("__i") + 1).as("q"),
-          round(col("__ev"), 6).as("exact_val"))
-      Sketch.histQuantilesBy(docs, Seq("source"), col("n_chars"), 64, qs)
-        .join(exact, Seq("source", "q"))
-        .select(col("source"), col("q"), col("hist_est"), col("exact_val"))
-        .orderBy(col("source"), col("q"))
-    }),
-
-    // Quality-classifier gate: tie-aware ROC-AUC of doc length as a
-    // predictor of lang=='en' (discrete score → exact average ranks).
-    "q203_roc_auc" -> ((s, dir) =>
-      functions.Stats.rocAuc(t(s, dir, "documents"),
-        col("n_chars"), (col("lang") === "en").cast("int"))),
-
-    // UniMax token-budget allocation: 2-epoch cap per source, total
-    // budget = 40% of corpus tokens, remainder water-fills uniformly.
-    "q204_unimax_mix" -> ((s, dir) =>
-      Curate.unimaxBudgets(t(s, dir, "documents"), "source",
-          col("n_chars"), epochCap = 2.0, budgetFrac = 0.4)
-        .orderBy(col("source"))),
-
-    // Robust length-outlier screen: per-source median/MAD of n_chars,
-    // count of docs beyond 3 MADs.
-    "q205_mad_outliers" -> ((s, dir) =>
-      functions.Stats.madOutliers(t(s, dir, "documents"), Seq("source"),
-          "n_chars", k = 3.0)
-        .orderBy(col("source"))),
-
-    // PQ-ADC ANN: 4×16-dim subspaces, 16 hash-sampled codewords each,
-    // asymmetric distance against the 64×-compressed code frame.
-    "q206_pq_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
-          "vec_id", "embedding", "vec_id", k = 5)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // grouped EXACT quantiles without per-group value buffers — the
-    // skew-safe replacement for groupBy().agg(percentile(...))
-    "q207_exact_quantiles_by" -> ((s, dir) =>
-      Sketch.exactQuantilesBy(t(s, dir, "documents"), Seq("source"),
-          col("n_chars"), Seq(0.5, 0.95), bins = 64)
-        .select(col("source"), col("q"),
-          round(col("exact_val"), 6).as("exact_val"))
-        .orderBy(col("source"), col("q"))),
-
-    // cross-source score calibration: within-source percentile rank
-    // (skew-safe — the corpus never sorts per source; the distinct-
-    // score frame does)
-    "q208_score_calibration" -> ((s, dir) =>
-      Curate.calibrateScores(t(s, dir, "documents"), "source",
-          col("n_chars"))
-        .select(col("doc_id"), col("source"),
-          round(col("calibrated"), 6).as("calibrated"))
-        .orderBy(col("doc_id"))),
-
-    // token-mass quantiles: the doc length below which a q-fraction of
-    // the corpus CHARACTERS sit, per source (weighted quantiles)
-    "q209_weighted_quantiles" -> ((s, dir) =>
-      Sketch.weightedQuantilesBy(t(s, dir, "documents"), Seq("source"),
-          col("n_chars"), col("n_chars"), Seq(0.25, 0.5, 0.9), bins = 64)
-        .select(col("source"), col("q"), round(col("wq"), 6).as("wq"))
-        .orderBy(col("source"), col("q"))),
-
-    "q201_zorder_scan" -> ((s, dir) => {
-      val tmp = s"/tmp/graft_zord_${dir.replaceAll("[^0-9.]", "")}"
-      Tables.writeZOrdered(
-        t(s, dir, "events").select(col("event_id"), col("user_id"),
-          col("value")),
-        Seq("user_id", "value"), tmp, nFiles = 8)
-      s.read.parquet(tmp)
-        .filter(col("user_id").between(100, 300)
-          && col("value").between(10.0, 60.0))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 6).as("sum_v"),
-          sum(col("event_id")).as("id_sum"))
-    }),
-
-    // Materialized dedup-pair artifact (dedup once, consume many
-    // times): the verified τ=0.5 pair set is written ONCE as a
-    // parquet table bucketed+sorted by id_a; every later consumer
-    // reads the bucketed scan — no re-tokenize/re-shingle/re-verify,
-    // and the per-doc dup-degree groupBy below plans with ZERO
-    // Exchange because the scan already hash-distributes on id_a
-    // (PipelineR8Spec pins both properties). The bench warmup pass
-    // pays the cold build; timed passes measure the warm path. Output
-    // columns avoid float accumulation (count + exact id sum + max of
-    // identically-rounded jaccards), so the hash compare is exact.
-    "q210_pair_artifact" -> ((s, dir) => {
-      val table = "graft_pairs_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      // fingerprint the corpus dir: a persisted table from a PREVIOUS
-      // testdata generation rebuilds instead of serving stale pairs
-      val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
-      Dedup.ensurePairs(s, table, fingerprint = Some(fp)) {
-        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, threshold = 0.5)
-      }
-        .groupBy(col("id_a"))
-        .agg(count(lit(1)).as("n_dups"),
-          sum(col("id_b")).as("partner_id_sum"),
-          max(col("jaccard")).as("j_max"))
-        .orderBy(col("id_a"))
-    }),
-
-    // Multiset.cascade (rt_multiset.py:745): multi-func agg → flattened
-    // multiset frame → a per-member transform cascaded over every
-    // member Dataset, re-flattened with the member_col naming restored.
-    "q211_multiset_cascade" -> ((s, dir) => {
-      val ms = GroupOps.aggMulti(t(s, dir, "lineitem"), Seq("l_returnflag"),
-        Seq("l_quantity", "l_extendedprice"),
-        Seq("sum" -> (sum(_)), "mean" -> (avg(_))))
-      MultisetOps.cascade(ms, Seq("l_returnflag")) { d =>
-        d.select(col("l_returnflag"),
-          round(col("l_quantity"), 2).as("l_quantity"),
-          round(col("l_extendedprice"), 2).as("l_extendedprice"))
-      }.orderBy(col("l_returnflag"))
-    }),
-
-    // Seeded-sample shim (FastArray.sample(seed), rt_fastarray.py:1827):
-    // the seed folds into the portable hash, so the SAMPLE ITSELF is
-    // oracle-checkable row for row — the deterministic replacement for
-    // engine RNG documented in README.
-    "q212_seeded_sample" -> ((s, dir) =>
-      Split.sampleSeeded(t(s, dir, "documents"), "doc_id", 0.25, seed = 42L)
-        .select(col("doc_id"))
-        .orderBy(col("doc_id"))),
-
-    // IVF-PQ composed index (FAISS IndexIVFPQ shape): coarse routing +
-    // byte codes + ADC. nprobe = nCentroids here, so the routing is
-    // semantically the identity and the output must EQUAL pqTopK's —
-    // the oracle verifies the whole composition; pruned-probe
-    // degradation is PipelineR8Spec-pinned.
-    "q213_ivfpq_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3),
-          "vec_id", "embedding", "vec_id", k = 5,
-          nCentroids = 8, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // TPC-H Q22 shape (rich but INACTIVE customers, by nation): global
-    // avg broadcasts as a one-row frame; the anti-join keys on custkey
-    // against the date-filtered orders (never a NOT IN scan); output
-    // grouped dictionary-sized. ("no orders since 2000" rather than
-    // "no orders ever" — this generator gives every customer at least
-    // one order, which would make the classic predicate degenerate.)
-    "q219_tpch_q22" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val avgBal = cust.filter(col("c_acctbal") > 0)
-        .agg(avg(col("c_acctbal")).as("__avg"))
-      cust.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("__avg"))
-        .join(t(s, dir, "orders")
-          .filter(col("o_orderdate") >= "2000-01-01")
-          .select(col("o_custkey")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal")), 2).as("totacctbal"))
-        .orderBy(col("c_nationkey"))
-    }),
-
-    // groups/iter_groups materialization (rt_groupbyops.py:108) with
-    // the engine's scale contract: capped ids per group + true size +
-    // truncation flag (windowed rank, never an unbounded group buffer).
-    // The id list is EXACT-content-checked via md5 of its joined form
-    // (first array-typed query surface — scalar columns keep the
-    // driver's hash compare engine-neutral).
-    "q221_groups" -> ((s, dir) =>
-      GroupOps.groupRows(t(s, dir, "documents"), Seq("source"), "doc_id",
-          cap = 50)
-        .select(col("source"),
-          md5(concat_ws(",", col("ids").cast("array<string>")))
-            .as("ids_md5"),
-          size(col("ids")).as("n_ids"), col("n_rows"), col("truncated"))
-        .orderBy(col("source"))),
-
-    // Benchmark decontamination: which corpus docs CONTAIN an eval doc
-    // (containment ≥ 0.8 of the eval doc's shingles) — eval set = the
-    // doc_id % 10 == 0 slice, corpus = the rest.
-    "q220_decontamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.crossContainment(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        "doc_id", "text", shingleN = 3, threshold = 0.8)
-        .orderBy(col("id_eval"), col("id_doc"))
-    }),
-
-    // Corpus drift: JS divergence / PSI / TVD between src0's and src1's
-    // TOKEN distributions — "did this crawl shift against the last
-    // one". One token-keyed hash aggregate + broadcast totals; the
-    // metric sums over the vocabulary frame, never the corpus.
-    "q222_drift_metrics" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Drift.categoricalDrift(
-        docs.select(col("source"),
-          explode(graft.functions.TextFns.tokens(col("text"))).as("term")),
-        col("term"), col("source"), "src0", "src1")
-    }),
-
-    // Two-sample KS statistic on document length between src0 and
-    // src1 — the numeric-column drift twin of q222. The cumulative
-    // window runs over the DISTINCT length frame (domain-sized).
-    "q223_ks_lengths" -> ((s, dir) =>
-      Drift.ksStatistic(t(s, dir, "documents"), col("n_chars"),
-        col("source"), "src0", "src1")),
-
-    // Deterministic shard publication: hash-assigned shard + in-shard
-    // sequence — the reproducible global shuffle a trainer consumes.
-    // Checked row for row (md5-portable hash, q212 contract).
-    "q224_publish_shards" -> ((s, dir) =>
-      Drift.publishShards(t(s, dir, "documents"), "doc_id",
-          nShards = 8, seed = 7L)
-        .orderBy(col("shard"), col("seq"))),
-
-    // Pairwise drift matrix across ALL sources (the mixing-stage
-    // diagnostic): shared-support decomposition — one token-keyed
-    // count frame, one category equi-join (≤ k rows/side/category),
-    // never a full outer join per pair.
-    "q227_drift_matrix" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Drift.categoricalDriftMatrix(
-        docs.select(col("source"),
-          explode(graft.functions.TextFns.tokens(col("text"))).as("term")),
-        col("term"), col("source"))
-        .orderBy(col("src_a"), col("src_b"))
-    }),
-
-    // Fixed-bin PSI on a numeric column (the production continuous-
-    // drift gauge): codegen'd cut into reference bins, then the
-    // categorical metric path over the bins-sized frame.
-    "q228_binned_psi" -> ((s, dir) =>
-      Drift.binnedDrift(t(s, dir, "documents"), col("n_chars"),
-        col("source"), "src0", "src1",
-        Seq(0, 100, 200, 300, 400, 500, 600))),
-
-    // Pairwise KS matrix across sources (numeric twin of q227):
-    // densified union-value grid, per-source ECDF windows over the
-    // domain-sized frame, value-keyed pair join.
-    "q229_ks_matrix" -> ((s, dir) =>
-      Drift.ksMatrix(t(s, dir, "documents"), col("n_chars"), col("source"))
-        .orderBy(col("src_a"), col("src_b"))),
-
-    // Rejection attribution over the q200 gate sequence: every doc
-    // labeled with the FIRST gate that drops it (lang -> quality ->
-    // dedup keep-first AMONG survivors, matching the funnel's d3-on-d2
-    // rank), per-source breakdown. Context-dependent gates (score,
-    // first-occurrence) precompute as columns; attribution is one
-    // when-chain + one count aggregate. kept counts == q200 n_dedup.
-    "q230_rejection_reasons" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d0 = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        col("lang"), TextFns.nfc(col("text")).as("text"))
-      val scored = Curate.hashedLinearScore(d0, "doc_id", "text")
-        .select(col("doc_id"), col("score_units"))
-      // LEFT join: a doc the scorer produced no row for (null/empty
-      // text -> zero tokens) must land in the quality bucket, not
-      // vanish from the breakdown
-      val passed = col("lang") === "en" &&
-        coalesce(col("score_units") > 0, lit(false))
-      // the funnel dedups AMONG gate survivors (q200's d3 ranks d2):
-      // partitioning the rank by the passed flag reproduces that —
-      // docs dropped earlier never occupy a survivor rank slot
-      val wf = Window.partitionBy(col("__fp"), passed)
-        .orderBy(col("doc_id"))
-      val flagged = d0.join(scored, Seq("doc_id"), "left")
-        .withColumn("__fp", md5(col("text")))
-        .withColumn("__rn", row_number().over(wf))
-      Curate.rejectionReasons(flagged, Seq("source"), Seq(
-          "lang" -> (col("lang") === "en"),
-          "quality" -> (col("score_units") > 0),
-          "duplicate" -> (col("__rn") === 1)))
-        .orderBy(col("source"), col("reason"))
-    }),
-
-    // FAString niche byte-ops (rt_str.py:621,642,1232,1278): char /
-    // index_any_of (strpbrk) / substr_char_stop both flavors — pure
-    // codegen'd Column expressions, one scan-speed projection
-    "q231_fastring" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextFns.charAt(col("text"), lit(0)).as("c0"),
-        TextFns.charAt(col("text"), lit(-1)).as("clast"),
-        TextFns.charAt(col("text"), lit(9999)).as("coob"),
-        TextFns.indexAnyOf(col("text"), "aeiou").cast("long").as("vowel_idx"),
-        TextFns.indexAnyOf(col("text"), "zq!").cast("long").as("rare_idx"),
-        TextFns.substrCharStop(col("text"), " ").as("first_word"),
-        TextFns.substrCharStop(col("text"), " ", inclusive = true)
-          .as("first_word_sp"))
-        .orderBy(col("doc_id"))),
-
-    // BPE merge learning (Sennrich 2016): 10 rounds of most-frequent-
-    // pair merges over the word-frequency table — ONE corpus scan,
-    // then every round is vocab-sized. The oracle replays the full
-    // merge cascade as 10 unrolled CTE rounds.
-    "q225_bpe_merges" -> ((s, dir) =>
-      Bpe.bpeMerges(t(s, dir, "documents"), "text", rounds = 10)
-        .orderBy(col("round"))),
-
-    // Applying the learned merges: the corpus' subword-vocabulary
-    // histogram under the 10-round merge table — proves the APPLY
-    // path (priority-ordered replace chain) end to end.
-    "q226_bpe_segments" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val learned = Bpe.bpeMerges(docs, "text", rounds = 10)
-        .orderBy(col("round")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      Bpe.bpeSegmentCounts(docs, "text", learned).orderBy(col("token"))
-    })
-  )
-
-  // ---- oracle SQL (DuckDB dialect) ----
-
-  /** Exact n-gram-jaccard pair set over `documents` at a threshold —
-    * ground truth for q28 (direct) and the verified LSH pipelines
-    * q29/q47 (whose banded candidates achieve full recall at their τ).
-    */
-  private def jaccardBody(tau: String): String =
-    s"""toks AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-       |  FROM documents),
-       |sh AS (
-       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
-       |    THEN [array_to_string(t, ' ')]
-       |    ELSE list_transform(range(1, len(t) - 1),
-       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
-       |  FROM toks),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-       |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |jpairs AS (SELECT id_a, id_b,
-       |  round(CAST(co AS DOUBLE) / (sa.sz + sb.sz - co), 6) AS jaccard
-       |FROM co JOIN sizes sa ON co.id_a = sa.doc_id
-       |  JOIN sizes sb ON co.id_b = sb.doc_id
-       |WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= $tau)""".stripMargin
-
-  private def jaccardOracle(tau: String): String =
-    s"""WITH ${jaccardBody(tau)}
-       |SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b""".stripMargin
-
-  /** DuckDB mirror of `Dedup.portableHash64`: the first 15 hex digits
-    * of md5 parsed as an integer (60-bit, non-negative). Same
-    * expression the q187 KMV oracle inlines.
-    */
-  /** Shared DuckDB CTE block for the q200/q230 mirrors: NFC'd
-    * documents (d0) + the hashed-linear scorer tables (toks/wt/tb/us).
-    * ONE copy so the weight generator can never diverge between the
-    * funnel and attribution oracles (the Scala side shares
-    * `Curate.hashedWeight` the same way). Scoring runs over ALL docs —
-    * the weights are a pure hash, so per-doc units are independent of
-    * which other docs are scored.
-    */
-  private def scorerCtesSql: String =
-    s"""d0 AS (SELECT doc_id, source, lang,
-       |  nfc_normalize(text) AS text FROM documents),
-       |toks AS (SELECT doc_id, unnest(string_split_regex(
-       |  lower(trim(text)), '\\s+')) AS tk FROM d0),
-       |wt AS (SELECT j AS b, (j * 2654435761 + 104729) % 19997 - 9998
-       |    AS wt FROM (SELECT unnest(range(4096)) AS j)),
-       |tb AS (SELECT doc_id, ${hash60Sql("tk")} % 4096 AS b FROM toks),
-       |us AS (SELECT doc_id, sum(wt) AS units FROM tb JOIN wt USING (b)
-       |  GROUP BY 1)""".stripMargin
-
-  private def hash60Sql(s: String): String =
-    s"CAST(list_sum(list_transform(range(1, 16), " +
-      s"i -> CAST(strpos('0123456789abcdef', md5($s)[i]) - 1 AS BIGINT) " +
-      s"<< (4 * (15 - i)))) AS BIGINT)"
-
-  /** Double-precision dot product of two FLOAT[] columns — mirrors
-    * Similarity.dot's element order and double casts bit-for-bit. */
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, len($a)+1), " +
-      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-
-  private def cosineSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
-
-  /** Table-driven reflected CRC-32 over part names, parameterized by
-    * polynomial — oracle for q94 (IEEE) and q112 (Castagnoli).
-    */
-  private def crcOracle(poly: Long): String =
-    s"""WITH RECURSIVE
-       |tab0 AS (SELECT n, 0 AS k, CAST(n AS BIGINT) AS c FROM range(256) t(n)
-       |  UNION ALL SELECT n, k + 1,
-       |    CASE WHEN c & 1 = 1 THEN xor(c >> 1, $poly) ELSE c >> 1 END
-       |  FROM tab0 WHERE k < 8),
-       |tab AS (SELECT n, c FROM tab0 WHERE k = 8),
-       |s AS (SELECT p_partkey, p_name AS str, length(p_name) AS len FROM part),
-       |f AS (
-       |  SELECT p_partkey, 0 AS pos, CAST(4294967295 AS BIGINT) AS crc FROM s
-       |  UNION ALL
-       |  SELECT f.p_partkey, f.pos + 1, xor(f.crc >> 8, tab.c)
-       |  FROM f JOIN s ON f.p_partkey = s.p_partkey AND f.pos < s.len
-       |  JOIN tab ON tab.n = xor(f.crc, ord(substr(s.str, f.pos + 1, 1))) & 255)
-       |SELECT s.p_partkey, xor(f.crc, 4294967295) AS crc
-       |FROM f JOIN s ON f.p_partkey = s.p_partkey AND f.pos = s.len
-       |ORDER BY s.p_partkey""".stripMargin
-
-  /** Nearest as-of with tolerance + matched_on — oracle for q77 (window
-    * formulation) and q92 (native sort-merge exec): DuckDB ASOF covers
-    * backward/forward; nearest combines them with the backward tie-break.
-    */
-  private def nearestAsofOracle: String =
-    """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
-      |    FROM events WHERE event_type = 'click'),
-      |  p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
-      |    FROM events WHERE event_type = 'purchase'),
-      |  bk AS (SELECT c.event_id, c.user_id, c.tsu, p.tsu AS t0, p.value AS v0
-      |    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu),
-      |  fw AS (SELECT c.event_id, p.tsu AS t1, p.value AS v1
-      |    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu <= p.tsu),
-      |  pick AS (SELECT bk.event_id, bk.user_id, bk.tsu,
-      |    CASE WHEN t0 IS NULL THEN t1
-      |      WHEN t1 IS NULL THEN t0
-      |      WHEN bk.tsu - t0 <= t1 - bk.tsu THEN t0 ELSE t1 END AS mt,
-      |    CASE WHEN t0 IS NULL THEN v1
-      |      WHEN t1 IS NULL THEN v0
-      |      WHEN bk.tsu - t0 <= t1 - bk.tsu THEN v0 ELSE v1 END AS mv
-      |    FROM bk JOIN fw ON bk.event_id = fw.event_id)
-      |SELECT event_id, user_id,
-      |  round(CASE WHEN abs(tsu - mt) <= 3600000000 THEN mv END, 6) AS pv,
-      |  CASE WHEN abs(tsu - mt) <= 3600000000 THEN mt END AS matched_on
-      |FROM pick ORDER BY event_id""".stripMargin
-
-  /** Brute-force cosine top-k over `embeddings` — oracle for q31 directly
-    * and for q82 (IVF with nprobe = nCentroids degenerates to brute force).
-    */
-  private def annBruteOracle: String =
-    s"""WITH c AS (SELECT vec_id, embedding FROM embeddings),
-       |q AS (SELECT vec_id AS qid, embedding AS qv
-       |  FROM embeddings WHERE vec_id < 3),
-       |scored AS (
-       |  SELECT q.qid, c.vec_id,
-       |    ${cosineSql("c.embedding", "q.qv")} AS cosine
-       |  FROM c, q WHERE c.vec_id <> q.qid),
-       |ranked AS (SELECT qid, vec_id, cosine,
-       |  row_number() OVER (PARTITION BY qid
-       |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
-       |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-       |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
-       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
-
-  /** LCG hyperplane projection for plane `p` — mirrors
-    * Similarity.lshSignature's w(p,d) integer formula exactly. */
-  private def lshProjSql(vec: String, p: Int): String =
-    s"list_sum(list_transform(range(1, len($vec)+1), " +
-      s"i -> CAST($vec[i] AS DOUBLE) * CAST((CAST(1103515245 AS BIGINT) * " +
-      s"(${131 * p} + (i-1)) + 12345) % 2001 - 1000 AS DOUBLE)))"
-
-  /** Per-doc simhash over Dedup.portableHash64 token hashes — mirrors
-    * Dedup.simhashDf bit-for-bit: md5-hex→60-bit int, 64 signed bit
-    * votes, sign bits OR'd into one BIGINT. Ends with `FROM votes`;
-    * callers add the final SELECT.
-    */
-  private def simhashCte: String = {
-    val votes = (0 until 64).map(j =>
-      s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
-      .mkString(", ")
-    val bits = (0 until 64).map(j =>
-      s"CASE WHEN v$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END")
-      .mkString(" | ")
-    s"""WITH tk AS (
-       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-       |  FROM documents),
-       |hx AS (SELECT doc_id, md5(tok) AS hex FROM tk),
-       |hh AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),
-       |  i -> CAST(strpos('0123456789abcdef', hex[i]) - 1 AS BIGINT)
-       |    << (4 * (15 - i)))) AS BIGINT) AS h FROM hx),
-       |votes AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
-       |sig AS (SELECT doc_id, ($bits) AS simhash FROM votes)""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q2_filter_project" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1 - l_discount), 6) AS revenue
-        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q3_join_inner" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
-        |  count(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q4_join_outer" ->
-      """WITH agg AS (
-        |  SELECT l_orderkey AS o_orderkey, count(*) AS n_items
-        |  FROM lineitem GROUP BY 1)
-        |SELECT o.o_orderstatus, CASE
-        |    WHEN o.o_orderkey IS NOT NULL AND a.o_orderkey IS NOT NULL THEN 'both'
-        |    WHEN o.o_orderkey IS NOT NULL THEN 'left_only' ELSE 'right_only' END
-        |    AS merge_indicator,
-        |  count(*) AS n, CAST(sum(a.n_items) AS BIGINT) AS sum_items
-        |FROM orders o FULL OUTER JOIN agg a USING (o_orderkey)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q5_merge_lookup" ->
-      """SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 6) AS avg_bal
-        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q6_ismember" ->
-      """SELECT EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |    AS ismember, count(*) AS n
-        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q7_gb_quantiles" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
-        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
-        |  round(var_samp(l_quantity), 6) AS var_qty,
-        |  round(stddev_samp(l_discount), 6) AS std_disc,
-        |  count(DISTINCT l_partkey) AS n_parts
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q8_gb_firstlast" ->
-      """SELECT o_orderpriority,
-        |  arg_min(o_totalprice, o_orderkey) AS first_price,
-        |  arg_max(o_totalprice, o_orderkey) AS last_price,
-        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q9_gb_transform" ->
-      """SELECT o_orderkey, o_orderstatus,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus), 2) AS status_total,
-        |  count(*) OVER (PARTITION BY o_orderstatus) AS status_n
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q10_rolling" ->
-      """SELECT event_id, user_id,
-        |  round(sum(value) OVER w, 6) AS roll_sum,
-        |  round(avg(value) OVER w, 6) AS roll_mean
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
-    "q11_cumsum" ->
-      """SELECT event_id, user_id,
-        |  round(sum(value) OVER w, 6) AS cum_value,
-        |  (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)) - 1 AS cum_n
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
-    "q12_shift_diff" ->
-      """SELECT event_id, user_id,
-        |  round(lag(value, 1) OVER w, 6) AS prev_value,
-        |  round(value - lag(value, 1) OVER w, 6) + 0.0 AS dvalue
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY event_id""".stripMargin,
-
-    "q13_ffill" ->
-      """SELECT event_id, user_id,
-        |  round(last_value(CASE WHEN value < 10.0 THEN NULL ELSE value END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q14_rank" ->
-      """SELECT event_id, user_id,
-        |  rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rnk
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q15_asof_backward" ->
-      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
-        |           FROM events WHERE event_type = 'click'),
-        |     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
-        |           FROM events WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id, round(p.value, 6) AS purchase_value
-        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu
-        |ORDER BY c.event_id""".stripMargin,
-
-    "q83_asof_exec" ->
-      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
-        |           FROM events WHERE event_type = 'click'),
-        |     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
-        |           FROM events WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id, round(p.value, 6) AS purchase_value
-        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu
-        |ORDER BY c.event_id""".stripMargin,
-
-    "q84_multiq" ->
-      """WITH q AS (SELECT l_returnflag,
-        |    quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
-        |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, round(qs[1], 6) AS p25, round(qs[2], 6) AS p50,
-        |  round(qs[3], 6) AS p75
-        |FROM q ORDER BY 1""".stripMargin,
-
-    "q85_interval_join" ->
-      """SELECT l_orderkey AS o_orderkey, l_linenumber
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  AND l_shipdate >= o_orderdate
-        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
-        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
-
-    "q86_tpch_q3" ->
-      """SELECT l_orderkey AS o_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > TIMESTAMP '1996-01-01'
-        |GROUP BY 1, 2
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
-
-    "q87_tpch_q5" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-        |  count(*) AS n
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q16_asof_forward" ->
-      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
-        |           FROM events WHERE event_type = 'click'),
-        |     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
-        |           FROM events WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id, round(p.value, 6) AS purchase_value
-        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu <= p.tsu
-        |ORDER BY c.event_id""".stripMargin,
-
-    "q17_datetime" ->
-      """SELECT o_orderkey,
-        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-        |  day(o_orderdate) AS dom, dayofweek(o_orderdate) + 1 AS dow,
-        |  dayofyear(o_orderdate) AS doy,
-        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-        |  year(o_orderdate) * 10000 + month(o_orderdate) * 100
-        |    + day(o_orderdate) AS yyyymmdd
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q18_strings" ->
-      """SELECT p_partkey, upper(p_name) AS name_upper,
-        |  length(p_name) AS name_len,
-        |  contains(p_type, 'BRASS') AS is_brass,
-        |  starts_with(p_name, 'a') AS starts_a,
-        |  substring(p_brand, 1, 5) AS brand5,
-        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
-        |  regexp_extract(p_type, '^(\w+)', 1) AS type_first
-        |FROM part ORDER BY p_partkey""".stripMargin,
-
-    "q19_cut" ->
-      """WITH b AS (SELECT CASE
-        |    WHEN l_quantity >= 0 AND l_quantity <= 10 THEN 1
-        |    WHEN l_quantity > 10 AND l_quantity <= 20 THEN 2
-        |    WHEN l_quantity > 20 AND l_quantity <= 30 THEN 3
-        |    WHEN l_quantity > 30 AND l_quantity <= 40 THEN 4
-        |    WHEN l_quantity > 40 AND l_quantity <= 50 THEN 5 END AS qty_bin,
-        |  l_extendedprice FROM lineitem)
-        |SELECT qty_bin, count(*) AS n, round(avg(l_extendedprice), 6) AS avg_price
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q20_qcut" ->
-      """WITH q AS (SELECT o_totalprice,
-        |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_q
-        |  FROM orders)
-        |SELECT price_q, count(*) AS n, round(min(o_totalprice), 6) AS lo,
-        |  round(max(o_totalprice), 6) AS hi
-        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q21_hstack" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  CAST(NULL AS DOUBLE) AS l_extendedprice
-        |FROM lineitem WHERE l_linestatus = 'O'
-        |UNION ALL
-        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem WHERE l_linestatus = 'F'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q22_pivot" ->
-      """SELECT c_mktsegment,
-        |  count(*) FILTER (r_name = 'AFRICA') AS "AFRICA",
-        |  count(*) FILTER (r_name = 'AMERICA') AS "AMERICA",
-        |  count(*) FILTER (r_name = 'ASIA') AS "ASIA",
-        |  count(*) FILTER (r_name = 'EUROPE') AS "EUROPE",
-        |  count(*) FILTER (r_name = 'MIDDLE EAST') AS "MIDDLE_EAST"
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q23_melt" ->
-      """SELECT l_orderkey, l_linenumber, k AS variable, v AS value FROM (
-        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS k, l_quantity AS v
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS k, l_discount AS v
-        |  FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin,
-
-    "q24_dropdup" ->
-      """SELECT l_orderkey, l_linenumber, round(l_quantity, 6) AS l_quantity
-        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
-        |  row_number() OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber, l_quantity, l_partkey) AS rn
-        |  FROM lineitem)
-        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
-
-    "q25_onehot" ->
-      """SELECT o_orderpriority,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q26_tokens" ->
-      """SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q27_exact_dedup" ->
-      """SELECT count(*) AS n_docs, min(doc_id) AS keep_id
-        |FROM documents
-        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
-
-    "q28_jaccard" -> jaccardOracle("0.5"),
-
-    "q29_minhash" -> jaccardOracle("0.8"),
-
-    "q30_simhash" ->
-      s"""$simhashCte
-         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
-
-    "q47_simhash_near" ->
-      s"""$simhashCte,
-         |b AS (SELECT doc_id, simhash, band,
-         |  (simhash >> (16 * band)) & 65535 AS bandval
-         |  FROM sig, range(4) t(band)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-         |  bit_count(xor(a.simhash, b2.simhash)) AS hamming
-         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bandval = b2.bandval
-         |    AND a.doc_id < b2.doc_id)
-         |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-         |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
-
-    "q31_ann_brute" -> annBruteOracle,
-
-    // IVF probing ALL centroids (nprobe = nCentroids = 8, q82) considers
-    // every corpus vector, so its output is exactly the brute-force top-k:
-    // the same oracle verifies the whole IVF pipeline (assignment, probe
-    // routing, inverted-list join) end to end. Pruned-probe recall
-    // (nprobe < nCentroids) is covered separately by ScaleSpec.
-    "q82_ann_ivf" -> annBruteOracle,
-
-    "q48_ann_lsh" ->
-      s"""WITH sig AS (
-         |  SELECT vec_id, embedding,
-         |    (CASE WHEN ${lshProjSql("embedding", 0)} > 0 THEN 1 ELSE 0 END
-         |     + CASE WHEN ${lshProjSql("embedding", 1)} > 0 THEN 2 ELSE 0 END
-         |     + CASE WHEN ${lshProjSql("embedding", 2)} > 0 THEN 4 ELSE 0 END
-         |     + CASE WHEN ${lshProjSql("embedding", 3)} > 0 THEN 8 ELSE 0 END)
-         |    AS bucket
-         |  FROM embeddings),
-         |scored AS (
-         |  SELECT q.vec_id AS qid, c.vec_id,
-         |    ${cosineSql("c.embedding", "q.embedding")} AS cosine
-         |  FROM sig c JOIN sig q ON c.bucket = q.bucket
-         |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
-         |ranked AS (SELECT qid, vec_id, cosine,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
-         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
-
-    "q32_langid" ->
-      """SELECT doc_id, lang,
-        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |    t -> t IN ('the','and','of','to','a','in','is','it'))) AS en_score,
-        |  round((
-        |    CASE WHEN length(text) >= 200 AND length(text) <= 10000 THEN 1.0
-        |      WHEN length(text) < 200 THEN length(text) / 200.0
-        |      ELSE 10000.0 / length(text) END
-        |    + CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - least(p / greatest(n, 1.0), 1.0) END
-        |    + CASE WHEN n = 0 THEN 0.0 ELSE least(st * 4.0 / greatest(n, 1.0), 1.0) END
-        |  ) / 3.0, 6) AS quality
-        |FROM (SELECT doc_id, lang, text,
-        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n,
-        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS p,
-        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |    t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS st
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q33_strict_agg" ->
-      """WITH li AS (SELECT l_returnflag, l_linestatus,
-        |  CASE WHEN l_quantity > 48 THEN NULL ELSE l_quantity END AS v FROM lineitem)
-        |SELECT l_returnflag, l_linestatus,
-        |  round(sum(v), 6) AS nansum_v,
-        |  round(CASE WHEN count(v) = count(*) THEN sum(v) END, 6) AS sum_v,
-        |  round(CASE WHEN count(v) = count(*) THEN avg(v) END, 6) AS mean_v,
-        |  round(CASE WHEN count(v) = count(*) THEN max(v) END, 6) AS max_v
-        |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q34_trimbr" ->
-      """WITH b AS (SELECT l_returnflag,
-        |    quantile_cont(l_extendedprice, 0.1) AS lo,
-        |    quantile_cont(l_extendedprice, 0.9) AS hi
-        |  FROM lineitem GROUP BY 1)
-        |SELECT l.l_returnflag,
-        |  round(avg(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi
-        |    THEN l_extendedprice END), 6) AS trimbr
-        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q35_ohlc" ->
-      """SELECT event_type,
-        |  round(arg_min(value, event_id), 6) AS open,
-        |  round(max(value), 6) AS high,
-        |  round(min(value), 6) AS low,
-        |  round(arg_max(value, event_id), 6) AS close,
-        |  round(stddev_samp(value) / sqrt(count(value)), 6) AS sem
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q36_mode_nth" ->
-      """WITH m AS (SELECT l_returnflag, l_linestatus AS mode_status FROM (
-        |    SELECT l_returnflag, l_linestatus, row_number() OVER (
-        |      PARTITION BY l_returnflag
-        |      ORDER BY count(*) DESC, l_linestatus) AS rk
-        |    FROM lineitem GROUP BY 1, 2) WHERE rk = 1),
-        | r AS (SELECT l_returnflag, l_orderkey, l_linenumber,
-        |   row_number() OVER (PARTITION BY l_returnflag
-        |     ORDER BY l_orderkey, l_linenumber, l_partkey) AS rn
-        |   FROM lineitem)
-        |SELECT r.l_returnflag, l_orderkey, l_linenumber, mode_status
-        |FROM r JOIN m USING (l_returnflag) WHERE rn = 3 ORDER BY 1""".stripMargin,
-
-    "q37_gb_headtail" ->
-      """WITH h AS (SELECT o_orderstatus, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
-        |  FROM orders),
-        | t AS (SELECT o_orderstatus, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey DESC) AS rn
-        |  FROM orders)
-        |SELECT o_orderstatus, 'head' AS which, o_orderkey FROM h WHERE rn <= 2
-        |UNION ALL
-        |SELECT o_orderstatus, 'tail' AS which, o_orderkey FROM t WHERE rn <= 2
-        |ORDER BY 1, 2, 3""".stripMargin,
-
-    "q38_ema_decay" ->
-      """WITH RECURSIVE numbered AS (
-        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, event_id, rn, tsu, value, value AS ema
-        |  FROM numbered WHERE rn = 1
-        |  UNION ALL
-        |  SELECT n.user_id, n.event_id, n.rn, n.tsu, n.value,
-        |    n.value + s.ema * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu))
-        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
-        |SELECT event_id, user_id, round(ema, 6) AS ema
-        |FROM s ORDER BY event_id""".stripMargin,
-
-    "q75_ema_window" ->
-      """WITH RECURSIVE numbered AS (
-        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, event_id, rn, tsu, value, value AS ema
-        |  FROM numbered WHERE rn = 1
-        |  UNION ALL
-        |  SELECT n.user_id, n.event_id, n.rn, n.tsu, n.value,
-        |    n.value + s.ema * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu))
-        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
-        |SELECT event_id, user_id, round(ema, 6) AS ema
-        |FROM s ORDER BY event_id""".stripMargin,
-
-    "q80_ema_normal" ->
-      """WITH RECURSIVE numbered AS (
-        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, event_id, rn, tsu, value,
-        |    value AS num, CAST(1.0 AS DOUBLE) AS den
-        |  FROM numbered WHERE rn = 1
-        |  UNION ALL
-        |  SELECT n.user_id, n.event_id, n.rn, n.tsu, n.value,
-        |    n.value + s.num * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu)),
-        |    1.0 + s.den * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu))
-        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
-        |SELECT event_id, user_id, round(num / den, 6) AS ema
-        |FROM s ORDER BY event_id""".stripMargin,
-
-    "q81_ema_weighted" ->
-      """WITH RECURSIVE numbered AS (
-        |  SELECT user_id, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_ns(ts), event_id) AS rn
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, event_id, rn, value, value AS ema
-        |  FROM numbered WHERE rn = 1
-        |  UNION ALL
-        |  SELECT n.user_id, n.event_id, n.rn, n.value,
-        |    0.25 * n.value + 0.75 * s.ema
-        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
-        |SELECT event_id, user_id, ema
-        |FROM s ORDER BY event_id""".stripMargin,
-
-    "q77_asof_nearest" -> nearestAsofOracle,
-
-    // native-exec nearest: same semantics, same oracle (q92 routes
-    // through AsofJoinExec instead of the union+window formulation)
-    "q92_asof_exec_nearest" -> nearestAsofOracle,
-
-    "q39_timewindow" ->
-      """SELECT event_id, user_id,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tsu
-        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6) AS tw_sum
-        |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events)
-        |ORDER BY event_id""".stripMargin,
-
-    "q40_resample" ->
-      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 300 * 300 AS bucket,
-        |  event_type, count(*) AS n, round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q41_time_of_day" ->
-      """SELECT event_id,
-        |  hour(CAST(ts AS TIMESTAMP)) AS hr,
-        |  minute(CAST(ts AS TIMESTAMP)) AS mi,
-        |  second(CAST(ts AS TIMESTAMP)) AS se,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS us_since_midnight
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q42_setops" ->
-      """WITH wo AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
-        | b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-        |SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM b INTERSECT SELECT * FROM wo)
-        |UNION ALL
-        |SELECT c_custkey, 'except' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM wo)
-        |ORDER BY op, c_custkey""".stripMargin,
-
-    "q43_describe" ->
-      """SELECT count(l_quantity) AS n,
-        |  round(avg(l_quantity), 6) AS mean,
-        |  round(stddev_samp(l_quantity), 6) AS std,
-        |  round(min(l_quantity), 6) AS mn,
-        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
-        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
-        |  round(max(l_quantity), 6) AS mx
-        |FROM lineitem""".stripMargin,
-
-    "q44_normalize" ->
-      """SELECT c_custkey,
-        |  round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 6) + 0.0 AS z,
-        |  round((c_acctbal - min(c_acctbal) OVER ())
-        |    / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6) AS mm
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "q45_isin_where" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  CASE WHEN l_discount >= 0.05 THEN 'hi' ELSE 'lo' END AS disc_class
-        |FROM lineitem
-        |WHERE l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 10 AND 20
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q46_astype_fill" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  CAST(floor(l_quantity) AS BIGINT) AS qty_int,
-        |  round(coalesce(CASE WHEN l_discount < 0.02 THEN NULL
-        |    ELSE l_extendedprice END, 0.0), 6) AS v_filled
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q49_multimodal" ->
-      """SELECT doc_id, 'text/plain' AS media_type,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, 8 AS n_features
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q50_pdataset" ->
-      """SELECT epoch_ns(ts) // 86400000000000 AS p_date, event_type,
-        |  count(*) AS n, round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q51_accum2_totals" ->
-      """WITH j AS (SELECT c_mktsegment, r_name FROM customer
-        |    JOIN nation ON c_nationkey = n_nationkey
-        |    JOIN region ON n_regionkey = r_regionkey),
-        | base AS (SELECT c_mktsegment,
-        |    count(*) FILTER (r_name = 'AFRICA') AS "AFRICA",
-        |    count(*) FILTER (r_name = 'AMERICA') AS "AMERICA",
-        |    count(*) FILTER (r_name = 'ASIA') AS "ASIA",
-        |    count(*) FILTER (r_name = 'EUROPE') AS "EUROPE",
-        |    count(*) FILTER (r_name = 'MIDDLE EAST') AS "MIDDLE_EAST",
-        |    count(*) AS "Total"
-        |  FROM j GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT * FROM base
-        |  UNION ALL
-        |  SELECT 'Total', CAST(sum("AFRICA") AS BIGINT), CAST(sum("AMERICA") AS BIGINT),
-        |    CAST(sum("ASIA") AS BIGINT), CAST(sum("EUROPE") AS BIGINT),
-        |    CAST(sum("MIDDLE_EAST") AS BIGINT), CAST(sum("Total") AS BIGINT) FROM base)
-        |ORDER BY c_mktsegment""".stripMargin,
-
-    "q52_merge_keep" ->
-      """WITH r AS (SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity,
-        |    row_number() OVER (PARTITION BY l_orderkey
-        |      ORDER BY l_linenumber DESC, l_quantity DESC, l_partkey DESC) AS rn
-        |  FROM lineitem)
-        |SELECT o.o_orderkey, o.o_orderstatus, r.l_linenumber,
-        |  round(r.l_quantity, 6) AS l_quantity
-        |FROM orders o LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (o_orderkey)
-        |ORDER BY o.o_orderkey""".stripMargin,
-
-    "q53_categorical" ->
-      """WITH e AS (SELECT c_mktsegment,
-        |    dense_rank() OVER (ORDER BY c_mktsegment) AS code FROM customer)
-        |SELECT code, c_mktsegment, count(*) AS n
-        |FROM e GROUP BY 1, 2 ORDER BY 1""".stripMargin,
-
-    "q54_udaf" ->
-      """SELECT l_returnflag,
-        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean_price
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q55_regr" ->
-      """SELECT l_returnflag,
-        |  round(regr_slope(l_extendedprice, l_quantity), 6) + 0.0 AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 6) + 0.0 AS intercept,
-        |  round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
-        |  round(corr(l_extendedprice, l_quantity), 6) + 0.0 AS corr,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q56_winsorize" ->
-      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
-        |    quantile_cont(o_totalprice, 0.95) AS hi FROM orders)
-        |SELECT round(avg(least(greatest(o_totalprice, lo), hi)), 6) AS wmean,
-        |  round(min(least(greatest(o_totalprice, lo), hi)), 6) AS wmin,
-        |  round(max(least(greatest(o_totalprice, lo), hi)), 6) AS wmax
-        |FROM orders, b""".stripMargin,
-
-    "q57_bincount" ->
-      """SELECT l_linenumber, count(*) AS n,
-        |  CAST(bit_count(CAST(l_linenumber AS BIGINT)) AS INTEGER) AS bits
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q58_transitions" ->
-      """WITH w AS (SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events)
-        |SELECT user_id,
-        |  count(*) FILTER (prev IS NOT NULL AND prev <> event_type) AS n_trans
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q59_shift_cat" ->
-      """SELECT event_id, user_id,
-        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS shifted
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q60_multiset" ->
-      """SELECT l_returnflag,
-        |  round(sum(l_quantity), 6) AS sum_l_quantity,
-        |  round(sum(l_discount), 6) AS sum_l_discount,
-        |  round(avg(l_quantity), 6) AS mean_l_quantity,
-        |  round(avg(l_discount), 6) AS mean_l_discount,
-        |  round(min(l_quantity), 6) AS min_l_quantity,
-        |  round(min(l_discount), 6) AS min_l_discount,
-        |  round(max(l_quantity), 6) AS max_l_quantity,
-        |  round(max(l_discount), 6) AS max_l_discount
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q61_rolling_quantile" ->
-      """SELECT event_id, user_id,
-        |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
-        |    AS roll_med
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q62_ngroup" ->
-      """WITH e AS (SELECT l_returnflag, l_linestatus,
-        |    dense_rank() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS gid
-        |  FROM lineitem)
-        |SELECT gid, l_returnflag, l_linestatus, count(*) AS n
-        |FROM e GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
-
-    "q63_accum_ratio" ->
-      """SELECT c_mktsegment,
-        |  round(avg(c_acctbal) FILTER (r_name = 'AFRICA'), 6) AS "AFRICA",
-        |  round(avg(c_acctbal) FILTER (r_name = 'AMERICA'), 6) AS "AMERICA",
-        |  round(avg(c_acctbal) FILTER (r_name = 'ASIA'), 6) AS "ASIA",
-        |  round(avg(c_acctbal) FILTER (r_name = 'EUROPE'), 6) AS "EUROPE",
-        |  round(avg(c_acctbal) FILTER (r_name = 'MIDDLE EAST'), 6) AS "MIDDLE_EAST"
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q64_interp" ->
-      """WITH q AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
-        |    FROM events WHERE event_type = 'click'),
-        |  p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
-        |    FROM events WHERE event_type = 'view'),
-        |  bk AS (SELECT q.event_id, q.user_id, q.tsu, p.tsu AS x0, p.value AS y0
-        |    FROM q ASOF LEFT JOIN p ON q.user_id = p.user_id AND q.tsu >= p.tsu),
-        |  fw AS (SELECT q.event_id, p.tsu AS x1, p.value AS y1
-        |    FROM q ASOF LEFT JOIN p ON q.user_id = p.user_id AND q.tsu <= p.tsu)
-        |SELECT bk.event_id, bk.user_id,
-        |  round(CASE WHEN x0 IS NULL THEN y1
-        |    WHEN x1 IS NULL THEN y0
-        |    WHEN x1 = x0 THEN y0
-        |    ELSE y0 + (y1 - y0) * (bk.tsu - x0) / (x1 - x0) END, 6) AS iv
-        |FROM bk JOIN fw ON bk.event_id = fw.event_id
-        |ORDER BY bk.event_id""".stripMargin,
-
-    "q65_csv_roundtrip" ->
-      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
-        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q66_parquet_partitioned" ->
-      """SELECT o_orderstatus, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders WHERE o_orderstatus IN ('F', 'O')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q67_strings2" ->
-      """SELECT p_partkey,
-        |  CAST(instr(p_name, 'a') AS INTEGER) AS pos_a,
-        |  reverse(p_name) AS rev,
-        |  rtrim(p_name) AS rtrimmed,
-        |  split_part(p_type, ' ', 1) AS type_word1,
-        |  concat_ws('|', p_brand, p_type) AS brand_type,
-        |  p_name || '_sfx' AS appended,
-        |  lower(p_name) AS lowered,
-        |  ltrim(p_name) AS ltrimmed
-        |FROM part ORDER BY p_partkey""".stripMargin,
-
-    "q68_datetime2" ->
-      """SELECT o_orderkey,
-        |  dayofweek(o_orderdate) IN (0, 6) AS is_weekend,
-        |  CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
-        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-        |    AS INTEGER) AS days_since_epoch,
-        |  (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
-        |    OR year(o_orderdate) % 400 = 0 AS is_leapyear,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
-        |  quarter(o_orderdate) AS qtr,
-        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q69_math" ->
-      """SELECT c_custkey,
-        |  round(abs(c_acctbal), 6) AS abs_bal,
-        |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
-        |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
-        |  round(c_acctbal, 1) AS round1,
-        |  CAST(sign(c_acctbal) AS INTEGER) AS sign_bal,
-        |  round(sqrt(abs(c_acctbal)), 6) AS sqrt_bal,
-        |  round(ln(greatest(abs(c_acctbal), 1.0)), 6) AS ln_bal,
-        |  round(log10(greatest(abs(c_acctbal), 1.0)), 6) AS log10_bal,
-        |  round(pow(c_acctbal, 2), 6) AS sq_bal
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "q70_mbget" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  coalesce(p_name, '__MISSING__') AS part_name
-        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q71_topk" ->
-      """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-
-    "q72_replace" ->
-      """SELECT CASE l_returnflag WHEN 'N' THEN 'NONE' WHEN 'A' THEN 'ACCEPT'
-        |    ELSE l_returnflag END AS l_returnflag,
-        |  l_quantity IS NULL OR isnan(l_quantity) OR l_quantity = 0.0
-        |    AS qty_nanorzero,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q73_daterange" ->
-      """SELECT o_orderkey,
-        |  unnest(generate_series(o_orderdate, o_orderdate + INTERVAL 3 DAY,
-        |    INTERVAL 1 DAY)) AS d
-        |FROM orders WHERE o_orderkey <= 5
-        |ORDER BY o_orderkey, d""".stripMargin,
-
-    "q74_move_arg" ->
-      """SELECT event_id, user_id,
-        |  arg_max(event_id, CAST(round(value * 1000) AS BIGINT) * 100000000
-        |    + event_id) OVER w AS arg_max_ev,
-        |  round(max(value) OVER w, 6) AS move_max
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
-    "q76_timewindow_prod" ->
-      """SELECT event_id, user_id,
-        |  round(product(1.0 + value / 10000.0) OVER (PARTITION BY user_id
-        |    ORDER BY tsu RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6)
-        |    AS twp
-        |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events)
-        |ORDER BY event_id""".stripMargin,
-
-    "q78_product_gb" ->
-      """SELECT l_returnflag,
-        |  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mo,
-        |  round(product(1.0 + l_discount / 10.0), 6) AS prod_disc,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q79_qcut_scale" ->
-      """WITH b AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs
-        |    FROM orders),
-        | binned AS (SELECT o_totalprice,
-        |    1 + CAST(o_totalprice > qs[1] AS INTEGER)
-        |      + CAST(o_totalprice > qs[2] AS INTEGER)
-        |      + CAST(o_totalprice > qs[3] AS INTEGER) AS price_q
-        |  FROM orders, b)
-        |SELECT price_q, count(*) AS n, round(min(o_totalprice), 6) AS lo,
-        |  round(max(o_totalprice), 6) AS hi
-        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // round 3: TimeZone pack. `timezone('UTC', naive)` pins the
-    // naive→instant interpretation to UTC so the oracle is independent
-    // of the DuckDB session TimeZone; `timezone(tz, instant)` then
-    // yields the tz wall clock (PostgreSQL AT TIME ZONE semantics).
-    "q88_astimezone" ->
-      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS utc FROM events)
-        |SELECT event_id,
-        |  timezone('America/New_York', timezone('UTC', utc)) AS ny_wall,
-        |  CAST(hour(timezone('America/New_York', timezone('UTC', utc))) AS BIGINT)
-        |    AS ny_hour,
-        |  timezone('Asia/Kolkata', timezone('UTC', utc)) AS kolkata_wall,
-        |  strftime(utc, '%Y-%m-%dT%H:%M:%S.%f') AS iso
-        |FROM e ORDER BY event_id""".stripMargin,
-
-    "q89_strftime" ->
-      """SELECT o_orderkey,
-        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s_full,
-        |  strftime(o_orderdate, '%m/%d/%Y') AS s_us,
-        |  strftime(o_orderdate, '%j') AS s_doy,
-        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS s_iso
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q90_fix_dst" ->
-      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS utc
-        |  FROM orders)
-        |SELECT o_orderkey,
-        |  epoch_us(timezone('America/New_York', timezone('UTC', utc)))
-        |    AS ny_micros,
-        |  CAST((epoch_us(timezone('America/New_York', timezone('UTC', utc)))
-        |    - epoch_us(utc)) // 60000000 AS BIGINT) AS ny_off_min,
-        |  CAST((epoch_us(timezone('Europe/London', timezone('UTC', utc)))
-        |    - epoch_us(utc)) // 60000000 AS BIGINT) AS lon_off_min,
-        |  timezone('UTC', timezone('America/New_York', utc)) AS utc_of_ny_wall
-        |FROM o ORDER BY o_orderkey""".stripMargin,
-
-    "q91_simhash_verified" ->
-      s"""$simhashCte,
-         |cand AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
-         |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
-         |  AND bit_count(xor(a.simhash, b2.simhash)) <= 3),
-         |${jaccardBody("0.5")}
-         |SELECT j.id_a, j.id_b, j.jaccard FROM jpairs j
-         |JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
-         |ORDER BY j.id_a, j.id_b""".stripMargin,
-
-    "q93_interp_extrap" ->
-      """WITH q AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id
-        |    FROM events WHERE event_type = 'click'),
-        |  p0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
-        |    FROM events WHERE event_type = 'view'),
-        |  p AS (SELECT user_id, tsu, value,
-        |    lead(tsu) OVER w AS nx, lead(value) OVER w AS ny,
-        |    lag(tsu) OVER w AS px, lag(value) OVER w AS py
-        |    FROM p0 WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
-        |  bk AS (SELECT q.event_id, q.user_id, q.tsu,
-        |    p.tsu AS x0, p.value AS y0, p.px, p.py
-        |    FROM q ASOF LEFT JOIN p ON q.user_id = p.user_id AND q.tsu >= p.tsu),
-        |  fw AS (SELECT q.event_id, p.tsu AS x1, p.value AS y1, p.nx, p.ny
-        |    FROM q ASOF LEFT JOIN p ON q.user_id = p.user_id AND q.tsu <= p.tsu)
-        |SELECT bk.event_id, bk.user_id,
-        |  round(CASE
-        |    WHEN x0 IS NULL AND x1 IS NULL THEN NULL
-        |    WHEN x0 IS NULL THEN CASE WHEN nx IS NULL THEN y1
-        |      ELSE y1 + (ny - y1) * (bk.tsu - x1) / (nx - x1) END
-        |    WHEN x1 IS NULL THEN CASE WHEN px IS NULL THEN y0
-        |      ELSE y0 + (y0 - py) * (bk.tsu - x0) / (x0 - px) END
-        |    WHEN x1 = x0 THEN y0
-        |    ELSE y0 + (y1 - y0) * (bk.tsu - x0) / (x1 - x0) END, 6) AS iv
-        |FROM bk JOIN fw ON bk.event_id = fw.event_id
-        |ORDER BY bk.event_id""".stripMargin,
-
-    // CRC-32 from scratch: 256-entry table via 8 unrolled steps of the
-    // reflected polynomial, then a per-string byte fold (part names are
-    // ASCII, so ord(substr) == the UTF-8 byte Spark hashes).
-    // 3988292384 = 0xEDB88320 (IEEE/zlib, Spark's crc32);
-    // 2197175160 = 0x82F63B78 (Castagnoli, riptable's rc.CalculateCRC)
-    "q94_crc32" -> crcOracle(3988292384L),
-
-    "q112_crc32c" -> crcOracle(2197175160L),
-
-    "q116_json_props" ->
-      """SELECT event_id,
-        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-        |  CAST(json_extract(props, '$.k') AS BIGINT) > 90 AS is_high
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    // cut_time mirror: searchsorted-left over the same 15 cut points
-    // (9:30–16:15 by 30 min + partial last bucket), bin 0 / past-end →
-    // NULL, left-endpoint labels by 1-based list index
-    "q117_cut_time" ->
-      """WITH e AS (SELECT event_id,
-        |    (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS usm
-        |  FROM events),
-        |b AS (SELECT event_id, len(list_filter(
-        |    [34200000000, 36000000000, 37800000000, 39600000000,
-        |     41400000000, 43200000000, 45000000000, 46800000000,
-        |     48600000000, 50400000000, 52200000000, 54000000000,
-        |     55800000000, 57600000000, 58500000000],
-        |    p -> p < usm)) AS raw FROM e)
-        |SELECT event_id,
-        |  CASE WHEN raw BETWEEN 1 AND 14 THEN CAST(raw AS BIGINT) END
-        |    AS tod_bin,
-        |  CASE WHEN raw BETWEEN 1 AND 14 THEN
-        |    ['09:30','10:00','10:30','11:00','11:30','12:00','12:30',
-        |     '13:00','13:30','14:00','14:30','15:00','15:30','16:00'][raw]
-        |    END AS tod_label
-        |FROM b ORDER BY event_id""".stripMargin,
-
-    "q118_searchsorted" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  len(list_filter([5.0, 10.0, 20.0, 30.0, 40.0, 45.0],
-        |    b -> b < l_quantity)) AS ss_left,
-        |  len(list_filter([5.0, 10.0, 20.0, 30.0, 40.0, 45.0],
-        |    b -> b <= l_quantity)) AS ss_right
-        |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
-
-    "q114_hash_sample" ->
-      """WITH hh AS (SELECT event_type, event_id,
-        |  CAST(list_sum(list_transform(range(1, 16),
-        |    i -> CAST(strpos('0123456789abcdef',
-        |      md5(CAST(event_id AS VARCHAR))[i]) - 1 AS BIGINT)
-        |      << (4 * (15 - i)))) AS BIGINT) AS h
-        |  FROM events),
-        |rk AS (SELECT event_type, event_id, row_number() OVER
-        |    (PARTITION BY event_type ORDER BY h, event_id) AS rn FROM hh)
-        |SELECT event_type, event_id FROM rk WHERE rn <= 5
-        |ORDER BY event_type, event_id""".stripMargin,
-
-    "q115_repetition" ->
-      """WITH toks AS (SELECT doc_id, text,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |c AS (SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS ntok,
-        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS sh
-        |  FROM toks)
-        |SELECT doc_id,
-        |  CAST(greatest(ntok - 2, 1) AS BIGINT) AS n_total,
-        |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
-        |  round(1.0 - len(list_distinct(sh)) / greatest(ntok - 2, 1), 6)
-        |    AS rep_ratio
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    // portableHash64 (md5 → 60-bit int) reproduced in SQL, so the split
-    // ASSIGNMENT itself is verified, not just the counts
-    "q113_hash_split" ->
-      """WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex
-        |  FROM documents),
-        |hh AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),
-        |  i -> CAST(strpos('0123456789abcdef', hex[i]) - 1 AS BIGINT)
-        |    << (4 * (15 - i)))) AS BIGINT) AS h FROM hx),
-        |lab AS (SELECT doc_id,
-        |  CASE WHEN h % 100 < 80 THEN 'train' ELSE 'test' END AS split
-        |  FROM hh)
-        |SELECT split, count(*) AS n, min(doc_id) AS min_id,
-        |  max(doc_id) AS max_id
-        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q95_putmask" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  round(CASE WHEN l_discount >= 0.08 THEN 25.0 ELSE l_quantity END, 6)
-        |    AS qty_masked
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q96_pivot_noagg" ->
-      """SELECT l_returnflag,
-        |  round(sum(l_quantity) FILTER (l_linestatus = 'F'), 4) AS "F",
-        |  round(sum(l_quantity) FILTER (l_linestatus = 'O'), 4) AS "O"
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q97_cat_isin" ->
-      """SELECT n_nationkey, n_name,
-        |  n_name IN ('CHINA', 'INDIA', 'FRANCE') AS isin
-        |FROM nation ORDER BY n_nationkey""".stripMargin,
-
-    "q98_gb_filter" ->
-      """SELECT l_returnflag,
-        |  round(sum(l_quantity) FILTER (l_discount > 0.05), 4) AS qty_hi_disc,
-        |  count(l_quantity) FILTER (l_discount > 0.05) AS n_hi_disc,
-        |  round(avg(l_extendedprice) FILTER (l_tax < 0.03), 6) AS avg_price_lo_tax
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q99_apply_groups" ->
-      """SELECT l_returnflag, CAST(rn AS INT) AS rnk, l_extendedprice, l_orderkey
-        |FROM (SELECT l_returnflag, l_extendedprice, l_orderkey,
-        |  row_number() OVER (PARTITION BY l_returnflag
-        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem)
-        |WHERE rn <= 3 ORDER BY l_returnflag, rnk""".stripMargin,
-
-    "q100_concat_cols" ->
-      """WITH a AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn
-        |    FROM nation),
-        |  b AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn
-        |    FROM region)
-        |SELECT a.n_name, b.r_name FROM a FULL OUTER JOIN b USING (rn)
-        |ORDER BY n_name""".stripMargin,
-
-    "q101_rankdata" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
-        |    + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
-        |    AS rnk
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q102_accum2_filtered" ->
-      """WITH lab AS (SELECT
-        |    CASE WHEN o_totalprice < 20000 THEN 'Filtered'
-        |      ELSE o_orderpriority END AS o_orderpriority,
-        |    o_orderstatus AS st FROM orders),
-        |  body AS (SELECT o_orderpriority,
-        |    count(*) FILTER (st = 'F') AS f,
-        |    count(*) FILTER (st = 'O') AS o,
-        |    count(*) FILTER (st = 'P') AS p
-        |  FROM lab GROUP BY 1),
-        |  tot AS (SELECT o_orderpriority, f, o, p, f + o + p AS total FROM body
-        |    UNION ALL
-        |    SELECT 'Total', sum(f), sum(o), sum(p), sum(f + o + p) FROM body)
-        |SELECT o_orderpriority, CAST(f AS BIGINT) AS "F",
-        |  CAST(o AS BIGINT) AS "O", CAST(p AS BIGINT) AS "P",
-        |  CAST(total AS BIGINT) AS "Total"
-        |FROM tot ORDER BY o_orderpriority""".stripMargin,
-
-    "q103_imatrix" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  l_quantity AS im_0, l_extendedprice AS im_1, l_discount AS im_2,
-        |  round(l_quantity + l_extendedprice + l_discount, 6) AS rowsum
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q104_cumprod" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  round(product(1.0 + l_tax) OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
-        |      l_extendedprice, l_discount, l_tax
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cp
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q105_ffill_limit" ->
-      """WITH e AS (SELECT event_id, user_id, ts,
-        |    CASE WHEN event_type = 'purchase' THEN value END AS v
-        |  FROM events),
-        |w1 AS (SELECT *, row_number() OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM e),
-        |w2 AS (SELECT event_id, user_id, v, rn,
-        |    last_value(v IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY rn
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
-        |    max(CASE WHEN v IS NOT NULL THEN rn END) OVER
-        |      (PARTITION BY user_id ORDER BY rn
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastnn
-        |  FROM w1)
-        |SELECT event_id, user_id,
-        |  round(CASE WHEN v IS NOT NULL THEN v
-        |    WHEN rn - lastnn <= 2 THEN filled END, 6) AS v
-        |FROM w2 ORDER BY event_id""".stripMargin,
-
-    "q106_ismember_idx" ->
-      """WITH pos AS (SELECT o_custkey,
-        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders),
-        |idx AS (SELECT o_custkey, CAST(min(rn) AS BIGINT) AS ismember_index
-        |  FROM pos GROUP BY 1)
-        |SELECT c_custkey AS o_custkey,
-        |  idx.o_custkey IS NOT NULL AS ismember, ismember_index
-        |FROM customer LEFT JOIN idx ON c_custkey = idx.o_custkey
-        |ORDER BY o_custkey""".stripMargin,
-
-    "q111_bpe_tokens" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
-        |    AS n_subwords,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
-        |    AS n_words
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q110_ema_filtered" ->
-      """WITH RECURSIVE numbered AS (
-        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
-        |    CASE WHEN event_type = 'click' THEN value ELSE 0 END AS contrib,
-        |    (event_type = 'click' AND value > 95) AS rst,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, event_id, rn, tsu, contrib AS ema
-        |  FROM numbered WHERE rn = 1
-        |  UNION ALL
-        |  SELECT n.user_id, n.event_id, n.rn, n.tsu,
-        |    n.contrib + CASE WHEN n.rst THEN 0 ELSE
-        |      s.ema * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu)) END
-        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
-        |SELECT event_id, user_id, round(ema, 6) AS ema
-        |FROM s ORDER BY event_id""".stripMargin,
-
-    "q109_accum2_footers" ->
-      """WITH body AS (SELECT o_orderpriority AS pr,
-        |    CAST(count(*) FILTER (o_orderstatus = 'F') AS DOUBLE) AS f,
-        |    CAST(count(*) FILTER (o_orderstatus = 'O') AS DOUBLE) AS o,
-        |    CAST(count(*) FILTER (o_orderstatus = 'P') AS DOUBLE) AS p
-        |  FROM orders GROUP BY 1),
-        |allr AS (SELECT pr, f, o, p FROM body
-        |  UNION ALL SELECT 'Total', sum(f), sum(o), sum(p) FROM body
-        |  UNION ALL SELECT 'Mean', avg(f), avg(o), avg(p) FROM body)
-        |SELECT pr AS o_orderpriority, round(f, 6) AS "F",
-        |  round(o, 6) AS "O", round(p, 6) AS "P"
-        |FROM allr ORDER BY o_orderpriority""".stripMargin,
-
-    "q108_embed_neardup" -> {
-      val bitSum = (0 until 8).map(p =>
-        s"(CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH sig AS (SELECT vec_id, embedding, ($bitSum) AS s
-         |  FROM embeddings),
-         |bands AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
-         |  unnest([0, 1]) AS band FROM sig),
-         |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bandval = b.bandval AND a.vec_id < b.vec_id),
-         |scored AS (SELECT ia, ib,
-         |  ${cosineSql("ea.embedding", "eb.embedding")} AS cos
-         |  FROM cand JOIN sig ea ON cand.ia = ea.vec_id
-         |  JOIN sig eb ON cand.ib = eb.vec_id)
-         |SELECT ia AS id_a, ib AS id_b, round(cos, 6) AS cosine
-         |FROM scored WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
-    },
-
-    "q107_strptime" ->
-      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS utc FROM events)
-        |SELECT event_id,
-        |  strptime(strftime(utc, '%Y-%m-%d %H:%M:%S'),
-        |    '%Y-%m-%d %H:%M:%S') AS parsed,
-        |  CAST(year(utc) * 10000 + month(utc) * 100 + day(utc) AS INT)
-        |    AS yyyymmdd,
-        |  epoch_us(utc) - epoch_us(date_trunc('day', utc)) AS tsm_us
-        |FROM e ORDER BY event_id""".stripMargin,
-
-    // connected components over the exact jaccard pair set: recursive
-    // transitive closure (fine at oracle scale; the Spark side never
-    // materializes the closure — min-label propagation instead)
-    "q119_dup_clusters" ->
-      s"""WITH RECURSIVE ${jaccardBody("0.5")},
-         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
-         |  UNION ALL SELECT id_b, id_a FROM jpairs),
-         |verts AS (SELECT DISTINCT a AS id FROM edges),
-         |reach AS (SELECT id, id AS r FROM verts
-         |  UNION
-         |  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r)
-         |SELECT id, min(r) AS cluster_id FROM reach
-         |GROUP BY id ORDER BY id""".stripMargin,
-
-    "q120_boilerplate" ->
-      """WITH toks AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
-        |    THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
-        |  FROM toks),
-        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
-        |SELECT doc_id, count(*) AS n_shingles,
-        |  CAST(sum(CASE WHEN df.df >= 10 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_boiler,
-        |  round(CAST(sum(CASE WHEN df.df >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS boiler_ratio
-        |FROM sh JOIN df USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q121_decontam" ->
-      """WITH toks AS (SELECT doc_id, source,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(t) < 5
-        |    THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 3),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-        |           t[i+3] || ' ' || t[i+4]) END)) AS s
-        |  FROM toks),
-        |ev AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
-        |SELECT doc_id, count(*) AS n_shared
-        |FROM sh JOIN ev USING (s)
-        |WHERE source <> 'src0'
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // dedup survivors: min-id representative + size per component of
-    // the exact jaccard pair graph (same recursive closure as q119)
-    "q122_dedup_keep" ->
-      s"""WITH RECURSIVE ${jaccardBody("0.5")},
-         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
-         |  UNION ALL SELECT id_b, id_a FROM jpairs),
-         |verts AS (SELECT DISTINCT a AS id FROM edges),
-         |reach AS (SELECT id, id AS r FROM verts
-         |  UNION
-         |  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
-         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-         |SELECT cluster_id AS keep_id, count(*) AS n_docs
-         |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin,
-
-    "q123_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
-        |b AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nb
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |s AS (SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS session_seq FROM b)
-        |SELECT user_id, session_seq, count(*) AS n_events,
-        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
-        |  round(sum(value), 6) AS total_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // identical two-pass centered-moment Cramer solve, spelled with
-    // explicit products (pow() could diverge in the last ulp)
-    "q124_polyfit" ->
-      """WITH m AS (SELECT l_returnflag, avg(l_quantity) AS xbar
-        |  FROM lineitem GROUP BY 1),
-        |mo AS (SELECT l.l_returnflag, m.xbar,
-        |    CAST(count(*) AS DOUBLE) AS s0,
-        |    sum(l_quantity - xbar) AS s1,
-        |    sum((l_quantity - xbar) * (l_quantity - xbar)) AS s2,
-        |    sum((l_quantity - xbar) * (l_quantity - xbar) * (l_quantity - xbar)) AS s3,
-        |    sum((l_quantity - xbar) * (l_quantity - xbar) * (l_quantity - xbar) * (l_quantity - xbar)) AS s4,
-        |    sum(l_extendedprice) AS t0,
-        |    sum(l_extendedprice * (l_quantity - xbar)) AS t1,
-        |    sum(l_extendedprice * (l_quantity - xbar) * (l_quantity - xbar)) AS t2
-        |  FROM lineitem l JOIN m USING (l_returnflag)
-        |  GROUP BY 1, 2)
-        |SELECT l_returnflag, round(xbar, 6) AS xbar,
-        |  round((t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2))
-        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) + 0.0 AS c0,
-        |  round((s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s2*s3) + s2*(s1*t2 - s2*t1))
-        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) + 0.0 AS c1,
-        |  round((s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s2*t1) + t0*(s1*s3 - s2*s2))
-        |    / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)), 4) + 0.0 AS c2,
-        |  CAST(s0 AS BIGINT) AS n
-        |FROM mo ORDER BY 1""".stripMargin,
-
-    "q125_rolling_corr" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
-        |    CAST(json_extract(props, '$.k') AS DOUBLE) AS k FROM events)
-        |SELECT user_id, event_id,
-        |  CASE WHEN row_number() OVER w >= 20
-        |    THEN round(corr(value, k) OVER
-        |      (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) + 0.0
-        |  END AS c_win
-        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |ORDER BY user_id, event_id""".stripMargin,
-
-    "q126_class_error" ->
-      """SELECT l_returnflag,
-        |  round(avg(CASE WHEN (CASE WHEN l_extendedprice > 30000 THEN 'hi' ELSE 'lo' END)
-        |    <> (CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END)
-        |    THEN 1.0 ELSE 0.0 END), 6) AS class_error,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q127_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n,
-        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
-
-    // the Spark side's PassJoin blocking is COMPLETE for dist ≤ 5, so
-    // the oracle is the plain padded-prefix predicate over all pairs
-    "q128_edit_distance" ->
-      """WITH d AS (SELECT doc_id,
-        |    rpad(substr(text, 1, 80), 80, chr(1)) AS p FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.p, b.p) <= 5
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q129_weighted_sample" ->
-      """WITH hh AS (SELECT doc_id, n_chars,
-        |  CAST(list_sum(list_transform(range(1, 16),
-        |    i -> CAST(strpos('0123456789abcdef',
-        |      md5(CAST(doc_id AS VARCHAR))[i]) - 1 AS BIGINT)
-        |      << (4 * (15 - i)))) AS BIGINT) AS h FROM documents),
-        |keyed AS (SELECT doc_id, n_chars,
-        |  round(-ln(((h % 1073741824) + 1) / 1073741825.0) / n_chars, 9) AS k
-        |  FROM hh),
-        |rk AS (SELECT doc_id, n_chars,
-        |  row_number() OVER (ORDER BY k, doc_id) AS rn FROM keyed)
-        |SELECT doc_id, n_chars FROM rk WHERE rn <= 50
-        |ORDER BY doc_id""".stripMargin,
-
-    "q130_tfidf" ->
-      """WITH terms AS (SELECT doc_id,
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS n FROM terms GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(n) AS len FROM tf GROUP BY 1),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
-        |scored AS (SELECT tf.doc_id, tf.term,
-        |    round((CAST(tf.n AS DOUBLE) / dl.len) * ln(nd.nd / df.df), 6)
-        |      AS tfidf
-        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), nd),
-        |rk AS (SELECT doc_id, term, tfidf, row_number() OVER
-        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
-        |  FROM scored)
-        |SELECT doc_id, term, tfidf, rk FROM rk WHERE rk <= 3
-        |ORDER BY doc_id, rk""".stripMargin,
-
-    "q131_corpus_mix" ->
-      """WITH hh AS (SELECT doc_id, source,
-        |  CAST(list_sum(list_transform(range(1, 16),
-        |    i -> CAST(strpos('0123456789abcdef',
-        |      md5(CAST(doc_id AS VARCHAR))[i]) - 1 AS BIGINT)
-        |      << (4 * (15 - i)))) AS BIGINT) AS h FROM documents),
-        |rk AS (SELECT doc_id, source, row_number() OVER
-        |    (PARTITION BY source ORDER BY h, doc_id) AS rn FROM hh),
-        |kept AS (SELECT * FROM rk WHERE rn <= CASE source
-        |  WHEN 'src0' THEN floor(100 * 0.3)
-        |  WHEN 'src1' THEN floor(100 * 0.2)
-        |  ELSE floor(100 * (0.5 / 18)) END)
-        |SELECT source, count(*) AS n, min(doc_id) AS min_id,
-        |  max(doc_id) AS max_id
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q132_seq_pack" ->
-      """WITH d AS (SELECT source, doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
-        |      len(string_split_regex(lower(trim(text)), '\s+')) END
-        |      ::BIGINT AS tokens
-        |  FROM documents),
-        |c AS (SELECT source, doc_id, tokens,
-        |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM d)
-        |SELECT source, CAST(floor((cum - tokens) / 500) AS BIGINT) AS pack_id,
-        |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tot_tokens
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q133_curation_funnel" ->
-      """WITH q AS (SELECT source, n_chars,
-        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n,
-        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS p,
-        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |    t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS st,
-        |  length(text) AS lc FROM documents),
-        |f AS (SELECT source,
-        |  (n_chars BETWEEN 50 AND 10000) AS pass_len,
-        |  round((
-        |    CASE WHEN lc >= 200 AND lc <= 10000 THEN 1.0
-        |      WHEN lc < 200 THEN lc / 200.0 ELSE 10000.0 / lc END
-        |    + CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - least(p / greatest(n, 1.0), 1.0) END
-        |    + CASE WHEN n = 0 THEN 0.0 ELSE least(st * 4.0 / greatest(n, 1.0), 1.0) END
-        |  ) / 3.0, 6) >= 0.5 AS pass_quality,
-        |  (st >= 1) AS pass_en FROM q)
-        |SELECT source, count(*) AS n_total,
-        |  CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
-        |  CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-        |  CAST(sum(CASE WHEN pass_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-        |  CAST(sum(CASE WHEN pass_len AND pass_quality AND pass_en THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_all
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q134_linear_spline" -> {
-      val sols = Stats.spline2SolveSql
-      s"""WITH h AS (SELECT l_returnflag,
-         |    CAST(l_quantity AS DOUBLE) AS x,
-         |    CAST(l_extendedprice AS DOUBLE) AS y,
-         |    greatest(CAST(l_quantity AS DOUBLE) - 20.0, 0.0) AS h1,
-         |    greatest(CAST(l_quantity AS DOUBLE) - 35.0, 0.0) AS h2
-         |  FROM lineitem),
-         |a AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS s0,
-         |    sum(x) AS sx, sum(h1) AS sh1, sum(h2) AS sh2,
-         |    sum(x*x) AS sxx, sum(x*h1) AS sxh1, sum(x*h2) AS sxh2,
-         |    sum(h1*h1) AS sh1h1, sum(h1*h2) AS sh1h2, sum(h2*h2) AS sh2h2,
-         |    sum(y) AS vy, sum(x*y) AS vxy, sum(h1*y) AS vh1y,
-         |    sum(h2*y) AS vh2y
-         |  FROM h GROUP BY 1)
-         |SELECT l_returnflag, round(${sols(0)}, 4) AS c0,
-         |  round(${sols(1)}, 4) AS c1, round(${sols(2)}, 4) AS c2,
-         |  round(${sols(3)}, 4) AS c3, CAST(s0 AS BIGINT) AS n
-         |FROM a ORDER BY 1""".stripMargin
-    },
-
-    "q135_tpch_q6" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
-        |  count(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-
-    "q136_tpch_q10" ->
-      """SELECT c_custkey, c_name, c_acctbal,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE l_returnflag = 'R'
-        |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin,
-
-    "q137_regex_extract" ->
-      """SELECT p_partkey,
-        |  coalesce(regexp_extract(p_type, '^(\w+)\s+(\w+)\s+(\w+)', 1), '') AS t1,
-        |  coalesce(regexp_extract(p_type, '^(\w+)\s+(\w+)\s+(\w+)', 2), '') AS t2,
-        |  coalesce(regexp_extract(p_type, '^(\w+)\s+(\w+)\s+(\w+)', 3), '') AS t3,
-        |  coalesce(regexp_extract(p_brand, '([0-9]+)$', 1), '') AS brand_num
-        |FROM part ORDER BY p_partkey""".stripMargin,
-
-    "q138_dt_diff" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
-        |SELECT user_id, event_id, ts_us,
-        |  lag(ts_us) OVER w AS prev_us,
-        |  ts_us - lag(ts_us) OVER w AS gap_us
-        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |ORDER BY user_id, ts_us, event_id""".stripMargin,
-
-    "q143_showfilter" ->
-      """SELECT CASE WHEN l_quantity > 45 THEN NULL ELSE l_returnflag END AS k,
-        |  count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
-        |FROM lineitem GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
-
-    "q144_bool_to_fancy" ->
-      """WITH pos AS (SELECT o_orderkey, o_totalprice,
-        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS position
-        |  FROM orders)
-        |SELECT o_orderkey, CAST(position AS BIGINT) AS position
-        |FROM pos WHERE o_totalprice > 400000 ORDER BY position""".stripMargin,
-
-    "q141_unigram_xent" ->
-      """WITH terms AS (SELECT doc_id,
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |f AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
-        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS tot FROM f)
-        |SELECT doc_id, round(avg(-ln(CAST(tf AS DOUBLE) / tot)), 6) AS xent,
-        |  count(*) AS n_tokens
-        |FROM terms JOIN f USING (term), tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q142_vocab_stats" ->
-      """WITH terms AS (SELECT
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |f AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
-        |top AS (SELECT term, tf FROM f ORDER BY tf DESC, term LIMIT 20)
-        |SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term) AS rnk
-        |FROM top ORDER BY rnk""".stripMargin,
-
-    "q140_ann_multiprobe" -> {
-      val bits = 6
-      val bucket = (0 until bits).map(p =>
-        s"CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END")
-        .mkString("(", " + ", ")")
-      val probeSet = (0L +: (0 until bits).map(i => 1L << i)).mkString(", ")
-      s"""WITH sig AS (
-         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
-         |scored AS (
-         |  SELECT q.vec_id AS qid, c.vec_id,
-         |    ${cosineSql("c.embedding", "q.embedding")} AS cosine
-         |  FROM sig c JOIN sig q
-         |    ON xor(CAST(c.bucket AS BIGINT), CAST(q.bucket AS BIGINT))
-         |       IN ($probeSet)
-         |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
-         |ranked AS (SELECT qid, vec_id, cosine,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
-         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
-    },
-
-    "q139_accum_ratiop" ->
-      """WITH body AS (SELECT c_mktsegment,
-        |    CAST(count(*) FILTER (r_name = 'AFRICA') AS DOUBLE) AS af,
-        |    CAST(count(*) FILTER (r_name = 'AMERICA') AS DOUBLE) AS am,
-        |    CAST(count(*) FILTER (r_name = 'ASIA') AS DOUBLE) AS asi,
-        |    CAST(count(*) FILTER (r_name = 'EUROPE') AS DOUBLE) AS eu,
-        |    CAST(count(*) FILTER (r_name = 'MIDDLE EAST') AS DOUBLE) AS me
-        |  FROM customer
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY 1),
-        |tot AS (SELECT sum(af + am + asi + eu + me) AS grand FROM body)
-        |SELECT c_mktsegment,
-        |  round(af * 100.0 / grand, 6) AS "AFRICA",
-        |  round(am * 100.0 / grand, 6) AS "AMERICA",
-        |  round(asi * 100.0 / grand, 6) AS "ASIA",
-        |  round(eu * 100.0 / grand, 6) AS "EUROPE",
-        |  round(me * 100.0 / grand, 6) AS "MIDDLE_EAST"
-        |FROM body, tot ORDER BY 1""".stripMargin,
-
-    "q145_bday_shift" ->
-      """WITH days AS (
-        |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
-        |    DATE '2002-12-31', INTERVAL 1 DAY)) AS DATE) AS d),
-        |flags AS (
-        |  SELECT d, (dayofweek(d) NOT IN (0, 6) AND
-        |    strftime(d, '%m-%d') NOT IN ('01-01','07-04','12-25','12-26')) AS is_b
-        |  FROM days),
-        |idx AS (
-        |  SELECT d, is_b,
-        |    SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY d) AS bidx
-        |  FROM flags),
-        |r AS (SELECT d, bidx + CASE WHEN is_b THEN 0 ELSE 1 END AS rfi FROM idx),
-        |bd AS (SELECT bidx AS ti, d AS td FROM idx WHERE is_b),
-        |a AS (SELECT rfi AS ai FROM r WHERE d = DATE '1998-06-01')
-        |SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,
-        |  nb.td AS next_b, s5.td AS shift5,
-        |  CAST(ro.rfi - a.ai AS BIGINT) AS bdiff
-        |FROM orders o
-        |JOIN r ro ON CAST(o.o_orderdate AS DATE) = ro.d
-        |JOIN bd nb ON nb.ti = ro.rfi
-        |JOIN bd s5 ON s5.ti = ro.rfi + 5
-        |CROSS JOIN a
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q146_tpch_q21" ->
-      """WITH le AS (
-        |  SELECT l.l_orderkey, l.l_suppkey,
-        |    (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
-        |SELECT s.s_name, count(*) AS numwait
-        |FROM le l1
-        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-        |WHERE l1.late
-        |  AND EXISTS (SELECT 1 FROM le l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM le l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.late)
-        |GROUP BY s.s_name
-        |ORDER BY numwait DESC, s_name
-        |LIMIT 50""".stripMargin,
-
-    "q147_tpch_q22" ->
-      """WITH ab AS (SELECT avg(c_acctbal) AS v FROM customer WHERE c_acctbal > 0.0)
-        |SELECT c_mktsegment, count(*) AS numcust,
-        |  round(sum(c_acctbal), 2) AS totacctbal
-        |FROM customer c, ab
-        |WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
-        |  AND c.c_acctbal > ab.v
-        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin,
-
-    "q148_accum_cols" ->
-      """WITH g AS (
-        |  SELECT l_returnflag AS k, sum(l_quantity) AS sq,
-        |    sum(l_extendedprice) AS sp, count(l_extendedprice) AS cp,
-        |    sum(l_extendedprice * l_discount) AS sn, sum(l_extendedprice) AS sd,
-        |    sum(CASE WHEN l_quantity > 25 THEN l_quantity END) AS hq
-        |  FROM lineitem GROUP BY 1
-        |  UNION ALL
-        |  SELECT 'Total', sum(l_quantity), sum(l_extendedprice),
-        |    count(l_extendedprice), sum(l_extendedprice * l_discount),
-        |    sum(l_extendedprice),
-        |    sum(CASE WHEN l_quantity > 25 THEN l_quantity END)
-        |  FROM lineitem),
-        |tot AS (SELECT sum(l_quantity) AS tq FROM lineitem)
-        |SELECT k AS l_returnflag, round(sq, 4) AS sum_qty,
-        |  round(sp / cp, 6) AS avg_price,
-        |  round(sn / sd, 6) AS disc_ratio,
-        |  round(sq * 100.0 / tot.tq, 6) AS qty_pct,
-        |  round(hq, 4) AS hi_qty_sum
-        |FROM g, tot ORDER BY 1""".stripMargin,
-
-    "q149_apply_batch" ->
-      """SELECT l_returnflag,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q150_merge_indices" ->
-      """WITH li AS (SELECT o_custkey,
-        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS left_index
-        |  FROM orders),
-        |ri AS (SELECT c_custkey,
-        |    row_number() OVER (ORDER BY c_custkey) - 1 AS right_index
-        |  FROM customer)
-        |SELECT li.left_index, ri.right_index
-        |FROM li JOIN ri ON li.o_custkey = ri.c_custkey
-        |ORDER BY left_index, right_index""".stripMargin,
-
-    "q151_partition2" ->
-      """WITH t AS (SELECT l_extendedprice AS v,
-        |    l_orderkey * 100 + l_linenumber AS tb FROM lineitem),
-        |p AS (SELECT v, tb FROM t ORDER BY v, tb LIMIT 1 OFFSET 999)
-        |SELECT count(*) AS n, round(sum(t.v), 4) AS sv
-        |FROM t, p
-        |WHERE t.v < p.v OR (t.v = p.v AND t.tb <= p.tb)""".stripMargin,
-
-    "q152_merge_cats" ->
-      """WITH s1 AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0),
-        |s2 AS (SELECT n_nationkey, n_name FROM nation
-        |  WHERE n_regionkey IN (1, 2)),
-        |allrows AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
-        |u AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS code
-        |  FROM (SELECT DISTINCT n_name FROM allrows))
-        |SELECT b.n_nationkey, b.n_name, u.code
-        |FROM allrows b JOIN u USING (n_name)
-        |ORDER BY n_nationkey""".stripMargin,
-
-    "q153_tpch_q17" ->
-      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
-        |FROM lineitem l
-        |JOIN part p ON p.p_partkey = l.l_partkey
-        |WHERE p.p_brand = 'Brand#23'
-        |  AND l.l_quantity < (
-        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
-        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
-
-    "q154_tpch_q18" ->
-      """SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-        |  big.sum_qty
-        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
-        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) >= 300) big
-        |JOIN orders o ON o.o_orderkey = big.l_orderkey
-        |JOIN customer c ON c.c_custkey = o.o_custkey
-        |ORDER BY o.o_totalprice DESC, o.o_orderkey
-        |LIMIT 100""".stripMargin,
-
-    "q155_tpch_q20" ->
-      """WITH shipped AS (
-        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
-        |  FROM lineitem
-        |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
-        |  GROUP BY 1, 2),
-        |ppa AS (SELECT l_partkey, avg(sq) AS aq FROM shipped GROUP BY 1)
-        |SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
-        |FROM supplier s
-        |WHERE s.s_suppkey IN (
-        |  SELECT sh.l_suppkey
-        |  FROM shipped sh
-        |  JOIN ppa ON ppa.l_partkey = sh.l_partkey
-        |  WHERE sh.sq > ppa.aq * 1.5
-        |    AND sh.l_partkey IN (SELECT p_partkey FROM part
-        |      WHERE p_name LIKE 'red%'))
-        |ORDER BY s.s_name""".stripMargin,
-
-    "q156_tpch_q2" ->
-      """WITH supplied AS (
-        |  SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_acctbal
-        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey),
-        |best AS (
-        |  SELECT l_partkey, l_suppkey, s_acctbal,
-        |    row_number() OVER (PARTITION BY l_partkey
-        |      ORDER BY s_acctbal, l_suppkey) AS rn
-        |  FROM supplied)
-        |SELECT p.p_partkey, p.p_name, s.s_name,
-        |  round(b.s_acctbal, 2) AS s_acctbal
-        |FROM best b
-        |JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size < 10
-        |JOIN supplier s ON s.s_suppkey = b.l_suppkey
-        |WHERE b.rn = 1
-        |ORDER BY p.p_partkey""".stripMargin,
-
-    "q157_nanos" ->
-      """SELECT event_id,
-        |  epoch_ns(ts) AS ts_ns,
-        |  epoch_ns(ts) % 1000000000 AS ns_of_sec,
-        |  epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id) AS diff_ns,
-        |  epoch_ns(ts) + 86400000000000 AS ts_plus_day_ns
-        |FROM events
-        |ORDER BY event_id""".stripMargin,
-
-    "q158_tpch_q4" ->
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM orders o
-        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-        |  AND o_orderdate < TIMESTAMP '1996-10-01'
-        |  AND EXISTS (SELECT 1 FROM lineitem l
-        |              WHERE l.l_orderkey = o.o_orderkey
-        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q159_tpch_q7" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_18')
-        |   OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_3')
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-
-    "q160_tpch_q8" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  round(sum(CASE WHEN s_nationkey = 21
-        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
-        |FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q161_tpch_q9" ->
-      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)
-        |    - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
-        |FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
-
-    "q162_tpch_q11" ->
-      """SELECT l_partkey, round(value, 2) AS value FROM (
-        |  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
-        |  FROM lineitem GROUP BY 1)
-        |WHERE value > 1.2 * (SELECT avg(v) FROM (
-        |  SELECT sum(l_extendedprice * (1 - l_discount)) AS v
-        |  FROM lineitem GROUP BY l_partkey))
-        |ORDER BY value DESC, l_partkey""".stripMargin,
-
-    "q163_tpch_q12" ->
-      """SELECT l_linestatus,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q164_tpch_q13" ->
-      """SELECT c_count, count(*) AS custdist FROM (
-        |  SELECT c_custkey, count(o_orderkey) AS c_count
-        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |    AND o_orderpriority <> '5-LOW'
-        |  GROUP BY 1)
-        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
-
-    "q165_tpch_q14" ->
-      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
-
-    "q166_tpch_q15" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey AS s_suppkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        |    AND l_shipdate < TIMESTAMP '1996-04-01'
-        |  GROUP BY 1)
-        |SELECT s.s_suppkey, s.s_name, r.total_revenue
-        |FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
-        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
-        |ORDER BY s.s_suppkey""".stripMargin,
-
-    "q167_tpch_q16" ->
-      """SELECT p_brand, p_type, p_size,
-        |  count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
-        |  AND p_size IN (1,5,9,14,19,23,36,45)
-        |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3""".stripMargin,
-
-    "q168_tpch_q19" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 1 AND 20)
-        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-        |       AND l_quantity BETWEEN 10 AND 30)
-        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
-
-    "q169_substring_dup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
-        |    i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS g
-        |  FROM toks WHERE len(t) >= 8),
-        |dg AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
-        |nd AS (SELECT g, count(*) AS nd FROM dg GROUP BY 1)
-        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
-        |  CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT)
-        |    AS dup_grams,
-        |  round(CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS DOUBLE)
-        |    / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac
-        |FROM dg JOIN nd USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q170_prototype_prune" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-        |d AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-        |  unnest(embedding) AS v FROM e),
-        |c AS (SELECT label, i, avg(CAST(v AS DOUBLE)) AS m
-        |  FROM d GROUP BY 1, 2),
-        |cent AS (SELECT label, list(m ORDER BY i) AS cvec FROM c GROUP BY 1),
-        |s AS (SELECT vec_id, e.label AS label,
-        |  ${cosineSql("e.embedding", "cent.cvec")} AS cos
-        |  FROM e JOIN cent ON e.label = cent.label),
-        |r AS (SELECT vec_id, label, cos,
-        |  row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id)
-        |    AS rk,
-        |  count(*) OVER (PARTITION BY label) AS n FROM s)
-        |SELECT vec_id, label, round(cos, 6) AS cos_centroid,
-        |  rk <= floor(n * 0.25) AS prunable
-        |FROM r ORDER BY vec_id""".stripMargin,
-
-    "q171_bigram_xent" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |bgs AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
-        |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
-        |  FROM toks WHERE len(t) >= 2),
-        |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgs),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM c2)
-        |SELECT doc_id,
-        |  round(avg(-ln((CAST(c2 AS DOUBLE) + 1) / (CAST(c1 AS DOUBLE) + v))),
-        |    6) AS xent2,
-        |  count(*) AS n_bigrams
-        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q172_dsir_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang = 'en' AS tgt,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |uni AS (SELECT doc_id, tgt, unnest(t) AS g FROM toks),
-        |bi AS (SELECT doc_id, tgt, unnest(list_transform(range(1, len(t)),
-        |    i -> t[i] || ' ' || t[i + 1])) AS g
-        |  FROM toks WHERE len(t) >= 2),
-        |gr AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
-        |hb AS (SELECT doc_id, tgt, CAST(list_sum(list_transform(range(1, 16),
-        |  i -> CAST(strpos('0123456789abcdef', md5(g)[i]) - 1 AS BIGINT)
-        |    << (4 * (15 - i)))) AS BIGINT) % 1024 AS b FROM gr),
-        |cr AS (SELECT b, count(*) AS cr FROM hb GROUP BY 1),
-        |ct AS (SELECT b, count(*) AS ct FROM hb WHERE tgt GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nr,
-        |  CAST(count(*) FILTER (WHERE tgt) AS DOUBLE) AS nt FROM hb),
-        |model AS (SELECT b,
-        |  ln((CAST(COALESCE(ct, 0) AS DOUBLE) + 1) / (nt + 1024)) -
-        |  ln((CAST(cr AS DOUBLE) + 1) / (nr + 1024)) AS lw
-        |  FROM cr LEFT JOIN ct USING (b), tot)
-        |SELECT doc_id, round(sum(lw), 6) AS log_weight,
-        |  count(*) AS n_grams
-        |FROM hb JOIN model USING (b)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q173_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-        |    i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks),
-        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |    i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks),
-        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
-        |d2 AS (SELECT doc_id,
-        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
-        |    AS top2_frac,
-        |  round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
-        |    AS dup2_frac FROM c2 GROUP BY 1),
-        |d3 AS (SELECT doc_id,
-        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
-        |    AS top3_frac,
-        |  round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
-        |    AS dup3_frac FROM c3 GROUP BY 1)
-        |SELECT d.doc_id,
-        |  COALESCE(top2_frac, 0) AS top2_frac,
-        |  COALESCE(dup2_frac, 0) AS dup2_frac,
-        |  COALESCE(top3_frac, 0) AS top3_frac,
-        |  COALESCE(dup3_frac, 0) AS dup3_frac
-        |FROM (SELECT doc_id FROM documents) d
-        |LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q174_semdedup" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-         |dup AS (SELECT DISTINCT b.vec_id
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
-         |SELECT e.vec_id, e.label, dup.vec_id IS NOT NULL AS sem_dup
-         |FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
-         |ORDER BY e.vec_id""".stripMargin,
-
-    // SQ8 mirror: identical grid learn → quantize → reconstruct → cosine
-    // arithmetic in the same element order; codes are exact integers on
-    // both engines, so the ranking reproduces bit-for-bit.
-    "q175_sq8_ann" ->
-      s"""WITH st AS (
-         |  SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
-         |  FROM (SELECT unnest(range(1, len(embedding) + 1)) AS i,
-         |          unnest(embedding) AS v FROM embeddings)
-         |  GROUP BY i),
-         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
-         |  FROM st),
-         |rec AS (
-         |  SELECT vec_id, list_transform(range(1, len(embedding) + 1), i ->
-         |    CASE WHEN mxs[i] > mns[i] THEN
-         |      mns[i] + (LEAST(GREATEST(floor(
-         |        (CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i])
-         |          * 255 + 0.5), 0), 255) / 255) * (mxs[i] - mns[i])
-         |    ELSE mns[i] END) AS rv
-         |  FROM embeddings, mm),
-         |q AS (SELECT vec_id AS qid, rv AS qv FROM rec WHERE vec_id < 3),
-         |scored AS (
-         |  SELECT q.qid, c.vec_id, ${cosineSql("c.rv", "q.qv")} AS cosine
-         |  FROM rec c, q WHERE c.vec_id <> q.qid),
-         |ranked AS (SELECT qid, vec_id, cosine,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-         |  vec_id AS neighbor_id, round(cosine, 6) AS approx_cosine
-         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
-
-    // quality-argmax survivor per jaccard near-dup cluster; quality is
-    // the q32 formula (rounded to 6dp BEFORE the argmax on both sides,
-    // so the comparison is on identical values)
-    "q176_cluster_rep_quality" ->
-      s"""WITH RECURSIVE ${jaccardBody("0.5")},
-         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
-         |  UNION ALL SELECT id_b, id_a FROM jpairs),
-         |verts AS (SELECT DISTINCT a AS id FROM edges),
-         |reach AS (SELECT id, id AS r FROM verts
-         |  UNION
-         |  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
-         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |qual AS (SELECT doc_id, round((
-         |    CASE WHEN length(text) >= 200 AND length(text) <= 10000 THEN 1.0
-         |      WHEN length(text) < 200 THEN length(text) / 200.0
-         |      ELSE 10000.0 / length(text) END
-         |    + CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - least(p / greatest(n, 1.0), 1.0) END
-         |    + CASE WHEN n = 0 THEN 0.0 ELSE least(st * 4.0 / greatest(n, 1.0), 1.0) END
-         |  ) / 3.0, 6) AS quality
-         |  FROM (SELECT doc_id, text,
-         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n,
-         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS p,
-         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS st
-         |    FROM documents)),
-         |ranked AS (SELECT cc.cluster_id, cc.id, qual.quality,
-         |    row_number() OVER (PARTITION BY cc.cluster_id
-         |      ORDER BY qual.quality DESC, cc.id) AS rn,
-         |    count(*) OVER (PARTITION BY cc.cluster_id) AS n_docs
-         |  FROM cc JOIN qual ON cc.id = qual.doc_id)
-         |SELECT cluster_id, id AS rep_id, n_docs, quality
-         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
-
-    // winnowing mirror: identical normalize → char-8-gram md5-prefix
-    // hash → window-4 STRING-min selection (lexicographic min over
-    // fixed-width hex is engine-independent); both sides clamp short
-    // texts to one gram / one window
-    "q177_winnowing" ->
-      """WITH s AS (SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS sx
-        |  FROM documents),
-        |g AS (SELECT doc_id, list_transform(
-        |    range(1, greatest(length(sx) - 7, 1) + 1),
-        |    i -> substring(md5(substring(sx, i, 8)), 1, 16)) AS hs
-        |  FROM s),
-        |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(hs) - 3, 1) + 1),
-        |    j -> list_min(hs[j:j+3])))) AS f
-        |  FROM g),
-        |df AS (SELECT f, count(*) AS nd FROM fp GROUP BY 1)
-        |SELECT doc_id, count(*) AS n_fp,
-        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_fp,
-        |  round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS shared_frac
-        |FROM fp JOIN df USING (f)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q178_hard_negatives" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
-         |  FROM embeddings WHERE vec_id < 3),
-         |scored AS (
-         |  SELECT q.qid, c.vec_id, c.label,
-         |    ${cosineSql("c.embedding", "q.qv")} AS cosine
-         |  FROM embeddings c, q WHERE c.label <> q.ql),
-         |ranked AS (SELECT qid, vec_id, label, cosine,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-         |  vec_id AS negative_id, label AS negative_label,
-         |  round(cosine, 6) AS cosine
-         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
-
-    // identical synthesized PII text (keyed off doc_id), identical
-    // pattern strings (Java-regex ∩ RE2 subset), identical replace
-    // order; DuckDB needs the 'g' flag for replace-ALL (Spark's
-    // regexp_replace is global by default)
-    "q179_pii_scrub" ->
-      """WITH synth AS (SELECT source, text
-        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id
-        |       || '@ex' || (doc_id % 7) || '.com' ELSE '' END
-        |  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256)
-        |       || '.' || ((doc_id*7) % 256) || '.' || ((doc_id*13) % 256)
-        |     ELSE '' END
-        |  || CASE WHEN doc_id % 5 = 0 THEN ' call ' || (doc_id % 700 + 200)
-        |       || '-' || ((doc_id*3) % 900 + 100) || '-'
-        |       || ((doc_id*7) % 9000 + 1000) ELSE '' END
-        |  || CASE WHEN doc_id % 7 = 0 THEN ' ssn ' || (doc_id % 900 + 100)
-        |       || '-' || (doc_id % 90 + 10) || '-'
-        |       || ((doc_id*11) % 9000 + 1000) ELSE '' END AS s
-        |  FROM documents),
-        |red AS (SELECT source,
-        |  len(regexp_extract_all(s,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
-        |  len(regexp_extract_all(s,
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
-        |  len(regexp_extract_all(s, '\b\d{3}-\d{3}-\d{4}\b')) AS p,
-        |  len(regexp_extract_all(s, '\b\d{3}-\d{2}-\d{4}\b')) AS n,
-        |  length(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(s,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-        |      '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS rlen
-        |  FROM synth)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(e) AS BIGINT) AS emails, CAST(sum(i) AS BIGINT) AS ips,
-        |  CAST(sum(p) AS BIGINT) AS phones, CAST(sum(n) AS BIGINT) AS ssns,
-        |  CAST(sum(rlen) AS BIGINT) AS redacted_chars
-        |FROM red GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // blocking-free ground truth: full shingle co-occurrence, ordered
-    // pairs, containment = co / |Sa| (the engine's prefix filter is a
-    // complete candidate generator at τ, so the sets coincide)
-    "q180_containment" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
-        |    THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(CAST(co AS DOUBLE) / sa.sz, 6) AS containment
-        |FROM co JOIN sizes sa ON co.id_a = sa.doc_id
-        |WHERE CAST(co AS DOUBLE) / sa.sz >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // q175's SQ8 body widened to a 20-deep shortlist, then re-ranked by
-    // EXACT double cosine on the raw float vectors (mirrors
-    // Similarity.cosine's element order and casts)
-    "q181_sq8_rerank" ->
-      s"""WITH st AS (
-         |  SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
-         |  FROM (SELECT unnest(range(1, len(embedding) + 1)) AS i,
-         |          unnest(embedding) AS v FROM embeddings)
-         |  GROUP BY i),
-         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
-         |  FROM st),
-         |rec AS (
-         |  SELECT vec_id, list_transform(range(1, len(embedding) + 1), i ->
-         |    CASE WHEN mxs[i] > mns[i] THEN
-         |      mns[i] + (LEAST(GREATEST(floor(
-         |        (CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i])
-         |          * 255 + 0.5), 0), 255) / 255) * (mxs[i] - mns[i])
-         |    ELSE mns[i] END) AS rv
-         |  FROM embeddings, mm),
-         |q AS (SELECT vec_id AS qid, rv AS qv FROM rec WHERE vec_id < 3),
-         |scored AS (
-         |  SELECT q.qid, c.vec_id, ${cosineSql("c.rv", "q.qv")} AS ac
-         |  FROM rec c, q WHERE c.vec_id <> q.qid),
-         |ranked AS (SELECT qid, vec_id,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY ac DESC, vec_id) AS rnk FROM scored),
-         |short AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 20),
-         |ex AS (SELECT s.qid, s.vec_id,
-         |    ${cosineSql("c.embedding", "qe.embedding")} AS cosine
-         |  FROM short s JOIN embeddings c ON c.vec_id = s.vec_id
-         |  JOIN embeddings qe ON qe.vec_id = s.qid),
-         |rr AS (SELECT qid, vec_id, cosine,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, vec_id) AS rnk FROM ex)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
-         |FROM rr WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
-
-    // α-sampling mirror: w_s = n^α/Σn^α, budget rounded to 6dp BEFORE
-    // floor (pow-drift guard), selection by the portableHash64 mirror
-    // (md5 → 60-bit int) — verifies the actual kept SET via id_sum
-    "q182_temperature_mix" ->
-      """WITH counts AS (SELECT source, count(*) AS n FROM documents
-        |  GROUP BY 1),
-        |tot AS (SELECT sum(n) AS nn, sum(pow(n, 0.5)) AS w FROM counts),
-        |budgets AS (SELECT source,
-        |  least(n, CAST(floor(round(0.3 * nn * pow(n, 0.5) / w, 6))
-        |    AS BIGINT)) AS b
-        |  FROM counts, tot),
-        |hh AS (SELECT doc_id, source,
-        |  CAST(list_sum(list_transform(range(1, 16),
-        |    i -> CAST(strpos('0123456789abcdef',
-        |      md5(CAST(doc_id AS VARCHAR))[i]) - 1 AS BIGINT)
-        |      << (4 * (15 - i)))) AS BIGINT) AS h
-        |  FROM documents),
-        |rk AS (SELECT doc_id, source,
-        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
-        |  FROM hh),
-        |kept AS (SELECT rk.doc_id, rk.source
-        |  FROM rk JOIN budgets USING (source) WHERE rn <= b)
-        |SELECT source, count(*) AS n_kept,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // n_chunks = max(1, ceil((L − 50)/150)) in integer-exact form;
-    // substr/length/md5 agree byte-for-byte on ASCII corpus text
-    "q183_chunking" ->
-      """WITH ch AS (SELECT doc_id, text,
-        |  unnest(range(0, greatest(1, CAST(floor(
-        |    (length(text) - 50 + 149) / 150) AS BIGINT)))) AS chunk_id
-        |  FROM documents)
-        |SELECT doc_id, chunk_id,
-        |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200))
-        |    AS INT) AS chunk_len,
-        |  md5(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200))
-        |    AS chunk_md5
-        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // first-occurrence attribution over distinct 3-gram shingles
-    "q184_novelty" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
-        |    THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
-        |  FROM toks),
-        |fs AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY 1)
-        |SELECT sh.doc_id, count(*) AS n_shingles,
-        |  CAST(sum(CASE WHEN fs.first_id < sh.doc_id THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_seen,
-        |  round(1.0 - CAST(sum(CASE WHEN fs.first_id < sh.doc_id
-        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
-        |FROM sh JOIN fs USING (s) GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // blocking-free cross-split ground truth (the engine's band+prefix
-    // candidates achieve full recall at τ, so the sets coincide)
-    "q185_incremental_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
-        |    THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |co AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old,
-        |    count(*) AS co
-        |  FROM sh a JOIN sh b ON a.s = b.s
-        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |  GROUP BY 1, 2)
-        |SELECT id_new, id_old,
-        |  round(CAST(co AS DOUBLE) / (sa.sz + sb.sz - co), 6) AS jaccard
-        |FROM co JOIN sizes sa ON co.id_new = sa.doc_id
-        |  JOIN sizes sb ON co.id_old = sb.doc_id
-        |WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= 0.5
-        |ORDER BY id_new, id_old""".stripMargin,
-
-    // recursive-CTE connected components over the exact jaccard pairs
-    // (q176's CC body), singleton docs self-clustered, then the q113
-    // portableHash64 mirror applied to cluster_id
-    "q186_leakage_split" ->
-      s"""WITH RECURSIVE ${jaccardBody("0.5")},
-         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
-         |  UNION ALL SELECT id_b, id_a FROM jpairs),
-         |verts AS (SELECT DISTINCT a AS id FROM edges),
-         |reach AS (SELECT id, id AS r FROM verts
-         |  UNION
-         |  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
-         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |lab AS (SELECT d.doc_id,
-         |    coalesce(cc.cluster_id, d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
-         |hh AS (SELECT doc_id, cluster_id,
-         |  CAST(list_sum(list_transform(range(1, 16),
-         |    i -> CAST(strpos('0123456789abcdef',
-         |      md5(CAST(cluster_id AS VARCHAR))[i]) - 1 AS BIGINT)
-         |      << (4 * (15 - i)))) AS BIGINT) AS h
-         |  FROM lab),
-         |sp AS (SELECT doc_id, cluster_id,
-         |  CASE WHEN h % 100 < 80 THEN 'train' ELSE 'test' END AS split
-         |  FROM hh)
-         |SELECT split, count(*) AS n_docs,
-         |  count(DISTINCT cluster_id) AS n_clusters,
-         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // KMV mirror: distinct (source, hash60(shingle)) → 64 smallest per
-    // source → (k−1)·2⁶⁰/h_k, exact when the group holds < k values
-    "q187_kmv_distinct" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT d.source, unnest(list_distinct(CASE WHEN len(tk.t) < 3
-        |    THEN [array_to_string(tk.t, ' ')]
-        |    ELSE list_transform(range(1, len(tk.t) - 1),
-        |      i -> tk.t[i] || ' ' || tk.t[i+1] || ' ' || tk.t[i+2]) END)) AS s
-        |  FROM toks tk JOIN documents d USING (doc_id)),
-        |ex AS (SELECT source, count(DISTINCT s) AS n_exact FROM sh
-        |  GROUP BY 1),
-        |hh AS (SELECT DISTINCT source,
-        |  CAST(list_sum(list_transform(range(1, 16),
-        |    i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT)
-        |      << (4 * (15 - i)))) AS BIGINT) AS h
-        |  FROM sh),
-        |rk AS (SELECT source, h,
-        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
-        |kk AS (SELECT source, count(*) AS cnt, max(h) AS hk
-        |  FROM rk WHERE rn <= 64 GROUP BY 1)
-        |SELECT kk.source, ex.n_exact,
-        |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
-        |    ELSE round(63.0 * CAST(1152921504606846976 AS DOUBLE)
-        |      / CAST(hk AS DOUBLE), 4) END AS distinct_est,
-        |  CAST(cnt AS BIGINT) AS sketch_size
-        |FROM kk JOIN ex USING (source) ORDER BY source""".stripMargin,
-
-    // suffixes built from chr() so the byte sequences are unambiguous:
-    // chr(769) = U+0301 combining acute, chr(233) = precomposed é;
-    // nfc_normalize implements the same Unicode NFC as rip_nfc
-    "q188_nfc_normalize" ->
-      """WITH synth AS (SELECT source,
-        |  text || CASE WHEN doc_id % 2 = 0
-        |    THEN ' cafe' || chr(769) || ' re' || chr(769) || 'sume'
-        |      || chr(769)
-        |    ELSE ' caf' || chr(233) || ' r' || chr(233) || 'sum'
-        |      || chr(233) END AS s
-        |  FROM documents),
-        |nn AS (SELECT source, s, nfc_normalize(s) AS n FROM synth)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN n <> s THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_changed,
-        |  CAST(sum(length(s)) AS BIGINT) AS cp_raw,
-        |  CAST(sum(length(n)) AS BIGINT) AS cp_nfc,
-        |  count(DISTINCT md5(n)) AS n_distinct_nfc
-        |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Lucene-idf BM25 mirror; score rounded to 6dp BEFORE the ranking
-    // order on both sides, id tiebreak
-    "q189_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |st AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
-        |ft AS (SELECT doc_id, dl, term, count(*) AS tf FROM st
-        |  WHERE term IN ('spark', 'merge', 'window', 'stream')
-        |  GROUP BY 1, 2, 3),
-        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM st
-        |  WHERE term IN ('spark', 'merge', 'window', 'stream')
-        |  GROUP BY 1),
-        |corpus AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
-        |sc AS (SELECT doc_id,
-        |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
-        |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
-        |  FROM ft JOIN dfq USING (term), corpus GROUP BY 1)
-        |SELECT doc_id, score FROM sc
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
-
-    // per-column UNION ALL long table, then the q187 KMV mirror keyed
-    // by colname; TRY_CAST mirrors ANSI-off cast-to-null
-    "q191_profile" -> {
-      val colsP = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderpriority")
-      val union = colsP.map(c =>
-        s"SELECT '$c' AS colname, CAST($c AS VARCHAR) AS v FROM orders")
-        .mkString("\n  UNION ALL ")
-      s"""WITH longt AS ($union),
-         |base AS (SELECT colname, count(*) AS n,
-         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_null,
-         |  min(v) AS min_str, max(v) AS max_str,
-         |  round(min(TRY_CAST(v AS DOUBLE)), 6) AS min_num,
-         |  round(max(TRY_CAST(v AS DOUBLE)), 6) AS max_num
-         |  FROM longt GROUP BY 1),
-         |hh AS (SELECT DISTINCT colname,
-         |  CAST(list_sum(list_transform(range(1, 16),
-         |    i -> CAST(strpos('0123456789abcdef', md5(v)[i]) - 1 AS BIGINT)
-         |      << (4 * (15 - i)))) AS BIGINT) AS h
-         |  FROM longt WHERE v IS NOT NULL),
-         |rk AS (SELECT colname, h,
-         |  row_number() OVER (PARTITION BY colname ORDER BY h) AS rn
-         |  FROM hh),
-         |kk AS (SELECT colname, count(*) AS cnt, max(h) AS hk
-         |  FROM rk WHERE rn <= 64 GROUP BY 1),
-         |est AS (SELECT colname,
-         |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
-         |    ELSE round(63.0 * CAST(1152921504606846976 AS DOUBLE)
-         |      / CAST(hk AS DOUBLE), 4) END AS distinct_est,
-         |  CAST(cnt AS BIGINT) AS sketch_size FROM kk)
-         |SELECT base.colname, n, n_null, min_str, max_str, min_num,
-         |  max_num, distinct_est, sketch_size
-         |FROM base JOIN est USING (colname) ORDER BY colname""".stripMargin
-    },
-
-    // two BM25 top-20 rankings (same CTE body, different term sets)
-    // fused by 1/(60+rank); rank + fused score both on 6-dp-rounded
-    // values with id tiebreaks on both sides
-    "q190_hybrid_rrf" -> {
-      def bmCte(sfx: String, terms: String): String =
-        s"""ft$sfx AS (SELECT doc_id, dl, term, count(*) AS tf FROM st
-           |  WHERE term IN ($terms) GROUP BY 1, 2, 3),
-           |dfq$sfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM st
-           |  WHERE term IN ($terms) GROUP BY 1),
-           |sc$sfx AS (SELECT doc_id,
-           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
-           |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
-           |  FROM ft$sfx JOIN dfq$sfx USING (term), corpus GROUP BY 1),
-           |rk$sfx AS (SELECT doc_id,
-           |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-           |  FROM (SELECT doc_id, score FROM sc$sfx
-           |    ORDER BY score DESC, doc_id LIMIT 20))""".stripMargin
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-         |  FROM documents),
-         |st AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
-         |corpus AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
-         |${bmCte("a", "'spark', 'merge', 'window', 'stream'")},
-         |${bmCte("b", "'filter', 'join', 'sort', 'hash'")},
-         |u AS (SELECT doc_id, 1.0 / (rnk + 60) AS c FROM rka
-         |  UNION ALL SELECT doc_id, 1.0 / (rnk + 60) FROM rkb)
-         |SELECT doc_id, round(sum(c), 6) AS rrf_score,
-         |  count(*) AS n_lists
-         |FROM u GROUP BY 1
-         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
-    },
-
-    // Count–Min mirror: additive d×w counters over hash60("j:token"),
-    // estimate = min over the d rows, checked against the exact count
-    "q192_countmin_hh" ->
-      s"""WITH toks AS (
-         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
-         |    AS v FROM documents),
-         |counts AS (SELECT v, count(*) AS n FROM toks GROUP BY 1),
-         |b AS (SELECT v, n, j,
-         |  ${hash60Sql("CAST(j AS VARCHAR) || ':' || v")} % 1024 AS bkt
-         |  FROM counts CROSS JOIN (SELECT unnest(range(4)) AS j) r),
-         |cm AS (SELECT j, bkt, sum(n) AS c FROM b GROUP BY 1, 2),
-         |top AS (SELECT v, n,
-         |  row_number() OVER (ORDER BY n DESC, v) AS rk
-         |  FROM counts QUALIFY rk <= 10),
-         |est AS (SELECT t.rk, t.v, t.n, min(cm.c) AS cm_est
-         |  FROM top t JOIN b USING (v)
-         |  JOIN cm ON cm.j = b.j AND cm.bkt = b.bkt
-         |  GROUP BY 1, 2, 3)
-         |SELECT rk AS rank, v AS value, CAST(n AS BIGINT) AS n_exact,
-         |  CAST(cm_est AS BIGINT) AS cm_est,
-         |  CAST(cm_est - n AS BIGINT) AS overcount
-         |FROM est ORDER BY rank""".stripMargin,
-
-    // hashed linear scorer mirror: integer-unit weights from the same
-    // affine-modular generator; per-doc LONG sums, ONE division at the
-    // end — bit-stable on both engines
-    "q193_hashed_scorer" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
-         |    '\\s+')) AS tk FROM documents),
-         |w AS (SELECT j AS b, (j * 2654435761 + 104729) % 19997 - 9998
-         |    AS wt FROM (SELECT unnest(range(4096)) AS j)),
-         |tb AS (SELECT doc_id, ${hash60Sql("tk")} % 4096 AS b FROM toks),
-         |ds AS (SELECT doc_id, count(*) AS n_tokens, sum(wt) AS units
-         |  FROM tb JOIN w USING (b) GROUP BY 1),
-         |j AS (SELECT d.source, ds.units, ds.n_tokens
-         |  FROM ds JOIN documents d USING (doc_id))
-         |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN units > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_pos,
-         |  CAST(sum(units) AS BIGINT) AS units_sum,
-         |  min(round(CAST(units AS DOUBLE) / (9998.0 * n_tokens), 6))
-         |    AS score_min,
-         |  max(round(CAST(units AS DOUBLE) / (9998.0 * n_tokens), 6))
-         |    AS score_max
-         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // dup-span mirror: zipped unnest gives (position, gram-hash); spans
-    // of cross-doc grams merge via the same gaps-and-islands windows
-    "q194_dup_spans" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |  unnest(range(1, len(t) - 6)) AS i,
-        |  unnest(list_transform(range(1, len(t) - 6),
-        |    i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS gh
-        |  FROM toks WHERE len(t) >= 8),
-        |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
-        |  GROUP BY gh HAVING count(*) > 1),
-        |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
-        |  CAST(i + 7 AS BIGINT) AS e FROM g JOIN dup USING (gh)),
-        |fl AS (SELECT doc_id, s, e,
-        |  CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-        |    OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |    THEN 1 ELSE 0 END AS nw FROM sp),
-        |isl AS (SELECT doc_id, s, e,
-        |  sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM fl),
-        |per AS (SELECT doc_id, isl, min(s) AS i0, max(e) AS i1
-        |  FROM isl GROUP BY 1, 2),
-        |agg AS (SELECT doc_id, count(*) AS n_spans,
-        |  sum(i1 - i0) AS covered FROM per GROUP BY 1)
-        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
-        |  CAST(coalesce(a.covered, 0) AS BIGINT) AS covered_tokens,
-        |  round(CAST(coalesce(a.covered, 0) AS DOUBLE) / len(t.t), 6)
-        |    AS covered_frac
-        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    // removal mirror: union of covered POSITIONS anti-joined away,
-    // remainder re-joined in position order — md5 checks exact content
-    "q195_dedup_clean" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |  unnest(range(1, len(t) - 6)) AS i,
-        |  unnest(list_transform(range(1, len(t) - 6),
-        |    i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS gh
-        |  FROM toks WHERE len(t) >= 8),
-        |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
-        |  GROUP BY gh HAVING count(*) > 1),
-        |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
-        |  CAST(i + 7 AS BIGINT) AS e FROM g JOIN dup USING (gh)),
-        |cov AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS pos
-        |  FROM sp),
-        |tokpos AS (SELECT doc_id,
-        |  CAST(unnest(range(0, len(t))) AS BIGINT) AS pos,
-        |  unnest(t) AS tok FROM toks),
-        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
-        |  ANTI JOIN cov c ON tp.doc_id = c.doc_id AND tp.pos = c.pos),
-        |agg AS (SELECT doc_id, count(*) AS kept_tokens,
-        |  string_agg(tok, ' ' ORDER BY pos) AS cleaned
-        |  FROM kept GROUP BY 1)
-        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-        |  md5(coalesce(a.cleaned, '')) AS cleaned_md5
-        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    // histogram-quantile mirror: same equi-width binning arithmetic
-    // (division-then-multiply order matters for bit-equality), same
-    // crossing-bin interpolation; exact side is quantile_cont
-    "q196_hist_quantiles" ->
-      """WITH s AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
-        |  max(CAST(l_extendedprice AS DOUBLE)) AS hi,
-        |  count(l_extendedprice) AS n FROM lineitem),
-        |b AS (SELECT CASE WHEN hi = lo THEN 0
-        |    ELSE CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
-        |      / (hi - lo) * 256), 255) AS BIGINT) END AS bin,
-        |    count(*) AS c
-        |  FROM lineitem, s WHERE l_extendedprice IS NOT NULL GROUP BY 1),
-        |cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM b),
-        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
-        |  AS DOUBLE) AS q),
-        |cr AS (SELECT q, lo, hi, bin, c, cum,
-        |    greatest(ceil(q * n), 1) AS target,
-        |    row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
-        |  FROM qs, s, cum WHERE cum >= greatest(ceil(q * n), 1)),
-        |ex AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
-        |    AS DOUBLE) AS q,
-        |  unnest(quantile_cont(l_extendedprice,
-        |    [0.25, 0.5, 0.75, 0.9, 0.99])) AS ev FROM lineitem)
-        |SELECT cr.q,
-        |  round(lo + (hi - lo) / 256 * (bin + (target - (cum - c)) / c), 6)
-        |    AS hist_est,
-        |  round(ex.ev, 6) AS exact_val
-        |FROM cr JOIN ex ON cr.q = ex.q WHERE rn = 1
-        |ORDER BY cr.q""".stripMargin,
-
-    // covariance mirror in covMoments' INTEGER units: each per-row
-    // term floored to 1e-9 units and summed as exact integers (long
-    // sums are associative — both engines reduce to the SAME integers
-    // regardless of partition order), then the identical divide shape
-    // (x/1e9)/n. round(6) then sees bit-identical doubles on both
-    // sides, so the hash compare is exact, not "usually within ulp".
-    "q197_cov_matrix" ->
-      """WITH d AS (SELECT vec_id,
-        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        |m AS (SELECT i, sum(CAST(floor(v * 1e9) AS BIGINT)) AS s,
-        |  count(*) AS n FROM d GROUP BY 1),
-        |p AS (SELECT a.i AS i, b.i AS j,
-        |  sum(CAST(floor(a.v * b.v * 1e9) AS BIGINT)) AS sp,
-        |  count(*) AS n FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2)
-        |SELECT p.i, p.j,
-        |  round((sp / 1e9) / p.n
-        |    - ((ma.s / 1e9) / ma.n) * ((mb.s / 1e9) / mb.n), 6) + 0.0 AS cov
-        |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
-        |ORDER BY p.i, p.j""".stripMargin,
-
-    // PCA mirror: the SAME 6-dp-rounded covariance, then the identical
-    // fixed-iteration recurrence w ← C·w as a recursive CTE (list_sum
-    // sums in list order = the driver loop's ascending-j order, so the
-    // iterate is bit-reproducible), one normalization at the end, and
-    // the dotSql-ordered projection. dim = 64 (testdata contract; the
-    // SchemaDriftSpec tripwire pins it).
-    "q198_pca_project" ->
-      """WITH RECURSIVE d AS (SELECT vec_id,
-        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        |m AS (SELECT i, sum(CAST(floor(v * 1e9) AS BIGINT)) AS s,
-        |  count(*) AS n FROM d GROUP BY 1),
-        |p AS (SELECT a.i AS i, b.i AS j,
-        |  sum(CAST(floor(a.v * b.v * 1e9) AS BIGINT)) AS sp,
-        |  count(*) AS n FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2),
-        |cov AS (SELECT p.i, p.j,
-        |  round((sp / 1e9) / p.n
-        |    - ((ma.s / 1e9) / ma.n) * ((mb.s / 1e9) / mb.n), 6) + 0.0 AS c
-        |  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j),
-        |crow AS (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY 1),
-        |cmat AS (SELECT list(row ORDER BY i) AS mm FROM crow),
-        |it AS (
-        |  SELECT 0 AS t,
-        |    list_transform(range(1, 65), x -> 1.0 / sqrt(64.0)) AS w
-        |  UNION ALL
-        |  SELECT t + 1,
-        |    list_transform(range(1, 65), i ->
-        |      list_sum(list_transform(range(1, 65), j -> mm[i][j] * w[j])))
-        |  FROM it, cmat WHERE t < 20),
-        |wf AS (SELECT w FROM it WHERE t = 20),
-        |wn AS (SELECT list_transform(w, x ->
-        |  x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS w FROM wf)
-        |SELECT vec_id,
-        |  round(list_sum(list_transform(range(1, 65), i ->
-        |    CAST(embedding[i] AS DOUBLE) * w[i])), 6) + 0.0 AS pc1
-        |FROM embeddings, wn ORDER BY vec_id""".stripMargin,
-
-    // per-source CM mirror: q192's sketch partitioned by source
-    "q199_countmin_by_source" ->
-      s"""WITH toks AS (
-         |  SELECT source, unnest(string_split_regex(lower(trim(text)),
-         |    '\\s+')) AS v FROM documents),
-         |counts AS (SELECT source, v, count(*) AS n FROM toks
-         |  GROUP BY 1, 2),
-         |b AS (SELECT source, v, n, j,
-         |  ${hash60Sql("CAST(j AS VARCHAR) || ':' || v")} % 1024 AS bkt
-         |  FROM counts CROSS JOIN (SELECT unnest(range(4)) AS j) r),
-         |cm AS (SELECT source, j, bkt, sum(n) AS c FROM b
-         |  GROUP BY 1, 2, 3),
-         |top AS (SELECT source, v, n, row_number() OVER (
-         |    PARTITION BY source ORDER BY n DESC, v) AS rk
-         |  FROM counts QUALIFY rk <= 5),
-         |est AS (SELECT t.source, t.rk, t.v, t.n, min(cm.c) AS cm_est
-         |  FROM top t JOIN b ON b.source = t.source AND b.v = t.v
-         |  JOIN cm ON cm.source = b.source AND cm.j = b.j
-         |    AND cm.bkt = b.bkt
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT source, rk AS rank, v AS value, CAST(n AS BIGINT)
-         |    AS n_exact,
-         |  CAST(cm_est AS BIGINT) AS cm_est,
-         |  CAST(cm_est - n AS BIGINT) AS overcount
-         |FROM est ORDER BY source, rank""".stripMargin,
-
-    // e2e funnel mirror: every stage re-expressed from the fragments
-    // already proven (q188 nfc, q193 scorer, q24 keep-first, q182
-    // hash-rank selection), joined into one per-source funnel row
-    "q200_curation_e2e" ->
-      s"""WITH ${scorerCtesSql},
-         |d1 AS (SELECT * FROM d0 WHERE lang = 'en'),
-         |d2 AS (SELECT d1.* FROM d1 JOIN us USING (doc_id)
-         |  WHERE units > 0),
-         |d3 AS (SELECT * FROM (SELECT d2.*, row_number() OVER (
-         |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM d2)
-         |  WHERE rn = 1),
-         |bud AS (SELECT source, least(20, count(*)) AS b FROM d3
-         |  GROUP BY 1),
-         |hh AS (SELECT doc_id, source,
-         |  ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM d3),
-         |rk AS (SELECT doc_id, source, row_number() OVER (
-         |    PARTITION BY source ORDER BY h, doc_id) AS rn FROM hh),
-         |d4 AS (SELECT rk.doc_id, rk.source FROM rk JOIN bud
-         |  USING (source) WHERE rn <= b),
-         |c0 AS (SELECT source, count(*) AS n_raw FROM d0 GROUP BY 1),
-         |c1 AS (SELECT source, count(*) AS n_en FROM d1 GROUP BY 1),
-         |c2 AS (SELECT source, count(*) AS n_quality FROM d2 GROUP BY 1),
-         |c3 AS (SELECT source, count(*) AS n_dedup FROM d3 GROUP BY 1),
-         |c4 AS (SELECT source, count(*) AS n_final,
-         |  sum(doc_id) AS id_sum FROM d4 GROUP BY 1)
-         |SELECT c0.source, c0.n_raw,
-         |  CAST(coalesce(n_en, 0) AS BIGINT) AS n_en,
-         |  CAST(coalesce(n_quality, 0) AS BIGINT) AS n_quality,
-         |  CAST(coalesce(n_dedup, 0) AS BIGINT) AS n_dedup,
-         |  CAST(coalesce(n_final, 0) AS BIGINT) AS n_final,
-         |  CAST(coalesce(id_sum, 0) AS BIGINT) AS id_sum
-         |FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
-         |LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)
-         |ORDER BY source""".stripMargin,
-
-    // layout-invariance mirror: the same predicate + aggregate over the
-    // ORIGINAL table — the z-ordered sink must change nothing
-    "q201_zorder_scan" ->
-      """SELECT count(*) AS n, round(sum(value), 6) AS sum_v,
-        |  CAST(sum(event_id) AS BIGINT) AS id_sum
-        |FROM events
-        |WHERE user_id BETWEEN 100 AND 300
-        |  AND value BETWEEN 10.0 AND 60.0""".stripMargin,
-
-    // per-source histogram mirror: q196's estimator with every frame
-    // keyed by source; exact side is grouped quantile_cont
-    "q202_hist_quantiles_by" ->
-      """WITH s AS (SELECT source, min(CAST(n_chars AS DOUBLE)) AS lo,
-        |  max(CAST(n_chars AS DOUBLE)) AS hi, count(n_chars) AS n
-        |  FROM documents GROUP BY 1),
-        |b AS (SELECT d.source, CASE WHEN hi = lo THEN 0
-        |    ELSE CAST(least(floor((CAST(n_chars AS DOUBLE) - lo)
-        |      / (hi - lo) * 64), 63) AS BIGINT) END AS bin,
-        |    count(*) AS c
-        |  FROM documents d JOIN s ON d.source = s.source
-        |  WHERE n_chars IS NOT NULL GROUP BY 1, 2),
-        |cum AS (SELECT source, bin, c,
-        |  sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum FROM b),
-        |qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
-        |cr AS (SELECT s.source, q, lo, hi, bin, c, cum,
-        |    greatest(ceil(q * n), 1) AS target,
-        |    row_number() OVER (PARTITION BY s.source, q ORDER BY bin)
-        |      AS rn
-        |  FROM qs, s JOIN cum ON cum.source = s.source
-        |  WHERE cum >= greatest(ceil(q * n), 1)),
-        |ex0 AS (SELECT source, quantile_cont(n_chars, [0.5, 0.9]) AS evs
-        |  FROM documents GROUP BY 1),
-        |ex AS (SELECT source, CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q,
-        |  unnest(evs) AS ev FROM ex0)
-        |SELECT cr.source, cr.q,
-        |  round(lo + (hi - lo) / 64 * (bin + (target - (cum - c)) / c), 6)
-        |    AS hist_est,
-        |  round(ex.ev, 6) AS exact_val
-        |FROM cr JOIN ex ON cr.source = ex.source AND cr.q = ex.q
-        |WHERE rn = 1 ORDER BY cr.source, cr.q""".stripMargin,
-
-    // Mann-Whitney U with average ranks over the DISTINCT-score frame —
-    // the same tie-exact formulation as Stats.rocAuc
-    "q203_roc_auc" ->
-      """WITH per AS (SELECT n_chars AS s, count(*) AS n,
-        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos
-        |  FROM documents
-        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
-        |r AS (SELECT s, n, npos,
-        |  coalesce(sum(n) OVER (ORDER BY s
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS cum_below
-        |  FROM per)
-        |SELECT round((sum(npos * (cum_below + (n + 1) / 2.0))
-        |    - sum(npos) * (sum(npos) + 1) / 2.0)
-        |    / (sum(npos) * sum(n - npos)), 6) AS auc,
-        |  CAST(sum(npos) AS BIGINT) AS n_pos,
-        |  CAST(sum(n - npos) AS BIGINT) AS n_neg
-        |FROM r""".stripMargin,
-
-    // water-filling closed form of the UniMax sequential allocation:
-    // level t solves sum(min(cap, t)) = B; allocations are exact
-    // integer-valued doubles so the window sums carry no float drift
-    "q204_unimax_mix" ->
-      """WITH c AS (SELECT source,
-        |  CAST(sum(n_chars) AS DOUBLE) AS tokens,
-        |  CAST(sum(n_chars) AS DOUBLE) * 2.0 AS cap
-        |  FROM documents GROUP BY 1),
-        |tot AS (SELECT sum(tokens) * 0.4 AS B, count(*) AS k FROM c),
-        |st AS (SELECT source, tokens, cap, B, k,
-        |  coalesce(sum(cap) OVER (ORDER BY cap, source
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS cum_prev,
-        |  row_number() OVER (ORDER BY cap, source) AS j
-        |  FROM c, tot),
-        |lv AS (SELECT max(CASE WHEN (B - cum_prev) / (k - j + 1) <= cap
-        |  THEN (B - cum_prev) / (k - j + 1) END) AS level FROM st)
-        |SELECT source, tokens, cap,
-        |  round(least(cap, coalesce(level, cap)), 6) AS alloc
-        |FROM st, lv ORDER BY source""".stripMargin,
-
-    // per-source median + MAD via quantile_cont (same linear
-    // interpolation as Spark's exact percentile), 3-MAD outlier count
-    "q205_mad_outliers" ->
-      """WITH med AS (SELECT source,
-        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
-        |  FROM documents GROUP BY 1),
-        |mad AS (SELECT d.source,
-        |  quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5) AS mad
-        |  FROM documents d JOIN med USING (source) GROUP BY 1)
-        |SELECT d.source, count(*) AS n,
-        |  round(min(m.med), 6) AS med, round(min(a.mad), 6) AS mad,
-        |  CAST(sum(CASE WHEN abs(CAST(n_chars AS DOUBLE) - m.med)
-        |    > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM documents d JOIN med m USING (source)
-        |  JOIN mad a ON d.source = a.source
-        |GROUP BY d.source ORDER BY d.source""".stripMargin,
-
-    // lower weighted quantile: smallest value whose cumulative weight
-    // (over distinct values ascending) reaches q·W — integer-valued
-    // weights make every cumulative sum exact in double
-    "q209_weighted_quantiles" ->
-      """WITH base AS (SELECT source, CAST(n_chars AS DOUBLE) AS v,
-        |    CAST(n_chars AS DOUBLE) AS w
-        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
-        |dv AS (SELECT source, v, sum(w) AS w FROM base GROUP BY 1, 2),
-        |cum AS (SELECT source, v,
-        |  sum(w) OVER (PARTITION BY source ORDER BY v) AS cw FROM dv),
-        |tot AS (SELECT source, sum(w) AS W FROM base GROUP BY 1),
-        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
-        |SELECT c.source, q, round(min(v), 6) AS wq
-        |FROM cum c JOIN tot USING (source), qs
-        |WHERE cw >= q * W
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // cascade mirror: member-wise rounding over the multi-func agg,
-    // flattened names matching GroupOps.aggMulti's f_col convention
-    "q211_multiset_cascade" ->
-      """SELECT l_returnflag,
-        |  round(sum(l_quantity), 2) AS sum_l_quantity,
-        |  round(sum(l_extendedprice), 2) AS sum_l_extendedprice,
-        |  round(avg(l_quantity), 2) AS mean_l_quantity,
-        |  round(avg(l_extendedprice), 2) AS mean_l_extendedprice
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // seeded-sample mirror: the same md5-derived hash with the seed
-    // folded in; mod 2^30 under 0.25 ⇔ mod < 268435456 (exact)
-    "q212_seeded_sample" ->
-      s"""SELECT doc_id FROM documents
-         |WHERE ${hash60Sql("'42:' || CAST(doc_id AS VARCHAR)")}
-         |  % 1073741824 < 268435456
-         |ORDER BY doc_id""".stripMargin,
-
-    "q219_tpch_q22" ->
-      """SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
-        |  count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
-        |FROM customer c
-        |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
-        |    WHERE c_acctbal > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders o
-        |    WHERE o.o_custkey = c.c_custkey
-        |      AND o.o_orderdate >= '2000-01-01')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // capped per-group id materialization mirror: the 50 smallest ids
-    // (content-checked via md5 of the joined list), exact size,
-    // truncation flag
-    "q221_groups" ->
-      """WITH r AS (SELECT source, doc_id, row_number() OVER (
-        |    PARTITION BY source ORDER BY doc_id) AS rn FROM documents),
-        |g AS (SELECT source,
-        |    list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 50) AS ids,
-        |    count(*) AS n_rows FROM r GROUP BY 1)
-        |SELECT source, md5(array_to_string(ids, ',')) AS ids_md5,
-        |  CAST(len(ids) AS INT) AS n_ids, n_rows, n_rows > 50 AS truncated
-        |FROM g ORDER BY source""".stripMargin,
-
-    // cross-corpus containment ground truth: |S_eval ∩ S_doc| / |S_eval|
-    // over exact shingle sets, eval slice vs the rest
-    "q220_decontamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
-        |    THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |co AS (SELECT e.doc_id AS id_eval, c.doc_id AS id_doc,
-        |    count(*) AS co
-        |  FROM sh e JOIN sh c ON e.s = c.s
-        |  WHERE e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
-        |  GROUP BY 1, 2)
-        |SELECT id_eval, id_doc,
-        |  round(CAST(co AS DOUBLE) / se.sz, 6) AS containment
-        |FROM co JOIN sizes se ON co.id_eval = se.doc_id
-        |WHERE CAST(co AS DOUBLE) / se.sz >= 0.8
-        |ORDER BY id_eval, id_doc""".stripMargin,
-
-    // per-doc dup-degree over the exact τ=0.5 pair set — the engine
-    // side reads it from the bucketed artifact, which must equal
-    // computing it fresh
-    "q210_pair_artifact" ->
-      s"""WITH ${jaccardBody("0.5")}
-         |SELECT id_a, count(*) AS n_dups,
-         |  CAST(sum(id_b) AS BIGINT) AS partner_id_sum,
-         |  max(jaccard) AS j_max
-         |FROM jpairs GROUP BY 1 ORDER BY id_a""".stripMargin,
-
-    // the one-window reference formulation of the skew-safe calibration
-    "q208_score_calibration" ->
-      """SELECT doc_id, source,
-        |  round(percent_rank() OVER (PARTITION BY source
-        |    ORDER BY n_chars), 6) AS calibrated
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // grouped continuous quantiles — the refinement path must land on
-    // quantile_cont's exact interpolation per group
-    "q207_exact_quantiles_by" ->
-      """WITH ex0 AS (SELECT source,
-        |  quantile_cont(CAST(n_chars AS DOUBLE), [0.5, 0.95]) AS evs
-        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
-        |SELECT source, CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q,
-        |  round(unnest(evs), 6) AS exact_val
-        |FROM ex0 ORDER BY source, q""".stripMargin,
-
-    // full PQ replay: hash-ranked codebook sample → per-subspace argmin
-    // encode (ties to the lowest codeword) → ADC distance as an
-    // s-ordered list_sum, mirroring pqTopK's fold order bit-for-bit
-    "q206_pq_ann" -> pqAnnOracle,
-
-    // IVF-PQ with nprobe = nCentroids: routing prunes nothing, so the
-    // composed index must reproduce the pure-PQ ADC ranking exactly —
-    // one oracle checks codebooks, codes, routing join, and ADC
-    "q213_ivfpq_ann" -> pqAnnOracle,
-
-    // token-distribution drift mirror: same union-support JS, both-
-    // sides-only PSI, and TVD on exact count ratios (ln on identical
-    // doubles — the q130/q141 discipline)
-    "q222_drift_metrics" ->
-      """WITH terms AS (SELECT source,
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents WHERE source IN ('src0', 'src1')),
-        |c AS (SELECT term,
-        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
-        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
-        |  FROM terms GROUP BY 1),
-        |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
-        |    CAST(sum(cb) AS DOUBLE) AS nb FROM c),
-        |f AS (SELECT CAST(ca AS DOUBLE) / na AS p,
-        |    CAST(cb AS DOUBLE) / nb AS q, ca, cb FROM c, tot)
-        |SELECT
-        |  round(sum(
-        |    (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2)) / 2
-        |      ELSE 0 END) +
-        |    (CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2)) / 2
-        |      ELSE 0 END)), 6) AS js_nats,
-        |  round(sum(CASE WHEN ca > 0 AND cb > 0
-        |    THEN (p - q) * ln(p / q) ELSE 0 END), 6) AS psi,
-        |  round(sum(abs(p - q)) / 2, 6) AS tvd,
-        |  count(*) AS n_cats
-        |FROM f""".stripMargin,
-
-    // two-sample KS mirror: cumulative counts over the distinct length
-    // frame; single division per value, then max |F_a − F_b|
-    "q223_ks_lengths" ->
-      """WITH c AS (SELECT n_chars AS v,
-        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
-        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
-        |  FROM documents
-        |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
-        |  GROUP BY 1),
-        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
-        |    CAST(sum(cb) AS BIGINT) AS nb FROM c),
-        |cum AS (SELECT
-        |    CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) / na AS fa,
-        |    CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) / nb AS fb,
-        |    na, nb FROM c, tot)
-        |SELECT round(max(abs(fa - fb)), 6) AS ks_d,
-        |  max(na) AS n_a, max(nb) AS n_b, count(*) AS n_values
-        |FROM cum""".stripMargin,
-
-    // shard publication mirror: the same md5-derived hash with the
-    // seed folded in, mod 8; seq = hash rank within the shard
-    "q224_publish_shards" ->
-      s"""WITH h AS (SELECT doc_id,
-         |    ${hash60Sql("'7:' || CAST(doc_id AS VARCHAR)")} AS hv
-         |  FROM documents)
-         |SELECT CAST(hv % 8 AS INT) AS shard,
-         |  CAST(row_number() OVER (PARTITION BY hv % 8
-         |    ORDER BY hv, doc_id) AS INT) AS seq,
-         |  doc_id
-         |FROM h ORDER BY shard, seq""".stripMargin,
-
-    // drift-matrix mirror: the same shared-support decomposition
-    // (category equi-join + per-source totals; disjoint-pair extremes
-    // from the all-pairs left join)
-    "q227_drift_matrix" ->
-      """WITH terms AS (SELECT source AS src,
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS cat
-        |  FROM documents WHERE source IS NOT NULL),
-        |c AS (SELECT src, cat, count(*) AS cc FROM terms GROUP BY 1, 2),
-        |tot AS (SELECT src, CAST(sum(cc) AS BIGINT) AS n FROM c GROUP BY 1),
-        |f AS (SELECT c.src, c.cat, CAST(c.cc AS DOUBLE) / t.n AS p
-        |  FROM c JOIN tot t ON c.src = t.src),
-        |sh AS (SELECT a.src AS src_a, b.src AS src_b,
-        |    sum(a.p * ln(a.p / ((a.p + b.p) / 2)) / 2 +
-        |        b.p * ln(b.p / ((a.p + b.p) / 2)) / 2) AS jsS,
-        |    sum((a.p - b.p) * ln(a.p / b.p)) AS psi0,
-        |    sum(abs(a.p - b.p)) AS tvdS,
-        |    sum(a.p) AS sp, sum(b.p) AS sq, count(*) AS ns
-        |  FROM f a JOIN f b ON a.cat = b.cat AND a.src < b.src
-        |  GROUP BY 1, 2),
-        |ap AS (SELECT ta.src AS src_a, tb.src AS src_b
-        |  FROM tot ta, tot tb WHERE ta.src < tb.src),
-        |om AS (SELECT src_a, src_b, jsS, psi0, tvdS, ns,
-        |    greatest(0, 2 - coalesce(sp, 0) - coalesce(sq, 0)) AS only_m
-        |  FROM ap LEFT JOIN sh USING (src_a, src_b))
-        |SELECT src_a, src_b,
-        |  round(coalesce(jsS, 0) + only_m * ln(2) / 2, 6) AS js_nats,
-        |  round(coalesce(psi0, 0), 6) AS psi,
-        |  round((coalesce(tvdS, 0) + only_m) / 2, 6) AS tvd,
-        |  CAST(coalesce(ns, 0) AS BIGINT) AS n_shared
-        |FROM om ORDER BY src_a, src_b""".stripMargin,
-
-    // binned-PSI mirror: the same CASE bins, then the q222 metric SQL
-    "q228_binned_psi" ->
-      """WITH b AS (SELECT CASE
-        |    WHEN n_chars >= 0 AND n_chars <= 100 THEN 1
-        |    WHEN n_chars > 100 AND n_chars <= 200 THEN 2
-        |    WHEN n_chars > 200 AND n_chars <= 300 THEN 3
-        |    WHEN n_chars > 300 AND n_chars <= 400 THEN 4
-        |    WHEN n_chars > 400 AND n_chars <= 500 THEN 5
-        |    WHEN n_chars > 500 AND n_chars <= 600 THEN 6 END AS bin,
-        |    source FROM documents WHERE source IN ('src0', 'src1')),
-        |c AS (SELECT bin,
-        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
-        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
-        |  FROM b WHERE bin IS NOT NULL GROUP BY 1),
-        |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
-        |    CAST(sum(cb) AS DOUBLE) AS nb FROM c),
-        |f AS (SELECT CAST(ca AS DOUBLE) / na AS p,
-        |    CAST(cb AS DOUBLE) / nb AS q, ca, cb FROM c, tot)
-        |SELECT
-        |  round(sum(
-        |    (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2)) / 2
-        |      ELSE 0 END) +
-        |    (CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2)) / 2
-        |      ELSE 0 END)), 6) AS js_nats,
-        |  round(sum(CASE WHEN ca > 0 AND cb > 0
-        |    THEN (p - q) * ln(p / q) ELSE 0 END), 6) AS psi,
-        |  round(sum(abs(p - q)) / 2, 6) AS tvd,
-        |  count(*) AS n_cats
-        |FROM f""".stripMargin,
-
-    // KS-matrix mirror: the same densified grid + per-source ECDF
-    "q229_ks_matrix" ->
-      """WITH c AS (SELECT source AS src, n_chars AS v, count(*) AS cc
-        |  FROM documents
-        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT src, CAST(sum(cc) AS BIGINT) AS n FROM c GROUP BY 1),
-        |grid AS (SELECT v, src, n FROM (SELECT DISTINCT v FROM c), tot),
-        |dense AS (SELECT g.src, g.v, g.n, coalesce(c.cc, 0) AS cc
-        |  FROM grid g LEFT JOIN c ON c.src = g.src AND c.v = g.v),
-        |ecdf AS (SELECT src, v, n,
-        |    CAST(sum(cc) OVER (PARTITION BY src ORDER BY v) AS DOUBLE) / n
-        |      AS f
-        |  FROM dense)
-        |SELECT a.src AS src_a, b.src AS src_b,
-        |  round(max(abs(a.f - b.f)), 6) AS ks_d,
-        |  CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b
-        |FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.src < b.src
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // rejection-attribution mirror: the q200 scoring blocks (hash
-    // buckets + weight table), dedup rank over ALL docs (gates are
-    // flagged independently; attribution order is the CASE chain)
-    "q230_rejection_reasons" ->
-      s"""WITH ${scorerCtesSql},
-         |fp AS (SELECT d0.doc_id, d0.source, d0.lang, us.units,
-         |    row_number() OVER (PARTITION BY md5(d0.text),
-         |      (d0.lang = 'en' AND coalesce(us.units > 0, FALSE))
-         |      ORDER BY d0.doc_id) AS rn
-         |  FROM d0 LEFT JOIN us USING (doc_id))
-         |SELECT source,
-         |  CASE WHEN NOT coalesce(lang = 'en', FALSE) THEN 'lang'
-         |    WHEN NOT coalesce(units > 0, FALSE) THEN 'quality'
-         |    WHEN NOT coalesce(rn = 1, FALSE) THEN 'duplicate'
-         |    ELSE 'kept' END AS reason,
-         |  count(*) AS n
-         |FROM fp GROUP BY 1, 2 ORDER BY source, reason""".stripMargin,
-
-    // FAString niche byte-ops: char as bounded substr, index_any_of as
-    // the length of the leading non-matching run, substr_char_stop via
-    // instr — all 0/-1 conventions mirror rt_str.py
-    "q231_fastring" ->
-      """SELECT doc_id,
-        |  substr(text, 1, 1) AS c0,
-        |  CASE WHEN length(text) >= 1
-        |    THEN substr(text, length(text), 1) ELSE '' END AS clast,
-        |  CASE WHEN length(text) > 9999
-        |    THEN substr(text, 10000, 1) ELSE '' END AS coob,
-        |  CAST(CASE WHEN length(regexp_extract(text, '^[^aeiou]*'))
-        |      = length(text) THEN -1
-        |    ELSE length(regexp_extract(text, '^[^aeiou]*'))
-        |    END AS BIGINT) AS vowel_idx,
-        |  CAST(CASE WHEN length(regexp_extract(text, '^[^zq!]*'))
-        |      = length(text) THEN -1
-        |    ELSE length(regexp_extract(text, '^[^zq!]*'))
-        |    END AS BIGINT) AS rare_idx,
-        |  CASE WHEN instr(text, ' ') = 0 THEN text
-        |    ELSE substr(text, 1, instr(text, ' ') - 1) END AS first_word,
-        |  CASE WHEN instr(text, ' ') = 0 THEN text
-        |    ELSE substr(text, 1, instr(text, ' ')) END AS first_word_sp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // full BPE replay: the same 10 merge rounds unrolled as chained
-    // CTEs — per round, pair counts over the symbol lists, the
-    // (count desc, pair asc) argmax, and the boundary-bracketed
-    // replace that IS the merge application
-    "q225_bpe_merges" ->
-      s"""WITH ${bpeCtes(10)}
-         |SELECT * FROM (${(1 to 10).map(r =>
-             s"SELECT $r AS round, l AS lhs, r AS rhs, l || r AS merged, " +
-               s"c AS cnt FROM b$r").mkString("\n  UNION ALL ")})
-         |ORDER BY round""".stripMargin,
-
-    // subword histogram under the learned cascade: unnest the final
-    // round's segmentations, weight by word count. (Assumes ≥10 viable
-    // merge rounds — true of every driver corpus; on an exhausted
-    // corpus w10 would be empty while the engine still segments with
-    // the k<10 learned merges. BpeSpec covers exhaustion directly.)
-    "q226_bpe_segments" ->
-      s"""WITH ${bpeCtes(10)}
-         |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
-         |  SELECT unnest(string_split(trim(sym, chr(1)),
-         |    chr(1) || chr(1))) AS token, cnt FROM w10)
-         |GROUP BY 1 ORDER BY token""".stripMargin
-  )
-
-  /** DuckDB replay of `Bpe.bpeMerges`' driver loop, unrolled: `w0` is
-    * the U+0001-bracketed character segmentation of the ASCII-printable
-    * word-frequency table; each round r computes pair counts `p{r}`,
-    * the deterministic argmax `b{r}` (≥2 occurrences, ties to the
-    * lexicographically least pair), and the merged table `w{r}`. An
-    * exhausted round leaves `b{r}` empty, which empties every later
-    * `w`/`b` — exactly the Scala loop's early stop.
-    */
-  private def bpeCtes(rounds: Int): String = {
-    // DOUBLE chr(1) separators (ss below): the merge pattern takes only
-    // the INNER separator of each boundary, leaving the outer one for
-    // the adjacent occurrence — one non-overlapping replace sweep ≡
-    // sequential leftmost BPE (see Bpe.scala's representation note)
-    val head =
-      s"""wf AS (SELECT w, count(*) AS cnt FROM (
-         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-         |    FROM documents)
-         |  WHERE len(w) > 0 AND regexp_matches(w, '^[ -~]+$$') GROUP BY 1),
-         |w0 AS (SELECT chr(1) || chr(1) || array_to_string(
-         |    list_filter(string_split(w, ''), x -> x <> ''),
-         |    chr(1) || chr(1)) || chr(1) || chr(1) AS sym, cnt
-         |  FROM wf)""".stripMargin
-    val steps = (1 to rounds).map { r =>
-      s"""p$r AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c
-         |  FROM (SELECT unnest(list_transform(range(1, len(t)),
-         |      i -> struct_pack(l := t[i], r := t[i+1]))) AS pr, cnt
-         |    FROM (SELECT string_split(trim(sym, chr(1)),
-         |        chr(1) || chr(1)) AS t, cnt FROM w${r - 1}))
-         |  GROUP BY 1, 2 HAVING sum(cnt) >= 2),
-         |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-         |w$r AS (SELECT replace(sym,
-         |    chr(1) || l || chr(1) || chr(1) || r || chr(1),
-         |    chr(1) || l || r || chr(1)) AS sym, cnt FROM w${r - 1}, b$r)"""
-        .stripMargin
-    }
-    (head +: steps).mkString(",\n")
-  }
-
-  /** DuckDB replay of the PQ pipeline (hash-sampled codebooks → argmin
-    * codes → s-ordered ADC fold → per-query top-5) — shared by q206
-    * (pqTopK) and q213 (ivfPqTopK at full probe, where the IVF routing
-    * is semantically the identity). */
-  private def pqAnnOracle: String =
-      s"""WITH hv AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |    ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS hh
-         |  FROM embeddings),
-         |cb AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1
-         |    AS INT) AS w, v AS cv
-         |  FROM hv ORDER BY hh, vec_id LIMIT 16),
-         |sd AS (SELECT CAST(s AS BIGINT) AS s FROM range(4) t(s)),
-         |d2 AS (SELECT hv.vec_id, s, w,
-         |    list_sum(list_transform(range(1, 17), i ->
-         |      (v[s * 16 + i] - cv[s * 16 + i])
-         |        * (v[s * 16 + i] - cv[s * 16 + i]))) AS d
-         |  FROM hv, sd, cb),
-         |enc AS (SELECT vec_id, s, w FROM (
-         |    SELECT vec_id, s, w, row_number() OVER (
-         |      PARTITION BY vec_id, s ORDER BY d, w) AS rn FROM d2)
-         |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM hv WHERE vec_id < 3),
-         |part AS (SELECT q.qid, e.vec_id, e.s,
-         |    list_sum(list_transform(range(1, 17), i ->
-         |      (qv[e.s * 16 + i] - cv[e.s * 16 + i])
-         |        * (qv[e.s * 16 + i] - cv[e.s * 16 + i]))) AS ds
-         |  FROM q, enc e JOIN cb ON e.w = cb.w
-         |  WHERE e.vec_id <> q.qid),
-         |dist AS (SELECT qid, vec_id,
-         |    list_sum(list(ds ORDER BY s)) AS d
-         |  FROM part GROUP BY qid, vec_id),
-         |rk AS (SELECT qid, vec_id, d, row_number() OVER (
-         |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-         |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
-         |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
+    QueryShared.q1(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCore.m ++ QueriesTpch.m ++ QueriesTime.m ++ QueriesDedup.m ++
+      QueriesSim.m ++ QueriesText.m ++ QueriesCurate.m
+
+  def oracleSql: Map[String, String] =
+    OraclesCore.m ++ OraclesTpch.m ++ OraclesTime.m ++ OraclesDedup.m ++
+      OraclesSim.m ++ OraclesText.m ++ OraclesCurate.m
 }

@@ -1,0 +1,261 @@
+package graft
+
+/** DuckDB oracle SQL paired 1:1 with `QueriesSim.m` — embedding similarity: ANN (brute/LSH/IVF/SQ8/PQ), near-dup, covariance/PCA.
+  * Column names/types mirror the Spark side exactly (driver hash gate).
+  */
+private[graft] object OraclesSim {
+  import OracleSqlHelpers._
+
+  def m: Map[String, String] = Map(
+
+    "q31_ann_brute" -> annBruteOracle,
+
+    // IVF probing ALL centroids (nprobe = nCentroids = 8, q82) considers
+    // every corpus vector, so its output is exactly the brute-force top-k:
+    // the same oracle verifies the whole IVF pipeline (assignment, probe
+    // routing, inverted-list join) end to end. Pruned-probe recall
+    // (nprobe < nCentroids) is covered separately by ScaleSpec.
+    "q82_ann_ivf" -> annBruteOracle,
+
+    "q48_ann_lsh" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    (CASE WHEN ${lshProjSql("embedding", 0)} > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN ${lshProjSql("embedding", 1)} > 0 THEN 2 ELSE 0 END
+         |     + CASE WHEN ${lshProjSql("embedding", 2)} > 0 THEN 4 ELSE 0 END
+         |     + CASE WHEN ${lshProjSql("embedding", 3)} > 0 THEN 8 ELSE 0 END)
+         |    AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    ${cosineSql("c.embedding", "q.embedding")} AS cosine
+         |  FROM sig c JOIN sig q ON c.bucket = q.bucket
+         |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT qid, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q108_embed_neardup" -> {
+      val bitSum = (0 until 8).map(p =>
+        s"(CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sig AS (SELECT vec_id, embedding, ($bitSum) AS s
+         |  FROM embeddings),
+         |bands AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
+         |  unnest([0, 1]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bandval = b.bandval AND a.vec_id < b.vec_id),
+         |scored AS (SELECT ia, ib,
+         |  ${cosineSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand JOIN sig ea ON cand.ia = ea.vec_id
+         |  JOIN sig eb ON cand.ib = eb.vec_id)
+         |SELECT ia AS id_a, ib AS id_b, round(cos, 6) AS cosine
+         |FROM scored WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q140_ann_multiprobe" -> {
+      val bits = 6
+      val bucket = (0 until bits).map(p =>
+        s"CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val probeSet = (0L +: (0 until bits).map(i => 1L << i)).mkString(", ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    ${cosineSql("c.embedding", "q.embedding")} AS cosine
+         |  FROM sig c JOIN sig q
+         |    ON xor(CAST(c.bucket AS BIGINT), CAST(q.bucket AS BIGINT))
+         |       IN ($probeSet)
+         |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT qid, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
+
+    "q170_prototype_prune" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |d AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS v FROM e),
+        |c AS (SELECT label, i, avg(CAST(v AS DOUBLE)) AS m
+        |  FROM d GROUP BY 1, 2),
+        |cent AS (SELECT label, list(m ORDER BY i) AS cvec FROM c GROUP BY 1),
+        |s AS (SELECT vec_id, e.label AS label,
+        |  ${cosineSql("e.embedding", "cent.cvec")} AS cos
+        |  FROM e JOIN cent ON e.label = cent.label),
+        |r AS (SELECT vec_id, label, cos,
+        |  row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id)
+        |    AS rk,
+        |  count(*) OVER (PARTITION BY label) AS n FROM s)
+        |SELECT vec_id, label, round(cos, 6) AS cos_centroid,
+        |  rk <= floor(n * 0.25) AS prunable
+        |FROM r ORDER BY vec_id""".stripMargin,
+
+    "q174_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT e.vec_id, e.label, dup.vec_id IS NOT NULL AS sem_dup
+         |FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+
+    // SQ8 mirror: identical grid learn → quantize → reconstruct → cosine
+    // arithmetic in the same element order; codes are exact integers on
+    // both engines, so the ranking reproduces bit-for-bit.
+    "q175_sq8_ann" ->
+      s"""WITH st AS (
+         |  SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+         |  FROM (SELECT unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v FROM embeddings)
+         |  GROUP BY i),
+         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM st),
+         |rec AS (
+         |  SELECT vec_id, list_transform(range(1, len(embedding) + 1), i ->
+         |    CASE WHEN mxs[i] > mns[i] THEN
+         |      mns[i] + (LEAST(GREATEST(floor(
+         |        (CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i])
+         |          * 255 + 0.5), 0), 255) / 255) * (mxs[i] - mns[i])
+         |    ELSE mns[i] END) AS rv
+         |  FROM embeddings, mm),
+         |q AS (SELECT vec_id AS qid, rv AS qv FROM rec WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id, ${cosineSql("c.rv", "q.qv")} AS cosine
+         |  FROM rec c, q WHERE c.vec_id <> q.qid),
+         |ranked AS (SELECT qid, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS approx_cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q178_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id, c.label,
+         |    ${cosineSql("c.embedding", "q.qv")} AS cosine
+         |  FROM embeddings c, q WHERE c.label <> q.ql),
+         |ranked AS (SELECT qid, vec_id, label, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS negative_id, label AS negative_label,
+         |  round(cosine, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // q175's SQ8 body widened to a 20-deep shortlist, then re-ranked by
+    // EXACT double cosine on the raw float vectors (mirrors
+    // Similarity.cosine's element order and casts)
+    "q181_sq8_rerank" ->
+      s"""WITH st AS (
+         |  SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+         |  FROM (SELECT unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v FROM embeddings)
+         |  GROUP BY i),
+         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM st),
+         |rec AS (
+         |  SELECT vec_id, list_transform(range(1, len(embedding) + 1), i ->
+         |    CASE WHEN mxs[i] > mns[i] THEN
+         |      mns[i] + (LEAST(GREATEST(floor(
+         |        (CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i])
+         |          * 255 + 0.5), 0), 255) / 255) * (mxs[i] - mns[i])
+         |    ELSE mns[i] END) AS rv
+         |  FROM embeddings, mm),
+         |q AS (SELECT vec_id AS qid, rv AS qv FROM rec WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id, ${cosineSql("c.rv", "q.qv")} AS ac
+         |  FROM rec c, q WHERE c.vec_id <> q.qid),
+         |ranked AS (SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY ac DESC, vec_id) AS rnk FROM scored),
+         |short AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 20),
+         |ex AS (SELECT s.qid, s.vec_id,
+         |    ${cosineSql("c.embedding", "qe.embedding")} AS cosine
+         |  FROM short s JOIN embeddings c ON c.vec_id = s.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = s.qid),
+         |rr AS (SELECT qid, vec_id, cosine,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rnk FROM ex)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM rr WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // covariance mirror in covMoments' INTEGER units: each per-row
+    // term floored to 1e-9 units and summed as exact integers (long
+    // sums are associative — both engines reduce to the SAME integers
+    // regardless of partition order), then the identical divide shape
+    // (x/1e9)/n. round(6) then sees bit-identical doubles on both
+    // sides, so the hash compare is exact, not "usually within ulp".
+    "q197_cov_matrix" ->
+      """WITH d AS (SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT i, sum(CAST(floor(v * 1e9) AS BIGINT)) AS s,
+        |  count(*) AS n FROM d GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |  sum(CAST(floor(a.v * b.v * 1e9) AS BIGINT)) AS sp,
+        |  count(*) AS n FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2)
+        |SELECT p.i, p.j,
+        |  round((sp / 1e9) / p.n
+        |    - ((ma.s / 1e9) / ma.n) * ((mb.s / 1e9) / mb.n), 6) + 0.0 AS cov
+        |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+        |ORDER BY p.i, p.j""".stripMargin,
+
+    // PCA mirror: the SAME 6-dp-rounded covariance, then the identical
+    // fixed-iteration recurrence w ← C·w as a recursive CTE (list_sum
+    // sums in list order = the driver loop's ascending-j order, so the
+    // iterate is bit-reproducible), one normalization at the end, and
+    // the dotSql-ordered projection. dim = 64 (testdata contract; the
+    // SchemaDriftSpec tripwire pins it).
+    "q198_pca_project" ->
+      """WITH RECURSIVE d AS (SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT i, sum(CAST(floor(v * 1e9) AS BIGINT)) AS s,
+        |  count(*) AS n FROM d GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |  sum(CAST(floor(a.v * b.v * 1e9) AS BIGINT)) AS sp,
+        |  count(*) AS n FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2),
+        |cov AS (SELECT p.i, p.j,
+        |  round((sp / 1e9) / p.n
+        |    - ((ma.s / 1e9) / ma.n) * ((mb.s / 1e9) / mb.n), 6) + 0.0 AS c
+        |  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j),
+        |crow AS (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY 1),
+        |cmat AS (SELECT list(row ORDER BY i) AS mm FROM crow),
+        |it AS (
+        |  SELECT 0 AS t,
+        |    list_transform(range(1, 65), x -> 1.0 / sqrt(64.0)) AS w
+        |  UNION ALL
+        |  SELECT t + 1,
+        |    list_transform(range(1, 65), i ->
+        |      list_sum(list_transform(range(1, 65), j -> mm[i][j] * w[j])))
+        |  FROM it, cmat WHERE t < 20),
+        |wf AS (SELECT w FROM it WHERE t = 20),
+        |wn AS (SELECT list_transform(w, x ->
+        |  x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS w FROM wf)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CAST(embedding[i] AS DOUBLE) * w[i])), 6) + 0.0 AS pc1
+        |FROM embeddings, wn ORDER BY vec_id""".stripMargin,
+
+    // full PQ replay: hash-ranked codebook sample → per-subspace argmin
+    // encode (ties to the lowest codeword) → ADC distance as an
+    // s-ordered list_sum, mirroring pqTopK's fold order bit-for-bit
+    "q206_pq_ann" -> pqAnnOracle,
+
+    // IVF-PQ with nprobe = nCentroids: routing prunes nothing, so the
+    // composed index must reproduce the pure-PQ ADC ranking exactly —
+    // one oracle checks codebooks, codes, routing join, and ADC
+    "q213_ivfpq_ann" -> pqAnnOracle
+  )
+}

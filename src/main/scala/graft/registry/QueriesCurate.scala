@@ -1,0 +1,379 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions._
+import graft.syntax._
+
+/** Query registry — curation at scale: mixing, splits, sketches, quantiles, drift, packing, funnels.
+  * One entry per SURVEY §2 operator family member; names pair 1:1 with
+  * `OraclesCurate.m` (driver contract: SparkEntry.queries/oracleSql).
+  */
+private[graft] object QueriesCurate {
+  import QueryShared._
+
+  def m: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q114_hash_sample" -> ((s, dir) =>
+      // deterministic stratified downsample: 5 rows per event_type in
+      // portable-hash order (no RNG — reproducible across engines)
+      Split.sampleKPerGroup(t(s, dir, "events"), "event_id",
+        Seq("event_type"), 5)
+        .select(col("event_type"), col("event_id"))
+        .orderBy(col("event_type"), col("event_id"))),
+
+    "q113_hash_split" -> ((s, dir) => {
+      // deterministic 80/20 train/test split on a portable id hash —
+      // same assignment on any engine/cluster (no RNG, no seed plumbing)
+      val split = Split.trainTest(t(s, dir, "documents"), "doc_id", 80)
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
+
+    // Deterministic weighted sampling (Efraimidis–Spirakis with the RNG
+    // replaced by the portable id hash): longer docs proportionally more
+    // likely; same winners on any engine — top-k plan, no global sort
+    "q129_weighted_sample" -> ((s, dir) =>
+      Split.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic corpus mixing to target source proportions: src0
+    // upweighted to 30%, src1 to 20%, the rest sharing 50% — per-source
+    // hash-order budgets, no RNG, reproducible on any engine
+    "q131_corpus_mix" -> ((s, dir) => {
+      val rest = (2 to 19).map(i => s"src$i" -> (0.5 / 18)).toMap
+      Curate.mixSample(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.3, "src1" -> 0.2) ++ rest, k = 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
+    // Sequential sequence packing: docs (per source, in id order) into
+    // ~500-token training sequences via exclusive-prefix-sum bucketing —
+    // the map-side streaming shape of an LLM loader's packer
+    "q132_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("tokens", TextFns.tokenCount(col("text")).cast("long"))
+      Curate.packSequences(docs, Seq("source"), Seq(col("doc_id")),
+        "tokens", budget = 500L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tot_tokens"))
+        .orderBy(col("source"), col("pack_id"))
+    }),
+
+    // Curation funnel: per-source survival counts through the standard
+    // filter cascade (length band, quality, english-signal) in ONE
+    // conditional-sum aggregate — not one pass per stage
+    "q133_curation_funnel" -> ((s, dir) =>
+      Curate.funnel(t(s, dir, "documents"), Seq("source"), Seq(
+        "len" -> col("n_chars").between(50, 10000),
+        "quality" -> (TextFns.qualityScore(col("text")) >= 0.5),
+        "en" -> (TextFns.langScore(col("text"), "en") >= 1)))
+        .orderBy(col("source"))),
+
+    // Temperature-scaled (α-sampling) source mixing: α=0.5 flattening,
+    // 30% global budget; output per-source kept count + id checksum so
+    // the SELECTION is verified, not just the budget arithmetic.
+    "q182_temperature_mix" -> ((s, dir) =>
+      Curate.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
+        alpha = 0.5, frac = 0.3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))),
+
+    // RAG/pre-training chunker: 200-char windows, 50-char overlap; the
+    // md5 column checks every chunk's exact CONTENT, not just counts.
+    "q183_chunking" -> ((s, dir) =>
+      Curate.chunkDocs(t(s, dir, "documents"), "doc_id", "text", 200, 50)
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Leakage-safe 80/20 split: the split unit is the near-dup cluster
+    // (jaccard ≥ 0.5 components), so dup pairs can never straddle the
+    // train/test cut; id_sum verifies the exact assignment.
+    "q186_leakage_split" -> ((s, dir) =>
+      Split.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+        80, 3, 0.5)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))),
+
+    // KMV distinct-count sketch: per-source distinct-shingle estimate
+    // from the 64 smallest portable hashes — deterministic, so the
+    // ESTIMATE itself is oracle-checked (HLL can't be), next to exact.
+    "q187_kmv_distinct" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").select(col("source"),
+        explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
+      // kmvWithExact shares ONE explode+distinct pass between the
+      // exact count and the sketch (was 2 full passes — bench 4.3 s).
+      Sketch.kmvWithExact(sh, Seq("source"), col("sh"), 64)
+        .select(col("source"), col("n_exact"), col("distinct_est"),
+          col("sketch_size"))
+        .orderBy(col("source"))
+    }),
+
+    // Count–Min heavy hitters: the corpus's 10 most frequent tokens
+    // with exact count AND the deterministic 4×1024 CM estimate —
+    // overshoot observable, sketch oracle-checked (like q187's KMV).
+    "q192_countmin_hh" -> ((s, dir) =>
+      Sketch.countMinTopK(
+        t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("tok")),
+        col("tok"), d = 4, w = 1024, topK = 10)
+        .orderBy(col("rank"))),
+
+    // Mergeable histogram quantiles (the sketch family's third member)
+    // beside the EXACT percentile — estimate AND its error both
+    // oracle-checked; one-bin-width error bound observable.
+    // exact side = histogram-REFINEMENT quantiles (no single-reducer
+    // value buffer like Spark's percentile — the 100-TB exact path)
+    "q196_hist_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val exact = Sketch.exactQuantiles(li, col("l_extendedprice"), qs)
+        .select(col("q"), round(col("exact_val"), 6).as("exact_val"))
+      Sketch.histQuantiles(li, col("l_extendedprice"), 256, qs)
+        .join(exact, Seq("q"))
+        .select(col("q"), col("hist_est"), col("exact_val"))
+        .orderBy(col("q"))
+    }),
+
+    // Per-group heavy hitters: an independent CM sketch + exact top-5
+    // per source — the per-domain vocabulary shape.
+    "q199_countmin_by_source" -> ((s, dir) =>
+      Sketch.countMinTopKBy(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextFns.tokens(col("text"))).as("tok")),
+        Seq("source"), col("tok"), d = 4, w = 1024, topK = 5)
+        .orderBy(col("source"), col("rank"))),
+
+    // Flagship composition: the full curation funnel a corpus team
+    // actually runs — NFC → language gate → model-based quality gate →
+    // exact dedup keep-first → per-source cap via the skew-safe
+    // hash-threshold selection — with per-stage counts AND the final
+    // selection identity-checked (id_sum), end to end in ONE plan.
+    "q200_curation_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("lang"), TextFns.nfc(col("text")).as("text"))
+      val d1 = d0.filter(col("lang") === "en")
+      val pass = Curate.hashedLinearScore(d1, "doc_id", "text", 4096)
+        .filter(col("score_units") > 0).select(col("doc_id"))
+      val d2 = d1.join(pass, Seq("doc_id"))
+      val wf = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      val d3 = d2.withColumn("__fp", md5(col("text")))
+        .withColumn("__rn", row_number().over(wf))
+        .filter(col("__rn") === 1).drop("__fp", "__rn")
+      val budgets = d3.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+        .withColumn("__budget", least(lit(20L), col("__n")))
+      val d4 = Curate.selectSmallestByHash(d3, "doc_id", "source", budgets)
+      def cnt(df: DataFrame, n: String) =
+        df.groupBy(col("source")).agg(count(lit(1)).as(n))
+      cnt(d0, "n_raw")
+        .join(cnt(d1, "n_en"), Seq("source"), "left")
+        .join(cnt(d2, "n_quality"), Seq("source"), "left")
+        .join(cnt(d3, "n_dedup"), Seq("source"), "left")
+        .join(d4.groupBy(col("source")).agg(count(lit(1)).as("n_final"),
+          sum(col("doc_id")).as("id_sum")), Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_en"), lit(0L)).as("n_en"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // Z-ordered sink round-trip: events laid out Morton-interleaved on
+    // (user_id, value) so BOTH dimensions carry tight per-file
+    // min/max envelopes (IoSpec measures the pruning); the multi-dim
+    // predicate + aggregate must be layout-invariant vs the oracle's
+    // direct scan.
+    // Per-source histogram quantiles beside the per-source EXACT
+    // percentile — the grouped-sketch matrix closes (KMV, CM, and
+    // quantiles all have grouped forms).
+    "q202_hist_quantiles_by" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = Seq(0.5, 0.9)
+      val qArr = array(qs.map(lit): _*)
+      val exact = docs.groupBy(col("source"))
+        .agg(percentile(col("n_chars"), qArr).as("__ex"))
+        .select(col("source"), posexplode(col("__ex")).as(Seq("__i", "__ev")))
+        .select(col("source"), element_at(qArr, col("__i") + 1).as("q"),
+          round(col("__ev"), 6).as("exact_val"))
+      Sketch.histQuantilesBy(docs, Seq("source"), col("n_chars"), 64, qs)
+        .join(exact, Seq("source", "q"))
+        .select(col("source"), col("q"), col("hist_est"), col("exact_val"))
+        .orderBy(col("source"), col("q"))
+    }),
+
+    // Quality-classifier gate: tie-aware ROC-AUC of doc length as a
+    // predictor of lang=='en' (discrete score → exact average ranks).
+    "q203_roc_auc" -> ((s, dir) =>
+      functions.Stats.rocAuc(t(s, dir, "documents"),
+        col("n_chars"), (col("lang") === "en").cast("int"))),
+
+    // UniMax token-budget allocation: 2-epoch cap per source, total
+    // budget = 40% of corpus tokens, remainder water-fills uniformly.
+    "q204_unimax_mix" -> ((s, dir) =>
+      Curate.unimaxBudgets(t(s, dir, "documents"), "source",
+          col("n_chars"), epochCap = 2.0, budgetFrac = 0.4)
+        .orderBy(col("source"))),
+
+    // Robust length-outlier screen: per-source median/MAD of n_chars,
+    // count of docs beyond 3 MADs.
+    "q205_mad_outliers" -> ((s, dir) =>
+      functions.Stats.madOutliers(t(s, dir, "documents"), Seq("source"),
+          "n_chars", k = 3.0)
+        .orderBy(col("source"))),
+
+    // grouped EXACT quantiles without per-group value buffers — the
+    // skew-safe replacement for groupBy().agg(percentile(...))
+    "q207_exact_quantiles_by" -> ((s, dir) =>
+      Sketch.exactQuantilesBy(t(s, dir, "documents"), Seq("source"),
+          col("n_chars"), Seq(0.5, 0.95), bins = 64)
+        .select(col("source"), col("q"),
+          round(col("exact_val"), 6).as("exact_val"))
+        .orderBy(col("source"), col("q"))),
+
+    // cross-source score calibration: within-source percentile rank
+    // (skew-safe — the corpus never sorts per source; the distinct-
+    // score frame does)
+    "q208_score_calibration" -> ((s, dir) =>
+      Curate.calibrateScores(t(s, dir, "documents"), "source",
+          col("n_chars"))
+        .select(col("doc_id"), col("source"),
+          round(col("calibrated"), 6).as("calibrated"))
+        .orderBy(col("doc_id"))),
+
+    // token-mass quantiles: the doc length below which a q-fraction of
+    // the corpus CHARACTERS sit, per source (weighted quantiles)
+    "q209_weighted_quantiles" -> ((s, dir) =>
+      Sketch.weightedQuantilesBy(t(s, dir, "documents"), Seq("source"),
+          col("n_chars"), col("n_chars"), Seq(0.25, 0.5, 0.9), bins = 64)
+        .select(col("source"), col("q"), round(col("wq"), 6).as("wq"))
+        .orderBy(col("source"), col("q"))),
+
+    "q201_zorder_scan" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_zord_${dir.replaceAll("[^0-9.]", "")}"
+      Tables.writeZOrdered(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("value")),
+        Seq("user_id", "value"), tmp, nFiles = 8)
+      s.read.parquet(tmp)
+        .filter(col("user_id").between(100, 300)
+          && col("value").between(10.0, 60.0))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_v"),
+          sum(col("event_id")).as("id_sum"))
+    }),
+
+    // Seeded-sample shim (FastArray.sample(seed), rt_fastarray.py:1827):
+    // the seed folds into the portable hash, so the SAMPLE ITSELF is
+    // oracle-checkable row for row — the deterministic replacement for
+    // engine RNG documented in README.
+    "q212_seeded_sample" -> ((s, dir) =>
+      Split.sampleSeeded(t(s, dir, "documents"), "doc_id", 0.25, seed = 42L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus drift: JS divergence / PSI / TVD between src0's and src1's
+    // TOKEN distributions — "did this crawl shift against the last
+    // one". One token-keyed hash aggregate + broadcast totals; the
+    // metric sums over the vocabulary frame, never the corpus.
+    "q222_drift_metrics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Drift.categoricalDrift(
+        docs.select(col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term")),
+        col("term"), col("source"), "src0", "src1")
+    }),
+
+    // Two-sample KS statistic on document length between src0 and
+    // src1 — the numeric-column drift twin of q222. The cumulative
+    // window runs over the DISTINCT length frame (domain-sized).
+    "q223_ks_lengths" -> ((s, dir) =>
+      Drift.ksStatistic(t(s, dir, "documents"), col("n_chars"),
+        col("source"), "src0", "src1")),
+
+    // Deterministic shard publication: hash-assigned shard + in-shard
+    // sequence — the reproducible global shuffle a trainer consumes.
+    // Checked row for row (md5-portable hash, q212 contract).
+    "q224_publish_shards" -> ((s, dir) =>
+      Drift.publishShards(t(s, dir, "documents"), "doc_id",
+          nShards = 8, seed = 7L)
+        .orderBy(col("shard"), col("seq"))),
+
+    // Pairwise drift matrix across ALL sources (the mixing-stage
+    // diagnostic): shared-support decomposition — one token-keyed
+    // count frame, one category equi-join (≤ k rows/side/category),
+    // never a full outer join per pair.
+    "q227_drift_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Drift.categoricalDriftMatrix(
+        docs.select(col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term")),
+        col("term"), col("source"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Fixed-bin PSI on a numeric column (the production continuous-
+    // drift gauge): codegen'd cut into reference bins, then the
+    // categorical metric path over the bins-sized frame.
+    "q228_binned_psi" -> ((s, dir) =>
+      Drift.binnedDrift(t(s, dir, "documents"), col("n_chars"),
+        col("source"), "src0", "src1",
+        Seq(0, 100, 200, 300, 400, 500, 600))),
+
+    // Pairwise KS matrix across sources (numeric twin of q227):
+    // densified union-value grid, per-source ECDF windows over the
+    // domain-sized frame, value-keyed pair join.
+    "q229_ks_matrix" -> ((s, dir) =>
+      Drift.ksMatrix(t(s, dir, "documents"), col("n_chars"), col("source"))
+        .orderBy(col("src_a"), col("src_b"))),
+
+    // Rejection attribution over the q200 gate sequence: every doc
+    // labeled with the FIRST gate that drops it (lang -> quality ->
+    // dedup keep-first AMONG survivors, matching the funnel's d3-on-d2
+    // rank), per-source breakdown. Context-dependent gates (score,
+    // first-occurrence) precompute as columns; attribution is one
+    // when-chain + one count aggregate. kept counts == q200 n_dedup.
+    "q230_rejection_reasons" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("lang"), TextFns.nfc(col("text")).as("text"))
+      val scored = Curate.hashedLinearScore(d0, "doc_id", "text")
+        .select(col("doc_id"), col("score_units"))
+      // LEFT join: a doc the scorer produced no row for (null/empty
+      // text -> zero tokens) must land in the quality bucket, not
+      // vanish from the breakdown
+      val passed = col("lang") === "en" &&
+        coalesce(col("score_units") > 0, lit(false))
+      // the funnel dedups AMONG gate survivors (q200's d3 ranks d2):
+      // partitioning the rank by the passed flag reproduces that —
+      // docs dropped earlier never occupy a survivor rank slot
+      val wf = Window.partitionBy(col("__fp"), passed)
+        .orderBy(col("doc_id"))
+      val flagged = d0.join(scored, Seq("doc_id"), "left")
+        .withColumn("__fp", md5(col("text")))
+        .withColumn("__rn", row_number().over(wf))
+      Curate.rejectionReasons(flagged, Seq("source"), Seq(
+          "lang" -> (col("lang") === "en"),
+          "quality" -> (col("score_units") > 0),
+          "duplicate" -> (col("__rn") === 1)))
+        .orderBy(col("source"), col("reason"))
+    })
+  )
+}

@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions._
+import graft.syntax._
+
+/** Query registry — deduplication: exact, MinHash/SimHash/LSH, n-gram jaccard, containment, spans, artifacts.
+  * One entry per SURVEY §2 operator family member; names pair 1:1 with
+  * `OraclesDedup.m` (driver contract: SparkEntry.queries/oracleSql).
+  */
+private[graft] object QueriesDedup {
+  import QueryShared._
+
+  def m: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q27_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("n_docs"), col("keep_id"))
+        .orderBy(col("keep_id"))),
+
+    "q28_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Full MinHash pipeline: banded LSH candidates → exact-jaccard verify.
+    // Output is signature-independent, so it oracles against the exact
+    // jaccard pair set. ACCEPTED RISK (deterministic, not flaky): banding
+    // at k=32/r=2 recalls a J=τ=0.8 pair w.p. 1−(1−J²)¹⁶ ≈ 1−8e-8; a
+    // miss would fail the gate at that SF reproducibly. Verified green at
+    // sf0.001/0.01/0.1 (28/25/≥25 pairs). Structural recall 1 is available
+    // via fullRecall=true (unions the prefix-filter candidates; asserted
+    // equal to the exact pair set in ScaleSpec) — this query leaves it
+    // off to keep the MinHash path itself under test.
+    "q29_minhash" -> ((s, dir) =>
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 32, rowsPerBand = 2, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // portableHash64 token hash → the signature itself is reproducible
+    // in DuckDB (md5-derived), so signatures oracle-check exactly.
+    "q30_simhash" -> ((s, dir) =>
+      Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text", "simhash",
+        Dedup.portableHash64)
+        .orderBy(col("doc_id"))),
+
+    // SimHash near-dup pairs at the distance the banding GUARANTEES
+    // (hamming ≤ 3 ⇒ one shared 16-bit band, pigeonhole). With the
+    // portable token hash the oracle recomputes signatures + banding
+    // exactly — output equality, not a recall gamble.
+    "q47_simhash_near" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, hashFn = Dedup.portableHash64)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash-banded candidates → exact-jaccard verify, portable hashes
+    // end to end: output = {pairs: hamming ≤ 3 ∧ J ≥ 0.5}, fully
+    // engine-reproducible (md5 simhash + shingle-set jaccard)
+    "q91_simhash_verified" -> ((s, dir) =>
+      Dedup.simhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, shingleN = 3, threshold = 0.5,
+        hashFn = Dedup.portableHash64)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Near-dup pairs → duplicate CLUSTERS: iterative min-label
+    // connected components (O(diameter) shuffle rounds, never the
+    // transitive closure). Oracle recomputes components via a
+    // recursive CTE over the exact jaccard pair set.
+    "q119_dup_clusters" -> ((s, dir) =>
+      Cluster.connectedComponents(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+        .orderBy(col("id"))),
+
+    // Per-doc boilerplate profile: share of shingles that are corpus-hot
+    // (df ≥ 10 docs) — the df-cap signal a scalable prefix index drops.
+    "q120_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateStats(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, dfCap = 10)
+        .orderBy(col("doc_id"))),
+
+    // Benchmark decontamination: train docs (source ≠ src0) sharing a
+    // distinct 5-gram with the eval set (source = src0), with counts.
+    "q121_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminatedDocs(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", shingleN = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup survivors: one kept doc per duplicate cluster (min id) with
+    // the cluster size — the "which rows survive dedup" answer, fed by
+    // the same CC labels as q119.
+    "q122_dedup_keep" -> ((s, dir) =>
+      Cluster.clusterRepresentatives(
+        Cluster.connectedComponents(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, threshold = 0.5)
+            .select(col("id_a"), col("id_b")),
+          "id_a", "id_b"))
+        .orderBy(col("keep_id"))),
+
+    // Edit-distance near-dup: PassJoin segment blocking (complete for
+    // dist ≤ 5 by pigeonhole) → banded Levenshtein verify. The oracle
+    // needs no blocking knowledge — plain all-pairs predicate.
+    "q128_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 5, prefixChars = 80)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q169_substring_dup" -> ((s, dir) =>
+      // Lee-et-al-style cross-document substring dedup: per doc, the
+      // fraction of its 8-token spans shared with another document.
+      operators.Dedup.substringDupStats(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+          col("dup_frac"))
+        .orderBy(col("doc_id"))),
+
+    // Near-dup clusters → keep the BEST-quality member per cluster
+    // (not min-id): jaccard pairs (shared registry frame with q119/q122)
+    // → connected components → per-cluster quality argmax.
+    "q176_cluster_rep_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cc = Cluster.connectedComponents(
+        Dedup.jaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      Cluster.clusterRepresentativesBy(cc,
+        docs.select(col("doc_id"),
+          TextFns.qualityScore(col("text")).as("quality")),
+        "doc_id", "quality")
+        .orderBy(col("cluster_id"))
+    }),
+
+    // Winnowing (MOSS) fingerprint overlap: char-8-gram hashes, window-4
+    // min sampling, cross-doc shared-fingerprint profile.
+    "q177_winnowing" -> ((s, dir) =>
+      Dedup.winnowDupStats(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4)
+        .orderBy(col("doc_id"))),
+
+    // Asymmetric containment (Broder): ordered pairs where ≥60% of
+    // id_a's shingles appear in id_b — quote/nested-doc detection that
+    // jaccard misses when sizes differ.
+    "q180_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Keep-first novelty attribution: fraction of each doc's shingles
+    // unseen in lower-id docs (marginal-content curve over ingest order).
+    "q184_novelty" -> ((s, dir) =>
+      Dedup.noveltyStats(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"))),
+
+    // Incremental crawl dedup: odd-id docs (the "new snapshot") checked
+    // for near-dups against even-id docs (the "index"); banded minhash
+    // + prefix full-recall → exact jaccard ≥ 0.5.
+    "q185_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusDupes(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_new"), col("id_old"))
+    }),
+
+    // Substring-dedup REMOVAL geometry (Lee et al. 2022): per doc, the
+    // interval UNION of its cross-doc-duplicated 8-token spans — the
+    // chars a span-level deduper would actually cut, not just the gram
+    // counts of q169.
+    "q194_dup_spans" -> ((s, dir) =>
+      operators.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id",
+        "text", k = 8)
+        .orderBy(col("doc_id"))),
+
+    // The removal itself: corpus with every duplicated span CUT —
+    // cleaned text content-checked by md5, not just counted.
+    "q195_dedup_clean" -> ((s, dir) =>
+      operators.Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id",
+        "text", k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+          md5(col("cleaned_text")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))),
+
+    // Materialized dedup-pair artifact (dedup once, consume many
+    // times): the verified τ=0.5 pair set is written ONCE as a
+    // parquet table bucketed+sorted by id_a; every later consumer
+    // reads the bucketed scan — no re-tokenize/re-shingle/re-verify,
+    // and the per-doc dup-degree groupBy below plans with ZERO
+    // Exchange because the scan already hash-distributes on id_a
+    // (PipelineR8Spec pins both properties). The bench warmup pass
+    // pays the cold build; timed passes measure the warm path. Output
+    // columns avoid float accumulation (count + exact id sum + max of
+    // identically-rounded jaccards), so the hash compare is exact.
+    "q210_pair_artifact" -> ((s, dir) => {
+      val table = "graft_pairs_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // fingerprint the corpus dir: a persisted table from a PREVIOUS
+      // testdata generation rebuilds instead of serving stale pairs
+      val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+      Dedup.ensurePairs(s, table, fingerprint = Some(fp)) {
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+      }
+        .groupBy(col("id_a"))
+        .agg(count(lit(1)).as("n_dups"),
+          sum(col("id_b")).as("partner_id_sum"),
+          max(col("jaccard")).as("j_max"))
+        .orderBy(col("id_a"))
+    }),
+
+    // Benchmark decontamination: which corpus docs CONTAIN an eval doc
+    // (containment ≥ 0.8 of the eval doc's shingles) — eval set = the
+    // doc_id % 10 == 0 slice, corpus = the rest.
+    "q220_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossContainment(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .orderBy(col("id_eval"), col("id_doc"))
+    })
+  )
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions._
+import graft.syntax._
+
+/** Query registry — embedding similarity: ANN (brute/LSH/IVF/SQ8/PQ), near-dup, covariance/PCA.
+  * One entry per SURVEY §2 operator family member; names pair 1:1 with
+  * `OraclesSim.m` (driver contract: SparkEntry.queries/oracleSql).
+  */
+private[graft] object QueriesSim {
+  import QueryShared._
+
+  def m: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q31_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q48_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        "vec_id", 5, bits = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q82_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", "vec_id", k = 5, nCentroids = 8, nprobe = 8, iters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q108_embed_neardup" -> ((s, dir) =>
+      // embedding-cosine near-dup pairs: LSH-band blocking + exact
+      // cosine verify (brief's dedup family; τ sized to the synthetic
+      // corpus, whose random vectors top out at cosine ≈ 0.51)
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.45, bits = 8, bands = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Multi-probe LSH ANN: query bucket + all Hamming-1 buckets — the
+    // recall lever over q48's single probe; probe fan-out rides the
+    // broadcast query side, corpus still does one equi-join
+    "q140_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", 5, bits = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q170_prototype_prune" -> ((s, dir) =>
+      // Sorscher-et-al prototype pruning: rank embeddings by cosine to
+      // their cluster centroid; most-prototypical quartile is prunable.
+      operators.Curate.prototypeRank(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        pruneFrac = 0.25)
+        .select(col("vec_id"), col("label"), col("cos_centroid"),
+          col("prunable"))
+        .orderBy(col("vec_id"))),
+
+    "q174_semdedup" -> ((s, dir) =>
+      // SemDeDup: within-cluster (label) cosine dups, keep-lowest-id
+      operators.Similarity.semanticDupFlags(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.35)
+        .select(col("vec_id"), col("label"), col("sem_dup"))
+        .orderBy(col("vec_id"))),
+
+    // ---- round 7: SQ8 quantized ANN + quality-aware dedup survivors ----
+
+    // Scalar-quantized (int8) ANN: per-dim [min,max] grid from one
+    // corpus scan, symmetric quantize-reconstruct, cosine on the
+    // reconstructions — the 4× memory-cut index layout (FAISS SQ shape).
+    "q175_sq8_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hard-negative mining: top-5 nearest different-label vectors per
+    // query — contrastive-training batch construction.
+    "q178_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "label", "vec_id", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Two-stage ANN: SQ8 coarse shortlist-20 → exact float re-rank to
+    // top-5 (search-then-refine).
+    "q181_sq8_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8RerankTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding covariance matrix: one distributed pass reduces the
+    // corpus to a d²-double buffer (typed Aggregator) — the "big data,
+    // tiny model" shape behind whitening/PCA curation.
+    "q197_cov_matrix" -> ((s, dir) =>
+      operators.Similarity.covarianceMatrix(
+        t(s, dir, "embeddings"), "embedding")
+        .select(col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"),
+          round(col("cov"), 6).as("cov"))
+        .orderBy(col("i"), col("j"))),
+
+    // PCA projection: dominant axis by driver power iteration on the
+    // 6-dp-rounded covariance (the cross-engine determinism contract),
+    // broadcast back as one rip_dot per row — zero shuffle.
+    "q198_pca_project" -> ((s, dir) =>
+      operators.Similarity.projectPc1(
+        t(s, dir, "embeddings"), "vec_id", "embedding", iters = 20)
+        .orderBy(col("vec_id"))),
+
+    // PQ-ADC ANN: 4×16-dim subspaces, 16 hash-sampled codewords each,
+    // asymmetric distance against the 64×-compressed code frame.
+    "q206_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-PQ composed index (FAISS IndexIVFPQ shape): coarse routing +
+    // byte codes + ADC. nprobe = nCentroids here, so the routing is
+    // semantically the identity and the output must EQUAL pqTopK's —
+    // the oracle verifies the whole composition; pruned-probe
+    // degradation is PipelineR8Spec-pinned.
+    "q213_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "vec_id", k = 5,
+          nCentroids = 8, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+}

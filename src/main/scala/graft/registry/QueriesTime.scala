@@ -1,0 +1,557 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions._
+import graft.syntax._
+
+/** Query registry — window / ordered / time-series: rolling, EMA, as-of, cumulative, calendar.
+  * One entry per SURVEY §2 operator family member; names pair 1:1 with
+  * `OraclesTime.m` (driver contract: SparkEntry.queries/oracleSql).
+  */
+private[graft] object QueriesTime {
+  import QueryShared._
+
+  def m: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.5 window / ordered ----
+
+    "q10_rolling" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val withRoll = Rolling.rollingSum(ev, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), 3, "value", "roll_sum")
+      Rolling.rollingMean(withRoll, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), 3, "value", "roll_mean")
+        .select(col("event_id"), col("user_id"),
+          round(col("roll_sum"), 6).as("roll_sum"),
+          round(col("roll_mean"), 6).as("roll_mean"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q11_cumsum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val c1 = Rolling.cumsum(ev, Seq("user_id"), Seq(col("ts"), col("event_id")),
+        "value", "cum_value")
+      GroupOps.cumcount(c1, Seq("user_id"), Seq(col("ts"), col("event_id")), "cum_n")
+        .select(col("event_id"), col("user_id"),
+          round(col("cum_value"), 6).as("cum_value"), col("cum_n").cast("long").as("cum_n"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q12_shift_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sh = Rolling.shift(ev, Seq("user_id"), Seq(col("ts"), col("event_id")), 1,
+        "value", "prev_value")
+      Rolling.diff(sh, Seq("user_id"), Seq(col("ts"), col("event_id")), 1,
+        "value", "dvalue")
+        .select(col("event_id"), col("user_id"),
+          round(col("prev_value"), 6).as("prev_value"),
+          round(col("dvalue"), 6).as("dvalue"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q13_ffill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("v", when(col("value") < 10.0, lit(null)).otherwise(col("value")))
+      ev.fillForward("v", Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("event_id"), col("user_id"), round(col("v"), 6).as("v_filled"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q14_rank" -> ((s, dir) =>
+      Rolling.rankIn(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("value"), col("event_id")), "min", "rnk")
+        .select(col("event_id"), col("user_id"), col("rnk"))
+        .orderBy(col("event_id"))),
+
+    // ---- §2.3 as-of join ----
+
+    "q15_asof_backward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("purchase_value"))
+      AsofJoin.asof(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("purchase_value"), direction = "backward")
+        .select(col("event_id"), col("user_id"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q16_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("purchase_value"))
+      AsofJoin.asof(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("purchase_value"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- §2.8 scalar packs ----
+
+    "q17_datetime" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100
+            + dayofmonth(col("o_orderdate"))).cast("long").as("yyyymmdd"))
+        .orderBy(col("o_orderkey"))),
+
+    "q38_ema_decay" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"), col("value"))
+      Ema.ema(ev, "user_id", "tsu", "value", rate = 1.0 / 6.0e8, Ema.Decay, "ema")
+        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q39_timewindow" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      Rolling.timewindowAgg(ev, Seq("user_id"), "tsu", 600000000L, sum, "value", "tw_sum")
+        .select(col("event_id"), col("user_id"), round(col("tw_sum"), 6).as("tw_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q40_resample" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("bucket", expr("(ts div 1000000000) div 300 * 300"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))),
+
+    "q41_time_of_day" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"),
+          hour(col("tstamp")).cast("long").as("hr"),
+          minute(col("tstamp")).cast("long").as("mi"),
+          second(col("tstamp")).cast("long").as("se"),
+          expr("(ts div 1000) % 86400000000").as("us_since_midnight"))
+        .orderBy(col("event_id"))),
+
+    "q58_transitions" -> ((s, dir) => {
+      val ev = Rolling.differs(
+        Categorical.shiftCat(t(s, dir, "events"), "event_type", Seq("user_id"),
+          Seq(col("ts"), col("event_id"))),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), "event_type", "chg")
+      ev.groupBy(col("user_id"))
+        .agg(sum(when(col("shifted").isNotNull && col("chg"), 1).otherwise(0)).as("n_trans"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q59_shift_cat" -> ((s, dir) =>
+      Categorical.shiftCat(t(s, dir, "events"), "event_type", Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("shifted"))
+        .orderBy(col("event_id"))),
+
+    "q61_rolling_quantile" -> ((s, dir) =>
+      Rolling.rollingQuantile(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts"), col("event_id")), 5, 0.5, "value", "roll_med")
+        .select(col("event_id"), col("user_id"), round(col("roll_med"), 6).as("roll_med"))
+        .orderBy(col("event_id"))),
+
+    "q64_interp" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val queries = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val points = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsu"), col("value"))
+      Interp.interp(queries, points, "tsu", Seq("user_id"), "value", "iv")
+        .select(col("event_id"), col("user_id"), round(col("iv"), 6).as("iv"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q68_datetime2" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          dayofweek(col("o_orderdate")).isin(1, 7).as("is_weekend"),
+          date_trunc("week", col("o_orderdate")).as("week_start"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("days_since_epoch"),
+          ((year(col("o_orderdate")) % 4 === 0 && year(col("o_orderdate")) % 100 =!= 0) ||
+            year(col("o_orderdate")) % 400 === 0).as("is_leapyear"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          weekofyear(col("o_orderdate")).as("woy"))
+        .orderBy(col("o_orderkey"))),
+
+    "q73_daterange" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 5)
+        .select(col("o_orderkey"), explode(sequence(col("o_orderdate"),
+          col("o_orderdate") + expr("INTERVAL 3 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("d"))
+        .orderBy(col("o_orderkey"), col("d"))),
+
+    "q74_move_arg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      t(s, dir, "events")
+        // composite order key: ties on value resolve by event_id in both engines
+        .withColumn("__ord", round(col("value") * 1000).cast("long") * lit(100000000L) + col("event_id"))
+        .withColumn("arg_max_ev", max_by(col("event_id"), col("__ord")).over(w))
+        .withColumn("move_max", max(col("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("arg_max_ev"),
+          round(col("move_max"), 6).as("move_max"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q75_ema_window" -> ((s, dir) =>
+      // native Catalyst AggregateWindowFunction path (graft.plans.EmaDecay),
+      // cross-checked against the mapPartitions scan in EmaWindowSpec
+      t(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("ema", expr(
+          // E-notation → DOUBLE literal (plain 1.0/6e8 would parse as DECIMAL)
+          "rip_ema_decay(value, tsu, 1.6666666666666667E-9) OVER " +
+          "(PARTITION BY user_id ORDER BY tsu, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))),
+
+    // ---- batch 6: native product agg, asof nearest, scalable qcut ----
+
+    "q76_timewindow_prod" -> ((s, dir) =>
+      // timewindow_prod (rt_fastarray.py:2648) via the native RipProduct
+      // aggregate over a trailing RANGE frame
+      t(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("f", lit(1.0) + col("value") / 10000.0)
+        .withColumn("twp", expr(
+          "rip_product(f) OVER (PARTITION BY user_id ORDER BY tsu " +
+          "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"))
+        .select(col("event_id"), col("user_id"), round(col("twp"), 6).as("twp"))
+        .orderBy(col("event_id"))),
+
+    "q77_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("pv"))
+      AsofJoin.asof(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("pv"), direction = "nearest",
+        tolerance = Some(3600000000L), matchedOn = true)
+        .select(col("event_id"), col("user_id"), round(col("pv"), 6).as("pv"),
+          col("matched_on"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q80_ema_normal" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("ema", expr(
+          "rip_ema_normal(value, tsu, 1.6666666666666667E-9) OVER " +
+          "(PARTITION BY user_id ORDER BY tsu, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))),
+
+    // No round(): the recurrence uses only dyadic coefficients (0.25/0.75)
+    // and +/* — Spark and DuckDB produce bit-identical doubles, while
+    // round(x,6) diverges on exact half-way decimals (Spark BigDecimal
+    // HALF_UP vs DuckDB multiply-based round). Dyadic blends land on
+    // .xxxxxx5 boundaries often, so raw doubles are the SAFER compare here.
+    "q81_ema_weighted" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ema", expr(
+          "rip_ema_weighted(value, 0.25) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        .select(col("event_id"), col("user_id"), col("ema"))
+        .orderBy(col("event_id"))),
+
+    "q83_asof_exec" -> ((s, dir) => {
+      // native sort-merge as-of (custom LogicalPlan/Strategy/Exec path)
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("purchase_value"))
+      AsofJoin.asofExec(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q85_interval_join" -> ((s, dir) => {
+      // interval join: lineitems shipped within 30 days of their order date
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        col("l_linenumber"), col("l_shipdate"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      RangeJoin.intervalJoin(li, ord, Seq("o_orderkey"),
+        time = li("l_shipdate"),
+        start = ord("o_orderdate"),
+        end = ord("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(li("o_orderkey").as("o_orderkey"), col("l_linenumber"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- round 3: TimeZone/Calendar pack (rt_timezone.py / rt_datetime.py) ----
+
+    "q88_astimezone" -> ((s, dir) => {
+      // astimezone + to_iso (rt_datetime.py:4717,4766): UTC nanos →
+      // wall clocks in two zones (Kolkata exercises a +5:30 offset)
+      val ev = t(s, dir, "events")
+        .withColumn("utc", timestamp_micros(expr("ts div 1000")))
+      ev.select(col("event_id"),
+        TimeFns.astimezone(col("utc"), "America/New_York").as("ny_wall"),
+        hour(TimeFns.astimezone(col("utc"), "America/New_York")).cast("long").as("ny_hour"),
+        TimeFns.astimezone(col("utc"), "Asia/Kolkata").as("kolkata_wall"),
+        TimeFns.toIso(col("utc")).as("iso"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q89_strftime" -> ((s, dir) =>
+      // strftime (rt_datetime.py:4572) over a 6.5-year date span
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          TimeFns.strftime(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("s_full"),
+          TimeFns.strftime(col("o_orderdate"), "MM/dd/yyyy").as("s_us"),
+          TimeFns.strftime(col("o_orderdate"), "DDD").as("s_doy"),
+          TimeFns.toIso(col("o_orderdate")).as("s_iso"))
+        .orderBy(col("o_orderkey"))),
+
+    "q90_fix_dst" -> ((s, dir) => {
+      // fix_dst/to_utc + set_timezone (rt_timezone.py:1237,1294;
+      // rt_datetime.py:4666): orders span 1995–2001, both DST seasons,
+      // so per-row offsets flip −300/−240 (NY) and 0/60 (London).
+      // o_orderdate is TIMESTAMP_NTZ in parquet; cast once to an
+      // instant (identity under the UTC session zone).
+      val utc = col("o_orderdate").cast("timestamp")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          TimeFns.fixDstMicros(unix_micros(utc), "America/New_York")
+            .as("ny_micros"),
+          TimeFns.tzOffsetMinutes(utc, "America/New_York").as("ny_off_min"),
+          TimeFns.tzOffsetMinutes(utc, "Europe/London").as("lon_off_min"),
+          TimeFns.setTimezone(utc, "America/New_York").as("utc_of_ny_wall"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q92_asof_exec_nearest" -> ((s, dir) => {
+      // q77 semantics through the NATIVE sort-merge exec (nearest +
+      // tolerance + matched-on); the right time rides as a value column
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("value").as("pv"))
+        .withColumn("mt", col("tsu"))
+      AsofJoin.asofExec(clicks, purchases, on = "tsu", by = Seq("user_id"),
+        rightCols = Seq("pv", "mt"), direction = "nearest",
+        tolerance = Some(3600000000L))
+        .select(col("event_id"), col("user_id"), round(col("pv"), 6).as("pv"),
+          col("mt").as("matched_on"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q93_interp_extrap" -> ((s, dir) => {
+      // rt_numpy.py:5388 — q64's shape, extrapolating past the hull
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val queries = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val points = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsu"), col("value"))
+      Interp.interpExtrap(queries, points, "tsu", Seq("user_id"), "value", "iv")
+        .select(col("event_id"), col("user_id"), round(col("iv"), 6).as("iv"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q101_rankdata" -> ((s, dir) =>
+      // rankdata (rt_fastarray.py:2710): average-tie ranks per group —
+      // l_quantity is integral-valued, so ties are everywhere
+      Rolling.rankdata(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", "rnk")
+        .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q104_cumprod" -> ((s, dir) => {
+      // cumprod (rt_groupbyops.py:3239) via the native RipProduct
+      // aggregate over an unbounded-preceding frame; per-order groups
+      // keep the running product bounded
+      val li = t(s, dir, "lineitem")
+        .withColumn("opt", lit(1.0) + col("l_tax"))
+      // (orderkey, linenumber) is NOT unique in the synthetic data —
+      // the frame order ties must break on a full column list or the
+      // running product is engine-dependent
+      val ord = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax").map(col)
+      Rolling.cumprod(li, Seq("l_orderkey"), ord, "opt", "cp")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("cp"), 6).as("cp"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q105_ffill_limit" -> ((s, dir) => {
+      // fill_forward limit= (rt_fastarraynumba.py:149): values stop
+      // propagating after `limit` consecutive invalid rows
+      val ev = t(s, dir, "events")
+        .withColumn("v", when(col("event_type") === "purchase", col("value")))
+      ev.fillForward("v", Seq("user_id"), Seq("ts", "event_id"), limit = Some(2))
+        .select(col("event_id"), col("user_id"), round(col("v"), 6).as("v"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q110_ema_filtered" -> ((s, dir) => {
+      // ema_decay filter=/reset= kwargs (rt_fastarraynumba.py:507):
+      // only clicks contribute; high-value clicks reset the state
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tsu"), col("value").cast("double"),
+          (col("event_type") === "click").as("pass"),
+          (col("event_type") === "click" && col("value") > 95).as("rst"))
+      Ema.ema(ev, "user_id", "tsu", "value", rate = 1.6666666666666667e-9,
+        Ema.Decay, "ema", filterCol = Some("pass"), resetCol = Some("rst"))
+        .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q107_strptime" -> ((s, dir) => {
+      // strptime_to_nano round-trip (rt_datetime.py:274) + yyyymmdd
+      // (:3298) + time_since_midnight (:4017) accessors
+      val ev = t(s, dir, "events")
+        .withColumn("utc", timestamp_micros(expr("ts div 1000")))
+      ev.select(col("event_id"),
+        to_timestamp(date_format(col("utc"), "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("parsed"),
+        (year(col("utc")) * 10000 + month(col("utc")) * 100 +
+          dayofmonth(col("utc"))).as("yyyymmdd"),
+        (unix_micros(col("utc")) - unix_micros(date_trunc("day", col("utc"))))
+          .as("tsm_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q117_cut_time" -> ((s, dir) => {
+      // cut_time (rt_datetime.py:5149): time-of-day bucketing, dates
+      // ignored — NYC session 9:30–16:15 in 30 min buckets, left labels,
+      // out-of-session rows Filtered (null). Pure comparison chain +
+      // label-array lookup: per-row map, zero shuffle.
+      val (bin, label) = TimeFns.cutTime(
+        expr("(ts div 1000) % 86400000000"),
+        start = (9, 30), end = (16, 15), bucketMinutes = 30,
+        labelSide = "left", labelFmt = "HH:mm", unit = "micros")
+      t(s, dir, "events")
+        .select(col("event_id"), bin.cast("long").as("tod_bin"),
+          label.as("tod_label"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Gap-based sessionization over the events stream (30-min gap):
+    // differs→cumsum composition, one shuffle on user_id, then a
+    // per-session aggregate. ts is nanos-as-long; micros match the
+    // oracle's epoch_us.
+    "q123_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+      Rolling.sessionize(e, Seq("user_id"),
+          Seq(col("ts_us"), col("event_id")), "ts_us", 1800L * 1000000)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          round(sum(col("value")), 6).as("total_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // rolling correlation value↔props.k over a 20-row frame per user —
+    // single window pass, full-window rows only (partial frames null)
+    "q125_rolling_corr" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("k"))
+      val ord = Seq(col("ts_us"), col("event_id"))
+      Rolling.rollingCorr(e, Seq("user_id"), ord, 20, "value", "k", "c_win")
+        .withColumn("c_win",
+          when(row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(ord: _*)) >= 20,
+            round(col("c_win"), 6)))
+        .select(col("user_id"), col("event_id"), col("c_win"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // DateTimeNano.diff / shift (rt_datetime.py:5675,5128): per-user
+    // inter-arrival time and previous event timestamp — lag over the
+    // user partition, micros arithmetic on the nanos-as-long column
+    "q138_dt_diff" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("gap_us", col("ts_us") - col("prev_us"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // Business-day calendar pack (the Calendar rt_timezone.py:1321
+    // declares but never implements): roll-forward, +5 bday shift, and
+    // bday distance from an anchor — all broadcast joins against an
+    // 8-year calendar dimension; the fact table never shuffles
+    "q145_bday_shift" -> ((s, dir) => {
+      val hols = (1995 to 2002).flatMap(y =>
+        Seq(s"$y-01-01", s"$y-07-04", s"$y-12-25", s"$y-12-26"))
+      val cal = BizCal.calendarDim(s, "1995-01-01", "2002-12-31", hols)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+        .withColumn("anchor", lit("1998-06-01").cast("date"))
+      val shifted = BizCal.shiftBday(
+        BizCal.shiftBday(o, "od", 0, cal, "next_b"), "od", 5, cal, "shift5")
+      BizCal.bdayDiff(shifted, "anchor", "od", cal, "bdiff")
+        .select(col("o_orderkey"), col("od"), col("next_b"), col("shift5"),
+          col("bdiff").cast("long").as("bdiff"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // partition2 (rt_fastarray.py:2707): bottom-k split by a pivot from
+    // one TakeOrderedAndProject — the frame itself is never globally
+    // sorted; summary-aggregated so tie sets stay engine-independent
+    "q151_partition2" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("tb"))
+      syntax.partition2(li, "v", "tb", 1000, "bk")
+        .filter(col("bk"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sv"))
+    }),
+
+    // Nanosecond-precision grid (SURVEY §1.2's documented semantic gap,
+    // rt_datetime.py:2718 DateTimeNano): the engine contract is int64
+    // epoch-nanos for events.ts, enforced at the Tables boundary
+    // (Tables.normalizeEpochNanos) whatever the parquet physical type —
+    // int64 nanos pass through; timestamp[us] is widened µs×1000, so
+    // sub-µs digits are zero on that generation of data. Accessors /
+    // diff / shift all run on the LONG. The grid still floors to µs
+    // (ts - ts % 1000) so it hash-matches DuckDB's epoch_ns on either
+    // physical type; genuine sub-µs exactness of the long path is pinned
+    // by TimeFnsSpec's java.time grid over true-nanos parquet
+    // (nanosAsLong), which needs no external oracle.
+    "q157_nanos" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_q"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ts_q", col("ts") - col("ts") % 1000L)
+        .select(col("event_id"), col("ts_q").as("ts_ns"),
+          (col("ts_q") % 1000000000L).as("ns_of_sec"),
+          (col("ts_q") - lag(col("ts_q"), 1).over(w)).as("diff_ns"),
+          (col("ts_q") + lit(86400000000000L)).as("ts_plus_day_ns"))
+        .orderBy(col("event_id"))
+    })
+  )
+}
