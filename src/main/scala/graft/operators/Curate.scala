@@ -207,7 +207,16 @@ object Curate {
     * never joins or shuffles beyond the final dictionary-sized count.
     */
   def rejectionReasons(df: DataFrame, by: Seq[String],
-                       stages: Seq[(String, Column)]): DataFrame = {
+                       stages: Seq[(String, Column)]): DataFrame =
+    df.groupBy((by.map(col) :+ rejectionReasonCol(stages).as("reason")): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** The first-failing-gate label column shared by [[rejectionReasons]]
+    * and its streaming twin (StreamOps.streamingRejectionReasons):
+    * one codegen'd when-chain, first-match order = gate order, NULL
+    * predicate = rejection, `kept` reserved for all-pass.
+    */
+  private[graft] def rejectionReasonCol(stages: Seq[(String, Column)]): Column = {
     require(stages.nonEmpty, "need at least one gate")
     require(stages.map(_._1).distinct.size == stages.size,
       "duplicate gate names")
@@ -215,11 +224,9 @@ object Curate {
       "'kept' is the reserved pass label — rename the gate")
     val head = when(!coalesce(stages.head._2, lit(false)),
       lit(stages.head._1))
-    val reason = stages.tail.foldLeft(head) { case (acc, (n, p)) =>
+    stages.tail.foldLeft(head) { case (acc, (n, p)) =>
       acc.when(!coalesce(p, lit(false)), lit(n))
     }.otherwise(lit("kept"))
-    df.groupBy((by.map(col) :+ reason.as("reason")): _*)
-      .agg(count(lit(1)).as("n"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
@@ -183,16 +183,21 @@ object Rolling {
     * the driver stitches the tiny boundary list. No global sort.
     */
   def issorted(df: DataFrame, colName: String): Boolean = {
-    val parts = df.select(col(colName).cast("double"))
-      .rdd.map(_.getDouble(0))
-      .mapPartitionsWithIndex { (i, it) =>
-        if (!it.hasNext) Iterator.empty
-        else {
-          var prev = it.next(); val first = prev; var ok = true
-          while (it.hasNext) { val v = it.next(); if (v < prev) ok = false; prev = v }
-          Iterator((i, first, prev, ok))
-        }
-      }.collect().sortBy(_._1)
+    // Dataset mapPartitions (not .rdd): the projection below stays a
+    // codegen'd columnar scan; only the per-partition boundary triple
+    // leaves the executors (r8 verdict nit)
+    val ds = df.select(col(colName).cast("double")).as(Encoders.scalaDouble)
+    val parts = ds.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var prev = it.next(); val first = prev; var ok = true
+        while (it.hasNext) { val v = it.next(); if (v < prev) ok = false; prev = v }
+        Iterator((pid, first, prev, ok))
+      }
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaDouble,
+      Encoders.scalaDouble, Encoders.scalaBoolean))
+      .collect().sortBy(_._1)
     parts.forall(_._4) && parts.toSeq.sliding(2).forall {
       case Seq(a, b) => a._3 <= b._2
       case _ => true

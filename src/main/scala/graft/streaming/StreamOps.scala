@@ -274,6 +274,32 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming twin of `Curate.rejectionReasons`: per event-time
+    * window and group, the count of rows whose FIRST failing gate (in
+    * the given order) is each named stage, with `kept` for rows every
+    * gate passes — live "why is crawl X being dropped" attribution.
+    * Same contract as the batch op: a NULL gate predicate REJECTS
+    * (null can't prove itself a pass), gate names must be unique and
+    * not the reserved `kept`. The when-chain is a stateless codegen'd
+    * projection; the only state is the watermarked (window, group,
+    * reason) count — dictionary-sized per window, never corpus-keyed.
+    */
+  def streamingRejectionReasons(rows: DataFrame, tsCol: String,
+                                by: Seq[String], windowLen: String,
+                                watermarkDelay: String,
+                                stages: Seq[(String, org.apache.spark.sql.Column)])
+  : DataFrame = {
+    val reason = graft.operators.Curate.rejectionReasonCol(stages)
+    rows
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowLen) +: by.map(col))
+        :+ reason.as("reason"): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        by.map(col)) :+ col("reason") :+ col("n"): _*)
+  }
+
   /** File-source stream over a parquet directory (for tests: feed the
     * batch fixtures through the streaming engine via availableNow).
     */
@@ -802,5 +828,132 @@ object StreamOps {
       round(psiTerms.reduce(_ + _), 6).as("psi"),
       round(tvdTerms.reduce(_ + _) / 2d, 6).as("tvd"),
       col("__n").as("n_events"))
+  }
+
+  /** Per-window finalized (src, key, count) frame — the shared first
+    * stage of the pairwise drift/KS twins: one watermarked windowed
+    * aggregation, then a CHAINED second aggregation (Spark's multiple-
+    * stateful-operators support) packs each finalized window's counts
+    * into ONE dictionary-sized list row. Everything downstream is a
+    * stateless projection over that list — no stream-stream joins, no
+    * third stateful operator, nothing corpus-keyed.
+    */
+  private def packedWindowCounts(events: DataFrame, tsCol: String,
+                                 keyCol: String, srcCol: String,
+                                 windowDur: String,
+                                 watermarkDelay: String): DataFrame =
+    events
+      .filter(col(keyCol).isNotNull && col(srcCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur),
+        col(srcCol).as("src"), col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(window(window_time(col("window")), windowDur).as("window"))
+      .agg(collect_list(struct(col("src"), col("k"), col("c"))).as("L"))
+
+  /** All unordered source pairs of a packed window row, exploded. */
+  private def explodePairs(packed: DataFrame): DataFrame = {
+    val srcs = array_sort(array_distinct(
+      transform(col("L"), x => x.getField("src"))))
+    packed.withColumn("__p", explode(filter(
+        flatten(transform(srcs, a => transform(srcs, b =>
+          struct(a.as("sa"), b.as("sb"))))),
+        p => p.getField("sa") < p.getField("sb"))))
+      .select(col("window"), col("L"),
+        col("__p.sa").as("sa"), col("__p.sb").as("sb"))
+  }
+
+  private def countOf(s: org.apache.spark.sql.Column,
+                      k: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    aggregate(filter(col("L"), x =>
+        x.getField("src") === s && x.getField("k") === k),
+      lit(0L), (acc, x) => acc + x.getField("c"))
+
+  private def totalOf(s: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    aggregate(filter(col("L"), x => x.getField("src") === s),
+      lit(0L), (acc, x) => acc + x.getField("c")).cast("double")
+
+  /** Streaming twin of `Drift.categoricalDriftMatrix`: per event-time
+    * window, the pairwise JS/PSI/TVD matrix across ALL sources. Two
+    * chained watermarked aggregations collapse the stream to one
+    * dictionary-sized count list per finalized window; the matrix is a
+    * higher-order-function fold over that list (k² pairs × categories,
+    * all vocabulary-bounded — the stream itself is never re-keyed or
+    * self-joined). Emits in append mode when the window finalizes;
+    * per-window output equals the batch matrix over the same rows
+    * (StreamingSpec asserts it).
+    */
+  def streamingDriftMatrix(events: DataFrame, tsCol: String,
+                           catCol: String, srcCol: String,
+                           windowDur: String,
+                           watermarkDelay: String): DataFrame = {
+    val pairs = explodePairs(packedWindowCounts(
+      events, tsCol, catCol, srcCol, windowDur, watermarkDelay))
+    val na = totalOf(col("sa")); val nb = totalOf(col("sb"))
+    val cats = array_distinct(transform(filter(col("L"), x =>
+        x.getField("src") === col("sa") ||
+        x.getField("src") === col("sb")),
+      x => x.getField("k")))
+    def p(ct: org.apache.spark.sql.Column) =
+      countOf(col("sa"), ct).cast("double") / na
+    def q(ct: org.apache.spark.sql.Column) =
+      countOf(col("sb"), ct).cast("double") / nb
+    // per-category accumulation ≡ the batch shared-sum + only-mass
+    // split: a category present on one side only contributes its
+    // whole p·ln2/2 (JS) and |p| (TVD) terms; PSI stays shared-only
+    val js = aggregate(cats, lit(0d), (acc, ct) => {
+      val m = (p(ct) + q(ct)) / 2d
+      acc + when(countOf(col("sa"), ct) > 0 && countOf(col("sb"), ct) > 0,
+          p(ct) * log(p(ct) / m) / 2d + q(ct) * log(q(ct) / m) / 2d)
+        .when(countOf(col("sa"), ct) > 0, p(ct) * lit(math.log(2)) / 2d)
+        .otherwise(q(ct) * lit(math.log(2)) / 2d)
+    })
+    val psi = aggregate(cats, lit(0d), (acc, ct) =>
+      acc + when(countOf(col("sa"), ct) > 0 && countOf(col("sb"), ct) > 0,
+        (p(ct) - q(ct)) * log(p(ct) / q(ct))).otherwise(lit(0d)))
+    val tvd = aggregate(cats, lit(0d), (acc, ct) =>
+      acc + abs(p(ct) - q(ct))) / 2d
+    val nShared = size(filter(cats, ct =>
+      countOf(col("sa"), ct) > 0 && countOf(col("sb"), ct) > 0))
+    pairs.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("sa").as("src_a"), col("sb").as("src_b"),
+      round(js, 6).as("js_nats"), round(psi, 6).as("psi"),
+      round(tvd, 6).as("tvd"), nShared.cast("long").as("n_shared"))
+  }
+
+  /** Streaming twin of `Drift.ksMatrix`: per event-time window, the
+    * pairwise two-sample KS statistic across ALL sources. Same packed
+    * shape as [[streamingDriftMatrix]]; per pair, one ordered fold
+    * over the union value grid carries both running ECDFs and the sup
+    * gap. Pair-local grids are equivalent to the batch op's global
+    * grid — a grid point where neither side has mass moves neither F.
+    */
+  def streamingKsMatrix(events: DataFrame, tsCol: String,
+                        valCol: String, srcCol: String,
+                        windowDur: String,
+                        watermarkDelay: String): DataFrame = {
+    val pairs = explodePairs(packedWindowCounts(
+      events, tsCol, valCol, srcCol, windowDur, watermarkDelay))
+    val na = totalOf(col("sa")); val nb = totalOf(col("sb"))
+    val grid = array_sort(array_distinct(transform(filter(col("L"), x =>
+        x.getField("src") === col("sa") ||
+        x.getField("src") === col("sb")),
+      x => x.getField("k"))))
+    val zero = struct(lit(0L).as("ca"), lit(0L).as("cb"), lit(0d).as("d"))
+    val walk = aggregate(grid, zero, (acc, v) => {
+      val ca2 = acc.getField("ca") + countOf(col("sa"), v)
+      val cb2 = acc.getField("cb") + countOf(col("sb"), v)
+      struct(ca2.as("ca"), cb2.as("cb"),
+        greatest(acc.getField("d"),
+          abs(ca2.cast("double") / na - cb2.cast("double") / nb)).as("d"))
+    })
+    pairs.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("sa").as("src_a"), col("sb").as("src_b"),
+      round(walk.getField("d"), 6).as("ks_d"),
+      na.cast("long").as("n_a"), nb.cast("long").as("n_b"))
   }
 }

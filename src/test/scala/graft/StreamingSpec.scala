@@ -757,4 +757,131 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  // Shared fixture for the pairwise drift/KS twins: one 5-minute window
+  // holding three sources — A/B share category x (and disagree on it),
+  // y is A-only, z is B-only, and source C is DISJOINT from both (the
+  // only-mass extremes: JS=ln2, TVD=1, PSI=0). The 00:30 row is a
+  // watermark flush so the append-mode chained aggregation finalizes
+  // the 00:00 window; its own window never emits (by design).
+  private lazy val pairDriftDir: String = {
+    val d = Files.createTempDirectory("graft_pairdrift").toString
+    val ev = Seq(
+      ("2024-01-01 00:00:10", "A", "x", 1.0),
+      ("2024-01-01 00:00:20", "A", "x", 1.0),
+      ("2024-01-01 00:00:30", "A", "x", 2.0),
+      ("2024-01-01 00:00:40", "A", "y", 5.0),
+      ("2024-01-01 00:01:10", "B", "x", 1.0),
+      ("2024-01-01 00:01:20", "B", "z", 2.0),
+      ("2024-01-01 00:01:30", "B", "z", 9.0),
+      ("2024-01-01 00:02:10", "C", "w", 7.0),
+      ("2024-01-01 00:02:20", "C", "w", 8.0),
+      ("2024-01-01 00:30:00", "A", "x", 1.0) // watermark flush
+    ).toDF("ts_s", "src", "cat", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    ev.write.mode("overwrite").parquet(d + "/in")
+    d
+  }
+
+  private def pairDriftStream = {
+    val schemaFrom = spark.read.parquet(pairDriftDir + "/in")
+    spark.readStream.schema(schemaFrom.schema).parquet(pairDriftDir + "/in")
+  }
+
+  private def pairDriftWindowBatch =
+    spark.read.parquet(pairDriftDir + "/in")
+      .filter($"ts" < to_timestamp(lit("2024-01-01 00:05:00")))
+
+  test("streaming pairwise drift matrix equals the batch " +
+    "categoricalDriftMatrix on the finalized window") {
+    val q = StreamOps.streamingDriftMatrix(pairDriftStream, "ts", "cat",
+      "src", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("drift_matrix_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT window_start, src_a, src_b, js_nats, " +
+        "psi, tvd, n_shared FROM drift_matrix_stream")
+      .as[(java.sql.Timestamp, String, String, Double, Double, Double, Long)]
+      .collect()
+    // only the flushed 00:00 window emits (the 00:30 flush row's own
+    // window is still open when the source drains)
+    assert(got.map(_._1.toString).distinct.toSeq ===
+      Seq("2024-01-01 00:00:00.0"))
+    val streamed = got.map(r => (r._2, r._3) -> ((r._4, r._5, r._6, r._7))).toMap
+    val batch = graft.operators.Drift.categoricalDriftMatrix(
+        pairDriftWindowBatch, $"cat", $"src")
+      .as[(String, String, Double, Double, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(streamed.keySet === batch.keySet)
+    assert(streamed.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    streamed.foreach { case (k, (js, psi, tvd, ns)) =>
+      val (bjs, bpsi, btvd, bns) = batch(k)
+      // same analytic quantity, different summation order — compare to
+      // the rounding grain, not bit-exactly
+      assert(math.abs(js - bjs) < 2e-6, s"js $k")
+      assert(math.abs(psi - bpsi) < 2e-6, s"psi $k")
+      assert(math.abs(tvd - btvd) < 2e-6, s"tvd $k")
+      assert(ns === bns, s"n_shared $k")
+    }
+    // the disjoint pairs hit the only-mass extremes
+    val (jsAC, psiAC, tvdAC, nsAC) = streamed(("A", "C"))
+    assert(math.abs(jsAC - math.log(2)) < 2e-6 && psiAC === 0d &&
+      math.abs(tvdAC - 1d) < 2e-6 && nsAC === 0L)
+  }
+
+  test("streaming pairwise KS matrix equals the batch ksMatrix on the " +
+    "finalized window") {
+    val q = StreamOps.streamingKsMatrix(pairDriftStream, "ts", "value",
+      "src", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("ks_matrix_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT src_a, src_b, ks_d, n_a, n_b " +
+        "FROM ks_matrix_stream")
+      .as[(String, String, Double, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val batch = graft.operators.Drift.ksMatrix(
+        pairDriftWindowBatch, $"value", $"src")
+      .as[(String, String, Double, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, (d, na, nb)) =>
+      val (bd, bna, bnb) = batch(k)
+      assert(math.abs(d - bd) < 2e-6, s"ks_d $k: $d vs $bd")
+      assert(na === bna && nb === bnb, s"n $k")
+    }
+    // hand check A vs C: supports are disjoint (A: {1,1,2,5}, C: {7,8})
+    // so at v=5 F_A=1, F_C=0 -> D=1
+    assert(streamed(("A", "C"))._1 === 1d)
+  }
+
+  test("streaming rejection reasons equals the batch rejectionReasons " +
+    "on the finalized window") {
+    val gates = Seq(
+      "shared_cat" -> $"cat".isin("x", "y", "z"),
+      "small" -> ($"value" < 5))
+    val q = StreamOps.streamingRejectionReasons(pairDriftStream, "ts",
+      Seq("src"), "5 minutes", "10 minutes", gates)
+      .writeStream.format("memory").queryName("reject_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT window_start, src, reason, n FROM reject_stream")
+      .as[(java.sql.Timestamp, String, String, Long)].collect()
+    assert(got.map(_._1.toString).distinct.toSeq ===
+      Seq("2024-01-01 00:00:00.0"))
+    val streamed = got.map(r => (r._2, r._3) -> r._4).toMap
+    val batch = graft.operators.Curate.rejectionReasons(
+        pairDriftWindowBatch, Seq("src"), gates)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed === batch)
+    // first-match attribution: C's rows fail BOTH gates but are labeled
+    // by the first (shared_cat); B's value=9 row passes gate 1 and is
+    // labeled by gate 2
+    assert(streamed(("C", "shared_cat")) === 2L)
+    assert(streamed(("B", "small")) === 1L)
+    assert(streamed(("A", "kept")) === 3L && streamed(("A", "small")) === 1L)
+  }
 }
