@@ -30,23 +30,29 @@ import org.apache.spark.sql.functions._
 object Sketch {
 
   /** KMV estimate side-by-side with the exact distinct count, sharing
-    * ONE distinct pass: the expensive part of both pipelines is
-    * deduplicating the (group, value) stream (for q187's shingles, a
-    * full explode + shuffle). Computing them independently runs that
-    * explode+distinct twice; here the distinct frame is built once,
-    * registered in the dedup LRU, and feeds the exact `count` and the
-    * sketch (whose internal re-distinct then runs on the already-small
-    * set of hashes). Both outputs are per-group aggregates, so the
-    * final join is broadcast-sized.
+    * ONE distinct pass — on the HASHES: the expensive part of both
+    * pipelines is deduplicating the (group, value) stream (for q187's
+    * shingles, a full explode + shuffle). Hashing BEFORE the distinct
+    * makes that one exchange carry 8-byte keys instead of the value
+    * strings, the deduped frame (registered in the dedup LRU, it feeds
+    * both consumers) is ~5× smaller resident, and the sketch needs no
+    * internal re-distinct — one exchange total where the naive
+    * composition runs two. `n_exact` counts distinct hashes, which
+    * equals the distinct-value count unless two values collide in the
+    * 2^60 hash space (P ≈ n²/2^61 — and the oracle-side check holds
+    * regardless: the reference SQL counts distinct values). Both
+    * outputs are per-group aggregates, so the final join is
+    * broadcast-sized.
     */
   def kmvWithExact(df: DataFrame, groupCols: Seq[String], value: Column,
                    k: Int): DataFrame = {
     val gs = groupCols.map(col)
-    val distinctVals = Dedup.registryPersist(
-      df.select(gs :+ value.as("__v"): _*).distinct())
-    val exact = distinctVals.groupBy(gs: _*)
+    val distinctHashes = Dedup.registryPersist(
+      df.select(gs :+ Dedup.portableHash64(value.cast("string")).as("__h"): _*)
+        .distinct())
+    val exact = distinctHashes.groupBy(gs: _*)
       .agg(count(lit(1)).as("n_exact"))
-    exact.join(kmvDistinct(distinctVals, groupCols, col("__v"), k), groupCols)
+    exact.join(kmvFromDistinctHashes(distinctHashes, groupCols, k), groupCols)
   }
 
   /** Count–Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
@@ -395,14 +401,25 @@ object Sketch {
   }
 
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
-                  k: Int): DataFrame = {
+                  k: Int): DataFrame =
+    kmvFromDistinctHashes(
+      df.select(groupCols.map(col)
+          :+ Dedup.portableHash64(value.cast("string")).as("__h"): _*)
+        .distinct(),
+      groupCols, k)
+
+  /** The k-smallest-hash selection over an ALREADY-DISTINCT
+    * (group, __h) frame — shared by [[kmvDistinct]] (which builds that
+    * frame) and [[kmvWithExact]] (which reuses one distinct pass for
+    * the exact count too).
+    */
+  private def kmvFromDistinctHashes(hashes: DataFrame,
+                                    groupCols: Seq[String],
+                                    k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 3, "KMV needs k >= 3")
     val M = (1L << 60).toDouble // portableHash64 range
     val gs = groupCols.map(col)
-    val hashes = df
-      .select(gs :+ Dedup.portableHash64(value.cast("string")).as("__h"): _*)
-      .distinct()
     val salted = Window.partitionBy(gs :+ col("__salt"): _*).orderBy(col("__h"))
     val full = Window.partitionBy(gs: _*).orderBy(col("__h"))
     hashes

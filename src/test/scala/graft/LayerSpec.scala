@@ -236,6 +236,51 @@ class LayerSpec extends SparkSpec {
     assert(s.contains("Total: 3.0") && s.contains("k"))
   }
 
+  test("display formatting follows the reference option rules: " +
+    "precision, scientific cutover, separators, Inv, string clip") {
+    import graft.functions.Display
+    val o = Display.Options()
+    import org.apache.spark.sql.types._
+    // PRECISION=2 fixed floats inside the 10^±6 band
+    assert(Display.formatCell(3.14159, DoubleType, o) === "3.14")
+    assert(Display.formatCell(-0.5, DoubleType, o) === "-0.50")
+    assert(Display.formatCell(0.0, DoubleType, o) === "0.00")
+    // E_THRESHOLD=6 flips to scientific at E_PRECISION=3
+    assert(Display.formatCell(1.5e7, DoubleType, o) === "1.500e+07")
+    assert(Display.formatCell(2e-7, DoubleType, o) === "2.000e-07")
+    // ints group thousands only when NUMBER_SEPARATOR is on
+    assert(Display.formatCell(1234567L, LongType, o) === "1234567")
+    val sep = o.copy(numberSeparator = true)
+    assert(Display.formatCell(1234567L, LongType, sep) === "1,234,567")
+    assert(Display.formatCell(-1234.5, DoubleType, sep) === "-1,234.50")
+    // invalids render Inv (null and NaN alike); infinities keep sign
+    assert(Display.formatCell(null, DoubleType, o) === "Inv")
+    assert(Display.formatCell(Double.NaN, DoubleType, o) === "Inv")
+    assert(Display.formatCell(Double.NegativeInfinity, DoubleType, o) === "-Inf")
+    // MAX_STRING_WIDTH=15 clips with ellipsis
+    assert(Display.formatCell("a" * 20, StringType, o) === "a" * 12 + "...")
+    assert(Display.formatCell("short", StringType, o) === "short")
+  }
+
+  test("display head...tail elision and numeric right-justification") {
+    import graft.functions.Display
+    val df = (1 to 100).map(i => (i.toLong, s"row$i")).toDF("n", "s")
+    val s = Display.showString(df, Display.Options(headRows = 3, tailRows = 2))
+    val lines = s.split("\n")
+    // header + 3 head + "..." + 2 tail = 7 lines
+    assert(lines.length === 7, s)
+    assert(lines(4).trim.startsWith("..."))
+    assert(s.contains("row1") && s.contains("row100") && !s.contains("row50"))
+    // the numeric column right-justifies: "1" sits at the cell's end
+    val hdr = lines.head
+    val nEnd = hdr.indexOf(" |")
+    assert(lines(1).substring(0, nEnd).endsWith("1"))
+    // rowAll forces the full frame out
+    val all = Display.showString(df,
+      Display.Options(headRows = 3, tailRows = 2, rowAll = true))
+    assert(all.split("\n").length === 101 && all.contains("row50"))
+  }
+
   test("transpose flips a small frame; labels become headers") {
     val df = Seq(("r1", 1.0, 10.0), ("r2", 2.0, 20.0)).toDF("k", "a", "b")
     val t = Reshape.transpose(df, "k")
