@@ -198,22 +198,26 @@ object Stats {
   /** Column profiler — the "what's in this table" report run before any
     * pipeline work: per column, row/null counts, string and numeric
     * min/max, and the KMV distinct-count estimate (deterministic, so
-    * the whole report is oracle-checkable — see `Sketch.kmvDistinct`).
+    * the whole report is oracle-checkable — see `Sketch.KmvAgg`).
     *
-    * Shape: ONE scan melts the chosen columns to (colname, value)
-    * long format (stack — a codegen projection, no shuffle), then one
-    * hash aggregate for the counts/extremes and the sketch's bounded
-    * selection. Values profile as their STRING forms (the numeric
-    * min/max re-casts; non-numeric columns yield null there, matching
+    * Shape: ONE scan, ONE wide single-row aggregate, ZERO data
+    * shuffles — the KMV sketch rides the same aggregate as the
+    * counts/extremes as a bounded-buffer `Aggregator` column (map-side
+    * combined to one ≤ k-long array per partition), so nothing is ever
+    * melted, deduplicated, or windowed; the one-row result unpivots
+    * with a driver-tiny stack. The earlier melt + global distinct +
+    * salted-rank formulation shuffled the full (colname, hash) stream —
+    * same estimate (both are the same function of the k smallest
+    * distinct hashes), ~4× the cost, and a corpus-sized exchange at
+    * 100 TB where this shape moves k longs per column per partition.
+    * Values profile as their STRING forms (the numeric min/max
+    * re-casts; non-numeric columns yield null there, matching
     * TRY_CAST) — callers exclude columns whose string rendering is
     * engine-dependent (timestamps' fractional-second formatting).
     */
   def profile(df: DataFrame, cols: Seq[String],
               sketchK: Int = 64): DataFrame = {
-    // counts/extremes need NO row melt: one wide single-row aggregate
-    // over the original frame (map-side combined to one row per
-    // partition — ncols× cheaper than aggregating the melted stream),
-    // then the ONE-row result unpivots with a driver-tiny stack
+    val kmv = graft.operators.Sketch.kmvUdaf(sketchK)
     val aggs = cols.flatMap { c =>
       val v = col(s"`$c`").cast("string")
       Seq(sum(when(v.isNull, 1L).otherwise(0L)).as(s"__null_$c"),
@@ -221,20 +225,26 @@ object Stats {
         round(min(v.cast("double")), 6).as(s"__minn_$c"),
         round(max(v.cast("double")), 6).as(s"__maxn_$c"))
     }
+    // TWO one-row aggregates, not one: a typed-Aggregator column turns
+    // the whole aggregate into interpreted ObjectHashAggregate, which
+    // would drop the 5·ncols builtin min/max/sum columns out of
+    // whole-stage codegen (measured 0.3 s → 2.2 s on q191). Keeping
+    // the sketches in their own udaf-only aggregate leaves the
+    // extremes codegen'd; both results are one row, so the recombine
+    // is a driver-free literal cross join.
+    val kmvs = cols.map { c =>
+      kmv(graft.operators.Dedup.portableHash64(col(s"`$c`").cast("string")))
+        .as(s"__kmv_$c")
+    }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val base = wide.select(expr(
+      .crossJoin(df.agg(kmvs.head, kmvs.tail: _*))
+    wide.select(expr(
       s"stack(${cols.length}, " + cols.map(c =>
         s"'$c', __n, `__null_$c`, `__min_$c`, `__max_$c`, " +
-          s"`__minn_$c`, `__maxn_$c`").mkString(", ") +
-        ") as (colname, n, n_null, min_str, max_str, min_num, max_num)"))
-    // the melt survives only where it is genuinely needed: the
-    // per-column distinct sketch
-    val longDf = df.select(expr(s"stack(${cols.length}, " +
-      cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
-      ") as (colname, v)"))
-    val est = graft.operators.Sketch.kmvDistinct(
-      longDf.filter(col("v").isNotNull), Seq("colname"), col("v"), sketchK)
-    base.join(est, Seq("colname"))
+          s"`__minn_$c`, `__maxn_$c`, " +
+          s"`__kmv_$c`.distinct_est, `__kmv_$c`.sketch_size").mkString(", ") +
+        ") as (colname, n, n_null, min_str, max_str, min_num, max_num, " +
+        "distinct_est, sketch_size)"))
   }
 
   /** Tie-aware ROC-AUC of a score against a binary label — the

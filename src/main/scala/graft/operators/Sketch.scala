@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, oracle-reproducible cardinality sketching.
@@ -399,6 +399,78 @@ object Sketch {
       .groupBy(gs :+ col("q"): _*)
       .agg(min(col("__x")).as("wq"))
   }
+
+  /** KMV as a bounded-buffer typed `Aggregator` — the mergeable-sketch
+    * form of [[kmvDistinct]]: the buffer is the sorted array of the ≤ k
+    * smallest DISTINCT hashes seen, updates are O(log k) rejects after
+    * warm-up (most rows compare once against the current k-th min and
+    * drop), merges are sorted-array unions trimmed to k. One aggregate
+    * pass, map-side combined, no distinct exchange, no windows — the
+    * plan-level salted-rank form stays as the cross-check twin
+    * (SketchSpec pins bit-equality). Estimates are identical by
+    * construction: both are the same function of the k smallest
+    * distinct `portableHash64` values, so the DuckDB oracle needs no
+    * change. Feed PRE-HASHED longs (`Dedup.portableHash64(v)`) so the
+    * hash definition lives in one place; nulls are skipped (null value
+    * hashes to null).
+    */
+  case class KmvEst(distinct_est: Double, sketch_size: Long)
+
+  class KmvAgg(k: Int) extends org.apache.spark.sql.expressions
+      .Aggregator[java.lang.Long, Array[Long], KmvEst] {
+    require(k >= 3, "KMV needs k >= 3")
+    private val M = (1L << 60).toDouble
+
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] = {
+      if (h == null) return buf
+      val v = h.longValue()
+      if (buf.length == k && v >= buf(k - 1)) return buf // common fast path
+      val at = java.util.Arrays.binarySearch(buf, v)
+      if (at >= 0) return buf // already present (distinctness)
+      val ins = -(at + 1)
+      val n = math.min(buf.length + 1, k)
+      val out = new Array[Long](n)
+      System.arraycopy(buf, 0, out, 0, ins)
+      out(ins) = v
+      System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+      out
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (i < a.length && a(i) == v) i += 1 // cross-array duplicate
+        else if (j < b.length && b(j) == v) j += 1
+        out(o) = v; o += 1
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    def finish(buf: Array[Long]): KmvEst =
+      if (buf.length < k) KmvEst(buf.length.toDouble, buf.length.toLong)
+      else KmvEst(
+        BigDecimal((k - 1).toDouble * M / buf(k - 1).toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        k.toLong)
+
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[KmvEst] = Encoders.product[KmvEst]
+  }
+
+  /** `udaf`-wrapped [[KmvAgg]] ready for `agg(...)` — input is the
+    * pre-hashed long column. Cache per k (the wrapper is reusable).
+    */
+  def kmvUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KmvAgg(k), Encoders.LONG)
 
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int): DataFrame =

@@ -78,4 +78,30 @@ class PipelineR9Spec extends SparkSpec {
     Sketch.kmvWithExact(df, Seq("g"), col("v"), 64).count()
     assert(Dedup.registryHits > hits0)
   }
+
+  test("KmvAgg (bounded-buffer Aggregator) is bit-identical to the " +
+    "plan-form kmvDistinct, partition-invariant, null-skipping") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      (s"g${i % 4}",
+        if (i % 97 == 0) null else s"v${rnd.nextInt(if (i % 2 == 0) 40 else 4000)}")
+    }
+    val df = rows.toDF("g", "v") // g0/g2 stay under k=64; g1/g3 overflow
+    val plan = Sketch.kmvDistinct(df.filter(col("v").isNotNull),
+        Seq("g"), col("v"), 64)
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for (parts <- Seq(1, 7)) {
+      val agg = df.repartition(parts).groupBy(col("g"))
+        .agg(Sketch.kmvUdaf(64)(Dedup.portableHash64(col("v"))).as("s"))
+        .select(col("g"), col("s.distinct_est"), col("s.sketch_size"))
+        .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(agg === plan, s"parts=$parts")
+    }
+    // under-k groups report exactly their distinct count
+    val exact = df.filter(col("v").isNotNull).select("g", "v").distinct()
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    plan.foreach { case (g, (est, sz)) =>
+      if (sz < 64) assert(est === exact(g).toDouble && sz === exact(g), g)
+    }
+  }
 }
