@@ -459,4 +459,91 @@ object Curate {
         round(least(col("cap"), coalesce(col("__level"), col("cap"))), 6)
           .as("alloc"))
   }
+
+  /** Train a quality/label classifier IN the engine: full-batch gradient
+    * descent on a linear model over hashed bag-of-words counts — the
+    * fastText-style filter trainer (cf. CCNet / GPT-3's quality
+    * classifier) as a distributed pipeline, closing the loop that
+    * [[hashedLinearScore]] only infers.
+    *
+    * Every quantity is an exact LONG, so training is bit-reproducible
+    * on any engine or cluster layout and the oracle can replay it:
+    *  - features x_ib = token count of doc i in bucket b (pmod of the
+    *    portable 60-bit hash — model size `buckets`, corpus-independent);
+    *  - weights live in micro-units (w_units = round(w·1e6));
+    *  - the margin z_units = Σ_b w_units_b·x_ib is an exact long sum
+    *    (order-independent — a float dot product would drift with
+    *    partition order, the same trap [[hashedLinearScore]] dodges);
+    *  - the link is the HARD sigmoid σ̃(z) = clamp(z/4 + 1/2, 0, 1)
+    *    (the MobileNet/BinaryConnect surrogate), scaled to integers as
+    *    P = clamp(z_units + 2e6, 0, 4e6) = 4e6·σ̃ — clamp of a long,
+    *    no exp(), so no libm last-ulp hazard between engines;
+    *  - the gradient Σ_i (P_i − 4e6·y_i)·x_ib is again an exact long
+    *    sum, and the driver updates w_b ← w_b − ⌊lrNum·g_b / (4·n·
+    *    lrDen)⌋ with floor division (floorDiv here, the mod-adjusted
+    *    quotient in SQL).
+    *
+    * Scale shape: the feature frame (id, bucket, cnt) is built once
+    * (one explode + one hash aggregate) and persisted; each iteration
+    * is (a) a broadcast of the weight VECTOR as a `buckets`-long array
+    * literal — `element_at` lookup, no join — (b) one ids-only shuffle
+    * to per-doc margins, (c) one bucket-keyed aggregate collected at
+    * model size (`buckets` rows — bounded by the model, never the
+    * corpus). Like BPE's merge loop, iterations are driver-sequenced
+    * jobs: fine for the tens-of-epochs this model class needs (fastText
+    * uses 5), documented as the bound.
+    *
+    * Returns per-doc scores under the trained model: (id, z_units,
+    * margin = z_units/1e6 rounded 6dp, pred, label, correct).
+    */
+  def trainTextClassifier(df: DataFrame, idCol: String, textCol: String,
+                          label: Column, buckets: Int = 512,
+                          iters: Int = 4, lrNum: Long = 1L,
+                          lrDen: Long = 4L): DataFrame = {
+    require(buckets > 0 && iters >= 0 && lrDen > 0, "bad hyperparams")
+    val U = 1000000L
+    // null label ⇒ negative class (a doc with no label is "not the
+    // target"), keeping y total so n and the gradient stay exact
+    val base = df.select(col(idCol).as("__id"),
+      coalesce(label.cast("boolean"), lit(false))
+        .cast("int").cast("long").as("__y"))
+    val x = df.select(col(idCol).as("__id"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"))
+      .select(col("__id"),
+        pmod(Dedup.portableHash64(col("__t")), lit(buckets.toLong)).as("__b"))
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      var w = Array.fill(buckets)(0L)
+      def margins(wts: Array[Long]): DataFrame =
+        x.select(col("__id"), (col("__cnt") *
+            element_at(typedlit(wts.toSeq), (col("__b") + 1).cast("int")))
+          .as("__wx"))
+          .groupBy(col("__id")).agg(sum(col("__wx")).as("__z"))
+      for (_ <- 1 to iters) {
+        val resid = base
+          .join(margins(w), Seq("__id"), "left")
+          .select(col("__id"),
+            (least(greatest(coalesce(col("__z"), lit(0L)) + lit(2 * U),
+              lit(0L)), lit(4 * U)) - lit(4 * U) * col("__y")).as("__r"))
+        val grad = new Array[Long](buckets)
+        x.join(resid, Seq("__id"))
+          .groupBy(col("__b")).agg(sum(col("__cnt") * col("__r")).as("__g"))
+          .collect() // model-sized: ≤ `buckets` rows
+          .foreach(r => grad(r.getLong(0).toInt) = r.getLong(1))
+        w = Array.tabulate(buckets)(b =>
+          w(b) - Math.floorDiv(lrNum * grad(b), 4L * n * lrDen))
+      }
+      base.join(margins(w), Seq("__id"), "left")
+        .select(col("__id").as(idCol),
+          coalesce(col("__z"), lit(0L)).as("z_units"),
+          round(coalesce(col("__z"), lit(0L)).cast("double") / lit(U.toDouble),
+            6).as("margin"),
+          (coalesce(col("__z"), lit(0L)) > 0).as("pred"),
+          (col("__y") === 1).as("label"),
+          ((coalesce(col("__z"), lit(0L)) > 0) === (col("__y") === 1))
+            .as("correct"))
+    } finally x.unpersist()
+  }
 }

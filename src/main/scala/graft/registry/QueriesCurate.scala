@@ -374,6 +374,19 @@ private[graft] object QueriesCurate {
           "quality" -> (col("score_units") > 0),
           "duplicate" -> (col("__rn") === 1)))
         .orderBy(col("source"), col("reason"))
-    })
+    }),
+
+    // In-engine classifier TRAINING (not just inference): 12 rounds of
+    // full-batch GD on a hashed bag-of-words linear model predicting
+    // lang='en' — all-integer hard-sigmoid arithmetic, so the learned
+    // weights and every per-doc margin are bit-identical on any
+    // engine/partitioning and the oracle replays the descent exactly
+    // (train accuracy 303/500 vs the 282 majority class at sf0.01 —
+    // the synthetic corpus shares one 31-token vocab across langs, so
+    // only weak frequency composition is learnable by ANY linear model)
+    "q232_train_classifier" -> ((s, dir) =>
+      Curate.trainTextClassifier(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 256, iters = 12, lrDen = 16L)
+        .orderBy(col("doc_id")))
   )
 }
