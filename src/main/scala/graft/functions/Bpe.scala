@@ -226,8 +226,14 @@ object Bpe {
     val spark = docs.sparkSession
     // AQE materializes every exchange as its own job — pure overhead on
     // the vocabulary-sized loop frames (3-4 jobs per round instead of
-    // 1); the training loop runs with it off and restores on exit
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    // 1); the training loop runs with it off and restores the PRIOR
+    // state on exit — including "unset", so a session that never set
+    // the key gets it back unset, not pinned to a literal. (The flip is
+    // session-global while the loop runs: a concurrent query on the
+    // same SparkSession would also run without AQE for those seconds —
+    // acceptable for a driver-sequenced trainer, noted for callers that
+    // share the session.)
+    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled")
     var cur = wordSyms(docs, textCol)
     val merges = scala.collection.mutable.ArrayBuffer[Row]()
     val mergedSet = scala.collection.mutable.Set[String]()
@@ -258,7 +264,10 @@ object Bpe {
         }).localCheckpoint(false) // lazy: rides the next round's job
       }
     }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally aqeWas match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1), outSchema)
   }

@@ -127,6 +127,79 @@ object Stats {
         c2.as("c2"), s0.cast("long").as("n"))): _*)
   }
 
+  /** General determinant as SQL TEXT via cofactor expansion along the
+    * first row — k! terms, which is exactly why [[polyFitSolveSql]]
+    * caps the degree; within that cap the text is small and, like
+    * [[spline2SolveSql]], it is evaluated VERBATIM by both Spark
+    * (`expr`) and the DuckDB oracle, so the per-group solve cannot
+    * drift between engines (only the moment-sum inputs can, by
+    * summation order — absorbed by output rounding).
+    */
+  private def detN(m: Seq[Seq[String]]): String =
+    if (m.size == 1) m.head.head
+    else {
+      val parts = m.head.indices.map { j =>
+        val minor = m.tail.map(r =>
+          r.zipWithIndex.collect { case (e, i) if i != j => e })
+        val term = s"${m.head(j)}*${detN(minor)}"
+        if (j == 0) term else if (j % 2 == 0) s" + $term" else s" - $term"
+      }
+      s"(${parts.mkString})"
+    }
+
+  /** The Cramer solutions (c0..c_degree) of the degree-n polynomial
+    * normal system A·c = v with A[i][j] = s_{i+j} (centered-x power
+    * sums) and v[i] = t_i (y-weighted power sums), as SQL expressions
+    * over the aliases produced by [[polyFit]] and its oracle mirror:
+    * s0..s{2·degree}, t0..t{degree}. Degree ≤ 4: the cofactor text
+    * grows factorially ((d+1)! terms per determinant, d+2 determinants)
+    * and past a 5×5 system a numeric LU solve belongs in the engine,
+    * not in shared SQL.
+    */
+  def polyFitSolveSql(degree: Int): Seq[String] = {
+    require(degree >= 1 && degree <= 4,
+      s"polyFit supports degree 1..4 (got $degree): the shared-SQL " +
+        "cofactor solve grows factorially; higher degrees need LU")
+    val a = (0 to degree).map(i => (0 to degree).map(j => s"s${i + j}"))
+    val v = (0 to degree).map(i => s"t$i")
+    val d = detN(a)
+    (0 to degree).map { i =>
+      val ai = a.zipWithIndex.map { case (row, r) => row.updated(i, v(r)) }
+      s"(${detN(ai)} / $d)"
+    }
+  }
+
+  /** polyFit (rt_stats.py:230) at GENERAL degree 1..4: least squares
+    * per group via centered moment sums — [[polyFit2]]'s discipline
+    * (center on the per-group mean so Σ(x−x̄)^{2d} stays in double
+    * range at 100 TB row counts; coefficients reported in the centered
+    * basis alongside x̄) with the (d+1)×(d+1) normal system solved by
+    * the shared-SQL Cramer text of [[polyFitSolveSql]]. Two passes:
+    * per-group mean (map-side combined, broadcast back), then ONE
+    * moment aggregate; the solve is a scalar projection. Power sums
+    * are explicit left-associated products (`((c·c)·c)…` — `pow()`
+    * could diverge in the last ulp between engines).
+    */
+  def polyFit(df: DataFrame, yCol: String, xCol: String,
+              by: Seq[String], degree: Int): DataFrame = {
+    val sols = polyFitSolveSql(degree) // validates degree
+    val (y, x) = (col(yCol).cast("double"), col(xCol).cast("double"))
+    val means = df.groupBy(by.map(col): _*).agg(avg(x).as("xbar"))
+    val c = x - col("xbar")
+    def cpow(k: Int): Column = (2 to k).foldLeft(c)((p, _) => p * c)
+    val aggs =
+      (1 to 2 * degree).map(k => sum(cpow(k)).as(s"s$k")) ++
+        (sum(y).as("t0") +:
+          (1 to degree).map(k => sum(y * cpow(k)).as(s"t$k")))
+    val moments = df.join(broadcast(means), by)
+      .groupBy((by :+ "xbar").map(col): _*)
+      .agg(count(lit(1)).cast("double").as("s0"), aggs: _*)
+    moments.select(
+      (by.map(col) :+ col("xbar")) ++
+        sols.zipWithIndex.map { case (s, i) => expr(s).as(s"c$i") } ++
+        Seq(col("s0").cast("long").as("n")): _*)
+  }
+
   // ---- linear_spline (rt_stats.py:154) ----
   //
   // Continuous piecewise-linear least squares with 2 fixed knots:

@@ -484,11 +484,16 @@ object Curate {
     *    quotient in SQL).
     *
     * Scale shape: the feature frame (id, bucket, cnt) is built once
-    * (one explode + one hash aggregate) and persisted; each iteration
-    * is (a) a broadcast of the weight VECTOR as a `buckets`-long array
-    * literal — `element_at` lookup, no join — (b) one ids-only shuffle
-    * to per-doc margins, (c) one bucket-keyed aggregate collected at
-    * model size (`buckets` rows — bounded by the model, never the
+    * (one explode + one hash aggregate), repartitioned by doc id, and
+    * persisted — as is the (id, label) frame. Each iteration is then a
+    * SINGLE pass over the feature frame: the weight vector broadcasts
+    * as a `buckets`-long array literal (`element_at` lookup, no join),
+    * per-doc margins come from a window sum over the id partitioning
+    * (no exchange — the persisted frames are already id-partitioned),
+    * the residual folds into the same pass, and the only shuffle is
+    * the bucket-keyed gradient aggregate, map-side-combined down to
+    * ≤ `buckets` rows per partition before it moves. Collects are
+    * model-sized (`buckets` rows — bounded by the model, never the
     * corpus). Like BPE's merge loop, iterations are driver-sequenced
     * jobs: fine for the tens-of-epochs this model class needs (fastText
     * uses 5), documented as the bound.
@@ -504,32 +509,45 @@ object Curate {
     val U = 1000000L
     // null label ⇒ negative class (a doc with no label is "not the
     // target"), keeping y total so n and the gradient stay exact
+    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("__id"),
       coalesce(label.cast("boolean"), lit(false))
         .cast("int").cast("long").as("__y"))
+      .repartition(col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // id-partitioned so every iteration's window sum and label join run
+    // exchange-free on the persisted blocks
     val x = df.select(col(idCol).as("__id"),
         explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"))
       .select(col("__id"),
         pmod(Dedup.portableHash64(col("__t")), lit(buckets.toLong)).as("__b"))
       .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .repartition(col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = base.count()
       var w = Array.fill(buckets)(0L)
+      def wAt(wts: Array[Long]): Column =
+        element_at(typedlit(wts.toSeq), (col("__b") + 1).cast("int"))
       def margins(wts: Array[Long]): DataFrame =
-        x.select(col("__id"), (col("__cnt") *
-            element_at(typedlit(wts.toSeq), (col("__b") + 1).cast("int")))
-          .as("__wx"))
+        x.select(col("__id"), (col("__cnt") * wAt(wts)).as("__wx"))
           .groupBy(col("__id")).agg(sum(col("__wx")).as("__z"))
-      for (_ <- 1 to iters) {
-        val resid = base
-          .join(margins(w), Seq("__id"), "left")
-          .select(col("__id"),
-            (least(greatest(coalesce(col("__z"), lit(0L)) + lit(2 * U),
-              lit(0L)), lit(4 * U)) - lit(4 * U) * col("__y")).as("__r"))
+      val byId = Window.partitionBy(col("__id"))
+      // n == 0 ⇒ nothing to fit (and the floorDiv denominator would be
+      // 0): skip the update loop, weights stay 0, result is empty anyway
+      for (_ <- 1 to iters if n > 0) {
+        // single pass over x per iteration: margin (window sum over the
+        // id partitioning — no exchange), residual, and the per-bucket
+        // gradient terms all in one scan; docs with no tokens have no x
+        // rows and contribute 0 to every gradient bucket, so the inner
+        // label join loses nothing
         val grad = new Array[Long](buckets)
-        x.join(resid, Seq("__id"))
-          .groupBy(col("__b")).agg(sum(col("__cnt") * col("__r")).as("__g"))
+        x.join(base, Seq("__id"))
+          .withColumn("__z", sum(col("__cnt") * wAt(w)).over(byId))
+          .select(col("__b"), (col("__cnt") *
+            (least(greatest(col("__z") + lit(2 * U), lit(0L)), lit(4 * U))
+              - lit(4 * U) * col("__y"))).as("__gr"))
+          .groupBy(col("__b")).agg(sum(col("__gr")).as("__g"))
           .collect() // model-sized: ≤ `buckets` rows
           .foreach(r => grad(r.getLong(0).toInt) = r.getLong(1))
         w = Array.tabulate(buckets)(b =>
@@ -544,6 +562,6 @@ object Curate {
           (col("__y") === 1).as("label"),
           ((coalesce(col("__z"), lit(0L)) > 0) === (col("__y") === 1))
             .as("correct"))
-    } finally x.unpersist()
+    } finally { x.unpersist(); base.unpersist() }
   }
 }

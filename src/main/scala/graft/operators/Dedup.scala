@@ -416,17 +416,25 @@ object Dedup {
     * o ≥ τ·union ≥ ⌈τ·sz⌉ for EITHER side's sz, so each side's first
     * sz − ⌈τ·sz⌉ + 1 shingles under one shared total order must
     * intersect (the same theorem jaccardPairs uses within one corpus).
-    * The shared order is the point: each corpus's rare-first (df-asc)
-    * ranks differ, so the within-corpus ordering is UNSOUND across
-    * corpora — the cross-corpus prefixes use hash-ascending
-    * (`sort_array` over the persisted hash sets), which is
-    * corpus-independent and costs one per-row sort of an
-    * already-distinct array. Both prefixes shrink to (1−τ)·sz + 1
-    * elements; the r7 plan instead exploded the ENTIRE old corpus
-    * (plus a redundant banded-minhash union whose candidates are a
-    * subset of the prefix guarantee) — at τ=0.5 that was ~2× the
-    * needed old-side stream and 14.8 s at sf0.1, the slowest query in
-    * the bench. No minhash signatures are built at all on this path.
+    * The shared order is the point: each corpus's OWN rare-first
+    * (df-asc) ranks differ, so the within-corpus ordering is UNSOUND
+    * across corpora. The shared order here is rare-first by doc
+    * frequency over the OLD corpus alone (hash tie-break): shared
+    * shingles rank identically on both sides because the ranking is a
+    * pure function of the index corpus, new-only shingles take df = 0
+    * (sorted first — maximally selective: they cannot match the old
+    * side at all), and — unlike an order derived from the union —
+    * the old side's sets frame depends only on the old corpus, so the
+    * registry-persisted index really is reused across snapshots
+    * instead of being recomputed per crawl. (Raw hash-ascending, the
+    * r8 order, was also corpus-independent but put HOT shingles into
+    * prefixes — fat posting lists, a skewed join key at scale.) Both
+    * prefixes shrink to (1−τ)·sz + 1 elements; the r7 plan instead
+    * exploded the ENTIRE old corpus (plus a redundant banded-minhash
+    * union whose candidates are a subset of the prefix guarantee) — at
+    * τ=0.5 that was ~2× the needed old-side stream and 14.8 s at
+    * sf0.1, the slowest query in the bench. No minhash signatures are
+    * built at all on this path.
     *
     * With `fullRecall = false`: banded-minhash candidates new×old
     * (same permutation constants both sides, so matching bands collide
@@ -442,23 +450,26 @@ object Dedup {
                        threshold: Double = 0.8,
                        fullRecall: Boolean = true): DataFrame = {
     // One SHARED total order for both corpora's shingle arrays: doc
-    // frequency over the UNION (rare-first), hash tie-break. Within-
-    // corpus df orders disagree across corpora, and raw-hash order (the
-    // r8 plan's corpus-independent fallback) puts HOT shingles into
-    // prefixes — fat posting lists locally, a skewed join key at scale.
-    // The pigeonhole argument needs only SOME shared total order, so
-    // union-df rare-first restores short prefixes on both sides.
+    // frequency over the OLD corpus (rare-first), hash tie-break;
+    // new-only shingles take df = 0. Within-corpus df orders disagree
+    // across corpora, and raw-hash order (the r8 plan's corpus-
+    // independent fallback) puts HOT shingles into prefixes — fat
+    // posting lists locally, a skewed join key at scale. The pigeonhole
+    // argument needs only SOME shared total order; old-corpus df is a
+    // pure function of the index, so the index side's dfreq AND sets
+    // frames are registry-persisted across snapshots (an order over the
+    // union would tie the old side's plan to every new crawl).
     val exN = shingleHashes(newDocs, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "id")
     val exO = shingleHashes(oldDocs, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "id")
     val dfreq = registryPersist(
-      exN.select(col("sh")).unionAll(exO.select(col("sh")))
-        .groupBy(col("sh")).agg(count(lit(1)).as("df")))
+      exO.groupBy(col("sh")).agg(count(lit(1)).as("df")))
     def mkSets(ex: DataFrame): DataFrame = cachedPersist(
-      ex.join(dfreq, Seq("sh"))
+      ex.join(dfreq, Seq("sh"), "left")
         .groupBy(col("id"))
-        .agg(transform(sort_array(collect_list(struct(col("df"), col("sh")))),
+        .agg(transform(sort_array(collect_list(
+          struct(coalesce(col("df"), lit(0L)).as("df"), col("sh")))),
           x => x.getField("sh")).as("shs"))
         .withColumn("sz", size(col("shs"))))
     val setsN = mkSets(exN)

@@ -33,26 +33,36 @@ object Sketch {
     * ONE distinct pass — on the HASHES: the expensive part of both
     * pipelines is deduplicating the (group, value) stream (for q187's
     * shingles, a full explode + shuffle). Hashing BEFORE the distinct
-    * makes that one exchange carry 8-byte keys instead of the value
-    * strings, the deduped frame (registered in the dedup LRU, it feeds
-    * both consumers) is ~5× smaller resident, and the sketch needs no
-    * internal re-distinct — one exchange total where the naive
-    * composition runs two. `n_exact` counts distinct hashes, which
-    * equals the distinct-value count unless two values collide in the
-    * 2^60 hash space (P ≈ n²/2^61 — and the oracle-side check holds
-    * regardless: the reference SQL counts distinct values). Both
-    * outputs are per-group aggregates, so the final join is
-    * broadcast-sized.
+    * makes that one exchange carry fixed-width keys instead of the
+    * value strings, the deduped frame (registered in the dedup LRU, it
+    * feeds both consumers) stays far smaller resident, and the sketch
+    * needs no internal re-distinct — one exchange total where the naive
+    * composition runs two.
+    *
+    * `n_exact` must equal the distinct-VALUE count (the oracle counts
+    * distinct values), so the distinct key is a 120-bit PAIR of
+    * independent 60-bit hashes: a single 60-bit key collides two
+    * distinct values with P ≈ n²/2^61 — already ~0.4 at n = 1e9, an
+    * undercount the oracle would flag red — while the pair's bound is
+    * n²/2^121 ≈ 4e-13 even at n = 1e12 distinct. The SKETCH still runs
+    * on the first hash alone (both engine and oracle rank distinct
+    * 60-bit hashes, so a first-hash collision cancels out of the
+    * estimate); [[kmvFromDistinctHashes]] tolerates the resulting rare
+    * duplicate `__h` rows via dense ranks. Both outputs are per-group
+    * aggregates, so the final join is broadcast-sized.
     */
   def kmvWithExact(df: DataFrame, groupCols: Seq[String], value: Column,
                    k: Int): DataFrame = {
     val gs = groupCols.map(col)
-    val distinctHashes = Dedup.registryPersist(
-      df.select(gs :+ Dedup.portableHash64(value.cast("string")).as("__h"): _*)
+    val distinctPairs = Dedup.registryPersist(
+      df.select(gs ++ Seq(
+          Dedup.portableHash64(value.cast("string")).as("__h"),
+          Dedup.portableHash64(concat(lit("kmv2:"), value.cast("string")))
+            .as("__h2")): _*)
         .distinct())
-    val exact = distinctHashes.groupBy(gs: _*)
+    val exact = distinctPairs.groupBy(gs: _*)
       .agg(count(lit(1)).as("n_exact"))
-    exact.join(kmvFromDistinctHashes(distinctHashes, groupCols, k), groupCols)
+    exact.join(kmvFromDistinctHashes(distinctPairs, groupCols, k), groupCols)
   }
 
   /** Count–Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
@@ -480,10 +490,14 @@ object Sketch {
         .distinct(),
       groupCols, k)
 
-  /** The k-smallest-hash selection over an ALREADY-DISTINCT
-    * (group, __h) frame — shared by [[kmvDistinct]] (which builds that
-    * frame) and [[kmvWithExact]] (which reuses one distinct pass for
-    * the exact count too).
+  /** The k-smallest-hash selection over a (group, __h[, …]) frame with
+    * AT MOST RARE duplicate `__h` per group — shared by [[kmvDistinct]]
+    * (whose frame is strictly distinct, where dense_rank ≡ row_number
+    * and the distinct count ≡ count) and [[kmvWithExact]] (whose
+    * 120-bit-pair frame can carry a duplicate `__h` when two values
+    * collide on the first hash only; dense ranks + a distinct final
+    * count collapse it, keeping the estimate on distinct 60-bit hashes
+    * exactly as the oracle computes it).
     */
   private def kmvFromDistinctHashes(hashes: DataFrame,
                                     groupCols: Seq[String],
@@ -496,12 +510,12 @@ object Sketch {
     val full = Window.partitionBy(gs: _*).orderBy(col("__h"))
     hashes
       .withColumn("__salt", spark_partition_id())
-      .withColumn("__r1", row_number().over(salted))
+      .withColumn("__r1", dense_rank().over(salted))
       .filter(col("__r1") <= k)
-      .withColumn("__rn", row_number().over(full))
+      .withColumn("__rn", dense_rank().over(full))
       .filter(col("__rn") <= k)
       .groupBy(gs: _*)
-      .agg(count(lit(1)).as("__cnt"), max(col("__h")).as("__hk"))
+      .agg(countDistinct(col("__h")).as("__cnt"), max(col("__h")).as("__hk"))
       .select(gs ++ Seq(
         when(col("__cnt") < k, col("__cnt").cast("double"))
           .otherwise(round(lit((k - 1).toDouble) * lit(M)

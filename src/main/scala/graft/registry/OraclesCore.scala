@@ -538,6 +538,36 @@ private[graft] object OraclesCore {
         |  CAST(s0 AS BIGINT) AS n
         |FROM mo ORDER BY 1""".stripMargin,
 
+    // degree-3 mirror: the moment CTE spells the centered power sums
+    // with explicit left-assoc products (matching Spark's Column
+    // chains), then evaluates graft's OWN Cramer solve text — shared
+    // SQL, so the per-group solve cannot diverge between engines
+    "q233_polyfit_deg3" -> {
+      val sols = graft.functions.Stats.polyFitSolveSql(3)
+      s"""WITH m AS (SELECT l_returnflag,
+         |    avg(CAST(l_quantity AS DOUBLE)) AS xbar
+         |  FROM lineitem GROUP BY 1),
+         |h AS (SELECT l.l_returnflag, m.xbar,
+         |    CAST(l_quantity AS DOUBLE) - m.xbar AS cx,
+         |    CAST(l_extendedprice AS DOUBLE) AS yy
+         |  FROM lineitem l JOIN m USING (l_returnflag)),
+         |mo AS (SELECT l_returnflag, xbar,
+         |    CAST(count(*) AS DOUBLE) AS s0,
+         |    sum(cx) AS s1, sum(cx*cx) AS s2, sum(cx*cx*cx) AS s3,
+         |    sum(cx*cx*cx*cx) AS s4, sum(cx*cx*cx*cx*cx) AS s5,
+         |    sum(cx*cx*cx*cx*cx*cx) AS s6,
+         |    sum(yy) AS t0, sum(yy * cx) AS t1,
+         |    sum(yy * (cx*cx)) AS t2, sum(yy * (cx*cx*cx)) AS t3
+         |  FROM h GROUP BY 1, 2)
+         |SELECT l_returnflag, round(xbar, 6) AS xbar,
+         |  round(${sols(0)}, 4) + 0.0 AS c0,
+         |  round(${sols(1)}, 4) + 0.0 AS c1,
+         |  round(${sols(2)}, 4) + 0.0 AS c2,
+         |  round(${sols(3)}, 4) + 0.0 AS c3,
+         |  CAST(s0 AS BIGINT) AS n
+         |FROM mo ORDER BY 1""".stripMargin
+    },
+
     "q126_class_error" ->
       """SELECT l_returnflag,
         |  round(avg(CASE WHEN (CASE WHEN l_extendedprice > 30000 THEN 'hi' ELSE 'lo' END)

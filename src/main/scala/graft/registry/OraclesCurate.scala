@@ -616,21 +616,28 @@ private[graft] object OraclesCurate {
     // CTEs (w0 → w1 → … — no recursion, no correlation); margins and
     // gradients are exact BIGINT sums, the hard-sigmoid link is a
     // clamp (no exp → no libm divergence), and the weight update uses
-    // the mod-adjusted floor quotient to match the engine's floorDiv
+    // the mod-adjusted floor quotient to match the engine's floorDiv.
+    // EVERY CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and
+    // because each w_i references w_{i-1} twice (directly and via
+    // g_i → r_i → z_i), inlining expands the reference graph ~2^depth
+    // — the un-materialized form never finished at sf0.01 (>55 CPU-min)
+    // and zeroed the round-9 correctness run. Materialized: 1.4 s at
+    // sf0.1 (DuckDB ≥0.10 required; the harness ships 1.0.0).
     "q232_train_classifier" -> {
       val (bk, iters, lrn, lrd) = (256, 12, 1L, 16L)
       def zCte(i: Int, w: String) =
-        s"""z$i AS (SELECT x.doc_id, CAST(sum(x.cnt * $w.wl[x.b + 1])
+        s"""z$i AS MATERIALIZED (SELECT x.doc_id,
+           |    CAST(sum(x.cnt * $w.wl[x.b + 1])
            |    AS BIGINT) AS z FROM x, $w GROUP BY 1)""".stripMargin
       val steps = (1 to iters).map { i =>
         s"""${zCte(i, s"w${i - 1}")},
-           |r$i AS (SELECT y.doc_id,
+           |r$i AS MATERIALIZED (SELECT y.doc_id,
            |    LEAST(GREATEST(COALESCE(z, 0) + 2000000, 0), 4000000)
            |      - 4000000 * y.y AS r
            |  FROM y LEFT JOIN z$i USING (doc_id)),
-           |g$i AS (SELECT b, CAST(sum(cnt * r) AS BIGINT) AS g
+           |g$i AS MATERIALIZED (SELECT b, CAST(sum(cnt * r) AS BIGINT) AS g
            |  FROM x JOIN r$i USING (doc_id) GROUP BY 1),
-           |w$i AS (SELECT list(wn ORDER BY j) AS wl FROM (
+           |w$i AS MATERIALIZED (SELECT list(wn ORDER BY j) AS wl FROM (
            |  SELECT t.j AS j, w.wl[t.j + 1] - CAST((a - (((a % m) + m) % m))
            |      / m AS BIGINT) AS wn
            |  FROM (SELECT t.j, $lrn * COALESCE(g.g, 0) AS a,
@@ -638,14 +645,15 @@ private[graft] object OraclesCurate {
            |    FROM range($bk) t(j) LEFT JOIN g$i g ON t.j = g.b, nn) t,
            |    w${i - 1} w) s)""".stripMargin
       }.mkString(",\n")
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest(string_split_regex(
          |    lower(trim(text)), '\\s+')) AS tk FROM documents),
-         |x AS (SELECT doc_id, ${hash60Sql("tk")} % $bk AS b,
+         |x AS MATERIALIZED (SELECT doc_id, ${hash60Sql("tk")} % $bk AS b,
          |  count(*) AS cnt FROM toks GROUP BY 1, 2),
-         |y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+         |y AS MATERIALIZED (SELECT doc_id,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END
          |  AS y FROM documents),
-         |nn AS (SELECT count(*) AS n FROM documents),
-         |w0 AS (SELECT list_transform(range($bk),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+         |w0 AS MATERIALIZED (SELECT list_transform(range($bk),
          |  j -> CAST(0 AS BIGINT)) AS wl),
          |$steps,
          |${zCte(iters + 1, s"w$iters")}

@@ -643,6 +643,19 @@ private[graft] object QueriesCore {
           round(col("c2"), 4).as("c2"), col("n"))
         .orderBy(col("l_returnflag"))),
 
+    // polyFit at GENERAL degree (rt_stats.py:230 fits arbitrary degree;
+    // this closes the §2.8 "deg-2 only" gap): degree-3 per-group fit
+    // through the shared-SQL Cramer solve — the oracle evaluates the
+    // IDENTICAL solve text over identically-defined moment sums
+    "q233_polyfit_deg3" -> ((s, dir) =>
+      Stats.polyFit(t(s, dir, "lineitem"), "l_extendedprice", "l_quantity",
+        Seq("l_returnflag"), degree = 3)
+        .select(col("l_returnflag"), round(col("xbar"), 6).as("xbar"),
+          round(col("c0"), 4).as("c0"), round(col("c1"), 4).as("c1"),
+          round(col("c2"), 4).as("c2"), round(col("c3"), 4).as("c3"),
+          col("n"))
+        .orderBy(col("l_returnflag"))),
+
     // class_error (rt_stats.py:108): per-group misclassification rate of
     // a threshold rule — one map-side-combined aggregate
     "q126_class_error" -> ((s, dir) =>

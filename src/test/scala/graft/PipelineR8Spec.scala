@@ -23,7 +23,7 @@ class PipelineR8Spec extends SparkSpec {
     // engineered so each corpus's own df-rank order differs: shingles
     // common in the new side are rare in the old side and vice versa.
     // A prefix filter built on per-corpus rare-first ordering could
-    // miss pairs; the shared union-df order must not.
+    // miss pairs; the shared (old-corpus-df) order must not.
     val newDocs = Seq(
       (1L, "a b c d e f g h"),
       (3L, "a b c d e f x y"),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Sketch}
 
 /** Round-9 pins: hot-shingle cross-corpus completeness under the
-  * shared union-df prefix order, and the one-distinct KMV+exact path.
+  * shared rare-first prefix order (old-corpus df since round 10),
+  * and the one-distinct KMV+exact path.
   */
 class PipelineR9Spec extends SparkSpec {
   import spark.implicits._
@@ -18,8 +19,9 @@ class PipelineR9Spec extends SparkSpec {
   test("crossCorpusDupes stays complete on a HOT-shingle corpus: a " +
     "shingle shared by every doc must not blind the prefix filter") {
     // every doc opens with the same 3 tokens → one shingle with df =
-    // |corpus| on both sides. Union-df rare-first ordering pushes it to
-    // the END of every doc's sorted shingle array, so prefixes hold
+    // |corpus| on both sides. Rare-first ordering (old-corpus df)
+    // pushes it to the END of every doc's sorted shingle array, so
+    // prefixes hold
     // only the rare discriminating shingles; the r8 raw-hash order
     // could land it in every prefix (fat posting list) — and a BROKEN
     // order could push rare shingles out and lose pairs. Equality with
