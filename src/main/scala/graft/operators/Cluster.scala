@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   * constant per-round planning cost); each round's blocks are
   * explicitly freed once the next round is materialized, so memory is
   * genuinely one edge frame regardless of round count.
+  *
+  * FAULT-TOLERANCE SCOPE: localCheckpoint stores blocks on the
+  * executors WITHOUT a recompute path — lose an executor mid-loop on a
+  * real cluster and the job fails (it cannot rebuild the truncated
+  * lineage). That trade is deliberate here (single-JVM harness; a
+  * failed CC job simply reruns — the algorithm is deterministic), but a
+  * long-lived production cluster run should set
+  * `spark.sparkContext.setCheckpointDir(...)` and switch these sites to
+  * reliable `checkpoint()` — same semantics, blocks in fault-tolerant
+  * storage, ~2-5× slower per round from the extra write.
   */
 object Cluster {
 

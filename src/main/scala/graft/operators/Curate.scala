@@ -484,19 +484,29 @@ object Curate {
     *    quotient in SQL).
     *
     * Scale shape: the feature frame (id, bucket, cnt) is built once
-    * (one explode + one hash aggregate), repartitioned by doc id, and
-    * persisted — as is the (id, label) frame. Each iteration is then a
-    * SINGLE pass over the feature frame: the weight vector broadcasts
-    * as a `buckets`-long array literal (`element_at` lookup, no join),
-    * per-doc margins come from a window sum over the id partitioning
-    * (no exchange — the persisted frames are already id-partitioned),
-    * the residual folds into the same pass, and the only shuffle is
-    * the bucket-keyed gradient aggregate, map-side-combined down to
-    * ≤ `buckets` rows per partition before it moves. Collects are
+    * (one explode + one hash aggregate), repartitioned by doc id and
+    * SORTED within partitions, then registered in the shared persist
+    * registry — as is the (id, label) frame — so a sibling query
+    * composing the same trainer (q234's gate over q232's scores) reuses
+    * the materialized frames instead of re-exploding the corpus. The
+    * label term of the gradient, gy_b = Σ_i y_i·x_ib, is CONSTANT
+    * across iterations (y and x never change), so it is aggregated once
+    * up front and the update uses grad_b = gp_b − 4e6·gy_b with
+    * gp_b = Σ_i P_i·x_ib — exact long identities, bit-identical
+    * weights. Each iteration is then a SINGLE pass over the feature
+    * frame with NO join and NO sort: the weight vector broadcasts as a
+    * `buckets`-long array literal (`element_at` lookup), per-doc
+    * margins come from a window sum whose required (id) partitioning
+    * and ordering the persisted layout already satisfies, and the only
+    * shuffle is the bucket-keyed gp aggregate, map-side-combined down
+    * to ≤ `buckets` rows per partition before it moves. Collects are
     * model-sized (`buckets` rows — bounded by the model, never the
-    * corpus). Like BPE's merge loop, iterations are driver-sequenced
-    * jobs: fine for the tens-of-epochs this model class needs (fastText
-    * uses 5), documented as the bound.
+    * corpus). Trained weights memoize per (session, input plan,
+    * hyperparams) — deterministic plans only, the registry's own
+    * precondition — so composing queries re-score without re-training.
+    * Like BPE's merge loop, iterations are driver-sequenced jobs: fine
+    * for the tens-of-epochs this model class needs (fastText uses 5),
+    * documented as the bound.
     *
     * Returns per-doc scores under the trained model: (id, z_units,
     * margin = z_units/1e6 rounded 6dp, pred, label, correct).
@@ -510,58 +520,97 @@ object Curate {
     // null label ⇒ negative class (a doc with no label is "not the
     // target"), keeping y total so n and the gradient stay exact
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("__id"),
-      coalesce(label.cast("boolean"), lit(false))
-        .cast("int").cast("long").as("__y"))
-      .repartition(col("__id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // id-partitioned so every iteration's window sum and label join run
-    // exchange-free on the persisted blocks
-    val x = df.select(col(idCol).as("__id"),
-        explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"))
-      .select(col("__id"),
-        pmod(Dedup.portableHash64(col("__t")), lit(buckets.toLong)).as("__b"))
-      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
-      .repartition(col("__id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = base.count()
-      var w = Array.fill(buckets)(0L)
-      def wAt(wts: Array[Long]): Column =
-        element_at(typedlit(wts.toSeq), (col("__b") + 1).cast("int"))
-      def margins(wts: Array[Long]): DataFrame =
-        x.select(col("__id"), (col("__cnt") * wAt(wts)).as("__wx"))
-          .groupBy(col("__id")).agg(sum(col("__wx")).as("__z"))
-      val byId = Window.partitionBy(col("__id"))
-      // n == 0 ⇒ nothing to fit (and the floorDiv denominator would be
-      // 0): skip the update loop, weights stay 0, result is empty anyway
-      for (_ <- 1 to iters if n > 0) {
-        // single pass over x per iteration: margin (window sum over the
-        // id partitioning — no exchange), residual, and the per-bucket
-        // gradient terms all in one scan; docs with no tokens have no x
-        // rows and contribute 0 to every gradient bucket, so the inner
-        // label join loses nothing
-        val grad = new Array[Long](buckets)
-        x.join(base, Seq("__id"))
-          .withColumn("__z", sum(col("__cnt") * wAt(w)).over(byId))
-          .select(col("__b"), (col("__cnt") *
-            (least(greatest(col("__z") + lit(2 * U), lit(0L)), lit(4 * U))
-              - lit(4 * U) * col("__y"))).as("__gr"))
-          .groupBy(col("__b")).agg(sum(col("__gr")).as("__g"))
-          .collect() // model-sized: ≤ `buckets` rows
-          .foreach(r => grad(r.getLong(0).toInt) = r.getLong(1))
-        w = Array.tabulate(buckets)(b =>
-          w(b) - Math.floorDiv(lrNum * grad(b), 4L * n * lrDen))
+    val base = Dedup.registryPersist(
+      df.select(col(idCol).as("__id"),
+          coalesce(label.cast("boolean"), lit(false))
+            .cast("int").cast("long").as("__y"))
+        .repartition(col("__id")))
+    // id-partitioned AND id-sorted so every iteration's window sum runs
+    // with no exchange and no sort on the persisted blocks
+    val x = Dedup.registryPersist(
+      df.select(col(idCol).as("__id"),
+          explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"))
+        .select(col("__id"),
+          pmod(Dedup.portableHash64(col("__t")), lit(buckets.toLong)).as("__b"))
+        .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
+        .repartition(col("__id"))
+        .sortWithinPartitions(col("__id")))
+    val n = base.count()
+    def wAt(wts: Array[Long]): Column =
+      element_at(typedlit(wts.toSeq), (col("__b") + 1).cast("int"))
+    def margins(wts: Array[Long]): DataFrame =
+      x.select(col("__id"), (col("__cnt") * wAt(wts)).as("__wx"))
+        .groupBy(col("__id")).agg(sum(col("__wx")).as("__z"))
+    val byId = Window.partitionBy(col("__id"))
+    def modelSized(dfm: DataFrame): Array[Long] = {
+      val out = new Array[Long](buckets)
+      // model-sized collect: ≤ `buckets` rows by construction
+      dfm.collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      out
+    }
+    val memoKey = (df.sparkSession,
+      x.queryExecution.analyzed.canonicalized,
+      base.queryExecution.analyzed.canonicalized,
+      buckets, iters, lrNum, lrDen)
+    val memoizable = !GraftPlanUtil.nondeterministic(
+      df.queryExecution.analyzed)
+    // n == 0 ⇒ nothing to fit (and the floorDiv denominator would be
+    // 0): skip the update loop, weights stay 0, result is empty anyway
+    val w: Array[Long] =
+      if (n == 0 || iters == 0) Array.fill(buckets)(0L)
+      else if (memoizable && wMemo.synchronized(wMemo.containsKey(memoKey))) {
+        classifierMemoHits += 1
+        wMemo.synchronized(wMemo.get(memoKey))
       }
-      base.join(margins(w), Seq("__id"), "left")
-        .select(col("__id").as(idCol),
-          coalesce(col("__z"), lit(0L)).as("z_units"),
-          round(coalesce(col("__z"), lit(0L)).cast("double") / lit(U.toDouble),
-            6).as("margin"),
-          (coalesce(col("__z"), lit(0L)) > 0).as("pred"),
-          (col("__y") === 1).as("label"),
-          ((coalesce(col("__z"), lit(0L)) > 0) === (col("__y") === 1))
-            .as("correct"))
-    } finally { x.unpersist(); base.unpersist() }
+      else {
+        // constant across iterations: the label term gy_b = Σ_i y_i·x_ib
+        // — one join + one model-sized aggregate, hoisted out of the loop
+        val gy = modelSized(x.join(base, Seq("__id"))
+          .groupBy(col("__b"))
+          .agg(sum(col("__cnt") * col("__y")).as("__gy")))
+        var cur = Array.fill(buckets)(0L)
+        for (_ <- 1 to iters) {
+          // single join-free, sort-free pass over x per iteration:
+          // margin (window sum over the persisted id layout) and the
+          // positive gradient term gp_b = Σ_i P_i·x_ib in one scan;
+          // grad_b = gp_b − 4e6·gy_b exactly (docs with no tokens have
+          // no x rows and contribute 0 to both terms)
+          val gp = modelSized(
+            x.withColumn("__z", sum(col("__cnt") * wAt(cur)).over(byId))
+              .select(col("__b"), (col("__cnt") *
+                least(greatest(col("__z") + lit(2 * U), lit(0L)), lit(4 * U)))
+                .as("__gp"))
+              .groupBy(col("__b")).agg(sum(col("__gp")).as("__g")))
+          cur = Array.tabulate(buckets)(b => cur(b) -
+            Math.floorDiv(lrNum * (gp(b) - 4L * U * gy(b)), 4L * n * lrDen))
+        }
+        if (memoizable) wMemo.synchronized {
+          wMemo.put(memoKey, cur)
+          while (wMemo.size > 32) wMemo.remove(wMemo.keySet.iterator.next())
+        }
+        cur
+      }
+    base.join(margins(w), Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__z"), lit(0L)).as("z_units"),
+        round(coalesce(col("__z"), lit(0L)).cast("double") / lit(U.toDouble),
+          6).as("margin"),
+        (coalesce(col("__z"), lit(0L)) > 0).as("pred"),
+        (col("__y") === 1).as("label"),
+        ((coalesce(col("__z"), lit(0L)) > 0) === (col("__y") === 1))
+          .as("correct"))
   }
+
+  /** Trained-weight memo for [[trainTextClassifier]]: keyed by (session,
+    * canonicalized feature/label plans, hyperparams) — deterministic
+    * plans only (the persist registry's own precondition), LRU-capped.
+    * A composing query (the q234 gate over q232's trainer) re-scores
+    * with the memoized model instead of re-running the GD loop.
+    */
+  private val wMemo =
+    new java.util.LinkedHashMap[Any, Array[Long]](16, 0.75f, true)
+
+  /** Observability twin of Dedup.registryHits — spec'd, and a cheap
+    * sanity probe that composed queries really skip re-training. */
+  @volatile var classifierMemoHits: Long = 0L
 }

@@ -647,14 +647,21 @@ object Dedup {
     // at sf0.1; frame is (doc, gram-hash, cnt) sized, spills at scale)
     val perDocGram = registryPersist(grams.groupBy(col(idCol), col("__g"))
       .agg(count(lit(1)).as("__cnt")))
-    // perDocGram is distinct on (doc, gram) → count = document frequency
-    val docFreq = perDocGram.groupBy(col("__g"))
+    // perDocGram is distinct on (doc, gram) → count = document frequency.
+    // Only grams with __nd > 1 matter to the dup side, so the join's
+    // right side is pre-filtered to them: usually a small minority that
+    // AQE broadcast-converts, leaving perDocGram unshuffled on the dup
+    // branch (the unfiltered join shuffled the whole frame by gram);
+    // degrades gracefully to a sort-merge join when dups dominate.
+    val dupGrams = perDocGram.groupBy(col("__g"))
       .agg(count(lit(1)).as("__nd"))
-    perDocGram.join(docFreq, Seq("__g"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__cnt")).as("n_grams"),
-        sum(when(col("__nd") > 1, col("__cnt")).otherwise(lit(0L)))
-          .as("dup_grams"))
+      .filter(col("__nd") > 1).select(col("__g"))
+    val dupPerDoc = perDocGram.join(dupGrams, Seq("__g"))
+      .groupBy(col(idCol)).agg(sum(col("__cnt")).as("dup_grams"))
+    perDocGram.groupBy(col(idCol)).agg(sum(col("__cnt")).as("n_grams"))
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
       .withColumn("dup_frac",
         round(col("dup_grams").cast("double") / col("n_grams"), 6))
   }

@@ -177,25 +177,32 @@ private[graft] object OracleSqlHelpers {
     // DOUBLE chr(1) separators (ss below): the merge pattern takes only
     // the INNER separator of each boundary, leaving the outer one for
     // the adjacent occurrence — one non-overlapping replace sweep ≡
-    // sequential leftmost BPE (see Bpe.scala's representation note)
+    // sequential leftmost BPE (see Bpe.scala's representation note).
+    // Every CTE is AS MATERIALIZED: each round references w_{r-1} TWICE
+    // (p_r and w_r), so DuckDB's plain-CTE inlining re-expands the
+    // chain ~2^rounds (the q232 lesson — 10 rounds re-evaluated the
+    // corpus tokenization ~1000×, 17 s at sf0.01; materialized it is
+    // linear in rounds).
     val head =
-      s"""wf AS (SELECT w, count(*) AS cnt FROM (
+      s"""wf AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
          |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
          |    FROM documents)
          |  WHERE len(w) > 0 AND regexp_matches(w, '^[ -~]+$$') GROUP BY 1),
-         |w0 AS (SELECT chr(1) || chr(1) || array_to_string(
+         |w0 AS MATERIALIZED (SELECT chr(1) || chr(1) || array_to_string(
          |    list_filter(string_split(w, ''), x -> x <> ''),
          |    chr(1) || chr(1)) || chr(1) || chr(1) AS sym, cnt
          |  FROM wf)""".stripMargin
     val steps = (1 to rounds).map { r =>
-      s"""p$r AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+      s"""p$r AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r,
+         |    CAST(sum(cnt) AS BIGINT) AS c
          |  FROM (SELECT unnest(list_transform(range(1, len(t)),
          |      i -> struct_pack(l := t[i], r := t[i+1]))) AS pr, cnt
          |    FROM (SELECT string_split(trim(sym, chr(1)),
          |        chr(1) || chr(1)) AS t, cnt FROM w${r - 1}))
          |  GROUP BY 1, 2 HAVING sum(cnt) >= 2),
-         |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-         |w$r AS (SELECT replace(sym,
+         |b$r AS MATERIALIZED (SELECT l, r, c FROM p$r
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT replace(sym,
          |    chr(1) || l || chr(1) || chr(1) || r || chr(1),
          |    chr(1) || l || r || chr(1)) AS sym, cnt FROM w${r - 1}, b$r)"""
         .stripMargin

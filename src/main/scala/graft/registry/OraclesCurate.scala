@@ -6,6 +6,52 @@ package graft
 private[graft] object OraclesCurate {
   import OracleSqlHelpers._
 
+  /** The classifier-training CTE chain shared by q232 (per-doc scores)
+    * and q234 (funnel + AUC gate): T unrolled GD rounds over hashed
+    * token buckets, every CTE AS MATERIALIZED — DuckDB inlines plain
+    * CTEs, and because each w_i references w_{i-1} twice (directly and
+    * via g_i → r_i → z_i) inlining expands the reference graph
+    * ~2^depth; the un-materialized form never finished at sf0.01
+    * (>55 CPU-min) and zeroed the round-9 correctness run.
+    * Materialized: ~1.4 s at sf0.1 (DuckDB ≥0.10; harness ships 1.0.0).
+    * Ends with z{iters+1}: the final margins under the trained w.
+    */
+  private def classifierTrainCtesSql(bk: Int, iters: Int, lrn: Long,
+                                     lrd: Long): String = {
+    def zCte(i: Int, w: String) =
+      s"""z$i AS MATERIALIZED (SELECT x.doc_id,
+         |    CAST(sum(x.cnt * $w.wl[x.b + 1])
+         |    AS BIGINT) AS z FROM x, $w GROUP BY 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""${zCte(i, s"w${i - 1}")},
+         |r$i AS MATERIALIZED (SELECT y.doc_id,
+         |    LEAST(GREATEST(COALESCE(z, 0) + 2000000, 0), 4000000)
+         |      - 4000000 * y.y AS r
+         |  FROM y LEFT JOIN z$i USING (doc_id)),
+         |g$i AS MATERIALIZED (SELECT b, CAST(sum(cnt * r) AS BIGINT) AS g
+         |  FROM x JOIN r$i USING (doc_id) GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT list(wn ORDER BY j) AS wl FROM (
+         |  SELECT t.j AS j, w.wl[t.j + 1] - CAST((a - (((a % m) + m) % m))
+         |      / m AS BIGINT) AS wn
+         |  FROM (SELECT t.j, $lrn * COALESCE(g.g, 0) AS a,
+         |      4 * nn.n * $lrd AS m
+         |    FROM range($bk) t(j) LEFT JOIN g$i g ON t.j = g.b, nn) t,
+         |    w${i - 1} w) s)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS MATERIALIZED (SELECT doc_id, unnest(string_split_regex(
+       |    lower(trim(text)), '\\s+')) AS tk FROM documents),
+       |x AS MATERIALIZED (SELECT doc_id, ${hash60Sql("tk")} % $bk AS b,
+       |  count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |y AS MATERIALIZED (SELECT doc_id,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+       |  AS y FROM documents),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+       |w0 AS MATERIALIZED (SELECT list_transform(range($bk),
+       |  j -> CAST(0 AS BIGINT)) AS wl),
+       |$steps,
+       |${zCte(iters + 1, s"w$iters")}""".stripMargin
+  }
+
   def m: Map[String, String] = Map(
 
     "q114_hash_sample" ->
@@ -617,53 +663,47 @@ private[graft] object OraclesCurate {
     // gradients are exact BIGINT sums, the hard-sigmoid link is a
     // clamp (no exp → no libm divergence), and the weight update uses
     // the mod-adjusted floor quotient to match the engine's floorDiv.
-    // EVERY CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and
-    // because each w_i references w_{i-1} twice (directly and via
-    // g_i → r_i → z_i), inlining expands the reference graph ~2^depth
-    // — the un-materialized form never finished at sf0.01 (>55 CPU-min)
-    // and zeroed the round-9 correctness run. Materialized: 1.4 s at
-    // sf0.1 (DuckDB ≥0.10 required; the harness ships 1.0.0).
-    "q232_train_classifier" -> {
-      val (bk, iters, lrn, lrd) = (256, 12, 1L, 16L)
-      def zCte(i: Int, w: String) =
-        s"""z$i AS MATERIALIZED (SELECT x.doc_id,
-           |    CAST(sum(x.cnt * $w.wl[x.b + 1])
-           |    AS BIGINT) AS z FROM x, $w GROUP BY 1)""".stripMargin
-      val steps = (1 to iters).map { i =>
-        s"""${zCte(i, s"w${i - 1}")},
-           |r$i AS MATERIALIZED (SELECT y.doc_id,
-           |    LEAST(GREATEST(COALESCE(z, 0) + 2000000, 0), 4000000)
-           |      - 4000000 * y.y AS r
-           |  FROM y LEFT JOIN z$i USING (doc_id)),
-           |g$i AS MATERIALIZED (SELECT b, CAST(sum(cnt * r) AS BIGINT) AS g
-           |  FROM x JOIN r$i USING (doc_id) GROUP BY 1),
-           |w$i AS MATERIALIZED (SELECT list(wn ORDER BY j) AS wl FROM (
-           |  SELECT t.j AS j, w.wl[t.j + 1] - CAST((a - (((a % m) + m) % m))
-           |      / m AS BIGINT) AS wn
-           |  FROM (SELECT t.j, $lrn * COALESCE(g.g, 0) AS a,
-           |      4 * nn.n * $lrd AS m
-           |    FROM range($bk) t(j) LEFT JOIN g$i g ON t.j = g.b, nn) t,
-           |    w${i - 1} w) s)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest(string_split_regex(
-         |    lower(trim(text)), '\\s+')) AS tk FROM documents),
-         |x AS MATERIALIZED (SELECT doc_id, ${hash60Sql("tk")} % $bk AS b,
-         |  count(*) AS cnt FROM toks GROUP BY 1, 2),
-         |y AS MATERIALIZED (SELECT doc_id,
-         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END
-         |  AS y FROM documents),
-         |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
-         |w0 AS MATERIALIZED (SELECT list_transform(range($bk),
-         |  j -> CAST(0 AS BIGINT)) AS wl),
-         |$steps,
-         |${zCte(iters + 1, s"w$iters")}
+    // The CTE chain (all MATERIALIZED — see classifierTrainCtesSql)
+    // is shared with q234's gate oracle.
+    "q232_train_classifier" ->
+      s"""WITH ${classifierTrainCtesSql(256, 12, 1L, 16L)}
          |SELECT y.doc_id, COALESCE(z, 0) AS z_units,
          |  round(CAST(COALESCE(z, 0) AS DOUBLE) / 1000000.0, 6) + 0.0
          |    AS margin,
          |  COALESCE(z, 0) > 0 AS pred, y.y = 1 AS label,
          |  (COALESCE(z, 0) > 0) = (y.y = 1) AS correct
-         |FROM y LEFT JOIN z${iters + 1} USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    }
+         |FROM y LEFT JOIN z13 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the trained classifier EXERCISED as a curation gate: the same
+    // training chain, then (a) per-source funnel counts under the
+    // pred>0 filter (the q200-style stage) and (b) the tie-aware
+    // ROC-AUC of the margin against the label (the q203 gate) riding
+    // every row as the model's quality certificate
+    "q234_classifier_gate" ->
+      s"""WITH ${classifierTrainCtesSql(256, 12, 1L, 16L)},
+         |sc AS MATERIALIZED (SELECT y.doc_id, COALESCE(z, 0) AS z, y.y
+         |  FROM y LEFT JOIN z13 USING (doc_id)),
+         |per AS (SELECT d.source,
+         |    count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_kept,
+         |    CAST(sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct,
+         |    CAST(sum(CASE WHEN z > 0 THEN sc.doc_id ELSE 0 END)
+         |      AS BIGINT) AS id_sum_kept
+         |  FROM documents d JOIN sc USING (doc_id) GROUP BY 1),
+         |pg AS (SELECT z AS s, count(*) AS n, sum(y) AS npos
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT s, n, npos,
+         |  coalesce(sum(n) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS cum_below
+         |  FROM pg),
+         |auc AS (SELECT round((sum(npos * (cum_below + (n + 1) / 2.0))
+         |    - sum(npos) * (sum(npos) + 1) / 2.0)
+         |    / (sum(npos) * sum(n - npos)), 6) AS auc FROM r)
+         |SELECT source, n_docs, n_kept, n_correct, id_sum_kept, auc
+         |FROM per, auc ORDER BY source""".stripMargin
   )
 }

@@ -387,6 +387,31 @@ private[graft] object QueriesCurate {
     "q232_train_classifier" -> ((s, dir) =>
       Curate.trainTextClassifier(t(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en", buckets = 256, iters = 12, lrDen = 16L)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // the trained classifier exercised END-TO-END as a curation gate
+    // (the fastText-filter story): train (driver-side GD, eager), then
+    // per-source funnel counts under the pred filter (q200-style stage)
+    // + the tie-aware ROC-AUC of the margin vs the label (q203 gate)
+    // riding every row as a broadcast one-row certificate. The scored
+    // frame is registry-persisted so the funnel and AUC consumers share
+    // one scoring scan.
+    "q234_classifier_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Dedup.registryPersist(
+        Curate.trainTextClassifier(docs, "doc_id", "text",
+          col("lang") === "en", buckets = 256, iters = 12, lrDen = 16L))
+      val perSrc = docs.select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pred").cast("long")).as("n_kept"),
+          sum(col("correct").cast("long")).as("n_correct"),
+          sum(when(col("pred"), col("doc_id")).otherwise(lit(0L)))
+            .as("id_sum_kept"))
+      val auc = Stats.rocAuc(scored, col("z_units"), col("label").cast("int"))
+        .select(col("auc"))
+      perSrc.crossJoin(broadcast(auc)).orderBy(col("source"))
+    })
   )
 }

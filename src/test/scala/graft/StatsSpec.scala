@@ -23,6 +23,32 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 41L)
   }
 
+  test("polyFit general degree: deg-3 recovers an exact cubic, deg-2 " +
+    "agrees with polyFit2, bad degrees rejected") {
+    // exact cubic y = 1 − 2x + 0.25x² + 0.1x³: the centered-basis fit
+    // must re-expand to it via Taylor at xbar
+    val xs = (1 to 41).map(_.toDouble)
+    val df = xs.map(x => ("g", x, 1.0 - 2.0 * x + 0.25 * x * x + 0.1 * x * x * x))
+      .toDF("g", "x", "y")
+    val r3 = Stats.polyFit(df, "y", "x", Seq("g"), degree = 3).collect().head
+    val xb = r3.getAs[Double]("xbar")
+    def yAt(x: Double) = 1.0 - 2.0 * x + 0.25 * x * x + 0.1 * x * x * x
+    assert(math.abs(r3.getAs[Double]("c0") - yAt(xb)) < 1e-6)
+    assert(math.abs(r3.getAs[Double]("c1") -
+      (-2.0 + 0.5 * xb + 0.3 * xb * xb)) < 1e-6)
+    assert(math.abs(r3.getAs[Double]("c2") - (0.25 + 0.3 * xb)) < 1e-6)
+    assert(math.abs(r3.getAs[Double]("c3") - 0.1) < 1e-8)
+    assert(r3.getAs[Long]("n") === 41L)
+    // degree-2 path agrees with the specialized polyFit2 solve
+    val q = xs.map(x => ("g", x, 2.0 + 3.0 * x + 0.5 * x * x)).toDF("g", "x", "y")
+    val a = Stats.polyFit(q, "y", "x", Seq("g"), degree = 2).collect().head
+    val b = Stats.polyFit2(q, "y", "x", Seq("g")).collect().head
+    for (cn <- Seq("c0", "c1", "c2"))
+      assert(math.abs(a.getAs[Double](cn) - b.getAs[Double](cn)) < 1e-6, cn)
+    intercept[IllegalArgumentException](Stats.polyFit(q, "y", "x", Seq("g"), 0))
+    intercept[IllegalArgumentException](Stats.polyFit(q, "y", "x", Seq("g"), 5))
+  }
+
   test("polyFit2 degree-2 beats lm on curved data and is grouped") {
     val df = (1 to 30).flatMap { i =>
       val x = i.toDouble
