@@ -514,7 +514,25 @@ object Curate {
   def trainTextClassifier(df: DataFrame, idCol: String, textCol: String,
                           label: Column, buckets: Int = 512,
                           iters: Int = 4, lrNum: Long = 1L,
-                          lrDen: Long = 4L): DataFrame = {
+                          lrDen: Long = 4L): DataFrame =
+    trainAndScore(df, idCol, textCol, label, buckets, iters, lrNum, lrDen)._2
+
+  /** The trained weight VECTOR itself (micro-units), for deployment
+    * outside this query — the streaming scorer
+    * (StreamOps.streamingClassifierScore) ships it as a literal and
+    * scores each arriving doc map-only. Same memo as the scoring form.
+    */
+  def trainTextClassifierWeights(df: DataFrame, idCol: String,
+                                 textCol: String, label: Column,
+                                 buckets: Int = 512, iters: Int = 4,
+                                 lrNum: Long = 1L,
+                                 lrDen: Long = 4L): Array[Long] =
+    trainAndScore(df, idCol, textCol, label, buckets, iters, lrNum, lrDen)._1
+
+  private def trainAndScore(df: DataFrame, idCol: String, textCol: String,
+                            label: Column, buckets: Int,
+                            iters: Int, lrNum: Long,
+                            lrDen: Long): (Array[Long], DataFrame) = {
     require(buckets > 0 && iters >= 0 && lrDen > 0, "bad hyperparams")
     val U = 1000000L
     // null label ⇒ negative class (a doc with no label is "not the
@@ -590,7 +608,7 @@ object Curate {
         }
         cur
       }
-    base.join(margins(w), Seq("__id"), "left")
+    val scored = base.join(margins(w), Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__z"), lit(0L)).as("z_units"),
         round(coalesce(col("__z"), lit(0L)).cast("double") / lit(U.toDouble),
@@ -599,6 +617,7 @@ object Curate {
         (col("__y") === 1).as("label"),
         ((coalesce(col("__z"), lit(0L)) > 0) === (col("__y") === 1))
           .as("correct"))
+    (w, scored)
   }
 
   /** Trained-weight memo for [[trainTextClassifier]]: keyed by (session,

@@ -735,6 +735,38 @@ object StreamOps {
     *    the batch funnel's budget selection, deterministic per id so
     *    replays admit the same docs.
     */
+  /** Streaming deployment of the TRAINED classifier
+    * (Curate.trainTextClassifier): score every arriving doc with a
+    * weight vector learned offline — the train-batch / serve-stream
+    * split every fastText-style filter runs in production. The weights
+    * ship as ONE `buckets`-long array literal and the margin collapses
+    * to a single `aggregate` fold over the token array (each token
+    * occurrence adds its bucket's weight — exactly the batch
+    * Σ cnt·w_b, since the fold visits every occurrence): map-only,
+    * stateless, no shuffle, no state store — per-row cost at any
+    * stream rate, and z_units/pred are bit-identical to the batch
+    * scorer's by integer arithmetic.
+    */
+  def streamingClassifierScore(docs: DataFrame, idCol: String,
+                               textCol: String,
+                               weights: Array[Long]): DataFrame = {
+    require(weights.nonEmpty, "empty weight vector")
+    val U = 1000000L
+    val wLit = typedlit(weights.toSeq)
+    val z = aggregate(
+      graft.functions.TextFns.tokens(col(textCol)), lit(0L),
+      (acc, t) => acc + element_at(wLit,
+        (pmod(graft.operators.Dedup.portableHash64(t),
+          lit(weights.length.toLong)) + 1).cast("int")))
+    // null text ⇒ no tokens ⇒ z = 0, matching the batch scorer's
+    // left-join + coalesce for feature-less docs
+    docs.select(col("*"), coalesce(z, lit(0L)).as("z_units"))
+      .withColumn("margin",
+        round(col("z_units").cast("double") / lit(U.toDouble), 6))
+      .withColumn("pred", col("z_units") > 0)
+      .drop(textCol)
+  }
+
   def streamingCurationFunnel(docs: DataFrame, idCol: String,
                               sourceCol: String, langCol: String,
                               textCol: String, tsCol: String,

@@ -884,4 +884,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("B", "small")) === 1L)
     assert(streamed(("A", "kept")) === 3L && streamed(("A", "small")) === 1L)
   }
+
+  test("streaming classifier scorer is bit-identical to the batch " +
+    "trained scorer (train-batch / serve-stream split)") {
+    import graft.operators.Curate
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma alpha"),
+      (2L, "fr", "delta epsilon zeta"),
+      (3L, "en", "alpha alpha beta"),
+      (4L, "de", "eta theta iota kappa"),
+      (5L, "en", "beta gamma delta beta"),
+      (6L, "en", null.asInstanceOf[String]) // feature-less doc → z = 0
+    ).toDF("doc_id", "lang", "text")
+    val (bk, iters) = (32, 4)
+    val w = Curate.trainTextClassifierWeights(docs, "doc_id", "text",
+      $"lang" === "en", buckets = bk, iters = iters)
+    val batch = Curate.trainTextClassifier(docs, "doc_id", "text",
+        $"lang" === "en", buckets = bk, iters = iters)
+      .select($"doc_id", $"z_units", $"pred")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val d = Files.createTempDirectory("graft_clf").toString
+    docs.write.parquet(d + "/in")
+    val src = spark.readStream
+      .schema(spark.read.parquet(d + "/in").schema).parquet(d + "/in")
+    val q = StreamOps.streamingClassifierScore(src, "doc_id", "text", w)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT doc_id, z_units, pred FROM clf_stream")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === batch)
+    assert(got(6L)._1 === 0L)
+    // the scorer is stateless map-only: no state store operators
+    assert(!q.lastProgress.stateOperators.iterator.hasNext ||
+      q.lastProgress.stateOperators.isEmpty)
+  }
 }
