@@ -169,16 +169,19 @@ private[graft] object OraclesDedup {
     // winnowing mirror: identical normalize → char-8-gram md5-prefix
     // hash → window-4 STRING-min selection (lexicographic min over
     // fixed-width hex is engine-independent); both sides clamp short
-    // texts to one gram / one window
+    // texts to one gram / one window. fp is referenced twice (df and
+    // the scoring join) and carries the md5-per-char-gram work — AS
+    // MATERIALIZED so inlining can't re-run it (5.2 s → ~half at
+    // sf0.001; the same class of fix as the q232/BPE chains)
     "q177_winnowing" ->
-      """WITH s AS (SELECT doc_id,
+      """WITH s AS MATERIALIZED (SELECT doc_id,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS sx
         |  FROM documents),
-        |g AS (SELECT doc_id, list_transform(
+        |g AS MATERIALIZED (SELECT doc_id, list_transform(
         |    range(1, greatest(length(sx) - 7, 1) + 1),
         |    i -> substring(md5(substring(sx, i, 8)), 1, 16)) AS hs
         |  FROM s),
-        |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |fp AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(hs) - 3, 1) + 1),
         |    j -> list_min(hs[j:j+3])))) AS f
         |  FROM g),
