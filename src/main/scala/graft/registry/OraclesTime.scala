@@ -480,6 +480,37 @@ private[graft] object OraclesTime {
         |    ORDER BY ts, event_id) AS diff_ns,
         |  epoch_ns(ts) + 86400000000000 AS ts_plus_day_ns
         |FROM events
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // stacked-load mirror: the slices recompute from the base table by
+    // the same parity split the engine wrote
+    "q236_stacked_load" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END
+        |    AS slice,
+        |  count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  round(sum(o_totalprice), 2) AS price_sum
+        |FROM orders GROUP BY 1 ORDER BY slice""".stripMargin,
+
+    // issorted mirror: each probe recomputes the monotonicity verdict
+    // with a window lag over the SAME deterministic order and the SAME
+    // double-cast compare as Rolling.issorted (bool_and skips the
+    // first row's null lag)
+    "q235_issorted" -> {
+      def probe(name: String, order: String, v: String) =
+        s"""SELECT '$name' AS probe, coalesce(bool_and(ok), TRUE)
+           |    AS is_sorted FROM (
+           |  SELECT $v >= lag($v) OVER (ORDER BY $order) AS ok
+           |  FROM events)""".stripMargin
+      Seq(
+        probe("by_event_id__ts", "event_id",
+          "CAST(epoch_ns(ts) AS DOUBLE)"),
+        probe("by_event_id__value", "event_id", "CAST(value AS DOUBLE)"),
+        probe("by_ts_event_id__ts", "ts, event_id",
+          "CAST(epoch_ns(ts) AS DOUBLE)"),
+        probe("by_value_event_id__value", "value, event_id",
+          "CAST(value AS DOUBLE)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY probe")
+    }
   )
 }

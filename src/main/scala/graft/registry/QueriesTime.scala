@@ -552,6 +552,51 @@ private[graft] object QueriesTime {
           (col("ts_q") - lag(col("ts_q"), 1).over(w)).as("diff_ns"),
           (col("ts_q") + lit(86400000000000L)).as("ts_plus_day_ns"))
         .orderBy(col("event_id"))
+    }),
+
+    // load_sds(stack=True) / sds_concat (rt_sds.py:1855 — previously
+    // spec-only): write two key-disjoint slices, stack-load them back
+    // through the multi-path reader with per-slice source tagging, and
+    // aggregate per slice; the oracle recomputes the slices from the
+    // base table, so the round trip (write → stacked read → tag) is
+    // value-checked, not just row-counted
+    "q236_stacked_load" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_stack").toString
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(out + "/even")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .write.mode("overwrite").parquet(out + "/odd")
+      Tables.stacked(s, Seq(out + "/even", out + "/odd"))
+        .withColumn("slice",
+          when(col("p_src").contains("/even/"), "even").otherwise("odd"))
+        .groupBy(col("slice"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+        .orderBy(col("slice"))
+    }),
+
+    // issorted (rt_fastarray.py:2320 — SURVEY §2.5's last spec-only
+    // row): the operator's distributed boundary-triple verdict over
+    // four DETERMINISTIC total orders (unique event_id tiebreak), each
+    // lifted into a one-row probe the oracle recomputes via window lag
+    // under the operator's own double-cast compare
+    "q235_issorted" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      Seq(
+        ("by_event_id__ts",
+          Rolling.issorted(ev.orderBy(col("event_id")), "ts")),
+        ("by_event_id__value",
+          Rolling.issorted(ev.orderBy(col("event_id")), "value")),
+        ("by_ts_event_id__ts",
+          Rolling.issorted(ev.orderBy(col("ts"), col("event_id")), "ts")),
+        ("by_value_event_id__value",
+          Rolling.issorted(ev.orderBy(col("value"), col("event_id")),
+            "value")))
+        .toDF("probe", "is_sorted").orderBy(col("probe"))
     })
   )
 }
