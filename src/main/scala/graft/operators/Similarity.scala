@@ -405,6 +405,76 @@ object Similarity {
     centroids
   }
 
+  /** Deterministic Lloyd k-means ASSIGNMENTS over the embedding column
+    * — the clustering step of topic balancing / SemDeDup-style corpus
+    * organization, exposed as a user-facing operator (the IVF coarse
+    * quantizer above keeps its float form because its oracle checks the
+    * downstream SEARCH, not the centroids).
+    *
+    * Bit-reproducible on any engine or cluster layout, the covMoments /
+    * trainTextClassifier discipline applied to Lloyd's loop:
+    *  - vectors quantize ONCE to integer units u_d = ⌊x_d·1e6⌋ (floor
+    *    of the same IEEE double on every engine);
+    *  - seeds = the k lowest-portable-hash rows (cid by hash rank) —
+    *    SQL-replayable, unlike an RNG;
+    *  - assignment = argmin over exact long squared distances, ties to
+    *    the lowest cid (headroom: |x| = O(1) ⇒ d²(u) ≤ d·(2e6)² ≈
+    *    2.6e14 at d = 64 — overflow needs |x| ~ 1e3);
+    *  - centroid update = floorDiv(Σu_d, n) per dim — exact integer
+    *    means; an empty cluster keeps its previous centroid.
+    *
+    * Scale shape: the unit frame persists through the shared registry
+    * (one quantize pass); each iteration is one zero-shuffle assign
+    * scan (centroids broadcast as a k×d literal) + one k-row aggregate
+    * with d explicit sum columns (map-side combined — the exchange
+    * carries ≤ k·(d+1) longs per partition, never rows); the update is
+    * driver math on k·d longs. Iterations are driver-sequenced jobs,
+    * like BPE and the classifier trainer. The per-row k-way argmin is
+    * a zip_with/aggregate HOF (interpreted — the known trap); when the
+    * assign scan itself becomes the bottleneck at true corpus scale,
+    * the codegen upgrade is the rip_dot identity d² = |u|² − 2u·c +
+    * |c|², exact in doubles because every term is an integer < 2^53
+    * at these unit scales.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
+    val units = Dedup.registryPersist(df.select(col(idCol).as("__id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("__u")))
+    var cent: Array[Array[Long]] = units
+      .withColumn("__h", Dedup.portableHash64(col("__id").cast("string")))
+      .orderBy(col("__h"), col("__id")).limit(k)
+      .collect().map(_.getAs[Seq[Long]]("__u").toArray)
+    require(cent.nonEmpty, "empty input: nothing to cluster")
+    val d = cent(0).length
+    def dists: Column = array(cent.indices.map { c =>
+      aggregate(
+        zip_with(col("__u"), typedlit(cent(c).toSeq),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    def assigned: DataFrame = units
+      .withColumn("__d2", array_min(dists))
+      .withColumn("__cid",
+        (array_position(dists, col("__d2")) - 1).cast("int"))
+    for (_ <- 1 to iters) {
+      val sums = (0 until d).map(i =>
+        sum(element_at(col("__u"), i + 1)).as(s"s$i"))
+      val upd = assigned.groupBy(col("__cid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect() // k rows
+        .map { r =>
+          val n = r.getLong(1)
+          r.getInt(0) -> Array.tabulate(d)(i =>
+            Math.floorDiv(r.getLong(i + 2), n))
+        }.toMap
+      cent = cent.indices.map(c => upd.getOrElse(c, cent(c))).toArray
+    }
+    assigned.select(col("__id").as(idCol), col("__cid").as("cid"),
+      col("__d2").as("dist2_units"))
+  }
+
   /** Per-query probe routing shared by ivfTopK and ivfPqTopK: rank the
     * (tiny) centroid array in-row, explode the nprobe best cids. */
   private def probeCentroids(queries: DataFrame, qIdCol: String,

@@ -256,6 +256,52 @@ private[graft] object OraclesSim {
     // IVF-PQ with nprobe = nCentroids: routing prunes nothing, so the
     // composed index must reproduce the pure-PQ ADC ranking exactly —
     // one oracle checks codebooks, codes, routing join, and ADC
-    "q213_ivfpq_ann" -> pqAnnOracle
+    "q213_ivfpq_ann" -> pqAnnOracle,
+
+    // integer-unit Lloyd replay: quantize once (floor 1e6 units),
+    // hash-ranked seeds, per round argmin over exact long distances
+    // (ties → lowest cid) + floor-div centroid means (mod-adjusted
+    // quotient ≡ floorDiv), empty clusters keep their centroid. Every
+    // CTE MATERIALIZED — each round references its predecessor twice
+    // (assignment + update), the exponential-inlining shape
+    "q237_kmeans" -> {
+      val (k, iters) = (8, 3)
+      def aCte(t: Int) =
+        s"""a$t AS MATERIALIZED (SELECT vec_id, u, cid, d2 FROM (
+           |  SELECT vec_id, u, cid, d2, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |  FROM (SELECT x.vec_id, x.u, c.cid,
+           |      CAST(list_sum(list_transform(range(1, len(x.u) + 1),
+           |        i -> (x.u[i] - c.cu[i]) * (x.u[i] - c.cu[i])))
+           |        AS BIGINT) AS d2
+           |    FROM u x, c${t - 1} c))
+           |  WHERE rn = 1)""".stripMargin
+      val rounds = (1 to iters).map { t =>
+        s"""${aCte(t)},
+           |m$t AS MATERIALIZED (SELECT a.cid, t.i,
+           |    CAST(sum(a.u[t.i]) AS BIGINT) AS s, count(*) AS n
+           |  FROM a$t a, dd t GROUP BY 1, 2),
+           |c$t AS MATERIALIZED (SELECT p.cid, coalesce(mm.cu, p.cu) AS cu
+           |  FROM c${t - 1} p LEFT JOIN (
+           |    SELECT cid, list(CAST((s - (((s % n) + n) % n)) / n
+           |        AS BIGINT) ORDER BY i) AS cu
+           |    FROM m$t GROUP BY cid) mm USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH u AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(
+         |      CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS u
+         |  FROM embeddings),
+         |dd AS MATERIALIZED (SELECT unnest(range(1,
+         |  (SELECT min(len(u)) + 1 FROM u))) AS i),
+         |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER
+         |    (ORDER BY h, vec_id) - 1 AS INT) AS cid, u AS cu
+         |  FROM (SELECT vec_id, u,
+         |      ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h FROM u)
+         |  ORDER BY h, vec_id LIMIT $k),
+         |$rounds,
+         |${aCte(iters + 1)}
+         |SELECT vec_id, cid, d2 AS dist2_units
+         |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+    }
   )
 }

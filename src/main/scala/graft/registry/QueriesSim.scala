@@ -142,6 +142,16 @@ private[graft] object QueriesSim {
           "vec_id", "embedding", "vec_id", k = 5,
           nCentroids = 8, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // Deterministic integer-unit Lloyd k-means (the topic-balancing /
+    // SemDeDup clustering step): the ASSIGNMENT itself is
+    // oracle-checked row for row — exact long distances and floor-div
+    // centroid means make all 3 Lloyd rounds bit-identical across
+    // engines (an RNG- or float-mean k-means could never be)
+    "q237_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 3)
+        .orderBy(col("vec_id")))
   )
 }

@@ -77,6 +77,55 @@ class PipelineR10Spec extends SparkSpec {
       "second call must hit the weight memo")
   }
 
+  test("kmeansAssign equals a driver-side exact replay of integer-unit " +
+    "Lloyd, separates planted blobs, and is partition-invariant") {
+    import graft.operators.Similarity
+    // two tight blobs around (±0.4, ±0.4, ...) + slight per-row jitter
+    val d = 6
+    val vecs = (0 until 40).map { i =>
+      val sign = if (i % 2 == 0) 0.4 else -0.4
+      (i.toLong, (0 until d).map(j =>
+        (sign + 0.001 * ((i * 7 + j) % 5)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (k, iters) = (2, 3)
+    val got = Similarity.kmeansAssign(df, "vec_id", "embedding", k, iters)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // driver replay through the engine's own quantize + seed hash
+    val units = df.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("u"),
+        Dedup.portableHash64(col("vec_id").cast("string")).as("h"))
+      .as[(Long, Seq[Long], Long)].collect()
+    var cent = units.sortBy(r => (r._3, r._1)).take(k).map(_._2.toArray)
+    def d2(u: Seq[Long], c: Array[Long]): Long =
+      u.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def assign(u: Seq[Long]): (Int, Long) = {
+      val ds = cent.map(c => d2(u, c))
+      val m = ds.min
+      (ds.indexOf(m), m)
+    }
+    for (_ <- 1 to iters) {
+      val byC = units.groupBy(r => assign(r._2)._1)
+      cent = cent.indices.map(c => byC.get(c).fold(cent(c)) { rs =>
+        Array.tabulate(d)(j =>
+          Math.floorDiv(rs.map(_._2(j)).sum, rs.size.toLong))
+      }).map(_.toArray).toArray
+    }
+    val want = units.map(r => r._1 -> assign(r._2)).toMap
+    assert(got === want)
+    // the blobs separate: even and odd ids land in two distinct clusters
+    assert(got.filter(_._1 % 2 == 0).values.map(_._1).toSet.size === 1)
+    assert(got.filter(_._1 % 2 == 1).values.map(_._1).toSet.size === 1)
+    assert(got(0L)._1 !== got(1L)._1)
+    // partition-invariance: the distributed argmin/means cannot depend
+    // on layout (exact integer math has no summation-order freedom)
+    val reparted = Similarity.kmeansAssign(df.repartition(7),
+        "vec_id", "embedding", k, iters)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(reparted === got)
+  }
+
   test("trainTextClassifier on an empty frame: no division by zero, " +
     "empty scored output") {
     val empty = docs.filter(col("doc_id") < 0)
