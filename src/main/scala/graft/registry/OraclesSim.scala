@@ -264,44 +264,70 @@ private[graft] object OraclesSim {
     // quotient ≡ floorDiv), empty clusters keep their centroid. Every
     // CTE MATERIALIZED — each round references its predecessor twice
     // (assignment + update), the exponential-inlining shape
-    "q237_kmeans" -> {
-      val (k, iters) = (8, 3)
-      def aCte(t: Int) =
-        s"""a$t AS MATERIALIZED (SELECT vec_id, u, cid, d2 FROM (
-           |  SELECT vec_id, u, cid, d2, row_number() OVER (
-           |      PARTITION BY vec_id ORDER BY d2, cid) AS rn
-           |  FROM (SELECT x.vec_id, x.u, c.cid,
-           |      CAST(list_sum(list_transform(range(1, len(x.u) + 1),
-           |        i -> (x.u[i] - c.cu[i]) * (x.u[i] - c.cu[i])))
-           |        AS BIGINT) AS d2
-           |    FROM u x, c${t - 1} c))
-           |  WHERE rn = 1)""".stripMargin
-      val rounds = (1 to iters).map { t =>
-        s"""${aCte(t)},
-           |m$t AS MATERIALIZED (SELECT a.cid, t.i,
-           |    CAST(sum(a.u[t.i]) AS BIGINT) AS s, count(*) AS n
-           |  FROM a$t a, dd t GROUP BY 1, 2),
-           |c$t AS MATERIALIZED (SELECT p.cid, coalesce(mm.cu, p.cu) AS cu
-           |  FROM c${t - 1} p LEFT JOIN (
-           |    SELECT cid, list(CAST((s - (((s % n) + n) % n)) / n
-           |        AS BIGINT) ORDER BY i) AS cu
-           |    FROM m$t GROUP BY cid) mm USING (cid))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH u AS MATERIALIZED (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(
-         |      CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS u
-         |  FROM embeddings),
-         |dd AS MATERIALIZED (SELECT unnest(range(1,
-         |  (SELECT min(len(u)) + 1 FROM u))) AS i),
-         |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER
-         |    (ORDER BY h, vec_id) - 1 AS INT) AS cid, u AS cu
-         |  FROM (SELECT vec_id, u,
-         |      ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h FROM u)
-         |  ORDER BY h, vec_id LIMIT $k),
-         |$rounds,
-         |${aCte(iters + 1)}
+    "q237_kmeans" ->
+      s"""WITH ${kmeansCtesSql(8, 3)}
          |SELECT vec_id, cid, d2 AS dist2_units
-         |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
-    }
+         |FROM km ORDER BY vec_id""".stripMargin,
+
+    // cluster-balanced sampling mirror: the same Lloyd chain, then per
+    // cluster the LEAST(cap, n) smallest (portable hash, id) rows —
+    // the q200 budget-selection rule keyed by cid instead of source
+    "q238_cluster_balanced_sample" ->
+      s"""WITH ${kmeansCtesSql(8, 3)},
+         |bud AS (SELECT cid, count(*) AS n,
+         |  LEAST(50, count(*)) AS b FROM km GROUP BY 1),
+         |rk AS (SELECT km.cid, km.vec_id,
+         |    row_number() OVER (PARTITION BY km.cid ORDER BY
+         |      ${hash60Sql("CAST(km.vec_id AS VARCHAR)")}, km.vec_id)
+         |      AS rn
+         |  FROM km),
+         |kept AS (SELECT rk.cid, rk.vec_id FROM rk
+         |  JOIN bud USING (cid) WHERE rk.rn <= bud.b)
+         |SELECT bud.cid AS cid, CAST(bud.n AS BIGINT) AS n_total,
+         |  count(*) AS n_kept,
+         |  CAST(sum(kept.vec_id) AS BIGINT) AS id_sum
+         |FROM kept JOIN bud ON kept.cid = bud.cid
+         |GROUP BY bud.cid, bud.n ORDER BY 1""".stripMargin
   )
+
+  /** The integer-unit Lloyd CTE chain shared by q237 (assignments) and
+    * q238 (cluster-balanced sampling); ends with `km` = the final
+    * (vec_id, u, cid, d2) assignment under the trained centroids.
+    */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
+    def aCte(t: Int, name: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, u, cid, d2 FROM (
+         |  SELECT vec_id, u, cid, d2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM (SELECT x.vec_id, x.u, c.cid,
+         |      CAST(list_sum(list_transform(range(1, len(x.u) + 1),
+         |        i -> (x.u[i] - c.cu[i]) * (x.u[i] - c.cu[i])))
+         |        AS BIGINT) AS d2
+         |    FROM u x, c${t - 1} c))
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""${aCte(t, s"a$t")},
+         |m$t AS MATERIALIZED (SELECT a.cid, t.i,
+         |    CAST(sum(a.u[t.i]) AS BIGINT) AS s, count(*) AS n
+         |  FROM a$t a, dd t GROUP BY 1, 2),
+         |c$t AS MATERIALIZED (SELECT p.cid, coalesce(mm.cu, p.cu) AS cu
+         |  FROM c${t - 1} p LEFT JOIN (
+         |    SELECT cid, list(CAST((s - (((s % n) + n) % n)) / n
+         |        AS BIGINT) ORDER BY i) AS cu
+         |    FROM m$t GROUP BY cid) mm USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""u AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(
+       |      CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS u
+       |  FROM embeddings),
+       |dd AS MATERIALIZED (SELECT unnest(range(1,
+       |  (SELECT min(len(u)) + 1 FROM u))) AS i),
+       |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER
+       |    (ORDER BY h, vec_id) - 1 AS INT) AS cid, u AS cu
+       |  FROM (SELECT vec_id, u,
+       |      ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h FROM u)
+       |  ORDER BY h, vec_id LIMIT $k),
+       |$rounds,
+       |${aCte(iters + 1, "km")}""".stripMargin
+  }
 }

@@ -152,6 +152,28 @@ private[graft] object QueriesSim {
     "q237_kmeans" -> ((s, dir) =>
       Similarity.kmeansAssign(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 8, iters = 3)
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // cluster-balanced sampling: k-means clusters feed the q200 budget
+    // machinery — per cluster keep the LEAST(cap, n) smallest
+    // (portable hash, id) rows, i.e. a deterministic topic-balanced
+    // subsample (the "don't let one topic dominate the mix" story).
+    // The assignment frame is registry-persisted, so this composition
+    // reuses q237's clustering work when both run in one session.
+    "q238_cluster_balanced_sample" -> ((s, dir) => {
+      val assigned = Dedup.registryPersist(
+        Similarity.kmeansAssign(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 3))
+      val budgets = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__budget", least(lit(50L), col("__n")))
+      Curate.selectSmallestByHash(assigned, "vec_id", "cid", budgets)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+        .join(budgets.select(col("cid"), col("__n").as("n_total")),
+          Seq("cid"))
+        .select(col("cid"), col("n_total"), col("n_kept"), col("id_sum"))
+        .orderBy(col("cid"))
+    })
   )
 }
