@@ -442,38 +442,72 @@ object Similarity {
     val units = Dedup.registryPersist(df.select(col(idCol).as("__id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * lit(1e6)).cast("long")).as("__u")))
-    var cent: Array[Array[Long]] = units
+    def seeds: Array[Array[Long]] = units
       .withColumn("__h", Dedup.portableHash64(col("__id").cast("string")))
       .orderBy(col("__h"), col("__id")).limit(k)
       .collect().map(_.getAs[Seq[Long]]("__u").toArray)
-    require(cent.nonEmpty, "empty input: nothing to cluster")
-    val d = cent(0).length
-    def dists: Column = array(cent.indices.map { c =>
-      aggregate(
-        zip_with(col("__u"), typedlit(cent(c).toSeq),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-    }: _*)
-    def assigned: DataFrame = units
-      .withColumn("__d2", array_min(dists))
-      .withColumn("__cid",
-        (array_position(dists, col("__d2")) - 1).cast("int"))
-    for (_ <- 1 to iters) {
-      val sums = (0 until d).map(i =>
-        sum(element_at(col("__u"), i + 1)).as(s"s$i"))
-      val upd = assigned.groupBy(col("__cid"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect() // k rows
-        .map { r =>
-          val n = r.getLong(1)
-          r.getInt(0) -> Array.tabulate(d)(i =>
-            Math.floorDiv(r.getLong(i + 2), n))
-        }.toMap
-      cent = cent.indices.map(c => upd.getOrElse(c, cent(c))).toArray
+    def assignedUnder(cent: Array[Array[Long]]): DataFrame = {
+      val dists: Column = array(cent.indices.map { c =>
+        aggregate(
+          zip_with(col("__u"), typedlit(cent(c).toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      }: _*)
+      units
+        .withColumn("__d2", array_min(dists))
+        .withColumn("__cid",
+          (array_position(dists, col("__d2")) - 1).cast("int"))
     }
+    val memoKey = (df.sparkSession,
+      units.queryExecution.analyzed.canonicalized, k, iters)
+    val memoizable =
+      !GraftPlanUtil.nondeterministic(df.queryExecution.analyzed)
+    val cent: Array[Array[Long]] =
+      if (memoizable && kmMemo.synchronized(kmMemo.containsKey(memoKey)))
+        kmMemo.synchronized(kmMemo.get(memoKey))
+      else {
+        var cur = seeds
+        // empty input: no seeds, no work — fall through to the empty
+        // assignment frame below instead of failing
+        if (cur.nonEmpty) {
+          val d = cur(0).length
+          for (_ <- 1 to iters) {
+            val sums = (0 until d).map(i =>
+              sum(element_at(col("__u"), i + 1)).as(s"s$i"))
+            val upd = assignedUnder(cur).groupBy(col("__cid"))
+              .agg(count(lit(1)).as("n"), sums: _*)
+              .collect() // k rows
+              .map { r =>
+                val n = r.getLong(1)
+                r.getInt(0) -> Array.tabulate(d)(i =>
+                  Math.floorDiv(r.getLong(i + 2), n))
+              }.toMap
+            cur = cur.indices.map(c => upd.getOrElse(c, cur(c))).toArray
+          }
+          if (memoizable) kmMemo.synchronized {
+            kmMemo.put(memoKey, cur)
+            while (kmMemo.size > 32)
+              kmMemo.remove(kmMemo.keySet.iterator.next())
+          }
+        }
+        cur
+      }
+    val assigned =
+      if (cent.isEmpty)
+        units.withColumn("__d2", lit(0L))
+          .withColumn("__cid", lit(0)) // empty frame: schema only
+      else assignedUnder(cent)
     assigned.select(col("__id").as(idCol), col("__cid").as("cid"),
       col("__d2").as("dist2_units"))
   }
+
+  /** Centroid memo for [[kmeansAssign]] — same contract as the
+    * classifier's weight memo: (session, canonicalized unit plan, k,
+    * iters), deterministic plans only, LRU-capped. q238's balanced
+    * sample reuses q237's Lloyd work through it.
+    */
+  private val kmMemo =
+    new java.util.LinkedHashMap[Any, Array[Array[Long]]](16, 0.75f, true)
 
   /** Per-query probe routing shared by ivfTopK and ivfPqTopK: rank the
     * (tiny) centroid array in-row, explode the nprobe best cids. */

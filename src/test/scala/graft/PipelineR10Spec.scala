@@ -126,6 +126,23 @@ class PipelineR10Spec extends SparkSpec {
     assert(reparted === got)
   }
 
+  test("kmeansAssign: centroid memo reuses Lloyd work; empty input " +
+    "yields an empty assignment frame") {
+    import graft.operators.Similarity
+    val df = (0 until 20).map(i =>
+      (i.toLong, (0 until 4).map(j => (0.1 * ((i + j) % 7)).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.kmeansAssign(df, "vec_id", "embedding", 3, 2)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val a = run()
+    val b = run() // memo hit: identical assignments
+    assert(a === b && a.nonEmpty)
+    val empty = Similarity.kmeansAssign(df.filter(col("vec_id") < 0),
+      "vec_id", "embedding", 3, 2)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("vec_id", "cid", "dist2_units"))
+  }
+
   test("trainTextClassifier on an empty frame: no division by zero, " +
     "empty scored output") {
     val empty = docs.filter(col("doc_id") < 0)
