@@ -509,6 +509,47 @@ object Similarity {
   private val kmMemo =
     new java.util.LinkedHashMap[Any, Array[Array[Long]]](16, 0.75f, true)
 
+  /** The trained centroids themselves (integer units), for deployment
+    * outside the training query — the train-batch / serve-stream split
+    * (the classifier's weights/score symmetry): ship them to
+    * [[kmeansAssignWith]] over a stream, or persist them as the model
+    * artifact. Runs (or memo-hits) the same Lloyd loop as
+    * [[kmeansAssign]].
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Array[Array[Long]] = {
+    kmeansAssign(df, idCol, vecCol, k, iters) // trains + memoizes
+    val units = Dedup.registryPersist(df.select(col(idCol).as("__id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("__u")))
+    val key = (df.sparkSession,
+      units.queryExecution.analyzed.canonicalized, k, iters)
+    kmMemo.synchronized(Option(kmMemo.get(key)))
+      .getOrElse(Array.empty) // non-memoizable/empty input: no model
+  }
+
+  /** Assign rows (batch OR stream) to FIXED centroids from
+    * [[kmeansCentroids]]: the same quantize + exact-long argmin as
+    * training, but map-only and stateless — centroids ride as a k×d
+    * literal, so a streaming micro-batch scores with no shuffle and no
+    * state store, bit-identical to the batch assignment.
+    */
+  def kmeansAssignWith(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[Array[Long]]): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid model")
+    val u = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val dists = array(centroids.indices.map { c =>
+      aggregate(
+        zip_with(u, typedlit(centroids(c).toSeq),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    df.withColumn("__d2", array_min(dists))
+      .withColumn("cid", (array_position(dists, col("__d2")) - 1).cast("int"))
+      .withColumnRenamed("__d2", "dist2_units")
+  }
+
   /** Per-query probe routing shared by ivfTopK and ivfPqTopK: rank the
     * (tiny) centroid array in-row, explode the nprobe best cids. */
   private def probeCentroids(queries: DataFrame, qIdCol: String,

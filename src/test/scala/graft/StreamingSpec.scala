@@ -922,4 +922,31 @@ class StreamingSpec extends SparkSpec {
     assert(!q.lastProgress.stateOperators.iterator.hasNext ||
       q.lastProgress.stateOperators.isEmpty)
   }
+
+  test("streaming k-means assignment with trained centroids is " +
+    "bit-identical to the batch assignment") {
+    import graft.operators.Similarity
+    val vecs = (0 until 30).map { i =>
+      val sign = if (i % 2 == 0) 0.3 else -0.3
+      (i.toLong, (0 until 5).map(j =>
+        (sign + 0.002 * ((i * 3 + j) % 4)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(df, "vec_id", "embedding", 2, 2)
+    val batch = Similarity.kmeansAssign(df, "vec_id", "embedding", 2, 2)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val d = Files.createTempDirectory("graft_km").toString
+    df.write.parquet(d + "/in")
+    val src = spark.readStream
+      .schema(spark.read.parquet(d + "/in").schema).parquet(d + "/in")
+    val q = Similarity.kmeansAssignWith(src, "vec_id", "embedding", cent)
+      .select($"vec_id", $"cid", $"dist2_units")
+      .writeStream.format("memory").queryName("km_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT vec_id, cid, dist2_units FROM km_stream")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === batch)
+  }
 }
