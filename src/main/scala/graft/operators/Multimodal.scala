@@ -197,6 +197,50 @@ object Multimodal {
     * raster — the decoder LIFECYCLE (open/stream/close via decodeWith)
     * is the part that carries over unchanged.
     */
+  /** REAL image resize (javax.imageio decode + nearest-neighbor
+    * resample to `dstW`×`dstH`): output is the flattened RGB grid —
+    * dstW·dstH·3 doubles in row-major (y, x, [r,g,b]) order — the
+    * fixed-shape tensor a training pipeline feeds downstream.
+    * Nearest-neighbor with the floor mapping sx = ⌊x·srcW/dstW⌋ is
+    * chosen over any interpolating kernel because it is exactly
+    * reproducible (pure integer index math, no float filter taps —
+    * the determinism bar every operator in this library clears).
+    * Unreadable/empty payloads yield the all −1 null-object row, like
+    * [[ImageIODecoder]]. Same per-task open/decode/close lifecycle; at
+    * scale the decode is scan-side (`maxPartitionBytes` bounds task
+    * memory) and the output is a fixed-width array column.
+    */
+  final class ResizeDecoder(dstW: Int, dstH: Int) extends MediaDecoder {
+    require(dstW >= 1 && dstH >= 1, "bad target size")
+    def name = s"resize-${dstW}x$dstH"
+    def decode(bytes: Array[Byte]): Array[Double] = {
+      val img =
+        if (bytes.isEmpty) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+      if (img == null) return Array.fill(dstW * dstH * 3)(-1.0)
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val out = new Array[Double](dstW * dstH * 3)
+      var y = 0
+      while (y < dstH) {
+        val sy = (y.toLong * sh / dstH).toInt
+        var x = 0
+        while (x < dstW) {
+          val sx = (x.toLong * sw / dstW).toInt
+          val p = img.getRGB(sx, sy)
+          val o = (y * dstW + x) * 3
+          out(o) = (p >> 16) & 0xff
+          out(o + 1) = (p >> 8) & 0xff
+          out(o + 2) = p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   final class ImageIODecoder extends MediaDecoder {
     def name = "imageio"
     def decode(bytes: Array[Byte]): Array[Double] = {

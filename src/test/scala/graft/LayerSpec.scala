@@ -187,6 +187,38 @@ class LayerSpec extends SparkSpec {
     assert(out(4L) === Seq(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0))
   }
 
+  test("ResizeDecoder: REAL nearest-neighbor resample to a fixed grid " +
+    "(exact pixels via the floor index map); garbage yields -1s") {
+    import java.awt.image.BufferedImage
+    // 4x2 image whose pixel value encodes its coordinate: r=x, g=y
+    def coordPng(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (x << 16) | (y << 8) | 7)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, coordPng(4, 2)),
+      (2L, "junk".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val out = Multimodal.decodeWith(df, "payload",
+      new Multimodal.ResizeDecoder(2, 1))
+      .select($"id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // dst(0,0) <- src(floor(0*4/2)=0, floor(0*2/1)=0) = (r=0,g=0,b=7)
+    // dst(1,0) <- src(floor(1*4/2)=2, 0)              = (r=2,g=0,b=7)
+    assert(out(1L) === Seq(0.0, 0.0, 7.0, 2.0, 0.0, 7.0))
+    assert(out(2L) === Seq.fill(6)(-1.0))
+    // upsample path: 1x1 source fills the whole 2x2 grid
+    val up = Multimodal.decodeWith(
+      Seq((9L, coordPng(1, 1))).toDF("id", "payload"), "payload",
+      new Multimodal.ResizeDecoder(2, 2))
+      .select($"features").collect().head.getSeq[Double](0)
+    assert(up === Seq.fill(4)(Seq(0.0, 0.0, 7.0)).flatten)
+  }
+
   test("WavHeaderDecoder reads rate/channels/duration from RIFF bytes") {
     // minimal valid WAV: RIFF/WAVE + "fmt " (PCM, stereo, 44100 Hz,
     // 16-bit) + "data" of 176400 bytes => exactly 1.0 s
