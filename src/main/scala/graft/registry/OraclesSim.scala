@@ -287,12 +287,31 @@ private[graft] object OraclesSim {
          |  count(*) AS n_kept,
          |  CAST(sum(kept.vec_id) AS BIGINT) AS id_sum
          |FROM kept JOIN bud ON kept.cid = bud.cid
-         |GROUP BY bud.cid, bud.n ORDER BY 1""".stripMargin
+         |GROUP BY bud.cid, bud.n ORDER BY 1""".stripMargin,
+
+    // SemDeDup-over-k-means mirror: the shared Lloyd chain, then the
+    // q174 keep-lowest-id cosine rule keyed by cid, aggregated to
+    // per-cluster prune accounting
+    "q239_semdedup_kmeans" ->
+      s"""WITH ${kmeansCtesSql(8, 3)},
+         |e AS MATERIALIZED (SELECT km.vec_id, km.cid, emb.embedding
+         |  FROM km JOIN embeddings emb USING (vec_id)),
+         |dup AS MATERIALIZED (SELECT DISTINCT b.vec_id
+         |  FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT e.cid, count(*) AS n,
+         |  CAST(sum(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dups,
+         |  CAST(sum(CASE WHEN dup.vec_id IS NULL THEN e.vec_id ELSE 0 END)
+         |    AS BIGINT) AS id_sum_kept
+         |FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+         |GROUP BY 1 ORDER BY e.cid""".stripMargin
   )
 
-  /** The integer-unit Lloyd CTE chain shared by q237 (assignments) and
-    * q238 (cluster-balanced sampling); ends with `km` = the final
-    * (vec_id, u, cid, d2) assignment under the trained centroids.
+  /** The integer-unit Lloyd CTE chain shared by q237 (assignments),
+    * q238 (cluster-balanced sampling), and q239 (SemDeDup over k-means
+    * clusters); ends with `km` = the final (vec_id, u, cid, d2)
+    * assignment under the trained centroids.
     */
   private def kmeansCtesSql(k: Int, iters: Int): String = {
     def aCte(t: Int, name: String) =

@@ -160,6 +160,26 @@ private[graft] object QueriesSim {
     // subsample (the "don't let one topic dominate the mix" story).
     // The assignment frame is registry-persisted, so this composition
     // reuses q237's clustering work when both run in one session.
+    // SemDeDup as the PAPER runs it: k-means clusters (not given
+    // labels) bound the pairwise term to Σ|cluster|², then
+    // within-cluster cosine pruning with the deterministic
+    // keep-lowest-id rule — q174's flags composed over q237's
+    // clustering, aggregated to per-cluster prune accounting
+    "q239_semdedup_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = Dedup.registryPersist(
+        Similarity.kmeansAssign(emb, "vec_id", "embedding",
+          k = 8, iters = 3).select(col("vec_id"), col("cid")))
+      Similarity.semanticDupFlags(emb.join(assigned, Seq("vec_id")),
+          "vec_id", "embedding", "cid", threshold = 0.35)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("sem_dup").cast("long")).as("n_dups"),
+          sum(when(!col("sem_dup"), col("vec_id")).otherwise(lit(0L)))
+            .as("id_sum_kept"))
+        .orderBy(col("cid"))
+    }),
+
     "q238_cluster_balanced_sample" -> ((s, dir) => {
       val assigned = Dedup.registryPersist(
         Similarity.kmeansAssign(t(s, dir, "embeddings"),
