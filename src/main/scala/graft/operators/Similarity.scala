@@ -430,11 +430,8 @@ object Similarity {
     * carries ≤ k·(d+1) longs per partition, never rows); the update is
     * driver math on k·d longs. Iterations are driver-sequenced jobs,
     * like BPE and the classifier trainer. The per-row k-way argmin is
-    * a zip_with/aggregate HOF (interpreted — the known trap); when the
-    * assign scan itself becomes the bottleneck at true corpus scale,
-    * the codegen upgrade is the rip_dot identity d² = |u|² − 2u·c +
-    * |c|², exact in doubles because every term is an integer < 2^53
-    * at these unit scales.
+    * fully codegen'd via [[assignExprs]]'s rip_dot identity (no
+    * interpreted HOF in the hot path).
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame = {
@@ -446,18 +443,8 @@ object Similarity {
       .withColumn("__h", Dedup.portableHash64(col("__id").cast("string")))
       .orderBy(col("__h"), col("__id")).limit(k)
       .collect().map(_.getAs[Seq[Long]]("__u").toArray)
-    def assignedUnder(cent: Array[Array[Long]]): DataFrame = {
-      val dists: Column = array(cent.indices.map { c =>
-        aggregate(
-          zip_with(col("__u"), typedlit(cent(c).toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v)
-      }: _*)
-      units
-        .withColumn("__d2", array_min(dists))
-        .withColumn("__cid",
-          (array_position(dists, col("__d2")) - 1).cast("int"))
-    }
+    def assignedUnder(cent: Array[Array[Long]]): DataFrame =
+      assignExprs(units, col("__u"), cent)
     val memoKey = (df.sparkSession,
       units.queryExecution.analyzed.canonicalized, k, iters)
     val memoizable =
@@ -528,10 +515,36 @@ object Similarity {
       .getOrElse(Array.empty) // non-memoizable/empty input: no model
   }
 
+  /** The codegen'd k-way argmin shared by training and serving:
+    * d²(u, c) = |u|² − 2·u·c + |c|², with |u|² and each u·c a single
+    * compiled `rip_dot` (whole-stage codegen) instead of k interpreted
+    * zip_with/aggregate folds — the graded-response upgrade the HOF
+    * trap note prescribes. EXACT despite the double arithmetic: every
+    * term is an integer (|u·c| ≤ d·(1e6·|x|max)² ≈ 2.3e13 at d = 64,
+    * |x| ≤ 1 — far below 2^53), and sums/differences of exactly-
+    * representable integers are exact, so the cast back to long equals
+    * the all-long fold bit for bit (PipelineR10Spec's driver replay
+    * pins it). |c|² is a driver-computed constant per centroid.
+    * Emits (__id/input cols, __d2 long, __cid int).
+    */
+  private def assignExprs(df: DataFrame, u: Column,
+                          cent: Array[Array[Long]]): DataFrame = {
+    val un2 = dot(u, u)
+    val dists: Column = array(cent.indices.map { c =>
+      val cn2 = cent(c).map(v => v.toDouble * v).sum // exact: ints < 2^53
+      un2 - lit(2.0) * dot(u, typedlit(cent(c).toSeq)) + lit(cn2)
+    }: _*)
+    df.withColumn("__dm", array_min(dists))
+      .withColumn("__cid",
+        (array_position(dists, col("__dm")) - 1).cast("int"))
+      .withColumn("__d2", col("__dm").cast("long"))
+      .drop("__dm")
+  }
+
   /** Assign rows (batch OR stream) to FIXED centroids from
-    * [[kmeansCentroids]]: the same quantize + exact-long argmin as
-    * training, but map-only and stateless — centroids ride as a k×d
-    * literal, so a streaming micro-batch scores with no shuffle and no
+    * [[kmeansCentroids]]: the same quantize + exact argmin as training
+    * ([[assignExprs]]), map-only and stateless — centroids ride as k×d
+    * literals, so a streaming micro-batch scores with no shuffle and no
     * state store, bit-identical to the batch assignment.
     */
   def kmeansAssignWith(df: DataFrame, idCol: String, vecCol: String,
@@ -539,15 +552,9 @@ object Similarity {
     require(centroids.nonEmpty, "empty centroid model")
     val u = transform(col(vecCol),
       x => floor(x.cast("double") * lit(1e6)).cast("long"))
-    val dists = array(centroids.indices.map { c =>
-      aggregate(
-        zip_with(u, typedlit(centroids(c).toSeq),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-    }: _*)
-    df.withColumn("__d2", array_min(dists))
-      .withColumn("cid", (array_position(dists, col("__d2")) - 1).cast("int"))
+    assignExprs(df, u, centroids)
       .withColumnRenamed("__d2", "dist2_units")
+      .withColumnRenamed("__cid", "cid")
   }
 
   /** Per-query probe routing shared by ivfTopK and ivfPqTopK: rank the
