@@ -181,6 +181,66 @@ object Similarity {
       round(dot(col(vecCol), array(w.map(lit): _*)), 6).as("pc1"))
   }
 
+  /** TOP-K principal axes by power iteration + Hotelling DEFLATION on
+    * the ROUNDED covariance — [[pc1]] extended to the k-component
+    * whitening/projection basis a SemDeDup-style pipeline uses. The
+    * determinism contract compounds pc1's: every stage that could
+    * drift between engines is either exact-integer (covMoments'
+    * unit-long moments) or re-ROUNDED to 6 dp before it feeds the next
+    * iterative stage — the covariance before component 1, and after
+    * each deflation C ← round6(C − λ·w·wᵀ) (λ = wᵀCw evaluated inner-j
+    * then outer-i, ascending, exactly as the oracle's nested
+    * list_sums) — so an oracle replaying the same recurrences
+    * reproduces every axis bit for bit. Fixed iteration count, no
+    * convergence test (a data-dependent stop would be
+    * engine-divergent).
+    */
+  def pcK(df: DataFrame, vecCol: String, k: Int,
+          iters: Int = 20): Seq[Seq[Double]] = {
+    require(k >= 1, "need k >= 1")
+    val (d, prods, sums, n) = covMoments(df, vecCol)
+    if (d == 0 || n == 0L) return Seq.empty
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var c = Array.tabulate(d, d)((i, j) =>
+      r6(prods(i * d + j) / n - (sums(i) / n) * (sums(j) / n)))
+    def matVec(w: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * w(j); j += 1 }
+        s
+      }
+    (0 until math.min(k, d)).map { _ =>
+      var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var t = 0
+      while (t < iters) { w = matVec(w); t += 1 }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm != 0.0) w = w.map(_ / nrm)
+      val cw = matVec(w)
+      var lam = 0.0
+      var i = 0
+      while (i < d) { lam += w(i) * cw(i); i += 1 }
+      c = Array.tabulate(d, d)((i, j) => r6(c(i)(j) - lam * w(i) * w(j)))
+      w.toSeq
+    }
+  }
+
+  /** Projection onto the top-k principal axes — k codegen'd rip_dot
+    * literals per row, zero shuffle (the cluster work was already done
+    * in covMoments' single pass). Output (id, pc1..pck, each 6 dp).
+    */
+  def projectPcK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 iters: Int = 20): DataFrame = {
+    val ws = pcK(df, vecCol, k, iters)
+    if (ws.isEmpty)
+      df.filter(lit(false)).select(
+        col(idCol) +: (1 to k).map(m => lit(0.0d).as(s"pc$m")): _*)
+    else df.select(
+      col(idCol) +: ws.zipWithIndex.map { case (w, m) =>
+        round(dot(col(vecCol), array(w.map(lit): _*)), 6).as(s"pc${m + 1}")
+      }: _*)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. Queries are broadcast (BroadcastNestedLoopJoin —
     * the corpus never shuffles; only (nQueries × k)-sized results do).

@@ -248,6 +248,59 @@ private[graft] object OraclesSim {
         |    CAST(embedding[i] AS DOUBLE) * w[i])), 6) + 0.0 AS pc1
         |FROM embeddings, wn ORDER BY vec_id""".stripMargin,
 
+    // PCA-2 mirror: q198's rounded-covariance power iteration, then
+    // Hotelling deflation C ← round6(C − λ·w·wᵀ) with λ = wᵀCw
+    // (inner-j / outer-i ascending — the engine's loop order), then a
+    // second power iteration; both axes and both projections replay
+    // bit-for-bit
+    "q240_pca2_project" -> {
+      def itBlock(name: String, mat: String) =
+        s"""$name AS (
+           |  SELECT 0 AS t,
+           |    list_transform(range(1, 65), x -> 1.0 / sqrt(64.0)) AS w
+           |  UNION ALL
+           |  SELECT t + 1,
+           |    list_transform(range(1, 65), i ->
+           |      list_sum(list_transform(range(1, 65), j -> mm[i][j] * w[j])))
+           |  FROM $name, $mat WHERE t < 20)""".stripMargin
+      def normBlock(name: String, it: String) =
+        s"""$name AS MATERIALIZED (SELECT list_transform(w, x ->
+           |  x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS w
+           |  FROM $it WHERE t = 20)""".stripMargin
+      s"""WITH RECURSIVE d AS MATERIALIZED (SELECT vec_id,
+         |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |m AS MATERIALIZED (SELECT i, sum(CAST(floor(v * 1e9) AS BIGINT)) AS s,
+         |  count(*) AS n FROM d GROUP BY 1),
+         |p AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         |  sum(CAST(floor(a.v * b.v * 1e9) AS BIGINT)) AS sp,
+         |  count(*) AS n FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2),
+         |cov AS MATERIALIZED (SELECT p.i, p.j,
+         |  round((sp / 1e9) / p.n
+         |    - ((ma.s / 1e9) / ma.n) * ((mb.s / 1e9) / mb.n), 6) + 0.0 AS c
+         |  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j),
+         |crow AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY 1),
+         |cmat AS MATERIALIZED (SELECT list(row ORDER BY i) AS mm FROM crow),
+         |${itBlock("it1", "cmat")},
+         |${normBlock("wn1", "it1")},
+         |lam AS MATERIALIZED (SELECT list_sum(list_transform(range(1, 65), i ->
+         |    w[i] * list_sum(list_transform(range(1, 65), j ->
+         |      mm[i][j] * w[j])))) AS lam
+         |  FROM wn1, cmat),
+         |cm2 AS MATERIALIZED (SELECT list_transform(range(1, 65), i ->
+         |    list_transform(range(1, 65), j ->
+         |      round(mm[i][j] - lam * w[i] * w[j], 6) + 0.0)) AS mm
+         |  FROM cmat, wn1, lam),
+         |${itBlock("it2", "cm2")},
+         |${normBlock("wn2", "it2")}
+         |SELECT vec_id,
+         |  round(list_sum(list_transform(range(1, 65), i ->
+         |    CAST(embedding[i] AS DOUBLE) * wn1.w[i])), 6) + 0.0 AS pc1,
+         |  round(list_sum(list_transform(range(1, 65), i ->
+         |    CAST(embedding[i] AS DOUBLE) * wn2.w[i])), 6) + 0.0 AS pc2
+         |FROM embeddings, wn1, wn2 ORDER BY vec_id""".stripMargin
+    },
+
     // full PQ replay: hash-ranked codebook sample → per-subspace argmin
     // encode (ties to the lowest codeword) → ADC distance as an
     // s-ordered list_sum, mirroring pqTopK's fold order bit-for-bit

@@ -160,6 +160,15 @@ private[graft] object QueriesSim {
     // subsample (the "don't let one topic dominate the mix" story).
     // The assignment frame is registry-persisted, so this composition
     // reuses q237's clustering work when both run in one session.
+    // Top-2 PCA projection (q198 extended by Hotelling deflation on
+    // the rounded covariance): the k-component whitening basis, every
+    // axis bit-reproducible — the oracle replays both power iterations
+    // and the deflation as recursive CTEs
+    "q240_pca2_project" -> ((s, dir) =>
+      Similarity.projectPcK(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 2)
+        .orderBy(col("vec_id"))),
+
     // SemDeDup as the PAPER runs it: k-means clusters (not given
     // labels) bound the pairwise term to Σ|cluster|², then
     // within-cluster cosine pruning with the deterministic

@@ -143,6 +143,31 @@ class PipelineR10Spec extends SparkSpec {
     assert(empty.columns.toSeq === Seq("vec_id", "cid", "dist2_units"))
   }
 
+  test("pcK: component 1 equals pc1, deflated axes are near-orthogonal, " +
+    "and a planted 2D structure is recovered") {
+    import graft.operators.Similarity
+    // rank-2 structure: dims 0-1 carry signal, the rest tiny jitter
+    val vecs = (0 until 60).map { i =>
+      val a = if (i % 2 == 0) 1.0 else -1.0
+      val b = if (i % 3 == 0) 0.5 else -0.5
+      (i.toLong, (0 until 8).map { j =>
+        val base = if (j == 0) a else if (j == 1) b else 0.0
+        (base + 0.0001 * ((i + j) % 3)).toFloat
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val w1only = Similarity.pc1(df, "embedding")
+    val ws = Similarity.pcK(df, "embedding", k = 2)
+    assert(ws.head === w1only) // same rounded-cov recurrence
+    val dot12 = ws.head.zip(ws(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-3, s"axes not orthogonal: $dot12")
+    // the two axes live in the planted 2D signal plane
+    assert(math.abs(ws.head(0)) + math.abs(ws.head(1)) > 0.9)
+    assert(math.abs(ws(1)(0)) + math.abs(ws(1)(1)) > 0.9)
+    assert(Similarity.pcK(df.filter(col("vec_id") < 0),
+      "embedding", 2).isEmpty)
+  }
+
   test("trainTextClassifier on an empty frame: no division by zero, " +
     "empty scored output") {
     val empty = docs.filter(col("doc_id") < 0)
