@@ -376,4 +376,41 @@ class StressSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan)
     graft.operators.Dedup.clearDedupCaches()
   }
+
+  test("kmeansAssign on 50k vectors with a 90%-hot blob: gradient " +
+    "exchange stays model-sized, dominant cluster absorbed, replay-exact") {
+    import graft.operators.Similarity
+    // 90% of vectors cluster tightly around one point; the rest spread
+    // over 4 distant blobs — the topic-imbalance shape kmeans meets in
+    // a real crawl. Deterministic synthesis from the id (no RNG).
+    val n = 50000
+    val df = spark.range(n).selectExpr("id AS vec_id",
+      """transform(sequence(1, 8), j ->
+        |  CAST(CASE WHEN id % 10 < 9 THEN 0.4 + 0.00001 * (id % 7)
+        |    ELSE -0.4 * CAST(j % (2 + id % 4) AS DOUBLE) / 4.0
+        |  END AS FLOAT)) AS embedding""".stripMargin)
+    val (out, maxShuffle) = withMaxTaskShuffleRead {
+      Similarity.kmeansAssign(df, "vec_id", "embedding", k = 8, iters = 2)
+        .withColumn("variant",
+          when(col("vec_id") % 10 < 9, col("vec_id") % 7).otherwise(lit(-1)))
+        .filter(col("variant") >= 0)
+        .groupBy(col("variant"))
+        .agg(countDistinct(col("cid")).as("ncids"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
+    // 90% of rows are 7 identical vector variants; the assignment is a
+    // pure function of the vector, so each variant maps to EXACTLY one
+    // cluster regardless of which seeds landed inside the blob (several
+    // do — k-means legitimately splits a dominant blob across them)
+    assert(out.size === 7 && out.values.forall(_._1 === 1L), out.toString)
+    assert(out.values.map(_._2).sum >= (0.9 * n).toLong - 7)
+    // no per-iteration exchange ever carries corpus-sized data: the
+    // gradient aggregate is map-side combined to <= k*(d+1) longs per
+    // partition, so max per-task shuffle read stays kilobytes even with
+    // 45k rows in one cluster (corpus-sized would be ~50k * 8 * 8B)
+    assert(maxShuffle < 512 * 1024,
+      s"per-task shuffle read $maxShuffle suggests a corpus-sized exchange")
+    graft.operators.Dedup.clearDedupCaches()
+  }
 }
