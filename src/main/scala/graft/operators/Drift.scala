@@ -165,6 +165,56 @@ object Drift {
     * of sources, dictionary-sized), so the join output is bounded by
     * vocab · k² — vocabulary-scale, never corpus-scale.
     */
+  /** Pairwise EMBEDDING-space drift between corpora: the exact squared
+    * distance between per-key mean vectors — "did this crawl's
+    * semantics move against last month's", the geometric complement of
+    * the token-distribution metrics above (a corpus can keep its token
+    * mix while its embedding centroid walks).
+    *
+    * Determinism: the k-means discipline — vectors quantize once to
+    * ⌊x·1e6⌋ longs, per-key mean = floorDiv of exact long sums
+    * ((s − pmod(s, n))/n, the mod-adjusted quotient), distances are
+    * exact long sums of squared integer differences, so the whole
+    * matrix is bit-reproducible and oracle-checkable.
+    *
+    * Scale shape: ONE map-side-combined aggregate (d explicit sum
+    * columns — the exchange carries ≤ keys·(d+1) longs per partition,
+    * never rows), then a key-pair join on the dictionary-sized means
+    * frame; the per-pair distance HOF runs on k² rows only, never the
+    * corpus. Output (key_a, key_b, n_a, n_b, dist2_units).
+    */
+  def embeddingDriftMatrix(df: DataFrame, keyCol: Column,
+                           vecCol: Column): DataFrame = {
+    val d = df.select(size(vecCol)).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val base = df.filter(keyCol.isNotNull)
+      .select(keyCol.as("__k"),
+        transform(vecCol,
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("__u"))
+    if (d == 0)
+      return base.filter(lit(false)).select(
+        col("__k").as("key_a"), col("__k").as("key_b"),
+        lit(0L).as("n_a"), lit(0L).as("n_b"), lit(0L).as("dist2_units"))
+    val sums = (0 until d).map(i =>
+      sum(element_at(col("__u"), i + 1)).as(s"s$i"))
+    // exact floorDiv: (s − pmod(s, n))/n is an exact double (integer
+    // quotient < 2^53) → long
+    def fd(s: Column, n: Column): Column =
+      ((s - pmod(s, n)) / n).cast("long")
+    val means = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .select(col("__k"), col("__n"),
+        array((0 until d).map(i => fd(col(s"s$i"), col("__n"))): _*)
+          .as("__m"))
+    val a = means.toDF("key_a", "n_a", "__ma")
+    val b = means.toDF("key_b", "n_b", "__mb")
+    a.join(b, col("key_a") < col("key_b")) // dictionary-sized both sides
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        aggregate(zip_with(col("__ma"), col("__mb"),
+          (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist2_units"))
+  }
+
   def categoricalDriftMatrix(df: DataFrame, catCol: Column,
                              sourceCol: Column): DataFrame = {
     val counts = Dedup.registryPersist(df

@@ -248,6 +248,31 @@ private[graft] object OraclesSim {
         |    CAST(embedding[i] AS DOUBLE) * w[i])), 6) + 0.0 AS pc1
         |FROM embeddings, wn ORDER BY vec_id""".stripMargin,
 
+    // embedding-drift mirror: quantize → per-(label, dim) exact long
+    // sums → floorDiv means (mod-adjusted quotient) → pairwise exact
+    // squared distances
+    "q241_embedding_drift" ->
+      """WITH u AS MATERIALIZED (SELECT label,
+        |    list_transform(embedding, x -> CAST(floor(
+        |      CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS u
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |dd AS MATERIALIZED (SELECT unnest(range(1,
+        |  (SELECT min(len(u)) + 1 FROM u))) AS i),
+        |s AS MATERIALIZED (SELECT label, t.i,
+        |    CAST(sum(u[t.i]) AS BIGINT) AS s, count(*) AS n
+        |  FROM u, dd t GROUP BY 1, 2),
+        |m AS MATERIALIZED (SELECT label,
+        |    list(CAST((s - (((s % n) + n) % n)) / n AS BIGINT)
+        |      ORDER BY i) AS m,
+        |    CAST(max(n) AS BIGINT) AS n FROM s GROUP BY 1)
+        |SELECT a.label AS key_a, b.label AS key_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  CAST(list_sum(list_transform(range(1, len(a.m) + 1),
+        |    i -> (a.m[i] - b.m[i]) * (a.m[i] - b.m[i]))) AS BIGINT)
+        |    AS dist2_units
+        |FROM m a JOIN m b ON a.label < b.label
+        |ORDER BY 1, 2""".stripMargin,
+
     // PCA-2 mirror: q198's rounded-covariance power iteration, then
     // Hotelling deflation C ← round6(C − λ·w·wᵀ) with λ = wᵀCw
     // (inner-j / outer-i ascending — the engine's loop order), then a

@@ -160,6 +160,14 @@ private[graft] object QueriesSim {
     // subsample (the "don't let one topic dominate the mix" story).
     // The assignment frame is registry-persisted, so this composition
     // reuses q237's clustering work when both run in one session.
+    // Embedding-space drift matrix: exact squared distance between
+    // per-label integer-unit mean vectors — the geometric complement
+    // of the token-distribution drift metrics (q222/q227)
+    "q241_embedding_drift" -> ((s, dir) =>
+      Drift.embeddingDriftMatrix(t(s, dir, "embeddings"),
+          col("label"), col("embedding"))
+        .orderBy(col("key_a"), col("key_b"))),
+
     // Top-2 PCA projection (q198 extended by Hotelling deflation on
     // the rounded covariance): the k-component whitening basis, every
     // axis bit-reproducible — the oracle replays both power iterations
