@@ -814,6 +814,46 @@ object StreamOps {
     * then the metrics are a stateless projection. No chained stateful
     * operators, no per-event state, nothing collected.
     */
+  /** Streaming EMBEDDING-space drift monitor — the ingest twin of
+    * Drift.embeddingDriftMatrix against a FIXED reference centroid
+    * (integer units, e.g. last month's per-corpus mean): per
+    * event-time tumbling window, the exact squared distance between
+    * the window's floorDiv mean vector and the reference. One
+    * watermarked aggregation with d explicit long-sum columns — state
+    * is one row of longs per open window (the streamingDriftMonitor
+    * shape; no per-event state, nothing collected) — and the
+    * mean/distance math is the stateless projection, exact by the
+    * same integer discipline as the batch matrix, so a drifting crawl
+    * alarms with a bit-reproducible number.
+    */
+  def streamingEmbeddingDrift(events: DataFrame, tsCol: String,
+                              vecCol: String, reference: Array[Long],
+                              windowDur: String,
+                              watermarkDelay: String): DataFrame = {
+    require(reference.nonEmpty, "empty reference centroid")
+    val d = reference.length
+    val u = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val sums = (0 until d).map(i =>
+      sum(element_at(col("__u"), i + 1)).as(s"__s$i"))
+    val agg = events
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === d)
+      .withColumn("__u", u)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+    // exact floorDiv mean then exact squared distance — integer-valued
+    // doubles < 2^53 throughout, cast back to long losslessly
+    def fd(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((s - pmod(s, col("__n"))) / col("__n")).cast("long")
+    val dist2 = (0 until d).map { i =>
+      val diff = fd(col(s"__s$i")) - lit(reference(i))
+      diff * diff
+    }.reduce(_ + _)
+    agg.select(col("window.start").as("window_start"),
+      col("__n").as("n"), dist2.as("dist2_units"))
+  }
+
   def streamingDriftMonitor(events: DataFrame, tsCol: String,
                             catCol: String,
                             reference: Seq[(String, Double)],

@@ -923,6 +923,51 @@ class StreamingSpec extends SparkSpec {
       q.lastProgress.stateOperators.isEmpty)
   }
 
+  test("streaming embedding-drift monitor equals the batch windowed " +
+    "computation (exact integer mean-distance per window)") {
+    import graft.streaming.StreamOps
+    val ref = Array(100000L, -200000L, 0L)
+    // the 00:30 sentinel pushes the watermark past every earlier
+    // window so append mode flushes them; its own window stays open
+    // and is excluded from the comparison
+    val rows = ((0 until 24).map { i =>
+      (i.toLong, s"2024-01-01 00:0${i / 10}:${10 + i % 10 * 4}",
+        (0 until 3).map(j => (0.1 * ((i + j) % 5) - 0.2).toFloat))
+    } :+ (99L, "2024-01-01 00:30:00", Seq(0f, 0f, 0f)))
+      .toDF("id", "ts_s", "embedding")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val d = Files.createTempDirectory("graft_edrift").toString
+    rows.write.parquet(d + "/in")
+    val src = spark.readStream
+      .schema(spark.read.parquet(d + "/in").schema).parquet(d + "/in")
+    val q = StreamOps.streamingEmbeddingDrift(src, "ts", "embedding",
+        ref, "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("edrift_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT window_start, n, dist2_units FROM edrift_stream")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    // batch replay: same quantize → per-window sums → floorDiv mean →
+    // exact distance, via plain collect-side arithmetic
+    val batch = spark.read.parquet(d + "/in")
+      .filter($"id" =!= 99L) // the open sentinel window never emits
+      .withColumn("__u", transform($"embedding",
+        x => floor(x.cast("double") * lit(1e6)).cast("long")))
+      .groupBy(window($"ts", "1 minute"))
+      .agg(count(lit(1)).as("n"), collect_list($"__u").as("us"))
+      .as[((java.sql.Timestamp, java.sql.Timestamp), Long, Seq[Seq[Long]])]
+      .collect().map { case ((ws, _), n, us) =>
+        val dist2 = (0 until 3).map { i =>
+          val m = Math.floorDiv(us.map(_(i)).sum, n)
+          val diff = m - ref(i); diff * diff
+        }.sum
+        (ws, n, dist2)
+      }.toSet
+    assert(got === batch && got.nonEmpty)
+  }
+
   test("streaming k-means assignment with trained centroids is " +
     "bit-identical to the batch assignment") {
     import graft.operators.Similarity
