@@ -290,4 +290,41 @@ object Bpe {
       .select(col("cnt"), explode(symbols(sym)).as("token"))
       .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
   }
+
+  /** Tokenizer FERTILITY per group — the standard "how well does this
+    * vocabulary fit each domain" diagnostic (subwords per word and
+    * chars per subword; a fertility spike on one source means the
+    * learned vocabulary under-serves it). Same training slice as
+    * [[bpeMerges]] (whitespace words, ASCII-printable).
+    *
+    * Scale shape: one corpus scan builds the per-group word-frequency
+    * frame; the merge chain is applied to the DISTINCT-word frame only
+    * (vocabulary-sized, map-only — each corpus word is segmented once,
+    * not once per occurrence), which then joins back by word. Per-group
+    * sums are map-side combined; the two ratios divide exact integer
+    * sums, so both engines produce identical doubles (rounded 6 dp).
+    */
+  def bpeFertilityBy(docs: DataFrame, byCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val sw = docs
+      .select(col(byCol), explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0 && col("w").rlike("^[ -~]+$"))
+      .groupBy(col(byCol), col("w")).agg(count(lit(1)).as("cnt"))
+    val symInit = concat(lit(S + S), concat_ws(S + S,
+      filter(split(col("w"), ""), x => x =!= lit(""))), lit(S + S))
+    val sym = merges.foldLeft(symInit) { case (s, (l, r)) =>
+      applyMerge(s, l, r)
+    }
+    val seg = sw.select(col("w")).distinct()
+      .select(col("w"), size(symbols(sym)).cast("long").as("__nsub"))
+    sw.join(seg, Seq("w"))
+      .groupBy(col(byCol))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("__nsub")).as("n_subwords"),
+        sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 6))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_subwords"), 6))
+  }
 }

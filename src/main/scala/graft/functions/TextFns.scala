@@ -274,6 +274,37 @@ object TextFns {
     }.na.fill(0.0, ns.flatMap(n => Seq(s"top${n}_frac", s"dup${n}_frac")))
   }
 
+  /** CORPUS-level n-gram diversity per group — distinct-gram ratio over
+    * the whole group for each n (the self-repetition / mode-collapse
+    * diagnostic for a source or a generated corpus; [[repetitionStats]]
+    * is the within-doc twin). A source whose distinct-trigram ratio
+    * collapses is template spam, however clean each page looks alone.
+    *
+    * Scale shape: one codegen'd gram transform + explode per n (all n
+    * ride ONE scan via a flattened struct array), then a single
+    * aggregate keyed (group, n, gram) for the distinct count — partial
+    * (map-side) aggregation absorbs gram repetition before the
+    * shuffle, and no stage keys on the gram alone, so corpus-frequent
+    * grams cause no skew. Output is groups × |ns| rows.
+    */
+  def ngramDiversity(docs: org.apache.spark.sql.DataFrame, byCol: String,
+                     textCol: String,
+                     ns: Seq[Int] = Seq(1, 2, 3)): org.apache.spark.sql.DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val t = filter(tokens(col(textCol)), x => x =!= lit(""))
+    val grams = flatten(array(ns.map { n =>
+      expr(s"transform(slice(__t, 1, greatest(size(__t) - ${n - 1}, 0)), " +
+        s"(w, i) -> struct($n AS n, array_join(slice(__t, i + 1, $n), ' ') AS g))")
+    }: _*))
+    docs.select(col(byCol), t.as("__t"))
+      .select(col(byCol), explode(grams).as("__p"))
+      .groupBy(col(byCol), col("__p.n").cast("long").as("n"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("__p.g")).as("distinct_grams"))
+      .withColumn("diversity",
+        round(col("distinct_grams").cast("double") / col("total_grams"), 6))
+  }
+
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, topK: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

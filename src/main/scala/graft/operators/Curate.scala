@@ -229,6 +229,43 @@ object Curate {
     }.otherwise(lit("kept"))
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Table A1 — public heuristics), as named gate predicates
+    * for [[rejectionReasons]] / [[funnel]]: word count in [50, 100k],
+    * mean word length in [3, 10], symbol-to-word ratio (# / …) < 0.1,
+    * ≥ 80% of words containing an alphabetic character, and ≥ 2 hits
+    * from the paper's 8-stopword list. (The line-shape rules — bullet /
+    * ellipsis line starts — need line structure the synthetic corpus
+    * lacks and belong to an ingest layer that splits lines.)
+    *
+    * Every predicate compares INTEGER cross-products (e.g. mean word
+    * length ∈ [3,10] as `3·n_words ≤ Σlen ≤ 10·n_words`), so a
+    * boundary document can never flip on float rounding — decisions
+    * are bit-identical on any engine. Pure codegen'd Columns, one scan.
+    */
+  def gopherGates(text: Column): Seq[(String, Column)] = {
+    val toks = filter(graft.functions.TextFns.tokens(text),
+      x => x =!= lit(""))
+    val nW = size(toks).cast("long")
+    val sumLen = coalesce(aggregate(toks, lit(0L),
+      (a, x) => a + length(x).cast("long")), lit(0L))
+    val nSym = (length(text) - length(replace(text, lit("#"), lit(""))))
+      .cast("long") +
+      floor((length(text) - length(replace(text, lit("..."), lit(""))))
+        .cast("double") / 3.0).cast("long")
+    val nAlpha = size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
+    val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(toks,
+      x => stop8.map(w => x === lit(w)).reduce(_ || _))).cast("long")
+    Seq(
+      "word_count" -> (nW >= 50L && nW <= 100000L),
+      "mean_word_len" -> (sumLen >= lit(3L) * nW && sumLen <= lit(10L) * nW),
+      "symbol_ratio" -> (lit(10L) * nSym < nW),
+      "alpha_frac" -> (lit(5L) * nAlpha >= lit(4L) * nW),
+      "stopwords" -> (nStop >= 2L))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by how much more likely its hashed n-gram features are under a

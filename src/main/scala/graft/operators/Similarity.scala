@@ -617,6 +617,57 @@ object Similarity {
       .withColumnRenamed("__cid", "cid")
   }
 
+  /** IVF-Flat search over a TRAINED coarse quantizer — the FAISS
+    * train-then-add-then-search split (IndexIVFFlat takes a trained
+    * k-means, not seeds it refines per search): inverted lists come
+    * from [[kmeansAssignWith]] under the [[kmeansCentroids]] model, and
+    * each query probes its `nprobe` nearest centroids by the SAME exact
+    * integer-unit distance the assignment uses (ties to the lowest
+    * cid), so routing is bit-reproducible — unlike [[ivfTopK]]'s
+    * float-cosine probe ranking, every stage here is oracle-checkable.
+    *
+    * Scale shape: centroids ride as k×d literals (zero-shuffle encode +
+    * in-row probe ranking); search joins the probe stream (queries ×
+    * nprobe rows, broadcast-sized) against ~nprobe/k of the corpus on
+    * the cid key; exact cosine + per-query top-k window finish it. The
+    * corpus is scanned once to build lists and once per search — the
+    * IVF contract.
+    */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, qIdCol: String, k: Int,
+                     centroids: Array[Array[Long]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid model")
+    val lists = kmeansAssignWith(corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("cid"))
+    // probe ranking: exact long d² of the quantized query to every
+    // centroid (assignExprs' integer-exact identity), sorted (d2, cid)
+    // in-row, nprobe best exploded — queries carry their raw vector
+    // through for the verify-stage cosine
+    val qu = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val qn2 = dot(col("__qu"), col("__qu"))
+    val probed = queries
+      .select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"), qu.as("__qu"))
+      .withColumn("__scored", sort_array(array(centroids.indices.map { c =>
+        val cn2 = centroids(c).map(v => v.toDouble * v).sum // exact: ints < 2^53
+        val d2 = qn2 - lit(2.0) * dot(col("__qu"), typedlit(centroids(c).toSeq)) + lit(cn2)
+        struct(d2.cast("long").as("d2"), lit(c).as("cid"))
+      }: _*)))
+      .select(col("query_id"), col("__qv"),
+        explode(slice(transform(col("__scored"), s => s.getField("cid")),
+          1, math.min(nprobe, centroids.length))).as("cid"))
+    val scored = lists.join(probed, Seq("cid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosine(col(vecCol), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol).as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Per-query probe routing shared by ivfTopK and ivfPqTopK: rank the
     * (tiny) centroid array in-row, explode the nprobe best cids. */
   private def probeCentroids(queries: DataFrame, qIdCol: String,

@@ -704,6 +704,37 @@ private[graft] object OraclesCurate {
          |    - sum(npos) * (sum(npos) + 1) / 2.0)
          |    / (sum(npos) * sum(n - npos)), 6) AS auc FROM r)
          |SELECT source, n_docs, n_kept, n_correct, id_sum_kept, auc
-         |FROM per, auc ORDER BY source""".stripMargin
+         |FROM per, auc ORDER BY source""".stripMargin,
+
+    // Gopher rules mirror: the same integer cross-product predicates in
+    // the same first-failing order (word count, mean word length,
+    // symbol ratio, alpha fraction, stopwords), counted per source
+    "q244_gopher_rules" ->
+      """WITH s AS (SELECT source, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |m AS (SELECT source,
+        |    CAST(len(t) AS BIGINT) AS nw,
+        |    CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+        |      AS BIGINT) AS sl,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      + CAST(floor((len(text) - len(replace(text, '...', '')))
+        |          / 3.0) AS BIGINT) AS nsym,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS na,
+        |    CAST(len(list_filter(t, x -> x IN ('the','be','to','of',
+        |      'and','that','have','with'))) AS BIGINT) AS ns
+        |  FROM s),
+        |r AS (SELECT source, CASE
+        |    WHEN NOT (nw >= 50 AND nw <= 100000) THEN 'word_count'
+        |    WHEN NOT (sl >= 3 * nw AND sl <= 10 * nw) THEN 'mean_word_len'
+        |    WHEN NOT (10 * nsym < nw) THEN 'symbol_ratio'
+        |    WHEN NOT (5 * na >= 4 * nw) THEN 'alpha_frac'
+        |    WHEN NOT (ns >= 2) THEN 'stopwords'
+        |    ELSE 'kept' END AS reason
+        |  FROM m)
+        |SELECT source, reason, count(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -367,6 +367,35 @@ private[graft] object OraclesSim {
          |FROM kept JOIN bud ON kept.cid = bud.cid
          |GROUP BY bud.cid, bud.n ORDER BY 1""".stripMargin,
 
+    // trained-IVF mirror: the shared Lloyd chain gives lists (km) AND
+    // the trained centroids (c3); probe routing replays the exact
+    // integer-unit d2 ranking (ties to the lowest cid), then cosine
+    // top-5 within the probed lists — the whole pruned search is
+    // bit-reproducible, so one oracle checks train, route, and search
+    "q242_ivf_trained" ->
+      s"""WITH ${kmeansCtesSql(8, 3)},
+         |qy AS MATERIALIZED (SELECT vec_id AS query_id, u AS qu
+         |  FROM u WHERE vec_id < 3),
+         |pr AS MATERIALIZED (SELECT query_id, cid FROM (
+         |  SELECT qy.query_id, c.cid, row_number() OVER (
+         |      PARTITION BY qy.query_id ORDER BY
+         |      CAST(list_sum(list_transform(range(1, len(qy.qu) + 1),
+         |        i -> (qy.qu[i] - c.cu[i]) * (qy.qu[i] - c.cu[i])))
+         |        AS BIGINT), c.cid) AS rn
+         |  FROM qy, c3 c) WHERE rn <= 3),
+         |cand AS MATERIALIZED (SELECT pr.query_id, km.vec_id
+         |  FROM pr JOIN km USING (cid) WHERE km.vec_id <> pr.query_id),
+         |scored AS (SELECT cand.query_id, cand.vec_id,
+         |    ${cosineSql("eb.embedding", "ea.embedding")} AS cosine
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.query_id
+         |    JOIN embeddings eb ON eb.vec_id = cand.vec_id),
+         |ranked AS (SELECT query_id, vec_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
     // SemDeDup-over-k-means mirror: the shared Lloyd chain, then the
     // q174 keep-lowest-id cosine rule keyed by cid, aggregated to
     // per-cluster prune accounting

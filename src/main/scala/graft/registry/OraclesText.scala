@@ -425,6 +425,52 @@ private[graft] object OraclesText {
          |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
          |  SELECT unnest(string_split(trim(sym, chr(1)),
          |    chr(1) || chr(1))) AS token, cnt FROM w10)
-         |GROUP BY 1 ORDER BY token""".stripMargin
+         |GROUP BY 1 ORDER BY token""".stripMargin,
+
+    // fertility mirror: the same 10-round merge replay; each DISTINCT
+    // word's final segmentation (w10) yields its subword count (the
+    // word itself is the sym with separators stripped), joined back to
+    // the per-source word-frequency frame
+    "q243_bpe_fertility" ->
+      s"""WITH ${bpeCtes(10)},
+         |seg AS MATERIALIZED (SELECT replace(sym, chr(1), '') AS w,
+         |    len(string_split(trim(sym, chr(1)), chr(1) || chr(1)))
+         |      AS n_sub
+         |  FROM w10),
+         |sw AS MATERIALIZED (SELECT source, w, count(*) AS cnt FROM (
+         |    SELECT source,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE len(w) > 0 AND regexp_matches(w, '^[ -~]+$$')
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(sum(cnt * len(w)) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(cnt * n_sub) AS DOUBLE)
+         |    / CAST(sum(cnt) AS DOUBLE), 6) AS fertility,
+         |  round(CAST(sum(cnt * len(w)) AS DOUBLE)
+         |    / CAST(sum(cnt * n_sub) AS DOUBLE), 6) AS chars_per_token
+         |FROM sw JOIN seg USING (w)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // corpus n-gram diversity mirror: the same in-row gram windows per
+    // n ∈ {1,2,3} over the non-empty token list, then per (source, n)
+    // total and distinct gram counts
+    "q245_ngram_diversity" ->
+      """WITH tk AS (SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (SELECT source, n, unnest(CASE WHEN len(t) >= n THEN
+        |      list_transform(range(1, len(t) - n + 2),
+        |        i -> array_to_string(list_slice(t, i, i + n - 1), ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |  FROM tk, (SELECT unnest([1, 2, 3]) AS n))
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  count(*) AS total_grams,
+        |  count(DISTINCT gram) AS distinct_grams,
+        |  round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+        |    AS diversity
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

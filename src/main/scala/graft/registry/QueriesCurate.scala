@@ -412,6 +412,15 @@ private[graft] object QueriesCurate {
       val auc = Stats.rocAuc(scored, col("z_units"), col("label").cast("int"))
         .select(col("auc"))
       perSrc.crossJoin(broadcast(auc)).orderBy(col("source"))
-    })
+    }),
+
+    // The published Gopher rule set (Rae et al. 2021 Table A1) as a
+    // first-failing-gate breakdown per source — every rule an
+    // integer-cross-product predicate (no float thresholds), attributed
+    // through the q230 rejection-reason machinery in the paper's order
+    "q244_gopher_rules" -> ((s, dir) =>
+      Curate.rejectionReasons(t(s, dir, "documents"), Seq("source"),
+        Curate.gopherGates(col("text")))
+        .orderBy(col("source"), col("reason")))
   )
 }

@@ -197,6 +197,20 @@ private[graft] object QueriesSim {
         .orderBy(col("cid"))
     }),
 
+    // IVF-Flat over a TRAINED coarse quantizer (the FAISS train/add/
+    // search split): inverted lists + probe routing both use the exact
+    // integer-unit k-means distance, so — unlike q82's float-cosine
+    // routing — the PRUNED search (nprobe 3 of 8) is itself
+    // bit-reproducible and oracle-checked end to end
+    "q242_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      Similarity.ivfTrainedTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "vec_id", k = 5, model, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q238_cluster_balanced_sample" -> ((s, dir) => {
       val assigned = Dedup.registryPersist(
         Similarity.kmeansAssign(t(s, dir, "embeddings"),

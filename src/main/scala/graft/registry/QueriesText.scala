@@ -288,6 +288,28 @@ private[graft] object QueriesText {
         .orderBy(col("round")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.bpeSegmentCounts(docs, "text", learned).orderBy(col("token"))
-    })
+    }),
+
+    // Tokenizer fertility per source under the learned 10-round merge
+    // table — subwords/word and chars/subword (the "does this
+    // vocabulary fit each domain" diagnostic); segmentation is applied
+    // to the DISTINCT-word frame only, so the corpus tokenizes once
+    // per vocabulary entry, not once per occurrence
+    "q243_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val learned = Bpe.bpeMerges(docs, "text", rounds = 10)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.bpeFertilityBy(docs, "source", "text", learned)
+        .orderBy(col("source"))
+    }),
+
+    // Corpus-level n-gram diversity per source: distinct-gram ratio for
+    // n = 1..3 — the template-spam / mode-collapse screen (q173's
+    // within-doc repetition, lifted to the whole source)
+    "q245_ngram_diversity" -> ((s, dir) =>
+      TextFns.ngramDiversity(t(s, dir, "documents"), "source", "text",
+        ns = Seq(1, 2, 3))
+        .orderBy(col("source"), col("n")))
   )
 }

@@ -254,4 +254,19 @@ class BpeSpec extends SparkSpec {
     // only "abba" trains: pairs (a,b)=2, (b,b)=2, (b,a)=2 -> (a,b)
     assert(m.head === ((1, "a", "b", "ab", 2L)))
   }
+
+  test("bpeFertilityBy: hand-computed fertility under a given merge table") {
+    val docs = Seq(
+      ("src0", "ab ab cd"), // ab×2, cd×1
+      ("src1", "ab xyz")    // ab×1, xyz×1
+    ).toDF("source", "text")
+    // under merge (a,b): ab → [ab] (1 subword), cd → [c,d] (2),
+    // xyz → [x,y,z] (3)
+    val got = Bpe.bpeFertilityBy(docs, "source", "text", Seq(("a", "b")))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(got(0) === (("src0", 3L, 4L, 6L,
+      math.rint(4.0 / 3.0 * 1e6) / 1e6, 1.5)))
+    assert(got(1) === (("src1", 2L, 4L, 5L, 2.0, 1.25)))
+  }
 }

@@ -198,4 +198,27 @@ class CurateSpec extends SparkSpec {
         "g" -> lit(true), "g" -> lit(false)))
     }
   }
+
+  test("gopherGates: each rule fires first on its crafted document") {
+    import graft.operators.Curate
+    val goodWords = // 60 words, mean len in [3,10], stopwords present
+      (Seq.fill(29)("quality") ++ Seq.fill(29)("corpus") ++
+        Seq("the", "with")).mkString(" ")
+    val docs = Seq(
+      (1L, goodWords),                                   // kept
+      (2L, "short doc"),                                 // word_count (2 < 50)
+      (3L, Seq.fill(60)("a").mkString(" ")),             // mean_word_len (1 < 3)
+      (4L, (Seq.fill(53)("with") ++ Seq.fill(7)("#")).mkString(" ")), // symbol_ratio (10·7 ≥ 60)
+      (5L, (Seq.fill(43)("1234") ++ Seq.fill(15)("word") ++
+        Seq("the", "with")).mkString(" ")),              // alpha_frac (5·17 < 4·60)
+      (6L, Seq.fill(60)("quality").mkString(" "))        // stopwords (0 < 2)
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Curate.rejectionReasonCol(Curate.gopherGates(col("text")))
+          .as("reason"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "kept", 2L -> "word_count",
+      3L -> "mean_word_len", 4L -> "symbol_ratio",
+      5L -> "alpha_frac", 6L -> "stopwords"))
+  }
 }

@@ -386,6 +386,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ngramDiversity matches in-memory brute force per (source, n)") {
+    import graft.functions.TextFns
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 30L).map { id =>
+      (s"s${id % 3}", (0 until rng.nextInt(8)).map(_ =>
+        vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = TextFns.ngramDiversity(docs.toDF("source", "text"),
+        "source", "text", ns = Seq(1, 2, 3))
+      .select("source", "n", "total_grams", "distinct_grams", "diversity")
+      .as[(String, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    for (src <- Seq("s0", "s1", "s2"); n <- Seq(1, 2, 3)) {
+      val grams = docs.filter(_._1 == src).flatMap { case (_, tx) =>
+        tx.split("\\s+").filter(_.nonEmpty).toSeq
+          .sliding(n).filter(_.size == n).map(_.mkString(" "))
+      }
+      if (grams.isEmpty)
+        assert(!got.contains((src, n.toLong)), s"$src n=$n should be absent")
+      else {
+        val (tot, dis, div) = got((src, n.toLong))
+        assert(tot === grams.size.toLong, s"$src n=$n total")
+        assert(dis === grams.distinct.size.toLong, s"$src n=$n distinct")
+        assert(math.abs(div - grams.distinct.size.toDouble / grams.size)
+          < 1e-6, s"$src n=$n diversity")
+      }
+    }
+  }
+
   test("semanticDupFlags matches within-cluster brute force") {
     import graft.operators.Similarity
     val dim = 8

@@ -151,6 +151,51 @@ class ScaleSpec extends SparkSpec {
     val recall = bf.intersect(ivf).size.toDouble / bf.size
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("trained-IVF at full probe equals brute force; pruned probe " +
+    "stays within the probed lists") {
+    val rng = new scala.util.Random(13)
+    val df = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+    val model = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 6, iters = 2)
+    // nprobe = k: routing prunes nothing, so the trained-IVF search
+    // must reproduce the brute-force ranking exactly
+    val full = Similarity.ivfTrainedTopK(df, queries, "vec_id",
+        "embedding", "vec_id", k = 5, model, nprobe = 6)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bf = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding",
+        "vec_id", 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full === bf)
+    // pruned probe: every returned neighbor must live in one of the
+    // query's nprobe nearest trained lists (the IVF contract) — probe
+    // ranking replayed driver-side with the same integer-unit distance
+    val lists = Similarity.kmeansAssignWith(df, "vec_id", "embedding",
+        model)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    val qvecs = queries.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def probes2(v: Seq[Float]): Set[Int] = {
+      val u = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      model.indices.map { c =>
+        (u.zip(model(c)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum, c)
+      }.sorted.take(2).map(_._2).toSet
+    }
+    val pruned = Similarity.ivfTrainedTopK(df, queries, "vec_id",
+        "embedding", "vec_id", k = 5, model, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (q, nb) =>
+      assert(probes2(qvecs(q)).contains(lists(nb)),
+        s"neighbor $nb of query $q outside the probed lists")
+    }
+  }
 }
 
 case class Ev(user: Long, v: Double)
