@@ -274,6 +274,36 @@ object TextFns {
     }.na.fill(0.0, ns.flatMap(n => Seq(s"top${n}_frac", s"dup${n}_frac")))
   }
 
+  /** Per-group character-distribution Shannon entropy (nats) — the
+    * compression-ratio proxy quality signal (RefinedWeb-style: very
+    * low char entropy flags repeated-character/template junk, very
+    * high flags binary-ish soup) computed at the SOURCE level, beside
+    * the per-doc token-level [[unigramCrossEntropy]].
+    *
+    * Scale shape: the char explode is the one corpus-sized pass and its
+    * aggregate is map-side combined onto ≤ groups × |alphabet| rows;
+    * totals and the entropy fold then run on that dictionary-sized
+    * frame only. H = Σ −p·ln p over ≤ |alphabet| rounded-at-6dp terms,
+    * the same cross-engine float discipline as the drift metrics.
+    */
+  def charEntropyBy(docs: org.apache.spark.sql.DataFrame, byCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(byCol), explode(split(col(textCol), "")).as("__c"))
+      .filter(col("__c") =!= "")
+      .groupBy(col(byCol), col("__c")).agg(count(lit(1)).as("__n"))
+    // rename before the totals self-join: both branches derive from
+    // `counts`, and a shared `__n` attribute is ambiguous to resolve
+    val tot = counts.groupBy(col(byCol)).agg(sum(col("__n")).as("__N"))
+    counts.select(col(byCol), col("__n").as("__cnt"))
+      .join(tot, Seq(byCol))
+      .withColumn("__p", col("__cnt").cast("double") / col("__N"))
+      .groupBy(col(byCol))
+      .agg(max(col("__N")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(sum(-col("__p") * log(col("__p"))), 6).as("entropy_nats"))
+  }
+
   /** CORPUS-level n-gram diversity per group — distinct-gram ratio over
     * the whole group for each n (the self-repetition / mode-collapse
     * diagnostic for a source or a generated corpus; [[repetitionStats]]

@@ -134,6 +134,37 @@ object Dedup {
   /** Exact duplicates by normalized-content fingerprint: one
     * hash-groupBy; returns groups with count > 1 and the kept (min) id.
     */
+  /** Crawl snapshot diff — the ops accounting between two corpus
+    * snapshots keyed by a stable document key (URL, doc id): per group,
+    * how many documents were ADDED (key only in the new snapshot),
+    * REMOVED (only in the old), CHANGED (both, normalized-content
+    * fingerprint differs), and UNCHANGED. The "did this crawl move"
+    * gate that runs before any dedup/drift machinery bothers.
+    *
+    * Scale shape: both sides collapse to (key, group, fingerprint)
+    * projections at scan time — text never crosses the shuffle — then
+    * ONE full-outer key join and a dictionary-sized count aggregate.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   byCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol).as("__k"), col(byCol).as("__go"),
+      graft.functions.TextFns.fingerprint(col(textCol)).as("__fo"))
+    val n = newDf.select(col(keyCol).as("__k"), col(byCol).as("__gn"),
+      graft.functions.TextFns.fingerprint(col(textCol)).as("__fn"))
+    val st = when(col("__fo").isNull, "added")
+      .when(col("__fn").isNull, "removed")
+      .when(col("__fo") === col("__fn"), "unchanged")
+      .otherwise("changed")
+    o.join(n, Seq("__k"), "full_outer")
+      .select(coalesce(col("__gn"), col("__go")).as(byCol), st.as("__s"))
+      .groupBy(col(byCol))
+      .agg(sum(when(col("__s") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__s") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__s") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("__s") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
+
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.withColumn("fp", TextFns.fingerprint(col(textCol)))
       .groupBy(col("fp"))

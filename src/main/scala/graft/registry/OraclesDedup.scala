@@ -356,6 +356,34 @@ private[graft] object OraclesDedup {
          |SELECT id_a, count(*) AS n_dups,
          |  CAST(sum(id_b) AS BIGINT) AS partner_id_sum,
          |  max(jaccard) AS j_max
-         |FROM jpairs GROUP BY 1 ORDER BY id_a""".stripMargin
+         |FROM jpairs GROUP BY 1 ORDER BY id_a""".stripMargin,
+
+    // snapshot-diff mirror: the same synthesized old/new slices, the
+    // same normalized-content fingerprint, one full-outer key join
+    "q247_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS k, source AS go,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fo
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |n AS (SELECT doc_id AS k, source AS gn,
+        |    md5(regexp_replace(lower(trim(CASE WHEN doc_id % 5 = 0
+        |        THEN text || ' rev2' ELSE text END)), '\s+', ' ', 'g'))
+        |      AS fn
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |j AS (SELECT coalesce(gn, go) AS source,
+        |    CASE WHEN fo IS NULL THEN 'added'
+        |      WHEN fn IS NULL THEN 'removed'
+        |      WHEN fo = fn THEN 'unchanged'
+        |      ELSE 'changed' END AS s
+        |  FROM o FULL OUTER JOIN n USING (k))
+        |SELECT source,
+        |  CAST(sum(CASE WHEN s = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN s = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN s = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(CASE WHEN s = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -471,6 +471,22 @@ private[graft] object OraclesText {
         |  count(DISTINCT gram) AS distinct_grams,
         |  round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
         |    AS diversity
-        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // char-entropy mirror: per-source char counts, then the same
+    // −p·ln p fold over the alphabet-sized frame
+    "q246_char_entropy" ->
+      """WITH ch AS (SELECT source, c, count(*) AS n FROM (
+        |    SELECT source, unnest(list_filter(string_split(text, ''),
+        |      x -> x <> '')) AS c
+        |    FROM documents) GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nn
+        |  FROM ch GROUP BY 1)
+        |SELECT ch.source, max(tot.nn) AS n_chars,
+        |  count(*) AS n_distinct_chars,
+        |  round(sum(-(CAST(n AS DOUBLE) / nn)
+        |    * ln(CAST(n AS DOUBLE) / nn)), 6) AS entropy_nats
+        |FROM ch JOIN tot USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

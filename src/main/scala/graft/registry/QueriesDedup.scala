@@ -229,6 +229,21 @@ private[graft] object QueriesDedup {
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         "doc_id", "text", shingleN = 3, threshold = 0.8)
         .orderBy(col("id_eval"), col("id_doc"))
+    }),
+
+    // Crawl snapshot diff: added/removed/changed/unchanged per source
+    // between two synthesized snapshots of the corpus (old = ids not
+    // divisible by 3; new = even ids, with every 5th doc's text
+    // revised — the q179 synthesized-input pattern, so both engines
+    // construct identical snapshots)
+    "q247_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val next = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      Dedup.snapshotDiff(prev, next, "doc_id", "source", "text")
+        .orderBy(col("source"))
     })
   )
 }

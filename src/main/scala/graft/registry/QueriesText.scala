@@ -310,6 +310,13 @@ private[graft] object QueriesText {
     "q245_ngram_diversity" -> ((s, dir) =>
       TextFns.ngramDiversity(t(s, dir, "documents"), "source", "text",
         ns = Seq(1, 2, 3))
-        .orderBy(col("source"), col("n")))
+        .orderBy(col("source"), col("n"))),
+
+    // Character-distribution entropy per source (compression-ratio
+    // proxy): one char explode → map-side-combined counts, entropy
+    // fold over the alphabet-sized frame only
+    "q246_char_entropy" -> ((s, dir) =>
+      TextFns.charEntropyBy(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source")))
   )
 }

@@ -22,6 +22,28 @@ class PipelineR10Spec extends SparkSpec {
     (6L, null.asInstanceOf[String], "en")
   ).toDF("doc_id", "text", "lang")
 
+  test("snapshotDiff: added/removed/changed/unchanged accounting on a " +
+    "hand fixture") {
+    val prev = Seq((1L, "s0", "alpha beta"), (2L, "s0", "gamma delta"),
+      (4L, "s1", "epsilon zeta")).toDF("doc_id", "source", "text")
+    val next = Seq((2L, "s0", "gamma delta"), (3L, "s0", "new doc"),
+      (4L, "s1", "epsilon zeta REVISED")).toDF("doc_id", "source", "text")
+    val got = Dedup.snapshotDiff(prev, next, "doc_id", "source", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      "s0" -> ((1L, 1L, 0L, 1L)),  // 3 added, 1 removed, 2 unchanged
+      "s1" -> ((0L, 0L, 1L, 0L)))) // 4 changed
+    // whitespace normalization: a run-of-spaces difference is NOT a
+    // content change under the normalized fingerprint
+    val next2 = Seq((2L, "s0", "gamma   delta")).toDF(
+      "doc_id", "source", "text")
+    val st = Dedup.snapshotDiff(prev.filter($"doc_id" === 2L), next2,
+        "doc_id", "source", "text")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(st === (("s0", 0L, 0L, 0L, 1L)))
+  }
+
   test("trainTextClassifier equals a driver-side exact replay of the " +
     "integer GD (hoisted label-gradient identity)") {
     val (bk, iters, lrn, lrd) = (16, 5, 1L, 4L)

@@ -386,6 +386,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("charEntropyBy matches in-memory brute force per source") {
+    import graft.functions.TextFns
+    val vocab = "abcde "
+    val docs = (1L to 20L).map { id =>
+      (s"s${id % 2}", (0 until 5 + rng.nextInt(30)).map(_ =>
+        vocab(rng.nextInt(vocab.length))).mkString)
+    }
+    val got = TextFns.charEntropyBy(docs.toDF("source", "text"),
+        "source", "text")
+      .select("source", "n_chars", "n_distinct_chars", "entropy_nats")
+      .as[(String, Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for (src <- Seq("s0", "s1")) {
+      val chars = docs.filter(_._1 == src).flatMap(_._2.toSeq)
+      val counts = chars.groupBy(identity).view.mapValues(_.size).toMap
+      val nn = chars.size.toDouble
+      val h = counts.values.map { n =>
+        val p = n / nn; -p * math.log(p)
+      }.sum
+      val (gn, gd, gh) = got(src)
+      assert(gn === chars.size.toLong, s"$src n_chars")
+      assert(gd === counts.size.toLong, s"$src distinct")
+      assert(math.abs(gh - h) < 1e-5, s"$src entropy $gh vs $h")
+    }
+  }
+
   test("ngramDiversity matches in-memory brute force per (source, n)") {
     import graft.functions.TextFns
     val vocab = Vector("a", "b", "c", "d")

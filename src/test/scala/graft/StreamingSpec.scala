@@ -994,4 +994,43 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got === batch)
   }
+
+  test("streaming Gopher-rule rejection reasons equal the batch " +
+    "breakdown on the finalized window") {
+    import graft.operators.Curate
+    val d = Files.createTempDirectory("graft_gopher_stream").toString
+    val goodWords = (Seq.fill(29)("quality") ++ Seq.fill(29)("corpus") ++
+      Seq("the", "with")).mkString(" ")
+    val docs = Seq(
+      ("2024-01-01 00:00:10", "s0", goodWords),                 // kept
+      ("2024-01-01 00:00:20", "s0", "short doc"),               // word_count
+      ("2024-01-01 00:01:10", "s1", Seq.fill(60)("a").mkString(" ")), // mean_word_len
+      ("2024-01-01 00:01:20", "s1", Seq.fill(60)("quality").mkString(" ")), // stopwords
+      ("2024-01-01 00:30:00", "s0", goodWords)                  // watermark flush
+    ).toDF("ts_s", "source", "text")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    docs.write.mode("overwrite").parquet(d + "/in")
+    val stream = spark.readStream.schema(
+      spark.read.parquet(d + "/in").schema).parquet(d + "/in")
+    val q = StreamOps.streamingRejectionReasons(stream, "ts",
+      Seq("source"), "5 minutes", "10 minutes",
+      Curate.gopherGates(col("text")))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT source, reason, n FROM gopher_stream")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val batch = Curate.rejectionReasons(
+        spark.read.parquet(d + "/in")
+          .filter($"ts" < to_timestamp(lit("2024-01-01 00:05:00"))),
+        Seq("source"), Curate.gopherGates(col("text")))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed === batch)
+    assert(streamed === Map(("s0", "kept") -> 1L,
+      ("s0", "word_count") -> 1L, ("s1", "mean_word_len") -> 1L,
+      ("s1", "stopwords") -> 1L))
+  }
 }
