@@ -233,9 +233,12 @@ object Curate {
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", Table A1 — public heuristics), as named gate predicates
     * for [[rejectionReasons]] / [[funnel]]: word count in [50, 100k],
-    * mean word length in [3, 10], symbol-to-word ratio (# / …) < 0.1,
-    * ≥ 80% of words containing an alphabetic character, and ≥ 2 hits
-    * from the paper's 8-stopword list. (The line-shape rules — bullet /
+    * mean word length in [3, 10], symbol-to-word ratio (# / …) ≤ 0.1
+    * (the paper removes only ratio > 0.1, so the boundary document is
+    * KEPT), ≥ 80% of words containing an alphabetic character, and ≥ 2
+    * DISTINCT words from the paper's 8-stopword list (Table A1 reads
+    * "contain at least two of the following words" — distinct words,
+    * not total occurrences). (The line-shape rules — bullet /
     * ellipsis line starts — need line structure the synthetic corpus
     * lacks and belong to an ingest layer that splits lines.)
     *
@@ -256,12 +259,12 @@ object Curate {
         .cast("double") / 3.0).cast("long")
     val nAlpha = size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
     val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val nStop = size(filter(toks,
-      x => stop8.map(w => x === lit(w)).reduce(_ || _))).cast("long")
+    val nStop = size(array_intersect(toks,
+      array(stop8.map(lit): _*))).cast("long")
     Seq(
       "word_count" -> (nW >= 50L && nW <= 100000L),
       "mean_word_len" -> (sumLen >= lit(3L) * nW && sumLen <= lit(10L) * nW),
-      "symbol_ratio" -> (lit(10L) * nSym < nW),
+      "symbol_ratio" -> (lit(10L) * nSym <= nW),
       "alpha_frac" -> (lit(5L) * nAlpha >= lit(4L) * nW),
       "stopwords" -> (nStop >= 2L))
   }

@@ -144,16 +144,25 @@ object Dedup {
     * Scale shape: both sides collapse to (key, group, fingerprint)
     * projections at scan time — text never crosses the shuffle — then
     * ONE full-outer key join and a dictionary-sized count aggregate.
+    *
+    * Presence is carried by explicit `lit(true)` markers through the
+    * full-outer join, NOT inferred from fingerprint nullness: a key
+    * present in both snapshots with NULL text on one side has a NULL
+    * fingerprint, and nullness-as-absence would miscount it as
+    * added/removed. The changed/unchanged split uses null-safe
+    * equality (`<=>`) so NULL-vs-NULL text reads as unchanged.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
                    byCol: String, textCol: String): DataFrame = {
     val o = oldDf.select(col(keyCol).as("__k"), col(byCol).as("__go"),
-      graft.functions.TextFns.fingerprint(col(textCol)).as("__fo"))
+      graft.functions.TextFns.fingerprint(col(textCol)).as("__fo"),
+      lit(true).as("__po"))
     val n = newDf.select(col(keyCol).as("__k"), col(byCol).as("__gn"),
-      graft.functions.TextFns.fingerprint(col(textCol)).as("__fn"))
-    val st = when(col("__fo").isNull, "added")
-      .when(col("__fn").isNull, "removed")
-      .when(col("__fo") === col("__fn"), "unchanged")
+      graft.functions.TextFns.fingerprint(col(textCol)).as("__fn"),
+      lit(true).as("__pn"))
+    val st = when(col("__po").isNull, "added")
+      .when(col("__pn").isNull, "removed")
+      .when(col("__fo") <=> col("__fn"), "unchanged")
       .otherwise("changed")
     o.join(n, Seq("__k"), "full_outer")
       .select(coalesce(col("__gn"), col("__go")).as(byCol), st.as("__s"))

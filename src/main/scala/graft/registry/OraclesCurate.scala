@@ -723,15 +723,17 @@ private[graft] object OraclesCurate {
         |          / 3.0) AS BIGINT) AS nsym,
         |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
         |      AS BIGINT) AS na,
-        |    CAST(len(list_filter(t, x -> x IN ('the','be','to','of',
-        |      'and','that','have','with'))) AS BIGINT) AS ns
+        |    CAST(len(list_intersect(t, ['the','be','to','of',
+        |      'and','that','have','with'])) AS BIGINT) AS ns
         |  FROM s),
         |r AS (SELECT source, CASE
-        |    WHEN NOT (nw >= 50 AND nw <= 100000) THEN 'word_count'
-        |    WHEN NOT (sl >= 3 * nw AND sl <= 10 * nw) THEN 'mean_word_len'
-        |    WHEN NOT (10 * nsym < nw) THEN 'symbol_ratio'
-        |    WHEN NOT (5 * na >= 4 * nw) THEN 'alpha_frac'
-        |    WHEN NOT (ns >= 2) THEN 'stopwords'
+        |    WHEN NOT coalesce(nw >= 50 AND nw <= 100000, FALSE)
+        |      THEN 'word_count'
+        |    WHEN NOT coalesce(sl >= 3 * nw AND sl <= 10 * nw, FALSE)
+        |      THEN 'mean_word_len'
+        |    WHEN NOT coalesce(10 * nsym <= nw, FALSE) THEN 'symbol_ratio'
+        |    WHEN NOT coalesce(5 * na >= 4 * nw, FALSE) THEN 'alpha_frac'
+        |    WHEN NOT coalesce(ns >= 2, FALSE) THEN 'stopwords'
         |    ELSE 'kept' END AS reason
         |  FROM m)
         |SELECT source, reason, count(*) AS n

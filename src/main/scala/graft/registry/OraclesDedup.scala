@@ -359,20 +359,24 @@ private[graft] object OraclesDedup {
          |FROM jpairs GROUP BY 1 ORDER BY id_a""".stripMargin,
 
     // snapshot-diff mirror: the same synthesized old/new slices, the
-    // same normalized-content fingerprint, one full-outer key join
+    // same normalized-content fingerprint, one full-outer key join;
+    // presence via explicit TRUE markers (not fingerprint nullness) and
+    // null-safe fingerprint equality, matching Dedup.snapshotDiff
     "q247_snapshot_diff" ->
       """WITH o AS (SELECT doc_id AS k, source AS go,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fo
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fo,
+        |    TRUE AS po
         |  FROM documents WHERE doc_id % 3 <> 0),
         |n AS (SELECT doc_id AS k, source AS gn,
         |    md5(regexp_replace(lower(trim(CASE WHEN doc_id % 5 = 0
         |        THEN text || ' rev2' ELSE text END)), '\s+', ' ', 'g'))
-        |      AS fn
+        |      AS fn,
+        |    TRUE AS pn
         |  FROM documents WHERE doc_id % 2 = 0),
         |j AS (SELECT coalesce(gn, go) AS source,
-        |    CASE WHEN fo IS NULL THEN 'added'
-        |      WHEN fn IS NULL THEN 'removed'
-        |      WHEN fo = fn THEN 'unchanged'
+        |    CASE WHEN po IS NULL THEN 'added'
+        |      WHEN pn IS NULL THEN 'removed'
+        |      WHEN fo IS NOT DISTINCT FROM fn THEN 'unchanged'
         |      ELSE 'changed' END AS s
         |  FROM o FULL OUTER JOIN n USING (k))
         |SELECT source,

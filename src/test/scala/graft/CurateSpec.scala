@@ -211,7 +211,15 @@ class CurateSpec extends SparkSpec {
       (4L, (Seq.fill(53)("with") ++ Seq.fill(7)("#")).mkString(" ")), // symbol_ratio (10·7 ≥ 60)
       (5L, (Seq.fill(43)("1234") ++ Seq.fill(15)("word") ++
         Seq("the", "with")).mkString(" ")),              // alpha_frac (5·17 < 4·60)
-      (6L, Seq.fill(60)("quality").mkString(" "))        // stopwords (0 < 2)
+      (6L, Seq.fill(60)("quality").mkString(" ")),       // stopwords (0 < 2)
+      // symbol ratio EXACTLY 0.1 (6 '#' in 60 words): Rae et al. remove
+      // only ratio > 0.1, so the boundary doc is KEPT (10·6 ≤ 60)
+      (7L, (Seq.fill(52)("quality") ++ Seq("the", "with") ++
+        Seq.fill(6)("#")).mkString(" ")),
+      // 2 stopword OCCURRENCES but only 1 DISTINCT stopword: the paper's
+      // "contain at least two of the following words" counts distinct,
+      // so this is rejected by the stopword gate
+      (8L, (Seq.fill(58)("quality") ++ Seq("the", "the")).mkString(" "))
     ).toDF("doc_id", "text")
     val got = docs.select(col("doc_id"),
         Curate.rejectionReasonCol(Curate.gopherGates(col("text")))
@@ -219,6 +227,7 @@ class CurateSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "kept", 2L -> "word_count",
       3L -> "mean_word_len", 4L -> "symbol_ratio",
-      5L -> "alpha_frac", 6L -> "stopwords"))
+      5L -> "alpha_frac", 6L -> "stopwords",
+      7L -> "kept", 8L -> "stopwords"))
   }
 }

@@ -44,6 +44,23 @@ class PipelineR10Spec extends SparkSpec {
     assert(st === (("s0", 0L, 0L, 0L, 1L)))
   }
 
+  test("snapshotDiff: NULL text never reads as absence — presence is " +
+    "carried by explicit markers, not fingerprint nullness") {
+    // key 1: present both sides, old text NULL → CHANGED (not added)
+    // key 2: present both sides, new text NULL → CHANGED (not removed)
+    // key 3: NULL both sides → UNCHANGED (null-safe fingerprint equality)
+    // key 4: NULL text only in old snapshot → REMOVED
+    val prev = Seq((1L, "s0", null.asInstanceOf[String]),
+      (2L, "s0", "gamma"), (3L, "s0", null.asInstanceOf[String]),
+      (4L, "s0", null.asInstanceOf[String])).toDF("doc_id", "source", "text")
+    val next = Seq((1L, "s0", "alpha"),
+      (2L, "s0", null.asInstanceOf[String]),
+      (3L, "s0", null.asInstanceOf[String])).toDF("doc_id", "source", "text")
+    val got = Dedup.snapshotDiff(prev, next, "doc_id", "source", "text")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(got === (("s0", 0L, 1L, 2L, 1L)))
+  }
+
   test("trainTextClassifier equals a driver-side exact replay of the " +
     "integer GD (hoisted label-gradient identity)") {
     val (bk, iters, lrn, lrd) = (16, 5, 1L, 4L)
