@@ -148,15 +148,93 @@ object Bench {
         k -> math.min(localBase.getOrElse(k, Double.MaxValue),
           driverBase.getOrElse(k, Double.MaxValue))
       }.toMap
-    val regressions = results.flatMap { case (name, med, mn, _) =>
+    // Sweep-end registry observability (VERDICT r10 #7): evictions
+    // climbing while hits stall = the LRU cap is below the workload's
+    // reuse set (the r8 thrash signature) — surfaced here so the next
+    // one is a one-glance read instead of a round of timing forensics.
+    locally {
+      val st = operators.Dedup.cacheStats(spark).collect().head
+      System.err.println(s"dedup registry: hits=${st.getLong(0)} " +
+        s"misses=${st.getLong(1)} evictions=${st.getLong(2)} " +
+        s"entries=${st.getLong(3)} cap=${st.getLong(4)} " +
+        s"classifierMemoHits=${operators.Curate.classifierMemoHits}")
+    }
+    // Weather-proofing (VERDICT r10 #1): the committed BENCH_r10 carried
+    // a ~22 s "regression cluster" that did not reproduce on identical
+    // code — sustained host contention defeats median-of-3. So every
+    // tripwire flag AND every median-only >2.5× spike is RE-RUN in
+    // isolation (fresh GC, 3 runs, after the sweep's contention window)
+    // and annotated confirmed/weather: `confirmed` = the isolated min
+    // still exceeds the slip thresholds (code cost really rose);
+    // `weather` = isolation restores the old cost (host noise).
+    val fnByName = selected.toMap
+    val flagged = results.flatMap { case (name, med, mn, _) =>
       prevMedians.get(name).collect {
         case prev if med > prev * 1.25 && med - prev > 0.25 &&
-          mn > prev * 1.25 && mn - prev > 0.25 => (name, prev, med)
+          mn > prev * 1.25 && mn - prev > 0.25 => (name, prev, med, "tripwire")
+        case prev if med > prev * 2.5 && med - prev > 0.25 =>
+          (name, prev, med, "median_spike")
       }
     }
-    val regJson = regressions.take(10).map { case (k, prev, now) =>
-      "\"" + k + "\":[" + fmt(prev) + "," + fmt(now) + "]"
+    val confirmations = flagged.map { case (name, prev, med, kind) =>
+      System.gc()
+      val iso = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try fnByName(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val verdict = if (iso.head > prev * 1.25 && iso.head - prev > 0.25)
+        "confirmed" else "weather"
+      (name, prev, med, iso(1), iso.head, verdict, kind)
+    }
+    // compact form for the size-capped stdout line: CONFIRMED slips
+    // only (weather flags are, by verdict, not regressions — they'd
+    // also blow the driver's 2000-char stdout cap on a noisy run);
+    // the full annotation set lands in bench_full.json below
+    val weatherFlags = confirmations.count(_._6 == "weather")
+    val regJson = confirmations.filter(_._6 == "confirmed").take(10).map {
+      case (k, prev, med, _, isoMin, verdict, _) =>
+        "\"" + k + "\":[" + fmt(prev) + "," + fmt(med) + "," +
+          fmt(isoMin) + ",\"" + verdict + "\"]"
     }.mkString("{", ",", "}")
+    // ... and the full annotation for bench_full.json
+    val regJsonFull = confirmations.take(10).map {
+      case (k, prev, med, isoMed, isoMin, verdict, kind) =>
+        s""""$k":{"prev":${fmt(prev)},"med":${fmt(med)},"iso_med":${
+          fmt(isoMed)},"iso_min":${fmt(isoMin)},"verdict":"$verdict","flag":"$kind"}"""
+    }.mkString("{", ",", "}")
+    // Cold-path lane (VERDICT r10 #3): the memo/artifact families bench
+    // their warm consumer path in the sweep — a production user also
+    // pays the build. Time those again with every memo, the dedup
+    // registry, and the pair-artifact table cleared before each run;
+    // report cold beside warm in bench_full.json. SPARK_GRAFT_COLD=1
+    // widens the lane to every query (full cold sweep).
+    val coldFamily = Set("q210_pair_artifact", "q232_train_classifier",
+      "q234_classifier_gate", "q237_kmeans", "q238_cluster_balanced_sample",
+      "q239_semdedup_kmeans", "q242_ivf_trained")
+    val coldAll = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    def coldReset(): Unit = {
+      operators.Dedup.clearDedupCaches()
+      operators.Curate.clearClassifierMemo()
+      operators.Similarity.clearKmeansMemo()
+      val pairTable = "graft_pairs_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      try spark.sql(s"DROP TABLE IF EXISTS `$pairTable`")
+      catch { case _: Throwable => () }
+    }
+    val coldResults = selected
+      .filter { case (n, _) => coldAll || coldFamily(n) }
+      .map { case (name, fn) =>
+        val runs = (1 to 3).map { _ =>
+          coldReset(); System.gc()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (name, runs(1))
+      }
+    val coldJson = coldResults.map { case (k, med) =>
+      "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
     val allQs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val allMins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + fmt(mn) }
@@ -168,7 +246,7 @@ object Bench {
     // Full per-query detail for human/judge inspection — the stdout line
     // below must stay short (the driver keeps only a 2000-char tail of
     // stdout, and a 118-query map overflows it → BENCH parsed:null).
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJson,"queries":$allQs,"queries_min":$allMins,"failed":$failed,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJsonFull,"queries":$allQs,"queries_min":$allMins,"queries_cold":$coldJson,"failed":$failed,"sf":"$sfDir"}"""
     // partial (SPARK_GRAFT_ONLY) debug runs must NOT clobber the
     // committed full-run file — it is the tripwire's baseline
     if (only.isEmpty)
@@ -195,7 +273,7 @@ object Bench {
     val qs = results.collect {
       case (k, med, _, _) if headline(k) || only.isDefined =>
         "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJson,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJson,"weather_flags":$weatherFlags,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

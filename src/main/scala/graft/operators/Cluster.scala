@@ -25,17 +25,28 @@ import org.apache.spark.sql.functions._
   * explicitly freed once the next round is materialized, so memory is
   * genuinely one edge frame regardless of round count.
   *
-  * FAULT-TOLERANCE SCOPE: localCheckpoint stores blocks on the
-  * executors WITHOUT a recompute path — lose an executor mid-loop on a
-  * real cluster and the job fails (it cannot rebuild the truncated
-  * lineage). That trade is deliberate here (single-JVM harness; a
-  * failed CC job simply reruns — the algorithm is deterministic), but a
-  * long-lived production cluster run should set
-  * `spark.sparkContext.setCheckpointDir(...)` and switch these sites to
-  * reliable `checkpoint()` — same semantics, blocks in fault-tolerant
-  * storage, ~2-5× slower per round from the extra write.
+  * FAULT-TOLERANCE SCOPE: by default rounds pin via localCheckpoint,
+  * which stores blocks on the executors WITHOUT a recompute path —
+  * lose an executor mid-loop on a real cluster and the job fails (it
+  * cannot rebuild the truncated lineage). That trade is right for
+  * job-scoped pipelines and the single-JVM harness (a failed CC job
+  * simply reruns — the algorithm is deterministic). When the session
+  * HAS a checkpoint dir (`spark.sparkContext.setCheckpointDir(...)`),
+  * every pin automatically upgrades to reliable `checkpoint()` — same
+  * semantics, blocks in fault-tolerant storage with a recompute path,
+  * ~2-5× slower per round from the extra write. ClusterSpec pins both
+  * modes to identical results.
   */
 object Cluster {
+
+  /** Lineage-truncation point for a CC round: reliable `checkpoint()`
+    * when the session has a checkpoint dir configured, executor-local
+    * `localCheckpoint()` otherwise (see FAULT-TOLERANCE SCOPE above).
+    */
+  private def pin(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
 
   /** Free the cached blocks behind a localCheckpoint'd frame. The
     * checkpoint pins its RDD at MEMORY_AND_DISK; once a later round is
@@ -127,14 +138,12 @@ object Cluster {
       val (out, rounds) = computeCC(pairs, idA, idB, maxIter)
       // pin the RESULT (vertex-count rows), then free the loop's
       // final frames — consumers only ever need the pinned output.
-      // localCheckpoint trades fault tolerance for speed: blocks live
-      // in executor storage and do NOT survive executor loss, so on a
-      // long-lived cluster with decommissioning/dynamic allocation a
-      // later consumer can fail hard with no recompute path. Right for
-      // this engine's job-scoped pipelines (and the single-JVM bench);
-      // a service holding results across hours should use reliable
-      // `checkpoint()` to a cluster FS instead.
-      val pinned = out.localCheckpoint(true)
+      // pin() chooses the durability mode: executor-local blocks by
+      // default (fast; right for job-scoped pipelines and the
+      // single-JVM bench), reliable checkpoint files when the session
+      // has a checkpoint dir (survives executor loss — set one for a
+      // long-lived service holding results across hours).
+      val pinned = pin(out, eager = true)
       freeLocalCheckpoint(out)
       val entry = (pinned, rounds)
       if (memoizable) ccMemo.synchronized {
@@ -150,10 +159,9 @@ object Cluster {
                         maxIter: Int): (DataFrame, Int) = {
     // every vertex seen in any pair (self-pairs keep a vertex alive
     // even though they contribute no edge)
-    val vertices = pairs.select(col(idA).as("id"))
+    val vertices = pin(pairs.select(col(idA).as("id"))
       .union(pairs.select(col(idB).as("id")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), eager = true)
     // proper edges, canonically oriented src > dst (the small-star
     // invariant), from ONE scan of `pairs`
     var edges = pairs
@@ -162,7 +170,7 @@ object Cluster {
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))
       .distinct()
-      .localCheckpoint(true)
+    edges = pin(edges, eager = true)
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
@@ -196,12 +204,13 @@ object Cluster {
         .select(col("e.v").as("src"), col("e.mn").as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(false) // lazy: the signature action materializes it
-      val sig = signature(next)
+      val nextPinned = // lazy: the signature action materializes it
+        pin(next, eager = false)
+      val sig = signature(nextPinned)
       converged = sig == prevSig
       prevSig = sig
       freeLocalCheckpoint(edges) // previous round's blocks are dead now
-      edges = next
+      edges = nextPinned
       iter += 1
     }
     // at the fixpoint every non-root points straight at its component

@@ -672,4 +672,9 @@ object Curate {
   /** Observability twin of Dedup.registryHits — spec'd, and a cheap
     * sanity probe that composed queries really skip re-training. */
   @volatile var classifierMemoHits: Long = 0L
+
+  /** Drop every memoized classifier weight vector — the bench cold lane
+    * (SPARK_GRAFT_COLD) uses this so q232/q234 pay the full GD training
+    * cost, measuring what a first-call production user pays. */
+  def clearClassifierMemo(): Unit = wMemo.synchronized(wMemo.clear())
 }

@@ -101,6 +101,22 @@ object Dedup {
     cacheReg.clear()
   }
 
+  /** Session-level registry observability (VERDICT r10 #7): cumulative
+    * hits / misses / evictions plus the CURRENT entry count and cap, as
+    * a one-row DataFrame. The r8 registry thrash (cap 8 vs a 225-query
+    * working set → q28's shingle frame rebuilt every call) took a round
+    * to diagnose from timings alone; this makes it a one-glance read —
+    * `evictions` climbing while `hits` stall means the cap is below the
+    * workload's reuse set. Bench prints it at sweep end.
+    */
+  def cacheStats(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val entries = cacheReg.synchronized(cacheReg.size())
+    Seq((registryHits, registryMisses, registryEvictions,
+      entries.toLong, maxCached.toLong))
+      .toDF("hits", "misses", "evictions", "entries", "cap")
+  }
+
   /** Distinct 64-bit shingle hashes per doc as (id, sh) rows.
     *
     * NOT built with the `wordShingles` array expression: a lambda like

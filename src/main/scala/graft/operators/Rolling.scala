@@ -128,14 +128,26 @@ object Rolling {
     d2.withColumn(out, sum(col(valueCol)).over(w2)).drop("__seg")
   }
 
-  /** rank within groups (rt_groupbyops.py:3632), method=min|dense|pct. */
+  /** rank within groups (rt_groupbyops.py:3632),
+    * method=min|dense|pct|max|ordinal.
+    *
+    * `max` rides the ordered window's DEFAULT frame (RANGE unbounded
+    * preceding → current row): peers of the current row are in-frame,
+    * so `count(*)` over it is exactly the scipy max-tie rank — no extra
+    * window shape, same single exchange as the other methods.
+    * `ordinal` is row_number over the caller's order — the caller must
+    * pass a TOTAL order (append a unique tiebreak column) or ordinal
+    * ranks of tied rows are nondeterministic under distributed sort.
+    */
   def rankIn(df: DataFrame, by: Seq[String], order: Seq[Column],
              method: String, out: String): DataFrame = {
     val w = wOrd(by, order)
     val r = method match {
-      case "dense" => dense_rank().over(w).cast("long")
-      case "pct"   => percent_rank().over(w)
-      case _       => rank().over(w).cast("long")
+      case "dense"   => dense_rank().over(w).cast("long")
+      case "pct"     => percent_rank().over(w)
+      case "max"     => count(lit(1)).over(w).cast("long")
+      case "ordinal" => row_number().over(w).cast("long")
+      case _         => rank().over(w).cast("long")
     }
     df.withColumn(out, r)
   }

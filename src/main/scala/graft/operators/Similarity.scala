@@ -556,6 +556,11 @@ object Similarity {
   private val kmMemo =
     new java.util.LinkedHashMap[Any, Array[Array[Long]]](16, 0.75f, true)
 
+  /** Drop every memoized centroid set — the bench cold lane
+    * (SPARK_GRAFT_COLD) uses this so q237–q239/q242 pay the full Lloyd
+    * training cost, measuring what a first-call production user pays. */
+  def clearKmeansMemo(): Unit = kmMemo.synchronized(kmMemo.clear())
+
   /** The trained centroids themselves (integer units), for deployment
     * outside the training query — the train-batch / serve-stream split
     * (the classifier's weights/score symmetry): ship them to

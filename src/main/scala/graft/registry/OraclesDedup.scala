@@ -9,8 +9,12 @@ private[graft] object OraclesDedup {
   def m: Map[String, String] = Map(
 
     "q27_exact_dedup" ->
-      """SELECT count(*) AS n_docs, min(doc_id) AS keep_id
-        |FROM documents
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents
+        |  WHERE doc_id % 7 = 0)
+        |SELECT count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM d
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
 

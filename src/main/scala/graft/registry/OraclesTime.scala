@@ -511,6 +511,25 @@ private[graft] object OraclesTime {
         probe("by_value_event_id__value", "value, event_id",
           "CAST(value AS DOUBLE)"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY probe")
-    }
+    },
+
+    // the five rank methods on the same coarse key; max-tie rank is
+    // count(*) over the ordered window's default RANGE frame (peers
+    // in-frame), exactly the engine's formulation
+    "q248_rank_methods" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(floor(value) AS BIGINT) AS vb FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(rank() OVER wv AS BIGINT) AS r_min,
+        |  CAST(dense_rank() OVER wv AS BIGINT) AS r_dense,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY vb
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS r_max,
+        |  round(percent_rank() OVER wv, 6) AS r_pct,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY vb, event_id) AS BIGINT) AS r_ordinal
+        |FROM e
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY vb)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -75,7 +75,8 @@ private[graft] object OraclesTpch {
         |FROM customer c, ab
         |WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
         |  AND c.c_acctbal > ab.v
-        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey % 5 <> 0 AND o.o_custkey = c.c_custkey)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 

@@ -17,10 +17,20 @@ private[graft] object QueriesDedup {
 
   def m: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "q27_exact_dedup" -> ((s, dir) =>
-      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+    // sf-robust input (RegistrySweepSpec finding, r11): the synthetic
+    // corpus has ZERO exact duplicates below sf0.1, so the pristine
+    // query compared empty-to-empty — a vacuous oracle. Union in a
+    // deterministically re-keyed clone of every 7th doc (the q179/q247
+    // synthesized-input pattern, identically constructed by the oracle)
+    // so the fingerprint group-by is exercised at every scale factor.
+    "q27_exact_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cloned = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      Dedup.exactDupGroups(docs.unionByName(cloned), "doc_id", "text")
         .select(col("n_docs"), col("keep_id"))
-        .orderBy(col("keep_id"))),
+        .orderBy(col("keep_id"))
+    }),
 
     "q28_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",

@@ -597,6 +597,28 @@ private[graft] object QueriesTime {
           Rolling.issorted(ev.orderBy(col("value"), col("event_id")),
             "value")))
         .toDF("probe", "is_sorted").orderBy(col("probe"))
+    }),
+
+    // rank method= surface completed (VERDICT r10 #5): min/dense/pct/
+    // max/ordinal side by side on a COARSE key (floor(value)) so tie
+    // groups are dense and the methods genuinely diverge. All five ride
+    // one user_id exchange (same partitioning); ordinal alone adds the
+    // unique event_id tiebreak to make its row_number deterministic.
+    "q248_rank_methods" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("vb", floor(col("value")).cast("long"))
+      val byVal = Seq(col("vb"))
+      val ranked = Seq("min" -> "r_min", "dense" -> "r_dense",
+        "max" -> "r_max").foldLeft(ev) { case (d, (m, o)) =>
+          Rolling.rankIn(d, Seq("user_id"), byVal, m, o) }
+      val withPct = Rolling.rankIn(ranked, Seq("user_id"), byVal,
+        "pct", "__p")
+      Rolling.rankIn(withPct, Seq("user_id"),
+          Seq(col("vb"), col("event_id")), "ordinal", "r_ordinal")
+        .select(col("event_id"), col("user_id"), col("r_min"),
+          col("r_dense"), col("r_max"), round(col("__p"), 6).as("r_pct"),
+          col("r_ordinal"))
+        .orderBy(col("event_id"))
     })
   )
 }

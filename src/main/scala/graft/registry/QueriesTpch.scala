@@ -142,14 +142,23 @@ private[graft] object QueriesTpch {
     // is a one-row broadcast; the anti-join keys on custkey against
     // the big orders side — the plan that must stay a hash/sort-merge
     // LeftAnti (never a nested loop) at 100 TB
+    // sf-robust input (RegistrySweepSpec finding, r11): the synthetic
+    // generator gives EVERY customer at least one order below sf0.1, so
+    // the pristine Q22 anti-join compared empty-to-empty — a vacuous
+    // oracle. Slice the orders side deterministically (o_custkey % 5
+    // <> 0; the oracle constructs the identical slice) so order-less
+    // customers exist at every scale factor. Plan shape is unchanged:
+    // scalar-aggregate broadcast, then a left-anti join on custkey.
     "q147_tpch_q22" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
         .agg(avg(col("c_acctbal")).as("__ab"))
+      val orders = t(s, dir, "orders")
+        .filter(pmod(col("o_custkey"), lit(5)) =!= 0)
       cust.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("__ab"))
-        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        .join(orders.select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"),

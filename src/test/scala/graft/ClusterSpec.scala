@@ -118,6 +118,38 @@ class ClusterSpec extends SparkSpec {
     assert(st(0)._2 > 0 && st(1)._2 > 0 && st(2)._2 === 0L)
   }
 
+  test("connectedComponents under a RELIABLE checkpoint dir equals the " +
+    "localCheckpoint result (VERDICT r10 #6)") {
+    // same graph both ways: ring + chain + isolated pair. The pin()
+    // mode switch must be invisible to results; only durability changes.
+    val edges = ((0L until 12L).map(i => (i, (i + 1) % 12)) ++
+      Seq((20L, 21L), (21L, 22L), (30L, 31L))).toDF("id_a", "id_b")
+    // distinct maxIter values so the CC memo cannot serve one mode's
+    // result to the other (memo key includes maxIter)
+    val local = Cluster.connectedComponents(edges, "id_a", "id_b",
+        maxIter = 29)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    val sc = spark.sparkContext
+    try {
+      sc.setCheckpointDir(dir)
+      val reliable = Cluster.connectedComponents(edges, "id_a", "id_b",
+          maxIter = 28)
+        .as[(Long, Long)].collect().toMap
+      assert(reliable === local)
+      assert(local.values.toSet === Set(0L, 20L, 30L))
+      // the reliable run must really have written checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no checkpoint files written under the dir")
+    } finally {
+      // do not leak the checkpoint dir into later suites sharing the
+      // session: SparkContext has no unset API, point it nowhere fatal
+      sc.setCheckpointDir(null)
+    }
+  }
+
   test("q122 keep-selection reuses q119's verified pair set via the registry") {
     // Both queries build the SAME jaccardPairs(documents, 3-gram, τ=0.5)
     // frame; the second consumer must HIT the LRU registry (same
@@ -129,5 +161,27 @@ class ClusterSpec extends SparkSpec {
     SparkEntry.queries("q122_dedup_keep")(spark, dir).count()
     assert(Dedup.registryHits > h0,
       s"expected a registry cache hit for q122's shared pair set (hits stayed at $h0)")
+  }
+
+  test("cacheStats reflects registry activity: misses then hits, " +
+    "entries drop to zero on clear") {
+    Dedup.clearDedupCaches()
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma x"))
+      .toDF("doc_id", "text")
+    def stats() = {
+      val r = Dedup.cacheStats(spark).head()
+      (r.getLong(0), r.getLong(1), r.getLong(3)) // hits, misses, entries
+    }
+    val (h0, m0, _) = stats()
+    Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.1).count()
+    val (h1, m1, e1) = stats()
+    assert(m1 > m0 && e1 > 0, "first build must register frames")
+    Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.1).count()
+    val (h2, _, _) = stats()
+    assert(h2 > h1 || h2 > h0, "identical rebuild must hit the registry")
+    Dedup.clearDedupCaches()
+    assert(stats()._3 === 0L, "clear must empty the registry")
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curate, Dedup}
+import graft.functions.Bpe
+
+/** Round-11 planted-ground-truth pins (VERDICT r10 #4): the q243 and
+  * q232 DuckDB oracles REPLAY the engine's own recurrence (merge chain,
+  * GD loop), so a shared algorithmic bug would pass both sides. These
+  * tests pin each family to truths derived OUTSIDE the recurrence —
+  * a corpus whose BPE merge table and fertility are hand-computable,
+  * and a linearly-separable label plant whose trained sign pattern is
+  * known a priori.
+  */
+class PipelineR11Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpeFertilityBy on a hand-derivable corpus: merge table and both " +
+    "fertility ratios match paper arithmetic (q243's planted truth)") {
+    // srcA: the word "aa" ×8 — the ONLY viable pair is (a,a), count 8.
+    // srcB: "uvw" and "xyz" once each — every srcB pair has count 1,
+    // below the c >= 2 viability floor, so NO merge can come from srcB.
+    // Hence the learned table must be exactly [(a,a) -> aa], and:
+    //   srcA: each "aa" segments to [aa]      -> 8 words, 8 subwords,
+    //         16 chars -> fertility 1.0, chars_per_token 2.0
+    //   srcB: merges don't apply, chars stay  -> 2 words, 6 subwords,
+    //         6 chars  -> fertility 3.0, chars_per_token 1.0
+    // The vocabulary trained on the A-dominant corpus under-serves B —
+    // the exact diagnostic the operator exists to surface.
+    val docs = Seq(
+      (1L, "srcA", "aa aa aa aa"),
+      (2L, "srcA", "aa aa aa aa"),
+      (3L, "srcB", "uvw xyz")).toDF("doc_id", "source", "text")
+    val learned = Bpe.bpeMerges(docs, "text", rounds = 3)
+      .orderBy(col("round"))
+      .select("lhs", "rhs").as[(String, String)].collect().toSeq
+    assert(learned === Seq(("a", "a")),
+      s"planted corpus admits exactly one merge, got $learned")
+    val got = Bpe.bpeFertilityBy(docs, "source", "text", learned)
+      .orderBy(col("source"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("srcA", 8L, 8L, 16L, 1.0, 2.0),
+      ("srcB", 2L, 6L, 6L, 3.0, 1.0)))
+  }
+
+  test("trainTextClassifier on linearly separable classes: every doc " +
+    "correct, margins signed with the label, weights signed per class " +
+    "vocabulary (q232's planted truth)") {
+    // class-1 docs use only {alpha, beta}; class-0 only {delta, zeta}.
+    // Verified-disjoint feature buckets (precondition below) make the
+    // problem exactly separable, so any correct GD must end with every
+    // training doc classified right, positive margins on class 1, and
+    // w > 0 on class-1 buckets / w < 0 on class-0 buckets.
+    val B = 64
+    val posToks = Seq("alpha", "beta")
+    val negToks = Seq("delta", "zeta")
+    val bucketOf = (posToks ++ negToks).map { tk =>
+      tk -> Seq(tk).toDF("t")
+        .select(pmod(Dedup.portableHash64(col("t")), lit(B.toLong)))
+        .as[Long].head()
+    }.toMap
+    assert(bucketOf.values.toSet.size === 4,
+      s"planted tokens collide under B=$B buckets: $bucketOf — widen B")
+    val docs = Seq(
+      (1L, "alpha beta alpha", 1), (2L, "beta beta", 1),
+      (3L, "alpha", 1), (4L, "beta alpha beta", 1),
+      (5L, "zeta delta", 0), (6L, "delta delta zeta", 0),
+      (7L, "zeta", 0), (8L, "delta", 0)).toDF("doc_id", "text", "y")
+    val scored = Curate.trainTextClassifier(docs, "doc_id", "text",
+        col("y") === 1, buckets = B, iters = 8, lrNum = 1L, lrDen = 4L)
+      .orderBy(col("doc_id"))
+      .select("doc_id", "margin", "pred", "label", "correct")
+      .as[(Long, Double, Boolean, Boolean, Boolean)].collect()
+    assert(scored.forall(_._5), s"separable plant must train to 100%: ${
+      scored.filterNot(_._5).mkString(", ")}")
+    assert(scored.forall(r => (r._2 > 0) == r._4),
+      "margin sign must match the label on a separable plant")
+    val w = Curate.trainTextClassifierWeights(docs, "doc_id", "text",
+      col("y") === 1, buckets = B, iters = 8, lrNum = 1L, lrDen = 4L)
+    posToks.foreach(tk => assert(w(bucketOf(tk).toInt) > 0L,
+      s"weight for class-1 token '$tk' must be positive"))
+    negToks.foreach(tk => assert(w(bucketOf(tk).toInt) < 0L,
+      s"weight for class-0 token '$tk' must be negative"))
+  }
+}
