@@ -955,8 +955,19 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, qIdCol: String, k: Int,
              m: Int = 4, ksub: Int = 16): DataFrame = {
-    val vecD = col(vecCol).cast("array<double>")
     val cb = pqCodebook(corpus, idCol, vecCol, ksub)
+    pqSearchWith(corpus, queries, idCol, vecCol, qIdCol, k, m, cb)
+  }
+
+  /** Encode + ADC + per-query top-k under a GIVEN codebook — the
+    * search stage shared by [[pqTopK]] (hash-sampled codebook) and
+    * [[pqTrainedTopK]] (per-subspace Lloyd codebook).
+    */
+  private def pqSearchWith(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, qIdCol: String,
+                           k: Int, m: Int,
+                           cb: Seq[(Int, Seq[Double])]): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
     if (cb.isEmpty) // empty corpus: the correctly-typed empty result
       return pqEmptyResult(corpus, queries, idCol, qIdCol)
     val dim = cb.head._2.length
@@ -979,6 +990,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col(idCol).as("neighbor_id"), round(col("__d"), 6).as("approx_dist"))
+  }
+
+  /** TRAINED PQ codebook (the FAISS IndexPQ `train()` step, completing
+    * the r10 trained-IVF story): per subspace, fit `ksub` centroids to
+    * the corpus SUBVECTORS with the same integer-unit Lloyd recurrence
+    * the IVF coarse quantizer uses ([[kmeansCentroids]] on the sliced
+    * frame — memoized per subspace plan, so composing queries and the
+    * bench warm path skip re-training; the cold lane clears it).
+    * Codeword w's returned row CONCATENATES the m subspace-w centroids
+    * (units → exact doubles /1e6) into one full-dim vector, so the
+    * native `rip_pq_codes` / `rip_pq_adc` kernels — which slice their
+    * subspace out of a full-dim codeword — serve trained and
+    * hash-sampled codebooks through the identical compiled path.
+    *
+    * Scale shape: m × iters Lloyd jobs on the quantized subvector frame
+    * (each one zero-shuffle scan + a k×subdim map-side-combined
+    * aggregate), then everything ships as a k×dim literal — training
+    * cost is corpus-linear, the model is bytes.
+    */
+  def pqTrainedCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                        m: Int, ksub: Int,
+                        iters: Int): Seq[(Int, Seq[Double])] = {
+    val first = corpus.select(col(vecCol)).limit(1).collect()
+    if (first.isEmpty) return Seq.empty
+    val dim = first.head.getSeq[Any](0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subdim = dim / m
+    val per: Seq[Array[Array[Long]]] = (0 until m).map { s =>
+      kmeansCentroids(corpus.select(col(idCol),
+        slice(col(vecCol), s * subdim + 1, subdim).as("__sub")),
+        idCol, "__sub", ksub, iters)
+    }
+    val n = per.map(_.length).min // same rows per subspace ⇒ same count
+    (0 until n).map { w =>
+      w -> per.flatMap(sub => sub(w).map(_.toDouble / 1e6)).toSeq
+    }
+  }
+
+  /** PQ search under the TRAINED codebook — train-then-search, the
+    * IndexPQ contract; same encode/ADC/top-k as [[pqTopK]].
+    */
+  def pqTrainedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, qIdCol: String, k: Int,
+                    m: Int = 4, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val cb = pqTrainedCodebook(corpus, idCol, vecCol, m, ksub, iters)
+    pqSearchWith(corpus, queries, idCol, vecCol, qIdCol, k, m, cb)
   }
 
   /** IVF-PQ composed index (the FAISS IndexIVFPQ shape — the standard

@@ -412,8 +412,97 @@ private[graft] object OraclesSim {
          |  CAST(sum(CASE WHEN dup.vec_id IS NULL THEN e.vec_id ELSE 0 END)
          |    AS BIGINT) AS id_sum_kept
          |FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
-         |GROUP BY 1 ORDER BY e.cid""".stripMargin
+         |GROUP BY 1 ORDER BY e.cid""".stripMargin,
+
+    // trained-PQ mirror: per-subspace Lloyd codebooks (shared hash-
+    // ranked seed rows), double codewords (units/1e6), argmin encode
+    // (ties → lowest codeword), s-ordered ADC fold, per-query top-5 —
+    // the q206 search SQL under q237's training discipline
+    "q249_pq_trained" ->
+      s"""WITH ${pqTrainedCtesSql(2, 4, 2, 32)},
+         |hv AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |d2 AS (SELECT hv.vec_id, cw.s, cw.w,
+         |    list_sum(list_transform(range(1, 33), i ->
+         |      (v[cw.s * 32 + i] - cwv[i])
+         |        * (v[cw.s * 32 + i] - cwv[i]))) AS d
+         |  FROM hv, cw),
+         |enc AS MATERIALIZED (SELECT vec_id, s, w FROM (
+         |    SELECT vec_id, s, w, row_number() OVER (
+         |      PARTITION BY vec_id, s ORDER BY d, w) AS rn FROM d2)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM hv WHERE vec_id < 3),
+         |part AS (SELECT q.qid, e.vec_id, e.s,
+         |    list_sum(list_transform(range(1, 33), i ->
+         |      (qv[e.s * 32 + i] - cw.cwv[i])
+         |        * (qv[e.s * 32 + i] - cw.cwv[i]))) AS ds
+         |  FROM q, enc e JOIN cw ON e.s = cw.s AND e.w = cw.w
+         |  WHERE e.vec_id <> q.qid),
+         |dist AS (SELECT qid, vec_id,
+         |    list_sum(list(ds ORDER BY s)) AS d
+         |  FROM part GROUP BY qid, vec_id),
+         |rk AS (SELECT qid, vec_id, d, row_number() OVER (
+         |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
   )
+
+  /** Per-subspace trained-PQ replay (q249): for each of the m
+    * subspaces, quantize the SUBVECTOR slice to integer units and run
+    * the same Lloyd chain as [[kmeansCtesSql]] (hash-ranked shared
+    * seeds, exact long d², ties → lowest cid, floorDiv means, empty
+    * clusters keep their centroid); ends with `cw` = (s, w, cwv) — the
+    * per-subspace codeword vectors as exact doubles (units / 1e6,
+    * mirroring the engine's `_.toDouble / 1e6`).
+    */
+  private def pqTrainedCtesSql(m: Int, ksub: Int, iters: Int,
+                               subdim: Int): String = {
+    def chain(s: Int): String = {
+      val p = s"s${s}_"
+      val lo = s * subdim + 1
+      val hi = (s + 1) * subdim
+      val rounds = (1 to iters).map { t =>
+        s"""${p}a$t AS MATERIALIZED (SELECT vec_id, u, cid, d2 FROM (
+           |  SELECT vec_id, u, cid, d2, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |  FROM (SELECT x.vec_id, x.u, c.cid,
+           |      CAST(list_sum(list_transform(range(1, ${subdim + 1}),
+           |        i -> (x.u[i] - c.cu[i]) * (x.u[i] - c.cu[i])))
+           |        AS BIGINT) AS d2
+           |    FROM ${p}u x, ${p}c${t - 1} c))
+           |  WHERE rn = 1),
+           |${p}m$t AS MATERIALIZED (SELECT a.cid, t.i,
+           |    CAST(sum(a.u[t.i]) AS BIGINT) AS s, count(*) AS n
+           |  FROM ${p}a$t a, sdd t GROUP BY 1, 2),
+           |${p}c$t AS MATERIALIZED (SELECT p.cid, coalesce(mm.cu, p.cu) AS cu
+           |  FROM ${p}c${t - 1} p LEFT JOIN (
+           |    SELECT cid, list(CAST((s - (((s % n) + n) % n)) / n
+           |        AS BIGINT) ORDER BY i) AS cu
+           |    FROM ${p}m$t GROUP BY cid) mm USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""${p}u AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding[$lo:$hi], x -> CAST(floor(
+         |      CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS u
+         |  FROM embeddings),
+         |${p}c0 AS MATERIALIZED (SELECT sder.cid, u.u AS cu
+         |  FROM sder JOIN ${p}u u USING (vec_id)),
+         |$rounds""".stripMargin
+    }
+    val cwUnion = (0 until m).map(s =>
+      s"""SELECT $s AS s, cid AS w, list_transform(cu,
+         |  u -> CAST(u AS DOUBLE) / 1000000.0) AS cwv
+         |FROM s${s}_c$iters""".stripMargin).mkString("\nUNION ALL\n")
+    s"""sdd AS MATERIALIZED (SELECT unnest(range(1, ${subdim + 1})) AS i),
+       |sder AS MATERIALIZED (SELECT CAST(row_number() OVER
+       |    (ORDER BY h, vec_id) - 1 AS INT) AS cid, vec_id
+       |  FROM (SELECT vec_id,
+       |      ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h FROM embeddings)
+       |  ORDER BY h, vec_id LIMIT $ksub),
+       |${(0 until m).map(chain).mkString(",\n")},
+       |cw AS MATERIALIZED ($cwUnion)""".stripMargin
+  }
 
   /** The integer-unit Lloyd CTE chain shared by q237 (assignments),
     * q238 (cluster-balanced sampling), and q239 (SemDeDup over k-means

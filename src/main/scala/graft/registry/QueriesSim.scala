@@ -225,6 +225,20 @@ private[graft] object QueriesSim {
           Seq("cid"))
         .select(col("cid"), col("n_total"), col("n_kept"), col("id_sum"))
         .orderBy(col("cid"))
+    }),
+
+    // TRAINED product quantization (FAISS IndexPQ train-then-search,
+    // completing q242's trained-IVF story): per-subspace integer-unit
+    // Lloyd codebooks (m=2 subspaces × ksub=4 codewords × 2 iterations)
+    // instead of q206's hash sample — train, encode, ADC, and top-k all
+    // replayed bit-for-bit by the oracle; PipelineR11Spec additionally
+    // pins the codebook to planted subspace structure
+    "q249_pq_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTrainedTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "vec_id", k = 5, m = 2, ksub = 4,
+          iters = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 }

@@ -83,4 +83,45 @@ class PipelineR11Spec extends SparkSpec {
     negToks.foreach(tk => assert(w(bucketOf(tk).toInt) < 0L,
       s"weight for class-0 token '$tk' must be negative"))
   }
+
+  test("pqTrainedCodebook recovers planted per-subspace blob structure " +
+    "exactly, and a blob twin ranks first at ADC distance 0 (q249's " +
+    "planted truth)") {
+    import graft.operators.Similarity
+    // 8 vectors, dim 4, m=2 subspaces of 2 dims. Each subspace has two
+    // blobs of IDENTICAL points; Lloyd's seeds are the two lowest-hash
+    // ids, so place the lowest in blob (A, C) and the second in (B, D):
+    // iteration 1 assigns every point to its own blob's seed exactly
+    // (d² = 0) and the floorDiv means reproduce the blob coordinates —
+    // the trained codebook must equal the plant bit-for-bit. All four
+    // blob combinations get 2 members, so every vector has a twin at
+    // ADC distance exactly 0.
+    val ids = (1L to 8L).toSeq
+    val hashed = ids.toDF("vec_id")
+      .withColumn("h", Dedup.portableHash64(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).select("vec_id")
+      .as[Long].collect().toSeq
+    val inA = Set(hashed(0), hashed(2), hashed(4), hashed(6)) // s0 blob A
+    val inC = Set(hashed(0), hashed(3), hashed(4), hashed(7)) // s1 blob C
+    def vec(id: Long): Array[Float] = {
+      val s0 = if (inA(id)) Array(0.0f, 0.25f) else Array(1.0f, 0.75f)
+      val s1 = if (inC(id)) Array(0.5f, 0.0f) else Array(0.0f, 0.5f)
+      s0 ++ s1
+    }
+    val df = ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainedCodebook(df, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 2)
+    assert(cb === Seq(
+      0 -> Seq(0.0, 0.25, 0.5, 0.0),   // seed hashed(0)'s blobs (A, C)
+      1 -> Seq(1.0, 0.75, 0.0, 0.5))) // seed hashed(1)'s blobs (B, D)
+    // twin check: the query's same-combo twin is the unique vector at
+    // ADC distance 0 (identical codes in both subspaces)
+    val q = hashed(0)
+    val twin = ids.filter(i => i != q && inA(i) == inA(q) &&
+      inC(i) == inC(q)).head
+    val top = Similarity.pqTrainedTopK(df, df.filter(col("vec_id") === q),
+        "vec_id", "embedding", "vec_id", k = 1, m = 2, ksub = 2, iters = 2)
+      .select("neighbor_id", "approx_dist").as[(Long, Double)].head()
+    assert(top === ((twin, 0.0)))
+  }
 }
