@@ -1038,6 +1038,60 @@ object Similarity {
     pqSearchWith(corpus, queries, idCol, vecCol, qIdCol, k, m, cb)
   }
 
+  /** FULLY-trained IVF-PQ (the complete FAISS IndexIVFPQ train/add/
+    * search split): a TRAINED coarse quantizer ([[kmeansCentroids]],
+    * q242's routing discipline — probe ranking by the exact integer-
+    * unit d², ties to the lowest cid, so the PRUNED search is
+    * bit-reproducible) over TRAINED per-subspace PQ codebooks
+    * ([[pqTrainedCodebook]], q249). The index frame carries ONLY
+    * (id, cid, m codes) — bytes per row; centroids and codebooks ship
+    * as broadcast literals; search touches ~nprobe/coarseK of the
+    * CODES frame and never re-reads raw corpus vectors.
+    */
+  def ivfPqTrainedTopK(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, qIdCol: String,
+                       k: Int, coarseK: Int, nprobe: Int,
+                       m: Int = 4, ksub: Int = 16,
+                       iters: Int = 2): DataFrame = {
+    val cent = kmeansCentroids(corpus, idCol, vecCol, coarseK, iters)
+    val cb = pqTrainedCodebook(corpus, idCol, vecCol, m, ksub, iters)
+    if (cent.isEmpty || cb.isEmpty)
+      return pqEmptyResult(corpus, queries, idCol, qIdCol)
+    val dim = cb.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val vecD = col(vecCol).cast("array<double>")
+    val cbLit = typedlit(cb)
+    // add: ONE zero-shuffle corpus scan → (id, cid, m byte codes)
+    val lists = kmeansAssignWith(corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, cent)
+      .select(col(idCol), col("cid"), pqCodesCol(vecD, cbLit, m).as("__codes"))
+    // probe routing: q242's exact integer-unit ranking, query raw
+    // vector carried as DOUBLES for the ADC stage
+    val qu = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val qn2 = dot(col("__qu"), col("__qu"))
+    val probed = queries
+      .select(col(qIdCol).as("query_id"), vecD.as("__qv"), qu.as("__qu"))
+      .withColumn("__scored", sort_array(array(cent.indices.map { c =>
+        val cn2 = cent(c).map(v => v.toDouble * v).sum // exact: ints < 2^53
+        val d2 = qn2 - lit(2.0) * dot(col("__qu"), typedlit(cent(c).toSeq)) + lit(cn2)
+        struct(d2.cast("long").as("d2"), lit(c).as("cid"))
+      }: _*)))
+      .select(col("query_id"), col("__qv"),
+        explode(slice(transform(col("__scored"), s => s.getField("cid")),
+          1, math.min(nprobe, cent.length))).as("cid"))
+    val scored = lists.join(probed, Seq("cid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__d", pqAdcDist(col("__qv"), col("__codes"), cbLit, m))
+      .filter(col("__d").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol).as("neighbor_id"), round(col("__d"), 6).as("approx_dist"))
+  }
+
   /** IVF-PQ composed index (the FAISS IndexIVFPQ shape — the standard
     * billion-vector layout): IVF coarse routing picks each query's
     * `nprobe` nearest centroid lists, and distances inside a probed

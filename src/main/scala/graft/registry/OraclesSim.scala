@@ -446,6 +446,54 @@ private[graft] object OraclesSim {
          |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)
          |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
          |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // fully-trained IVF-PQ mirror: q237's coarse Lloyd chain (lists =
+    // km, centroids = c2), q242's integer-unit probe ranking (nprobe 3),
+    // q249's per-subspace codebook chains + encode, then ADC restricted
+    // to the probed candidate lists — the whole composed index in one
+    // replay
+    "q250_ivfpq_trained" ->
+      s"""WITH ${kmeansCtesSql(8, 2)},
+         |${pqTrainedCtesSql(2, 4, 2, 32)},
+         |hv AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |d2p AS (SELECT hv.vec_id, cw.s, cw.w,
+         |    list_sum(list_transform(range(1, 33), i ->
+         |      (v[cw.s * 32 + i] - cwv[i])
+         |        * (v[cw.s * 32 + i] - cwv[i]))) AS d
+         |  FROM hv, cw),
+         |enc AS MATERIALIZED (SELECT vec_id, s, w FROM (
+         |    SELECT vec_id, s, w, row_number() OVER (
+         |      PARTITION BY vec_id, s ORDER BY d, w) AS rn FROM d2p)
+         |  WHERE rn = 1),
+         |qy AS MATERIALIZED (SELECT vec_id AS qid, u AS qu
+         |  FROM u WHERE vec_id < 3),
+         |pr AS MATERIALIZED (SELECT qid, cid FROM (
+         |  SELECT qy.qid, c.cid, row_number() OVER (
+         |      PARTITION BY qy.qid ORDER BY
+         |      CAST(list_sum(list_transform(range(1, len(qy.qu) + 1),
+         |        i -> (qy.qu[i] - c.cu[i]) * (qy.qu[i] - c.cu[i])))
+         |        AS BIGINT), c.cid) AS rn
+         |  FROM qy, c2 c) WHERE rn <= 3),
+         |cand AS MATERIALIZED (SELECT pr.qid, km.vec_id
+         |  FROM pr JOIN km USING (cid) WHERE km.vec_id <> pr.qid),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM hv WHERE vec_id < 3),
+         |part AS (SELECT cand.qid, cand.vec_id, e.s,
+         |    list_sum(list_transform(range(1, 33), i ->
+         |      (qv[e.s * 32 + i] - cw.cwv[i])
+         |        * (qv[e.s * 32 + i] - cw.cwv[i]))) AS ds
+         |  FROM cand JOIN q USING (qid)
+         |    JOIN enc e ON e.vec_id = cand.vec_id
+         |    JOIN cw ON e.s = cw.s AND e.w = cw.w),
+         |dist AS (SELECT qid, vec_id,
+         |    list_sum(list(ds ORDER BY s)) AS d
+         |  FROM part GROUP BY qid, vec_id),
+         |rk AS (SELECT qid, vec_id, d, row_number() OVER (
+         |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)
+         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+         |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
          |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
   )
 

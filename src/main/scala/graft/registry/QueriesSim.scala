@@ -239,6 +239,19 @@ private[graft] object QueriesSim {
           "vec_id", "embedding", "vec_id", k = 5, m = 2, ksub = 4,
           iters = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // FULLY-trained IVF-PQ (the complete FAISS IndexIVFPQ train/add/
+    // search split): q242's trained coarse quantizer + q249's trained
+    // per-subspace codebooks, PRUNED routing (nprobe 3 of 8) — every
+    // stage integer-exact or double-deterministic, so the oracle
+    // replays coarse training, PQ training, routing, encode, and ADC
+    "q250_ivfpq_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTrainedTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "vec_id", k = 5, coarseK = 8,
+          nprobe = 3, m = 2, ksub = 4, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 }

@@ -124,4 +124,20 @@ class PipelineR11Spec extends SparkSpec {
       .select("neighbor_id", "approx_dist").as[(Long, Double)].head()
     assert(top === ((twin, 0.0)))
   }
+
+  test("fully-trained IVF-PQ at FULL probe equals trained PQ exactly " +
+    "(routing prunes nothing — the q250 composition identity)") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val full = Similarity.ivfPqTrainedTopK(emb, q, "vec_id", "embedding",
+        "vec_id", k = 5, coarseK = 4, nprobe = 4, m = 2, ksub = 4,
+        iters = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val pq = Similarity.pqTrainedTopK(emb, q, "vec_id", "embedding",
+        "vec_id", k = 5, m = 2, ksub = 4, iters = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(full === pq)
+  }
 }
