@@ -781,6 +781,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** Cross-split SEMANTIC leakage audit — the embedding-space
+    * complement of n-gram decontamination (`Dedup.crossContainment`
+    * catches verbatim/near-verbatim overlap; a paraphrased eval item
+    * shares no 5-gram but sits next to its train twin in embedding
+    * space). For every EVAL row, count train rows with cosine ≥
+    * `threshold` and report the worst offender — the go/no-go audit
+    * before a benchmark score is claimed clean.
+    *
+    * Scale shape: identical to [[cosineNearDupPairs]] but cross-frame —
+    * both sides band on the engine-independent LCG hyperplane
+    * signature, candidates key the join on (band, value) and carry only
+    * id pairs through the shuffle; vectors re-join corpus-row-sized for
+    * the exact verify. Never eval × train all-pairs.
+    */
+  def crossSplitSemanticLeakage(train: DataFrame, eval: DataFrame,
+                                idCol: String, vecCol: String,
+                                threshold: Double, bits: Int = 8,
+                                bands: Int = 2): DataFrame = {
+    require(bits % bands == 0, "bits must divide into equal bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1L
+    def bandify(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out), posexplode(array({
+        val sig = lshSignature(col(vecCol), bits)
+        (0 until bands).map(b => shiftright(sig, b * w).bitwiseAND(mask))
+      }: _*))).toDF(out, "band", "bandval")
+    val cand = bandify(eval, "id_eval")
+      .join(bandify(train, "id_train"), Seq("band", "bandval"))
+      .select(col("id_eval"), col("id_train")).distinct()
+    val ve = eval.select(col(idCol).as("id_eval"), col(vecCol).as("__ve"),
+      norm(col(vecCol)).as("__ne"))
+    val vt = train.select(col(idCol).as("id_train"), col(vecCol).as("__vt"),
+      norm(col(vecCol)).as("__nt"))
+    cand.join(ve, Seq("id_eval")).join(vt, Seq("id_train"))
+      .withColumn("__cos",
+        dot(col("__ve"), col("__vt")) / (col("__ne") * col("__nt")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("id_eval"))
+      .agg(count(lit(1)).as("n_leaks"),
+        sum(col("id_train")).as("train_id_sum"),
+        round(max(col("__cos")), 6).as("max_cosine"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): flag semantic
     * duplicates WITHIN precomputed embedding clusters. A row is
@@ -1062,9 +1105,8 @@ object Similarity {
     val vecD = col(vecCol).cast("array<double>")
     val cbLit = typedlit(cb)
     // add: ONE zero-shuffle corpus scan → (id, cid, m byte codes)
-    val lists = kmeansAssignWith(corpus.select(col(idCol), col(vecCol)),
-      idCol, vecCol, cent)
-      .select(col(idCol), col("cid"), pqCodesCol(vecD, cbLit, m).as("__codes"))
+    val lists = pqIndexRowsWith(corpus, idCol, vecCol, cent, cb, m)
+      .withColumnRenamed("codes", "__codes")
     // probe routing: q242's exact integer-unit ranking, query raw
     // vector carried as DOUBLES for the ADC stage
     val qu = transform(col(vecCol),
@@ -1090,6 +1132,26 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col(idCol).as("neighbor_id"), round(col("__d"), 6).as("approx_dist"))
+  }
+
+  /** STREAMING-ready IVF-PQ index ingestion (the "add" half of the
+    * train/add/search split, as a serving twin): route + encode a batch
+    * OR micro-batch of embeddings into (id, cid, codes) under FIXED
+    * trained models. Pure projection — centroids and codebook ride as
+    * literals, no shuffle, no state store — so arriving vectors become
+    * index rows at scan speed, bit-identical to [[ivfPqTrainedTopK]]'s
+    * own add step (which calls this). StreamingSpec pins the
+    * stream/batch equality.
+    */
+  def pqIndexRowsWith(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[Array[Long]],
+                      cb: Seq[(Int, Seq[Double])], m: Int): DataFrame = {
+    require(centroids.nonEmpty && cb.nonEmpty, "empty model")
+    val vecD = col(vecCol).cast("array<double>")
+    val cbLit = typedlit(cb)
+    kmeansAssignWith(df.select(col(idCol), col(vecCol)), idCol, vecCol,
+      centroids)
+      .select(col(idCol), col("cid"), pqCodesCol(vecD, cbLit, m).as("codes"))
   }
 
   /** IVF-PQ composed index (the FAISS IndexIVFPQ shape — the standard

@@ -494,7 +494,34 @@ private[graft] object OraclesSim {
          |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)
          |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
          |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
-         |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // cross-split semantic-leakage mirror: q108's banded LSH blocking,
+    // split eval (vec_id % 5 = 0) vs train, exact-cosine verify at 0.4,
+    // then per-eval leak accounting
+    "q251_semantic_leakage" -> {
+      val bitSum = (0 until 8).map(p =>
+        s"(CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sig AS (SELECT vec_id, embedding, ($bitSum) AS s
+         |  FROM embeddings),
+         |evb AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
+         |  unnest([0, 1]) AS band FROM sig WHERE vec_id % 5 = 0),
+         |trb AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
+         |  unnest([0, 1]) AS band FROM sig WHERE vec_id % 5 <> 0),
+         |cand AS (SELECT DISTINCT e.vec_id AS id_eval, t.vec_id AS id_train
+         |  FROM evb e JOIN trb t
+         |  ON e.band = t.band AND e.bandval = t.bandval),
+         |scored AS (SELECT id_eval, id_train,
+         |  ${cosineSql("ee.embedding", "et.embedding")} AS cos
+         |  FROM cand JOIN sig ee ON cand.id_eval = ee.vec_id
+         |  JOIN sig et ON cand.id_train = et.vec_id)
+         |SELECT id_eval, count(*) AS n_leaks,
+         |  CAST(sum(id_train) AS BIGINT) AS train_id_sum,
+         |  round(max(cos), 6) AS max_cosine
+         |FROM scored WHERE cos >= 0.4
+         |GROUP BY 1 ORDER BY id_eval""".stripMargin
+    }
   )
 
   /** Per-subspace trained-PQ replay (q249): for each of the m

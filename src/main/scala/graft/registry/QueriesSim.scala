@@ -252,6 +252,20 @@ private[graft] object QueriesSim {
           "vec_id", "embedding", "vec_id", k = 5, coarseK = 8,
           nprobe = 3, m = 2, ksub = 4, iters = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Cross-split SEMANTIC leakage (embedding-space complement of the
+    // q220 n-gram decontamination gate): eval = every 5th vector,
+    // train = the rest; per eval row, the count/worst of train rows at
+    // cosine ≥ 0.4 — banded LSH blocking + exact verify, never
+    // eval × train
+    "q251_semantic_leakage" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.crossSplitSemanticLeakage(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_eval"))
     })
   )
 }

@@ -995,6 +995,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming IVF-PQ index ingestion (route + encode under fixed " +
+    "trained models) is bit-identical to the batch add step") {
+    import graft.operators.Similarity
+    val vecs = (0 until 24).map { i =>
+      val sign = if (i % 2 == 0) 0.4 else -0.4
+      (i.toLong, (0 until 4).map(j =>
+        (sign + 0.003 * ((i * 5 + j) % 3)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(df, "vec_id", "embedding", 2, 2)
+    val cb = Similarity.pqTrainedCodebook(df, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 2)
+    val batch = Similarity.pqIndexRowsWith(df, "vec_id", "embedding",
+        cent, cb, m = 2)
+      .as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val d = Files.createTempDirectory("graft_pqidx").toString
+    df.write.parquet(d + "/in")
+    val src = spark.readStream
+      .schema(spark.read.parquet(d + "/in").schema).parquet(d + "/in")
+    val q = Similarity.pqIndexRowsWith(src, "vec_id", "embedding",
+        cent, cb, m = 2)
+      .writeStream.format("memory").queryName("pqidx_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT vec_id, cid, codes FROM pqidx_stream")
+      .as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === batch)
+    assert(got.values.map(_._1).toSet.size === 2, "both lists populated")
+  }
+
   test("streaming Gopher-rule rejection reasons equal the batch " +
     "breakdown on the finalized window") {
     import graft.operators.Curate
