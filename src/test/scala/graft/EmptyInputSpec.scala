@@ -116,4 +116,21 @@ class EmptyInputSpec extends SparkSpec {
       Seq(("a", "b"))).count() === 0)
     Dedup.clearDedupCaches()
   }
+
+  test("round-11 trained PQ / IVF-PQ / leakage audit on empty frames") {
+    val eE = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.pqTrainedCodebook(eE, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 2).isEmpty)
+    val tp = Similarity.pqTrainedTopK(eE, eE, "vec_id", "embedding",
+      "vec_id", k = 3, m = 2, ksub = 4, iters = 2)
+    assert(tp.count() === 0 && tp.columns.toSeq ===
+      Seq("query_id", "rank", "neighbor_id", "approx_dist"))
+    val ivf = Similarity.ivfPqTrainedTopK(eE, eE, "vec_id", "embedding",
+      "vec_id", k = 3, coarseK = 4, nprobe = 2, m = 2, ksub = 4, iters = 2)
+    assert(ivf.count() === 0 && ivf.columns.toSeq ===
+      Seq("query_id", "rank", "neighbor_id", "approx_dist"))
+    assert(Similarity.crossSplitSemanticLeakage(eE, eE, "vec_id",
+      "embedding", threshold = 0.4).count() === 0)
+    Dedup.clearDedupCaches()
+  }
 }
