@@ -77,6 +77,18 @@ class Scale10Spec extends SparkSpec {
       .withColumn("n_chars", length(col("text")))
   }
 
+  /** Deterministic embeddings at 100× sf0.1 rows (200 k × 64 floats):
+    * hash-derived coordinates in [-1, 1] — enough structure for
+    * centroid training to spread, no RNG.
+    */
+  private def genEmbeddings(n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => ((pmod(h(col("id"), j), lit(2001)) - 1000) / lit(1000.0))
+          .cast("float")).as("embedding"),
+      pmod(h(col("id"), lit(99)), lit(10)).cast("int").as("label"))
+
   private def genTpch(): Unit = {
     val nOrders = 1500000L
     val li = spark.range(nOrders * 4).select(
@@ -150,7 +162,11 @@ class Scale10Spec extends SparkSpec {
     "q29_minhash" -> 128L, "q128_edit_distance" -> 128L,
     "q180_containment" -> 128L, "q185_incremental_dedup" -> 128L,
     "q200_curation_e2e" -> 64L, "q86_tpch_q3" -> 256L,
-    "q87_tpch_q5" -> 256L, "q146_tpch_q21" -> 256L)
+    "q87_tpch_q5" -> 256L, "q146_tpch_q21" -> 256L,
+    // trained-ANN flagships over the 200 k-vector fixture: training is
+    // iters × (zero-shuffle scan + k×d map-side-combined agg), search
+    // touches ~nprobe/k of the corpus — per-task shuffle stays tiny
+    "q242_ivf_trained" -> 64L, "q250_ivfpq_trained" -> 64L)
 
   test("flagship pipelines at 10x sf0.1: rows flow, per-task shuffle " +
     "read stays bounded (no single-reducer / quadratic stage)") {
@@ -158,6 +174,8 @@ class Scale10Spec extends SparkSpec {
       "opt-in lane: SPARK_GRAFT_SCALE10=1 sbt 'testOnly graft.Scale10Spec'")
     genDocuments(50000L).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
+    genEmbeddings(200000L).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
     genTpch()
     val results = flagships.map { case (name, capMb) =>
       operators.Dedup.clearDedupCaches() // cold: measure the real build
