@@ -747,22 +747,33 @@ object Dedup {
     */
   private def dupIslands(toks: DataFrame, idCol: String,
                          k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the md5-span explode feeds BOTH the doc-frequency aggregate and
     // the span join — one registry-persisted pass (q169's measured
     // pattern); frame is (id, pos, gram-hash)-sized, spills at scale
     val grams = registryPersist(toks.filter(col("__nt") >= k)
-      .select(col(idCol), posexplode(
-        expr(s"transform(sequence(1, size(__t) - ${k - 1}), " +
-          s"i -> substring(md5(array_join(slice(__t, i, $k), ' ')), 1, 16))"))
-        .as(Seq("__i", "__g"))))
+      .select(col(idCol), posexplode(gramHashArr(k)).as(Seq("__i", "__g"))))
     val docFreq = grams.select(col(idCol), col("__g")).distinct()
       .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
     val spans = grams.join(docFreq.filter(col("__nd") > 1), Seq("__g"))
       .select(col(idCol), col("__i").cast("long").as("__s"),
         (col("__i") + k).cast("long").as("__e"))
-    // gaps-and-islands: one start position per (doc, span) row, so the
-    // ORDER BY __s is already total within a doc
+    islandsOf(spans, idCol)
+  }
+
+  /** The k-token gram-hash array of a tokens frame's `__t` column —
+    * shared by the within-corpus island machinery and the cross-corpus
+    * eval-span cut.
+    */
+  private def gramHashArr(k: Int): Column =
+    expr(s"transform(sequence(1, size(__t) - ${k - 1}), " +
+      s"i -> substring(md5(array_join(slice(__t, i, $k), ' ')), 1, 16))")
+
+  /** Gaps-and-islands merge of (id, __s, __e) span rows into maximal
+    * intervals (id, __isl, __is, __ie). One start position per row, so
+    * the ORDER BY __s is already total within a doc.
+    */
+  private def islandsOf(spans: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("__s"))
     val runMax = max(col("__e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -818,7 +829,17 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8): DataFrame = {
     val toks = tokensFrame(docs, idCol, textCol)
-    val islandArr = dupIslands(toks, idCol, k)
+    cutIslands(toks, dupIslands(toks, idCol, k), idCol)
+  }
+
+  /** The island cut shared by [[removeDupSpans]] (within-corpus) and
+    * [[removeEvalSpans]] (cross-corpus): collapse a doc's islands to
+    * one tiny sorted interval array, join it onto the doc row, filter
+    * covered tokens out, re-join the remainder in order.
+    */
+  private def cutIslands(toks: DataFrame, islands: DataFrame,
+                         idCol: String): DataFrame = {
+    val islandArr = islands
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__is"), col("__ie"))))
         .as("__isl"))
@@ -832,6 +853,37 @@ object Dedup {
         col("__nt").cast("long").as("n_tokens"),
         size(col("__keep")).cast("long").as("kept_tokens"),
         array_join(col("__keep"), " ").as("cleaned_text"))
+  }
+
+  /** SURGICAL decontamination — the ACTION counterpart of
+    * [[crossContainment]]'s gate: instead of DROPPING every train doc
+    * that overlaps the eval set, cut only the token spans whose
+    * k-grams appear anywhere in the eval corpus (merged to maximal
+    * islands) and keep the rest of the document. The standard
+    * leakage remedy when eval items are quoted inside otherwise-good
+    * pages (Lee et al. 2022's deletion geometry, keyed by the eval
+    * gram set rather than corpus duplication).
+    *
+    * Scale shape: the train gram stream is one scan (registry-shared
+    * with the q169/q194 machinery when both run); the eval gram SET is
+    * benchmark-sized and distinct — the join against it broadcasts.
+    * Islands and the cut are per-doc interval math, corpus-row sized;
+    * nothing keys a shuffle on the gram alone. Returns every train doc
+    * as (id, n_tokens, kept_tokens, cleaned_text).
+    */
+  def removeEvalSpans(train: DataFrame, evalDocs: DataFrame,
+                      idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    val toks = tokensFrame(train, idCol, textCol)
+    val grams = registryPersist(toks.filter(col("__nt") >= k)
+      .select(col(idCol), posexplode(gramHashArr(k)).as(Seq("__i", "__g"))))
+    val evalGrams = tokensFrame(evalDocs, idCol, textCol)
+      .filter(col("__nt") >= k)
+      .select(explode(gramHashArr(k)).as("__g")).distinct()
+    val spans = grams.join(broadcast(evalGrams), Seq("__g"))
+      .select(col(idCol), col("__i").cast("long").as("__s"),
+        (col("__i") + k).cast("long").as("__e"))
+    cutIslands(toks, islandsOf(spans, idCol), idCol)
   }
 
   /** Cross-document winnowing-fingerprint profile: per document, its

@@ -328,6 +328,40 @@ private[graft] object OraclesDedup {
         |  md5(coalesce(a.cleaned, '')) AS cleaned_md5
         |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // surgical-decontamination mirror: q195's cut geometry, spans keyed
+    // by the EVAL slice's distinct gram set instead of corpus dup count
+    "q252_decontam_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |g AS (SELECT doc_id,
+        |  unnest(range(1, len(t) - 6)) AS i,
+        |  unnest(list_transform(range(1, len(t) - 6),
+        |    i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS gh
+        |  FROM toks WHERE len(t) >= 8),
+        |ev AS (SELECT DISTINCT gh FROM (
+        |  SELECT unnest(list_transform(range(1, len(t) - 6),
+        |    i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS gh
+        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |    FROM documents WHERE doc_id % 4 = 0)
+        |  WHERE len(t) >= 8)),
+        |sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+        |  CAST(i + 7 AS BIGINT) AS e FROM g JOIN ev USING (gh)),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS pos
+        |  FROM sp),
+        |tokpos AS (SELECT doc_id,
+        |  CAST(unnest(range(0, len(t))) AS BIGINT) AS pos,
+        |  unnest(t) AS tok FROM toks),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        |  ANTI JOIN cov c ON tp.doc_id = c.doc_id AND tp.pos = c.pos),
+        |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+        |  string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  md5(coalesce(a.cleaned, '')) AS cleaned_md5
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // cross-corpus containment ground truth: |S_eval ∩ S_doc| / |S_eval|
     // over exact shingle sets, eval slice vs the rest
     "q220_decontamination" ->

@@ -203,6 +203,22 @@ private[graft] object QueriesDedup {
           md5(col("cleaned_text")).as("cleaned_md5"))
         .orderBy(col("doc_id"))),
 
+    // SURGICAL decontamination (the action behind q220's gate): cut
+    // from every train doc (doc_id % 4 <> 0) the token spans whose
+    // 8-grams appear anywhere in the eval slice (doc_id % 4 = 0),
+    // keep the rest — q195's deletion geometry keyed by the eval gram
+    // set instead of corpus duplication
+    "q252_decontam_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.removeEvalSpans(
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+          md5(col("cleaned_text")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Materialized dedup-pair artifact (dedup once, consume many
     // times): the verified τ=0.5 pair set is written ONCE as a
     // parquet table bucketed+sorted by id_a; every later consumer
