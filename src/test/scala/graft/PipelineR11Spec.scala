@@ -125,6 +125,30 @@ class PipelineR11Spec extends SparkSpec {
     assert(top === ((twin, 0.0)))
   }
 
+  test("removeEvalSpans cuts exactly the quoted eval span (plus its " +
+    "k-gram bleed) and leaves clean docs byte-identical") {
+    // eval doc = an 8-token "benchmark item". Train doc 1 quotes it
+    // verbatim between its own prose; doc 2 shares nothing. With k = 8
+    // every 8-gram fully inside the quote (plus windows straddling the
+    // boundary ONLY if they match an eval gram — they don't, eval has
+    // exactly one 8-gram) marks exactly tokens 3..10 for deletion.
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro words here alpha beta gamma delta epsilon zeta eta " +
+        "theta closing words"),
+      (2L, "completely unrelated content with enough tokens to pass " +
+        "the gram floor easily")).toDF("doc_id", "text")
+    val got = Dedup.removeEvalSpans(train, evalDocs, "doc_id", "text",
+        k = 8)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 13L, 5L, "intro words here closing words"),
+      (2L, 12L, 12L, "completely unrelated content with enough tokens " +
+        "to pass the gram floor easily")))
+  }
+
   test("fully-trained IVF-PQ at FULL probe equals trained PQ exactly " +
     "(routing prunes nothing — the q250 composition identity)") {
     import graft.operators.Similarity
