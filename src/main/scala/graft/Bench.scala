@@ -267,7 +267,9 @@ object Bench {
       "q149_apply_batch", "q153_tpch_q17", "q156_tpch_q2",
       "q185_incremental_dedup", "q187_kmv_distinct", "q192_countmin_hh",
       "q195_dedup_clean", "q196_hist_quantiles", "q198_pca_project",
-      "q200_curation_e2e", "q210_pair_artifact")
+      "q200_curation_e2e", "q210_pair_artifact", "q248_rank_methods",
+      "q249_pq_trained", "q250_ivfpq_trained", "q251_semantic_leakage",
+      "q252_decontam_spans")
     // partial runs are small — print every timed query, not just the
     // headline subset (the 1500-char stdout cap only binds full runs)
     val qs = results.collect {
