@@ -48,16 +48,30 @@ object Cluster {
       df.checkpoint(eager)
     else df.localCheckpoint(eager)
 
-  /** Free the cached blocks behind a localCheckpoint'd frame. The
-    * checkpoint pins its RDD at MEMORY_AND_DISK; once a later round is
-    * materialized the old blocks are dead weight, and the
-    * ContextCleaner only reclaims them at GC time — too late on a
-    * large graph with many rounds.
+  /** Free the storage behind a pinned frame that no later round can
+    * ever re-read. localCheckpoint mode: unpersist the MEMORY_AND_DISK
+    * blocks (the ContextCleaner only reclaims them at GC time — too
+    * late on a large graph with many rounds). Reliable-checkpoint mode
+    * (ADVICE r11): unpersist is a no-op for the checkpoint FILES, so
+    * additionally delete the round's snapshot directory from the
+    * checkpoint dir — otherwise a long CC loop accumulates one
+    * edge-frame snapshot per round on disk and the "one edge frame
+    * regardless of round count" invariant fails for storage. Only ever
+    * called on frames whose successor is already eagerly materialized,
+    * so deleting the recompute path is safe.
     */
   private def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(f)
+            val fs = path.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(path, true)
+          } catch { case _: Throwable => () } // cleanup is best-effort
+        }
       case _ => ()
     }
 

@@ -495,57 +495,75 @@ object Similarity {
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
-    val units = Dedup.registryPersist(df.select(col(idCol).as("__id"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("__u")))
-    def seeds: Array[Array[Long]] = units
-      .withColumn("__h", Dedup.portableHash64(col("__id").cast("string")))
-      .orderBy(col("__h"), col("__id")).limit(k)
-      .collect().map(_.getAs[Seq[Long]]("__u").toArray)
-    def assignedUnder(cent: Array[Array[Long]]): DataFrame =
-      assignExprs(units, col("__u"), cent)
-    val memoKey = (df.sparkSession,
-      units.queryExecution.analyzed.canonicalized, k, iters)
-    val memoizable =
-      !GraftPlanUtil.nondeterministic(df.queryExecution.analyzed)
-    val cent: Array[Array[Long]] =
-      if (memoizable && kmMemo.synchronized(kmMemo.containsKey(memoKey)))
-        kmMemo.synchronized(kmMemo.get(memoKey))
-      else {
-        var cur = seeds
-        // empty input: no seeds, no work — fall through to the empty
-        // assignment frame below instead of failing
-        if (cur.nonEmpty) {
-          val d = cur(0).length
-          for (_ <- 1 to iters) {
-            val sums = (0 until d).map(i =>
-              sum(element_at(col("__u"), i + 1)).as(s"s$i"))
-            val upd = assignedUnder(cur).groupBy(col("__cid"))
-              .agg(count(lit(1)).as("n"), sums: _*)
-              .collect() // k rows
-              .map { r =>
-                val n = r.getLong(1)
-                r.getInt(0) -> Array.tabulate(d)(i =>
-                  Math.floorDiv(r.getLong(i + 2), n))
-              }.toMap
-            cur = cur.indices.map(c => upd.getOrElse(c, cur(c))).toArray
-          }
-          if (memoizable) kmMemo.synchronized {
-            kmMemo.put(memoKey, cur)
-            while (kmMemo.size > 32)
-              kmMemo.remove(kmMemo.keySet.iterator.next())
-          }
-        }
-        cur
-      }
+    val units = unitsOf(df, idCol, vecCol)
+    val cent = centroidsFor(df, idCol, vecCol, k, iters)
     val assigned =
       if (cent.isEmpty)
         units.withColumn("__d2", lit(0L))
           .withColumn("__cid", lit(0)) // empty frame: schema only
-      else assignedUnder(cent)
+      else assignExprs(units, col("__u"), cent)
     assigned.select(col("__id").as(idCol), col("__cid").as("cid"),
       col("__d2").as("dist2_units"))
+  }
+
+  /** Quantized (integer micro-unit) vector frame shared by training and
+    * assignment — routed through the persist registry so the Lloyd loop
+    * and composing queries pay the quantize scan once. */
+  private def unitsOf(df: DataFrame, idCol: String,
+                      vecCol: String): DataFrame =
+    Dedup.registryPersist(df.select(col(idCol).as("__id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("__u")))
+
+  /** Train (or memo-hit) the integer-unit Lloyd centroids. A
+    * NON-MEMOIZABLE input (nondeterministic plan — rand()/sample/uuid
+    * upstream) trains WITHOUT memoizing instead of silently yielding no
+    * model (ADVICE r11: the old flow translated "can't cache" into an
+    * empty centroid array, and the trained-PQ guards then returned an
+    * empty top-k for a non-empty corpus). Only a genuinely empty corpus
+    * returns Array.empty.
+    */
+  private def centroidsFor(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
+    val units = unitsOf(df, idCol, vecCol)
+    val memoKey = (df.sparkSession,
+      units.queryExecution.analyzed.canonicalized, k, iters)
+    val memoizable =
+      !GraftPlanUtil.nondeterministic(df.queryExecution.analyzed)
+    if (memoizable && kmMemo.synchronized(kmMemo.containsKey(memoKey)))
+      kmMemo.synchronized(kmMemo.get(memoKey))
+    else {
+      var cur: Array[Array[Long]] = units
+        .withColumn("__h", Dedup.portableHash64(col("__id").cast("string")))
+        .orderBy(col("__h"), col("__id")).limit(k)
+        .collect().map(_.getAs[Seq[Long]]("__u").toArray)
+      // empty input: no seeds, no work — callers map Array.empty to an
+      // empty assignment/result frame instead of failing
+      if (cur.nonEmpty) {
+        val d = cur(0).length
+        for (_ <- 1 to iters) {
+          val sums = (0 until d).map(i =>
+            sum(element_at(col("__u"), i + 1)).as(s"s$i"))
+          val upd = assignExprs(units, col("__u"), cur)
+            .groupBy(col("__cid"))
+            .agg(count(lit(1)).as("n"), sums: _*)
+            .collect() // k rows
+            .map { r =>
+              val n = r.getLong(1)
+              r.getInt(0) -> Array.tabulate(d)(i =>
+                Math.floorDiv(r.getLong(i + 2), n))
+            }.toMap
+          cur = cur.indices.map(c => upd.getOrElse(c, cur(c))).toArray
+        }
+        if (memoizable) kmMemo.synchronized {
+          kmMemo.put(memoKey, cur)
+          while (kmMemo.size > 32)
+            kmMemo.remove(kmMemo.keySet.iterator.next())
+        }
+      }
+      cur
+    }
   }
 
   /** Centroid memo for [[kmeansAssign]] — same contract as the
@@ -569,16 +587,10 @@ object Similarity {
     * [[kmeansAssign]].
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int): Array[Array[Long]] = {
-    kmeansAssign(df, idCol, vecCol, k, iters) // trains + memoizes
-    val units = Dedup.registryPersist(df.select(col(idCol).as("__id"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("__u")))
-    val key = (df.sparkSession,
-      units.queryExecution.analyzed.canonicalized, k, iters)
-    kmMemo.synchronized(Option(kmMemo.get(key)))
-      .getOrElse(Array.empty) // non-memoizable/empty input: no model
-  }
+                      k: Int, iters: Int): Array[Array[Long]] =
+    centroidsFor(df, idCol, vecCol, k, iters) // memo-hits or trains;
+    // Array.empty ONLY for an empty corpus (non-memoizable plans train
+    // uncached instead of silently returning no model — ADVICE r11)
 
   /** The codegen'd k-way argmin shared by training and serving:
     * d²(u, c) = |u|² − 2·u·c + |c|², with |u|² and each u·c a single
@@ -815,6 +827,12 @@ object Similarity {
     val vt = train.select(col(idCol).as("id_train"), col(vecCol).as("__vt"),
       norm(col(vecCol)).as("__nt"))
     cand.join(ve, Seq("id_eval")).join(vt, Seq("id_train"))
+      // zero-norm guard (ADVICE r11): 0/0 = NaN and Spark orders NaN
+      // above every double, so NaN >= threshold would count a
+      // degenerate zero vector as leaking against every banded
+      // candidate — poisoning max_cosine in a go/no-go audit. Require
+      // both norms positive before the cosine is even formed.
+      .filter(col("__ne") * col("__nt") > 0)
       .withColumn("__cos",
         dot(col("__ve"), col("__vt")) / (col("__ne") * col("__nt")))
       .filter(col("__cos") >= threshold)
@@ -1098,6 +1116,22 @@ object Similarity {
                        iters: Int = 2): DataFrame = {
     val cent = kmeansCentroids(corpus, idCol, vecCol, coarseK, iters)
     val cb = pqTrainedCodebook(corpus, idCol, vecCol, m, ksub, iters)
+    ivfPqSearchWith(corpus, queries, idCol, vecCol, qIdCol, k, cent, cb,
+      nprobe, m)
+  }
+
+  /** The SERVE half of [[ivfPqTrainedTopK]] under FIXED models — the
+    * cross-session deployment path (Models.ensureCentroids /
+    * ensureCodebook read the artifacts; this searches under them,
+    * bit-identical to the training session's own search). Same
+    * add/route/ADC plan shape: models ride as literals, the index frame
+    * carries only (id, cid, m codes).
+    */
+  def ivfPqSearchWith(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, qIdCol: String,
+                      k: Int, cent: Array[Array[Long]],
+                      cb: Seq[(Int, Seq[Double])], nprobe: Int,
+                      m: Int): DataFrame = {
     if (cent.isEmpty || cb.isEmpty)
       return pqEmptyResult(corpus, queries, idCol, qIdCol)
     val dim = cb.head._2.length

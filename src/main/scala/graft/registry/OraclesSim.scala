@@ -448,53 +448,13 @@ private[graft] object OraclesSim {
          |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
          |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
-    // fully-trained IVF-PQ mirror: q237's coarse Lloyd chain (lists =
-    // km, centroids = c2), q242's integer-unit probe ranking (nprobe 3),
-    // q249's per-subspace codebook chains + encode, then ADC restricted
-    // to the probed candidate lists — the whole composed index in one
-    // replay
-    "q250_ivfpq_trained" ->
-      s"""WITH ${kmeansCtesSql(8, 2)},
-         |${pqTrainedCtesSql(2, 4, 2, 32)},
-         |hv AS MATERIALIZED (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |d2p AS (SELECT hv.vec_id, cw.s, cw.w,
-         |    list_sum(list_transform(range(1, 33), i ->
-         |      (v[cw.s * 32 + i] - cwv[i])
-         |        * (v[cw.s * 32 + i] - cwv[i]))) AS d
-         |  FROM hv, cw),
-         |enc AS MATERIALIZED (SELECT vec_id, s, w FROM (
-         |    SELECT vec_id, s, w, row_number() OVER (
-         |      PARTITION BY vec_id, s ORDER BY d, w) AS rn FROM d2p)
-         |  WHERE rn = 1),
-         |qy AS MATERIALIZED (SELECT vec_id AS qid, u AS qu
-         |  FROM u WHERE vec_id < 3),
-         |pr AS MATERIALIZED (SELECT qid, cid FROM (
-         |  SELECT qy.qid, c.cid, row_number() OVER (
-         |      PARTITION BY qy.qid ORDER BY
-         |      CAST(list_sum(list_transform(range(1, len(qy.qu) + 1),
-         |        i -> (qy.qu[i] - c.cu[i]) * (qy.qu[i] - c.cu[i])))
-         |        AS BIGINT), c.cid) AS rn
-         |  FROM qy, c2 c) WHERE rn <= 3),
-         |cand AS MATERIALIZED (SELECT pr.qid, km.vec_id
-         |  FROM pr JOIN km USING (cid) WHERE km.vec_id <> pr.qid),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM hv WHERE vec_id < 3),
-         |part AS (SELECT cand.qid, cand.vec_id, e.s,
-         |    list_sum(list_transform(range(1, 33), i ->
-         |      (qv[e.s * 32 + i] - cw.cwv[i])
-         |        * (qv[e.s * 32 + i] - cw.cwv[i]))) AS ds
-         |  FROM cand JOIN q USING (qid)
-         |    JOIN enc e ON e.vec_id = cand.vec_id
-         |    JOIN cw ON e.s = cw.s AND e.w = cw.w),
-         |dist AS (SELECT qid, vec_id,
-         |    list_sum(list(ds ORDER BY s)) AS d
-         |  FROM part GROUP BY qid, vec_id),
-         |rk AS (SELECT qid, vec_id, d, row_number() OVER (
-         |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)
-         |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-         |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
-         |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q250_ivfpq_trained" -> ivfPqTrainedOracle,
+
+    // q253 serves from the Models parquet artifacts under q250's exact
+    // hyperparams — longs and exact doubles round-trip parquet
+    // bit-for-bit, so the artifact path must equal the in-session
+    // trained path, and the SAME replay oracle checks both.
+    "q253_model_artifact" -> ivfPqTrainedOracle,
 
     // cross-split semantic-leakage mirror: q108's banded LSH blocking,
     // split eval (vec_id % 5 = 0) vs train, exact-cosine verify at 0.4,
@@ -515,7 +475,9 @@ private[graft] object OraclesSim {
          |scored AS (SELECT id_eval, id_train,
          |  ${cosineSql("ee.embedding", "et.embedding")} AS cos
          |  FROM cand JOIN sig ee ON cand.id_eval = ee.vec_id
-         |  JOIN sig et ON cand.id_train = et.vec_id)
+         |  JOIN sig et ON cand.id_train = et.vec_id
+         |  WHERE ${dotSql("ee.embedding", "ee.embedding")} > 0
+         |    AND ${dotSql("et.embedding", "et.embedding")} > 0)
          |SELECT id_eval, count(*) AS n_leaks,
          |  CAST(sum(id_train) AS BIGINT) AS train_id_sum,
          |  round(max(cos), 6) AS max_cosine
@@ -523,6 +485,56 @@ private[graft] object OraclesSim {
          |GROUP BY 1 ORDER BY id_eval""".stripMargin
     }
   )
+
+  /** fully-trained IVF-PQ mirror (q250; q253 serves the identical
+    * search from parquet model artifacts): q237's coarse Lloyd chain
+    * (lists = km, centroids = c2), q242's integer-unit probe ranking
+    * (nprobe 3), q249's per-subspace codebook chains + encode, then ADC
+    * restricted to the probed candidate lists — the whole composed
+    * index in one replay.
+    */
+  private lazy val ivfPqTrainedOracle: String =
+    s"""WITH ${kmeansCtesSql(8, 2)},
+       |${pqTrainedCtesSql(2, 4, 2, 32)},
+       |hv AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |d2p AS (SELECT hv.vec_id, cw.s, cw.w,
+       |    list_sum(list_transform(range(1, 33), i ->
+       |      (v[cw.s * 32 + i] - cwv[i])
+       |        * (v[cw.s * 32 + i] - cwv[i]))) AS d
+       |  FROM hv, cw),
+       |enc AS MATERIALIZED (SELECT vec_id, s, w FROM (
+       |    SELECT vec_id, s, w, row_number() OVER (
+       |      PARTITION BY vec_id, s ORDER BY d, w) AS rn FROM d2p)
+       |  WHERE rn = 1),
+       |qy AS MATERIALIZED (SELECT vec_id AS qid, u AS qu
+       |  FROM u WHERE vec_id < 3),
+       |pr AS MATERIALIZED (SELECT qid, cid FROM (
+       |  SELECT qy.qid, c.cid, row_number() OVER (
+       |      PARTITION BY qy.qid ORDER BY
+       |      CAST(list_sum(list_transform(range(1, len(qy.qu) + 1),
+       |        i -> (qy.qu[i] - c.cu[i]) * (qy.qu[i] - c.cu[i])))
+       |        AS BIGINT), c.cid) AS rn
+       |  FROM qy, c2 c) WHERE rn <= 3),
+       |cand AS MATERIALIZED (SELECT pr.qid, km.vec_id
+       |  FROM pr JOIN km USING (cid) WHERE km.vec_id <> pr.qid),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM hv WHERE vec_id < 3),
+       |part AS (SELECT cand.qid, cand.vec_id, e.s,
+       |    list_sum(list_transform(range(1, 33), i ->
+       |      (qv[e.s * 32 + i] - cw.cwv[i])
+       |        * (qv[e.s * 32 + i] - cw.cwv[i]))) AS ds
+       |  FROM cand JOIN q USING (qid)
+       |    JOIN enc e ON e.vec_id = cand.vec_id
+       |    JOIN cw ON e.s = cw.s AND e.w = cw.w),
+       |dist AS (SELECT qid, vec_id,
+       |    list_sum(list(ds ORDER BY s)) AS d
+       |  FROM part GROUP BY qid, vec_id),
+       |rk AS (SELECT qid, vec_id, d, row_number() OVER (
+       |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)
+       |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+       |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
+       |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
 
   /** Per-subspace trained-PQ replay (q249): for each of the m
     * subspaces, quantize the SUBVECTOR slice to integer units and run

@@ -266,6 +266,28 @@ private[graft] object QueriesSim {
           emb.filter(pmod(col("vec_id"), lit(5)) === 0),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id_eval"))
+    }),
+
+    // MODEL-ARTIFACT round trip (the reference's SDS save/load of any
+    // object, riptable/rt_sds.py:719, applied to trained models):
+    // coarse centroids + PQ codebooks persist as content-addressed
+    // parquet artifacts (Models.ensure*), and the search runs under the
+    // ARTIFACT models via the serve-only ivfPqSearchWith — the
+    // index-build / query-serve job split. Hyperparams match q250
+    // exactly, so the artifact path must reproduce q250's fully-trained
+    // result bit for bit (same oracle); a fresh session pays one tiny
+    // parquet read instead of retraining (ModelsSpec + the bench cold
+    // lane measure the skip).
+    "q253_model_artifact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = Models.ensureCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val cb = Models.ensureCodebook(emb, "vec_id", "embedding",
+        m = 2, ksub = 4, iters = 2)
+      Similarity.ivfPqSearchWith(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "vec_id", k = 5, cent, cb, nprobe = 3,
+          m = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 }

@@ -143,6 +143,14 @@ class ClusterSpec extends SparkSpec {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "no checkpoint files written under the dir")
+      // ... and every PER-ROUND snapshot must be deleted once its
+      // successor materialized (ADVICE r11: a long CC loop must not
+      // accumulate one edge-frame snapshot per round on disk). Only
+      // the memoized RESULT's snapshot survives.
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(rddDirs === 1L,
+        s"expected only the pinned result snapshot, found $rddDirs rdd-* dirs")
     } finally {
       // do not leak the checkpoint dir into later suites sharing the
       // session: SparkContext has no unset API, point it nowhere fatal
