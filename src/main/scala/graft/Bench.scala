@@ -15,7 +15,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Failures do NOT hide inside timings: a throwing query reports
   * ok=false in the `failed` list and contributes its elapsed time, so a
-  * regression is visible in both places.
+  * regression is visible in both places; an iso/cold-lane failure is
+  * recorded as verdict "error" / cold_failed instead of timing the
+  * exception path (ADVICE r11).
+  *
+  * Every query also reports executor-CPU seconds (SparkListener sum of
+  * taskMetrics.executorCpuTime): host contention inflates WALL while
+  * CPU stays flat, so the tripwire's confirmed/weather verdict compares
+  * the isolated re-run's wall/cpu ratio against the baseline's
+  * (VERDICT r11 #1 — the discriminator sustained box contention cannot
+  * fool). Driver-side planning time is deliberately outside cpu_sec;
+  * the ratio is only ever compared same-query, same-sf.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,6 +45,45 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query executor CPU seconds (VERDICT r11 #1): host contention
+    // inflates WALL time while leaving CPU time flat, so cpu_sec beside
+    // wall is the discriminator the tripwire needs — the r11 committed
+    // bench carried 5 "confirmed" regressions that were pure box
+    // weather (none reproduced on a clean pass). One listener sums
+    // executorCpuTime across all tasks; per-query deltas are read after
+    // draining the (async) listener bus.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+        }
+      })
+    // listenerBus.waitUntilEmpty is private[spark] (public in bytecode)
+    // — reflection keeps us source-compatible; losing the flush only
+    // blurs CPU attribution by a task tail, so the fallback is a nap.
+    def drainListenerBus(): Unit = try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .map(_.invoke(bus))
+        .getOrElse(Thread.sleep(50))
+    } catch { case _: Throwable => Thread.sleep(50) }
+    // one timed execution: (wall sec, cpu sec, ok)
+    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Boolean) = {
+      drainListenerBus()
+      val c0 = cpuNs.get()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      drainListenerBus()
+      (dt, (cpuNs.get() - c0) / 1e9, ok)
+    }
     // "No Partition Defined" warnings here all come from DICTIONARY-sized
     // windows (category encodes, ngroup ids, pivot duplicate checks) —
     // deliberate one-partition evaluations of tiny frames (see VERDICT r4:
@@ -77,16 +126,14 @@ object Bench {
       val runs = (1 to 3).map { _ =>
         val (h0, m0, e0) = (operators.Dedup.registryHits,
           operators.Dedup.registryMisses, operators.Dedup.registryEvictions)
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val (dt, cpu, ok) = timedRun(fn)
         if (regDebug && dt > 0.5)
           System.err.println(f"REGDBG $name%s $dt%.3f s hits+${operators.Dedup.registryHits - h0} miss+${operators.Dedup.registryMisses - m0} evict+${operators.Dedup.registryEvictions - e0}")
-        (dt, ok)
+        (dt, cpu, ok)
       }
       val times = runs.map(_._1).sorted
-      (name, times(1), times.head, runs.forall(_._2))
+      val cpus = runs.map(_._2).sorted
+      (name, times(1), times.head, cpus(1), runs.forall(_._3))
     }
     def fmt(v: Double): String = f"$v%.3f"
     // Per-query regression tripwire (r7 verdict #5): q156 slipped 42%
@@ -104,8 +151,8 @@ object Bench {
     // survives reordered keys / pretty-printing / nested values; a
     // format drift that silently disabled the tripwire is what let the
     // r8 q28 regression through (ADVICE r8).
-    def queriesBlock(txt: String): Map[String, Double] = {
-      val at = txt.indexOf("\"queries\":")
+    def namedBlock(txt: String, key: String): Map[String, Double] = {
+      val at = txt.indexOf("\"" + key + "\":")
       if (at < 0) Map.empty
       else {
         val open = txt.indexOf('{', at)
@@ -120,13 +167,19 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
-    def loadBaseline(path: java.nio.file.Path): Map[String, Double] = try {
+    // (wall medians, cpu medians) — cpu present only in bench_full.json
+    // baselines written from r12 on (the size-capped stdout line the
+    // driver commits never carried cpu)
+    def loadBaseline(path: java.nio.file.Path)
+        : (Map[String, Double], Map[String, Double]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
       val prevSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
         .findFirstMatchIn(txt).map(_.group(1))
-      if (!prevSf.contains(sfDir)) Map.empty else queriesBlock(txt)
-    } catch { case _: Throwable => Map.empty }
-    val localBase = loadBaseline(java.nio.file.Paths.get("bench_full.json"))
+      if (!prevSf.contains(sfDir)) (Map.empty, Map.empty)
+      else (namedBlock(txt, "queries"), namedBlock(txt, "queries_cpu"))
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
+    val (localBase, localBaseCpu) =
+      loadBaseline(java.nio.file.Paths.get("bench_full.json"))
     // Second baseline: the newest driver-committed BENCH_r*.json — the
     // r8 q28 slip was visible only in the DRIVER's numbers (the local
     // baseline had already re-seated on a slow run). A query regresses
@@ -137,7 +190,7 @@ object Bench {
       val benches = java.nio.file.Files.list(dir).iterator().asScala
         .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json")).toSeq
         .sortBy(_.getFileName.toString)
-      benches.lastOption.map(loadBaseline).getOrElse(Map.empty)
+      benches.lastOption.map(p => loadBaseline(p)._1).getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     if (localBase.isEmpty && driverBase.isEmpty)
       System.err.println("bench tripwire: NO baseline parsed " +
@@ -159,16 +212,26 @@ object Bench {
         s"entries=${st.getLong(3)} cap=${st.getLong(4)} " +
         s"classifierMemoHits=${operators.Curate.classifierMemoHits}")
     }
-    // Weather-proofing (VERDICT r10 #1): the committed BENCH_r10 carried
-    // a ~22 s "regression cluster" that did not reproduce on identical
-    // code — sustained host contention defeats median-of-3. So every
+    // Weather-proofing (VERDICT r10 #1, upgraded per r11 #1): every
     // tripwire flag AND every median-only >2.5× spike is RE-RUN in
     // isolation (fresh GC, 3 runs, after the sweep's contention window)
-    // and annotated confirmed/weather: `confirmed` = the isolated min
-    // still exceeds the slip thresholds (code cost really rose);
-    // `weather` = isolation restores the old cost (host noise).
+    // and annotated:
+    //  - `error`     = the re-run THREW — a crash's time-to-failure is
+    //                  fast and must not launder a real breakage into
+    //                  "weather" (ADVICE r11);
+    //  - `weather`   = isolation restores the old cost, OR the isolated
+    //                  wall/cpu ratio blew past 1.5× the baseline run's
+    //                  ratio (wall rose, cpu flat ⇒ the box was busy,
+    //                  not the code — the discriminator sustained
+    //                  contention cannot fool, which is how r11's 5
+    //                  false "confirmed" flags got through);
+    //  - `confirmed` = the isolated min still exceeds the slip
+    //                  thresholds at a normal wall/cpu ratio (code cost
+    //                  really rose).
+    // The cpu-ratio check needs a baseline cpu (bench_full.json from
+    // r12 on); without one it falls back to wall-only confirmation.
     val fnByName = selected.toMap
-    val flagged = results.flatMap { case (name, med, mn, _) =>
+    val flagged = results.flatMap { case (name, med, mn, _, _) =>
       prevMedians.get(name).collect {
         case prev if med > prev * 1.25 && med - prev > 0.25 &&
           mn > prev * 1.25 && mn - prev > 0.25 => (name, prev, med, "tripwire")
@@ -178,31 +241,41 @@ object Bench {
     }
     val confirmations = flagged.map { case (name, prev, med, kind) =>
       System.gc()
-      val iso = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try fnByName(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val verdict = if (iso.head > prev * 1.25 && iso.head - prev > 0.25)
-        "confirmed" else "weather"
-      (name, prev, med, iso(1), iso.head, verdict, kind)
+      val iso = (1 to 3).map(_ => timedRun(fnByName(name)))
+      val byWall = iso.sortBy(_._1)
+      val (isoMin, isoMinCpu) = (byWall.head._1, byWall.head._2)
+      val isoMed = byWall(1)._1
+      val prevCpu = localBaseCpu.get(name)
+      val stillSlow = isoMin > prev * 1.25 && isoMin - prev > 0.25
+      val contended = prevCpu.exists { pc =>
+        pc > 0 && isoMinCpu > 0 &&
+          (isoMin / isoMinCpu) > 1.5 * (prev / pc)
+      }
+      val verdict =
+        if (iso.exists(!_._3)) "error"
+        else if (!stillSlow) "weather"
+        else if (contended) "weather"
+        else "confirmed"
+      (name, prev, med, isoMed, isoMin, isoMinCpu,
+        prevCpu.getOrElse(-1.0), verdict, kind)
     }
-    // compact form for the size-capped stdout line: CONFIRMED slips
-    // only (weather flags are, by verdict, not regressions — they'd
-    // also blow the driver's 2000-char stdout cap on a noisy run);
-    // the full annotation set lands in bench_full.json below
-    val weatherFlags = confirmations.count(_._6 == "weather")
-    val regJson = confirmations.filter(_._6 == "confirmed").take(10).map {
-      case (k, prev, med, _, isoMin, verdict, _) =>
+    // compact form for the size-capped stdout line: CONFIRMED slips and
+    // ERRORS only (weather flags are, by verdict, not regressions —
+    // they'd also blow the driver's 2000-char stdout cap on a noisy
+    // run); the full annotation set lands in bench_full.json below
+    val weatherFlags = confirmations.count(_._8 == "weather")
+    val regJson = confirmations.filter(c => c._8 != "weather").take(10).map {
+      case (k, prev, med, _, isoMin, isoCpu, _, verdict, _) =>
         "\"" + k + "\":[" + fmt(prev) + "," + fmt(med) + "," +
-          fmt(isoMin) + ",\"" + verdict + "\"]"
+          fmt(isoMin) + "," + fmt(isoCpu) + ",\"" + verdict + "\"]"
     }.mkString("{", ",", "}")
-    // ... and the full annotation for bench_full.json
+    // ... and the full annotation for bench_full.json — each flag
+    // carries {wall, cpu, verdict} as r11 #1 prescribes
     val regJsonFull = confirmations.take(10).map {
-      case (k, prev, med, isoMed, isoMin, verdict, kind) =>
+      case (k, prev, med, isoMed, isoMin, isoCpu, prevCpu, verdict, kind) =>
         s""""$k":{"prev":${fmt(prev)},"med":${fmt(med)},"iso_med":${
-          fmt(isoMed)},"iso_min":${fmt(isoMin)},"verdict":"$verdict","flag":"$kind"}"""
+          fmt(isoMed)},"iso_min":${fmt(isoMin)},"cpu":${fmt(isoCpu)},"prev_cpu":${
+          fmt(prevCpu)},"verdict":"$verdict","flag":"$kind"}"""
     }.mkString("{", ",", "}")
     // Cold-path lane (VERDICT r10 #3): the memo/artifact families bench
     // their warm consumer path in the sweep — a production user also
@@ -212,7 +285,7 @@ object Bench {
     // widens the lane to every query (full cold sweep).
     val coldFamily = Set("q210_pair_artifact", "q232_train_classifier",
       "q234_classifier_gate", "q237_kmeans", "q238_cluster_balanced_sample",
-      "q239_semdedup_kmeans", "q242_ivf_trained")
+      "q239_semdedup_kmeans", "q242_ivf_trained", "q253_model_artifact")
     val coldAll = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     def coldReset(): Unit = {
       operators.Dedup.clearDedupCaches()
@@ -221,32 +294,59 @@ object Bench {
       val pairTable = "graft_pairs_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       try spark.sql(s"DROP TABLE IF EXISTS `$pairTable`")
       catch { case _: Throwable => () }
+      // NOTE: model ARTIFACTS (Models.ensure*) survive the cold reset by
+      // design — cold q253 measures the serve-from-artifact path a fresh
+      // session pays (one tiny parquet read), vs cold q250's full
+      // retrain. The memo clears above make that split honest.
     }
-    val coldResults = selected
+    // A cold run that THROWS is recorded as a failure, not a timing —
+    // timing the exception path would hand queries_cold a bogus fast
+    // median (ADVICE r11).
+    val coldResults: Seq[(String, Option[Double])] = selected
       .filter { case (n, _) => coldAll || coldFamily(n) }
       .map { case (name, fn) =>
         val runs = (1 to 3).map { _ =>
           coldReset(); System.gc()
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        (name, runs(1))
+          val (dt, _, ok) = timedRun(fn)
+          (dt, ok)
+        }
+        if (runs.forall(_._2)) (name, Some(runs.map(_._1).sorted.apply(1)))
+        else (name, None)
       }
-    val coldJson = coldResults.map { case (k, med) =>
+    val coldJson = coldResults.collect { case (k, Some(med)) =>
       "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
-    val allQs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
+    val coldFailed = coldResults.collect { case (k, None) => k }
+    val coldFailedJson =
+      coldFailed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val allQs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val allMins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + fmt(mn) }
+    val allMins = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, _, false) => k }
+    val allCpus = results.map { case (k, _, _, cpu, _) => "\"" + k + "\":" + fmt(cpu) }
+      .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, _, _, _, false) => k }
     val failed = failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
+    val totalCpu = results.map(_._4).sum
+    // Cold-vs-warm surfaced in the driver contract line (VERDICT r11
+    // #5): lane total + the 5 biggest cold-minus-warm deltas — the
+    // build-cost shape a first-call production user pays, without
+    // blowing the stdout size cap.
+    val warmByName = results.map(r => r._1 -> r._2).toMap
+    val coldTotal = coldResults.flatMap(_._2).sum
+    val coldDeltas = coldResults
+      .collect { case (k, Some(med)) =>
+        (k, med - warmByName.getOrElse(k, 0.0)) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, d) => "\"" + k + "\":" + fmt(d) }
+      .mkString("{", ",", "}")
+    val coldHeadline =
+      s"""{"total":${fmt(coldTotal)},"top_deltas":$coldDeltas}"""
     // Full per-query detail for human/judge inspection — the stdout line
     // below must stay short (the driver keeps only a 2000-char tail of
     // stdout, and a 118-query map overflows it → BENCH parsed:null).
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJsonFull,"queries":$allQs,"queries_min":$allMins,"queries_cold":$coldJson,"failed":$failed,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJsonFull,"queries":$allQs,"queries_min":$allMins,"queries_cpu":$allCpus,"queries_cold":$coldJson,"cold_failed":$coldFailedJson,"failed":$failed,"sf":"$sfDir"}"""
     // partial (SPARK_GRAFT_ONLY) debug runs must NOT clobber the
     // committed full-run file — it is the tripwire's baseline
     if (only.isEmpty)
@@ -269,13 +369,13 @@ object Bench {
       "q195_dedup_clean", "q196_hist_quantiles", "q198_pca_project",
       "q200_curation_e2e", "q210_pair_artifact", "q248_rank_methods",
       "q249_pq_trained", "q250_ivfpq_trained", "q251_semantic_leakage",
-      "q252_decontam_spans")
+      "q252_decontam_spans", "q253_model_artifact")
     // partial runs are small — print every timed query, not just the
     // headline subset (the 1500-char stdout cap only binds full runs)
     val qs = results.collect {
-      case (k, med, _, _) if headline(k) || only.isDefined =>
+      case (k, med, _, _, _) if headline(k) || only.isDefined =>
         "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJson,"weather_flags":$weatherFlags,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"nq":${results.size},"nfailed":${failedNames.size},"regressions":$regJson,"weather_flags":$weatherFlags,"cold":$coldHeadline,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

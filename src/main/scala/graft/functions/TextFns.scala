@@ -283,12 +283,8 @@ object TextFns {
     * Scale shape: the char explode is the one corpus-sized pass and its
     * aggregate is map-side combined onto ≤ groups × |alphabet| rows;
     * totals and the entropy fold then run on that dictionary-sized
-    * frame only. H = Σ −p·ln p over ≤ |alphabet| UNROUNDED double
-    * terms summed in engine/partition-dependent order, with only the
-    * final sum rounded at 6 dp — the xent/js_nats float-with-final-
-    * rounding discipline, NOT the integer-exact moments path: a value
-    * within ~0.5e-6 of a rounding boundary could in principle differ
-    * across engines (never observed at these alphabet sizes).
+    * frame only. Numeric discipline: FLOAT-WITH-FINAL-ROUNDING (6 dp)
+    * — see ARCHITECTURE.md "Numeric determinism contract", table B.
     */
   def charEntropyBy(docs: org.apache.spark.sql.DataFrame, byCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {

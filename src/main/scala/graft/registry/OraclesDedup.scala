@@ -9,13 +9,13 @@ private[graft] object OraclesDedup {
   def m: Map[String, String] = Map(
 
     "q27_exact_dedup" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
+      s"""WITH d AS (SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000000, text FROM documents
-        |  WHERE doc_id % 7 = 0)
+        |  WHERE ${hash60Sql("text")} % 5 = 0)
         |SELECT count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM d
-        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
         |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
 
     "q28_jaccard" -> jaccardOracle("0.5"),
@@ -401,13 +401,13 @@ private[graft] object OraclesDedup {
     // presence via explicit TRUE markers (not fingerprint nullness) and
     // null-safe fingerprint equality, matching Dedup.snapshotDiff
     "q247_snapshot_diff" ->
-      """WITH o AS (SELECT doc_id AS k, source AS go,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fo,
+      s"""WITH o AS (SELECT doc_id AS k, source AS go,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fo,
         |    TRUE AS po
         |  FROM documents WHERE doc_id % 3 <> 0),
         |n AS (SELECT doc_id AS k, source AS gn,
-        |    md5(regexp_replace(lower(trim(CASE WHEN doc_id % 5 = 0
-        |        THEN text || ' rev2' ELSE text END)), '\s+', ' ', 'g'))
+        |    md5(regexp_replace(lower(trim(CASE WHEN ${hash60Sql("text")} % 5 = 0
+        |        THEN text || ' rev2' ELSE text END)), '\\s+', ' ', 'g'))
         |      AS fn,
         |    TRUE AS pn
         |  FROM documents WHERE doc_id % 2 = 0),

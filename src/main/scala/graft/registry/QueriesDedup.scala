@@ -23,9 +23,15 @@ private[graft] object QueriesDedup {
     // deterministically re-keyed clone of every 7th doc (the q179/q247
     // synthesized-input pattern, identically constructed by the oracle)
     // so the fingerprint group-by is exercised at every scale factor.
+    // clone membership keys on a CONTENT hash (not doc_id): the
+    // documents table ships with the same 500 ids at sf0.001 and
+    // sf0.01 (only texts differ), so an id-structural fixture is a
+    // scale-constant — RegistrySweepSpec's r12 change-across-sf sweep
+    // requires the kept-group set to move with the text content
     "q27_exact_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cloned = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val cloned = docs
+        .filter(pmod(Dedup.portableHash64(col("text")), lit(5)) === 0)
         .withColumn("doc_id", col("doc_id") + lit(10000000L))
       Dedup.exactDupGroups(docs.unionByName(cloned), "doc_id", "text")
         .select(col("n_docs"), col("keep_id"))
@@ -262,12 +268,16 @@ private[graft] object QueriesDedup {
     // divisible by 3; new = even ids, with every 5th doc's text
     // revised — the q179 synthesized-input pattern, so both engines
     // construct identical snapshots)
+    // the revision set keys on a CONTENT hash (same rationale as q27:
+    // ids are identical across sf0.001/sf0.01, so an id-keyed revision
+    // pattern made the whole diff a scale-constant)
     "q247_snapshot_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val prev = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       val next = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
-          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .withColumn("text",
+          when(pmod(Dedup.portableHash64(col("text")), lit(5)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
       Dedup.snapshotDiff(prev, next, "doc_id", "source", "text")
         .orderBy(col("source"))
     })

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Drift, Similarity}
+
+/** Round-12 pins (VERDICT r11 #4 and #6):
+  *  - planted-GROUND-TRUTH twins for the two remaining replay-only
+  *    oracles: q241's embedding-drift matrix (a known mean-vector
+  *    offset ⇒ the distance matrix is known a priori) and q251's
+  *    semantic-leakage audit (planted paraphrase pairs ⇒ the leak set
+  *    is known; recall must be 1 on the plant, not just SQL-parity);
+  *  - executed-plan shape pins for the round-11 flagships q250/q251/
+  *    q252 (no cartesian, broadcast-only model/gram literals, encode
+  *    scan with zero Exchange) so a refactor that sneaks a shuffle into
+  *    the encode path fails CI.
+  */
+class PipelineR12Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- planted truth: q241 embeddingDriftMatrix ----------------------
+
+  test("embeddingDriftMatrix recovers a PLANTED mean offset exactly " +
+    "(q241 ground-truth twin)") {
+    // All components are multiples of 1/64 — exact in float32, double,
+    // and the ⌊x·1e6⌋ quantizer — so every mean and distance below is
+    // knowable on paper before the engine runs.
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val muA = Seq(0.25, -0.5, 3.0 / 64, 0.0)
+    val delta = Seq(0.5, -0.25, 0.0, 0.125) // planted offset A→B
+    val muB = muA.zip(delta).map { case (a, d) => a + d }
+    val e1 = Seq(1.0 / 64, 1.0 / 32, -1.0 / 64, 0.5) // zero-sum noise A
+    val e2 = Seq(1.0 / 32, 0.0, 1.0 / 64, -0.25)     // zero-sum noise B
+    def plus(a: Seq[Double], b: Seq[Double], s: Double) =
+      v(a.zip(b).map { case (x, y) => x + s * y }: _*)
+    val rows = Seq(
+      ("a", plus(muA, e1, 1.0)), ("a", plus(muA, e1, -1.0)),
+      ("b", plus(muB, e2, 1.0)), ("b", plus(muB, e2, -1.0)),
+      ("b", v(muB: _*)))
+    val df = rows.toDF("label", "embedding")
+    val out = Drift.embeddingDriftMatrix(df, col("label"), col("embedding"))
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.length === 1)
+    val (ka, kb, na, nb, d2) = out.head
+    assert((ka, kb, na, nb) === ("a", "b", 2L, 3L))
+    // ground truth: the noise cancels exactly (±e in exact arithmetic),
+    // so mean distance = Σ (δ_i · 1e6)²
+    val expected = delta.map(d => { val u = math.round(d * 1e6); u * u }).sum
+    assert(d2 === expected, s"dist2_units $d2 != planted $expected")
+  }
+
+  // ---- planted truth: q251 crossSplitSemanticLeakage -----------------
+
+  test("crossSplitSemanticLeakage: recall 1 on planted paraphrase " +
+    "pairs, clean evals silent, zero vectors guarded (q251 twin)") {
+    // train: 8 well-separated base vectors. Planted paraphrases: eval
+    // row = 2× a train vector (cosine exactly 1, and the LCG-hyperplane
+    // LSH signature is scale-invariant, so banding CANNOT miss it —
+    // recall on the plant must be 1 by construction, not by luck).
+    val dim = 8
+    def base(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (d == i % dim) 1f else 0.125f * ((i + d) % 3))
+    val train = ((0 until 8).map(i => (i.toLong, base(i))) :+
+      (50L, Array.fill(dim)(0f))) // zero-norm train row: must never leak
+      .toDF("vec_id", "embedding")
+    val leakyEvals = Seq(100L -> 0, 101L -> 3, 102L -> 7) // twins of 0,3,7
+    val evalRows = leakyEvals.map { case (id, src) =>
+      (id, base(src).map(_ * 2f)) } ++ Seq(
+      // clean eval: orthogonal-ish to everything (negative spike) —
+      // cosine to every train vector is far below the 0.95 threshold
+      (200L, Array.tabulate(dim)(d => if (d == 0) -1f else 0f)),
+      (201L, Array.fill(dim)(0f))) // zero-norm eval: guarded, silent
+    val eval = evalRows.toDF("vec_id", "embedding")
+    val out = Similarity.crossSplitSemanticLeakage(train, eval,
+        "vec_id", "embedding", threshold = 0.95)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // recall = 1: every planted paraphrase is reported...
+    leakyEvals.foreach { case (id, src) =>
+      val r = out.getOrElse(id, fail(s"planted leak $id missing"))
+      assert(r._2 >= 1L, s"eval $id: no leaks counted")
+      assert(r._4 === 1.0, s"eval $id: max_cosine ${r._4} != 1.0")
+      // ...and the known twin is inside the reported train-id mass
+      // (single-leak rows pin it exactly)
+      if (r._2 == 1L) assert(r._3 === src.toLong)
+    }
+    // precision on the plant: the clean eval and both zero vectors are
+    // absent (the zero-norm guard keeps NaN cosines out of the audit)
+    assert(!out.contains(200L), "clean eval reported as leaking")
+    assert(!out.contains(201L), "zero-norm eval must be guarded out")
+    assert(out.values.forall(_._3 != 50L || out.values.exists(_._2 > 1)),
+      "zero-norm train row leaked into train_id_sum")
+  }
+
+  // ---- plan pins: q250 / q251 / q252 ---------------------------------
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q250 plan: encode scan has ZERO Exchange; search has no cartesian") {
+    val emb = QueryShared.t(spark, sf, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val cb = Similarity.pqTrainedCodebook(emb, "vec_id", "embedding", 2, 4, 2)
+    // the add/encode half is a pure projection — centroids + codebook
+    // ride as literals, so ANY Exchange here is a scale defect
+    val encode = Similarity.pqIndexRowsWith(emb, "vec_id", "embedding",
+      cent, cb, m = 2)
+    val encodePlan = encode.queryExecution.executedPlan.toString
+    assert(!encodePlan.contains("Exchange"),
+      s"encode path must be shuffle-free:\n$encodePlan")
+    val full = SparkEntry.queries("q250_ivfpq_trained")(spark, sf)
+    full.collect()
+    val plan = full.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q251 plan: banded equi-join only — no cartesian, no nested loop") {
+    val df = SparkEntry.queries("q251_semantic_leakage")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q252 plan: eval gram set reaches the span join as a BROADCAST; " +
+    "no cartesian") {
+    val df = SparkEntry.queries("q252_decontam_spans")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -41,4 +41,43 @@ class RegistrySweepSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  // VERDICT r11 #8: rows > 0 alone cannot catch a fixture that
+  // degenerates to a CONSTANT at every scale factor (it would compare
+  // equal-to-equal forever while the operator's scaling semantics go
+  // unexercised). For the scale-sensitive families — TPC-H, dedup,
+  // drift/decontamination — the full result (count + order-insensitive
+  // value hash over string forms) must CHANGE between sf0.001 and
+  // sf0.01. Genuinely scale-invariant queries live in the documented
+  // allowlist below.
+  test("scale-sensitive families: result CHANGES between sf0.001 and sf0.01") {
+    import org.apache.spark.sql.functions._
+    val families =
+      Seq("tpch", "dedup", "minhash", "simhash", "jaccard", "drift",
+        "psi", "decontam", "containment", "edit_distance", "novel",
+        "snapshot")
+    val allow: Map[String, String] = Map.empty // none known — keep it so
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => families.exists(n.contains))
+      .filterNot(allow.contains)
+    def sig(name: String, dir: String): (Long, Long) = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val h = df.agg(count(lit(1)),
+        bit_xor(xxhash64(df.columns.map(c => col(c).cast("string")): _*)))
+        .head()
+      (h.getLong(0), if (h.isNullAt(1)) 0L else h.getLong(1))
+    }
+    val failures = names.flatMap { n =>
+      try {
+        if (sig(n, "/root/testdata/sf0.001") ==
+            sig(n, "/root/testdata/sf0.01"))
+          Some(s"$n: identical (count, hash) at sf0.001 and sf0.01 — " +
+            "fixture may have degenerated to a scale-constant")
+        else None
+      } catch {
+        case e: Throwable => Some(s"$n: threw ${e.getClass.getSimpleName}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
