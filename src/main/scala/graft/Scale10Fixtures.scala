@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10×-sf0.1 fixture generators shared by the opt-in
+  * Scale10Spec perf lane and the VerifyScale10 correctness lane
+  * (VERDICT r11 #3: the 10× lane measured perf/shuffle only — rows/
+  * schema/hash needed a DuckDB oracle pass at 10× too). Hash-derived
+  * columns, NO RNG: every run and both engines see identical bytes.
+  */
+object Scale10Fixtures {
+
+  private def h(cols: Column*): Column = abs(xxhash64(cols: _*))
+
+  /** 50 k docs in families of 5 sharing a 39-token body (family-hashed
+    * vocab draws) and differing only in the final token — minhash/
+    * containment/edit-distance genuinely FIND pairs (J ≈ 37/43 within a
+    * family) while distinct families stay apart and no shingle goes
+    * corpus-hot (vocab³ shingle space).
+    */
+  def genDocuments(spark: SparkSession, n: Long): DataFrame = {
+    // NB: Column./ is TRUE division (double) — floor+cast for the
+    // integer family id, or every doc hashes a unique "family"
+    val fam = floor(col("id") / 5).cast("long")
+    val toks = transform(sequence(lit(0), lit(38)),
+      j => concat(lit("w"), pmod(h(fam, j), lit(500))))
+    val text = concat(array_join(toks, " "),
+      lit(" t"), pmod(col("id"), lit(5)))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      text.as("text"),
+      element_at(array(lit("en"), lit("en"), lit("en"), lit("fr"), lit("de")),
+        (pmod(h(fam, lit(7)), lit(5)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(fam, lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Embeddings at 100× sf0.1 rows (200 k × 64 floats): hash-derived
+    * coordinates in [-1, 1] — enough structure for centroid training to
+    * spread, no RNG.
+    */
+  def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => ((pmod(h(col("id"), j), lit(2001)) - 1000) / lit(1000.0))
+          .cast("float")).as("embedding"),
+      pmod(h(col("id"), lit(99)), lit(10)).cast("int").as("label"))
+
+  /** TPC-H-shaped tables at ~10× sf0.1 (6 M lineitem / 1.5 M orders /
+    * 150 k customer / 10 k supplier + the two dimension tables). */
+  def genTpch(spark: SparkSession, dir: String): Unit = {
+    val nOrders = 1500000L
+    val li = spark.range(nOrders * 4).select(
+      (col("id") / 4).cast("long").as("l_orderkey"),
+      pmod(h(col("id"), lit(1)), lit(200000)).as("l_partkey"),
+      pmod(h(col("id"), lit(2)), lit(10000)).as("l_suppkey"),
+      (pmod(col("id"), lit(4)) + 1).cast("int").as("l_linenumber"),
+      (pmod(h(col("id"), lit(3)), lit(50)) + 1).cast("double").as("l_quantity"),
+      ((pmod(h(col("id"), lit(4)), lit(90000)) + 10000) / lit(100.0))
+        .as("l_extendedprice"),
+      (pmod(h(col("id"), lit(5)), lit(11)) / lit(100.0)).as("l_discount"),
+      (pmod(h(col("id"), lit(6)), lit(9)) / lit(100.0)).as("l_tax"),
+      element_at(array(lit("A"), lit("N"), lit("R")),
+        (pmod(h(col("id"), lit(7)), lit(3)) + 1).cast("int")).as("l_returnflag"),
+      element_at(array(lit("O"), lit("F")),
+        (pmod(h(col("id"), lit(8)), lit(2)) + 1).cast("int")).as("l_linestatus"),
+      date_add(lit("1995-01-02").cast("date"),
+        pmod(h(col("id"), lit(9)), lit(2400)).cast("int"))
+        .cast("timestamp").as("l_shipdate"))
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ord = spark.range(nOrders).select(
+      col("id").as("o_orderkey"),
+      pmod(h(col("id"), lit(11)), lit(150000)).as("o_custkey"),
+      element_at(array(lit("O"), lit("F"), lit("P")),
+        (pmod(h(col("id"), lit(12)), lit(3)) + 1).cast("int")).as("o_orderstatus"),
+      ((pmod(h(col("id"), lit(13)), lit(40000000)) + 100000) / lit(100.0))
+        .as("o_totalprice"),
+      date_add(lit("1995-01-01").cast("date"),
+        pmod(h(col("id"), lit(14)), lit(2300)).cast("int"))
+        .cast("timestamp").as("o_orderdate"),
+      element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+        lit("4-NOT SPECIFIED"), lit("5-LOW")),
+        (pmod(h(col("id"), lit(15)), lit(5)) + 1).cast("int"))
+        .as("o_orderpriority"))
+    ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.range(150000).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), col("id")).as("c_name"),
+      pmod(h(col("id"), lit(21)), lit(25)).cast("int").as("c_nationkey"),
+      ((pmod(h(col("id"), lit(22)), lit(110000)) - 10000) / lit(100.0))
+        .as("c_acctbal"),
+      element_at(array(lit("BUILDING"), lit("AUTOMOBILE"), lit("MACHINERY"),
+        lit("FURNITURE"), lit("HOUSEHOLD")),
+        (pmod(h(col("id"), lit(23)), lit(5)) + 1).cast("int"))
+        .as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.range(10000).select(
+      col("id").as("s_suppkey"),
+      concat(lit("Supplier#"), col("id")).as("s_name"),
+      pmod(h(col("id"), lit(31)), lit(25)).cast("int").as("s_nationkey"),
+      ((pmod(h(col("id"), lit(32)), lit(110000)) - 10000) / lit(100.0))
+        .as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    spark.range(25).select(
+      col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      pmod(col("id"), lit(5)).cast("int").as("n_regionkey"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    spark.range(5).select(
+      col("id").cast("int").as("r_regionkey"),
+      element_at(array(lit("AFRICA"), lit("AMERICA"), lit("ASIA"),
+        lit("EUROPE"), lit("MIDDLE EAST")), (col("id") + 1).cast("int"))
+        .as("r_name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
+  }
+
+  /** Generate everything into `dir` (standard table layout). */
+  def genAll(spark: SparkSession, dir: String): Unit = {
+    genDocuments(spark, 50000L).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    genEmbeddings(spark, 200000L).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    genTpch(spark, dir)
+  }
+}
+
+/** Correctness at 10× (VERDICT r11 #3): dump the flagship subset's
+  * results against the deterministic 10× fixtures, plus their oracle
+  * SQL, in graft.Verify's exact layout — scripts/check_scale10.py then
+  * runs the DuckDB compare and writes correctness_scale10.json.
+  * Usage: runMain graft.VerifyScale10 [fixtureDir] [outDir]
+  */
+object VerifyScale10 {
+  /** The Scale10 flagship subset (the perf lane's list + q253's
+    * artifact serve): every name must exist in SparkEntry.queries AND
+    * SparkEntry.oracleSql. */
+  val flagships: Seq[String] = Seq(
+    "q29_minhash", "q128_edit_distance", "q180_containment",
+    "q185_incremental_dedup", "q200_curation_e2e", "q86_tpch_q3",
+    "q87_tpch_q5", "q146_tpch_q21", "q242_ivf_trained",
+    "q250_ivfpq_trained", "q253_model_artifact")
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/tmp/graft_scale10"
+    val outDir = if (args.length > 1) args(1) else "/tmp/verify_scale10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Scale10Fixtures.genAll(spark, dir)
+    new java.io.File(outDir).mkdirs()
+    flagships.foreach { name =>
+      try SparkEntry.queries(name)(spark, dir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify-scale10] $name failed: ${e.getMessage}")
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.view.filterKeys(flagships.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -660,6 +660,42 @@ object Curate {
     (w, scored)
   }
 
+  /** Score docs under FIXED trained weights (micro-units) — the batch
+    * serve half of [[trainTextClassifier]], completing the train/serve
+    * split alongside the streaming scorer: Models.ensureWeights reads
+    * the weights artifact in a fresh session, this scores under it.
+    * Same tokenize → bucket → exact long Σ cnt·w[b] margin as training
+    * (integer-exact, ARCHITECTURE "Numeric determinism" table A), so
+    * the output is bit-identical to the training session's own scoring
+    * — q254's oracle IS q232's.
+    */
+  def scoreTextWith(df: DataFrame, idCol: String, textCol: String,
+                    label: Column, w: Array[Long]): DataFrame = {
+    val U = 1000000L
+    val buckets = w.length
+    require(buckets > 0, "empty weight model")
+    val base = df.select(col(idCol).as("__id"),
+      coalesce(label.cast("boolean"), lit(false))
+        .cast("int").cast("long").as("__y"))
+    val wAt = element_at(typedlit(w.toSeq), (col("__b") + 1).cast("int"))
+    val margins = df.select(col(idCol).as("__id"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"))
+      .select(col("__id"),
+        pmod(Dedup.portableHash64(col("__t")), lit(buckets.toLong)).as("__b"))
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .select(col("__id"), (col("__cnt") * wAt).as("__wx"))
+      .groupBy(col("__id")).agg(sum(col("__wx")).as("__z"))
+    base.join(margins, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__z"), lit(0L)).as("z_units"),
+        round(coalesce(col("__z"), lit(0L)).cast("double") / lit(U.toDouble),
+          6).as("margin"),
+        (coalesce(col("__z"), lit(0L)) > 0).as("pred"),
+        (col("__y") === 1).as("label"),
+        ((coalesce(col("__z"), lit(0L)) > 0) === (col("__y") === 1))
+          .as("correct"))
+  }
+
   /** Trained-weight memo for [[trainTextClassifier]]: keyed by (session,
     * canonicalized feature/label plans, hyperparams) — deterministic
     * plans only (the persist registry's own precondition), LRU-capped.

@@ -135,6 +135,40 @@ object Models {
     }
   }
 
+  // ---- BPE merge table (ordered (left, right) string pairs) -----------
+
+  def writeMerges(spark: SparkSession, path: String,
+                  merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    writeRows(merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }.toDF("idx", "l", "r"), path)
+  }
+
+  def readMerges(spark: SparkSession,
+                 path: String): Option[Seq[(String, String)]] =
+    readRows(spark, path)
+      .map(_.toSeq.map(r => (r.getString(1), r.getString(2))))
+
+  /** Serve-or-train for the BPE merge table ([[graft.functions.Bpe
+    * .bpeMerges]]): merge ORDER is the model (applies are a priority
+    * chain), preserved via the idx column. BPE has no per-session memo
+    * at all — every consumer re-runs the `rounds` driver-sequenced
+    * jobs — so the artifact is the only warm path. */
+  def ensureBpeMerges(df: DataFrame, textCol: String, rounds: Int,
+                      dir: String = defaultDir): Seq[(String, String)] = {
+    val spark = df.sparkSession
+    val fp = contentFingerprint(df.select(col(textCol)))
+    val path = s"$dir/bpe_r${rounds}_$fp"
+    readMerges(spark, path).getOrElse {
+      trains += 1
+      val m = graft.functions.Bpe.bpeMerges(df, textCol, rounds)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      writeMerges(spark, path, m)
+      m
+    }
+  }
+
   // ---- classifier weights (integer micro-units) -----------------------
 
   def writeWeights(spark: SparkSession, path: String,

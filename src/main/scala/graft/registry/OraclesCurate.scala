@@ -665,15 +665,13 @@ private[graft] object OraclesCurate {
     // the mod-adjusted floor quotient to match the engine's floorDiv.
     // The CTE chain (all MATERIALIZED — see classifierTrainCtesSql)
     // is shared with q234's gate oracle.
-    "q232_train_classifier" ->
-      s"""WITH ${classifierTrainCtesSql(256, 12, 1L, 16L)}
-         |SELECT y.doc_id, COALESCE(z, 0) AS z_units,
-         |  round(CAST(COALESCE(z, 0) AS DOUBLE) / 1000000.0, 6) + 0.0
-         |    AS margin,
-         |  COALESCE(z, 0) > 0 AS pred, y.y = 1 AS label,
-         |  (COALESCE(z, 0) > 0) = (y.y = 1) AS correct
-         |FROM y LEFT JOIN z13 USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q232_train_classifier" -> classifierScoredOracle,
+
+    // q254 serves the SAME scoring from the Models weights artifact
+    // (Curate.scoreTextWith under q232's exact hyperparams) — integer
+    // weight units round-trip parquet bit-for-bit, so one oracle
+    // checks both the trained and the artifact-served path.
+    "q254_classifier_artifact" -> classifierScoredOracle,
 
     // the trained classifier EXERCISED as a curation gate: the same
     // training chain, then (a) per-source funnel counts under the
@@ -739,4 +737,20 @@ private[graft] object OraclesCurate {
         |SELECT source, reason, count(*) AS n
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** Full GD-replay + scoring mirror shared by q232 (in-session train)
+    * and q254 (artifact-served scoring under identical hyperparams):
+    * integer-unit gradient/margin arithmetic, piecewise-linear sigmoid
+    * clamp (no exp → no libm divergence), mod-adjusted floor-quotient
+    * weight updates — see classifierTrainCtesSql.
+    */
+  private lazy val classifierScoredOracle: String =
+    s"""WITH ${classifierTrainCtesSql(256, 12, 1L, 16L)}
+       |SELECT y.doc_id, COALESCE(z, 0) AS z_units,
+       |  round(CAST(COALESCE(z, 0) AS DOUBLE) / 1000000.0, 6) + 0.0
+       |    AS margin,
+       |  COALESCE(z, 0) > 0 AS pred, y.y = 1 AS label,
+       |  (COALESCE(z, 0) > 0) = (y.y = 1) AS correct
+       |FROM y LEFT JOIN z13 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -420,12 +420,12 @@ private[graft] object OraclesText {
     // merge rounds — true of every driver corpus; on an exhausted
     // corpus w10 would be empty while the engine still segments with
     // the k<10 learned merges. BpeSpec covers exhaustion directly.)
-    "q226_bpe_segments" ->
-      s"""WITH ${bpeCtes(10)}
-         |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
-         |  SELECT unnest(string_split(trim(sym, chr(1)),
-         |    chr(1) || chr(1))) AS token, cnt FROM w10)
-         |GROUP BY 1 ORDER BY token""".stripMargin,
+    "q226_bpe_segments" -> bpeSegmentsOracle,
+
+    // q255 segments under the Models merge-table ARTIFACT (same corpus,
+    // same 10 rounds — the string pairs round-trip parquet verbatim and
+    // order-preserved), so the identical replay oracle checks both.
+    "q255_bpe_artifact" -> bpeSegmentsOracle,
 
     // fertility mirror: the same 10-round merge replay; each DISTINCT
     // word's final segmentation (w10) yields its subword count (the
@@ -489,4 +489,13 @@ private[graft] object OraclesText {
         |FROM ch JOIN tot USING (source)
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** 10-round BPE replay → subword-vocabulary histogram, shared by
+    * q226 (in-session train) and q255 (artifact-served merges). */
+  private lazy val bpeSegmentsOracle: String =
+    s"""WITH ${bpeCtes(10)}
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |  SELECT unnest(string_split(trim(sym, chr(1)),
+       |    chr(1) || chr(1))) AS token, cnt FROM w10)
+       |GROUP BY 1 ORDER BY token""".stripMargin
 }

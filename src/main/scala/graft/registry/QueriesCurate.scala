@@ -421,6 +421,23 @@ private[graft] object QueriesCurate {
     "q244_gopher_rules" -> ((s, dir) =>
       Curate.rejectionReasons(t(s, dir, "documents"), Seq("source"),
         Curate.gopherGates(col("text")))
-        .orderBy(col("source"), col("reason")))
+        .orderBy(col("source"), col("reason"))),
+
+    // Classifier WEIGHTS artifact round trip (q253's twin for the
+    // quality-classifier family): weights persist as a content-
+    // addressed parquet artifact (Models.ensureWeights — the SDS
+    // save/load analog), and scoring runs under the ARTIFACT model via
+    // the serve-only Curate.scoreTextWith. Hyperparams match q232
+    // exactly, so the artifact-served scores must reproduce the
+    // in-session trained scores bit for bit (same oracle); a fresh
+    // session pays one tiny parquet read instead of the 12-epoch GD.
+    "q254_classifier_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = Models.ensureWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 256, iters = 12, lrDen = 16L)
+      Curate.scoreTextWith(docs, "doc_id", "text",
+          col("lang") === "en", w)
+        .orderBy(col("doc_id"))
+    })
   )
 }

@@ -304,6 +304,21 @@ private[graft] object QueriesText {
         .orderBy(col("source"))
     }),
 
+    // BPE merge-table ARTIFACT round trip (q253/q254's twin for the
+    // tokenizer family): the 10-round merge list persists as a
+    // content-addressed parquet artifact (Models.ensureBpeMerges —
+    // order-preserving, since applies are a priority chain) and the
+    // segmentation runs under the ARTIFACT merges. Identical rounds +
+    // corpus ⇒ identical vocabulary histogram (q226's oracle); any
+    // later session pays one tiny read instead of 10 driver-sequenced
+    // training jobs — BPE has no session memo, so this is its ONLY
+    // warm path.
+    "q255_bpe_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val learned = Models.ensureBpeMerges(docs, "text", rounds = 10)
+      Bpe.bpeSegmentCounts(docs, "text", learned).orderBy(col("token"))
+    }),
+
     // Corpus-level n-gram diversity per source: distinct-gram ratio for
     // n = 1..3 — the template-spam / mode-collapse screen (q173's
     // within-doc repetition, lifted to the whole source)

@@ -107,6 +107,36 @@ class ModelsSpec extends SparkSpec {
       buckets = 64, iters = 3, dir = dir)
     assert(Models.trains === t0 + 1, "serve session must NOT retrain")
     assert(w2.toSeq === w.toSeq, "weight units must round-trip exactly")
+    // the serve-only scorer under the artifact weights reproduces the
+    // training session's own scored frame bit for bit (integer-unit
+    // margins — ARCHITECTURE "Numeric determinism" table A)
+    val trained = Curate.trainTextClassifier(docs, "id", "text",
+      col("label"), buckets = 64, iters = 3)
+      .orderBy("id").collect().toSeq
+    val served = Curate.scoreTextWith(docs2, "id", "text",
+      col("label"), w2).orderBy("id").collect().toSeq
+    assert(served === trained,
+      "artifact-served scores must equal the trained session's scores")
+  }
+
+  test("BPE merge-table artifact: order-preserved round trip, " +
+    "no retrain on second ensure") {
+    val dir = tmpStore()
+    val docs = (0L until 30L)
+      .map(i => (i, s"aaa bbb aaa ccc${i % 3} bbb aaa"))
+      .toDF("id", "text")
+    val t0 = Models.trains
+    val m = Models.ensureBpeMerges(docs, "text", rounds = 4, dir = dir)
+    assert(Models.trains === t0 + 1)
+    assert(m.nonEmpty, "training must learn some merges")
+    val m2 = Models.ensureBpeMerges(docs, "text", rounds = 4, dir = dir)
+    assert(Models.trains === t0 + 1, "second ensure must read, not retrain")
+    assert(m2 === m, "merge ORDER is the model — must round-trip exactly")
+    // segmentation under artifact merges equals in-session training
+    val direct = graft.functions.Bpe.bpeMerges(docs, "text", 4)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m === direct)
   }
 
   test("a partial write (no _SUCCESS) reads as absent and rebuilds") {

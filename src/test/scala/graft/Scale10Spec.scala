@@ -52,108 +52,8 @@ class Scale10Spec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  private def h(cols: Column*): Column = abs(xxhash64(cols: _*))
-
-  /** Deterministic corpus: 50 k docs in families of 5 sharing a 39-token
-    * body (family-hashed vocab draws) and differing only in the final
-    * token — so minhash/containment/edit-distance genuinely FIND pairs
-    * (J ≈ 37/43 within a family) while distinct families stay apart and
-    * no shingle goes corpus-hot (vocab³ shingle space).
-    */
-  private def genDocuments(n: Long): DataFrame = {
-    // NB: Column./ is TRUE division (double) — floor+cast for the
-    // integer family id, or every doc hashes a unique "family"
-    val fam = floor(col("id") / 5).cast("long")
-    val toks = transform(sequence(lit(0), lit(38)),
-      j => concat(lit("w"), pmod(h(fam, j), lit(500))))
-    val text = concat(array_join(toks, " "),
-      lit(" t"), pmod(col("id"), lit(5)))
-    spark.range(n).select(
-      col("id").as("doc_id"),
-      text.as("text"),
-      element_at(array(lit("en"), lit("en"), lit("en"), lit("fr"), lit("de")),
-        (pmod(h(fam, lit(7)), lit(5)) + 1).cast("int")).as("lang"),
-      concat(lit("src"), pmod(fam, lit(20))).as("source"))
-      .withColumn("n_chars", length(col("text")))
-  }
-
-  /** Deterministic embeddings at 100× sf0.1 rows (200 k × 64 floats):
-    * hash-derived coordinates in [-1, 1] — enough structure for
-    * centroid training to spread, no RNG.
-    */
-  private def genEmbeddings(n: Long): DataFrame =
-    spark.range(n).select(
-      col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)),
-        j => ((pmod(h(col("id"), j), lit(2001)) - 1000) / lit(1000.0))
-          .cast("float")).as("embedding"),
-      pmod(h(col("id"), lit(99)), lit(10)).cast("int").as("label"))
-
-  private def genTpch(): Unit = {
-    val nOrders = 1500000L
-    val li = spark.range(nOrders * 4).select(
-      (col("id") / 4).cast("long").as("l_orderkey"),
-      pmod(h(col("id"), lit(1)), lit(200000)).as("l_partkey"),
-      pmod(h(col("id"), lit(2)), lit(10000)).as("l_suppkey"),
-      (pmod(col("id"), lit(4)) + 1).cast("int").as("l_linenumber"),
-      (pmod(h(col("id"), lit(3)), lit(50)) + 1).cast("double").as("l_quantity"),
-      ((pmod(h(col("id"), lit(4)), lit(90000)) + 10000) / lit(100.0))
-        .as("l_extendedprice"),
-      (pmod(h(col("id"), lit(5)), lit(11)) / lit(100.0)).as("l_discount"),
-      (pmod(h(col("id"), lit(6)), lit(9)) / lit(100.0)).as("l_tax"),
-      element_at(array(lit("A"), lit("N"), lit("R")),
-        (pmod(h(col("id"), lit(7)), lit(3)) + 1).cast("int")).as("l_returnflag"),
-      element_at(array(lit("O"), lit("F")),
-        (pmod(h(col("id"), lit(8)), lit(2)) + 1).cast("int")).as("l_linestatus"),
-      date_add(lit("1995-01-02").cast("date"),
-        pmod(h(col("id"), lit(9)), lit(2400)).cast("int"))
-        .cast("timestamp").as("l_shipdate"))
-    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val ord = spark.range(nOrders).select(
-      col("id").as("o_orderkey"),
-      pmod(h(col("id"), lit(11)), lit(150000)).as("o_custkey"),
-      element_at(array(lit("O"), lit("F"), lit("P")),
-        (pmod(h(col("id"), lit(12)), lit(3)) + 1).cast("int")).as("o_orderstatus"),
-      ((pmod(h(col("id"), lit(13)), lit(40000000)) + 100000) / lit(100.0))
-        .as("o_totalprice"),
-      date_add(lit("1995-01-01").cast("date"),
-        pmod(h(col("id"), lit(14)), lit(2300)).cast("int"))
-        .cast("timestamp").as("o_orderdate"),
-      element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
-        lit("4-NOT SPECIFIED"), lit("5-LOW")),
-        (pmod(h(col("id"), lit(15)), lit(5)) + 1).cast("int"))
-        .as("o_orderpriority"))
-    ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    spark.range(150000).select(
-      col("id").as("c_custkey"),
-      concat(lit("Customer#"), col("id")).as("c_name"),
-      pmod(h(col("id"), lit(21)), lit(25)).cast("int").as("c_nationkey"),
-      ((pmod(h(col("id"), lit(22)), lit(110000)) - 10000) / lit(100.0))
-        .as("c_acctbal"),
-      element_at(array(lit("BUILDING"), lit("AUTOMOBILE"), lit("MACHINERY"),
-        lit("FURNITURE"), lit("HOUSEHOLD")),
-        (pmod(h(col("id"), lit(23)), lit(5)) + 1).cast("int"))
-        .as("c_mktsegment"))
-      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
-    spark.range(10000).select(
-      col("id").as("s_suppkey"),
-      concat(lit("Supplier#"), col("id")).as("s_name"),
-      pmod(h(col("id"), lit(31)), lit(25)).cast("int").as("s_nationkey"),
-      ((pmod(h(col("id"), lit(32)), lit(110000)) - 10000) / lit(100.0))
-        .as("s_acctbal"))
-      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
-    spark.range(25).select(
-      col("id").cast("int").as("n_nationkey"),
-      concat(lit("NATION_"), col("id")).as("n_name"),
-      pmod(col("id"), lit(5)).cast("int").as("n_regionkey"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
-    spark.range(5).select(
-      col("id").cast("int").as("r_regionkey"),
-      element_at(array(lit("AFRICA"), lit("AMERICA"), lit("ASIA"),
-        lit("EUROPE"), lit("MIDDLE EAST")), (col("id") + 1).cast("int"))
-        .as("r_name"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
-  }
+  // fixture generators live in graft.Scale10Fixtures (shared with the
+  // VerifyScale10 correctness lane — r11 #3)
 
   // (query, max-per-task shuffle-read cap). Caps are ~5-10× the healthy
   // observed cost, far below the GB-scale reads a quadratic pair blowup
@@ -166,17 +66,16 @@ class Scale10Spec extends SparkSpec {
     // trained-ANN flagships over the 200 k-vector fixture: training is
     // iters × (zero-shuffle scan + k×d map-side-combined agg), search
     // touches ~nprobe/k of the corpus — per-task shuffle stays tiny
-    "q242_ivf_trained" -> 64L, "q250_ivfpq_trained" -> 64L)
+    "q242_ivf_trained" -> 64L, "q250_ivfpq_trained" -> 64L,
+    // artifact-served IVF-PQ (r12): same search plan as q250, models
+    // from parquet artifacts — the shuffle shape must be identical
+    "q253_model_artifact" -> 64L)
 
   test("flagship pipelines at 10x sf0.1: rows flow, per-task shuffle " +
     "read stays bounded (no single-reducer / quadratic stage)") {
     assume(sys.env.contains("SPARK_GRAFT_SCALE10"),
       "opt-in lane: SPARK_GRAFT_SCALE10=1 sbt 'testOnly graft.Scale10Spec'")
-    genDocuments(50000L).write.mode("overwrite")
-      .parquet(s"$dir/documents.parquet")
-    genEmbeddings(200000L).write.mode("overwrite")
-      .parquet(s"$dir/embeddings.parquet")
-    genTpch()
+    Scale10Fixtures.genAll(spark, dir)
     val results = flagships.map { case (name, capMb) =>
       operators.Dedup.clearDedupCaches() // cold: measure the real build
       val t0 = System.nanoTime()
