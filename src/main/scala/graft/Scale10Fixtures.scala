@@ -142,6 +142,55 @@ object VerifyScale10 {
     "q87_tpch_q5", "q146_tpch_q21", "q242_ivf_trained",
     "q250_ivfpq_trained", "q253_model_artifact")
 
+  /** q128's standard oracle is BRUTE-FORCE all-pairs levenshtein —
+    * right at ≤5k docs, hopeless at 50k (1.25e9 pairs; measured >90min
+    * in DuckDB while the ENGINE answers in seconds). The 10× lane swaps
+    * in a pigeonhole-BLOCKED oracle that is complete by the same
+    * theorem PassJoin itself rests on (Li et al., PassJoin): for equal-
+    * length strings within edit distance k, ANY partition of one into
+    * k+1 segments leaves ≥1 segment matching the other at a position
+    * shifted ≤k. Blocking on (segment index, segment value) with ±5
+    * probe shifts therefore cannot miss a true pair — soundness comes
+    * from the theorem, NOT from mirroring the engine (segments here are
+    * recomputed from scratch in SQL; the verify stage is the same exact
+    * levenshtein ≤ 5 as the brute-force oracle). Segment layout for the
+    * 80-char padded prefix: 4×13 + 2×14 chars at positions
+    * 1/14/27/40/53/67 — the engine's nSeg=k+1 geometry.
+    */
+  private val q128BlockedOracle: String = {
+    val pos = Seq(1, 14, 27, 40, 53, 67)
+    val len = Seq(13, 13, 13, 13, 14, 14)
+    val posCase = pos.zipWithIndex
+      .map { case (p, i) => s"WHEN $i THEN $p" }.mkString("CASE i ", " ", " END")
+    val lenCase = len.zipWithIndex
+      .map { case (l, i) => s"WHEN $i THEN $l" }.mkString("CASE i ", " ", " END")
+    s"""WITH d AS MATERIALIZED (SELECT doc_id,
+       |    rpad(substr(text, 1, 80), 80, chr(1)) AS p FROM documents),
+       |segs AS MATERIALIZED (SELECT doc_id, i,
+       |    substr(p, $posCase, $lenCase) AS sub
+       |  FROM d, range(6) t(i)),
+       |probes AS MATERIALIZED (SELECT doc_id, i,
+       |    substr(p, ($posCase) + s, $lenCase) AS sub
+       |  FROM d, range(6) t(i), range(-5, 6) u(s)
+       |  WHERE ($posCase) + s >= 1
+       |    AND ($posCase) + s + ($lenCase) - 1 <= 80),
+       |cand AS MATERIALIZED (SELECT DISTINCT
+       |    least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b
+       |  FROM probes a JOIN segs b ON a.i = b.i AND a.sub = b.sub
+       |  WHERE a.doc_id <> b.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(levenshtein(x.p, y.p) AS INTEGER) AS dist
+       |FROM cand c JOIN d x ON c.id_a = x.doc_id
+       |  JOIN d y ON c.id_b = y.doc_id
+       |WHERE levenshtein(x.p, y.p) <= 5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Fixture-scale oracle overrides (documented above). */
+  val oracleOverrides: Map[String, String] =
+    Map("q128_edit_distance" -> q128BlockedOracle)
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/tmp/graft_scale10"
     val outDir = if (args.length > 1) args(1) else "/tmp/verify_scale10"
@@ -175,7 +224,8 @@ object VerifyScale10 {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.view.filterKeys(flagships.contains)
+    val json = (SparkEntry.oracleSql.view.filterKeys(flagships.contains)
+      .toMap ++ oracleOverrides)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
