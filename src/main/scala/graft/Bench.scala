@@ -27,6 +27,26 @@ import org.apache.spark.sql.SparkSession
   * fool). Driver-side planning time is deliberately outside cpu_sec;
   * the ratio is only ever compared same-query, same-sf.
   */
+/** The tripwire's confirmed/weather/error decision (VERDICT r11 #1),
+  * pure so BenchVerdictSpec can pin it: an `error` re-run never
+  * launders into weather; a slip whose isolated wall/cpu ratio blew
+  * past 1.5× the baseline's ratio is host contention (wall rose, cpu
+  * flat), not code cost; otherwise a still-slow isolated min confirms.
+  */
+object BenchVerdict {
+  def of(prev: Double, prevCpu: Option[Double], isoMin: Double,
+         isoMinCpu: Double, anyError: Boolean): String = {
+    val stillSlow = isoMin > prev * 1.25 && isoMin - prev > 0.25
+    val contended = prevCpu.exists { pc =>
+      pc > 0 && isoMinCpu > 0 && (isoMin / isoMinCpu) > 1.5 * (prev / pc)
+    }
+    if (anyError) "error"
+    else if (!stillSlow) "weather"
+    else if (contended) "weather"
+    else "confirmed"
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -246,16 +266,8 @@ object Bench {
       val (isoMin, isoMinCpu) = (byWall.head._1, byWall.head._2)
       val isoMed = byWall(1)._1
       val prevCpu = localBaseCpu.get(name)
-      val stillSlow = isoMin > prev * 1.25 && isoMin - prev > 0.25
-      val contended = prevCpu.exists { pc =>
-        pc > 0 && isoMinCpu > 0 &&
-          (isoMin / isoMinCpu) > 1.5 * (prev / pc)
-      }
-      val verdict =
-        if (iso.exists(!_._3)) "error"
-        else if (!stillSlow) "weather"
-        else if (contended) "weather"
-        else "confirmed"
+      val verdict = BenchVerdict.of(prev, prevCpu, isoMin, isoMinCpu,
+        anyError = iso.exists(!_._3))
       (name, prev, med, isoMed, isoMin, isoMinCpu,
         prevCpu.getOrElse(-1.0), verdict, kind)
     }

@@ -1134,13 +1134,40 @@ object Similarity {
                       m: Int): DataFrame = {
     if (cent.isEmpty || cb.isEmpty)
       return pqEmptyResult(corpus, queries, idCol, qIdCol)
+    // add: ONE zero-shuffle corpus scan → (id, cid, m byte codes)
+    val lists = pqIndexRowsWith(corpus, idCol, vecCol, cent, cb, m)
+    val scored = ivfPqCandidatesWith(lists, queries, idCol, vecCol,
+      qIdCol, cent, cb, nprobe, m)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol).as("neighbor_id"), round(col("__d"), 6).as("approx_dist"))
+  }
+
+  /** The candidate stage shared by the batch serve ([[ivfPqSearchWith]])
+    * and the STREAMING serve (StreamOps.streamingAnnServe): probe
+    * routing + ADC distances under FIXED models over a prebuilt
+    * (id, cid, codes) index — everything up to (but excluding) the
+    * top-k, which the batch side finishes with a window and the stream
+    * side with a keyed state processor. Stream-safe by construction:
+    * pure projections (models as literals) + one equi-join on cid —
+    * with a STATIC index and streaming queries this is Structured
+    * Streaming's supported static-stream inner join. Emits
+    * (query_id, idCol, __d unrounded double).
+    */
+  def ivfPqCandidatesWith(index: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, qIdCol: String,
+                          cent: Array[Array[Long]],
+                          cb: Seq[(Int, Seq[Double])], nprobe: Int,
+                          m: Int): DataFrame = {
+    require(cent.nonEmpty && cb.nonEmpty, "empty model")
     val dim = cb.head._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val vecD = col(vecCol).cast("array<double>")
     val cbLit = typedlit(cb)
-    // add: ONE zero-shuffle corpus scan → (id, cid, m byte codes)
-    val lists = pqIndexRowsWith(corpus, idCol, vecCol, cent, cb, m)
-      .withColumnRenamed("codes", "__codes")
+    val lists = index.withColumnRenamed("codes", "__codes")
     // probe routing: q242's exact integer-unit ranking, query raw
     // vector carried as DOUBLES for the ADC stage
     val qu = transform(col(vecCol),
@@ -1156,16 +1183,15 @@ object Similarity {
       .select(col("query_id"), col("__qv"),
         explode(slice(transform(col("__scored"), s => s.getField("cid")),
           1, math.min(nprobe, cent.length))).as("cid"))
-    val scored = lists.join(probed, Seq("cid"))
+    // join order: STATIC index joined WITH the (possibly streaming)
+    // probe side — Spark requires the streaming side on the left only
+    // for stateful join types; static-stream inner equi-join is fine
+    // either way, and keeping `lists` first preserves the batch plan
+    probed.join(lists, Seq("cid"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("__d", pqAdcDist(col("__qv"), col("__codes"), cbLit, m))
       .filter(col("__d").isNotNull)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__d").asc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col(idCol).as("neighbor_id"), round(col("__d"), 6).as("approx_dist"))
+      .select(col("query_id"), col(idCol), col("__d"))
   }
 
   /** STREAMING-ready IVF-PQ index ingestion (the "add" half of the

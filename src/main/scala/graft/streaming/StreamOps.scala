@@ -1028,4 +1028,80 @@ object StreamOps {
       round(walk.getField("d"), 6).as("ks_d"),
       na.cast("long").as("n_a"), nb.cast("long").as("n_b"))
   }
+
+  // ---- streaming ANN serve (Similarity.ivfPqSearchWith twin) ----------
+
+  case class AnnEntry(dist: Double, id: Long)
+  case class AnnTopState(entries: List[AnnEntry])
+  case class AnnServeOut(query_id: Long, rank: Int, neighbor_id: Long,
+                         approx_dist: Double)
+
+  /** Per-query nearest-k maintenance: state is the current k SMALLEST
+    * (dist, id) pairs (ascending, ties to the lowest id — the batch
+    * window's exact order), merged against each batch's candidates and
+    * re-emitted in Update mode. O(k) state per query. Distances stay
+    * UNROUNDED through ordering (rounding first could flip a tie the
+    * batch side breaks on the exact value); display rounding happens in
+    * the projection after the processor.
+    */
+  class AnnTopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Double), AnnServeOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM, _}
+    @transient private var st: ValueState[AnnTopState] = _
+
+    override def init(outputMode: OM, timeMode: TM): Unit =
+      st = getHandle.getValueState[AnnTopState]("anntopk",
+        org.apache.spark.sql.Encoders.product[AnnTopState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Double)],
+                                 timerValues: TimerValues): Iterator[AnnServeOut] = {
+      val cur = if (st.exists()) st.get() else AnnTopState(Nil)
+      val merged = (cur.entries ++ rows.map(r => AnnEntry(r._3, r._2)))
+        .sortBy(e => (e.dist, e.id)).take(k)
+      st.update(AnnTopState(merged))
+      merged.zipWithIndex.iterator.map { case (e, i) =>
+        AnnServeOut(key, i + 1, e.id, e.dist)
+      }
+    }
+  }
+
+  /** STREAMING IVF-PQ search (the serve half of the FAISS split as an
+    * online service): a STREAM of query vectors against the STATIC
+    * trained index — `Similarity.pqIndexRowsWith` codes (built in this
+    * job or read as a table) + artifact/literal models. The candidate
+    * stage is the exact batch plan (`Similarity.ivfPqCandidatesWith`:
+    * map-only routing under literal centroids, one static-stream
+    * equi-join on cid, codegen'd ADC); per-query top-k is a keyed
+    * `transformWithState` whose state is O(k) per query. Because the
+    * static-stream join resolves each micro-batch completely, a query's
+    * FIRST emission is already its final top-k — StreamingSpec pins
+    * bit-equality against `ivfPqSearchWith` on the same corpus.
+    *
+    * Scale shape: identical to the batch serve — the index never
+    * shuffles (the tiny probe side broadcasts), models ride as
+    * literals, and state grows with DISTINCT queries × k, not with the
+    * corpus.
+    */
+  def streamingAnnServe(queries: DataFrame, index: DataFrame,
+                        idCol: String, vecCol: String, qIdCol: String,
+                        k: Int, cent: Array[Array[Long]],
+                        cb: Seq[(Int, Seq[Double])], nprobe: Int,
+                        m: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    graft.operators.Similarity.ivfPqCandidatesWith(index, queries,
+        idCol, vecCol, qIdCol, cent, cb, nprobe, m)
+      .select(col("query_id").cast("long"), col(idCol).cast("long"),
+        col("__d").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new AnnTopKProcessor(k), TimeMode.None(),
+        OutputMode.Update())(org.apache.spark.sql.Encoders.product[AnnServeOut])
+      .toDF()
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), round(col("approx_dist"), 6).as("approx_dist"))
+  }
 }

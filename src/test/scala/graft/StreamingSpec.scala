@@ -1028,6 +1028,56 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet.size === 2, "both lists populated")
   }
 
+  test("streaming ANN serve (query stream vs static trained index) is " +
+    "bit-identical to the batch ivfPqSearchWith") {
+    import graft.operators.Similarity
+    val vecs = (0 until 24).map { i =>
+      val sign = if (i % 2 == 0) 0.4 else -0.4
+      (i.toLong, (0 until 4).map(j =>
+        (sign + 0.003 * ((i * 5 + j) % 3)).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 2, 2)
+    val cb = Similarity.pqTrainedCodebook(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 2)
+    val queries = vecs.take(4).toDF("vec_id", "embedding")
+    val batch = Similarity.ivfPqSearchWith(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 3, cent, cb, nprobe = 2, m = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // the static index, exactly as a serving job would hold it
+    val index = Similarity.pqIndexRowsWith(corpus, "vec_id", "embedding",
+      cent, cb, m = 2)
+    val d = Files.createTempDirectory("graft_annserve").toString
+    queries.write.parquet(d + "/q")
+    val qStream = spark.readStream
+      .schema(spark.read.parquet(d + "/q").schema).parquet(d + "/q")
+    // transformWithState needs the RocksDB provider (multiple column
+    // families) — same wrap as the streaming top-k test
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamOps.streamingAnnServe(qStream, index, "vec_id",
+          "embedding", "vec_id", k = 3, cent, cb, nprobe = 2, m = 2)
+        .writeStream.format("memory").queryName("ann_serve")
+        .outputMode("update").trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val got = spark.sql(
+          "SELECT query_id, rank, neighbor_id, approx_dist FROM ann_serve")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(got === batch,
+        s"stream/batch ANN serve diverged:\n got=$got\n want=$batch")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Gopher-rule rejection reasons equal the batch " +
     "breakdown on the finalized window") {
     import graft.operators.Curate
