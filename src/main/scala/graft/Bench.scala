@@ -383,7 +383,8 @@ object Bench {
       "q195_dedup_clean", "q196_hist_quantiles", "q198_pca_project",
       "q200_curation_e2e", "q210_pair_artifact", "q248_rank_methods",
       "q249_pq_trained", "q250_ivfpq_trained", "q251_semantic_leakage",
-      "q252_decontam_spans", "q253_model_artifact")
+      "q252_decontam_spans", "q253_model_artifact",
+      "q254_classifier_artifact", "q255_bpe_artifact")
     // partial runs are small — print every timed query, not just the
     // headline subset (the 1500-char stdout cap only binds full runs)
     val qs = results.collect {
