@@ -133,4 +133,35 @@ class EmptyInputSpec extends SparkSpec {
       "embedding", threshold = 0.4).count() === 0)
     Dedup.clearDedupCaches()
   }
+
+  test("round-12 model artifacts on empty frames: ensure round-trips " +
+    "the empty model, serve yields the empty result shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdl-e").toString
+    val eE = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // empty corpus → empty model, WRITTEN and re-read as such (a crash
+    // here would make an empty partition in a production corpus fatal)
+    val cent = Models.ensureCentroids(eE, "vec_id", "embedding", 4, 1,
+      dir = dir)
+    val cb = Models.ensureCodebook(eE, "vec_id", "embedding", 2, 4, 1,
+      dir = dir)
+    assert(cent.isEmpty && cb.isEmpty)
+    val t0 = Models.trains
+    assert(Models.ensureCentroids(eE, "vec_id", "embedding", 4, 1,
+      dir = dir).isEmpty)
+    assert(Models.trains === t0, "the empty artifact must serve reads")
+    val served = Similarity.ivfPqSearchWith(eE, eE, "vec_id", "embedding",
+      "vec_id", k = 3, cent, cb, nprobe = 2, m = 2)
+    assert(served.count() === 0 && served.columns.toSeq ===
+      Seq("query_id", "rank", "neighbor_id", "approx_dist"))
+    val eDocs = Seq.empty[(Long, String, Boolean)].toDF("id", "text", "lbl")
+    val w = Models.ensureWeights(eDocs, "id", "text", col("lbl"),
+      buckets = 16, iters = 2, dir = dir)
+    assert(w.length === 16 && w.forall(_ == 0L),
+      "empty corpus trains to the zero weight vector, bucket-shaped")
+    assert(Curate.scoreTextWith(eDocs, "id", "text", col("lbl"), w)
+      .count() === 0)
+    assert(Models.ensureBpeMerges(eDocs, "text", rounds = 2,
+      dir = dir).isEmpty)
+    Dedup.clearDedupCaches()
+  }
 }
