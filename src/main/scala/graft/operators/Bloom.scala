@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter primitives as pure Catalyst column math — no driver-side
+  * sketch object in the data path, no UDF, no RDD. (Builder-brief
+  * extension: the reference has no sketch layer; its decontamination
+  * analog is exact set membership via `ismember`, riptable/rt_numpy.py.)
+  *
+  * Build: each key contributes k bit positions via double hashing
+  * (Kirsch–Mitzenmacher 2006 — h_j = h1 + j·h2 mod m from TWO xxhash64
+  * evaluations, with h2 forced odd so the stride walks distinct
+  * positions mod the power-of-two m). Positions fold into words with one
+  * map-side-combined `bit_or` aggregate onto ≤ m/64 rows; the assembled
+  * bitmap is collected as an `Array[Long]` — an explicitly bounded
+  * collect (m/64 longs, e.g. 4 KiB–2 MiB), the same "model as literal"
+  * contract as k-means centroids and PQ codebooks.
+  *
+  * Probe: a codegen'd projection against the literal bitmap — k
+  * element_at + bit tests, no join, no shuffle, no per-row copy of the
+  * bitmap (a one-row broadcast-join of the array would materialize the
+  * m/64 longs into EVERY joined row's UnsafeRow; the literal is
+  * referenced once per task).
+  *
+  * Why it matters at 100 TB: membership prefilters against a benchmark
+  * gram set currently broadcast the full set (8 B × |grams| keys in a
+  * hash relation). The bloom is a fixed m bits regardless of set size,
+  * and structurally NEVER false-negative (insert and probe share the
+  * exact hash family), so `prefilter → exact verify` is identical to
+  * the exact operator while the expensive join sees only true matches
+  * plus an FP-rate sliver of the stream.
+  */
+object Bloom {
+
+  private def h1(key: Column): Column = xxhash64(key)
+  private def h2(key: Column): Column =
+    xxhash64(key, lit(1)).bitwiseOR(lit(1L))
+
+  private def positions(key: Column, mBits: Int, kHashes: Int): Seq[Column] = {
+    val a = h1(key)
+    val b = h2(key)
+    // long overflow wraps (ANSI off — numpy semantics), pmod restores
+    // the non-negative residue: deterministic on every engine layout
+    (0 until kHashes).map(j => pmod(a + lit(j.toLong) * b, lit(mBits.toLong)))
+  }
+
+  /** Build the bitmap over the distinct values of `keyCol`. `mBits`
+    * must be a multiple of 64; size it ≥ ~10× the expected distinct
+    * key count for ~1% FP at the default k=5. The only driver-side
+    * materialization is the (word, bits) fold — ≤ m/64 rows.
+    * Duplicate keys cost nothing (bit_or is idempotent), so no
+    * distinct shuffle is spent on the build side.
+    */
+  def bitmapFor(keys: DataFrame, keyCol: String,
+                mBits: Int = 1 << 18, kHashes: Int = 5): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: $mBits")
+    val words = mBits / 64
+    val folded = keys
+      .select(explode(array(positions(col(keyCol), mBits, kHashes): _*)).as("__p"))
+      .select(call_function("shiftright", col("__p"), lit(6)).cast("int").as("__w"),
+        call_function("shiftleft", lit(1L),
+          col("__p").bitwiseAND(lit(63L)).cast("int")).as("__bv"))
+      .groupBy(col("__w")).agg(expr("bit_or(__bv)").as("__b"))
+      .collect()
+    val bitmap = new Array[Long](words)
+    folded.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    bitmap
+  }
+
+  /** Membership probe against a built bitmap: true ⟺ all k bits set.
+    * Never false for an inserted key; false positives at the sized
+    * rate. Pure projection — safe in batch filters and stateless
+    * streaming gates alike.
+    */
+  def probe(key: Column, bitmap: Array[Long],
+            mBits: Int = 1 << 18, kHashes: Int = 5): Column = {
+    require(bitmap.length.toLong * 64 == mBits.toLong,
+      s"bitmap has ${bitmap.length} words, mBits=$mBits expects ${mBits / 64}")
+    val litMap = typedlit(bitmap.toSeq)
+    positions(key, mBits, kHashes).map { p =>
+      val word = element_at(litMap,
+        (call_function("shiftright", p, lit(6)) + 1).cast("int"))
+      val mask = call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(63L)).cast("int"))
+      word.bitwiseAND(mask) =!= 0
+    }.reduce(_ && _)
+  }
+}

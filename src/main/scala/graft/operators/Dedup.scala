@@ -1092,15 +1092,55 @@ object Dedup {
   def crossContainment(evalDocs: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String,
                        shingleN: Int = 3,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8): DataFrame =
+    crossContainmentImpl(evalDocs, corpus, idCol, textCol, shingleN,
+      threshold, bloomBits = 0, bloomHashes = 0)
+
+  /** [[crossContainment]] with a Bloom prefilter on the corpus gram
+    * stream — the 100 TB shape of the decontamination gate. The exact
+    * gate equi-joins EVERY corpus shingle against the eval prefix set;
+    * even with the eval side broadcast, a large benchmark suite is a
+    * multi-GB hash relation probed once per corpus gram. Here the eval
+    * prefix hashes build an m-bit bloom ([[Bloom.bitmapFor]] — fixed
+    * size regardless of suite size, bounded collect), and the corpus
+    * explode drops non-members in a codegen'd map-only filter BEFORE
+    * any join: the join input shrinks from |corpus grams| to true
+    * matches + the sized FP sliver.
+    *
+    * The result is IDENTICAL to [[crossContainment]] — a bloom built
+    * and probed with the same hash family has no false negatives, and
+    * false positives die in the exact containment verify — so the
+    * DuckDB oracle for this operator is the exact gate itself (q256);
+    * any dropped bit or mis-indexed word surfaces as a missing row.
+    */
+  def crossContainmentBloom(evalDocs: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 3,
+                            threshold: Double = 0.8,
+                            mBits: Int = 1 << 18,
+                            kHashes: Int = 5): DataFrame =
+    crossContainmentImpl(evalDocs, corpus, idCol, textCol, shingleN,
+      threshold, mBits, kHashes)
+
+  private def crossContainmentImpl(evalDocs: DataFrame, corpus: DataFrame,
+                                   idCol: String, textCol: String,
+                                   shingleN: Int, threshold: Double,
+                                   bloomBits: Int, bloomHashes: Int): DataFrame = {
     val setsE = shingleSets(evalDocs, idCol, textCol, shingleN)
     val setsC = shingleSets(corpus, idCol, textCol, shingleN)
     val pref = setsE.withColumn("plen",
       (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
       .select(col("id").as("id_eval"),
         explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
-    val corpusEx = setsC.select(col("id").as("id_doc"),
+    val corpusAll = setsC.select(col("id").as("id_doc"),
       explode(col("shs")).as("sh"))
+    val corpusEx =
+      if (bloomBits <= 0) corpusAll
+      else {
+        val bitmap = Bloom.bitmapFor(pref.select(col("sh")), "sh",
+          bloomBits, bloomHashes)
+        corpusAll.filter(Bloom.probe(col("sh"), bitmap, bloomBits, bloomHashes))
+      }
     pref.join(corpusEx, Seq("sh"))
       .select(col("id_eval"), col("id_doc")).distinct()
       .join(setsE.select(col("id").as("id_eval"), col("shs").as("shs_e"),

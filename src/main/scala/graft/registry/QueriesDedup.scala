@@ -263,6 +263,22 @@ private[graft] object QueriesDedup {
         .orderBy(col("id_eval"), col("id_doc"))
     }),
 
+    // Bloom-prefiltered decontamination — the SAME gate as q220 at a
+    // looser τ, but the corpus gram stream passes a 2^18-bit bloom of
+    // the eval prefix hashes (map-only, literal bitmap) before the
+    // candidate join. A bloom probed with its own build hashes has no
+    // false negatives and the exact verify kills false positives, so
+    // the result must equal the exact gate bit for bit — the oracle IS
+    // the exact containment SQL; any bloom indexing bug = missing rows.
+    "q256_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossContainmentBloom(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.7)
+        .orderBy(col("id_eval"), col("id_doc"))
+    }),
+
     // Crawl snapshot diff: added/removed/changed/unchanged per source
     // between two synthesized snapshots of the corpus (old = ids not
     // divisible by 3; new = even ids, with every 5th doc's text

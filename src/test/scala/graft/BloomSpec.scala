@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Bloom, Dedup}
+import org.apache.spark.sql.functions._
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every inserted key probes true") {
+    // adversarial spread: small ints, negatives, Long extremes
+    val keys = (Seq(Long.MinValue, Long.MaxValue, -1L, 0L, 1L) ++
+      (2L to 500L).map(i => i * 2654435761L)).toDF("k")
+    val bm = Bloom.bitmapFor(keys, "k", mBits = 1 << 12, kHashes = 5)
+    val missed = keys
+      .filter(!Bloom.probe(col("k"), bm, mBits = 1 << 12, kHashes = 5))
+      .count()
+    assert(missed === 0L)
+  }
+
+  test("false-positive rate stays near the sized bound") {
+    val n = 1000
+    val inserted = (0 until n).map(i => i.toLong * 7919L).toDF("k")
+    val bm = Bloom.bitmapFor(inserted, "k", mBits = 1 << 14, kHashes = 5)
+    // disjoint probe population (odd multiples of a different prime)
+    val probes = (0 until 10000).map(i => i.toLong * 104729L + 13L).toDF("k")
+    val fp = probes.filter(Bloom.probe(col("k"), bm, 1 << 14, 5)).count()
+    // m/n ≈ 16.4, k=5 → theoretical FP ≈ 0.9%; allow generous slack
+    assert(fp.toDouble / 10000 < 0.05, s"FP rate ${fp / 100.0}%")
+  }
+
+  test("empty build: all-zero bitmap rejects everything") {
+    val bm = Bloom.bitmapFor(Seq.empty[Long].toDF("k"), "k", 1 << 8, 3)
+    assert(bm.forall(_ == 0L))
+    val any = (1L to 100L).toDF("k")
+      .filter(Bloom.probe(col("k"), bm, 1 << 8, 3)).count()
+    assert(any === 0L)
+  }
+
+  test("crossContainmentBloom equals the exact gate on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalD = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corp = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val exact = Dedup.crossContainment(evalD, corp, "doc_id", "text",
+      shingleN = 3, threshold = 0.7)
+      .orderBy("id_eval", "id_doc").collect().toSeq
+    val bloomed = Dedup.crossContainmentBloom(evalD, corp, "doc_id", "text",
+      shingleN = 3, threshold = 0.7)
+      .orderBy("id_eval", "id_doc").collect().toSeq
+    assert(exact.nonEmpty, "fixture must exercise the gate")
+    assert(bloomed === exact)
+  }
+
+  test("prefilter prunes: non-member gram stream shrinks through the bloom") {
+    // inserted set is sparse relative to the probe stream, so the
+    // surviving fraction must be close to the FP rate — i.e. the
+    // prefilter actually removes almost everything that cannot match
+    val inserted = (0L until 100L).toDF("k")
+    val bm = Bloom.bitmapFor(inserted, "k", 1 << 14, 5)
+    val stream = (0L until 50000L).toDF("k") // 100 members + 49900 non
+    val surviving = stream.filter(Bloom.probe(col("k"), bm, 1 << 14, 5)).count()
+    assert(surviving >= 100L, "members always pass")
+    assert(surviving < 1000L, s"pruning failed: $surviving of 50000 passed")
+  }
+}
