@@ -713,4 +713,65 @@ object Curate {
     * (SPARK_GRAFT_COLD) uses this so q232/q234 pay the full GD training
     * cost, measuring what a first-call production user pays. */
   def clearClassifierMemo(): Unit = wMemo.synchronized(wMemo.clear())
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * doc by how much likelier its hashed-unigram bag is under the
+    * TARGET distribution than under the raw pool's own —
+    * log w(x) = Σ_tokens [ln p̂_target(b(tok)) − ln p̂_raw(b(tok))]
+    * with +1-smoothed bucket probabilities over `buckets` hashed
+    * features. Top-weight docs are the ones that "look like" the
+    * high-quality target corpus.
+    *
+    * Determinism/float discipline (ARCHITECTURE.md table): the two ln
+    * calls happen ONCE PER BUCKET on exact integer counts, and the
+    * per-bucket log-ratio is immediately quantized to integer
+    * micro-units (⌊·1e6⌉). Per-doc scores are then exact LONG sums —
+    * summation-order-independent, bit-reproducible on any partition
+    * layout, and replayable in any engine with the same two-ln
+    * per-bucket recipe. (The paper's Gumbel-noise resampling is
+    * replaced by deterministic top-k under the (units, id) total
+    * order — no RNG anywhere.)
+    *
+    * Scale shape: token streams fold to bucket histograms with
+    * map-side combine (≤ `buckets` rows per side); totals are one-row
+    * aggregates of those dictionary frames; the scored join is raw
+    * tokens × a BROADCAST buckets-sized log-ratio dictionary followed
+    * by ONE id-keyed map-side-combined sum. Nothing shuffles on the
+    * token, nothing is n²; selection composes as TakeOrdered (bounded
+    * k) downstream.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  idCol: String, textCol: String,
+                  buckets: Int = 2048): DataFrame = {
+    require(buckets > 0)
+    val spark = raw.sparkSession
+    val b = lit(buckets.toLong)
+    def bucketed(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(graft.functions.TextFns.tokens(col(textCol))).as("__tk"): _*)
+        .withColumn("__b", pmod(Dedup.portableHash64(col("__tk")), b))
+    val tgtCnt = bucketed(target).groupBy(col("__b")).agg(count(lit(1)).as("__t"))
+    val rawToks = bucketed(raw, col(idCol))
+    val rawCnt = rawToks.groupBy(col("__b")).agg(count(lit(1)).as("__r"))
+    val tgtTot = tgtCnt.agg(sum(col("__t")).as("__tsum"))
+    val rawTot = rawCnt.agg(sum(col("__r")).as("__rsum"))
+    // full bucket dictionary (unseen buckets still carry the smoothed
+    // ratio); ≤ `buckets` rows end to end, totals ride as one-row
+    // broadcast cross joins. coalesce(0) covers empty-side totals too.
+    val dict = spark.range(buckets.toLong).toDF("__b")
+      .join(tgtCnt, Seq("__b"), "left_outer")
+      .join(rawCnt, Seq("__b"), "left_outer")
+      .crossJoin(broadcast(tgtTot))
+      .crossJoin(broadcast(rawTot))
+      .select(col("__b"),
+        round((log((coalesce(col("__t"), lit(0L)) + lit(1L)).cast("double")
+            / (coalesce(col("__tsum"), lit(0L)) + b).cast("double"))
+          - log((coalesce(col("__r"), lit(0L)) + lit(1L)).cast("double")
+            / (coalesce(col("__rsum"), lit(0L)) + b).cast("double"))) * lit(1e6))
+          .cast("long").as("__llr"))
+    rawToks
+      .join(broadcast(dict), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__llr")).as("score_units"))
+  }
 }

@@ -423,6 +423,20 @@ private[graft] object QueriesCurate {
         Curate.gopherGates(col("text")))
         .orderBy(col("source"), col("reason"))),
 
+    // DSIR importance resampling (Xie et al. 2023): weight every doc
+    // by the hashed-unigram log-likelihood ratio of a high-quality
+    // TARGET slice (lang='en') vs the raw pool, then keep the top-40
+    // under a fixed budget — TakeOrdered, never a global sort. Scores
+    // are exact long micro-units (the ln happens once per BUCKET on
+    // integer counts, then quantizes), so ranking is bit-stable.
+    "q257_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curate.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 2048)
+        .orderBy(col("score_units").desc, col("doc_id"))
+        .limit(40)
+    }),
+
     // Classifier WEIGHTS artifact round trip (q253's twin for the
     // quality-classifier family): weights persist as a content-
     // addressed parquet artifact (Models.ensureWeights — the SDS

@@ -130,4 +130,57 @@ class PipelineR12Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  // ---- planted truth: q257 DSIR importance weights --------------------
+
+  test("dsirWeights ranks every target-looking doc above every junk doc " +
+    "(q257 ground-truth twin)") {
+    // target vocabulary is disjoint from the junk vocabulary AND the
+    // target corpus is large enough that each target token is strictly
+    // likelier under the smoothed target distribution than under raw
+    // (raw contains the target-speak docs too — a sparse target corpus
+    // would lose to the +1 smoothing, a self-penalty this fixture's
+    // first draft demonstrated). With that, every target-token
+    // log-ratio is positive and every junk-token one negative, so the
+    // ranking below is knowable on paper (bucket layout checked
+    // disjoint below — collisions only merge counts within a side).
+    val phrase = Array.fill(10)("alpha beta gamma").mkString(" ")
+    val target = Seq((100L, phrase), (101L, phrase))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"),       // pure target-speak
+      (2L, "alpha beta junkone"),     // mixed
+      (3L, "junkone junktwo junque"), // pure junk
+      (4L, "gamma gamma gamma"),      // pure target-speak, repetitive
+      (5L, "junktwo junque junkone junktwo")).toDF("doc_id", "text")
+    // precondition: the two vocabularies occupy disjoint buckets
+    val bucketOf = (t: String) => spark.sql(
+      s"SELECT pmod(cast(conv(substring(md5('$t'), 1, 15), 16, 10) " +
+        "as bigint), 2048)").head().getLong(0)
+    val tgtB = Seq("alpha", "beta", "gamma").map(bucketOf).toSet
+    val junkB = Seq("junkone", "junktwo", "junque").map(bucketOf).toSet
+    assert(tgtB.intersect(junkB).isEmpty, s"fixture collision: $tgtB $junkB")
+
+    val scores = graft.operators.Curate
+      .dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // pure target docs beat the mixed doc, which beats pure junk
+    assert(scores(1L) > scores(2L), scores.toString)
+    assert(scores(4L) > scores(2L), scores.toString)
+    assert(scores(2L) > scores(3L), scores.toString)
+    assert(scores(2L) > scores(5L), scores.toString)
+    // and signs match the disjoint-vocabulary construction
+    assert(scores(1L) > 0 && scores(4L) > 0, scores.toString)
+    assert(scores(3L) < 0 && scores(5L) < 0, scores.toString)
+  }
+
+  test("q256 bloom path plan: corpus gram prune is a literal-bitmap " +
+    "FILTER before any join; no cartesian") {
+    val df = SparkEntry.queries("q256_bloom_decontam")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
