@@ -260,6 +260,30 @@ object Similarity {
         col(idCol).as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Exact L2 top-k — the ground truth under the SAME metric the PQ/IVF
+    * paths rank by (squared euclidean, element-order double fold), so
+    * recall audits compare like with like (cosine ground truth would
+    * charge the index for a metric mismatch, not approximation error).
+    * Same broadcast shape as [[bruteForceTopK]]: the corpus never
+    * shuffles; only nQueries × k survivors reach the top-k window.
+    */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, qIdCol: String, k: Int): DataFrame = {
+    def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      dbl(col(vecCol)).as("__qv"))
+    val scored = corpus.select(col(idCol), dbl(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__d", l2sq(col("__v"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol).as("neighbor_id"), round(col("__d"), 6).as("dist"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query, the
     * k most-similar corpus vectors with a DIFFERENT label — the
     * highest-loss negatives an embedding trainer wants in-batch. Same

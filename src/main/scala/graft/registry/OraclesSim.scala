@@ -450,6 +450,9 @@ private[graft] object OraclesSim {
 
     "q250_ivfpq_trained" -> ivfPqTrainedOracle,
 
+    // recall@5 audit: q250's pruned search vs exact same-metric top-5
+    "q258_ann_recall" -> annRecallOracle,
+
     // q253 serves from the Models parquet artifacts under q250's exact
     // hyperparams — longs and exact doubles round-trip parquet
     // bit-for-bit, so the artifact path must equal the in-session
@@ -494,8 +497,23 @@ private[graft] object OraclesSim {
     * index in one replay.
     */
   private lazy val ivfPqTrainedOracle: String =
-    s"""WITH ${kmeansCtesSql(8, 2)},
-       |${pqTrainedCtesSql(2, 4, 2, 32)},
+    s"""WITH $ivfPqTrainedBody
+       |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
+       |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
+       |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  /** The full q250 replay up to `rk` (per-query ADC ranking),
+    * parameterized on the two search-quality knobs. (q258's recall
+    * audit deliberately does NOT use the PQ path: on this near-uniform
+    * synthetic corpus ADC ties thousands of vectors per code pair and
+    * recall reads 0 at every ksub/nprobe — the IVF-Flat routing audit
+    * is the one that measures something.)
+    */
+  private lazy val ivfPqTrainedBody: String = ivfPqBody(ksub = 4, nprobe = 3)
+
+  private def ivfPqBody(ksub: Int, nprobe: Int): String =
+    s"""${kmeansCtesSql(8, 2)},
+       |${pqTrainedCtesSql(2, ksub, 2, 32)},
        |hv AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -516,7 +534,7 @@ private[graft] object OraclesSim {
        |      CAST(list_sum(list_transform(range(1, len(qy.qu) + 1),
        |        i -> (qy.qu[i] - c.cu[i]) * (qy.qu[i] - c.cu[i])))
        |        AS BIGINT), c.cid) AS rn
-       |  FROM qy, c2 c) WHERE rn <= 3),
+       |  FROM qy, c2 c) WHERE rn <= $nprobe),
        |cand AS MATERIALIZED (SELECT pr.qid, km.vec_id
        |  FROM pr JOIN km USING (cid) WHERE km.vec_id <> pr.qid),
        |q AS (SELECT vec_id AS qid, v AS qv FROM hv WHERE vec_id < 3),
@@ -531,10 +549,48 @@ private[graft] object OraclesSim {
        |    list_sum(list(ds ORDER BY s)) AS d
        |  FROM part GROUP BY qid, vec_id),
        |rk AS (SELECT qid, vec_id, d, row_number() OVER (
-       |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)
-       |SELECT qid AS query_id, CAST(rnk AS INT) AS "rank",
-       |  vec_id AS neighbor_id, round(d, 6) AS approx_dist
-       |FROM rk WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
+       |    PARTITION BY qid ORDER BY d, vec_id) AS rnk FROM dist)""".stripMargin
+
+  /** Recall@5 of the q242 pruned IVF-Flat search against exact brute
+    * cosine (self excluded): the approx side is the q242 replay
+    * verbatim (routing loss only — in-cell cosines are exact), the
+    * exact side ranks all pairs; recall = matched/5 per query.
+    */
+  private lazy val annRecallOracle: String =
+    s"""WITH ${kmeansCtesSql(8, 3)},
+       |qy AS MATERIALIZED (SELECT vec_id AS query_id, u AS qu
+       |  FROM u WHERE vec_id < 3),
+       |pr AS MATERIALIZED (SELECT query_id, cid FROM (
+       |  SELECT qy.query_id, c.cid, row_number() OVER (
+       |      PARTITION BY qy.query_id ORDER BY
+       |      CAST(list_sum(list_transform(range(1, len(qy.qu) + 1),
+       |        i -> (qy.qu[i] - c.cu[i]) * (qy.qu[i] - c.cu[i])))
+       |        AS BIGINT), c.cid) AS rn
+       |  FROM qy, c3 c) WHERE rn <= 3),
+       |cand AS MATERIALIZED (SELECT pr.query_id, km.vec_id
+       |  FROM pr JOIN km USING (cid) WHERE km.vec_id <> pr.query_id),
+       |scored AS (SELECT cand.query_id, cand.vec_id,
+       |    ${cosineSql("eb.embedding", "ea.embedding")} AS cosine
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.query_id
+       |    JOIN embeddings eb ON eb.vec_id = cand.vec_id),
+       |ap AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+       |    FROM scored) WHERE rnk <= 5),
+       |exs AS (SELECT q.vec_id AS query_id, e.vec_id,
+       |    ${cosineSql("e.embedding", "q.embedding")} AS cosine
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM exs) WHERE rn <= 5)
+       |SELECT ex.query_id,
+       |  CAST(count(ap.vec_id) AS BIGINT) AS hits,
+       |  round(count(ap.vec_id) / 5.0, 6) AS recall
+       |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+       |  AND ex.vec_id = ap.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Per-subspace trained-PQ replay (q249): for each of the m
     * subspaces, quantize the SUBVECTOR slice to integer units and run

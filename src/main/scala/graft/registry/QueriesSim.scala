@@ -254,6 +254,33 @@ private[graft] object QueriesSim {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN recall@5 audit — the go/no-go gauge every index deploy runs
+    // BEFORE scaling: how much of the exact top-5 does the PRUNED
+    // search recover per query. The approx side is q242's trained
+    // IVF-Flat verbatim (exact in-cell cosines — the loss measured is
+    // ROUTING loss, the nprobe knob; a PQ-coded approx side on this
+    // near-uniform synthetic corpus ties thousands of vectors per code
+    // and reads recall 0 at every setting, auditing nothing). Exact
+    // side = brute cosine with self excluded. hits/recall are
+    // deterministic — both sides rank total (metric, id) orders.
+    "q258_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+      val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val approx = Similarity.ivfTrainedTopK(emb, qs, "vec_id",
+          "embedding", "vec_id", k = 5, model, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+          "vec_id", 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+        .withColumn("recall", round(col("hits") / lit(5.0), 6))
+        .orderBy(col("query_id"))
+    }),
+
     // Cross-split SEMANTIC leakage (embedding-space complement of the
     // q220 n-gram decontamination gate): eval = every 5th vector,
     // train = the rest; per eval row, the count/worst of train rows at

@@ -175,6 +175,38 @@ class PipelineR12Spec extends SparkSpec {
     assert(scores(3L) < 0 && scores(5L) < 0, scores.toString)
   }
 
+  // ---- planted truth: ANN recall audit pieces -------------------------
+
+  test("bruteForceTopKL2 recovers planted nearest neighbors in metric " +
+    "order with self excluded") {
+    // axis-aligned points: L2 distances knowable on paper
+    def v(x: Double): Array[Float] = Array(x.toFloat, 0f, 0f)
+    val corpus = Seq((0L, v(0.0)), (1L, v(1.0)), (2L, v(3.0)),
+      (3L, v(6.0)), (4L, v(10.0))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopKL2(corpus,
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        "vec_id", 3)
+      .orderBy("rank")
+      .select("neighbor_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 1.0), (2L, 9.0), (3L, 36.0)))
+  }
+
+  test("q258 recall audit: full-probe IVF-Flat has recall 1 by " +
+    "construction (routing loss is the ONLY loss)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+    val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val approx = Similarity.ivfTrainedTopK(emb, qs, "vec_id", "embedding",
+        "vec_id", k = 5, model, nprobe = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+        "vec_id", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    assert(exact.exceptAll(approx).count() === 0L,
+      "full probe must equal brute force")
+  }
+
   test("q256 bloom path plan: corpus gram prune is a literal-bitmap " +
     "FILTER before any join; no cartesian") {
     val df = SparkEntry.queries("q256_bloom_decontam")(spark, sf)
