@@ -238,6 +238,59 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** The BLOCKING stage of [[simhashPairs]] alone — every distinct
+    * banded-collision pair, with NO hamming cut. This is what an LSH
+    * recall audit must measure: the verify stage downstream is exact,
+    * so any pair the bands miss is lost forever, and the band/width
+    * geometry is the knob. (id_a, id_b), id_a < id_b.
+    */
+  def simhashBandCandidates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3,
+                            hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31] for a 64-bit simhash, got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sh = simhashDf(docs, idCol, textCol, "sh", hashFn)
+    val banded = sh.select(col(idCol), posexplode(array(
+      (0 until nBands).map { b =>
+        val w = if (b == nBands - 1) 64 - b * width else width
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        call_function("shiftright", col("sh"), lit(b * width)).bitwiseAND(lit(mask))
+      }: _*)))
+      .toDF(idCol, "band", "bandval")
+    banded.toDF("id_a", "band", "bandval")
+      .join(banded.toDF("id_b", "band", "bandval"), Seq("band", "bandval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** LSH S-curve audit: recall of the SimHash banded blocking per
+    * true-jaccard bin — the published capture-probability curve of any
+    * banding scheme, measured on the corpus itself instead of assumed.
+    * Exact pairs (PPJoin, complete at `tauFloor`) are binned by
+    * ⌊10·J⌋ and left-joined against the band candidates; a bin's
+    * recall < 1 quantifies exactly what the geometry loses there —
+    * the go/no-go readout before trusting a banding config at 100 TB.
+    * Scale shape: both sides are the existing banded/prefix-filtered
+    * pipelines (never n²); the join keys on the pair ids; the output
+    * is ≤ 10 rows.
+    */
+  def lshSCurve(docs: DataFrame, idCol: String, textCol: String,
+                shingleN: Int = 3, tauFloor: Double = 0.3,
+                maxHamming: Int = 3,
+                hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, shingleN, tauFloor)
+    val cand = simhashBandCandidates(docs, idCol, textCol, maxHamming, hashFn)
+      .withColumn("__c", lit(1L))
+    pairs.join(cand, Seq("id_a", "id_b"), "left_outer")
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("j_bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_caught"))
+      .withColumn("recall",
+        round(col("n_caught").cast("double") / col("n_pairs"), 6))
+  }
+
   /** 64-bit SimHash over word tokens: per-bit signed vote of token
     * hashes. Dispatches to the codegen'd `rip_simhash` expression
     * (plans.RipSimhash) — one pass over the tokens instead of the

@@ -386,6 +386,27 @@ private[graft] object OraclesDedup {
         |WHERE CAST(co AS DOUBLE) / se.sz >= 0.8
         |ORDER BY id_eval, id_doc""".stripMargin,
 
+    // S-curve mirror: q47's banded-simhash candidate CTE (portable md5
+    // simhash, 4×16-bit bands) left-joined under the exact τ=0.3
+    // jaccard pair set, binned by ⌊10·J⌋
+    "q259_lsh_scurve" ->
+      s"""$simhashCte,
+         |b AS (SELECT doc_id, (simhash >> (16 * band)) & 65535 AS bandval,
+         |    band
+         |  FROM sig, range(4) t(band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b a JOIN b b2 ON a.band = b2.band
+         |    AND a.bandval = b2.bandval AND a.doc_id < b2.doc_id),
+         |${jaccardBody("0.3")}
+         |SELECT CAST(floor(jaccard * 10) AS INT) AS j_bin,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_caught,
+         |  round(CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0
+         |    END) AS DOUBLE) / count(*), 6) AS recall
+         |FROM jpairs LEFT JOIN cand USING (id_a, id_b)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // bloom-prefiltered gate ground truth = the EXACT containment gate
     // at τ=0.7 (no bloom on the oracle side — no-false-negative build/
     // probe symmetry plus the exact verify make the engine's bloom

@@ -263,6 +263,17 @@ private[graft] object QueriesDedup {
         .orderBy(col("id_eval"), col("id_doc"))
     }),
 
+    // LSH S-curve audit: per true-jaccard bin, how much of the exact
+    // pair set (PPJoin at τ=0.3) the SimHash banding (4×16-bit bands,
+    // portable hashes) actually captures — the measured capture curve
+    // of the blocking geometry, not the assumed one. recall < 1 in a
+    // bin = what that banding config loses there.
+    "q259_lsh_scurve" -> ((s, dir) =>
+      Dedup.lshSCurve(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, tauFloor = 0.3, maxHamming = 3,
+        hashFn = Dedup.portableHash64)
+        .orderBy(col("j_bin"))),
+
     // Bloom-prefiltered decontamination — the SAME gate as q220 at a
     // looser τ, but the corpus gram stream passes a 2^18-bit bloom of
     // the eval prefix hashes (map-only, literal bitmap) before the

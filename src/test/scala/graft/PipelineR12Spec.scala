@@ -207,6 +207,42 @@ class PipelineR12Spec extends SparkSpec {
       "full probe must equal brute force")
   }
 
+  // ---- q259 LSH S-curve pieces ----------------------------------------
+
+  test("simhashBandCandidates is a superset of simhashPairs' survivors " +
+    "and catches hamming<=maxHamming pairs completely (pigeonhole)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120)
+    val cand = Dedup.simhashBandCandidates(docs, "doc_id", "text",
+      maxHamming = 3, hashFn = Dedup.portableHash64)
+    val within = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, hashFn = Dedup.portableHash64)
+      .select("id_a", "id_b")
+    assert(within.exceptAll(cand.select("id_a", "id_b")).count() === 0L)
+    // identical texts (hamming 0) are always candidates: clone a doc
+    val pair = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val got = Dedup.simhashBandCandidates(pair, "doc_id", "text",
+        maxHamming = 3, hashFn = Dedup.portableHash64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("lshSCurve: an identical-clone pair lands in the top bin with " +
+    "recall 1 there") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // J = 1.0 with doc 1
+      (3L, "one two three four five six seven"),
+      (4L, "unrelated text goes here okay then")).toDF("doc_id", "text")
+    val out = Dedup.lshSCurve(docs, "doc_id", "text", shingleN = 3,
+        tauFloor = 0.3, maxHamming = 3, hashFn = Dedup.portableHash64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    // the clone pair: J=1.0 → bin 10, caught (identical simhash)
+    assert(out.contains((10, 1L, 1L)), out.toString)
+  }
+
   test("q256 bloom path plan: corpus gram prune is a literal-bitmap " +
     "FILTER before any join; no cartesian") {
     val df = SparkEntry.queries("q256_bloom_decontam")(spark, sf)
