@@ -622,7 +622,36 @@ object StreamOps {
   def streamingDecontamination(docs: DataFrame, evalDocs: DataFrame,
                                idCol: String, textCol: String,
                                shingleN: Int = 3,
-                               threshold: Double = 0.8): DataFrame = {
+                               threshold: Double = 0.8): DataFrame =
+    streamingDecontaminationImpl(docs, evalDocs, idCol, textCol, shingleN,
+      threshold, bloomBits = 0, bloomHashes = 0)
+
+  /** [[streamingDecontamination]] with the q256 Bloom fast path: the
+    * eval PREFIX shingles (pigeonhole over each sorted distinct set —
+    * a ≥τ-containing doc must share at least one) build a literal
+    * bitmap, and each arriving doc pays the full eval-set intersection
+    * fold ONLY if `exists(shingle hits bloom)`. Clean traffic — the
+    * overwhelming majority at ingest — exits after k bit tests per
+    * shingle instead of |eval| array intersections. No false negatives
+    * by construction, so output ≡ [[streamingDecontamination]]
+    * (StreamingSpec asserts it); still stateless, map-only, no
+    * watermark, no shuffle.
+    */
+  def streamingBloomDecontamination(docs: DataFrame, evalDocs: DataFrame,
+                                    idCol: String, textCol: String,
+                                    shingleN: Int = 3,
+                                    threshold: Double = 0.8,
+                                    mBits: Int = 1 << 18,
+                                    kHashes: Int = 5): DataFrame =
+    streamingDecontaminationImpl(docs, evalDocs, idCol, textCol, shingleN,
+      threshold, mBits, kHashes)
+
+  private def streamingDecontaminationImpl(docs: DataFrame,
+                                           evalDocs: DataFrame,
+                                           idCol: String, textCol: String,
+                                           shingleN: Int, threshold: Double,
+                                           bloomBits: Int,
+                                           bloomHashes: Int): DataFrame = {
     def shsOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       sort_array(array_distinct(transform(
         graft.functions.TextFns.wordShingles(text, shingleN),
@@ -652,8 +681,25 @@ object StreamOps {
         (size(array_intersect(e.getField("_2"), col("__shs")))
           .cast("double") / size(e.getField("_2"))).as("c"))),
       h => h.getField("c") >= threshold)
-    docs
-      .withColumn("__shs", shsOf(col(textCol)))
+    val shingled = docs.withColumn("__shs", shsOf(col(textCol)))
+    val gated =
+      if (bloomBits <= 0) shingled
+      else {
+        // prefix per eval set (sorted distinct order — pigeonhole is
+        // order-agnostic): the first sz − ⌈τ·sz⌉ + 1 shingles
+        val prefixes = evalRows.toSeq.flatMap { r =>
+          val shs = r.getSeq[Long](1)
+          val plen = (shs.size - math.ceil(shs.size * threshold) + 1).toInt
+          shs.take(math.max(plen, 1))
+        }
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val bitmap = graft.operators.Bloom.bitmapFor(
+          prefixes.toDF("k"), "k", bloomBits, bloomHashes)
+        shingled.filter(exists(col("__shs"),
+          sh => graft.operators.Bloom.probe(sh, bitmap, bloomBits, bloomHashes)))
+      }
+    gated
       .withColumn("__hit", explode(hits))
       .select(col(idCol), col("__hit.id_eval").as("id_eval"),
         round(col("__hit.c"), 6).as("containment"))

@@ -697,6 +697,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming BLOOM decontamination gate equals the unfiltered " +
+    "streaming gate (no false negatives; clean rows exit at the bloom)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (200L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> "prefix words alpha beta gamma delta epsilon zeta suffix here",
+      2L -> "one two three four nine ten eleven twelve",
+      3L -> "entirely unrelated content in this row",
+      4L -> "x one two three four five six seven y z",
+      5L -> "more clean traffic that must die at the bloom cheaply"
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingBloomDecontamination(
+      mem.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .writeStream.format("memory").queryName("tws_decon_bloom")
+      .outputMode("append").start()
+    mem.addData(corpus: _*); q.processAllAvailable(); q.stop()
+    val got = spark.sql(
+      "SELECT doc_id, id_eval, containment FROM tws_decon_bloom")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = graft.operators.Dedup.crossContainment(
+      evalDocs, corpus.toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._2, r._1, r._3)).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("streaming decontamination keeps non-numeric ids intact " +
     "(id-type-agnostic like the batch gate)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
