@@ -1175,10 +1175,40 @@ object Dedup {
     crossContainmentImpl(evalDocs, corpus, idCol, textCol, shingleN,
       threshold, mBits, kHashes)
 
+  /** [[crossContainmentBloom]] under a PRE-BUILT bitmap (the
+    * `Models.ensureBloom` artifact): the gate's serve half for the
+    * build-once / gate-many-crawls job split — a fresh session probes
+    * the persisted filter without re-shingling the eval suite. The
+    * bitmap must come from [[evalPrefixHashes]] of the SAME (eval
+    * corpus, shingleN, threshold) — content-addressing in Models makes
+    * a stale one unservable.
+    */
+  def crossContainmentBloomWith(evalDocs: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                bitmap: Array[Long],
+                                shingleN: Int = 3,
+                                threshold: Double = 0.8,
+                                kHashes: Int = 5): DataFrame =
+    crossContainmentImpl(evalDocs, corpus, idCol, textCol, shingleN,
+      threshold, bitmap.length * 64, kHashes, Some(bitmap))
+
+  /** The eval suite's pigeonhole prefix-hash stream (one `sh` column)
+    * — the exact insert set of the q256 bloom; exposed so the bitmap
+    * can be built/persisted (Models.ensureBloom) apart from the gate.
+    */
+  def evalPrefixHashes(evalDocs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3,
+                       threshold: Double = 0.8): DataFrame =
+    shingleSets(evalDocs, idCol, textCol, shingleN)
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+      .select(explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+
   private def crossContainmentImpl(evalDocs: DataFrame, corpus: DataFrame,
                                    idCol: String, textCol: String,
                                    shingleN: Int, threshold: Double,
-                                   bloomBits: Int, bloomHashes: Int): DataFrame = {
+                                   bloomBits: Int, bloomHashes: Int,
+                                   prebuilt: Option[Array[Long]] = None): DataFrame = {
     val setsE = shingleSets(evalDocs, idCol, textCol, shingleN)
     val setsC = shingleSets(corpus, idCol, textCol, shingleN)
     val pref = setsE.withColumn("plen",
@@ -1190,8 +1220,8 @@ object Dedup {
     val corpusEx =
       if (bloomBits <= 0) corpusAll
       else {
-        val bitmap = Bloom.bitmapFor(pref.select(col("sh")), "sh",
-          bloomBits, bloomHashes)
+        val bitmap = prebuilt.getOrElse(Bloom.bitmapFor(
+          pref.select(col("sh")), "sh", bloomBits, bloomHashes))
         corpusAll.filter(Bloom.probe(col("sh"), bitmap, bloomBits, bloomHashes))
       }
     pref.join(corpusEx, Seq("sh"))

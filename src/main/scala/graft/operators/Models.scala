@@ -169,6 +169,46 @@ object Models {
     }
   }
 
+  // ---- decontamination bloom bitmap (exact long words) ----------------
+
+  def writeBloom(spark: SparkSession, path: String,
+                 bitmap: Array[Long]): Unit = {
+    import spark.implicits._
+    writeRows(bitmap.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("idx", "word"), path)
+  }
+
+  def readBloom(spark: SparkSession, path: String): Option[Array[Long]] =
+    readRows(spark, path).map(_.map(_.getLong(1)))
+
+  /** Serve-or-build for the q256 decontamination bloom: the bitmap is
+    * a trained artifact like any other model — built once from the
+    * eval suite's prefix-hash stream, then probed by every crawl gate
+    * (the build-once / gate-many split; a benchmark suite changes
+    * rarely, crawls arrive daily). Bit words are exact longs → parquet
+    * round-trips the filter bit-for-bit, so an artifact-served gate's
+    * result set is IDENTICAL to the in-session one (and both equal the
+    * exact gate, q256's contract). `threshold` keys the path via its
+    * 1e6-unit form — the prefix length depends on it.
+    */
+  def ensureBloom(evalDocs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, threshold: Double = 0.8,
+                  mBits: Int = 1 << 18, kHashes: Int = 5,
+                  dir: String = defaultDir): Array[Long] = {
+    val spark = evalDocs.sparkSession
+    val fp = contentFingerprint(evalDocs.select(col(idCol), col(textCol)))
+    val tkey = math.round(threshold * 1e6)
+    val path = s"$dir/bloom_n${shingleN}_t${tkey}_m${mBits}_k${kHashes}_$fp"
+    readBloom(spark, path).getOrElse {
+      trains += 1
+      val bm = Bloom.bitmapFor(
+        Dedup.evalPrefixHashes(evalDocs, idCol, textCol, shingleN, threshold),
+        "sh", mBits, kHashes)
+      writeBloom(spark, path, bm)
+      bm
+    }
+  }
+
   // ---- classifier weights (integer micro-units) -----------------------
 
   def writeWeights(spark: SparkSession, path: String,

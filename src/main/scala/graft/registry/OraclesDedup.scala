@@ -411,27 +411,11 @@ private[graft] object OraclesDedup {
     // at τ=0.7 (no bloom on the oracle side — no-false-negative build/
     // probe symmetry plus the exact verify make the engine's bloom
     // path an identity on the result set)
-    "q256_bloom_decontam" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
-        |    THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |co AS (SELECT e.doc_id AS id_eval, c.doc_id AS id_doc,
-        |    count(*) AS co
-        |  FROM sh e JOIN sh c ON e.s = c.s
-        |  WHERE e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
-        |  GROUP BY 1, 2)
-        |SELECT id_eval, id_doc,
-        |  round(CAST(co AS DOUBLE) / se.sz, 6) AS containment
-        |FROM co JOIN sizes se ON co.id_eval = se.doc_id
-        |WHERE CAST(co AS DOUBLE) / se.sz >= 0.7
-        |ORDER BY id_eval, id_doc""".stripMargin,
+    "q256_bloom_decontam" -> bloomGateOracle,
+
+    // artifact-served bloom gate: same params, same exact ground truth
+    // — the persisted bitmap must change nothing
+    "q260_bloom_artifact" -> bloomGateOracle,
 
     // per-doc dup-degree over the exact τ=0.5 pair set — the engine
     // side reads it from the bucketed artifact, which must equal
@@ -475,4 +459,30 @@ private[graft] object OraclesDedup {
         |    AS n_unchanged
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Exact τ=0.7 containment over the %10 eval slice — ground truth
+    * shared by q256 (in-session bloom) and q260 (artifact-served
+    * bloom): both bloom paths are result-set identities on it.
+    */
+  private lazy val bloomGateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
+      |    THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |co AS (SELECT e.doc_id AS id_eval, c.doc_id AS id_doc,
+      |    count(*) AS co
+      |  FROM sh e JOIN sh c ON e.s = c.s
+      |  WHERE e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+      |  GROUP BY 1, 2)
+      |SELECT id_eval, id_doc,
+      |  round(CAST(co AS DOUBLE) / se.sz, 6) AS containment
+      |FROM co JOIN sizes se ON co.id_eval = se.doc_id
+      |WHERE CAST(co AS DOUBLE) / se.sz >= 0.7
+      |ORDER BY id_eval, id_doc""".stripMargin
 }

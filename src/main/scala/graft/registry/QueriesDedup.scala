@@ -290,6 +290,26 @@ private[graft] object QueriesDedup {
         .orderBy(col("id_eval"), col("id_doc"))
     }),
 
+    // Bloom-bitmap ARTIFACT round trip (the q253/q254/q255 contract
+    // applied to the decontamination gate): the eval suite's bloom
+    // persists as a content-addressed parquet artifact
+    // (Models.ensureBloom — built once per suite, probed by every
+    // crawl), and the gate runs under the ARTIFACT bitmap via the
+    // serve-only crossContainmentBloomWith. Params match q256 exactly,
+    // so the artifact path must reproduce q256's exact-gate result bit
+    // for bit (same oracle); a fresh session pays one 32 KiB parquet
+    // read instead of re-shingling the suite.
+    "q260_bloom_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalD = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val bm = Models.ensureBloom(evalD, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      Dedup.crossContainmentBloomWith(evalD,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", bm, shingleN = 3, threshold = 0.7)
+        .orderBy(col("id_eval"), col("id_doc"))
+    }),
+
     // Crawl snapshot diff: added/removed/changed/unchanged per source
     // between two synthesized snapshots of the corpus (old = ids not
     // divisible by 3; new = even ids, with every 5th doc's text

@@ -139,6 +139,46 @@ class ModelsSpec extends SparkSpec {
     assert(m === direct)
   }
 
+  test("bloom bitmap artifact: fresh session gates identically without " +
+    "re-shingling the eval suite; fingerprint keys on suite content") {
+    val dir = tmpStore()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalD = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corp = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val t0 = Models.trains
+    val bm = Models.ensureBloom(evalD, "doc_id", "text",
+      shingleN = 3, threshold = 0.7, dir = dir)
+    assert(Models.trains === t0 + 1, "first ensure must build")
+    val gated0 = graft.operators.Dedup.crossContainmentBloomWith(
+      evalD, corp, "doc_id", "text", bm, shingleN = 3, threshold = 0.7)
+      .orderBy("id_eval", "id_doc").collect().toSeq
+
+    val s2 = spark.newSession()
+    val docs2 = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalD2 = docs2.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val t1 = Models.trains
+    val bm2 = Models.ensureBloom(evalD2, "doc_id", "text",
+      shingleN = 3, threshold = 0.7, dir = dir)
+    assert(Models.trains === t1, "serve session must NOT rebuild")
+    assert(bm2.toSeq === bm.toSeq, "bit words must round-trip exactly")
+    val gated2 = graft.operators.Dedup.crossContainmentBloomWith(
+      evalD2, docs2.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      "doc_id", "text", bm2, shingleN = 3, threshold = 0.7)
+      .orderBy("id_eval", "id_doc").collect().toSeq
+    assert(gated0.nonEmpty && gated2 === gated0)
+    // and the artifact gate equals the exact gate (the q256 contract)
+    val exact = graft.operators.Dedup.crossContainment(
+      evalD, corp, "doc_id", "text", shingleN = 3, threshold = 0.7)
+      .orderBy("id_eval", "id_doc").collect().toSeq
+    assert(gated0 === exact)
+    // a different suite content → a different artifact path → rebuild
+    val t2 = Models.trains
+    Models.ensureBloom(evalD.withColumn("text",
+      concat(col("text"), lit(" tampered"))), "doc_id", "text",
+      shingleN = 3, threshold = 0.7, dir = dir)
+    assert(Models.trains === t2 + 1, "changed suite must rebuild")
+  }
+
   test("a partial write (no _SUCCESS) reads as absent and rebuilds") {
     val dir = tmpStore()
     val a = corpus(spark)
