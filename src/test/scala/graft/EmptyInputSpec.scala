@@ -164,4 +164,35 @@ class EmptyInputSpec extends SparkSpec {
       dir = dir).isEmpty)
     Dedup.clearDedupCaches()
   }
+
+  test("round-12 bloom / DSIR / recall audits on empty frames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdl-b").toString
+    // empty eval suite → all-zero artifact bitmap → gate passes nothing
+    val bm = Models.ensureBloom(emptyDocs, "doc_id", "text",
+      shingleN = 3, threshold = 0.7, mBits = 1 << 10, dir = dir)
+    assert(bm.length === (1 << 10) / 64 && bm.forall(_ == 0L))
+    val docs = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
+    assert(Dedup.crossContainmentBloomWith(emptyDocs, docs, "doc_id",
+      "text", bm, shingleN = 3, threshold = 0.7).count() === 0)
+    assert(Dedup.crossContainmentBloom(emptyDocs, docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.7).count() === 0)
+    // empty corpus through the bloom gate
+    assert(Dedup.crossContainmentBloom(docs, emptyDocs, "doc_id", "text",
+      shingleN = 3, threshold = 0.7).count() === 0)
+    // DSIR: empty raw → empty scores; empty target still scores raw
+    // (pure smoothing — every bucket gets the same prior) without a throw
+    assert(Curate.dsirWeights(emptyDocs, docs, "doc_id", "text")
+      .count() === 0)
+    assert(Curate.dsirWeights(docs, emptyDocs, "doc_id", "text")
+      .count() === 1)
+    // recall audits: empty query set → empty, schema intact
+    val eE = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val b = Similarity.bruteForceTopKL2(eE, eE, "vec_id", "embedding",
+      "vec_id", 3)
+    assert(b.count() === 0 && b.columns.toSeq ===
+      Seq("query_id", "rank", "neighbor_id", "dist"))
+    // S-curve on an empty corpus: no pairs, no bins
+    assert(Dedup.lshSCurve(emptyDocs, "doc_id", "text").count() === 0)
+    Dedup.clearDedupCaches()
+  }
 }
