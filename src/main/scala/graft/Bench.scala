@@ -299,7 +299,7 @@ object Bench {
       "q234_classifier_gate", "q237_kmeans", "q238_cluster_balanced_sample",
       "q239_semdedup_kmeans", "q242_ivf_trained", "q250_ivfpq_trained",
       "q253_model_artifact", "q254_classifier_artifact",
-      "q255_bpe_artifact", "q260_bloom_artifact")
+      "q255_bpe_artifact", "q260_bloom_artifact", "q261_dsir_artifact")
     val coldAll = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     def coldReset(): Unit = {
       operators.Dedup.clearDedupCaches()

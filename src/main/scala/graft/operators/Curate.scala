@@ -744,21 +744,39 @@ object Curate {
   def dsirWeights(raw: DataFrame, target: DataFrame,
                   idCol: String, textCol: String,
                   buckets: Int = 2048): DataFrame = {
+    val b = lit(buckets.toLong)
+    val rawToks = raw
+      .select(col(idCol),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("__tk"))
+      .withColumn("__b", pmod(Dedup.portableHash64(col("__tk")), b))
+    rawToks
+      .join(broadcast(dsirDictDf(raw, target, idCol, textCol, buckets)),
+        Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__llr")).as("score_units"))
+  }
+
+  /** The (bucket, llr-units) dictionary behind [[dsirWeights]]:
+    * ≤ `buckets` rows end to end — bucket histograms fold map-side,
+    * totals ride as one-row broadcast cross joins, and the unseen
+    * buckets still carry the smoothed ratio (coalesce(0) also covers
+    * empty-side totals).
+    */
+  private def dsirDictDf(raw: DataFrame, target: DataFrame,
+                         idCol: String, textCol: String,
+                         buckets: Int): DataFrame = {
     require(buckets > 0)
     val spark = raw.sparkSession
     val b = lit(buckets.toLong)
-    def bucketed(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(graft.functions.TextFns.tokens(col(textCol))).as("__tk"): _*)
+    def bucketCounts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(graft.functions.TextFns.tokens(col(textCol))).as("__tk"))
         .withColumn("__b", pmod(Dedup.portableHash64(col("__tk")), b))
-    val tgtCnt = bucketed(target).groupBy(col("__b")).agg(count(lit(1)).as("__t"))
-    val rawToks = bucketed(raw, col(idCol))
-    val rawCnt = rawToks.groupBy(col("__b")).agg(count(lit(1)).as("__r"))
+        .groupBy(col("__b")).agg(count(lit(1)).as(out))
+    val tgtCnt = bucketCounts(target, "__t")
+    val rawCnt = bucketCounts(raw, "__r")
     val tgtTot = tgtCnt.agg(sum(col("__t")).as("__tsum"))
     val rawTot = rawCnt.agg(sum(col("__r")).as("__rsum"))
-    // full bucket dictionary (unseen buckets still carry the smoothed
-    // ratio); ≤ `buckets` rows end to end, totals ride as one-row
-    // broadcast cross joins. coalesce(0) covers empty-side totals too.
-    val dict = spark.range(buckets.toLong).toDF("__b")
+    spark.range(buckets.toLong).toDF("__b")
       .join(tgtCnt, Seq("__b"), "left_outer")
       .join(rawCnt, Seq("__b"), "left_outer")
       .crossJoin(broadcast(tgtTot))
@@ -769,9 +787,39 @@ object Curate {
           - log((coalesce(col("__r"), lit(0L)) + lit(1L)).cast("double")
             / (coalesce(col("__rsum"), lit(0L)) + b).cast("double"))) * lit(1e6))
           .cast("long").as("__llr"))
-    rawToks
-      .join(broadcast(dict), Seq("__b"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__llr")).as("score_units"))
+  }
+
+  /** The DSIR dictionary as a plain buckets-sized long array — the
+    * model-as-literal contract (centroids/codebooks/weights), for
+    * persistence (Models.ensureLlrDict) and literal serving. */
+  def dsirLlrDict(raw: DataFrame, target: DataFrame,
+                  idCol: String, textCol: String,
+                  buckets: Int = 2048): Array[Long] = {
+    val arr = new Array[Long](buckets)
+    dsirDictDf(raw, target, idCol, textCol, buckets).collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** DSIR scoring under a FIXED dictionary — the serve half of
+    * [[dsirWeights]] for the train-once / score-every-crawl split. The
+    * dictionary rides as ONE literal array and the whole score is a
+    * single `aggregate` fold over the token array: map-only, zero
+    * shuffle, no state — identical units to the training pool's
+    * join-based path (exact long arithmetic both ways), and safe on a
+    * STREAMING frame as-is (stateless projection; the streaming twin
+    * needs no separate operator).
+    */
+  def dsirScoreWith(docs: DataFrame, idCol: String, textCol: String,
+                    llr: Array[Long],
+                    out: String = "score_units"): DataFrame = {
+    require(llr.nonEmpty)
+    val dict = typedlit(llr.toSeq)
+    val b = lit(llr.length.toLong)
+    val score = aggregate(
+      graft.functions.TextFns.tokens(col(textCol)), lit(0L),
+      (acc, t) => acc + element_at(dict,
+        (pmod(Dedup.portableHash64(t), b) + 1).cast("int")))
+    docs.select(col(idCol), score.as(out))
   }
 }

@@ -209,6 +209,28 @@ object Models {
     }
   }
 
+  // ---- DSIR log-ratio dictionary (integer micro-units) ----------------
+
+  /** Serve-or-train for the q257 DSIR dictionary: the per-bucket
+    * log-ratio units persist once per (raw pool, target suite) pair —
+    * both participate in the path (the weights are a joint function of
+    * the two distributions), so refreshing EITHER side retrains. The
+    * artifact reuses the generic (idx, unit) long layout. */
+  def ensureLlrDict(raw: DataFrame, target: DataFrame,
+                    idCol: String, textCol: String, buckets: Int = 2048,
+                    dir: String = defaultDir): Array[Long] = {
+    val spark = raw.sparkSession
+    val fpR = contentFingerprint(raw.select(col(idCol), col(textCol)))
+    val fpT = contentFingerprint(target.select(col(idCol), col(textCol)))
+    val path = s"$dir/dsir_b${buckets}_r${fpR}_t$fpT"
+    readWeights(spark, path).getOrElse {
+      trains += 1
+      val d = Curate.dsirLlrDict(raw, target, idCol, textCol, buckets)
+      writeWeights(spark, path, d)
+      d
+    }
+  }
+
   // ---- classifier weights (integer micro-units) -----------------------
 
   def writeWeights(spark: SparkSession, path: String,

@@ -713,28 +713,11 @@ private[graft] object OraclesCurate {
     // on exact integer counts, identical double division order as the
     // engine), exact long per-doc sums, top-40 under the (units, id)
     // total order
-    "q257_dsir_select" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
-         |    '\\s+')) AS tk FROM documents),
-         |tb AS (SELECT doc_id, ${OracleSqlHelpers.hash60Sql("tk")} % 2048
-         |  AS b FROM toks),
-         |tgt AS (SELECT b, count(*) AS t FROM tb
-         |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
-         |rawc AS (SELECT b, count(*) AS r FROM tb GROUP BY 1),
-         |tot AS (SELECT (SELECT sum(t) FROM tgt) AS tt,
-         |  (SELECT sum(r) FROM rawc) AS rt),
-         |dict AS (SELECT j AS b,
-         |    CAST(round((ln(CAST(coalesce(t, 0) + 1 AS DOUBLE)
-         |        / CAST(tt + 2048 AS DOUBLE))
-         |      - ln(CAST(coalesce(r, 0) + 1 AS DOUBLE)
-         |        / CAST(rt + 2048 AS DOUBLE))) * 1e6) AS BIGINT) AS llr
-         |  FROM (SELECT unnest(range(2048)) AS j)
-         |  LEFT JOIN tgt ON j = tgt.b
-         |  LEFT JOIN rawc ON j = rawc.b, tot)
-         |SELECT doc_id, CAST(sum(llr) AS BIGINT) AS score_units
-         |FROM tb JOIN dict USING (b) GROUP BY 1
-         |ORDER BY score_units DESC, doc_id LIMIT 40""".stripMargin,
+    "q257_dsir_select" -> dsirOracle,
+
+    // artifact-served DSIR: same pools, same dictionary recipe — the
+    // persisted units and the literal-fold scorer must change nothing
+    "q261_dsir_artifact" -> dsirOracle,
 
     "q244_gopher_rules" ->
       """WITH s AS (SELECT source, text,
@@ -773,6 +756,37 @@ private[graft] object OraclesCurate {
     * clamp (no exp → no libm divergence), mod-adjusted floor-quotient
     * weight updates — see classifierTrainCtesSql.
     */
+  /** DSIR mirror shared by q257 (trained, join-based) and q261
+    * (artifact-served literal fold): hashed-unigram bucket histograms
+    * for target (lang 'en') and raw pools, +1-smoothed per-bucket
+    * log-ratio quantized to integer micro-units (the ONLY ln sites —
+    * one pair per bucket on exact integer counts, identical double
+    * division order as the engine), exact long per-doc sums, top-40
+    * under the (units, id) total order.
+    */
+  private lazy val dsirOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+       |    '\\s+')) AS tk FROM documents),
+       |tb AS (SELECT doc_id, ${OracleSqlHelpers.hash60Sql("tk")} % 2048
+       |  AS b FROM toks),
+       |tgt AS (SELECT b, count(*) AS t FROM tb
+       |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+       |rawc AS (SELECT b, count(*) AS r FROM tb GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(t) FROM tgt) AS tt,
+       |  (SELECT sum(r) FROM rawc) AS rt),
+       |dict AS (SELECT j AS b,
+       |    CAST(round((ln(CAST(coalesce(t, 0) + 1 AS DOUBLE)
+       |        / CAST(tt + 2048 AS DOUBLE))
+       |      - ln(CAST(coalesce(r, 0) + 1 AS DOUBLE)
+       |        / CAST(rt + 2048 AS DOUBLE))) * 1e6) AS BIGINT) AS llr
+       |  FROM (SELECT unnest(range(2048)) AS j)
+       |  LEFT JOIN tgt ON j = tgt.b
+       |  LEFT JOIN rawc ON j = rawc.b, tot)
+       |SELECT doc_id, CAST(sum(llr) AS BIGINT) AS score_units
+       |FROM tb JOIN dict USING (b) GROUP BY 1
+       |ORDER BY score_units DESC, doc_id LIMIT 40""".stripMargin
+
   private lazy val classifierScoredOracle: String =
     s"""WITH ${classifierTrainCtesSql(256, 12, 1L, 16L)}
        |SELECT y.doc_id, COALESCE(z, 0) AS z_units,

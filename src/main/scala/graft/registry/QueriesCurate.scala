@@ -437,6 +437,23 @@ private[graft] object QueriesCurate {
         .limit(40)
     }),
 
+    // DSIR dictionary ARTIFACT serve (q253-family contract applied to
+    // q257): the per-bucket log-ratio units persist content-addressed
+    // by BOTH pools, and scoring runs under the artifact as one literal
+    // aggregate fold per doc — map-only, zero shuffle (the streaming
+    // scorer is this same projection). Params match q257 exactly, so
+    // the artifact path must reproduce the join-based trained selection
+    // bit for bit (same oracle).
+    "q261_dsir_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val llr = Models.ensureLlrDict(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 2048)
+      Curate.dsirScoreWith(docs, "doc_id", "text", llr)
+        .orderBy(col("score_units").desc, col("doc_id"))
+        .limit(40)
+    }),
+
     // Classifier WEIGHTS artifact round trip (q253's twin for the
     // quality-classifier family): weights persist as a content-
     // addressed parquet artifact (Models.ensureWeights — the SDS

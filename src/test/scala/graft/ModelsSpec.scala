@@ -179,6 +179,36 @@ class ModelsSpec extends SparkSpec {
     assert(Models.trains === t2 + 1, "changed suite must rebuild")
   }
 
+  test("DSIR dictionary artifact: literal-fold serve equals the trained " +
+    "join-based weights bit for bit; either pool changing rebuilds") {
+    val dir = tmpStore()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter(col("lang") === "en")
+    val t0 = Models.trains
+    val llr = Models.ensureLlrDict(docs, target, "doc_id", "text",
+      buckets = 2048, dir = dir)
+    assert(Models.trains === t0 + 1)
+    val served = Curate.dsirScoreWith(docs, "doc_id", "text", llr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trained = Curate.dsirWeights(docs, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === trained,
+      "literal fold and join-based scoring must agree on every doc")
+    // fresh session: artifact serves without rebuilding
+    val s2 = spark.newSession()
+    val docs2 = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t1 = Models.trains
+    val llr2 = Models.ensureLlrDict(docs2,
+      docs2.filter(col("lang") === "en"), "doc_id", "text",
+      buckets = 2048, dir = dir)
+    assert(Models.trains === t1 && llr2.toSeq === llr.toSeq)
+    // changing the TARGET alone must rebuild (joint fingerprint)
+    val t2 = Models.trains
+    Models.ensureLlrDict(docs, target.limit(10), "doc_id", "text",
+      buckets = 2048, dir = dir)
+    assert(Models.trains === t2 + 1)
+  }
+
   test("a partial write (no _SUCCESS) reads as absent and rebuilds") {
     val dir = tmpStore()
     val a = corpus(spark)

@@ -69,7 +69,14 @@ class Scale10Spec extends SparkSpec {
     "q242_ivf_trained" -> 64L, "q250_ivfpq_trained" -> 64L,
     // artifact-served IVF-PQ (r12): same search plan as q250, models
     // from parquet artifacts — the shuffle shape must be identical
-    "q253_model_artifact" -> 64L)
+    "q253_model_artifact" -> 64L,
+    // bloom gate (r12): the candidate join input is bloom-pruned
+    // map-only, so its shuffle must stay at the exact gate's true-match
+    // scale regardless of corpus gram volume
+    "q256_bloom_decontam" -> 128L,
+    // S-curve audit (r12): exact PPJoin + banded simhash — both
+    // prefix/band-bounded; output ≤ 10 rows
+    "q259_lsh_scurve" -> 128L)
 
   test("flagship pipelines at 10x sf0.1: rows flow, per-task shuffle " +
     "read stays bounded (no single-reducer / quadratic stage)") {

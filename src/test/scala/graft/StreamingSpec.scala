@@ -918,6 +918,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("A", "kept")) === 3L && streamed(("A", "small")) === 1L)
   }
 
+  test("DSIR literal-fold scorer serves a STREAM bit-identically to the " +
+    "trained batch weights (stateless — dsirScoreWith is the twin)") {
+    import graft.operators.{Curate, Models}
+    val dir = Files.createTempDirectory("graft_dsir_m").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val llr = Models.ensureLlrDict(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text",
+      buckets = 2048, dir = dir)
+    val batch = Curate.dsirScoreWith(docs, "doc_id", "text", llr)
+      .as[(Long, Long)].collect().toMap
+    val d = Files.createTempDirectory("graft_dsir_s").toString
+    docs.select($"doc_id", $"text").write.parquet(d + "/in")
+    val src = spark.readStream
+      .schema(spark.read.parquet(d + "/in").schema).parquet(d + "/in")
+    val q = Curate.dsirScoreWith(src, "doc_id", "text", llr)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT doc_id, score_units FROM dsir_stream")
+      .as[(Long, Long)].collect().toMap
+    assert(got === batch && got.nonEmpty)
+    assert(!q.lastProgress.stateOperators.iterator.hasNext ||
+      q.lastProgress.stateOperators.isEmpty)
+  }
+
   test("streaming classifier scorer is bit-identical to the batch " +
     "trained scorer (train-batch / serve-stream split)") {
     import graft.operators.Curate
