@@ -251,4 +251,25 @@ class PipelineR12Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q257 plan: the llr dictionary reaches the token stream as a " +
+    "BROADCAST; selection is TakeOrdered, never a global sort") {
+    val df = SparkEntry.queries("q257_dsir_select")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q261 plan: artifact serve is join-FREE — one literal fold per " +
+    "doc, TakeOrdered on top (zero joins, zero aggregates)") {
+    val df = SparkEntry.queries("q261_dsir_artifact")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Join"), s"serve path must not join: $plan")
+    assert(!plan.contains("HashAggregate"),
+      s"serve path must not aggregate: $plan")
+  }
 }

@@ -76,7 +76,10 @@ class Scale10Spec extends SparkSpec {
     "q256_bloom_decontam" -> 128L,
     // S-curve audit (r12): exact PPJoin + banded simhash — both
     // prefix/band-bounded; output ≤ 10 rows
-    "q259_lsh_scurve" -> 128L)
+    "q259_lsh_scurve" -> 128L,
+    // DSIR (r12): bucket histograms fold map-side onto <=2048 rows; the
+    // scored stream shuffles once on doc id with partial sums
+    "q257_dsir_select" -> 128L)
 
   test("flagship pipelines at 10x sf0.1: rows flow, per-task shuffle " +
     "read stays bounded (no single-reducer / quadratic stage)") {
