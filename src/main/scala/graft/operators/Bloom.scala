@@ -33,6 +33,32 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** Smallest power-of-two bit count giving ≤ `fpp` false positives
+    * for `expectedKeys` inserts at the standard k ≈ (m/n)·ln2 — the
+    * sizing every caller should use instead of guessing mBits:
+    * m = n·ln(1/p)/ln²2 rounded UP to a power of two (power-of-two m
+    * keeps the double-hash stride math exact). 1M grams at 1% → 2^24
+    * bits = 2 MiB. Clamped to ≥ 2^10.
+    */
+  def sizeFor(expectedKeys: Long, fpp: Double = 0.01): Int = {
+    require(expectedKeys >= 0 && fpp > 0 && fpp < 1,
+      s"need keys >= 0 and fpp in (0,1): $expectedKeys, $fpp")
+    val ln2sq = math.log(2) * math.log(2)
+    val raw = math.max(1L, expectedKeys) * math.log(1 / fpp) / ln2sq
+    val bits = math.max(1L << 10, java.lang.Long.highestOneBit(
+      math.min(raw.toLong, 1L << 30)) * 2)
+    bits.toInt
+  }
+
+  /** The matching probe count for [[sizeFor]]'s geometry:
+    * k = round((m/n)·ln2), clamped to [1, 16]. */
+  def hashesFor(mBits: Int, expectedKeys: Long): Int = {
+    require(mBits > 0 && expectedKeys >= 0)
+    val k = math.round(mBits.toDouble / math.max(1L, expectedKeys)
+      * math.log(2))
+    math.min(16L, math.max(1L, k)).toInt
+  }
+
   private def h1(key: Column): Column = xxhash64(key)
   private def h2(key: Column): Column =
     xxhash64(key, lit(1)).bitwiseOR(lit(1L))

@@ -50,6 +50,25 @@ class BloomSpec extends SparkSpec {
     assert(bloomed === exact)
   }
 
+  test("sizeFor/hashesFor: power-of-two sizing meets the requested FP " +
+    "rate end to end") {
+    import graft.operators.Bloom
+    assert(Bloom.sizeFor(1000000, 0.01) >= 9585058 / 2, "~9.6M bits raw")
+    assert(Integer.bitCount(Bloom.sizeFor(123456, 0.01)) === 1, "pow2")
+    assert(Bloom.sizeFor(0) === 1 << 10, "floor")
+    assert(Bloom.hashesFor(1 << 14, 1000) >= 5, "k tracks m/n")
+    assert(Bloom.hashesFor(1 << 10, 1L << 40) === 1, "clamped low")
+    // end to end at the sized geometry: measured FP under the ask
+    val n = 2000
+    val m = Bloom.sizeFor(n, 0.01)
+    val k = Bloom.hashesFor(m, n)
+    val ins = (0 until n).map(_.toLong * 7919L).toDF("k")
+    val bm = Bloom.bitmapFor(ins, "k", m, k)
+    val fp = (0 until 20000).map(_.toLong * 104729L + 13L).toDF("k")
+      .filter(Bloom.probe(col("k"), bm, m, k)).count()
+    assert(fp.toDouble / 20000 < 0.02, s"sized FP rate ${fp / 200.0}%")
+  }
+
   test("prefilter prunes: non-member gram stream shrinks through the bloom") {
     // inserted set is sparse relative to the probe stream, so the
     // surviving fraction must be close to the FP rate — i.e. the
