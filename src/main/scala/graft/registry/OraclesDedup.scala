@@ -417,6 +417,59 @@ private[graft] object OraclesDedup {
     // — the persisted bitmap must change nothing
     "q260_bloom_artifact" -> bloomGateOracle,
 
+    // cross-modal report mirror: the exact containment gate folded to
+    // per-train-doc max, the q251 banded-LSH + exact-cosine audit keyed
+    // by the TRAIN side (%10 slices on the shared id space), one full
+    // outer join
+    "q262_contamination_report" -> {
+      val bitSum = (0 until 8).map(p =>
+        s"(CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
+         |    THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |co AS (SELECT e.doc_id AS id_eval, c.doc_id AS id_doc,
+         |    count(*) AS co
+         |  FROM sh e JOIN sh c ON e.s = c.s
+         |  WHERE e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |  GROUP BY 1, 2),
+         |ng AS (SELECT id_doc,
+         |    max(round(CAST(co AS DOUBLE) / se.sz, 6)) AS max_containment
+         |  FROM co JOIN sizes se ON co.id_eval = se.doc_id
+         |  WHERE CAST(co AS DOUBLE) / se.sz >= 0.7 GROUP BY 1),
+         |sig AS (SELECT vec_id, embedding, ($bitSum) AS s
+         |  FROM embeddings),
+         |evb AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
+         |  unnest([0, 1]) AS band FROM sig WHERE vec_id % 10 = 0),
+         |trb AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
+         |  unnest([0, 1]) AS band FROM sig WHERE vec_id % 10 <> 0),
+         |cand AS (SELECT DISTINCT t.vec_id AS id_doc, e.vec_id AS id_ev
+         |  FROM evb e JOIN trb t
+         |  ON e.band = t.band AND e.bandval = t.bandval),
+         |scored AS (SELECT id_doc,
+         |  ${cosineSql("et.embedding", "ee.embedding")} AS cos
+         |  FROM cand JOIN sig ee ON cand.id_ev = ee.vec_id
+         |  JOIN sig et ON cand.id_doc = et.vec_id
+         |  WHERE ${dotSql("ee.embedding", "ee.embedding")} > 0
+         |    AND ${dotSql("et.embedding", "et.embedding")} > 0),
+         |sem AS (SELECT id_doc, count(*) AS n_sem_leaks,
+         |    round(max(cos), 6) AS max_sem_cosine
+         |  FROM scored WHERE cos >= 0.4 GROUP BY 1)
+         |SELECT id_doc,
+         |  coalesce(max_containment, 0.0) AS max_containment,
+         |  CAST(coalesce(n_sem_leaks, 0) AS BIGINT) AS n_sem_leaks,
+         |  coalesce(max_sem_cosine, 0.0) AS max_sem_cosine
+         |FROM ng FULL OUTER JOIN sem USING (id_doc)
+         |ORDER BY id_doc""".stripMargin
+    },
+
     // per-doc dup-degree over the exact τ=0.5 pair set — the engine
     // side reads it from the bucketed artifact, which must equal
     // computing it fresh

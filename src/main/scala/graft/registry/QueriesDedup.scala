@@ -310,6 +310,40 @@ private[graft] object QueriesDedup {
         .orderBy(col("id_eval"), col("id_doc"))
     }),
 
+    // Cross-MODAL contamination report — the release-gate artifact that
+    // unifies the two decontamination complements per TRAIN doc: the
+    // n-gram containment gate (q256's bloom path — catches verbatim
+    // quoting) and the embedding-space leakage audit (q251's banded
+    // machinery keyed by the TRAIN side — catches paraphrases that
+    // share no shingle). documents and embeddings share the synthetic
+    // id space, so one full-outer key join yields (doc, worst verbatim
+    // containment, semantic-neighbor count, worst cosine) — what an
+    // "is this training set clean" review actually reads.
+    "q262_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val ng = Dedup.crossContainmentBloom(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "doc_id", "text", shingleN = 3, threshold = 0.7)
+        .groupBy(col("id_doc"))
+        .agg(max(col("containment")).as("max_containment"))
+      // the audit keys its SECOND argument — pass train vectors there
+      // to get per-train-doc leak counts against the eval slice
+      val sem = Similarity.crossSplitSemanticLeakage(
+          emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("id_eval").as("id_doc"),
+          col("n_leaks").as("n_sem_leaks"), col("max_cosine"))
+      ng.join(sem, Seq("id_doc"), "full_outer")
+        .select(col("id_doc"),
+          coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
+          coalesce(col("n_sem_leaks"), lit(0L)).as("n_sem_leaks"),
+          coalesce(col("max_cosine"), lit(0.0)).as("max_sem_cosine"))
+        .orderBy(col("id_doc"))
+    }),
+
     // Crawl snapshot diff: added/removed/changed/unchanged per source
     // between two synthesized snapshots of the corpus (old = ids not
     // divisible by 3; new = even ids, with every 5th doc's text
