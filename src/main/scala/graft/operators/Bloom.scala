@@ -45,8 +45,13 @@ object Bloom {
       s"need keys >= 0 and fpp in (0,1): $expectedKeys, $fpp")
     val ln2sq = math.log(2) * math.log(2)
     val raw = math.max(1L, expectedKeys) * math.log(1 / fpp) / ln2sq
-    val bits = math.max(1L << 10, java.lang.Long.highestOneBit(
-      math.min(raw.toLong, 1L << 30)) * 2)
+    // clamp in DOUBLE space first (huge n · ln(1/p) exceeds Long and a
+    // saturated toLong would push highestOneBit·2 into overflow), then
+    // ceil to the power of two
+    val want = math.max(1L, math.min(raw, (1L << 30).toDouble).toLong)
+    val hb = java.lang.Long.highestOneBit(want)
+    val pow = if (hb == want) hb else hb * 2
+    val bits = math.max(1L << 10, math.min(1L << 30, pow))
     bits.toInt
   }
 

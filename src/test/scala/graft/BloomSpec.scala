@@ -56,6 +56,8 @@ class BloomSpec extends SparkSpec {
     assert(Bloom.sizeFor(1000000, 0.01) >= 9585058 / 2, "~9.6M bits raw")
     assert(Integer.bitCount(Bloom.sizeFor(123456, 0.01)) === 1, "pow2")
     assert(Bloom.sizeFor(0) === 1 << 10, "floor")
+    assert(Bloom.sizeFor(Long.MaxValue / 4, 0.001) === 1 << 30,
+      "ceiling stays a positive Int (no overflow at the clamp boundary)")
     assert(Bloom.hashesFor(1 << 14, 1000) >= 5, "k tracks m/n")
     assert(Bloom.hashesFor(1 << 10, 1L << 40) === 1, "clamped low")
     // end to end at the sized geometry: measured FP under the ask
