@@ -820,6 +820,10 @@ object Curate {
       graft.functions.TextFns.tokens(col(textCol)), lit(0L),
       (acc, t) => acc + element_at(dict,
         (pmod(Dedup.portableHash64(t), b) + 1).cast("int")))
-    docs.select(col(idCol), score.as(out))
+    // null-text docs contribute NO token rows on the trained join path
+    // (explode drops them) — drop them here too, or the serve path
+    // would emit a null-score row the trained path never produces
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), score.as(out))
   }
 }

@@ -194,6 +194,12 @@ class ModelsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(served === trained,
       "literal fold and join-based scoring must agree on every doc")
+    // null-text docs vanish on BOTH paths (the trained explode drops
+    // them; the serve filter must match, not emit a null-score row)
+    val withNull = docs.limit(3).select(col("doc_id"),
+      lit(null).cast("string").as("text"))
+    assert(Curate.dsirScoreWith(withNull, "doc_id", "text", llr)
+      .count() === 0)
     // fresh session: artifact serves without rebuilding
     val s2 = spark.newSession()
     val docs2 = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
