@@ -252,6 +252,50 @@ class PipelineR12Spec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q262 report composition: ngram-only, semantic-only, both, and " +
+    "clean docs each land in exactly the right row shape") {
+    // doc/vec ids share one space; eval = {10}, train = {1,2,3,4}
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (10L, evalText),                                   // eval item
+      (1L, s"intro $evalText outro closing words"),      // verbatim quote
+      (2L, "totally different prose with no overlap at all here"),
+      (3L, s"prefix $evalText suffix"),                  // verbatim quote
+      (4L, "also clean of any quoted benchmark content entirely")
+    ).toDF("doc_id", "text")
+    def v(x: Double, y: Double) =
+      Array.tabulate(8)(i => (if (i == 0) x else if (i == 1) y else 0.1).toFloat)
+    val emb = Seq(
+      (10L, v(1.0, 0.0)),   // eval vector
+      (1L, v(-1.0, 0.3)),   // far from eval
+      (2L, v(1.0, 0.01)),   // paraphrase twin (cosine ~1)
+      (3L, v(0.99, 0.0)),   // paraphrase twin
+      (4L, v(-0.5, -1.0))   // far
+    ).toDF("vec_id", "embedding")
+    val ng = Dedup.crossContainmentBloom(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.7)
+      .groupBy(col("id_doc"))
+      .agg(max(col("containment")).as("max_containment"))
+    val sem = Similarity.crossSplitSemanticLeakage(
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+        "vec_id", "embedding", threshold = 0.9)
+      .select(col("id_eval").as("id_doc"),
+        col("n_leaks").as("n_sem_leaks"), col("max_cosine"))
+    val rep = ng.join(sem, Seq("id_doc"), "full_outer")
+      .select(col("id_doc"),
+        coalesce(col("max_containment"), lit(0.0)).as("mc"),
+        coalesce(col("n_sem_leaks"), lit(0L)).as("ns"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(rep.keySet === Set(1L, 2L, 3L), s"doc 4 is clean: $rep")
+    assert(rep(1L)._1 >= 0.7 && rep(1L)._2 === 0L, s"1 = ngram only: $rep")
+    assert(rep(2L)._1 === 0.0 && rep(2L)._2 === 1L, s"2 = semantic only: $rep")
+    assert(rep(3L)._1 >= 0.7 && rep(3L)._2 === 1L, s"3 = both: $rep")
+  }
+
   test("q257 plan: the llr dictionary reaches the token stream as a " +
     "BROADCAST; selection is TakeOrdered, never a global sort") {
     val df = SparkEntry.queries("q257_dsir_select")(spark, sf)
