@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Bloom")
+
   /** Smallest power-of-two bit count giving ≤ `fpp` false positives
     * for `expectedKeys` inserts at the standard k ≈ (m/n)·ln2 — the
     * sizing every caller should use instead of guessing mBits:
@@ -52,6 +54,24 @@ object Bloom {
     val hb = java.lang.Long.highestOneBit(want)
     val pow = if (hb == want) hb else hb * 2
     val bits = math.max(1L << 10, math.min(1L << 30, pow))
+    // the 2^30 cap is a single-filter bound (16 MiB bitmap — the
+    // "bounded collect" contract); past it the geometry silently
+    // degrades: at 10^10 keys the clamped filter's real FP rate
+    // approaches 1 and the prefilter becomes a pass-through (exact
+    // verify downstream keeps correctness, but the advertised join
+    // shrink vanishes). Surface that loudly with the EFFECTIVE fpp so
+    // callers know to shard the key space across several filters
+    // (ADVICE r12).
+    if (raw > (1L << 30).toDouble) {
+      val k = hashesFor(bits.toInt, expectedKeys)
+      val effFpp = math.pow(
+        1 - math.exp(-k.toDouble * expectedKeys / bits.toDouble), k)
+      log.warn(f"Bloom.sizeFor: $expectedKeys keys at fpp=$fpp need more " +
+        f"than the 2^30-bit single-filter cap — effective fpp at the " +
+        f"clamp is ~$effFpp%.3f; shard the key space across " +
+        f"${math.ceil(raw / (1L << 30).toDouble).toLong} filters to hit " +
+        "the requested rate")
+    }
     bits.toInt
   }
 
@@ -86,6 +106,10 @@ object Bloom {
   def bitmapFor(keys: DataFrame, keyCol: String,
                 mBits: Int = 1 << 18, kHashes: Int = 5): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: $mBits")
+    // kHashes <= 0 would silently build an all-zero bitmap (empty
+    // positions array) whose every probe is false — fail at build time
+    // instead (ADVICE r12)
+    require(kHashes > 0, s"kHashes must be positive: $kHashes")
     val words = mBits / 64
     val folded = keys
       .select(explode(array(positions(col(keyCol), mBits, kHashes): _*)).as("__p"))
@@ -103,11 +127,33 @@ object Bloom {
     * Never false for an inserted key; false positives at the sized
     * rate. Pure projection — safe in batch filters and stateless
     * streaming gates alike.
+    *
+    * The bitmap binds ONCE into the codegen'd `rip_bloom_probe`
+    * expression as a `long[]` reference object — not as k `element_at`
+    * references to an array literal, which made plan strings and the
+    * codegen constant pool scale with m (16M-long literal × k probes at
+    * the 2^30 cap, ADVICE r12). The two xxhash64 children keep Spark's
+    * own null/type hashing semantics, so the probe is bit-identical to
+    * the element_at formulation (BloomSpec pins equality).
     */
   def probe(key: Column, bitmap: Array[Long],
             mBits: Int = 1 << 18, kHashes: Int = 5): Column = {
     require(bitmap.length.toLong * 64 == mBits.toLong,
       s"bitmap has ${bitmap.length} words, mBits=$mBits expects ${mBits / 64}")
+    require(kHashes > 0, s"kHashes must be positive: $kHashes")
+    call_function("rip_bloom_probe", h1(key), h2(key),
+      typedlit(bitmap.toSeq), lit(kHashes))
+  }
+
+  /** The k element_at probe formulation rip_bloom_probe replaces — kept
+    * as the cross-check twin (BloomSpec asserts bit equality over
+    * inserted and absent keys).
+    */
+  def probeElementAt(key: Column, bitmap: Array[Long],
+                     mBits: Int = 1 << 18, kHashes: Int = 5): Column = {
+    require(bitmap.length.toLong * 64 == mBits.toLong,
+      s"bitmap has ${bitmap.length} words, mBits=$mBits expects ${mBits / 64}")
+    require(kHashes > 0, s"kHashes must be positive: $kHashes")
     val litMap = typedlit(bitmap.toSeq)
     positions(key, mBits, kHashes).map { p =>
       val word = element_at(litMap,

@@ -30,9 +30,15 @@ object Dedup {
     *    session mixing many datasets cannot accumulate cache entries
     *    without bound. `clearDedupCaches()` releases everything.
     */
+  // Cap default sized ABOVE the full 257-query registry sweep's reuse
+  // set (the r12 driver bench showed entries=31 at cap=32 with the
+  // regressions clustered exactly on registry-dependent queries — the
+  // documented thrash signature). Frames are MEMORY_AND_DISK, so a
+  // generous cap degrades to disk, never to recompute; the cap's only
+  // job is bounding a long-lived session that sweeps UNRELATED corpora.
   private val maxCached =
-    try sys.props.getOrElse("graft.dedup.maxCached", "32").toInt
-    catch { case _: NumberFormatException => 32 }
+    try sys.props.getOrElse("graft.dedup.maxCached", "512").toInt
+    catch { case _: NumberFormatException => 512 }
   // keyed by (session, canonicalized plan): the registry is JVM-global
   // but entries never cross SparkSessions, so LRU eviction can't call
   // unpersist on a frame owned by a stopped context from a newer

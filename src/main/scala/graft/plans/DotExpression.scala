@@ -263,6 +263,77 @@ case class RipSimhash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `rip_bloom_probe(h1, h2, bitmap, k)`: bloom membership test against a
+  * driver-built bitmap — true ⟺ all k double-hashed bit positions
+  * (Kirsch–Mitzenmacher: p_j = floorMod(h1 + j·h2, m)) are set. The
+  * children are the TWO xxhash64 columns (`Bloom.h1/h2` — null/type
+  * semantics stay exactly Spark's); the bitmap itself is NOT a child:
+  * it binds once per task as a codegen reference object (`long[]`),
+  * replacing the previous k `element_at(typedlit(bitmap), …)` chain
+  * whose k separate literal references made plan strings and codegen
+  * constant pools scale with m (ADVICE r12: a 2^30-bit filter = 16M
+  * longs embedded k times per probe column). Plan output now prints a
+  * constant-size node regardless of m.
+  *
+  * Bit-for-bit equal to the element_at formulation (BloomSpec pins the
+  * no-false-negative contract; the q256/q260 oracles pin the gate).
+  */
+case class RipBloomProbe(left: Expression, right: Expression,
+                         bitmap: Array[Long], kHashes: Int)
+  extends BinaryExpression {
+
+  require(kHashes > 0, s"rip_bloom_probe: kHashes must be positive, got $kHashes")
+  require(bitmap.nonEmpty, "rip_bloom_probe: bitmap must be non-empty")
+
+  private val mBits: Long = bitmap.length.toLong * 64L
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"rip_bloom_probe requires two bigint hash arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Long]
+    val b = r.asInstanceOf[Long]
+    var j = 0
+    while (j < kHashes) {
+      val p = java.lang.Math.floorMod(a + j.toLong * b, mBits)
+      if ((bitmap((p >>> 6).toInt) & (1L << (p & 63L).toInt)) == 0L)
+        return false
+      j += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bm = ctx.addReferenceObj("bloomBitmap", bitmap, "long[]")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val ok = ctx.freshName("ok")
+      s"""
+         |boolean $ok = true;
+         |for (int $j = 0; $j < $kHashes; $j++) {
+         |  long $p = java.lang.Math.floorMod($l + (long)$j * $r, ${mBits}L);
+         |  if (($bm[(int)($p >>> 6)] & (1L << (int)($p & 63L))) == 0L) {
+         |    $ok = false; break;
+         |  }
+         |}
+         |${ev.value} = $ok;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RipBloomProbe =
+    copy(left = newLeft, right = newRight)
+}
+
 private[plans] object DotExprTypes {
   def numericElem(t: DataType): Boolean = t match {
     case FloatType | DoubleType | IntegerType | LongType => true

@@ -121,6 +121,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RipPqAdc(children(0), children(1), children(2), children(3))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("rip_bloom_probe"),
+      new ExpressionInfo(classOf[RipBloomProbe].getName, "rip_bloom_probe"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "rip_bloom_probe(h1, h2, bitmap_literal, k_literal) takes exactly 4 arguments")
+        // the bitmap literal is consumed at BUILD time into the
+        // expression's long[] reference — it never enters the plan tree
+        // (that single extraction is the whole point: k element_at
+        // references to an m/64-long literal made plans scale with m)
+        val bm = children(2) match {
+          case Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+            ad.toLongArray()
+          case other => throw new IllegalArgumentException(
+            s"rip_bloom_probe: bitmap must be an array<bigint> literal, got $other")
+        }
+        val k = children(3) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"rip_bloom_probe: kHashes must be an integer literal, got $other")
+        }
+        RipBloomProbe(children(0), children(1), bm, k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rip_product"),
       new ExpressionInfo(classOf[RipProduct].getName, "rip_product"),
       (children: Seq[Expression]) => {

@@ -36,6 +36,26 @@ class BloomSpec extends SparkSpec {
     assert(any === 0L)
   }
 
+  test("rip_bloom_probe is bit-identical to the element_at twin, and " +
+    "guards reject bad geometry") {
+    val keys = (Seq(Long.MinValue, Long.MaxValue, -1L, 0L, 1L) ++
+      (2L to 300L).map(i => i * 2654435761L)).toDF("k")
+    val bm = Bloom.bitmapFor(keys, "k", mBits = 1 << 12, kHashes = 5)
+    // members AND non-members: the two formulations must agree row-wise
+    val probesDf = (Seq(Long.MinValue, -1L, 0L, 7L) ++
+      (0L until 2000L).map(i => i * 104729L + 13L)).toDF("k")
+    val disagree = probesDf.filter(
+      Bloom.probe(col("k"), bm, 1 << 12, 5) =!=
+        Bloom.probeElementAt(col("k"), bm, 1 << 12, 5)).count()
+    assert(disagree === 0L)
+    intercept[IllegalArgumentException] {
+      Bloom.probe(col("k"), bm, 1 << 12, kHashes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Bloom.bitmapFor(keys, "k", 1 << 12, kHashes = -1)
+    }
+  }
+
   test("crossContainmentBloom equals the exact gate on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val evalD = docs.filter(pmod(col("doc_id"), lit(10)) === 0)

@@ -55,7 +55,8 @@ class RegistrySweepSpec extends SparkSpec {
     val families =
       Seq("tpch", "dedup", "minhash", "simhash", "jaccard", "drift",
         "psi", "decontam", "containment", "edit_distance", "novel",
-        "snapshot", "contamination", "scurve", "dsir", "ann_recall")
+        "snapshot", "contamination", "scurve", "dsir", "ann_recall",
+        "bloom")
     val allow: Map[String, String] = Map.empty // none known — keep it so
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => families.exists(n.contains))
