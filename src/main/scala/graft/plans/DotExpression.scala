@@ -114,7 +114,9 @@ case class RipDot(left: Expression, right: Expression)
 case class RipLshSig(child: Expression, bits: Int)
   extends UnaryExpression {
 
-  require(bits >= 1 && bits <= 63, s"rip_lsh_sig: bits must be in [1,63], got $bits")
+  // 64 planes fill the long exactly (plane 63 = the sign bit — band
+  // extraction masks after the shift, so arithmetic shiftright is safe)
+  require(bits >= 1 && bits <= 64, s"rip_lsh_sig: bits must be in [1,64], got $bits")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

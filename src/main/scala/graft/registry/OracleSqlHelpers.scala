@@ -141,6 +141,46 @@ private[graft] object OracleSqlHelpers {
       s"i -> CAST($vec[i] AS DOUBLE) * CAST((CAST(1103515245 AS BIGINT) * " +
       s"(${131 * p} + (i-1)) + 12345) % 2001 - 1000 AS DOUBLE)))"
 
+  /** Band value b of a w-planes-per-band LCG signature:
+    * Σ_j 2^j · [proj(b·w + j) > 0]. Equals
+    * `shiftright(rip_lsh_sig(vec, bits), b·w) & (2^w − 1)` because the
+    * bands cover DISJOINT bit ranges; summing per band avoids forming
+    * the 64-bit total in SQL (plane 63's 2^63 addend overflows BIGINT).
+    */
+  def lshBandValSql(vec: String, band: Int, w: Int): String =
+    (0 until w).map(j =>
+      s"(CASE WHEN ${lshProjSql(vec, band * w + j)} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Signature CTE for the DEFAULT cosineNearDupPairs geometry (64
+    * planes, 4×16-bit bands): b0..b3 columns over `rel(idCol, vec)`.
+    * MATERIALIZED — referenced by the band explode AND twice by the
+    * verify join; a plain CTE re-inlines the 64 projections each time
+    * (see the verify skill's CTE-inlining gotcha).
+    */
+  def lshSigCte(name: String, rel: String, idCol: String, vec: String): String =
+    s"""$name AS MATERIALIZED (SELECT $idCol, $vec,
+       |  ${(0 until 4).map(b => s"${lshBandValSql(vec, b, 16)} AS b$b")
+            .mkString(", ")}
+       |  FROM $rel)""".stripMargin
+
+  /** Planted near-dup twins — mirrors QueryShared.plantTwins exactly:
+    * ×2-scaled copies of ids ≡ 1 (mod 9) at +100000 (doubling is exact
+    * in float32 and the LSH signature is scale-invariant → recall 1 by
+    * construction) and dim-0-negated copies of ids ≡ 4 (mod 9) at
+    * +200000 (sign flip exact; exercises the banding S-curve).
+    */
+  def twinsSql(src: String, idCol: String, vec: String): String =
+    s"""SELECT $idCol + 100000 AS $idCol,
+       |    list_transform($vec, x -> CAST(x + x AS FLOAT)) AS $vec
+       |  FROM $src WHERE $idCol % 9 = 1
+       |  UNION ALL
+       |  SELECT $idCol + 200000 AS $idCol,
+       |    list_transform(range(1, len($vec)+1),
+       |      i -> CASE WHEN i = 1 THEN CAST(-$vec[1] AS FLOAT)
+       |           ELSE $vec[i] END) AS $vec
+       |  FROM $src WHERE $idCol % 9 = 4""".stripMargin
+
   /** Per-doc simhash over Dedup.portableHash64 token hashes — mirrors
     * Dedup.simhashDf bit-for-bit: md5-hex→60-bit int, 64 signed bit
     * votes, sign bits OR'd into one BIGINT. Ends with `FROM votes`;

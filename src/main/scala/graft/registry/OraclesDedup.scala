@@ -422,9 +422,6 @@ private[graft] object OraclesDedup {
     // by the TRAIN side (%10 slices on the shared id space), one full
     // outer join
     "q262_contamination_report" -> {
-      val bitSum = (0 until 8).map(p =>
-        s"(CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)")
-        .mkString(" + ")
       s"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
          |  FROM documents),
@@ -444,24 +441,30 @@ private[graft] object OraclesDedup {
          |    max(round(CAST(co AS DOUBLE) / se.sz, 6)) AS max_containment
          |  FROM co JOIN sizes se ON co.id_eval = se.doc_id
          |  WHERE CAST(co AS DOUBLE) / se.sz >= 0.7 GROUP BY 1),
-         |sig AS (SELECT vec_id, embedding, ($bitSum) AS s
-         |  FROM embeddings),
-         |evb AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
-         |  unnest([0, 1]) AS band FROM sig WHERE vec_id % 10 = 0),
-         |trb AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
-         |  unnest([0, 1]) AS band FROM sig WHERE vec_id % 10 <> 0),
+         |ev AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 <> 0
+         |  UNION ALL
+         |  ${twinsSql("ev", "vec_id", "embedding")}),
+         |${lshSigCte("evs", "ev", "vec_id", "embedding")},
+         |${lshSigCte("trs", "tr", "vec_id", "embedding")},
+         |evb AS (SELECT vec_id, unnest([b0, b1, b2, b3]) AS bandval,
+         |  unnest([0, 1, 2, 3]) AS band FROM evs),
+         |trb AS (SELECT vec_id, unnest([b0, b1, b2, b3]) AS bandval,
+         |  unnest([0, 1, 2, 3]) AS band FROM trs),
          |cand AS (SELECT DISTINCT t.vec_id AS id_doc, e.vec_id AS id_ev
          |  FROM evb e JOIN trb t
          |  ON e.band = t.band AND e.bandval = t.bandval),
          |scored AS (SELECT id_doc,
          |  ${cosineSql("et.embedding", "ee.embedding")} AS cos
-         |  FROM cand JOIN sig ee ON cand.id_ev = ee.vec_id
-         |  JOIN sig et ON cand.id_doc = et.vec_id
+         |  FROM cand JOIN evs ee ON cand.id_ev = ee.vec_id
+         |  JOIN trs et ON cand.id_doc = et.vec_id
          |  WHERE ${dotSql("ee.embedding", "ee.embedding")} > 0
          |    AND ${dotSql("et.embedding", "et.embedding")} > 0),
          |sem AS (SELECT id_doc, count(*) AS n_sem_leaks,
          |    round(max(cos), 6) AS max_sem_cosine
-         |  FROM scored WHERE cos >= 0.4 GROUP BY 1)
+         |  FROM scored WHERE cos >= 0.9 GROUP BY 1)
          |SELECT id_doc,
          |  coalesce(max_containment, 0.0) AS max_containment,
          |  CAST(coalesce(n_sem_leaks, 0) AS BIGINT) AS n_sem_leaks,

@@ -38,14 +38,16 @@ private[graft] object OraclesSim {
          |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    // 64-bit/4-band production geometry over the twin-planted corpus:
+    // the oracle replays the plant, every hyperplane projection, the
+    // band split, the blocking join, and the exact-cosine verify
     "q108_embed_neardup" -> {
-      val bitSum = (0 until 8).map(p =>
-        s"(CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH sig AS (SELECT vec_id, embedding, ($bitSum) AS s
-         |  FROM embeddings),
-         |bands AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
-         |  unnest([0, 1]) AS band FROM sig),
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |twins AS (${twinsSql("base", "vec_id", "embedding")}),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+         |${lshSigCte("sig", "corpus", "vec_id", "embedding")},
+         |bands AS (SELECT vec_id, unnest([b0, b1, b2, b3]) AS bandval,
+         |  unnest([0, 1, 2, 3]) AS band FROM sig),
          |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
          |  FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bandval = b.bandval AND a.vec_id < b.vec_id),
@@ -54,7 +56,7 @@ private[graft] object OraclesSim {
          |  FROM cand JOIN sig ea ON cand.ia = ea.vec_id
          |  JOIN sig eb ON cand.ib = eb.vec_id)
          |SELECT ia AS id_a, ib AS id_b, round(cos, 6) AS cosine
-         |FROM scored WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+         |FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
     },
 
     "q140_ann_multiprobe" -> {
@@ -459,32 +461,35 @@ private[graft] object OraclesSim {
     // trained path, and the SAME replay oracle checks both.
     "q253_model_artifact" -> ivfPqTrainedOracle,
 
-    // cross-split semantic-leakage mirror: q108's banded LSH blocking,
-    // split eval (vec_id % 5 = 0) vs train, exact-cosine verify at 0.4,
-    // then per-eval leak accounting
+    // cross-split semantic-leakage mirror at the 64-bit/4-band
+    // production geometry: split eval (vec_id % 5 = 0) vs train + the
+    // planted paraphrase twins of the eval slice, banded blocking,
+    // exact-cosine verify at 0.9, per-eval leak accounting
     "q251_semantic_leakage" -> {
-      val bitSum = (0 until 8).map(p =>
-        s"(CASE WHEN ${lshProjSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH sig AS (SELECT vec_id, embedding, ($bitSum) AS s
-         |  FROM embeddings),
-         |evb AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
-         |  unnest([0, 1]) AS band FROM sig WHERE vec_id % 5 = 0),
-         |trb AS (SELECT vec_id, unnest([s % 16, s // 16]) AS bandval,
-         |  unnest([0, 1]) AS band FROM sig WHERE vec_id % 5 <> 0),
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |ev AS (SELECT vec_id, embedding FROM base WHERE vec_id % 5 = 0),
+         |tr AS (SELECT vec_id, embedding FROM base WHERE vec_id % 5 <> 0
+         |  UNION ALL
+         |  ${twinsSql("ev", "vec_id", "embedding")}),
+         |${lshSigCte("evs", "ev", "vec_id", "embedding")},
+         |${lshSigCte("trs", "tr", "vec_id", "embedding")},
+         |evb AS (SELECT vec_id, unnest([b0, b1, b2, b3]) AS bandval,
+         |  unnest([0, 1, 2, 3]) AS band FROM evs),
+         |trb AS (SELECT vec_id, unnest([b0, b1, b2, b3]) AS bandval,
+         |  unnest([0, 1, 2, 3]) AS band FROM trs),
          |cand AS (SELECT DISTINCT e.vec_id AS id_eval, t.vec_id AS id_train
          |  FROM evb e JOIN trb t
          |  ON e.band = t.band AND e.bandval = t.bandval),
          |scored AS (SELECT id_eval, id_train,
          |  ${cosineSql("ee.embedding", "et.embedding")} AS cos
-         |  FROM cand JOIN sig ee ON cand.id_eval = ee.vec_id
-         |  JOIN sig et ON cand.id_train = et.vec_id
+         |  FROM cand JOIN evs ee ON cand.id_eval = ee.vec_id
+         |  JOIN trs et ON cand.id_train = et.vec_id
          |  WHERE ${dotSql("ee.embedding", "ee.embedding")} > 0
          |    AND ${dotSql("et.embedding", "et.embedding")} > 0)
          |SELECT id_eval, count(*) AS n_leaks,
          |  CAST(sum(id_train) AS BIGINT) AS train_id_sum,
          |  round(max(cos), 6) AS max_cosine
-         |FROM scored WHERE cos >= 0.4
+         |FROM scored WHERE cos >= 0.9
          |GROUP BY 1 ORDER BY id_eval""".stripMargin
     }
   )

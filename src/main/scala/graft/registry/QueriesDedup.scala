@@ -329,11 +329,19 @@ private[graft] object QueriesDedup {
         .groupBy(col("id_doc"))
         .agg(max(col("containment")).as("max_containment"))
       // the audit keys its SECOND argument — pass train vectors there
-      // to get per-train-doc leak counts against the eval slice
+      // to get per-train-doc leak counts against the eval slice. The
+      // train side carries planted paraphrase twins of the eval slice
+      // (q108/q251's plant — the random corpus has no cosine ≥ 0.9
+      // mass of its own), so the semantic quadrant of the report is
+      // populated at the production 64-bit/4-band geometry.
+      val evalVecs = emb.select(col("vec_id"), col("embedding"))
+        .filter(pmod(col("vec_id"), lit(10)) === 0)
+      val trainVecs = emb.select(col("vec_id"), col("embedding"))
+        .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        .unionByName(QueryShared.plantTwins(evalVecs, "vec_id", "embedding"))
       val sem = Similarity.crossSplitSemanticLeakage(
-          emb.filter(pmod(col("vec_id"), lit(10)) === 0),
-          emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
-          "vec_id", "embedding", threshold = 0.4)
+          evalVecs, trainVecs,
+          "vec_id", "embedding", threshold = 0.9)
         .select(col("id_eval").as("id_doc"),
           col("n_leaks").as("n_sem_leaks"), col("max_cosine"))
       ng.join(sem, Seq("id_doc"), "full_outer")

@@ -38,13 +38,19 @@ private[graft] object QueriesSim {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    "q108_embed_neardup" -> ((s, dir) =>
-      // embedding-cosine near-dup pairs: LSH-band blocking + exact
-      // cosine verify (brief's dedup family; τ sized to the synthetic
-      // corpus, whose random vectors top out at cosine ≈ 0.51)
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.45, bits = 8, bands = 2)
-        .orderBy(col("id_a"), col("id_b"))),
+    "q108_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs at the production geometry
+      // (64-bit signature, 4×16-bit bands) and a REAL near-dup τ. The
+      // random corpus tops out at cosine ≈ 0.51, so the dup signal is
+      // planted: ×2-scaled twins (recall 1 by scale invariance) and
+      // dim-0-negated twins (exercise the true banding S-curve) — both
+      // replayed exactly by the oracle, blocking included.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(plantTwins(emb, "vec_id", "embedding"))
+      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // Multi-probe LSH ANN: query bucket + all Hamming-1 buckets — the
     // recall lever over q48's single probe; probe fan-out rides the
@@ -283,15 +289,18 @@ private[graft] object QueriesSim {
 
     // Cross-split SEMANTIC leakage (embedding-space complement of the
     // q220 n-gram decontamination gate): eval = every 5th vector,
-    // train = the rest; per eval row, the count/worst of train rows at
-    // cosine ≥ 0.4 — banded LSH blocking + exact verify, never
-    // eval × train
+    // train = the rest PLUS planted paraphrase twins of eval rows
+    // (scaled = guaranteed leak, negated = S-curve leak); per eval row,
+    // the count/worst of train rows at cosine ≥ 0.9 — banded LSH
+    // blocking (64-bit/4-band production geometry) + exact verify,
+    // never eval × train
     "q251_semantic_leakage" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.crossSplitSemanticLeakage(
-          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
-          emb.filter(pmod(col("vec_id"), lit(5)) === 0),
-          "vec_id", "embedding", threshold = 0.4)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val evalSide = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val trainSide = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .unionByName(plantTwins(evalSide, "vec_id", "embedding"))
+      Similarity.crossSplitSemanticLeakage(trainSide, evalSide,
+          "vec_id", "embedding", threshold = 0.9)
         .orderBy(col("id_eval"))
     }),
 

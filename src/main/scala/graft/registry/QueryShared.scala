@@ -9,6 +9,32 @@ private[graft] object QueryShared {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Planted near-duplicate twins for the embedding-LSH fixtures. The
+    * synthetic corpus's random vectors top out at cosine ≈ 0.51, so at
+    * the REAL near-dup thresholds (≥ 0.9) the banded queries would
+    * return zero rows and verify nothing (RegistrySweepSpec's vacuity
+    * gate). Two deterministic, engine-replayable twin families:
+    *  - ×2-SCALED copies of ids ≡ 1 (mod 9) at id+100000 — doubling is
+    *    exact in float32 and the LCG-hyperplane signature is
+    *    scale-invariant, so these pairs have cosine exactly 1 and
+    *    banding recall 1 BY CONSTRUCTION at any geometry;
+    *  - dim-0-NEGATED copies of ids ≡ 4 (mod 9) at id+200000 — sign
+    *    flip is exact in float32, cosine ≈ 1 − 2·x₀²/|v|² (≈ 0.97 on
+    *    this corpus), so these exercise the real LSH S-curve: a
+    *    deterministic subset shares a band and survives; both engines
+    *    replay the same subset.
+    */
+  def plantTwins(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scaled = emb.filter(pmod(col(idCol), lit(9)) === 1)
+      .select((col(idCol) + 100000L).as(idCol),
+        transform(col(vecCol), x => x + x).as(vecCol))
+    val negated = emb.filter(pmod(col(idCol), lit(9)) === 4)
+      .select((col(idCol) + 200000L).as(idCol),
+        transform(col(vecCol), (x, i) => when(i === 0, -x).otherwise(x))
+          .as(vecCol))
+    scaled.unionByName(negated)
+  }
+
   /** Flagship: TPC-H Q1 shape (SURVEY §7 step 2). */
   def q1(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
