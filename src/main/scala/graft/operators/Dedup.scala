@@ -648,23 +648,54 @@ object Dedup {
     * shingles are absent from b, so a's first
     * plen_a = sz_a − ceil(τ·sz_a) + 1 shingles must include one that
     * hits b (pigeonhole). Candidates are a's rare-first PREFIX joined
-    * against the full exploded corpus — the containing side has no
-    * size bound, so it gets no prefix, but the probing side's factor
-    * shrinks from sz to (1−τ)·sz + 1 rare shingles, which is what
-    * keeps the equi-join candidate count bounded at corpus scale.
+    * against the exploded corpus — the containing side has no size
+    * bound, so it gets no prefix; instead its gram stream is BLOOM-
+    * prefiltered against the prefix-hash set (the q256 gate shape,
+    * VERDICT r12 #4): a fixed-m bitmap of the prefix hashes drops
+    * corpus postings that cannot hit any prefix in a codegen'd
+    * map-only filter BEFORE the join shuffle. Build/probe share the
+    * hash family, so there are no false negatives — the result is
+    * IDENTICAL to the unfiltered join (false positives die in the
+    * candidate equi-join itself), which is why the DuckDB oracle stays
+    * the exact containment SQL.
+    *
+    * `maxPostingDf` additionally caps zipf-hot posting lists on the
+    * containing side (df-hot grams joined against every probe prefix
+    * are the superlinear term at corpus scale): grams with df >
+    * maxPostingDf are anti-joined out of the containing stream, with
+    * the editDistancePairs recall contract — pairs whose ONLY shared
+    * prefix gram is hot are lost, observably (the hot-gram set is
+    * [[containmentHotGrams]], a pure function of the inputs; StressSpec
+    * pins that it fires on a pathological corpus). The default is OFF
+    * (MaxValue) so the exact-oracle contract holds untouched.
     * Verification intersects the persisted shingle-set arrays (shared
     * with every other dedup consumer via the cachedPersist registry).
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       bloomBits: Int = 1 << 20, bloomHashes: Int = 5,
+                       maxPostingDf: Long = Long.MaxValue): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, shingleN)
     val withPlen = sets.withColumn("plen",
       (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
     val prefixes = withPlen.select(col("id").as("id_a"),
       explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
-    val full = sets.select(col("id").as("id_b"),
+    val fullAll = sets.select(col("id").as("id_b"),
       explode(col("shs")).as("sh"))
+    val bloomed =
+      if (bloomBits <= 0) fullAll
+      else {
+        val bitmap = Bloom.bitmapFor(prefixes.select(col("sh")), "sh",
+          bloomBits, bloomHashes)
+        fullAll.filter(Bloom.probe(col("sh"), bitmap, bloomBits, bloomHashes))
+      }
+    val full =
+      if (maxPostingDf == Long.MaxValue) bloomed
+      else bloomed.join(
+        broadcast(containmentHotGrams(docs, idCol, textCol, shingleN,
+          maxPostingDf)),
+        Seq("sh"), "left_anti")
     val cand = prefixes.join(full, Seq("sh"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
@@ -681,6 +712,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("__c"), 6).as("containment"))
   }
+
+  /** The zipf-hot gram set [[containmentPairs]]' `maxPostingDf` cap
+    * drops from the containing side — exposed as a pure function of the
+    * same inputs so the cap's recall sacrifice is OBSERVABLE (count it,
+    * list it, audit it) without an eager driver action inside the pair
+    * pipeline. Shares the registry-persisted shingle frame, so calling
+    * it after the pair query costs one cached aggregate.
+    */
+  def containmentHotGrams(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3,
+                          maxPostingDf: Long = 100000L): DataFrame =
+    shingleSets(docs, idCol, textCol, shingleN)
+      .select(explode(col("shs")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxPostingDf)
+      .select(col("sh"))
 
   /** Benchmark decontamination: training docs that share at least one
     * distinct `shingleN`-gram with the eval/benchmark set, with the
@@ -1036,10 +1083,26 @@ object Dedup {
   /** Diagnostic: hot-bucket count dropped by the MOST RECENT
     * editDistancePairs call in this JVM (the cap's recall contract is
     * observable, not silent — the scale-stress spec asserts it fires on
-    * a pathologically self-similar corpus). Written at plan-BUILD time
-    * (the hot count is an eager action inside editDistancePairs).
+    * a pathologically self-similar corpus). LAZY: reading it counts the
+    * registry-persisted hot frame of the last call — cached-cheap after
+    * the pair query has executed. The previous design counted hot
+    * buckets EAGERLY inside editDistancePairs (a blocking driver action
+    * per plan build — the r12-confirmed q128 wall regression, 6.0 s
+    * wall vs 1.5 s cpu: the wall was waiting on that extra job plus its
+    * cache pressure, not computing).
     */
-  @volatile var lastHotBucketsDropped: Long = 0L
+  def lastHotBucketsDropped: Long =
+    lastHotFrame match {
+      case Some(hot) =>
+        val n = hot.count()
+        if (n > 0)
+          log.warn(s"editDistancePairs: dropped $n hot segment bucket(s) " +
+            "— pairs matching ONLY on those segments are lost; run exact " +
+            "dedup upstream to restore full recall")
+        n
+      case None => 0L
+    }
+  @volatile private var lastHotFrame: Option[DataFrame] = None
 
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 5, prefixChars: Int = 80,
@@ -1071,22 +1134,19 @@ object Dedup {
     // keys above the cap (B side's legitimate fanout is (2k+1)× from
     // the shift enumeration, so its cap scales by that factor). The hot
     // set is tiny by construction (≤ totalKeys / cap entries) → the
-    // anti-join broadcasts.
+    // anti-join broadcasts. NO driver action here: the anti-join is
+    // unconditional and the hot frame folds into the main job (the
+    // previous eager `hot.count()` serialized an extra blocking job per
+    // call — VERDICT r12 #5); drops stay observable through the LAZY
+    // `lastHotBucketsDropped`, which counts the persisted frame.
     val hotA = aKeys.groupBy("i", "seg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxBucket).select(col("i"), col("seg"))
     val hotB = bKeys.groupBy("i", "seg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxBucket * (2L * k + 1L)).select(col("i"), col("seg"))
-    val hot = hotA.unionByName(hotB).distinct()
-    val nHot = hot.count()
-    lastHotBucketsDropped = nHot
-    if (nHot > 0)
-      log.warn(s"editDistancePairs: dropping $nHot hot segment bucket(s) " +
-        s"(> $maxBucket postings) — pairs matching ONLY on those segments " +
-        "are lost; run exact dedup upstream to restore full recall")
-    val aK = if (nHot == 0) aKeys
-      else aKeys.join(broadcast(hot), Seq("i", "seg"), "left_anti")
-    val bK = if (nHot == 0) bKeys
-      else bKeys.join(broadcast(hot), Seq("i", "seg"), "left_anti")
+    val hot = cachedPersist(hotA.unionByName(hotB).distinct())
+    lastHotFrame = Some(hot)
+    val aK = aKeys.join(broadcast(hot), Seq("i", "seg"), "left_anti")
+    val bK = bKeys.join(broadcast(hot), Seq("i", "seg"), "left_anti")
     aK.join(bK, Seq("i", "seg"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("p_a"), col("p_b"))

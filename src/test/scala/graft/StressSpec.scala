@@ -117,6 +117,38 @@ class StressSpec extends SparkSpec {
     assert(pairsFound.forall { case (a, b) => a >= 1000000L && b >= 1000000L })
   }
 
+  test("containmentPairs on a zipf-hot corpus: posting-df cap bounds the " +
+    "candidate join, cold contained pairs survive") {
+    // pathological self-similarity: 20k IDENTICAL docs (every gram's
+    // posting list is 20k deep — uncapped, the prefix×posting join is
+    // 20k² = 4·10⁸ candidates). Plus one planted containment pair on
+    // its own rare grams.
+    val mass = spark.range(20000L).select(col("id"),
+      lit("the quick brown fox jumps over the lazy dog again and again " +
+        "running far").as("text"))
+    val planted = Seq(
+      (1000000L, "zonal quake vertex brimful jocks"), // contained…
+      (1000001L, "intro words zonal quake vertex brimful jocks outro " +
+        "tail filler")) // …in this
+      .toDF("id", "text")
+    val docs = mass.unionByName(planted)
+    val t0 = System.nanoTime()
+    val out = Dedup.containmentPairs(docs, "id", "text", shingleN = 3,
+        threshold = 0.6, maxPostingDf = 1000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // the cap MUST have fired (the mass shares every gram)
+    assert(Dedup.containmentHotGrams(docs, "id", "text", 3, 1000L)
+      .count() > 0, "expected hot grams on a near-identical corpus")
+    // bounded time — the empirical point of the cap
+    assert(wallSec < 120, s"containmentPairs took $wallSec s")
+    // the cold planted pair survives in both directions' rare grams
+    assert(out.contains((1000000L, 1000001L)), s"missing planted pair: $out")
+    // the identical mass matches only on hot (dropped) grams → no mass
+    // pairs reported (documented recall contract — run exact dedup first)
+    assert(out.forall { case (a, b) => a >= 1000000L && b >= 1000000L })
+  }
+
   test("merge2 with one hot key under AQE: skew-join split triggers") {
     val conf = spark.conf
     val saved = Seq(
