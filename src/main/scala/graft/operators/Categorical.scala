@@ -24,13 +24,39 @@ import org.apache.spark.sql.functions._
   */
 object Categorical {
 
+  /** Dictionary-size contract: the global un-partitioned `row_number`
+    * windows below funnel the DISTINCT key set through ONE task — fine
+    * for dictionaries (the whole point of a Categorical), silently
+    * pathological if someone categorizes a unique-ish key at corpus
+    * scale (VERDICT r12 #6). The guard is IN-PLAN (`raise_error` fires
+    * on the first code past the cap during the same window evaluation)
+    * so it costs nothing when under the cap and needs no eager count.
+    * Tune with -Dgraft.categorical.maxCategories.
+    */
+  // read per call (dictionary builds are rare) so tests and sessions
+  // can retune the cap without a JVM restart
+  private[operators] def maxCategories: Long =
+    try sys.props.getOrElse("graft.categorical.maxCategories",
+      (1L << 22).toString).toLong
+    catch { case _: NumberFormatException => 1L << 22 }
+
+  private def guardedCode(codeCol: Column): Column =
+    when(codeCol > maxCategories, raise_error(lit(
+      s"Categorical dictionary exceeds $maxCategories distinct keys " +
+        "(graft.categorical.maxCategories) — a dictionary this large " +
+        "funnels one task; group directly on the key instead"))
+      .cast("int"))
+      .otherwise(codeCol)
+
   /** The category dictionary: sorted unique values with 1-based codes
     * (riptable sorts string categories; code 0 is reserved for Filtered).
-    * The window runs over the already-distinct (small) key set.
+    * The window runs over the already-distinct (small) key set — see
+    * the [[maxCategories]] contract.
     */
   def categories(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
-      .withColumn("code", row_number().over(Window.orderBy(col(keyCol))))
+      .withColumn("code",
+        guardedCode(row_number().over(Window.orderBy(col(keyCol)))))
 
   /** Encode: attach the 1-based code; null/filtered keys get code 0. */
   def encode(df: DataFrame, keyCol: String, out: String = "code",
@@ -52,6 +78,27 @@ object Categorical {
     coded.join(broadcast(d), Seq(codeCol), "left")
   }
 
+  /** IntEnum / Dictionary-mode construction (`rt_categorical.py:226`,
+    * `rt_enum.py:848`; CategoryMode.IntEnum/Dictionary): attach labels
+    * to PRE-ASSIGNED base-1 codes under a USER-SUPPLIED dictionary —
+    * the migrating-user path for enum-coded columns where the mapping
+    * exists outside the data. Honors the reference's conventions:
+    * code 0 = Filtered (null label), and any code outside [1, |dict|]
+    * is invalid → normalized to 0/Filtered rather than erroring
+    * (riptable's invalid→Filtered fill). The dictionary rides as ONE
+    * array literal resolved with `element_at` — a pure projection,
+    * zero join, zero shuffle at any fact-table size.
+    */
+  def fromCodes(df: DataFrame, codeCol: String, dict: Seq[String],
+                out: String = "label"): DataFrame = {
+    require(dict.nonEmpty, "fromCodes needs a non-empty dictionary")
+    val d = typedlit(dict)
+    val c = col(codeCol).cast("int")
+    val valid = c.isNotNull && c >= 1 && c <= dict.size
+    df.withColumn(out, when(valid, element_at(d, c)))
+      .withColumn(codeCol, when(valid, c).otherwise(lit(0)))
+  }
+
   /** Categorical.isin at dictionary level (rt_categorical.py:4171):
     * membership test against the (small) category set, not the rows.
     */
@@ -70,7 +117,8 @@ object Categorical {
     */
   def multiKeyCategories(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.select(keyCols.map(col): _*).na.drop().distinct()
-      .withColumn("code", row_number().over(Window.orderBy(keyCols.map(col): _*)))
+      .withColumn("code",
+        guardedCode(row_number().over(Window.orderBy(keyCols.map(col): _*))))
 
   /** merge_cats (`riptable/rt_grouping.py:136`): hstack Categoricals
     * that carry DIFFERENT dictionaries — e.g. slices of a stacked
@@ -92,7 +140,8 @@ object Categorical {
     val unified = slices.map { case (_, d) =>
       d.select(col(d.columns.head).as("__label"))
     }.reduce(_ unionByName _).distinct()
-      .withColumn(codeCol, row_number().over(Window.orderBy(col("__label"))))
+      .withColumn(codeCol,
+        guardedCode(row_number().over(Window.orderBy(col("__label")))))
     val remapped = slices.zip(labelCols).map { case ((df, dict), labelCol) =>
       val old = dict.select(col(labelCol).as("__label"),
         col(codeCol).as("__old"))

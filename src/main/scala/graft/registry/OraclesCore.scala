@@ -442,6 +442,17 @@ private[graft] object OraclesCore {
         |  n_name IN ('CHINA', 'INDIA', 'FRANCE') AS isin
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
+    // fromCodes decode replay: base-1 list indexing, code 0 = Filtered
+    // (null label), out-of-range (6) normalized to 0
+    "q263_cat_from_codes" ->
+      """SELECT c_custkey,
+        |  CAST(CASE WHEN c_custkey % 7 BETWEEN 1 AND 5
+        |    THEN c_custkey % 7 ELSE 0 END AS INT) AS tier_code,
+        |  CASE WHEN c_custkey % 7 BETWEEN 1 AND 5
+        |    THEN (['bronze', 'silver', 'gold', 'platinum', 'diamond'])
+        |      [CAST(c_custkey % 7 AS INT)] END AS tier
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q98_gb_filter" ->
       """SELECT l_returnflag,
         |  round(sum(l_quantity) FILTER (l_discount > 0.05), 4) AS qty_hi_disc,

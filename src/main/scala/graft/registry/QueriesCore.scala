@@ -495,6 +495,21 @@ private[graft] object QueriesCore {
         .orderBy(col("l_returnflag"))
     }),
 
+    // IntEnum/Dictionary-mode Categorical (rt_categorical.py:226,
+    // rt_enum.py:848): pre-assigned codes (c_custkey % 7 — values 0..6)
+    // under a user-supplied 5-label dictionary; 0 = Filtered, 6 =
+    // invalid -> normalized to 0 with a null label
+    "q263_cat_from_codes" -> ((s, dir) =>
+      Categorical.fromCodes(
+          t(s, dir, "customer")
+            .select(col("c_custkey"),
+              pmod(col("c_custkey"), lit(7)).cast("int").as("tier_code")),
+          "tier_code",
+          Seq("bronze", "silver", "gold", "platinum", "diamond"),
+          out = "tier")
+        .select(col("c_custkey"), col("tier_code"), col("tier"))
+        .orderBy(col("c_custkey"))),
+
     "q97_cat_isin" -> ((s, dir) =>
       // Categorical.isin at dictionary level (rt_categorical.py:4171)
       Categorical.isinCategories(t(s, dir, "nation"), "n_name",

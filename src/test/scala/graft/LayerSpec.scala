@@ -33,6 +33,54 @@ class LayerSpec extends SparkSpec {
     assert(coded.filter($"k".isNull).select("code").as[Int].head() === 0)
   }
 
+  test("fromCodes: base-1 dictionary decode, 0 = Filtered, out-of-range " +
+    "normalized to 0; round-trips encode's codes") {
+    // direct semantics: codes 0 and 9 -> Filtered (null label, code 0)
+    val df = Seq((10L, 1), (11L, 3), (12L, 0), (13L, 9), (14L, 2))
+      .toDF("id", "code")
+    val out = Categorical.fromCodes(df, "code", Seq("x", "y", "z"))
+      .select("id", "code", "label")
+      .as[(Long, Int, Option[String])].collect().sortBy(_._1).toSeq
+    assert(out === Seq((10L, 1, Some("x")), (11L, 3, Some("z")),
+      (12L, 0, None), (13L, 0, None), (14L, 2, Some("y"))))
+    // round trip vs encode/categories: feeding encode's own codes with
+    // the sorted dictionary labels reproduces the original keys
+    val src = Seq("b", "a", "c", "a", "b").toDF("k")
+    val dict = Categorical.categories(src, "k")
+      .orderBy("code").as[(String, Int)].collect().map(_._1).toSeq
+    val rt = Categorical.fromCodes(
+        Categorical.encode(src, "k"), "code", dict)
+      .select("k", "label").as[(String, String)].collect()
+    assert(rt.forall { case (k, l) => k == l }, rt.mkString(","))
+  }
+
+  test("categories guard: a dictionary past maxCategories fails loudly " +
+    "instead of funneling one task") {
+    val saved = sys.props.get("graft.categorical.maxCategories")
+    try {
+      sys.props("graft.categorical.maxCategories") = "100"
+      val wide = spark.range(500L).selectExpr("CAST(id AS STRING) AS k")
+      // materialize the code column: a bare count() lets the optimizer
+      // prune the window (and with it the guard — correctly: no window,
+      // no single-task funnel to guard)
+      val e = intercept[Exception] {
+        Categorical.categories(wide, "k").agg(max(col("code"))).head()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("maxCategories")), e.toString)
+      // and under the cap everything still works
+      val ok = spark.range(50L).selectExpr("CAST(id AS STRING) AS k")
+      assert(Categorical.categories(ok, "k").count() === 50L)
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.categorical.maxCategories") = v
+        case None => sys.props.remove("graft.categorical.maxCategories")
+      }
+    }
+  }
+
   test("winsorize clips exactly at the percentile bounds") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val out = Stats.winsorize(df, "v", 0.1, 0.9, "w")
