@@ -268,6 +268,22 @@ object Bench {
       val prevCpu = localBaseCpu.get(name)
       val verdict = BenchVerdict.of(prev, prevCpu, isoMin, isoMinCpu,
         anyError = iso.exists(!_._3))
+      // CONFIRMED slips get operator-level attribution (VERDICT r12 #9:
+      // the rt_timers/MathLedger analog): one more execution, then the
+      // top-5 operators by time from the executed plan's SQLMetrics —
+      // so the next regression forensics starts from "which operator"
+      // instead of a bare wall number.
+      if (verdict == "confirmed") try {
+        val df = fnByName(name)(spark, sfDir)
+        df.count()
+        Explain.opMetrics(df)
+          .orderBy(org.apache.spark.sql.functions.col("time_ms").desc)
+          .limit(5).collect().foreach { r =>
+            System.err.println(s"REGOP $name op=${r.getString(1)} " +
+              s"rows=${r.getLong(2)} time_ms=${r.getLong(3)} " +
+              s"bytes=${r.getLong(4)}")
+          }
+      } catch { case _: Throwable => () }
       (name, prev, med, isoMed, isoMin, isoMinCpu,
         prevCpu.getOrElse(-1.0), verdict, kind)
     }

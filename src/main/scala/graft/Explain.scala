@@ -1,13 +1,61 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Plan-inspection tool: prints the formatted physical plan of selected
   * queries (or all with arg "all") so scan pushdown, broadcast choices,
   * and whole-stage-codegen spans can be audited per query.
   * Usage: runMain graft.Explain <sfDir> [queryName ...]
+  *
+  * Also hosts [[Explain.opMetrics]] — the MathLedger/rt_timers analog
+  * (`riptable/rt_ledger.py:14`, `rt_timers.py:19`): per-OPERATOR
+  * rows/time/bytes from an EXECUTED plan's SQLMetrics, as a DataFrame.
+  * riptable ledgers every kernel call; on Spark the execution engine
+  * already meters every physical operator — this just surfaces the
+  * executed plan's metric registry as a queryable table (one row per
+  * operator, preorder ids so parent/child structure is readable).
   */
 object Explain {
+
+  /** Per-operator metrics of an executed query. Call AFTER an action
+    * (`df.count()`/`collect()` — metrics are populated by execution;
+    * on a never-executed plan every value reads 0). Columns:
+    * `op_id` (preorder index), `operator` (nodeName), `rows`
+    * (numOutputRows, −1 if the operator doesn't report it),
+    * `time_ms` (sum of the operator's time metrics, normalized to ms),
+    * `bytes` (sum of its size metrics: dataSize / bytes read/written).
+    *
+    * AQE-aware: descends through AdaptiveSparkPlanExec's FINAL plan and
+    * materialized query stages, so the rows reflect what actually ran.
+    */
+  def opMetrics(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val rows = walk(df.queryExecution.executedPlan).zipWithIndex.map {
+      case (n, i) =>
+        val m = n.metrics
+        val outRows = m.get("numOutputRows").map(_.value).getOrElse(-1L)
+        // SQLMetric timing units: metricType "timing" counts ms,
+        // "nsTiming" counts ns — normalize to ms so the column sums
+        val timeMs = m.values.collect {
+          case v if v.metricType == "timing" => v.value
+          case v if v.metricType == "nsTiming" => v.value / 1000000L
+        }.sum
+        val bytes = m.collect {
+          case (k, v) if v.metricType == "size" ||
+            k.toLowerCase.contains("bytes") => v.value
+        }.sum
+        (i, n.nodeName, outRows, timeMs, bytes)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("op_id", "operator", "rows", "time_ms", "bytes")
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("q1_agg")

@@ -81,6 +81,24 @@ class LayerSpec extends SparkSpec {
     }
   }
 
+  test("opMetrics surfaces per-operator rows/time/bytes from an " +
+    "executed plan (MathLedger/rt_timers analog)") {
+    val df = spark.range(10000L).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").count()
+    df.collect()
+    val ops = Explain.opMetrics(df).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(ops.nonEmpty)
+    // the aggregate ran and reports its true output cardinality
+    val agg = ops.filter(_._1.contains("HashAggregate"))
+    assert(agg.nonEmpty, ops.mkString("\n"))
+    assert(agg.exists(_._2 == 7L), agg.mkString(","))
+    // something in the plan moved bytes (the exchange) and all metric
+    // values are non-negative after normalization
+    assert(ops.exists(_._4 > 0L), ops.mkString("\n"))
+    assert(ops.forall(o => o._3 >= 0L && o._4 >= 0L))
+  }
+
   test("winsorize clips exactly at the percentile bounds") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val out = Stats.winsorize(df, "v", 0.1, 0.9, "w")
