@@ -141,7 +141,8 @@ object VerifyScale10 {
     "q185_incremental_dedup", "q200_curation_e2e", "q86_tpch_q3",
     "q87_tpch_q5", "q146_tpch_q21", "q242_ivf_trained",
     "q250_ivfpq_trained", "q253_model_artifact",
-    "q256_bloom_decontam", "q259_lsh_scurve", "q257_dsir_select")
+    "q256_bloom_decontam", "q259_lsh_scurve", "q257_dsir_select",
+    "q264_release_gate")
 
   /** q128's standard oracle is BRUTE-FORCE all-pairs levenshtein —
     * right at ≤5k docs, hopeless at 50k (1.25e9 pairs; measured >90min

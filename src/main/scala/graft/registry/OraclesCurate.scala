@@ -747,7 +747,105 @@ private[graft] object OraclesCurate {
         |    ELSE 'kept' END AS reason
         |  FROM m)
         |SELECT source, reason, count(*) AS n
-        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // release-gate mirror: the four audits replayed with their own
+    // oracles' machinery (q256 exact containment, q251 banded LSH +
+    // exact cosine with planted twins, q222 JS divergence, q230
+    // first-failing-gate attribution), each folded to one row, then a
+    // 4-row UNION. CTE names are prefixed per branch (scorerCtesSql
+    // owns toks/d0/wt/tb/us).
+    "q264_release_gate" -> {
+      s"""WITH ${scorerCtesSql},
+         |ntoks AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |nsh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3
+         |    THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+         |  FROM ntoks),
+         |nsizes AS (SELECT doc_id, count(*) AS sz FROM nsh GROUP BY 1),
+         |nco AS (SELECT e.doc_id AS id_eval, c.doc_id AS id_doc,
+         |    count(*) AS co
+         |  FROM nsh e JOIN nsh c ON e.s = c.s
+         |  WHERE e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |  GROUP BY 1, 2),
+         |ngr AS (SELECT count(DISTINCT id_doc) AS n,
+         |    coalesce(max(round(CAST(co AS DOUBLE) / se.sz, 6)), 0.0) AS w
+         |  FROM nco JOIN nsizes se ON nco.id_eval = se.doc_id
+         |  WHERE CAST(co AS DOUBLE) / se.sz >= 0.7),
+         |ev AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 <> 0
+         |  UNION ALL
+         |  ${twinsSql("ev", "vec_id", "embedding")}),
+         |${lshSigCte("evs", "ev", "vec_id", "embedding")},
+         |${lshSigCte("trs", "tr", "vec_id", "embedding")},
+         |evb AS (SELECT vec_id, unnest([b0, b1, b2, b3]) AS bandval,
+         |  unnest([0, 1, 2, 3]) AS band FROM evs),
+         |trb AS (SELECT vec_id, unnest([b0, b1, b2, b3]) AS bandval,
+         |  unnest([0, 1, 2, 3]) AS band FROM trs),
+         |scand AS (SELECT DISTINCT e.vec_id AS id_eval,
+         |    t.vec_id AS id_train
+         |  FROM evb e JOIN trb t
+         |  ON e.band = t.band AND e.bandval = t.bandval),
+         |sscored AS (SELECT id_eval,
+         |  ${cosineSql("ee.embedding", "et.embedding")} AS cos
+         |  FROM scand JOIN evs ee ON scand.id_eval = ee.vec_id
+         |  JOIN trs et ON scand.id_train = et.vec_id
+         |  WHERE ${dotSql("ee.embedding", "ee.embedding")} > 0
+         |    AND ${dotSql("et.embedding", "et.embedding")} > 0),
+         |perq AS (SELECT id_eval, round(max(cos), 6) AS mc
+         |  FROM sscored WHERE cos >= 0.9 GROUP BY 1),
+         |semr AS (SELECT count(*) AS n, coalesce(max(mc), 0.0) AS w
+         |  FROM perq),
+         |dterms AS (SELECT source,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |dc AS (SELECT term,
+         |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+         |  FROM dterms GROUP BY 1),
+         |dtot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+         |    CAST(sum(cb) AS DOUBLE) AS nb FROM dc),
+         |df2 AS (SELECT CAST(ca AS DOUBLE) / na AS p,
+         |    CAST(cb AS DOUBLE) / nb AS q, ca, cb FROM dc, dtot),
+         |dft AS (SELECT round(sum(
+         |    (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2)) / 2
+         |      ELSE 0 END) +
+         |    (CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2)) / 2
+         |      ELSE 0 END)), 6) AS js, count(*) AS n FROM df2),
+         |fp AS (SELECT d0.doc_id, d0.lang, us.units,
+         |    row_number() OVER (PARTITION BY md5(d0.text),
+         |      (d0.lang = 'en' AND coalesce(us.units > 0, FALSE))
+         |      ORDER BY d0.doc_id) AS rn
+         |  FROM d0 LEFT JOIN us USING (doc_id)),
+         |fr AS (SELECT CASE
+         |    WHEN NOT coalesce(lang = 'en', FALSE) THEN 'lang'
+         |    WHEN NOT coalesce(units > 0, FALSE) THEN 'quality'
+         |    WHEN NOT coalesce(rn = 1, FALSE) THEN 'duplicate'
+         |    ELSE 'kept' END AS reason
+         |  FROM fp),
+         |funr AS (SELECT
+         |    CAST(sum(CASE WHEN reason <> 'kept' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n,
+         |    count(*) AS tot FROM fr)
+         |SELECT * FROM (
+         |  SELECT 'ngram_contamination' AS "check",
+         |    CAST(n AS BIGINT) AS n_flagged, w AS worst, n = 0 AS pass
+         |  FROM ngr
+         |  UNION ALL
+         |  SELECT 'semantic_leakage', CAST(n AS BIGINT), w, n = 0 FROM semr
+         |  UNION ALL
+         |  SELECT 'token_drift', CAST(n AS BIGINT), js, js <= 0.5 FROM dft
+         |  UNION ALL
+         |  SELECT 'quality_funnel', n,
+         |    round(CAST(n AS DOUBLE) / tot, 6),
+         |    CAST(n AS DOUBLE) / tot <= 0.95 FROM funr)
+         |ORDER BY "check"""".stripMargin
+    }
   )
 
   /** Full GD-replay + scoring mirror shared by q232 (in-session train)

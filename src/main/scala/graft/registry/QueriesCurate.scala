@@ -469,6 +469,80 @@ private[graft] object QueriesCurate {
       Curate.scoreTextWith(docs, "doc_id", "text",
           col("lang") === "en", w)
         .orderBy(col("doc_id"))
+    }),
+
+    // END-TO-END RELEASE GATE (VERDICT r12 #10): the four hygiene
+    // audits a dataset release runs before a training job is allowed to
+    // read it, composed into ONE go/no-go artifact — a row per check
+    // with (flag count, worst value, pass). All four reuse the exact
+    // machinery their standalone queries pin:
+    //  - ngram_contamination: q256's bloom-gated exact containment
+    //    (train docs containing an eval item at C >= 0.7); pass = none.
+    //  - semantic_leakage: q251's banded-LSH + exact-cosine audit at
+    //    the production 64-bit/4-band geometry (planted twins — the
+    //    random corpus has no cosine >= 0.9 mass); pass = none.
+    //  - token_drift: q222's JS divergence between src0/src1 token
+    //    distributions; pass = js <= 0.5 nats (release threshold).
+    //  - quality_funnel: q230's first-failing-gate attribution
+    //    (lang -> quality -> dedup); pass = rejection rate <= 0.95.
+    // Scale shape: each branch folds to ONE row before the final
+    // 4-row union — the gate's cost is exactly the sum of its audits,
+    // and nothing joins corpus-sized frames across branches.
+    "q264_release_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val ng = Dedup.crossContainmentBloom(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "doc_id", "text", shingleN = 3, threshold = 0.7)
+        .agg(countDistinct(col("id_doc")).as("n"),
+          coalesce(max(col("containment")), lit(0.0)).as("w"))
+        .select(lit("ngram_contamination").as("check"),
+          col("n").cast("long").as("n_flagged"),
+          round(col("w"), 6).as("worst"), (col("n") === 0).as("pass"))
+      val evalVecs = emb.select(col("vec_id"), col("embedding"))
+        .filter(pmod(col("vec_id"), lit(10)) === 0)
+      val trainVecs = emb.select(col("vec_id"), col("embedding"))
+        .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        .unionByName(plantTwins(evalVecs, "vec_id", "embedding"))
+      val sem = Similarity.crossSplitSemanticLeakage(trainVecs, evalVecs,
+          "vec_id", "embedding", threshold = 0.9)
+        .agg(count(lit(1)).as("n"),
+          coalesce(max(col("max_cosine")), lit(0.0)).as("w"))
+        .select(lit("semantic_leakage").as("check"),
+          col("n").cast("long").as("n_flagged"),
+          round(col("w"), 6).as("worst"), (col("n") === 0).as("pass"))
+      val drift = Drift.categoricalDrift(
+          docs.select(col("source"),
+            explode(TextFns.tokens(col("text"))).as("term")),
+          col("term"), col("source"), "src0", "src1")
+        .select(lit("token_drift").as("check"),
+          col("n_cats").cast("long").as("n_flagged"),
+          col("js_nats").as("worst"), (col("js_nats") <= 0.5).as("pass"))
+      val d0 = docs.select(col("doc_id"), col("source"), col("lang"),
+        TextFns.nfc(col("text")).as("text"))
+      val scoredQ = Curate.hashedLinearScore(d0, "doc_id", "text")
+        .select(col("doc_id"), col("score_units"))
+      val passedC = col("lang") === "en" &&
+        coalesce(col("score_units") > 0, lit(false))
+      val wf = Window.partitionBy(col("__fp"), passedC)
+        .orderBy(col("doc_id"))
+      val flagged = d0.join(scoredQ, Seq("doc_id"), "left")
+        .withColumn("__fp", md5(col("text")))
+        .withColumn("__rn", row_number().over(wf))
+      val funnel = Curate.rejectionReasons(flagged, Seq("source"), Seq(
+          "lang" -> (col("lang") === "en"),
+          "quality" -> (col("score_units") > 0),
+          "duplicate" -> (col("__rn") === 1)))
+        .agg(sum(when(col("reason") =!= "kept", col("n")).otherwise(lit(0L)))
+            .as("n"),
+          sum(col("n")).as("tot"))
+        .select(lit("quality_funnel").as("check"),
+          col("n").cast("long").as("n_flagged"),
+          round(col("n").cast("double") / col("tot"), 6).as("worst"),
+          (col("n").cast("double") / col("tot") <= 0.95).as("pass"))
+      ng.unionByName(sem).unionByName(drift).unionByName(funnel)
+        .orderBy(col("check"))
     })
   )
 }

@@ -56,7 +56,7 @@ class RegistrySweepSpec extends SparkSpec {
       Seq("tpch", "dedup", "minhash", "simhash", "jaccard", "drift",
         "psi", "decontam", "containment", "edit_distance", "novel",
         "snapshot", "contamination", "scurve", "dsir", "ann_recall",
-        "bloom")
+        "bloom", "release")
     val allow: Map[String, String] = Map.empty // none known — keep it so
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => families.exists(n.contains))

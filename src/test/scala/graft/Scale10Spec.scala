@@ -79,7 +79,12 @@ class Scale10Spec extends SparkSpec {
     "q259_lsh_scurve" -> 128L,
     // DSIR (r12): bucket histograms fold map-side onto <=2048 rows; the
     // scored stream shuffles once on doc id with partial sums
-    "q257_dsir_select" -> 128L)
+    "q257_dsir_select" -> 128L,
+    // release gate (r13): four one-row audit folds (bloom containment,
+    // banded semantic leakage, JS drift, funnel attribution) — each
+    // branch is its standalone query's shape, nothing corpus-sized
+    // crosses between branches
+    "q264_release_gate" -> 192L)
 
   test("flagship pipelines at 10x sf0.1: rows flow, per-task shuffle " +
     "read stays bounded (no single-reducer / quadratic stage)") {
