@@ -315,12 +315,16 @@ object Bench {
       "q234_classifier_gate", "q237_kmeans", "q238_cluster_balanced_sample",
       "q239_semdedup_kmeans", "q242_ivf_trained", "q250_ivfpq_trained",
       "q253_model_artifact", "q254_classifier_artifact",
-      "q255_bpe_artifact", "q260_bloom_artifact", "q261_dsir_artifact")
+      "q255_bpe_artifact", "q260_bloom_artifact", "q261_dsir_artifact",
+      // BPE trainers memo-hit after r13 — the cold lane keeps the
+      // driver-sequenced training cost measured
+      "q225_bpe_merges", "q226_bpe_segments", "q243_bpe_fertility")
     val coldAll = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     def coldReset(): Unit = {
       operators.Dedup.clearDedupCaches()
       operators.Curate.clearClassifierMemo()
       operators.Similarity.clearKmeansMemo()
+      functions.Bpe.clearMergesMemo()
       val pairTable = "graft_pairs_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       try spark.sql(s"DROP TABLE IF EXISTS `$pairTable`")
       catch { case _: Throwable => () }

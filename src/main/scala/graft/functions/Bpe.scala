@@ -167,7 +167,24 @@ object Bpe {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(lookahead >= 1, s"lookahead must be >= 1, got $lookahead")
     val spark = docs.sparkSession
-    var cur = wordSyms(docs, textCol)
+    val src = wordSyms(docs, textCol)
+    // Session memo (kmeans/classifier-memo contract): the merge table
+    // is a pure function of (word-frequency slice, rounds, lookahead)
+    // and training is a DRIVER-SEQUENCED job chain — the expensive
+    // part no registry frame can absorb. Consumers that re-train per
+    // call (q226 segments, q243 fertility) pay it once per session;
+    // the bench cold lane clears this so the build cost stays
+    // measured, and Models.ensureBpeMerges remains the cross-SESSION
+    // warm path. Deterministic plans only (the kmMemo rule).
+    val memoKey = (spark, src.queryExecution.analyzed.canonicalized,
+      rounds, lookahead)
+    val memoizable = !graft.operators.GraftPlanUtil.nondeterministic(
+      docs.queryExecution.analyzed)
+    if (memoizable && mergesMemo.synchronized(mergesMemo.containsKey(memoKey)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          mergesMemo.synchronized(mergesMemo.get(memoKey)), 1), outSchema)
+    var cur = src
     val merges = scala.collection.mutable.ArrayBuffer[Row]()
     val mergedSet = scala.collection.mutable.Set[String]()
     var sinceCheckpoint = 0
@@ -199,9 +216,25 @@ object Bpe {
         }
       }
     }
+    if (memoizable) mergesMemo.synchronized {
+      mergesMemo.put(memoKey, merges.toSeq)
+      while (mergesMemo.size > 32)
+        mergesMemo.remove(mergesMemo.keySet.iterator.next())
+    }
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1), outSchema)
   }
+
+  /** Learned-merge memo for [[bpeMerges]] — (session, canonicalized
+    * word-frequency plan, rounds, lookahead), deterministic plans
+    * only, LRU-capped. */
+  private val mergesMemo =
+    new java.util.LinkedHashMap[Any, Seq[Row]](16, 0.75f, true)
+
+  /** Drop every memoized merge table — the bench cold lane uses this
+    * so the BPE family pays the full driver-sequenced training cost,
+    * measuring what a first-call production user pays. */
+  def clearMergesMemo(): Unit = mergesMemo.synchronized(mergesMemo.clear())
 
   /** Batched (approximate) BPE merge learning — the 32k-vocab scale
     * path. Each driver round collects the top `lookahead` viable pairs
