@@ -404,11 +404,20 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits; plane p's
-    * component for dimension d is a zero-mean integer from a pure LCG,
-    *   w(p, d) = ((1103515245·(131·p + d) + 12345) mod 2001) − 1000,
-    * deterministic AND engine-independent (plain int64 arithmetic — a
-    * DuckDB oracle reproduces the exact signature, unlike a hash-seeded
-    * plane). Projections accumulate in double, left-to-right.
+    * component for dimension d is a zero-mean integer from a QUADRATIC
+    * mix over s = 131·p + d,
+    *   w(p, d) = ((s·s mod 1000003)·2654435761 + s·40503 + 12345)
+    *             mod 2001 − 1000,
+    * deterministic AND engine-independent (plain non-negative int64
+    * arithmetic — a DuckDB oracle reproduces the exact signature,
+    * unlike a hash-seeded plane). NOT an affine LCG: affine weights
+    * over s have lattice structure — consecutive planes anti-correlate
+    * at −0.5, piling signatures onto the two alternating-bit values
+    * per band and making band blocking quasi-quadratic on large
+    * corpora (measured 92M vs ~23k expected candidates at 200k
+    * vectors); the s² term puts cross-plane correlation at the
+    * sampling-noise floor. Projections accumulate in double,
+    * left-to-right.
     */
   def lshSignature(vec: Column, bits: Int): Column =
     call_function("rip_lsh_sig", vec, lit(bits))
@@ -423,9 +432,13 @@ object Similarity {
     val planes = (0 until bits).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") *
-            (pmod(lit(1103515245L) * (lit(131L * p) + d) + lit(12345L),
-              lit(2001L)) - 1000L).cast("double")),
+          (x, d) => {
+            val s = lit(131L * p) + d
+            x.cast("double") *
+              (pmod(pmod(s * s, lit(1000003L)) * lit(2654435761L) +
+                s * lit(40503L) + lit(12345L), lit(2001L)) - 1000L)
+                .cast("double")
+          }),
         lit(0.0d), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }

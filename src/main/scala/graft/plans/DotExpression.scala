@@ -97,8 +97,10 @@ case class RipDot(left: Expression, right: Expression)
 
 /** `rip_lsh_sig(vec, bits)`: the `bits`-plane random-hyperplane LSH
   * signature of `Similarity.lshSignature` as ONE codegen'd pass over the
-  * vector. Plane p's weight for dimension d is the pure-LCG integer
-  *   w(p, d) = floorMod(1103515245·(131·p + d) + 12345, 2001) − 1000,
+  * vector. Plane p's weight for dimension d is the quadratic-mix integer
+  *   s = 131·p + d
+  *   w(p, d) = floorMod(floorMod(s·s, 1000003)·2654435761
+  *                      + s·40503 + 12345, 2001) − 1000,
   * each plane's projection accumulates left-to-right in double, and bit
   * p is set iff its projection is > 0 — bit-identical to the
   * `aggregate(zip_with(...))` per-plane formulation it replaces (kept as
@@ -150,7 +152,20 @@ case class RipLshSig(child: Expression, bits: Int)
       }
       var p = 0
       while (p < bits) {
-        accs(p) += x * (Math.floorMod(1103515245L * (131L * p + d) + 12345L, 2001L) - 1000L).toDouble
+        // quadratic mix, NOT an affine LCG: an affine w(p,d) over
+        // s = 131p+d has lattice structure — consecutive planes
+        // anti-correlate at −0.5 (measured), concentrating signatures
+        // on alternating-bit values (0x5555…/0xAAAA…) and turning two
+        // buckets per band corpus-hot (the r13 10×-lane q264 blowup:
+        // 92M candidates where ~23k are expected). The s² term breaks
+        // the lattice; cross-plane |corr| sits at the 64-dim sampling
+        // noise floor. All ops stay in non-negative i64 (s ≤ 131·63 +
+        // dim; s² mod 1000003 < 1e6; ×2654435761 < 2.7e15), so plain
+        // `%` replays it on any engine.
+        val s = 131L * p + d
+        accs(p) += x * (Math.floorMod(
+          Math.floorMod(s * s, 1000003L) * 2654435761L + s * 40503L + 12345L,
+          2001L) - 1000L).toDouble
         p += 1
       }
       d += 1
@@ -187,7 +202,8 @@ case class RipLshSig(child: Expression, bits: Int)
          |    if ($a.isNullAt($d)) { $bad = true; break; }
          |    double $x = (double)($elemVal);
          |    for (int $p = 0; $p < $bits; $p++) {
-         |      $accs[$p] += $x * (double)(Math.floorMod(1103515245L * (131L * $p + $d) + 12345L, 2001L) - 1000L);
+         |      long ${p}s = 131L * $p + $d;
+         |      $accs[$p] += $x * (double)(Math.floorMod(Math.floorMod(${p}s * ${p}s, 1000003L) * 2654435761L + ${p}s * 40503L + 12345L, 2001L) - 1000L);
          |    }
          |  }
          |  if (!$bad) {

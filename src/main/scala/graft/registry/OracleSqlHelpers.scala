@@ -134,12 +134,18 @@ private[graft] object OracleSqlHelpers {
        |  vec_id AS neighbor_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
 
-  /** LCG hyperplane projection for plane `p` — mirrors
-    * Similarity.lshSignature's w(p,d) integer formula exactly. */
-  def lshProjSql(vec: String, p: Int): String =
+  /** Quadratic-mix hyperplane projection for plane `p` — mirrors
+    * Similarity.lshSignature's w(p,d) integer formula exactly:
+    * s = 131p + d; w = ((s² mod 1000003)·2654435761 + s·40503 + 12345)
+    * mod 2001 − 1000. All terms non-negative i64, so plain `%` matches
+    * floorMod/pmod. */
+  def lshProjSql(vec: String, p: Int): String = {
+    val s = s"(CAST(${131 * p} AS BIGINT) + (i-1))"
     s"list_sum(list_transform(range(1, len($vec)+1), " +
-      s"i -> CAST($vec[i] AS DOUBLE) * CAST((CAST(1103515245 AS BIGINT) * " +
-      s"(${131 * p} + (i-1)) + 12345) % 2001 - 1000 AS DOUBLE)))"
+      s"i -> CAST($vec[i] AS DOUBLE) * CAST((($s * $s % 1000003) * " +
+      s"CAST(2654435761 AS BIGINT) + $s * 40503 + 12345) % 2001 - 1000 " +
+      s"AS DOUBLE)))"
+  }
 
   /** Band value b of a w-planes-per-band LCG signature:
     * Σ_j 2^j · [proj(b·w + j) > 0]. Equals

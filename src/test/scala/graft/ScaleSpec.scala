@@ -328,13 +328,12 @@ class MiscOpsSpec extends SparkSpec {
     val cand = Similarity.cosineBandCandidates(emb, "vec_id", "embedding")
       .count()
     val allPairsOver8 = n * n / 8
-    // measured ~48k on this corpus: the synthetic embeddings are
-    // label-clustered with positive mean components (mean pairwise
-    // cosine ~0.4), so cluster-mates — genuine near neighbors — share
-    // bands by design; an isotropic corpus would be ~100x lower. The
-    // bound pins the GEOMETRY: the old 16-bucket bands put every pair
-    // in the candidate set (= allPairsOver8 exactly).
-    assert(cand < allPairsOver8 / 10,
+    // The bound pins BOTH failure modes seen to date: the 16-bucket
+    // geometry (every pair a candidate = allPairsOver8 exactly) and
+    // the affine-LCG plane lattice (consecutive planes anti-correlated
+    // at −0.5 ⇒ alternating-bit mega-buckets; measured ~48k candidates
+    // here and 92M at the 10× lane before the quadratic-mix weights).
+    assert(cand < allPairsOver8 / 100,
       s"banding degenerated: $cand candidates vs n^2/8 = $allPairsOver8")
     // and recall on a scale-invariant plant is 1 at ANY geometry:
     // a x2-scaled twin shares the whole signature with its source
