@@ -1150,4 +1150,172 @@ object StreamOps {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), round(col("approx_dist"), 6).as("approx_dist"))
   }
+
+  /** Streaming RELEASE GATE — the ingest-time twin of the batch q264
+    * artifact: per event-time tumbling window, the four hygiene checks
+    * a dataset release runs, each as (check, n_flagged, worst, pass):
+    *
+    *  - `ngram_contamination`: docs whose word-shingle containment vs
+    *    the STATIC eval suite reaches `containTau` (the q256/
+    *    streamingDecontamination machinery, folded per doc to its max
+    *    containment — a stateless literal-array fold);
+    *  - `semantic_leakage`: docs whose embedding sits at cosine ≥
+    *    `cosineTau` to some eval vector, banded-prefiltered by the
+    *    64-bit/4×16 signature (eval bands + vectors ride as ONE
+    *    literal; `arrays_overlap` kills non-candidates before any dot
+    *    product — same recall contract as the batch banding);
+    *  - `source_drift`: JS divergence of the window's `sourceCol`
+    *    distribution against a FIXED reference (the
+    *    streamingDriftMonitor formula, inlined);
+    *  - `quality_funnel`: lang + hashed-linear-quality rejection rate
+    *    (the streamingCurationFunnel gates; the batch gate's dedup
+    *    stage is deliberately absent — a second stateful operator —
+    *    so the streaming funnel is the lang∧quality subset).
+    *
+    * Scale shape: every audit is a STATELESS per-doc projection (eval
+    * suite and reference are literals — benchmark-suite-sized by
+    * contract), so the whole gate is ONE watermarked windowed
+    * aggregation; state per open window is one row of counters. The
+    * 4-row explosion is a stateless projection of that row.
+    */
+  def streamingReleaseGate(docs: DataFrame, idCol: String,
+                           sourceCol: String, langCol: String,
+                           textCol: String, vecCol: String, tsCol: String,
+                           evalDocs: DataFrame, evalVecs: DataFrame,
+                           sourceReference: Seq[(String, Double)],
+                           shingleN: Int = 3, containTau: Double = 0.7,
+                           cosineTau: Double = 0.9,
+                           jsThreshold: Double = 0.5,
+                           rejectThreshold: Double = 0.95,
+                           buckets: Int = 4096, lang: String = "en",
+                           windowDur: String = "10 minutes",
+                           watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.{Similarity, Dedup, Curate}
+    require(sourceReference.nonEmpty && sourceReference.forall(_._2 > 0d) &&
+      math.abs(sourceReference.map(_._2).sum - 1d) < 1e-9,
+      "sourceReference must be a positive distribution summing to 1")
+    // ---- per-doc containment vs the static eval TEXT suite ----------
+    def shsOf(text: org.apache.spark.sql.Column) =
+      sort_array(array_distinct(transform(
+        graft.functions.TextFns.wordShingles(text, shingleN),
+        s => xxhash64(s))))
+    val evalTextRows = evalDocs.select(shsOf(col(textCol))).collect()
+      .map(_.getSeq[Long](0)).filter(_.nonEmpty).toSeq
+    val contCol: org.apache.spark.sql.Column =
+      if (evalTextRows.isEmpty) lit(0.0)
+      else {
+        val evLit = array(evalTextRows.map(shs =>
+          typedlit(shs).as("s")): _*)
+        coalesce(array_max(transform(evLit, e =>
+          size(array_intersect(e, col("__shs"))).cast("double") / size(e))),
+          lit(0.0))
+      }
+    // ---- per-doc semantic leakage vs the static eval VECTOR suite ---
+    // eval side collected once: (vec as double seq, norm, 4 band vals)
+    val evalVecRows = evalVecs
+      .select(col(vecCol),
+        Similarity.lshSignature(col(vecCol), 64).as("__sig"))
+      .collect().map { r =>
+        val v = r.getSeq[Any](0).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case n: java.lang.Number => n.doubleValue
+        }
+        val sig = r.getLong(1)
+        val bands = (0 until 4).map(b => (sig >> (b * 16)) & 0xFFFFL)
+        (v, math.sqrt(v.map(x => x * x).sum), bands)
+      }.filter(_._2 > 0d).toSeq
+    val (leakN, leakMax) =
+      if (evalVecRows.isEmpty) (lit(0L), lit(0.0))
+      else {
+        val evLit = array(evalVecRows.map { case (v, n, b) =>
+          struct(typedlit(v).as("v"), lit(n).as("n"), typedlit(b).as("b"))
+        }: _*)
+        val myBands = array((0 until 4).map(b =>
+          shiftright(col("__vsig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+        val cand = filter(evLit, e =>
+          arrays_overlap(e.getField("b"), myBands))
+        val scored = filter(
+          transform(cand, e =>
+            Similarity.dot(e.getField("v"), col(vecCol)) /
+              (e.getField("n") * col("__vnorm"))),
+          c => c >= cosineTau)
+        val guard = col(vecCol).isNotNull && col("__vnorm") > 0
+        (when(guard, size(scored).cast("long")).otherwise(0L),
+          when(guard, coalesce(array_max(scored), lit(0.0))).otherwise(0.0))
+      }
+    // ---- per-doc funnel rejection (lang + quality gates) ------------
+    val units = aggregate(
+      graft.functions.TextFns.tokens(col("__text")), lit(0L),
+      (acc, t) => acc + Curate.hashedWeight(pmod(
+        Dedup.portableHash64(t), lit(buckets.toLong))))
+    // ---- one windowed aggregation over the stateless audit columns --
+    val cats = sourceReference.map(_._1)
+    val catCounts = sourceReference.zipWithIndex.map { case ((c, _), i) =>
+      sum(when(col(sourceCol) === c, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val staged = docs
+      .withColumn("__text", graft.functions.TextFns.nfc(col(textCol)))
+      .withColumn("__shs", shsOf(col("__text")))
+      .withColumn("__cont", contCol)
+      .withColumn("__vsig", Similarity.lshSignature(col(vecCol), 64))
+      .withColumn("__vnorm", coalesce(Similarity.norm(col(vecCol)), lit(0.0)))
+      .withColumn("__leak_n", leakN)
+      .withColumn("__leak_max", leakMax)
+      .withColumn("__rej",
+        when(col(langCol) === lang && col("__text").isNotNull && units > 0,
+          0L).otherwise(1L))
+    val agg = staged
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("__n"),
+        (catCounts :+
+          sum(when(!col(sourceCol).isInCollection(cats), 1L).otherwise(0L))
+            .as("__oth") :+
+          sum(when(col("__cont") >= containTau, 1L).otherwise(0L))
+            .as("__ncont") :+
+          max(col("__cont")).as("__wcont") :+
+          sum(when(col("__leak_n") > 0, 1L).otherwise(0L)).as("__nleak") :+
+          max(col("__leak_max")).as("__wleak") :+
+          sum(col("__rej")).as("__nrej")): _*)
+    // JS of the window's source shares vs the reference (the
+    // streamingDriftMonitor formula: fixed reference bins + one OTHER)
+    val total = col("__n").cast("double")
+    val jsTerms = sourceReference.zipWithIndex.map { case ((_, p), i) =>
+      val q = col(s"__c$i").cast("double") / total
+      val m = (lit(p) + q) / 2d
+      lit(p) * log(lit(p) / m) / 2d +
+        when(col(s"__c$i") > 0, q * log(q / m) / 2d).otherwise(0d)
+    } :+ when(col("__oth") > 0,
+      (col("__oth").cast("double") / total) * log(lit(2d)) / 2d).otherwise(0d)
+    val js = jsTerms.reduce(_ + _)
+    val nCats = (sourceReference.indices.map(i =>
+      when(col(s"__c$i") > 0, 1L).otherwise(0L)) :+
+      when(col("__oth") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    val rate = col("__nrej").cast("double") / total
+    val checks = array(
+      struct(lit("ngram_contamination").as("check"),
+        col("__ncont").as("n_flagged"),
+        round(coalesce(col("__wcont"), lit(0.0)), 6).as("worst"),
+        (col("__ncont") === 0).as("pass")),
+      struct(lit("quality_funnel").as("check"),
+        col("__nrej").as("n_flagged"),
+        round(rate, 6).as("worst"),
+        (rate <= rejectThreshold).as("pass")),
+      struct(lit("semantic_leakage").as("check"),
+        col("__nleak").as("n_flagged"),
+        round(coalesce(col("__wleak"), lit(0.0)), 6).as("worst"),
+        (col("__nleak") === 0).as("pass")),
+      struct(lit("source_drift").as("check"),
+        nCats.as("n_flagged"),
+        round(js, 6).as("worst"),
+        (js <= jsThreshold).as("pass")))
+    agg.select(col("window.start").as("window_start"),
+        col("__n").as("n_docs"), explode(checks).as("__chk"))
+      .select(col("window_start"), col("n_docs"),
+        col("__chk.check").as("check"),
+        col("__chk.n_flagged").as("n_flagged"),
+        col("__chk.worst").as("worst"),
+        col("__chk.pass").as("pass"))
+  }
 }

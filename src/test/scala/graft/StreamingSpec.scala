@@ -1175,4 +1175,75 @@ class StreamingSpec extends SparkSpec {
       ("s0", "word_count") -> 1L, ("s1", "mean_word_len") -> 1L,
       ("s1", "stopwords") -> 1L))
   }
+
+  test("streaming release gate: per-window 4-check rows equal the batch " +
+    "evaluation; planted contamination and leakage flagged, clean window " +
+    "silent") {
+    val evalText = "alpha beta gamma delta epsilon zeta"
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val evalVecs = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    // window 1 (00:00-00:05): doc 1 quotes the eval text verbatim
+    // (containment 1.0), doc 2 is a 2x-scaled eval embedding (cosine
+    // exactly 1, signature-invariant -> banding cannot miss it) and
+    // lang fr (funnel-rejected); doc 3 clean. window 2: one clean doc.
+    val rows = Seq(
+      (1L, "src0", "en", s"intro $evalText outro and more words here",
+        v(-1, 0.3, 0, 0), "2024-01-01 00:00:10"),
+      (2L, "src1", "fr", "completely different prose with no overlap",
+        v(2, 0, 0, 0), "2024-01-01 00:01:00"),
+      (3L, "src0", "en", "clean and unrelated body of words entirely",
+        v(0, -1, 0.5, 0), "2024-01-01 00:02:00"),
+      (4L, "src0", "en", "another clean document in the later window",
+        v(0, 0.7, -0.2, 0), "2024-01-01 00:06:00")
+    ).toDF("doc_id", "source", "lang", "text", "embedding", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val ref = Seq("src0" -> 0.5, "src1" -> 0.5)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingReleaseGate(df, "doc_id", "source", "lang",
+        "text", "embedding", "ts", evalDocs, evalVecs, ref,
+        shingleN = 3, containTau = 0.7, cosineTau = 0.9,
+        windowDur = "5 minutes", watermarkDelay = "10 minutes")
+    // batch evaluation of the SAME plan (withWatermark is a no-op on a
+    // batch frame; window() groups identically)
+    val batch = gate(rows).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val dir = Files.createTempDirectory("graft_gate").toString
+    rows.write.parquet(dir + "/in")
+    val q = gate(spark.readStream.schema(rows.schema).parquet(dir + "/in"))
+      .writeStream.format("memory").queryName("release_gate")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT window_start, n_docs, check, n_flagged, worst, pass " +
+        "FROM release_gate").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(streamed === batch)
+    val w1 = "2024-01-01 00:00:00.0"
+    val w2 = "2024-01-01 00:05:00.0"
+    // planted contamination: doc 1 contains the eval text whole
+    assert(streamed((w1, "ngram_contamination")) === ((3L, 1L, 1.0, false)))
+    // planted leakage: the scaled twin reports cosine exactly 1
+    assert(streamed((w1, "semantic_leakage")) === ((3L, 1L, 1.0, false)))
+    // doc 2 is lang-rejected; rejection of en docs depends only on the
+    // deterministic hashed quality sign, read back from the output
+    val (n1, rej1, rate1, _) = streamed((w1, "quality_funnel"))
+    assert(n1 === 3L && rej1 >= 1L &&
+      math.abs(rate1 - rej1.toDouble / 3) < 1e-6)
+    // clean window: both plant checks silent
+    assert(streamed((w2, "ngram_contamination"))._2 === 0L)
+    assert(streamed((w2, "semantic_leakage"))._2 === 0L)
+    assert(streamed((w2, "ngram_contamination"))._4 === true)
+    // drift: window 2 is 100% src0 vs the 50/50 reference -> JS of
+    // (1,0) vs (.5,.5) = ln2/2 on the src0 bin + src1 p-only mass
+    val js2 = streamed((w2, "source_drift"))._3
+    val expected2 = 0.5 * math.log(0.5 / 0.75) / 2 +
+      1.0 * math.log(1.0 / 0.75) / 2 + 0.5 * math.log(2.0) / 2
+    assert(math.abs(js2 - expected2) < 1e-6, s"js2 $js2 vs $expected2")
+  }
 }
