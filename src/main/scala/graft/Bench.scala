@@ -280,7 +280,11 @@ object Bench {
       // instead of a bare wall number.
       if (verdict == "confirmed") try {
         val df = fnByName(name)(spark, sfDir)
-        df.count()
+        // collect(), NOT count(): count() runs a SEPARATE QueryExecution
+        // (groupBy().count()), leaving df's own executedPlan unexecuted
+        // and every SQLMetric at 0 (ADVICE r13). Registry results are
+        // bounded, so a full collect is cheap.
+        df.collect()
         Explain.opMetrics(df)
           .orderBy(org.apache.spark.sql.functions.col("time_ms").desc)
           .limit(5).collect().foreach { r =>

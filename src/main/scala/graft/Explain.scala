@@ -18,8 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Explain {
 
   /** Per-operator metrics of an executed query. Call AFTER an action
-    * (`df.count()`/`collect()` — metrics are populated by execution;
-    * on a never-executed plan every value reads 0). Columns:
+    * that runs THIS DataFrame's own QueryExecution — `df.collect()` (or
+    * `df.queryExecution.executedPlan.executeCollect()`). `df.count()`
+    * does NOT qualify: it builds a separate groupBy().count()
+    * QueryExecution, leaving this plan's SQLMetrics at 0. Columns:
     * `op_id` (preorder index), `operator` (nodeName), `rows`
     * (numOutputRows, −1 if the operator doesn't report it),
     * `time_ms` (sum of the operator's time metrics, normalized to ms),

@@ -180,10 +180,16 @@ object Bpe {
       rounds, lookahead)
     val memoizable = !graft.operators.GraftPlanUtil.nondeterministic(
       docs.queryExecution.analyzed)
-    if (memoizable && mergesMemo.synchronized(mergesMemo.containsKey(memoKey)))
+    // single-lock read: containsKey + get under separate locks raced
+    // with a concurrent put+LRU-evict in between (ADVICE r13 — the get
+    // could return null and parallelize(null) would NPE)
+    val cached =
+      if (memoizable) mergesMemo.synchronized(Option(mergesMemo.get(memoKey)))
+      else None
+    cached.foreach { rows =>
       return spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          mergesMemo.synchronized(mergesMemo.get(memoKey)), 1), outSchema)
+        spark.sparkContext.parallelize(rows, 1), outSchema)
+    }
     var cur = src
     val merges = scala.collection.mutable.ArrayBuffer[Row]()
     val mergedSet = scala.collection.mutable.Set[String]()

@@ -68,8 +68,8 @@ object Bloom {
         1 - math.exp(-k.toDouble * expectedKeys / bits.toDouble), k)
       log.warn(f"Bloom.sizeFor: $expectedKeys keys at fpp=$fpp need more " +
         f"than the 2^30-bit single-filter cap — effective fpp at the " +
-        f"clamp is ~$effFpp%.3f; shard the key space across " +
-        f"${math.ceil(raw / (1L << 30).toDouble).toLong} filters to hit " +
+        f"clamp is ~$effFpp%.3f; use shardedBitmapFor/probeSharded " +
+        f"(${math.ceil(raw / (1L << 30).toDouble).toLong} shards) to hit " +
         "the requested rate")
     }
     bits.toInt
@@ -144,6 +144,114 @@ object Bloom {
     call_function("rip_bloom_probe", h1(key), h2(key),
       typedlit(bitmap.toSeq), lit(kHashes))
   }
+
+  /** A hash-prefix-sharded bloom filter — the scale path past the 2^30
+    * single-filter clamp (VERDICT r13 #4 / ADVICE r12). `shards(i)` is
+    * an ordinary [[bitmapFor]]-shaped bitmap holding only the keys whose
+    * shard hash lands on i, all with identical (mBits, kHashes)
+    * geometry; build and probe route each key through the SAME shard
+    * hash, so the composite is structurally never-false-negative for
+    * inserted keys exactly like a single filter, while total capacity
+    * is nShards × the single-filter cap.
+    *
+    * The shard hash is an INDEPENDENT xxhash64 seed (not bits of h1):
+    * with power-of-two shard counts, reusing h1's low bits would fix
+    * those bits per shard and collapse the j=0 probe position into an
+    * m/nShards-value subset — a silent FP-rate distortion.
+    */
+  final case class ShardedBloom(shards: IndexedSeq[Array[Long]],
+                                mBits: Int, kHashes: Int) {
+    require(shards.nonEmpty && Integer.bitCount(shards.length) == 1,
+      s"shard count must be a positive power of two: ${shards.length}")
+    require(shards.forall(_.length.toLong * 64 == mBits.toLong),
+      s"every shard must hold mBits=$mBits bits")
+    def nShards: Int = shards.length
+    def totalBits: Long = nShards.toLong * mBits
+  }
+
+  private def shardOf(key: Column, nShards: Int): Column =
+    pmod(xxhash64(key, lit(2)), lit(nShards.toLong))
+
+  /** Build a [[ShardedBloom]] sized for `expectedKeys` at `fpp`.
+    * nShards = the smallest power of two whose per-shard load fits
+    * `maxShardBits` (default: the single-filter 2^30 clamp), capped at
+    * `maxShards` — shard bitmaps live on the DRIVER and bind into the
+    * probe plan as literals, so the composite must stay
+    * driver/broadcast-sized (8 × 16 MiB = 128 MiB at the defaults,
+    * ~10^10 key capacity at ~1%). If even `maxShards` full shards
+    * can't hit the rate, the [[sizeFor]]-style warning fires with the
+    * effective per-shard fpp and the exact-verify-downstream contract
+    * is unchanged.
+    *
+    * One aggregation pass: keys fold to ((shard, word) → bits) rows —
+    * ≤ totalBits/64 rows, streamed via toLocalIterator so the driver
+    * holds the bitmaps plus one partition of fold rows, not a
+    * collect()ed copy of every word row.
+    */
+  def shardedBitmapFor(keys: DataFrame, keyCol: String, expectedKeys: Long,
+                       fpp: Double = 0.01, maxShardBits: Int = 1 << 30,
+                       maxShards: Int = 8): ShardedBloom = {
+    require(expectedKeys >= 0 && fpp > 0 && fpp < 1,
+      s"need keys >= 0 and fpp in (0,1): $expectedKeys, $fpp")
+    require(maxShardBits >= (1 << 10) && maxShardBits % 64 == 0,
+      s"maxShardBits must be a multiple of 64 >= 2^10: $maxShardBits")
+    require(maxShards >= 1 && Integer.bitCount(maxShards) == 1,
+      s"maxShards must be a positive power of two: $maxShards")
+    val ln2sq = math.log(2) * math.log(2)
+    val rawBits = math.max(1L, expectedKeys) * math.log(1 / fpp) / ln2sq
+    var nShards = 1
+    while (nShards < maxShards && rawBits / nShards > maxShardBits.toDouble)
+      nShards *= 2
+    val perShardKeys = math.max(1L, expectedKeys / nShards)
+    val wantBits = {
+      val w = math.max(1L, math.min(perShardKeys * math.log(1 / fpp) / ln2sq,
+        maxShardBits.toDouble).toLong)
+      val hb = java.lang.Long.highestOneBit(w)
+      val pow = if (hb == w) hb else hb * 2
+      math.max(1L << 10, math.min(maxShardBits.toLong, pow)).toInt
+    }
+    val kH = hashesFor(wantBits, perShardKeys)
+    if (rawBits / nShards > maxShardBits.toDouble) {
+      val effFpp = math.pow(
+        1 - math.exp(-kH.toDouble * perShardKeys / wantBits.toDouble), kH)
+      log.warn(f"Bloom.shardedBitmapFor: $expectedKeys keys at fpp=$fpp " +
+        f"exceed $maxShards shards x $maxShardBits bits — effective " +
+        f"per-shard fpp ~$effFpp%.3f; raise maxShards or fall back to an " +
+        "exact semi-join prefilter")
+    }
+    val words = wantBits / 64
+    val shards = Array.fill(nShards)(new Array[Long](words))
+    val folded = keys
+      .select(shardOf(col(keyCol), nShards).cast("int").as("__s"),
+        explode(array(positions(col(keyCol), wantBits, kH): _*)).as("__p"))
+      .select(col("__s"),
+        call_function("shiftright", col("__p"), lit(6)).cast("int").as("__w"),
+        call_function("shiftleft", lit(1L),
+          col("__p").bitwiseAND(lit(63L)).cast("int")).as("__bv"))
+      .groupBy(col("__s"), col("__w")).agg(expr("bit_or(__bv)").as("__b"))
+      .toLocalIterator()
+    folded.forEachRemaining(r => shards(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    ShardedBloom(shards.toIndexedSeq, wantBits, kH)
+  }
+
+  /** Membership probe against a [[ShardedBloom]]: route by the shard
+    * hash, then the standard literal-bound rip_bloom_probe against that
+    * shard's bitmap — a CASE chain whose per-branch shape is identical
+    * to [[probe]], so each bitmap still binds once as a codegen
+    * reference object (never per-row). Single-shard composites collapse
+    * to exactly [[probe]] (no shard hash evaluated).
+    */
+  def probeSharded(key: Column, sb: ShardedBloom): Column =
+    if (sb.nShards == 1) probe(key, sb.shards(0), sb.mBits, sb.kHashes)
+    else {
+      val s = shardOf(key, sb.nShards)
+      (0 until sb.nShards - 1).foldRight(
+        probe(key, sb.shards(sb.nShards - 1), sb.mBits, sb.kHashes)) {
+        case (i, rest) =>
+          when(s === i.toLong, probe(key, sb.shards(i), sb.mBits, sb.kHashes))
+            .otherwise(rest)
+      }
+    }
 
   /** The k element_at probe formulation rip_bloom_probe replaces — kept
     * as the cross-check twin (BloomSpec asserts bit equality over

@@ -1091,18 +1091,24 @@ object Dedup {
     * wall vs 1.5 s cpu: the wall was waiting on that extra job plus its
     * cache pressure, not computing).
     */
-  def lastHotBucketsDropped: Long =
-    lastHotFrame match {
-      case Some(hot) =>
-        val n = hot.count()
-        if (n > 0)
-          log.warn(s"editDistancePairs: dropped $n hot segment bucket(s) " +
-            "— pairs matching ONLY on those segments are lost; run exact " +
-            "dedup upstream to restore full recall")
-        n
-      case None => 0L
+  def lastHotBucketsDropped: Long = this.synchronized {
+    lastHotCount match {
+      case Some(n) => n // counted once; repeated reads run no job, log once
+      case None => lastHotFrame match {
+        case Some(hot) if !hot.sparkSession.sparkContext.isStopped =>
+          val n = hot.count()
+          lastHotCount = Some(n)
+          if (n > 0)
+            log.warn(s"editDistancePairs: dropped $n hot segment bucket(s) " +
+              "— pairs matching ONLY on those segments are lost; run exact " +
+              "dedup upstream to restore full recall")
+          n
+        case _ => 0L // no call yet, or the owning session was stopped
+      }
     }
+  }
   @volatile private var lastHotFrame: Option[DataFrame] = None
+  @volatile private var lastHotCount: Option[Long] = None
 
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 5, prefixChars: Int = 80,
@@ -1144,7 +1150,7 @@ object Dedup {
     val hotB = bKeys.groupBy("i", "seg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxBucket * (2L * k + 1L)).select(col("i"), col("seg"))
     val hot = cachedPersist(hotA.unionByName(hotB).distinct())
-    lastHotFrame = Some(hot)
+    this.synchronized { lastHotFrame = Some(hot); lastHotCount = None }
     val aK = aKeys.join(broadcast(hot), Seq("i", "seg"), "left_anti")
     val bK = bKeys.join(broadcast(hot), Seq("i", "seg"), "left_anti")
     aK.join(bK, Seq("i", "seg"))

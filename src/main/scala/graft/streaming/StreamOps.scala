@@ -1256,7 +1256,12 @@ object StreamOps {
     }
     val staged = docs
       .withColumn("__text", graft.functions.TextFns.nfc(col(textCol)))
-      .withColumn("__shs", shsOf(col("__text")))
+      // shingle RAW text — the eval suite above shingles raw textCol and
+      // the batch q264 twin (crossContainmentBloom) shingles raw on both
+      // sides; NFC-ing only this side let composed-vs-decomposed Unicode
+      // variants slip past the gate (ADVICE r13). __text stays NFC for
+      // the funnel branch, matching batch q264's d0.
+      .withColumn("__shs", shsOf(col(textCol)))
       .withColumn("__cont", contCol)
       .withColumn("__vsig", Similarity.lshSignature(col(vecCol), 64))
       .withColumn("__vnorm", coalesce(Similarity.norm(col(vecCol)), lit(0.0)))

@@ -91,6 +91,36 @@ class BloomSpec extends SparkSpec {
     assert(fp.toDouble / 20000 < 0.02, s"sized FP rate ${fp / 200.0}%")
   }
 
+  test("sharded bloom: no false negatives across shards, per-shard fpp " +
+    "within 2x of target at 4x the single-shard capacity") {
+    // maxShardBits shrunk to 2^14 so "4 shards needed" is testable
+    // without 2^32-bit fixtures — the sharding math is cap-agnostic.
+    // 4 000 keys at 1% want ~38k bits ≈ 2.3 shards → nShards rounds to
+    // 4; each shard carries ~1 000 keys in 2^14 bits (m/n ≈ 16), so
+    // per-shard fpp sits at the single-filter design point.
+    val n = 4000
+    val keys = (0 until n).map(i => i.toLong * 7919L + 3L).toDF("k")
+    val sb = Bloom.shardedBitmapFor(keys, "k", expectedKeys = n,
+      fpp = 0.01, maxShardBits = 1 << 14, maxShards = 8)
+    assert(sb.nShards === 4, s"expected 4 shards, got ${sb.nShards}")
+    assert(sb.mBits <= (1 << 14))
+    // never-false-negative across every shard route
+    val missed = keys.filter(!Bloom.probeSharded(col("k"), sb)).count()
+    assert(missed === 0L, s"$missed inserted keys probed false")
+    // fpp within 2x of the 1% target on a disjoint probe stream
+    val probes = (0 until 40000).map(i => i.toLong * 104729L + 13L).toDF("k")
+    val fp = probes.filter(Bloom.probeSharded(col("k"), sb)).count()
+    assert(fp.toDouble / 40000 < 0.02,
+      f"sharded FP rate ${fp / 400.0}%.2f%% exceeds 2x the 1%% target")
+    // single-shard composites collapse to the plain literal probe
+    val sb1 = Bloom.shardedBitmapFor(keys, "k", expectedKeys = n,
+      fpp = 0.01, maxShardBits = 1 << 20, maxShards = 8)
+    assert(sb1.nShards === 1)
+    val disagree = probes.filter(Bloom.probeSharded(col("k"), sb1) =!=
+      Bloom.probe(col("k"), sb1.shards(0), sb1.mBits, sb1.kHashes)).count()
+    assert(disagree === 0L)
+  }
+
   test("prefilter prunes: non-member gram stream shrinks through the bloom") {
     // inserted set is sparse relative to the probe stream, so the
     // surviving fraction must be close to the FP rate — i.e. the

@@ -84,7 +84,18 @@ class Scale10Spec extends SparkSpec {
     // banded semantic leakage, JS drift, funnel attribution) — each
     // branch is its standalone query's shape, nothing corpus-sized
     // crosses between branches
-    "q264_release_gate" -> 192L)
+    "q264_release_gate" -> 192L,
+    // time-series wing over the HOT-KEY events fixture (VERDICT r13
+    // #1): user 0 owns 50% of the 1 M-row tape, so every one of these
+    // serializes half the table through ONE task's window/scan state.
+    // The per-group contract is O(rows-in-group) time with O(1)
+    // (rolling/EMA) or O(sort) (rank/asof) state — the hot task reads
+    // ~35-40 MB of shuffle (500 k rows × full event width), far under
+    // the caps; a quadratic or re-scanning window implementation would
+    // read GBs or run for minutes
+    "q10_rolling" -> 192L, "q38_ema_decay" -> 128L,
+    "q15_asof_backward" -> 128L, "q83_asof_exec" -> 128L,
+    "q248_rank_methods" -> 192L)
 
   test("flagship pipelines at 10x sf0.1: rows flow, per-task shuffle " +
     "read stays bounded (no single-reducer / quadratic stage)") {
@@ -110,5 +121,65 @@ class Scale10Spec extends SparkSpec {
     }.mkString("{\"sf\":\"10x_sf0.1_synthetic\",\"queries\":{", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_scale10.json"), json + "\n")
+  }
+
+  /** The EMA 10× correctness row (VERDICT r13 #1). A DuckDB oracle is
+    * out of reach here for two hard reasons documented at
+    * Scale10Fixtures.genEvents: the recursive CTE needs one iteration
+    * per row of the DEEPEST group (500 k levels over the hot key), and
+    * cross-libm exp() 1-ulp drift — amplified by the hot group's
+    * contractive recursion to ~6 000-magnitude state over 1 M trials —
+    * breaks 6-decimal exact-hash equality. The independent check that
+    * IS exact: a driver-side straight-loop sequential replay of the
+    * reference recursion (rt_fastarraynumba.py:507 —
+    * ema[i] = v[i] + ema[i-1]·exp(-rate·Δt)) using the same JVM
+    * Math.exp, compared bit-for-bit against the registry query's
+    * output for the hot group. Different implementation (one driver
+    * loop vs repartition→sortWithinPartitions→mapPartitions across 32
+    * tasks), same arithmetic definition — any state-handoff, ordering,
+    * or partition-boundary bug in the distributed scan shows up as a
+    * bit mismatch.
+    */
+  test("q38 ema_decay at 10x: hot group (50% of a 1M-row tape) matches " +
+    "a bit-exact sequential replay") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE10"),
+      "opt-in lane: SPARK_GRAFT_SCALE10=1 sbt 'testOnly graft.Scale10Spec'")
+    if (!new java.io.File(s"$dir/events.parquet").exists())
+      Scale10Fixtures.genAll(spark, dir)
+    val t0 = System.nanoTime()
+    val got = SparkEntry.queries("q38_ema_decay")(spark, dir)
+      .filter(col("user_id") === 0L)
+      .select(col("event_id"), col("ema"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val tape = Tables.table(spark, dir, "events")
+      .filter(col("user_id") === 0L)
+      .select(col("event_id"), expr("ts div 1000").as("tsu"), col("value"))
+      .orderBy(col("tsu"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(tape.length > 400000, // the planted 50% hot share is real
+      s"hot group holds ${tape.length} rows — fixture lost its hot key")
+    info(f"q38 hot-group share=${tape.length}/1000000, wall=$sec%.1f s")
+    var acc = 0.0
+    var prevT = 0L
+    var first = true
+    val want = tape.map { case (id, t, v) =>
+      if (first) { prevT = t; first = false }
+      acc = v + acc * math.exp(-1.0 / 6.0e8 * (t - prevT).toDouble)
+      prevT = t
+      // the registry query emits round(ema, 6) — same BigDecimal
+      // HALF_UP the Round expression uses
+      (id, BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    assert(got.length == want.length,
+      s"row count ${got.length} != replay ${want.length}")
+    val bad = got.zip(want).filter { case ((gi, gv), (wi, wv)) =>
+      gi != wi || java.lang.Double.doubleToLongBits(gv) !=
+        java.lang.Double.doubleToLongBits(wv)
+    }
+    assert(bad.isEmpty, s"${bad.length} bit-mismatches; first 3: " +
+      bad.take(3).map { case ((gi, gv), (wi, wv)) =>
+        s"engine($gi,$gv) vs replay($wi,$wv)" }.mkString("; "))
   }
 }
