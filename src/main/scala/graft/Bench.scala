@@ -73,12 +73,32 @@ object Bench {
     // executorCpuTime across all tasks; per-query deltas are read after
     // draining the (async) listener bus.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Flag-evidence counters (VERDICT r13 #3 — the recurring q29-family
+    // median-vs-isolation inflation needed per-flag evidence, not
+    // re-run archaeology): task GC time, spill bytes, and storage
+    // blocks leaving memory, all per-query-deltable like cpuNs. A
+    // med≫iso query whose sweep-run GC/spill/eviction deltas are ~0 is
+    // host weather by elimination; a fat delta names the mechanism.
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val memDrops = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
-          if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+          if (m != null) {
+            cpuNs.addAndGet(m.executorCpuTime)
+            gcMs.addAndGet(m.jvmGCTime)
+            spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+        override def onBlockUpdated(
+            e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+          val lvl = e.blockUpdatedInfo.storageLevel
+          // a cached block leaving memory (dropped entirely, or demoted
+          // to disk-only) is the storage-eviction signature
+          if (!lvl.useMemory) memDrops.incrementAndGet()
         }
       })
     // listenerBus.waitUntilEmpty is private[spark] (public in bytecode)
@@ -143,6 +163,7 @@ object Bench {
       // queries across otherwise-identical runs.
       System.gc()
       val regDebug = sys.env.contains("SPARK_GRAFT_REG_DEBUG")
+      val (g0, s0, d0) = (gcMs.get(), spillBytes.get(), memDrops.get())
       val runs = (1 to 3).map { _ =>
         val (h0, m0, e0) = (operators.Dedup.registryHits,
           operators.Dedup.registryMisses, operators.Dedup.registryEvictions)
@@ -153,7 +174,9 @@ object Bench {
       }
       val times = runs.map(_._1).sorted
       val cpus = runs.map(_._2).sorted
-      (name, times(1), times.head, cpus(1), runs.forall(_._3))
+      val evidence = (gcMs.get() - g0, spillBytes.get() - s0,
+        memDrops.get() - d0)
+      (name, times(1), times.head, cpus(1), runs.forall(_._3), evidence)
     }
     def fmt(v: Double): String = f"$v%.3f"
     // Per-query regression tripwire (r7 verdict #5): q156 slipped 42%
@@ -256,15 +279,16 @@ object Bench {
     // The cpu-ratio check needs a baseline cpu (bench_full.json from
     // r12 on); without one it falls back to wall-only confirmation.
     val fnByName = selected.toMap
-    val flagged = results.flatMap { case (name, med, mn, _, _) =>
+    val flagged = results.flatMap { case (name, med, mn, _, _, ev) =>
       prevMedians.get(name).collect {
         case prev if med > prev * 1.25 && med - prev > 0.25 &&
-          mn > prev * 1.25 && mn - prev > 0.25 => (name, prev, med, "tripwire")
+          mn > prev * 1.25 && mn - prev > 0.25 =>
+          (name, prev, med, "tripwire", ev)
         case prev if med > prev * 2.5 && med - prev > 0.25 =>
-          (name, prev, med, "median_spike")
+          (name, prev, med, "median_spike", ev)
       }
     }
-    val confirmations = flagged.map { case (name, prev, med, kind) =>
+    val confirmations = flagged.map { case (name, prev, med, kind, ev) =>
       System.gc()
       val iso = (1 to 3).map(_ => timedRun(fnByName(name)))
       val byWall = iso.sortBy(_._1)
@@ -294,7 +318,7 @@ object Bench {
           }
       } catch { case _: Throwable => () }
       (name, prev, med, isoMed, isoMin, isoMinCpu,
-        prevCpu.getOrElse(-1.0), verdict, kind)
+        prevCpu.getOrElse(-1.0), verdict, kind, ev)
     }
     // compact form for the size-capped stdout line: CONFIRMED slips and
     // ERRORS only (weather flags are, by verdict, not regressions —
@@ -302,17 +326,23 @@ object Bench {
     // run); the full annotation set lands in bench_full.json below
     val weatherFlags = confirmations.count(_._8 == "weather")
     val regJson = confirmations.filter(c => c._8 != "weather").take(10).map {
-      case (k, prev, med, _, isoMin, isoCpu, _, verdict, _) =>
+      case (k, prev, med, _, isoMin, isoCpu, _, verdict, _, _) =>
         "\"" + k + "\":[" + fmt(prev) + "," + fmt(med) + "," +
           fmt(isoMin) + "," + fmt(isoCpu) + ",\"" + verdict + "\"]"
     }.mkString("{", ",", "}")
     // ... and the full annotation for bench_full.json — each flag
     // carries {wall, cpu, verdict} as r11 #1 prescribes
     val regJsonFull = confirmations.take(10).map {
-      case (k, prev, med, isoMed, isoMin, isoCpu, prevCpu, verdict, kind) =>
+      case (k, prev, med, isoMed, isoMin, isoCpu, prevCpu, verdict, kind,
+            (gcD, spD, drD)) =>
+        // per-flag sweep-run evidence (VERDICT r13 #3): GC ms, spill MB
+        // and storage-blocks-dropped accumulated across the query's 3
+        // timed sweep runs — a med>>iso flag with ~0 on all three is
+        // host weather by elimination, a fat value names the mechanism
         s""""$k":{"prev":${fmt(prev)},"med":${fmt(med)},"iso_med":${
           fmt(isoMed)},"iso_min":${fmt(isoMin)},"cpu":${fmt(isoCpu)},"prev_cpu":${
-          fmt(prevCpu)},"verdict":"$verdict","flag":"$kind"}"""
+          fmt(prevCpu)},"verdict":"$verdict","flag":"$kind","sweep_gc_ms":$gcD,"sweep_spill_mb":${
+          fmt(spD / 1048576.0)},"sweep_mem_drops":$drD}"""
     }.mkString("{", ",", "}")
     // Cold-path lane (VERDICT r10 #3): the memo/artifact families bench
     // their warm consumer path in the sweep — a production user also
@@ -361,13 +391,13 @@ object Bench {
     val coldFailed = coldResults.collect { case (k, None) => k }
     val coldFailedJson =
       coldFailed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val allQs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
+    val allQs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val allMins = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + fmt(mn) }
+    val allMins = results.map { case (k, _, mn, _, _, _) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
-    val allCpus = results.map { case (k, _, _, cpu, _) => "\"" + k + "\":" + fmt(cpu) }
+    val allCpus = results.map { case (k, _, _, cpu, _, _) => "\"" + k + "\":" + fmt(cpu) }
       .mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, _, _, false) => k }
+    val failedNames = results.collect { case (k, _, _, _, false, _) => k }
     val failed = failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
@@ -386,10 +416,31 @@ object Bench {
       .mkString("{", ",", "}")
     val coldHeadline =
       s"""{"total":${fmt(coldTotal)},"top_deltas":$coldDeltas}"""
+    // Operator-level attribution for the 5 slowest queries of EVERY
+    // full run (VERDICT r13 #7 — not only confirmed regressions): one
+    // extra warm execution each, then the top-3 operators by time from
+    // the executed plan's SQLMetrics. Makes the judge's plan audit of
+    // the expensive tail evidence-based at ~5 s cost per sweep.
+    val topOpsJson =
+      if (only.isDefined) "{}"
+      else results.sortBy(-_._2).take(5).map { case (name, _, _, _, _, _) =>
+        val ops = try {
+          val df = fnByName(name)(spark, sfDir)
+          df.collect() // same QueryExecution — populates its SQLMetrics
+          Explain.opMetrics(df)
+            .orderBy(org.apache.spark.sql.functions.col("time_ms").desc)
+            .limit(3).collect().map { r =>
+              s"""{"op":"${r.getString(1).replace("\"", "'")}","rows":${
+                r.getLong(2)},"time_ms":${r.getLong(3)},"bytes":${
+                r.getLong(4)}}"""
+            }.mkString("[", ",", "]")
+        } catch { case _: Throwable => "[]" }
+        "\"" + name + "\":" + ops
+      }.mkString("{", ",", "}")
     // Full per-query detail for human/judge inspection — the stdout line
     // below must stay short (the driver keeps only a 2000-char tail of
     // stdout, and a 118-query map overflows it → BENCH parsed:null).
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"nq":${results.size},"nfailed":${failedNames.size},"registry":$registryJson,"regressions":$regJsonFull,"queries":$allQs,"queries_min":$allMins,"queries_cpu":$allCpus,"queries_cold":$coldJson,"cold_failed":$coldFailedJson,"failed":$failed,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"nq":${results.size},"nfailed":${failedNames.size},"registry":$registryJson,"regressions":$regJsonFull,"top_ops":$topOpsJson,"queries":$allQs,"queries_min":$allMins,"queries_cpu":$allCpus,"queries_cold":$coldJson,"cold_failed":$coldFailedJson,"failed":$failed,"sf":"$sfDir"}"""
     // partial (SPARK_GRAFT_ONLY) debug runs must NOT clobber the
     // committed full-run file — it is the tripwire's baseline
     if (only.isEmpty)
@@ -417,7 +468,7 @@ object Bench {
     // partial runs are small — print every timed query, not just the
     // headline subset (the 1500-char stdout cap only binds full runs)
     val qs = results.collect {
-      case (k, med, _, _, _) if headline(k) || only.isDefined =>
+      case (k, med, _, _, _, _) if headline(k) || only.isDefined =>
         "\"" + k + "\":" + fmt(med) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"nq":${results.size},"nfailed":${failedNames.size},"registry":$registryJson,"regressions":$regJson,"weather_flags":$weatherFlags,"cold":$coldHeadline,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

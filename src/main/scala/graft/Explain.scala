@@ -72,11 +72,31 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.operators.Apply.registerAll(spark)
-    val targets = if (names == Seq("all")) SparkEntry.queries.keys.toSeq.sorted else names
+    // "+metrics" among the query names: EXECUTE each query (collect —
+    // registry results are bounded) and print the top operators by
+    // time from the executed plan's SQLMetrics, instead of the static
+    // formatted plan — the rt_timers-style evidence for "where does
+    // this query's wall go".
+    val wantMetrics = names.contains("+metrics")
+    val qnames = names.filterNot(_ == "+metrics")
+    val targets =
+      if (qnames == Seq("all")) SparkEntry.queries.keys.toSeq.sorted else qnames
     targets.foreach { n =>
       println(s"==== $n ====")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable =>
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (wantMetrics) {
+          val t0 = System.nanoTime()
+          df.collect()
+          println(f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+          opMetrics(df)
+            .orderBy(org.apache.spark.sql.functions.col("time_ms").desc)
+            .limit(12).collect().foreach { r =>
+              println(f"op=${r.getString(1)}%-40s rows=${r.getLong(2)}%-10d " +
+                f"time_ms=${r.getLong(3)}%-8d bytes=${r.getLong(4)}%d")
+            }
+        } else df.explain("formatted")
+      } catch { case e: Throwable =>
         println(s"EXPLAIN-ERROR: ${e.getClass.getSimpleName}: ${e.getMessage}") }
     }
     spark.stop()

@@ -102,9 +102,45 @@ object Dedup {
     cachedPersist(df)
 
   /** Unpersist every dedup intermediate this session registered. */
-  def clearDedupCaches(): Unit = cacheReg.synchronized {
-    cacheReg.values.forEach(safeUnpersist)
-    cacheReg.clear()
+  def clearDedupCaches(): Unit = {
+    cacheReg.synchronized {
+      cacheReg.values.forEach(safeUnpersist)
+      cacheReg.clear()
+    }
+    bloomMemo.synchronized(bloomMemo.clear())
+  }
+
+  /** Session memo for BUILT bloom bitmaps (the kmMemo/classifier-memo
+    * contract applied to Bloom.bitmapFor): the bitmap is a pure
+    * function of (deterministic key plan, geometry) and its build is a
+    * blocking driver job — q256/q262/q264 all gate against the SAME
+    * eval-suite filter, so per-query rebuilds were pure waste (VERDICT
+    * r13 #2). Bounded: each entry is mBits/8 bytes (32 KiB at the
+    * 2^18 default); LRU-capped at 16 entries; cleared with the dedup
+    * registry so the bench cold lane still measures the real build.
+    */
+  private val bloomMemo = new java.util.LinkedHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+    Array[Long]](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+      Array[Long]]): Boolean = size() > 16
+  }
+
+  private[graft] def memoizedBitmap(keys: DataFrame, keyCol: String,
+                                    mBits: Int, kHashes: Int): Array[Long] = {
+    val analyzed = keys.queryExecution.analyzed
+    if (GraftPlanUtil.nondeterministic(analyzed))
+      return Bloom.bitmapFor(keys, keyCol, mBits, kHashes)
+    val key = (keys.sparkSession, analyzed.canonicalized, mBits, kHashes)
+    val cached = bloomMemo.synchronized(Option(bloomMemo.get(key)))
+    cached.getOrElse {
+      val bm = Bloom.bitmapFor(keys, keyCol, mBits, kHashes)
+      bloomMemo.synchronized(bloomMemo.put(key, bm))
+      bm
+    }
   }
 
   /** Session-level registry observability (VERDICT r10 #7): cumulative
@@ -686,7 +722,7 @@ object Dedup {
     val bloomed =
       if (bloomBits <= 0) fullAll
       else {
-        val bitmap = Bloom.bitmapFor(prefixes.select(col("sh")), "sh",
+        val bitmap = memoizedBitmap(prefixes.select(col("sh")), "sh",
           bloomBits, bloomHashes)
         fullAll.filter(Bloom.probe(col("sh"), bitmap, bloomBits, bloomHashes))
       }
@@ -1292,11 +1328,21 @@ object Dedup {
     val corpusEx =
       if (bloomBits <= 0) corpusAll
       else {
-        val bitmap = prebuilt.getOrElse(Bloom.bitmapFor(
+        // memoized: q256/q260/q262/q264 gate against the SAME eval
+        // suite — one build per (key plan, geometry) per session. A
+        // prebuilt (artifact) bitmap is bit-identical to the built one
+        // by Models' content addressing, so both paths canonicalize to
+        // the same downstream plan.
+        val bitmap = prebuilt.getOrElse(memoizedBitmap(
           pref.select(col("sh")), "sh", bloomBits, bloomHashes))
         corpusAll.filter(Bloom.probe(col("sh"), bitmap, bloomBits, bloomHashes))
       }
-    pref.join(corpusEx, Seq("sh"))
+    // the VERIFIED pair frame registry-persists (VERDICT r13 #2): the
+    // release-audit family consumes the same exact gate several ways —
+    // q256 orders it, q262 folds max-per-doc, q264 folds one go/no-go
+    // row — and the candidate join + exact intersect verify is the
+    // expensive part. True matches only, so the frame is audit-sized.
+    cachedPersist(pref.join(corpusEx, Seq("sh"))
       .select(col("id_eval"), col("id_doc")).distinct()
       .join(setsE.select(col("id").as("id_eval"), col("shs").as("shs_e"),
         col("sz").as("sz_e")), Seq("id_eval"))
@@ -1306,7 +1352,7 @@ object Dedup {
       .withColumn("__c", col("co").cast("double") / col("sz_e"))
       .filter(col("__c") >= threshold)
       .select(col("id_eval"), col("id_doc"),
-        round(col("__c"), 6).as("containment"))
+        round(col("__c"), 6).as("containment")))
   }
 
   /** Persist a verified pair set as a BUCKETED sorted parquet table —

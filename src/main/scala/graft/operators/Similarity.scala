@@ -853,12 +853,21 @@ object Similarity {
     require(bands > 0 && bits % bands == 0, "bits must divide into equal bands")
     val w = bits / bands
     val mask = (1L << w) - 1L
-    df.select(col(idCol).as(outId), posexplode(
-      array({
-        val sig = lshSignature(col(vecCol), bits)
-        (0 until bands).map(b => shiftright(sig, b * w).bitwiseAND(mask))
-      }: _*)))
-      .toDF(outId, "band", "bandval")
+    // registry-persisted UNDER A CANONICAL id name, renamed after: the
+    // release-audit family computes the same per-side signature frame
+    // from both argument orders (q262 keys the train side, q264 the
+    // eval side — VERDICT r13 #2), and a self-join banding computes it
+    // twice per call. The frame is (id, band, bandval) — bands×n rows,
+    // far smaller than the vectors it derives from.
+    val canonical = graft.operators.Dedup.registryPersist(
+      df.select(col(idCol).as("__bsid"), posexplode(
+        array({
+          val sig = lshSignature(col(vecCol), bits)
+          (0 until bands).map(b => shiftright(sig, b * w).bitwiseAND(mask))
+        }: _*)))
+        .toDF("__bsid", "band", "bandval"))
+    if (outId == "__bsid") canonical
+    else canonical.withColumnRenamed("__bsid", outId)
   }
 
   /** Cross-split SEMANTIC leakage audit — the embedding-space

@@ -398,9 +398,18 @@ private[graft] object QueriesCurate {
     // one scoring scan.
     "q234_classifier_gate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // weights via the ARTIFACT (VERDICT r13 #5): the gate is a model
+      // CONSUMER — a fresh/cold session reads the content-addressed
+      // weights parquet instead of re-paying the 12-epoch GD (q232
+      // remains the trainer and the cold lane's training-cost row).
+      // scoreTextWith is integer-exact-identical to the training
+      // session's own scoring (q254's oracle IS q232's), so the gate's
+      // oracle is unchanged.
+      val w = Models.ensureWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 256, iters = 12, lrDen = 16L)
       val scored = Dedup.registryPersist(
-        Curate.trainTextClassifier(docs, "doc_id", "text",
-          col("lang") === "en", buckets = 256, iters = 12, lrDen = 16L))
+        Curate.scoreTextWith(docs, "doc_id", "text",
+          col("lang") === "en", w))
       val perSrc = docs.select(col("doc_id"), col("source"))
         .join(scored, Seq("doc_id"))
         .groupBy(col("source"))

@@ -1246,4 +1246,82 @@ class StreamingSpec extends SparkSpec {
       1.0 * math.log(1.0 / 0.75) / 2 + 0.5 * math.log(2.0) / 2
     assert(math.abs(js2 - expected2) < 1e-6, s"js2 $js2 vs $expected2")
   }
+
+  test("release-gate state SOAK: 100k events over 24 windows keep state " +
+    "at one counter row per OPEN window (watermark evicts closed ones)") {
+    // VERDICT r13 #6: the "one counter row per open window" claim as a
+    // StateStore measurement, not a fixture equality. 24 five-minute
+    // windows of event time advance under a 10-minute watermark, so at
+    // most ~4 windows are ever open; if the per-doc audit columns
+    // leaked into state (or eviction broke), numRowsTotal would track
+    // the 100k events or the 24 windows instead.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val evalVecs = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, String, String, String, Array[Float], Long)]
+    val in = mem.toDS()
+      .toDF("doc_id", "source", "lang", "text", "embedding", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val q = StreamOps.streamingReleaseGate(in, "doc_id", "source", "lang",
+        "text", "embedding", "ts", evalDocs, evalVecs,
+        Seq("src0" -> 0.5, "src1" -> 0.5),
+        windowDur = "5 minutes", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("release_gate_soak")
+      .outputMode("update").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val perBatch = 4200 // 24 batches (one window each) ≈ 100k events
+    var maxState = 0L
+    (0 until 24).foreach { w =>
+      val batch = (0 until perBatch).map { i =>
+        val id = w.toLong * perBatch + i
+        (id, if (i % 2 == 0) "src0" else "src1",
+          if (i % 7 == 0) "fr" else "en",
+          s"body words w${i % 97} w${(i + 1) % 97} w${(i + 2) % 97} tail",
+          Array((i % 13 - 6).toFloat, (i % 7 - 3).toFloat,
+            (i % 5 - 2).toFloat, 1.0f),
+          t0 + w * 300000L + (i % 300) * 1000L)
+      }
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      val rows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      maxState = math.max(maxState, rows)
+    }
+    q.stop()
+    assert(maxState > 0L, "no state observed — the soak never aggregated")
+    assert(maxState <= 8L, // ~4 open windows, 2x slack; NOT 24, NOT 100k
+      s"state grew to $maxState rows — eviction or the one-row-per-window " +
+        "contract is broken")
+    val n = spark.sql("SELECT sum(n_docs) FROM release_gate_soak " +
+      "WHERE check = 'quality_funnel'").as[Long].head()
+    assert(n >= perBatch.toLong, s"soak output implausibly small: $n")
+  }
+
+  test("bloom decontamination gate is genuinely STATELESS: a soak run " +
+    "reports zero stateful operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingBloomDecontamination(
+        mem.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .writeStream.format("memory").queryName("decon_soak")
+      .outputMode("append").start()
+    (0 until 10).foreach { b =>
+      mem.addData((0 until 5000).map(i =>
+        (b * 5000L + i, s"clean row w${i % 89} w${(i + 1) % 89} filler")): _*)
+      q.processAllAvailable()
+    }
+    val stateOps = Option(q.lastProgress)
+      .map(_.stateOperators.length).getOrElse(-1)
+    q.stop()
+    assert(stateOps === 0,
+      s"bloom gate carries $stateOps stateful operator(s) — the map-only " +
+        "contract is broken")
+  }
 }
