@@ -202,7 +202,11 @@ object VerifyScale10 {
     // cross-libm exp drift at hot-key magnitudes breaks DuckDB
     // exact-hash; a 500 k-deep recursive CTE is also infeasible).
     "q10_rolling", "q15_asof_backward", "q83_asof_exec",
-    "q248_rank_methods")
+    "q248_rank_methods",
+    // crawl-over-crawl ops composition (VERDICT r13 #8): snapshot diff
+    // -> incremental dedup of the fresh slice -> drift gate -> shard
+    // publication, one plan, accounting rows only
+    "q265_crawl_ops")
 
   /** q128's standard oracle is BRUTE-FORCE all-pairs levenshtein —
     * right at ≤5k docs, hopeless at 50k (1.25e9 pairs; measured >90min

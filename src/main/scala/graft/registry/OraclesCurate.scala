@@ -845,6 +845,123 @@ private[graft] object OraclesCurate {
          |    round(CAST(n AS DOUBLE) / tot, 6),
          |    CAST(n AS DOUBLE) / tot <= 0.95 FROM funr)
          |ORDER BY "check"""".stripMargin
+    },
+
+    // crawl-over-crawl ops mirror: q247's snapshot construction +
+    // q185's exact-jaccard incremental gate (fresh slice only) +
+    // q222's JS formula between the snapshots + q224's hash-sharded
+    // publication of the accepted set — every stage folded to
+    // accounting rows. AS MATERIALIZED on every reused CTE (DuckDB
+    // inlines plain CTEs ~2^depth otherwise).
+    "q265_crawl_ops" -> {
+      s"""WITH prevs AS MATERIALIZED (
+         |  SELECT doc_id, source, text,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |nexts AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CASE WHEN ${OracleSqlHelpers.hash60Sql("text")} % 5 = 0
+         |      THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |nextf AS MATERIALIZED (SELECT doc_id, source, text,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM nexts),
+         |dj AS MATERIALIZED (SELECT coalesce(n.source, o.source) AS source,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |      WHEN n.doc_id IS NULL THEN 'removed'
+         |      WHEN o.f IS NOT DISTINCT FROM n.f THEN 'unchanged'
+         |      ELSE 'changed' END AS s
+         |  FROM prevs o FULL OUTER JOIN nextf n USING (doc_id)),
+         |dcnt AS MATERIALIZED (SELECT source, s, count(*) AS n
+         |  FROM dj GROUP BY 1, 2),
+         |states AS (SELECT unnest(
+         |  ['added', 'removed', 'changed', 'unchanged']) AS s),
+         |srcs AS (SELECT DISTINCT source FROM dj),
+         |diffrows AS (SELECT 'diff_' || st.s AS stage, sc.source AS key,
+         |    CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+         |    CAST(0 AS BIGINT) AS id_sum, CAST(0.0 AS DOUBLE) AS metric
+         |  FROM srcs sc CROSS JOIN states st
+         |  LEFT JOIN dcnt d ON d.source = sc.source AND d.s = st.s),
+         |fresh AS MATERIALIZED (SELECT n.doc_id, n.source, n.text
+         |  FROM nextf n LEFT JOIN prevs o USING (doc_id)
+         |  WHERE o.f IS NULL OR o.f <> n.f),
+         |tko AS MATERIALIZED (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS t FROM prevs),
+         |sho AS MATERIALIZED (SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) < 3
+         |      THEN [array_to_string(t, ' ')]
+         |      ELSE list_transform(range(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS sgl
+         |  FROM tko),
+         |tkn AS MATERIALIZED (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS t FROM fresh),
+         |shn AS MATERIALIZED (SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) < 3
+         |      THEN [array_to_string(t, ' ')]
+         |      ELSE list_transform(range(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS sgl
+         |  FROM tkn),
+         |szo AS MATERIALIZED (SELECT doc_id, count(*) AS sz
+         |  FROM sho GROUP BY 1),
+         |szn AS MATERIALIZED (SELECT doc_id, count(*) AS sz
+         |  FROM shn GROUP BY 1),
+         |co AS MATERIALIZED (SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+         |    count(*) AS co
+         |  FROM shn a JOIN sho b ON a.sgl = b.sgl GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (SELECT id_new,
+         |    round(CAST(co AS DOUBLE) / (sa.sz + sb.sz - co), 6) AS j
+         |  FROM co JOIN szn sa ON co.id_new = sa.doc_id
+         |    JOIN szo sb ON co.id_old = sb.doc_id
+         |  WHERE CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) >= 0.5),
+         |dmax AS MATERIALIZED (SELECT id_new, max(j) AS j
+         |  FROM pairs GROUP BY 1),
+         |duprows AS (SELECT 'dup_new' AS stage, n.source AS key,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(d.id_new) AS BIGINT) AS id_sum,
+         |    round(max(d.j), 6) AS metric
+         |  FROM dmax d JOIN nexts n ON n.doc_id = d.id_new GROUP BY 2),
+         |terms AS MATERIALIZED (
+         |  SELECT 'prev' AS snap, unnest(string_split_regex(
+         |    lower(trim(text)), '\\s+')) AS term FROM prevs
+         |  UNION ALL
+         |  SELECT 'next', unnest(string_split_regex(
+         |    lower(trim(text)), '\\s+')) FROM nexts),
+         |c AS MATERIALIZED (SELECT term,
+         |    sum(CASE WHEN snap = 'prev' THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN snap = 'next' THEN 1 ELSE 0 END) AS cb
+         |  FROM terms GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+         |    CAST(sum(cb) AS DOUBLE) AS nb FROM c),
+         |fr AS (SELECT CAST(ca AS DOUBLE) / na AS p,
+         |    CAST(cb AS DOUBLE) / nb AS q, ca, cb FROM c, tot),
+         |driftrow AS (SELECT 'drift' AS stage, 'prev_vs_next' AS key,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS id_sum,
+         |    round(sum(
+         |      (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2)) / 2
+         |        ELSE 0 END) +
+         |      (CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2)) / 2
+         |        ELSE 0 END)), 6) AS metric
+         |  FROM fr),
+         |acc AS MATERIALIZED (SELECT doc_id FROM nexts
+         |  WHERE doc_id NOT IN (SELECT id_new FROM dmax)),
+         |hs AS MATERIALIZED (SELECT doc_id,
+         |    ${OracleSqlHelpers.hash60Sql("'7:' || CAST(doc_id AS VARCHAR)")}
+         |    AS hv FROM acc),
+         |sh2 AS MATERIALIZED (SELECT CAST(hv % 8 AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY hv % 8
+         |      ORDER BY hv, doc_id) AS seq, doc_id
+         |  FROM hs),
+         |shardrows AS (SELECT 'shard' AS stage,
+         |    CAST(shard AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |    CAST(max(seq) AS DOUBLE) AS metric
+         |  FROM sh2 GROUP BY 2)
+         |SELECT * FROM (
+         |  SELECT * FROM diffrows UNION ALL
+         |  SELECT * FROM duprows UNION ALL
+         |  SELECT * FROM driftrow UNION ALL
+         |  SELECT * FROM shardrows)
+         |ORDER BY stage, key""".stripMargin
     }
   )
 

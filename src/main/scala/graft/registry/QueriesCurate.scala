@@ -552,6 +552,93 @@ private[graft] object QueriesCurate {
           (col("n").cast("double") / col("tot") <= 0.95).as("pass"))
       ng.unionByName(sem).unionByName(drift).unionByName(funnel)
         .orderBy(col("check"))
+    }),
+
+    // CRAWL-OVER-CRAWL ops report (VERDICT r13 #8 — the composition
+    // flywheel): the four operations a corpus team runs when crawl N+1
+    // lands, composed into ONE plan with per-stage accounting rows —
+    //  1. snapshot diff (q247): added/removed/changed/unchanged per
+    //     source between the previous and the new crawl;
+    //  2. incremental dedup (q185): the new crawl's FRESH docs (added
+    //     or content-changed — the only rows that can introduce new
+    //     duplication) against the OLD corpus index, exact-complete
+    //     LSH, per-source flagged counts + id_sum identity + worst J;
+    //  3. drift gate (q222): token-distribution JS/support between the
+    //     snapshots — the "did the crawler change under us" tripwire;
+    //  4. deterministic shard publication (q224): the ACCEPTED set
+    //     (new crawl minus flagged dups) hashed into 8 shards, each
+    //     folded to (count, id_sum, max seq).
+    // Scale shape: the old index's shingle/df frames registry-persist
+    // (crossCorpusDupes' contract — crawl N+2 reuses them), the fresh
+    // slice is diff-sized not corpus-sized, drift folds map-side onto
+    // the vocab, and every stage emits accounting rows, never corpora.
+    "q265_crawl_ops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val next = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .withColumn("text",
+          when(pmod(Dedup.portableHash64(col("text")), lit(5)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      def row(stage: Column, key: Column, n: Column, idSum: Column,
+              metric: Column) =
+        struct(stage.as("stage"), key.as("key"), n.cast("long").as("n"),
+          idSum.cast("long").as("id_sum"),
+          metric.cast("double").as("metric"))
+      // 1. diff — one row per (stage, source)
+      val diffRows = Dedup.snapshotDiff(prev, next, "doc_id", "source",
+          "text")
+        .select(explode(array(
+          row(lit("diff_added"), col("source"), col("n_added"), lit(0L), lit(0.0)),
+          row(lit("diff_removed"), col("source"), col("n_removed"), lit(0L), lit(0.0)),
+          row(lit("diff_changed"), col("source"), col("n_changed"), lit(0L), lit(0.0)),
+          row(lit("diff_unchanged"), col("source"), col("n_unchanged"), lit(0L), lit(0.0))
+        )).as("r"))
+      // 2. fresh slice = added or content-changed rows of the new crawl
+      val fpPrev = prev.select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("__fo"))
+      val fresh = next
+        .join(fpPrev, Seq("doc_id"), "left")
+        .filter(col("__fo").isNull ||
+          col("__fo") =!= TextFns.fingerprint(col("text")))
+        .drop("__fo")
+      val dupes = Dedup.crossCorpusDupes(fresh, prev, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      val dupRows = dupes
+        .groupBy(col("id_new")).agg(max(col("jaccard")).as("__j"))
+        .join(next.select(col("doc_id").as("id_new"), col("source")),
+          Seq("id_new"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__n"), sum(col("id_new")).as("__ids"),
+          max(col("__j")).as("__w"))
+        .select(row(lit("dup_new"), col("source"), col("__n"),
+          col("__ids"), col("__w")).as("r"))
+      // 3. drift between the snapshots' token distributions
+      val tagged = prev
+        .select(lit("prev").as("snap"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        .unionByName(next.select(lit("next").as("snap"),
+          explode(TextFns.tokens(col("text"))).as("term")))
+      val driftRows = Drift.categoricalDrift(tagged, col("term"),
+          col("snap"), "prev", "next")
+        .select(row(lit("drift"), lit("prev_vs_next"), col("n_cats"),
+          lit(0L), col("js_nats")).as("r"))
+      // 4. publish the accepted set deterministically into 8 shards
+      val accepted = next.join(
+        dupes.select(col("id_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val shardRows = Drift.publishShards(accepted, "doc_id",
+          nShards = 8, seed = 7L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("__n"), sum(col("doc_id")).as("__ids"),
+          max(col("seq")).as("__mx"))
+        .select(row(lit("shard"), col("shard").cast("string"), col("__n"),
+          col("__ids"), col("__mx").cast("double")).as("r"))
+      diffRows.unionByName(dupRows).unionByName(driftRows)
+        .unionByName(shardRows)
+        .select(col("r.stage").as("stage"), col("r.key").as("key"),
+          col("r.n").as("n"), col("r.id_sum").as("id_sum"),
+          round(col("r.metric"), 6).as("metric"))
+        .orderBy(col("stage"), col("key"))
     })
   )
 }

@@ -95,7 +95,11 @@ class Scale10Spec extends SparkSpec {
     // read GBs or run for minutes
     "q10_rolling" -> 192L, "q38_ema_decay" -> 128L,
     "q15_asof_backward" -> 128L, "q83_asof_exec" -> 128L,
-    "q248_rank_methods" -> 192L)
+    "q248_rank_methods" -> 192L,
+    // crawl-over-crawl ops (r14): diff + fresh-slice incremental dedup
+    // + drift + shard publication — every stage folds to accounting
+    // rows; the pair shuffle is ids-only (q185's contract)
+    "q265_crawl_ops" -> 192L)
 
   test("flagship pipelines at 10x sf0.1: rows flow, per-task shuffle " +
     "read stays bounded (no single-reducer / quadratic stage)") {
