@@ -206,7 +206,10 @@ object VerifyScale10 {
     // crawl-over-crawl ops composition (VERDICT r13 #8): snapshot diff
     // -> incremental dedup of the fresh slice -> drift gate -> shard
     // publication, one plan, accounting rows only
-    "q265_crawl_ops")
+    "q265_crawl_ops",
+    // chunk-parallel rolling (the hot-key escape hatch): the 50%-hot
+    // group spreads across time-chunk tasks; oracle = plain window SQL
+    "q266_rolling_chunked")
 
   /** q128's standard oracle is BRUTE-FORCE all-pairs levenshtein —
     * right at ≤5k docs, hopeless at 50k (1.25e9 pairs; measured >90min

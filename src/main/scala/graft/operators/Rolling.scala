@@ -47,6 +47,75 @@ object Rolling {
   def rollingSum(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
                  valueCol: String, out: String): DataFrame =
     rollingAgg(df, by, order, n, sum, valueCol, out)
+
+  /** CHUNK-PARALLEL rolling sum — the hot-key escape hatch for the one
+    * structural limit of window-function rolling (VERDICT r13 #1): a
+    * plain `Window.partitionBy(key)` serializes each group through ONE
+    * task, so a symbol holding half the tape (the classic financial
+    * shape riptable exists for) caps rolling throughput at one core no
+    * matter the cluster. Here the group is split into TIME CHUNKS
+    * (`tsCol div chunkWidth`), each chunk's frame scan runs as its own
+    * window partition — the hot group parallelizes across
+    * span/chunkWidth tasks — and the only rows that need cross-chunk
+    * context (the first n−1 of each chunk) are corrected with the
+    * PREVIOUS chunks' tail rows:
+    *   - per (key, chunk): the last n−1 (ts, tie, value) rows fold into
+    *     one array row (chunk-level frame, data-size/chunkWidth rows);
+    *   - per key: a chunk-level running concat (window over CHUNK rows,
+    *     not data rows — the serial dimension shrinks from O(rows) to
+    *     O(chunks)) yields each chunk's carry-in context, sliced to the
+    *     last n−1 entries to stay O(n) per chunk row;
+    *   - boundary rows add the tail of that context to their local
+    *     partial sum; interior rows (rn ≥ n) are purely local.
+    * Exactly ONE extra hash join on (key, chunk) vs the plain window —
+    * and it reuses the local window's (key, chunk) partitioning.
+    *
+    * Null contract: values fold as coalesce(value, 0) — a frame of
+    * nulls sums to 0, not NULL (riptable's nansum convention; the
+    * plain-window twin matches when values are non-null, OpsSpec pins
+    * both). Output is bit-identical to `rollingSum` on non-null values
+    * ONLY when summation-order drift is absorbed (dyadic values or a
+    * rounded projection): local+carry adds in frame order, the plain
+    * window may not.
+    */
+  def rollingSumChunked(df: DataFrame, byCol: String, tsCol: String,
+                        tieCol: String, n: Int, valueCol: String,
+                        out: String, chunkWidth: Long): DataFrame = {
+    require(n >= 1 && chunkWidth > 0, s"bad rolling params: n=$n w=$chunkWidth")
+    val c = expr(s"$tsCol div $chunkWidth").as("__c")
+    val v0 = coalesce(col(valueCol).cast("double"), lit(0.0))
+    val wLoc = Window.partitionBy(col(byCol), col("__c"))
+      .orderBy(col(tsCol), col(tieCol))
+    val base = df.withColumn("__c", c)
+    val local = base
+      .withColumn("__v0", v0)
+      .withColumn("__loc",
+        sum(col("__v0")).over(wLoc.rowsBetween(-(n.toLong - 1), Window.currentRow)))
+      .withColumn("__rn", row_number().over(wLoc))
+    if (n == 1) return local.withColumn(out, col("__loc"))
+      .drop("__c", "__v0", "__loc", "__rn")
+    // chunk-level tail frame: last n−1 rows of every (key, chunk)
+    val need = n - 1
+    def lastK(arr: Column, k: Column): Column =
+      slice(arr, greatest(size(arr) - k + 1, lit(1)), least(k, size(arr)))
+    val tails = base.groupBy(col(byCol), col("__c"))
+      .agg(lastK(sort_array(collect_list(struct(col(tsCol).as("t"),
+        col(tieCol).as("k"), v0.as("v")))), lit(need)).as("__tail"))
+    val wChunks = Window.partitionBy(col(byCol)).orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ctx = tails.withColumn("__ctx",
+        lastK(flatten(coalesce(collect_list(col("__tail")).over(wChunks),
+          array())), lit(need)))
+      .select(col(byCol), col("__c"), col("__ctx"))
+    val needHere = lit(n) - col("__rn") // frame rows missing from this chunk
+    val carry = aggregate(
+      lastK(col("__ctx"), needHere), lit(0.0d), (acc, x) => acc + x.getField("v"))
+    local.join(ctx, Seq(byCol, "__c"), "left")
+      .withColumn(out,
+        when(col("__rn") >= n, col("__loc"))
+          .otherwise(col("__loc") + coalesce(carry, lit(0.0))))
+      .drop("__c", "__v0", "__loc", "__rn", "__ctx")
+  }
   def rollingMean(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
                   valueCol: String, out: String): DataFrame =
     rollingAgg(df, by, order, n, avg, valueCol, out)

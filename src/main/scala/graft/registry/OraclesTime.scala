@@ -17,6 +17,14 @@ private[graft] object OraclesTime {
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    "q266_rolling_chunked" ->
+      """SELECT event_id, user_id,
+        |  round(sum(coalesce(value, 0)) OVER w, 6) AS roll_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "q11_cumsum" ->
       """SELECT event_id, user_id,
         |  round(sum(value) OVER w, 6) AS cum_value,

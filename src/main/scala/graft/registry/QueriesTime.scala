@@ -31,6 +31,20 @@ private[graft] object QueriesTime {
         .orderBy(col("event_id"))
     }),
 
+    // q10's rolling sum through the CHUNK-PARALLEL path (VERDICT r13
+    // #1's escape hatch): same semantics, but the group splits into
+    // 1-hour time chunks so a hot key spreads across span/1h tasks
+    // instead of serializing through one window task. Oracle = the
+    // plain window SQL — the chunk decomposition must be invisible.
+    "q266_rolling_chunked" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Rolling.rollingSumChunked(ev, "user_id", "ts", "event_id", 3,
+          "value", "roll_sum", 3600L * 1000000000L)
+        .select(col("event_id"), col("user_id"),
+          round(col("roll_sum"), 6).as("roll_sum"))
+        .orderBy(col("event_id"))
+    }),
+
     "q11_cumsum" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val c1 = Rolling.cumsum(ev, Seq("user_id"), Seq(col("ts"), col("event_id")),

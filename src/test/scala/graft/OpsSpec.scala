@@ -8,6 +8,32 @@ import graft.syntax._
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rollingSumChunked equals the plain-window rolling sum across " +
+    "chunk geometries, sparse chunks, nulls, and group boundaries") {
+    val rows = Seq(
+      // key 1: rows straddling chunk boundaries (width 10: chunks 0,0,1,1,3)
+      (1L, 1L, 1.0), (1L, 5L, 2.0), (1L, 11L, 4.0), (1L, 19L, 8.0),
+      (1L, 35L, 16.0), // chunk 2 EMPTY — carry must skip the gap
+      // key 2: single row
+      (2L, 3L, 5.0),
+      // key 3: one fat chunk
+      (3L, 1L, 1.0), (3L, 2L, 1.0), (3L, 3L, 1.0), (3L, 4L, 1.0)
+    )
+    val df = rows.toDF("k", "t", "v")
+      // planted null folds as 0 under the nansum contract
+      .withColumn("v", when(col("t") === 19L, lit(null)).otherwise(col("v")))
+    for (n <- Seq(1, 2, 3, 4); w <- Seq(1L, 10L, 1000L)) {
+      val got = Rolling.rollingSumChunked(df, "k", "t", "t", n, "v",
+          "rs", w)
+        .orderBy("k", "t").select("rs").as[Double].collect().toSeq
+      val want = Rolling.rollingSum(
+          df.withColumn("v", coalesce(col("v"), lit(0.0))),
+          Seq("k"), Seq(col("t")), n, "v", "rs")
+        .orderBy("k", "t").select("rs").as[Double].collect().toSeq
+      assert(got === want, s"n=$n chunkWidth=$w: $got != $want")
+    }
+  }
+
   test("cumsumReset starts a new segment at each reset") {
     val df = Seq(
       (1L, 1L, 1.0, false), (1L, 2L, 2.0, false), (1L, 3L, 3.0, true),

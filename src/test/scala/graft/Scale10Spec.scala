@@ -99,7 +99,11 @@ class Scale10Spec extends SparkSpec {
     // crawl-over-crawl ops (r14): diff + fresh-slice incremental dedup
     // + drift + shard publication — every stage folds to accounting
     // rows; the pair shuffle is ids-only (q185's contract)
-    "q265_crawl_ops" -> 192L)
+    "q265_crawl_ops" -> 192L,
+    // chunk-parallel rolling: q10's semantics but the 500k-row hot
+    // group runs as ~1400 hour-chunk window partitions + one
+    // (key, chunk) join — per-task shuffle stays at chunk scale
+    "q266_rolling_chunked" -> 192L)
 
   test("flagship pipelines at 10x sf0.1: rows flow, per-task shuffle " +
     "read stays bounded (no single-reducer / quadratic stage)") {
