@@ -464,7 +464,11 @@ object Bench {
       "q200_curation_e2e", "q210_pair_artifact", "q248_rank_methods",
       "q249_pq_trained", "q250_ivfpq_trained", "q251_semantic_leakage",
       "q252_decontam_spans", "q253_model_artifact",
-      "q254_classifier_artifact", "q255_bpe_artifact")
+      "q254_classifier_artifact", "q255_bpe_artifact",
+      // r14 flagships: contamination report, release gate, crawl ops,
+      // chunk-parallel rolling
+      "q262_contamination_report", "q264_release_gate",
+      "q265_crawl_ops", "q266_rolling_chunked")
     // partial runs are small — print every timed query, not just the
     // headline subset (the 1500-char stdout cap only binds full runs)
     val qs = results.collect {

@@ -45,6 +45,20 @@ class PipelineR14Spec extends SparkSpec {
         "new registry misses after q256+q262 warmed the family")
   }
 
+  test("q266 chunk-parallel rolling: the window partitions by " +
+    "(key, chunk) — a hot group CANNOT serialize through one task") {
+    val df = SparkEntry.queries("q266_rolling_chunked")(spark, sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the local frame scan must partition by BOTH the key and the time
+    // chunk; a plain user_id partitioning would be the serialized shape
+    // this operator exists to avoid
+    assert(plan.contains("windowspecdefinition(user_id") &&
+      plan.contains("__c"),
+      s"chunked rolling lost its (key, chunk) window partitioning:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("bloom bitmap memo: same key plan and geometry returns the " +
     "SAME built bitmap without a second build job") {
     Dedup.clearDedupCaches()
