@@ -397,6 +397,40 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Image-dedup GATE against a reference suite (the decontamination
+    * idiom applied to images — e.g. "is this crawl image a near-copy
+    * of a benchmark/reference image"): the suite's dHashes collect
+    * driver-side (suite-sized, the eval-suite contract of
+    * streamingDecontamination) and bind as ONE literal array; each
+    * incoming image decodes once map-side and takes the MINIMUM
+    * hamming distance against the suite via a codegen'd transform over
+    * the literal. Stateless and map-only, so the same function is the
+    * batch operator AND the streaming ingest gate (no watermark, no
+    * state store — StreamingSpec pins zero state operators and
+    * stream≡batch). Undecodable payloads emit null min_hamming /
+    * is_dup false (a corrupt file is not evidence of duplication).
+    */
+  def imageDupAgainstSuite(df: DataFrame, payloadCol: String,
+                           suite: DataFrame, suitePayloadCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val d = new ImageDHashDecoder
+    val refHashes = suite.select(col(suitePayloadCol)).collect()
+      .map(r => d.hash(r.getAs[Array[Byte]](0)))
+      .filter(_ != Long.MinValue).distinct.toSeq
+    val hashed = imageDHash(df, payloadCol, "__ph")
+    val out =
+      if (refHashes.isEmpty)
+        hashed.withColumn("min_hamming",
+          lit(null).cast("int"))
+      else hashed.withColumn("min_hamming",
+        when(col("__ph") =!= Long.MinValue,
+          array_min(transform(typedlit(refHashes),
+            r => bit_count(col("__ph").bitwiseXOR(r)).cast("int")))))
+    out.withColumn("is_dup",
+        coalesce(col("min_hamming") <= maxHamming, lit(false)))
+      .drop("__ph")
+  }
+
   /** Per-frame audio features from a PCM WAV payload (REAL decode —
     * RIFF little-endian parse, 16-bit or 8-bit PCM): frame the sample
     * stream into `frameLen`-sample windows (last partial frame

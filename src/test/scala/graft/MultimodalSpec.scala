@@ -84,6 +84,32 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 666L || b == 666L })
   }
 
+  test("imageDupAgainstSuite flags near-copies of the reference suite " +
+    "and passes unrelated/corrupt images") {
+    val ref = Seq(10L -> png(64, 64)(gradient)).toDF("rid", "rpayload")
+    val stream = Seq(
+      1L -> png(64, 64)(gradient),                      // exact re-encode
+      2L -> png(64, 64)((x, y) =>                        // mild overlay
+        if (x < 4 && y < 4) gray(255) else gradient(x, y)),
+      3L -> png(64, 64)((x, y) =>                        // unrelated
+        gray(if (((x / 8) + (y / 8)) % 2 == 0) 0 else 255)),
+      4L -> Array[Byte](9, 9, 9)                         // corrupt
+    ).toDF("id", "payload")
+    val out = Multimodal.imageDupAgainstSuite(stream, "payload",
+        ref, "rpayload", maxHamming = 3)
+      .select("id", "min_hamming", "is_dup")
+      .as[(Long, Option[Int], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === Some(0) && out(1L)._3)
+    assert(out(2L)._2.exists(_ <= 3) && out(2L)._3)
+    assert(out(3L)._2.exists(_ > 3) && !out(3L)._3)
+    assert(out(4L)._2.isEmpty && !out(4L)._3)
+    // empty suite: nothing flags, nothing throws
+    val none = Multimodal.imageDupAgainstSuite(stream, "payload",
+        ref.filter(col("rid") < 0), "rpayload")
+      .select("is_dup").as[Boolean].collect()
+    assert(none.forall(_ == false))
+  }
+
   private def wav16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val dataLen = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)

@@ -1300,6 +1300,49 @@ class StreamingSpec extends SparkSpec {
     assert(n >= perBatch.toLong, s"soak output implausibly small: $n")
   }
 
+  test("streaming image-dedup gate equals the batch gate on a replayed " +
+    "stream and carries zero state operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(48, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 48) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val ref = Seq(1L -> png((x, y) => gray((x * 3 + y * 2) & 0xff)))
+      .toDF("rid", "rp")
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> png((x, y) => gray((x * 3 + y * 2) & 0xff)),  // copy
+      2L -> png((x, y) =>                                  // near-copy
+        if (x < 3 && y < 3) gray(0) else gray((x * 3 + y * 2) & 0xff)),
+      3L -> png((x, y) => gray(if ((x + y) % 2 == 0) 0 else 255)))
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Multimodal.imageDupAgainstSuite(df, "payload",
+        ref, "rp", maxHamming = 3)
+    val want = gate(rows.toDF("id", "payload"))
+      .select("id", "min_hamming", "is_dup")
+      .as[(Long, Option[Int], Boolean)].collect().toSet
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = gate(mem.toDS().toDF("id", "payload"))
+      .select("id", "min_hamming", "is_dup")
+      .writeStream.format("memory").queryName("img_gate")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val stateOps = Option(q.lastProgress)
+      .map(_.stateOperators.length).getOrElse(-1)
+    q.stop()
+    val got = spark.sql("SELECT id, min_hamming, is_dup FROM img_gate")
+      .as[(Long, Option[Int], Boolean)].collect().toSet
+    assert(got === want)
+    assert(got.exists(r => r._1 == 2L && r._3), "planted near-copy missed")
+    assert(stateOps === 0, s"image gate carries $stateOps state operators")
+  }
+
   test("bloom decontamination gate is genuinely STATELESS: a soak run " +
     "reports zero stateful operators") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
