@@ -80,20 +80,51 @@ object Rolling {
     */
   def rollingSumChunked(df: DataFrame, byCol: String, tsCol: String,
                         tieCol: String, n: Int, valueCol: String,
-                        out: String, chunkWidth: Long): DataFrame = {
+                        out: String, chunkWidth: Long): DataFrame =
+    rollingAggChunked(df, byCol, tsCol, tieCol, n, valueCol, out,
+      chunkWidth, "sum")
+
+  /** [[rollingSumChunked]] generalized over the chunk-combinable
+    * aggregations: `kind` ∈ sum | mean | min | max. Each decomposes
+    * into (local frame result over the chunk) ⊕ (fold of the carry-in
+    * tail slice): sum adds, min/max fold with least/greatest, and mean
+    * divides the combined sum by the TRUE frame population (in-chunk
+    * rows + however much of the n−1 carry actually exists — so the
+    * group-leading rows average over their genuine shorter frame,
+    * exactly like the plain window). Same null contract as the sum
+    * form: values fold as coalesce(value, 0) (riptable nansum/nanmin
+    * convention restricted to non-null pipelines; OpsSpec pins the
+    * plain-window twin equality on coalesced input).
+    */
+  def rollingAggChunked(df: DataFrame, byCol: String, tsCol: String,
+                        tieCol: String, n: Int, valueCol: String,
+                        out: String, chunkWidth: Long,
+                        kind: String): DataFrame = {
     require(n >= 1 && chunkWidth > 0, s"bad rolling params: n=$n w=$chunkWidth")
+    val kinds = Set("sum", "mean", "min", "max")
+    require(kinds(kind), s"kind must be one of $kinds, got $kind")
     val c = expr(s"$tsCol div $chunkWidth").as("__c")
     val v0 = coalesce(col(valueCol).cast("double"), lit(0.0))
     val wLoc = Window.partitionBy(col(byCol), col("__c"))
       .orderBy(col(tsCol), col(tieCol))
+    val frame = wLoc.rowsBetween(-(n.toLong - 1), Window.currentRow)
+    val localAgg: Column = kind match {
+      case "min" => min(col("__v0")).over(frame)
+      case "max" => max(col("__v0")).over(frame)
+      case _     => sum(col("__v0")).over(frame) // sum AND mean's numerator
+    }
     val base = df.withColumn("__c", c)
     val local = base
       .withColumn("__v0", v0)
-      .withColumn("__loc",
-        sum(col("__v0")).over(wLoc.rowsBetween(-(n.toLong - 1), Window.currentRow)))
+      .withColumn("__loc", localAgg)
       .withColumn("__rn", row_number().over(wLoc))
-    if (n == 1) return local.withColumn(out, col("__loc"))
-      .drop("__c", "__v0", "__loc", "__rn")
+    def finishLocalOnly(d: DataFrame): DataFrame = {
+      val v = if (kind == "mean")
+        col("__loc") / least(col("__rn"), lit(n)).cast("double")
+      else col("__loc")
+      d.withColumn(out, v).drop("__c", "__v0", "__loc", "__rn")
+    }
+    if (n == 1) return finishLocalOnly(local)
     // chunk-level tail frame: last n−1 rows of every (key, chunk)
     val need = n - 1
     def lastK(arr: Column, k: Column): Column =
@@ -108,12 +139,33 @@ object Rolling {
           array())), lit(need)))
       .select(col(byCol), col("__c"), col("__ctx"))
     val needHere = lit(n) - col("__rn") // frame rows missing from this chunk
-    val carry = aggregate(
-      lastK(col("__ctx"), needHere), lit(0.0d), (acc, x) => acc + x.getField("v"))
-    local.join(ctx, Seq(byCol, "__c"), "left")
-      .withColumn(out,
+    // null __ctx (first chunk of a key) propagates through slice →
+    // aggregate/size as null; every consumer coalesces to its identity
+    val carrySlice = lastK(col("__ctx"), needHere)
+    val carrySum = aggregate(carrySlice, lit(0.0d),
+      (acc, x) => acc + x.getField("v"))
+    val carryN = size(carrySlice)
+    val joined = local.join(ctx, Seq(byCol, "__c"), "left")
+    val combined: Column = kind match {
+      case "sum" => when(col("__rn") >= n, col("__loc"))
+        .otherwise(col("__loc") + coalesce(carrySum, lit(0.0)))
+      case "mean" => when(col("__rn") >= n, col("__loc") / lit(n.toDouble))
+        .otherwise((col("__loc") + coalesce(carrySum, lit(0.0))) /
+          (col("__rn") + coalesce(carryN, lit(0))).cast("double"))
+      case "min" =>
+        val cMin = aggregate(carrySlice,
+          lit(Double.PositiveInfinity), (acc, x) => least(acc, x.getField("v")))
         when(col("__rn") >= n, col("__loc"))
-          .otherwise(col("__loc") + coalesce(carry, lit(0.0))))
+          .otherwise(least(col("__loc"), coalesce(cMin,
+            lit(Double.PositiveInfinity))))
+      case "max" =>
+        val cMax = aggregate(carrySlice,
+          lit(Double.NegativeInfinity), (acc, x) => greatest(acc, x.getField("v")))
+        when(col("__rn") >= n, col("__loc"))
+          .otherwise(greatest(col("__loc"), coalesce(cMax,
+            lit(Double.NegativeInfinity))))
+    }
+    joined.withColumn(out, combined)
       .drop("__c", "__v0", "__loc", "__rn", "__ctx")
   }
   def rollingMean(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,

@@ -22,15 +22,19 @@ class OpsSpec extends SparkSpec {
     val df = rows.toDF("k", "t", "v")
       // planted null folds as 0 under the nansum contract
       .withColumn("v", when(col("t") === 19L, lit(null)).otherwise(col("v")))
-    for (n <- Seq(1, 2, 3, 4); w <- Seq(1L, 10L, 1000L)) {
-      val got = Rolling.rollingSumChunked(df, "k", "t", "t", n, "v",
-          "rs", w)
+    val twins: Seq[(String, (org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "sum" -> ((d, n) => Rolling.rollingSum(d, Seq("k"), Seq(col("t")), n, "v", "rs")),
+      "mean" -> ((d, n) => Rolling.rollingMean(d, Seq("k"), Seq(col("t")), n, "v", "rs")),
+      "min" -> ((d, n) => Rolling.rollingMin(d, Seq("k"), Seq(col("t")), n, "v", "rs")),
+      "max" -> ((d, n) => Rolling.rollingMax(d, Seq("k"), Seq(col("t")), n, "v", "rs")))
+    for (n <- Seq(1, 2, 3, 4); w <- Seq(1L, 10L, 1000L); (kind, twin) <- twins) {
+      val got = Rolling.rollingAggChunked(df, "k", "t", "t", n, "v",
+          "rs", w, kind)
         .orderBy("k", "t").select("rs").as[Double].collect().toSeq
-      val want = Rolling.rollingSum(
-          df.withColumn("v", coalesce(col("v"), lit(0.0))),
-          Seq("k"), Seq(col("t")), n, "v", "rs")
+      val want = twin(df.withColumn("v", coalesce(col("v"), lit(0.0))), n)
         .orderBy("k", "t").select("rs").as[Double].collect().toSeq
-      assert(got === want, s"n=$n chunkWidth=$w: $got != $want")
+      assert(got === want, s"kind=$kind n=$n chunkWidth=$w: $got != $want")
     }
   }
 
