@@ -54,7 +54,8 @@ object Bloom {
     val hb = java.lang.Long.highestOneBit(want)
     val pow = if (hb == want) hb else hb * 2
     val bits = math.max(1L << 10, math.min(1L << 30, pow))
-    // the 2^30 cap is a single-filter bound (16 MiB bitmap — the
+    // the 2^30 cap is a single-filter bound (2^30 bits = 128 MiB of
+    // long[] bitmap — the
     // "bounded collect" contract); past it the geometry silently
     // degrades: at 10^10 keys the clamped filter's real FP rate
     // approaches 1 and the prefilter becomes a pass-through (exact
@@ -177,8 +178,11 @@ object Bloom {
     * `maxShardBits` (default: the single-filter 2^30 clamp), capped at
     * `maxShards` — shard bitmaps live on the DRIVER and bind into the
     * probe plan as literals, so the composite must stay
-    * driver/broadcast-sized (8 × 16 MiB = 128 MiB at the defaults,
-    * ~10^10 key capacity at ~1%). If even `maxShards` full shards
+    * driver/broadcast-sized — and NOT small: 8 full shards at the
+    * 2^30-bit clamp are 8 × 128 MiB = 1 GiB of long[] literals bound
+    * into the driver/plan, good for ~10^9 keys at ~1% (2^33 bits at
+    * ~9.6 bits/key). Size executors-side state budgets for that worst
+    * case before raising `maxShards`. If even `maxShards` full shards
     * can't hit the rate, the [[sizeFor]]-style warning fires with the
     * effective per-shard fpp and the exact-verify-downstream contract
     * is unchanged.

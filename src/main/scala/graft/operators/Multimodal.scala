@@ -164,19 +164,28 @@ object Multimodal {
       var rate = 0L
       var bps = 0
       var dataLen = -1L
-      var i = 12
-      while (i + 8 <= bytes.length) {
-        val id = new String(bytes, i, 4, "US-ASCII")
-        val sz = le32(bytes, i + 4)
+      // The walk cursor is a LONG and must STRICTLY increase: sz is an
+      // unsigned u32 read as Long, and a corrupt/malicious size ≥ 2^31
+      // truncated through toInt went negative — sz.toInt == -8 looped
+      // the executor task forever on one bad file (ADVICE r14). Any
+      // non-advancing or out-of-range step aborts the walk; malformed
+      // payloads decode to the all-zero feature row, never a hang.
+      var i = 12L
+      var ok = true
+      while (ok && i + 8 <= bytes.length) {
+        val at = i.toInt
+        val id = new String(bytes, at, 4, "US-ASCII")
+        val sz = le32(bytes, at + 4)
         if (id == "fmt " && i + 8 + 16 <= bytes.length) {
-          channels = le16(bytes, i + 10)
-          rate = le32(bytes, i + 12)
-          bps = le16(bytes, i + 22)
+          channels = le16(bytes, at + 10)
+          rate = le32(bytes, at + 12)
+          bps = le16(bytes, at + 22)
         } else if (id == "data") {
           dataLen = sz
         }
         // chunks are word-aligned: odd sizes carry a pad byte
-        i += 8 + sz.toInt + (sz.toInt & 1)
+        val next = i + 8L + sz + (sz & 1L)
+        if (next <= i || next > bytes.length.toLong) ok = false else i = next
       }
       val duration =
         if (rate > 0 && channels > 0 && bps > 0 && dataLen >= 0)
@@ -450,19 +459,30 @@ object Multimodal {
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
       bytes(10) == 'V' && bytes(11) == 'E')) return Seq.empty
-    // chunk walk: find fmt and data
-    var pos = 12
+    // chunk walk: find fmt and data. The cursor is a LONG and must
+    // STRICTLY increase — sz is an unsigned u32 read as Long, and a
+    // corrupt size ≥ 2^31 truncated through toInt went negative
+    // (sz.toInt == -8 spun the executor task forever on one bad file;
+    // ADVICE r14). Any non-advancing or past-the-end step aborts the
+    // walk and the payload yields the documented empty frame array.
+    var pos = 12L
     var fmtAt = -1
     var dataAt = -1
     var dataLen = 0L
-    while (pos + 8 <= bytes.length && (fmtAt < 0 || dataAt < 0)) {
-      val id = new String(bytes, pos, 4, "US-ASCII")
-      val sz = le32(pos + 4)
-      if (id == "fmt ") fmtAt = pos + 8
-      else if (id == "data") { dataAt = pos + 8; dataLen = sz }
-      pos += 8 + sz.toInt + (sz.toInt & 1)
+    var walking = true
+    while (walking && pos + 8 <= bytes.length && (fmtAt < 0 || dataAt < 0)) {
+      val at = pos.toInt
+      val id = new String(bytes, at, 4, "US-ASCII")
+      val sz = le32(at + 4)
+      if (id == "fmt ") fmtAt = at + 8
+      else if (id == "data") { dataAt = at + 8; dataLen = sz }
+      val next = pos + 8L + sz + (sz & 1L)
+      if (next <= pos || next > bytes.length.toLong) walking = false
+      else pos = next
     }
-    if (fmtAt < 0 || dataAt < 0) return Seq.empty
+    // fmt fields read through +15 (bits/sample) — a truncated fmt chunk
+    // must not read past the buffer
+    if (fmtAt < 0 || dataAt < 0 || fmtAt + 16 > bytes.length) return Seq.empty
     val fmt = le16(fmtAt)
     val channels = le16(fmtAt + 2)
     val bps = le16(fmtAt + 14)

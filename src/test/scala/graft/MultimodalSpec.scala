@@ -147,6 +147,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavFrameFeatures(Array.emptyByteArray, 10).isEmpty)
   }
 
+  test("malicious/corrupt RIFF chunk sizes can neither hang nor crash " +
+    "the walk: u32 sizes >= 2^31, non-advancing sizes, truncated fmt") {
+    // a chunk declaring size 0xFFFFFFF8 truncated to Int is -8: the old
+    // Int walk advanced by 8 + (-8) = 0 forever (ADVICE r14). The walk
+    // must terminate and yield the documented empty result.
+    def evil(sz: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("JUNK".getBytes("US-ASCII")).putInt((sz & 0xFFFFFFFFL).toInt)
+      bb.array()
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0x80000000L, 0xFFFFFFFFL, 0x7FFFFFF0L)) {
+      val done = scala.concurrent.Future {
+        Multimodal.wavFrameFeatures(evil(sz), 10)
+      }(scala.concurrent.ExecutionContext.global)
+      val r = scala.concurrent.Await.result(done,
+        scala.concurrent.duration.Duration(10, "s"))
+      assert(r.isEmpty, s"size $sz must yield no frames")
+      // valid RIFF/WAVE magic, so format stays 3.0 — but the walk must
+      // terminate with no fmt/data found: rate/channels/duration all 0
+      val hdr = new Multimodal.WavHeaderDecoder().decode(evil(sz))
+      assert(hdr.toSeq === Seq(3.0, 0.0, 0.0, 0.0), s"size $sz header walk")
+    }
+    // fmt chunk truncated mid-field: bounds-checked, empty — not thrown
+    val trunc = {
+      val bb = java.nio.ByteBuffer.allocate(28)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(20)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // ...and the buffer ends here
+      bb.array()
+    }
+    assert(Multimodal.wavFrameFeatures(trunc, 10).isEmpty)
+  }
+
   test("withWavFrames explodes one row per frame with features appended") {
     val sr = 8000
     val tone = Array.tabulate[Short](2400)(i =>
