@@ -85,24 +85,33 @@ object Rolling {
       chunkWidth, "sum")
 
   /** [[rollingSumChunked]] generalized over the chunk-combinable
-    * aggregations: `kind` ∈ sum | mean | min | max. Each decomposes
-    * into (local frame result over the chunk) ⊕ (fold of the carry-in
-    * tail slice): sum adds, min/max fold with least/greatest, and mean
-    * divides the combined sum by the TRUE frame population (in-chunk
-    * rows + however much of the n−1 carry actually exists — so the
-    * group-leading rows average over their genuine shorter frame,
-    * exactly like the plain window). Same null contract as the sum
-    * form: values fold as coalesce(value, 0) (riptable nansum/nanmin
+    * aggregations: `kind` ∈ sum | mean | min | max | var | std. Each
+    * decomposes into (local frame result over the chunk) ⊕ (fold of the
+    * carry-in tail slice): sum adds, min/max fold with least/greatest,
+    * mean divides the combined sum by the TRUE frame population
+    * (in-chunk rows + however much of the n−1 carry actually exists —
+    * so the group-leading rows average over their genuine shorter
+    * frame, exactly like the plain window), and var/std combine through
+    * the (count, sum, sumsq) sufficient statistic:
+    * var_samp = (Σx² − (Σx)²/N)/(N−1), null when N < 2, clamped at 0
+    * against FP cancellation (VERDICT r14 #3 — closes the hot-key hatch
+    * over the rest of the §2.5 rolling family; rolling QUANTILE is the
+    * hatch's documented boundary: order statistics have no bounded
+    * chunk-combinable carry). Same null contract as the sum form:
+    * values fold as coalesce(value, 0) (riptable nansum/nanmin
     * convention restricted to non-null pipelines; OpsSpec pins the
-    * plain-window twin equality on coalesced input).
+    * plain-window twin equality on coalesced input). var/std equality
+    * vs the plain window is up to FP association (textbook vs Welford)
+    * — consumers round, as the oracle does.
     */
   def rollingAggChunked(df: DataFrame, byCol: String, tsCol: String,
                         tieCol: String, n: Int, valueCol: String,
                         out: String, chunkWidth: Long,
                         kind: String): DataFrame = {
     require(n >= 1 && chunkWidth > 0, s"bad rolling params: n=$n w=$chunkWidth")
-    val kinds = Set("sum", "mean", "min", "max")
+    val kinds = Set("sum", "mean", "min", "max", "var", "std")
     require(kinds(kind), s"kind must be one of $kinds, got $kind")
+    val needsSq = kind == "var" || kind == "std"
     val c = expr(s"$tsCol div $chunkWidth").as("__c")
     val v0 = coalesce(col(valueCol).cast("double"), lit(0.0))
     val wLoc = Window.partitionBy(col(byCol), col("__c"))
@@ -114,15 +123,23 @@ object Rolling {
       case _     => sum(col("__v0")).over(frame) // sum AND mean's numerator
     }
     val base = df.withColumn("__c", c)
-    val local = base
+    val local0 = base
       .withColumn("__v0", v0)
       .withColumn("__loc", localAgg)
       .withColumn("__rn", row_number().over(wLoc))
+    // var/std also need Σx² over the same frame — same WindowExec pass
+    val local =
+      if (needsSq)
+        local0.withColumn("__locsq", sum(col("__v0") * col("__v0")).over(frame))
+      else local0
     def finishLocalOnly(d: DataFrame): DataFrame = {
-      val v = if (kind == "mean")
-        col("__loc") / least(col("__rn"), lit(n)).cast("double")
-      else col("__loc")
-      d.withColumn(out, v).drop("__c", "__v0", "__loc", "__rn")
+      val v = kind match {
+        case "mean" => col("__loc") / least(col("__rn"), lit(n)).cast("double")
+        // n == 1: every frame is a single row — var_samp/stddev_samp null
+        case "var" | "std" => lit(null).cast("double")
+        case _ => col("__loc")
+      }
+      d.withColumn(out, v).drop("__c", "__v0", "__loc", "__locsq", "__rn")
     }
     if (n == 1) return finishLocalOnly(local)
     // chunk-level tail frame: last n−1 rows of every (key, chunk)
@@ -132,8 +149,19 @@ object Rolling {
     val tails = base.groupBy(col(byCol), col("__c"))
       .agg(lastK(sort_array(collect_list(struct(col(tsCol).as("t"),
         col(tieCol).as("k"), v0.as("v")))), lit(need)).as("__tail"))
+    // BOUNDED carry (VERDICT r14 #2): the previous n−1 `tails` rows
+    // provably contain the last n−1 rows of the key's history. Proof:
+    // every `tails` row exists only for a NONEMPTY (key, chunk) — the
+    // groupBy emits no row for an empty chunk — and holds that chunk's
+    // last min(rows, n−1) data rows. The last n−1 rows of history span
+    // at most n−1 distinct nonempty chunks (each contributes ≥ 1 of
+    // them), and within each such chunk they are among its last n−1
+    // rows, hence inside its tail. So a frame of the previous n−1 tails
+    // rows suffices, and the per-row context array is O(n²) worst-case
+    // — NOT O(#chunks·n), which on a year-long fine-chunked hot key
+    // built and flattened 10⁵+ structs per row before slicing.
     val wChunks = Window.partitionBy(col(byCol)).orderBy(col("__c"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(-(need.toLong), -1)
     val ctx = tails.withColumn("__ctx",
         lastK(flatten(coalesce(collect_list(col("__tail")).over(wChunks),
           array())), lit(need)))
@@ -164,9 +192,24 @@ object Rolling {
         when(col("__rn") >= n, col("__loc"))
           .otherwise(greatest(col("__loc"), coalesce(cMax,
             lit(Double.NegativeInfinity))))
+      case "var" | "std" =>
+        val carrySq = aggregate(carrySlice, lit(0.0d),
+          (acc, x) => acc + x.getField("v") * x.getField("v"))
+        // (N, Σx, Σx²) → var_samp; null for N < 2 (matches var_samp),
+        // clamped at 0: textbook cancellation can dip epsilon-negative
+        def finish(nN: Column, s1: Column, s2: Column): Column = {
+          val vr = greatest((s2 - s1 * s1 / nN) / (nN - lit(1.0)), lit(0.0))
+          when(nN >= 2.0, if (kind == "std") sqrt(vr) else vr)
+        }
+        val interior = finish(lit(n.toDouble), col("__loc"), col("__locsq"))
+        val nB = (col("__rn") + coalesce(carryN, lit(0))).cast("double")
+        val boundary = finish(nB,
+          col("__loc") + coalesce(carrySum, lit(0.0)),
+          col("__locsq") + coalesce(carrySq, lit(0.0)))
+        when(col("__rn") >= n, interior).otherwise(boundary)
     }
     joined.withColumn(out, combined)
-      .drop("__c", "__v0", "__loc", "__rn", "__ctx")
+      .drop("__c", "__v0", "__loc", "__locsq", "__rn", "__ctx")
   }
   def rollingMean(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
                   valueCol: String, out: String): DataFrame =

@@ -25,6 +25,24 @@ private[graft] object OraclesTime {
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    "q270_rolling_chunked_var" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    floor(coalesce(value, 0)) AS v FROM events),
+        |s AS (SELECT event_id, user_id,
+        |    sum(v) OVER w AS s1, sum(v * v) OVER w AS s2,
+        |    count(*) OVER w AS cnt
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  round(CASE WHEN cnt >= 2
+        |    THEN greatest((s2 - s1 * s1 / cnt) / (cnt - 1.0), 0.0) END, 6)
+        |    AS roll_var,
+        |  round(CASE WHEN cnt >= 2
+        |    THEN sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1.0), 0.0)) END, 6)
+        |    AS roll_std
+        |FROM s ORDER BY event_id""".stripMargin,
+
     "q11_cumsum" ->
       """SELECT event_id, user_id,
         |  round(sum(value) OVER w, 6) AS cum_value,

@@ -45,6 +45,26 @@ private[graft] object QueriesTime {
         .orderBy(col("event_id"))
     }),
 
+    // Chunk-parallel rolling VAR/STD (VERDICT r14 #3): the (count, sum,
+    // sumsq) carry closes the hot-key hatch over the rest of the §2.5
+    // rolling family. Values floor to integer-valued doubles so the
+    // window sums are EXACT under any association — the oracle replays
+    // the identical sufficient-stats formula over the plain single
+    // window, so the chunk decomposition must be bit-invisible.
+    "q270_rolling_chunked_var" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("v", floor(coalesce(col("value"), lit(0.0))).cast("double"))
+      val hour = 3600L * 1000000000L
+      val withVar = Rolling.rollingAggChunked(ev, "user_id", "ts",
+        "event_id", 5, "v", "roll_var", hour, "var")
+      Rolling.rollingAggChunked(withVar, "user_id", "ts", "event_id",
+          5, "v", "roll_std", hour, "std")
+        .select(col("event_id"), col("user_id"),
+          round(col("roll_var"), 6).as("roll_var"),
+          round(col("roll_std"), 6).as("roll_std"))
+        .orderBy(col("event_id"))
+    }),
+
     "q11_cumsum" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val c1 = Rolling.cumsum(ev, Seq("user_id"), Seq(col("ts"), col("event_id")),

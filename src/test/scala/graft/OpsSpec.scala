@@ -17,7 +17,13 @@ class OpsSpec extends SparkSpec {
       // key 2: single row
       (2L, 3L, 5.0),
       // key 3: one fat chunk
-      (3L, 1L, 1.0), (3L, 2L, 1.0), (3L, 3L, 1.0), (3L, 4L, 1.0)
+      (3L, 1L, 1.0), (3L, 2L, 1.0), (3L, 3L, 1.0), (3L, 4L, 1.0),
+      // key 4: gappy single-row chunks (width 10: chunks 0,3,7,9,12) —
+      // with n = 4 the bounded n−1-tails carry must assemble the frame
+      // from THREE separate prior tails rows, none adjacent (VERDICT
+      // r15 sparse-chunk case for the rowsBetween(-(n−1), -1) bound)
+      (4L, 2L, 3.0), (4L, 31L, 7.0), (4L, 75L, 11.0), (4L, 93L, 13.0),
+      (4L, 120L, 17.0)
     )
     val df = rows.toDF("k", "t", "v")
       // planted null folds as 0 under the nansum contract
@@ -35,6 +41,29 @@ class OpsSpec extends SparkSpec {
       val want = twin(df.withColumn("v", coalesce(col("v"), lit(0.0))), n)
         .orderBy("k", "t").select("rs").as[Double].collect().toSeq
       assert(got === want, s"kind=$kind n=$n chunkWidth=$w: $got != $want")
+    }
+    // var/std combine through the (count, sum, sumsq) carry — equality
+    // vs the plain window (Welford) holds up to FP association, so the
+    // twin compare is tolerance-based; nulls (N < 2 frames) must match
+    // EXACTLY (the warm-up contract is semantic, not numeric)
+    val vTwins: Seq[(String, (org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "var" -> ((d, n) => Rolling.rollingVar(d, Seq("k"), Seq(col("t")), n, "v", "rs")),
+      "std" -> ((d, n) => Rolling.rollingStd(d, Seq("k"), Seq(col("t")), n, "v", "rs")))
+    for (n <- Seq(1, 2, 3, 4); w <- Seq(1L, 10L, 1000L); (kind, twin) <- vTwins) {
+      val got = Rolling.rollingAggChunked(df, "k", "t", "t", n, "v",
+          "rs", w, kind)
+        .orderBy("k", "t").select("rs").as[Option[Double]].collect().toSeq
+      val want = twin(df.withColumn("v", coalesce(col("v"), lit(0.0))), n)
+        .orderBy("k", "t").select("rs").as[Option[Double]].collect().toSeq
+      assert(got.length === want.length)
+      got.zip(want).zipWithIndex.foreach {
+        case ((Some(g), Some(e)), i) =>
+          assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+            s"kind=$kind n=$n w=$w row $i: $g != $e")
+        case ((g, e), i) =>
+          assert(g === e, s"kind=$kind n=$n w=$w row $i null-mask: $g != $e")
+      }
     }
   }
 
