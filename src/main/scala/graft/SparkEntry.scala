@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.m ++ QueriesTpch.m ++ QueriesTime.m ++ QueriesDedup.m ++
-      QueriesSim.m ++ QueriesText.m ++ QueriesCurate.m
+      QueriesSim.m ++ QueriesText.m ++ QueriesCurate.m ++
+      QueriesMultimodal.m
 
   def oracleSql: Map[String, String] =
     OraclesCore.m ++ OraclesTpch.m ++ OraclesTime.m ++ OraclesDedup.m ++
-      OraclesSim.m ++ OraclesText.m ++ OraclesCurate.m
+      OraclesSim.m ++ OraclesText.m ++ OraclesCurate.m ++
+      OraclesMultimodal.m
 }
