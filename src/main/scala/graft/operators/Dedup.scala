@@ -101,6 +101,32 @@ object Dedup {
   private[graft] def registryPersist(df: DataFrame): DataFrame =
     cachedPersist(df)
 
+  /** Cumulative frames released by [[trimCachesTo]] — kept SEPARATE from
+    * `registryEvictions` (whose non-zero reading is the LRU-cap thrash
+    * tripwire the bench health check greps for): a deliberate
+    * between-family trim is hygiene, not thrash.
+    */
+  @volatile var registryTrims: Long = 0L
+
+  /** Unpersist all but the `keep` most-recently-used registry frames.
+    * The bench sweep calls this between queries (VERDICT r14 #5): with
+    * a 512 cap nothing was evicted across a 260-query sweep, so every
+    * persisted frame of every family stayed heap-resident and the
+    * flagged queries showed 0.1–17 s of sweep task-GC with zero
+    * spill/evictions — heap churn, not plans. Access-ordered trim keeps
+    * family locality (a frame consumers just touched stays; q256's
+    * gate frames survive through q262/q264) while stale families free
+    * their memory at the source instead of through GC pressure.
+    */
+  def trimCachesTo(keep: Int): Unit = cacheReg.synchronized {
+    require(keep >= 0, s"keep must be >= 0: $keep")
+    while (cacheReg.size > keep) {
+      val eldest = cacheReg.keySet.iterator.next()
+      registryTrims += 1
+      safeUnpersist(cacheReg.remove(eldest))
+    }
+  }
+
   /** Unpersist every dedup intermediate this session registered. */
   def clearDedupCaches(): Unit = {
     cacheReg.synchronized {
@@ -210,13 +236,23 @@ object Dedup {
     * added/removed. The changed/unchanged split uses null-safe
     * equality (`<=>`) so NULL-vs-NULL text reads as unchanged.
     */
+  /** `oldFpCol`/`newFpCol`: name of a PRECOMPUTED fingerprint column to
+    * reuse instead of re-fingerprinting `textCol` — callers that persist
+    * a snapshot frame with its fingerprint (q265's crawl-over-crawl
+    * report) pay the md5 once per side across all consuming stages.
+    */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
-                   byCol: String, textCol: String): DataFrame = {
+                   byCol: String, textCol: String,
+                   oldFpCol: Option[String] = None,
+                   newFpCol: Option[String] = None): DataFrame = {
+    def fpOf(c: Option[String]): Column =
+      c.map(col).getOrElse(
+        graft.functions.TextFns.fingerprint(col(textCol)))
     val o = oldDf.select(col(keyCol).as("__k"), col(byCol).as("__go"),
-      graft.functions.TextFns.fingerprint(col(textCol)).as("__fo"),
+      fpOf(oldFpCol).as("__fo"),
       lit(true).as("__po"))
     val n = newDf.select(col(keyCol).as("__k"), col(byCol).as("__gn"),
-      graft.functions.TextFns.fingerprint(col(textCol)).as("__fn"),
+      fpOf(newFpCol).as("__fn"),
       lit(true).as("__pn"))
     val st = when(col("__po").isNull, "added")
       .when(col("__pn").isNull, "removed")
@@ -1127,13 +1163,24 @@ object Dedup {
     * wall vs 1.5 s cpu: the wall was waiting on that extra job plus its
     * cache pressure, not computing).
     */
-  def lastHotBucketsDropped: Long = this.synchronized {
-    lastHotCount match {
+  def lastHotBucketsDropped: Long = {
+    // Snapshot under the lock, run the Spark job OUTSIDE it, re-take the
+    // lock to publish (double-checked). Holding the object monitor
+    // across hot.count() — a full Spark job — blocked every concurrent
+    // editDistancePairs call at its `this.synchronized` publish line for
+    // the job's duration (ADVICE r14 liveness finding).
+    val (memo, snap) = this.synchronized((lastHotCount, lastHotFrame))
+    memo match {
       case Some(n) => n // counted once; repeated reads run no job, log once
-      case None => lastHotFrame match {
+      case None => snap match {
         case Some(hot) if !hot.sparkSession.sparkContext.isStopped =>
-          val n = hot.count()
-          lastHotCount = Some(n)
+          val n = hot.count() // unlocked: cached-frame count, but still a job
+          this.synchronized {
+            // publish only if no newer editDistancePairs call replaced
+            // the frame while we counted; a newer call's memo wins
+            if (lastHotFrame == snap)
+              lastHotCount = lastHotCount.orElse(Some(n))
+          }
           if (n > 0)
             log.warn(s"editDistancePairs: dropped $n hot segment bucket(s) " +
               "— pairs matching ONLY on those segments are lost; run exact " +

@@ -1300,6 +1300,99 @@ class StreamingSpec extends SparkSpec {
     assert(n >= perBatch.toLong, s"soak output implausibly small: $n")
   }
 
+  test("streaming EMA state SOAK: rolling key population keeps state at " +
+    "the LIVE key count — never the total distinct keys seen") {
+    // VERDICT r14 #7: the EMA eviction test proved one key evicts; this
+    // pins the STATE-SIZE contract under churn. 24 batches advance event
+    // time 10 min each; batch w carries keys [w·50, w·50+100) — 1250
+    // distinct keys stream through, but with 15 min retention a key
+    // idle ≥ 2 batches times out, so StateStore numRowsTotal (exactly
+    // one EmaState row per live key) must stay ≈ 150 (+1 batch of
+    // eviction lag), NOT track the 1250.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val in = mem.toDS()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.streamingEma(in, rate = 1e-9,
+      watermark = "1 minute", stateRetentionMs = 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("ema_soak")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var maxState = 0L
+    var eid = 0L
+    (0 until 24).foreach { w =>
+      val batch = for {
+        k <- w * 50 until (w * 50 + 100)
+        j <- 0 until 3
+      } yield {
+        eid += 1
+        (eid, new java.sql.Timestamp(t0 + w * 600000L + j * 1000L),
+          k.toLong, "click", (k % 7 + j).toDouble)
+      }
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      val rows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      maxState = math.max(maxState, rows)
+    }
+    q.stop()
+    assert(maxState > 0L, "no state observed — the soak never ran stateful")
+    assert(maxState <= 300L, // ≤200 live keys + timeout-processing lag; NOT 1250
+      s"EMA state grew to $maxState rows — idle keys are not evicting " +
+        "under churn (one-row-per-live-key contract broken)")
+    val n = spark.sql("SELECT count(*) FROM ema_soak").as[Long].head()
+    assert(n === 24L * 100 * 3, s"soak lost output rows: $n")
+  }
+
+  test("stream-stream as-of state SOAK: rolling key population keeps " +
+    "state at the live key count with eviction on event-time timeout") {
+    // Same churn geometry as the EMA soak, driven through BOTH sides of
+    // the as-of: each batch sends one quote then two trades per key.
+    // AsofState is exactly one row per live key; numRowsTotal tracking
+    // the 1250 total keys would mean timeout eviction broke.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memL = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val memR = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val inL = memL.toDS().toDF("event_id", "ts", "user_id", "value")
+    val inR = memR.toDS().toDF("event_id", "ts", "user_id", "value")
+    val q = StreamOps.streamStreamAsof(inL, inR,
+      "user_id", "ts", "event_id", "value",
+      watermark = "1 minute", stateRetentionMs = 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("ss_asof_soak")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var maxState = 0L
+    var eid = 0L
+    (0 until 24).foreach { w =>
+      val keys = (w * 50 until (w * 50 + 100)).map(_.toLong)
+      memR.addData(keys.map { k =>
+        (-1L, new java.sql.Timestamp(t0 + w * 600000L), k, k * 1.5)
+      }: _*)
+      memL.addData(keys.flatMap { k =>
+        (1 to 2).map { j =>
+          eid += 1
+          (eid, new java.sql.Timestamp(t0 + w * 600000L + j * 1000L), k, 0.0)
+        }
+      }: _*)
+      q.processAllAvailable()
+      val rows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      maxState = math.max(maxState, rows)
+    }
+    q.stop()
+    assert(maxState > 0L)
+    assert(maxState <= 300L, // ≤200 live keys + timeout-processing lag; NOT 1250
+      s"as-of state grew to $maxState rows — quote state is not evicting")
+    val out = spark.sql(
+      "SELECT count(*), count(matched) FROM ss_asof_soak")
+      .as[(Long, Long)].head()
+    assert(out._1 === 24L * 100 * 2, s"soak lost trades: ${out._1}")
+    // every trade follows its key's same-batch quote → all matched
+    assert(out._2 === out._1, s"unmatched trades: ${out._1 - out._2}")
+  }
+
   test("streaming image-dedup gate equals the batch gate on a replayed " +
     "stream and carries zero state operators") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
