@@ -165,6 +165,40 @@ object Scale10Fixtures {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
   }
 
+  /** 50 k planted PNG images (10× the MmFixtures corpus): each image is
+    * constructed FROM a target 64-bit dHash pattern (MmFixtures.imageFor
+    * — uniform 4×4-pixel cells on the decoder's exact 9×8 area-average
+    * grid), so `expected_hash` is known by construction, never by
+    * running the decoder. Every id with id % 5 == 4 is a near-dup of
+    * id−1 with (id % 3)+1 flipped bits — exactly 10 000 planted pairs
+    * at hamming ≤ 3; unrelated patterns sit ~32 bits apart (chance
+    * ≤3-bit collisions: P ≈ 2.4e-15 per pair). PNG encode runs on
+    * EXECUTORS (mapPartitions): payload synthesis, like the decode
+    * under test, is map-only — the 100 TB shape.
+    */
+  def genImages(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      it.map { id =>
+        def baseOf(i: Long): Long = MmFixtures.mix(i * 1000003L + 17L)
+        val pattern =
+          if (id % 5 == 4) {
+            var p = baseOf(id - 1)
+            val k = (id % 3).toInt + 1
+            val flips = scala.collection.mutable.LinkedHashSet.empty[Int]
+            var j = 0L
+            while (flips.size < k) {
+              flips += (MmFixtures.mix(id * 31L + j) & 63L).toInt
+              j += 1
+            }
+            flips.foreach(b => p ^= 1L << b)
+            p
+          } else baseOf(id)
+        (id, MmFixtures.imageFor(pattern), pattern)
+      }
+    }.toDF("img_id", "payload", "expected_hash")
+  }
+
   /** Generate everything into `dir` (standard table layout). */
   def genAll(spark: SparkSession, dir: String): Unit = {
     genDocuments(spark, 50000L).write.mode("overwrite")
@@ -173,6 +207,8 @@ object Scale10Fixtures {
       .parquet(s"$dir/embeddings.parquet")
     genEvents(spark, 1000000L).write.mode("overwrite")
       .parquet(s"$dir/events.parquet")
+    genImages(spark, 50000L).write.mode("overwrite")
+      .parquet(s"$dir/images10x.parquet")
     genTpch(spark, dir)
   }
 }

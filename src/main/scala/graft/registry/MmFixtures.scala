@@ -50,7 +50,9 @@ private[graft] object MmFixtures {
   val frameLen = 100
 
   // ---- deterministic 64-bit stream (splitmix64) ----
-  private def mix(x: Long): Long = {
+  // private[graft]: Scale10Fixtures reuses the pattern→PNG construction
+  // for the 50 k-image 10× lane
+  private[graft] def mix(x: Long): Long = {
     var z = x + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -60,7 +62,7 @@ private[graft] object MmFixtures {
   // ---- image side ----
 
   /** 36×32 grayscale PNG whose dHash is `pattern` by construction. */
-  private def imageFor(pattern: Long): Array[Byte] = {
+  private[graft] def imageFor(pattern: Long): Array[Byte] = {
     val vals = Array.ofDim[Int](8, 9)
     var r = 0
     while (r < 8) {

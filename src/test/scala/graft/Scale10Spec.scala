@@ -131,6 +131,58 @@ class Scale10Spec extends SparkSpec {
       java.nio.file.Paths.get("bench_scale10.json"), json + "\n")
   }
 
+  /** Image near-dup at 10× (VERDICT r14 #6): 50 k planted PNGs — REAL
+    * javax.imageio decode payloads, not hash stand-ins. Correctness is
+    * the strongest available at this scale: every computed dHash must
+    * equal the pattern its image was CONSTRUCTED from, bit for bit
+    * (50 000/50 000), and the pair join must find exactly the 10 000
+    * planted near-dups. Scale is the SimHash contract: decode map-only,
+    * band join inputs 4 rows/image — per-task shuffle at id scale.
+    */
+  test("image near-dup at 10x: 50k real PNG decodes equal the " +
+    "constructed hashes bit-for-bit; planted pairs flow; banding " +
+    "shuffles ids, not images") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE10"),
+      "opt-in lane: SPARK_GRAFT_SCALE10=1 sbt 'testOnly graft.Scale10Spec'")
+    if (!new java.io.File(s"$dir/images10x.parquet").exists())
+      Scale10Fixtures.genImages(spark, 50000L).write.mode("overwrite")
+        .parquet(s"$dir/images10x.parquet")
+    val imgs = spark.read.parquet(s"$dir/images10x.parquet")
+    // decode pin: hash(decode(payload)) == planted pattern, all 50k
+    val hashed = operators.Multimodal.imageDHash(imgs, "payload", "phash")
+    val (nTotal, nBad) = (hashed.count(),
+      hashed.filter(col("phash") =!= col("expected_hash")).count())
+    assert(nTotal === 50000L, s"image corpus lost rows: $nTotal")
+    assert(nBad === 0L,
+      s"$nBad of $nTotal decoded dHashes differ from the planted patterns")
+    // pair join, timed + shuffle-pinned (the bench row)
+    operators.Dedup.clearDedupCaches()
+    val t0 = System.nanoTime()
+    val ((nPairs, maxTask)) = withMaxTaskShuffleRead {
+      operators.Multimodal.imageNearDupPairs(imgs, "img_id", "payload")
+        .count()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val mb = maxTask / 1024.0 / 1024.0
+    info(f"image_neardup_10x $sec%7.1f s  pairs=$nPairs maxTaskShuffle=$mb%8.1f MB")
+    assert(nPairs >= 10000L && nPairs <= 10020L,
+      s"planted 10000 near-dup pairs, found $nPairs")
+    assert(mb < 64.0,
+      f"image banding shuffled $mb%.1f MB in one task — not id-scale")
+    // merge into the sidecar the flagship test wrote earlier this run
+    val path = java.nio.file.Paths.get("bench_scale10.json")
+    val entry =
+      f""""q267_image_neardup_10x":{"sec":$sec%.1f,"rows":$nPairs,"max_task_shuffle_mb":$mb%.1f}"""
+    if (java.nio.file.Files.exists(path)) {
+      val txt = java.nio.file.Files.readString(path).trim
+      if (!txt.contains("q267_image_neardup_10x"))
+        java.nio.file.Files.writeString(path,
+          txt.stripSuffix("}}") + "," + entry + "}}\n")
+    } else
+      java.nio.file.Files.writeString(path,
+        s"""{"sf":"10x_sf0.1_synthetic","queries":{$entry}}""" + "\n")
+  }
+
   /** The EMA 10× correctness row (VERDICT r13 #1). A DuckDB oracle is
     * out of reach here for two hard reasons documented at
     * Scale10Fixtures.genEvents: the recursive CTE needs one iteration
