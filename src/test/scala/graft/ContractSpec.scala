@@ -23,7 +23,8 @@ class ContractSpec extends AnyFunSuite {
     "QueriesDedup" -> QueriesDedup.m,
     "QueriesSim" -> QueriesSim.m,
     "QueriesText" -> QueriesText.m,
-    "QueriesCurate" -> QueriesCurate.m)
+    "QueriesCurate" -> QueriesCurate.m,
+    "QueriesMultimodal" -> QueriesMultimodal.m)
 
   test("query names are unique across the family registries") {
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }

