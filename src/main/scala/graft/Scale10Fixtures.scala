@@ -245,7 +245,11 @@ object VerifyScale10 {
     "q265_crawl_ops",
     // chunk-parallel rolling (the hot-key escape hatch): the 50%-hot
     // group spreads across time-chunk tasks; oracle = plain window SQL
-    "q266_rolling_chunked")
+    "q266_rolling_chunked",
+    // chunked var/std (r15): the (count, sum, sumsq) carry on the same
+    // hot tape; integer-floored values keep the oracle sums exact at
+    // any association, so the 6-decimal hash gate holds at 10× too
+    "q270_rolling_chunked_var")
 
   /** q128's standard oracle is BRUTE-FORCE all-pairs levenshtein —
     * right at ≤5k docs, hopeless at 50k (1.25e9 pairs; measured >90min

@@ -37,6 +37,19 @@ private[graft] object OraclesMultimodal {
       s"""SELECT clip_id, frame, rms, zero_crossings
          |FROM $frames ORDER BY clip_id, frame""".stripMargin,
 
+    "q271_image_suite_gate" ->
+      s"""WITH h AS (SELECT img_id, expected_hash FROM $images),
+         |s AS (SELECT DISTINCT expected_hash FROM $images
+         |  WHERE cluster <= 2 AND expected_hash <> -9223372036854775808),
+         |m AS (SELECT h.img_id,
+         |  CASE WHEN h.expected_hash <> -9223372036854775808 THEN
+         |    (SELECT CAST(min(bit_count(xor(h.expected_hash,
+         |       s.expected_hash))) AS INT) FROM s)
+         |  END AS min_hamming FROM h)
+         |SELECT img_id, min_hamming,
+         |  coalesce(min_hamming <= 3, false) AS is_dup
+         |FROM m ORDER BY img_id""".stripMargin,
+
     "q269_image_dhash" ->
       s"""SELECT img_id, expected_hash AS phash
          |FROM $images ORDER BY img_id""".stripMargin

@@ -42,6 +42,22 @@ private[graft] object QueriesMultimodal {
         .orderBy(col("clip_id"), col("frame"))
     }),
 
+    // image-dedup GATE vs a reference suite (decontamination idiom for
+    // images): suite dHashes collect driver-side and bind as ONE
+    // literal; each image takes its min hamming against the suite
+    // map-side. Suite = clusters 0–2 (6 images), so exactly those
+    // clusters' members gate as dups; corrupt payloads yield null/false
+    "q271_image_suite_gate" -> ((s, _) => {
+      MmFixtures.ensure(s)
+      val imgs = s.read.parquet(MmFixtures.imagesPath)
+      val suite = imgs.filter(col("cluster") <= 2).select(col("payload"))
+      Multimodal.imageDupAgainstSuite(
+          imgs.select(col("img_id"), col("payload")), "payload",
+          suite, "payload", maxHamming = 3)
+        .select(col("img_id"), col("min_hamming"), col("is_dup"))
+        .orderBy(col("img_id"))
+    }),
+
     // per-image hash equality: decode(payload) must equal the pattern
     // the image was constructed from — the direct bit-for-bit pin
     // (undecodable rows must yield the documented sentinel)

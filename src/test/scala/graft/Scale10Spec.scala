@@ -103,7 +103,10 @@ class Scale10Spec extends SparkSpec {
     // chunk-parallel rolling: q10's semantics but the 500k-row hot
     // group runs as ~1400 hour-chunk window partitions + one
     // (key, chunk) join — per-task shuffle stays at chunk scale
-    "q266_rolling_chunked" -> 192L)
+    "q266_rolling_chunked" -> 192L,
+    // chunked var/std (r15): two chunked passes over the hot tape via
+    // the (count, sum, sumsq) carry — same chunk-scale shuffle contract
+    "q270_rolling_chunked_var" -> 192L)
 
   /** The sf0.1 (1×) median walls from the committed bench_full.json —
     * each 10× row carries its 1× twin so the scaling ratio is readable
