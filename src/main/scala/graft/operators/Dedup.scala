@@ -235,8 +235,8 @@ object Dedup {
     * fingerprint, and nullness-as-absence would miscount it as
     * added/removed. The changed/unchanged split uses null-safe
     * equality (`<=>`) so NULL-vs-NULL text reads as unchanged.
-    */
-  /** `oldFpCol`/`newFpCol`: name of a PRECOMPUTED fingerprint column to
+    *
+    * `oldFpCol`/`newFpCol`: name of a PRECOMPUTED fingerprint column to
     * reuse instead of re-fingerprinting `textCol` — callers that persist
     * a snapshot frame with its fingerprint (q265's crawl-over-crawl
     * report) pay the md5 once per side across all consuming stages.
