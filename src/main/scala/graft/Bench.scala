@@ -492,7 +492,9 @@ object Bench {
       // r14 flagships: contamination report, release gate, crawl ops,
       // chunk-parallel rolling
       "q262_contamination_report", "q264_release_gate",
-      "q265_crawl_ops", "q266_rolling_chunked")
+      "q265_crawl_ops", "q266_rolling_chunked",
+      // r15: chunk-parallel EMA
+      "q272_ema_chunked")
     // partial runs are small — print every timed query, not just the
     // headline subset (the 1500-char stdout cap only binds full runs)
     val qs = results.collect {

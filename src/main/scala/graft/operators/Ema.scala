@@ -92,4 +92,84 @@ object Ema {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** CHUNK-PARALLEL ema_decay — the hot-key escape hatch
+    * ([[graft.operators.Rolling.rollingAggChunked]]'s contract applied
+    * to the EMA family, r15): a group that owns half the tape no longer
+    * serializes every row through one scan task.
+    *
+    * The decay recurrence is LINEAR in the state, so it decomposes over
+    * time chunks exactly:
+    *   ema_i = L_i + C_c · exp(−rate·(t_i − T_c))
+    * where L_i is the chunk-local EMA started from zero carry (the
+    * native [[graft.plans.EmaDecay]] window function over a
+    * (key, chunk) partition — data-parallel across chunks), and
+    * (C_c, T_c) is the TRUE ema/timestamp at the last row of the
+    * previous nonempty chunk. Homogeneous decay multiplies:
+    * ∏ exp(−rate·Δt_j) = exp(−rate·Σ Δt_j), so one exp of the total gap
+    * replaces the per-step product (equal in ℝ; in FP the two differ by
+    * ulps — EmaChunkSpec pins ≤ 1e-9 relative vs the sequential scan,
+    * and the oracle's round(6) absorbs it, same as q38's contract).
+    *
+    * The cross-chunk carries follow the chunk-level linear recurrence
+    *   E_k = l_k + E_{k−1} · exp(−rate·(t_k − t_{k−1}))
+    * over the (chunk, last-ts, last-local-ema) summaries — ONE row per
+    * nonempty chunk — scanned per key inside a single `aggregate`
+    * higher-order expression over a collect_list array. Serial
+    * dimension: O(chunks), not O(rows); per-key state: chunks × 24
+    * bytes (a year of hourly chunks ≈ 210 KB). The data rows never
+    * funnel through one task.
+    *
+    * Zero-carry start needs no special case: C_1 = 0 and
+    * 0 · exp(anything finite or underflowed) = 0, and at rate = 0 the
+    * decomposition degenerates to an exact distributed cumsum.
+    * Null values contribute 0 but still decay state, exactly like the
+    * sequential scan (EmaDecay's contract).
+    */
+  def emaDecayChunked(df: DataFrame, byCol: String, tsCol: String,
+                      tieCol: String, valueCol: String, rate: Double,
+                      out: String, chunkWidth: Long): DataFrame = {
+    require(rate >= 0.0 && chunkWidth > 0,
+      s"bad ema params: rate=$rate chunkWidth=$chunkWidth")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__c", expr(s"$tsCol div $chunkWidth"))
+    // 1. chunk-local EMA, zero carry-in — codegen window function;
+    //    CAST pins the rate literal to DOUBLE however Scala prints it
+    val local = base.withColumn("__l", expr(
+      s"rip_ema_decay($valueCol, $tsCol, CAST($rate AS DOUBLE)) " +
+        s"OVER (PARTITION BY $byCol, __c ORDER BY $tsCol, $tieCol " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+    // 2. one summary row per (key, chunk): the LAST row's (ts, local)
+    val wDesc = Window.partitionBy(col(byCol), col("__c"))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val sums = local
+      .withColumn("__rd", row_number().over(wDesc))
+      .filter(col("__rd") === 1)
+      .select(col(byCol), struct(col("__c").as("c"),
+        col(tsCol).cast("long").as("t"), col("__l").as("l")).as("__s"))
+    // 3. per-key chunk scan → each chunk's carry-IN (E_{k−1}, t_{k−1})
+    val zero = struct(lit(0.0).as("e"), lit(0L).as("t"),
+      array().cast("array<struct<c:bigint,ce:double,ct:bigint>>").as("out"))
+    val carries = sums.groupBy(col(byCol))
+      .agg(sort_array(collect_list(col("__s"))).as("__chs"))
+      .select(col(byCol), explode(aggregate(col("__chs"), zero,
+        (acc, x) => struct(
+          (x.getField("l") + acc.getField("e") *
+            exp(lit(-rate) *
+              (x.getField("t") - acc.getField("t")).cast("double"))).as("e"),
+          x.getField("t").as("t"),
+          concat(acc.getField("out"), array(struct(
+            x.getField("c").as("c"), acc.getField("e").as("ce"),
+            acc.getField("t").as("ct")))).as("out")),
+        a => a.getField("out"))).as("__cr"))
+      .select(col(byCol), col("__cr.c").as("__c"),
+        col("__cr.ce").as("__ce"), col("__cr.ct").as("__ct"))
+    // 4. final: local + carry·exp(−rate·(t − T_prev)); the carries side
+    //    is chunk-count-sized, so the join broadcasts
+    local.join(carries, Seq(byCol, "__c"), "left")
+      .withColumn(out, col("__l") + coalesce(col("__ce"), lit(0.0)) *
+        exp(lit(-rate) * (col(tsCol).cast("long") -
+          coalesce(col("__ct"), lit(0L))).cast("double")))
+      .drop("__c", "__l", "__ce", "__ct")
+  }
 }

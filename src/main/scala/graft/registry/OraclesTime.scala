@@ -132,6 +132,24 @@ private[graft] object OraclesTime {
         |SELECT event_id, user_id, round(ema, 6) AS ema
         |FROM s ORDER BY event_id""".stripMargin,
 
+    // identical to q38's sequential recursion — the chunk decomposition
+    // must be invisible (q266's oracle design applied to EMA)
+    "q272_ema_chunked" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, rn, tsu, value, value AS ema
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.rn, n.tsu, n.value,
+        |    n.value + s.ema * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu))
+        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+        |SELECT event_id, user_id, round(ema, 6) AS ema
+        |FROM s ORDER BY event_id""".stripMargin,
+
     "q75_ema_window" ->
       """WITH RECURSIVE numbered AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value,

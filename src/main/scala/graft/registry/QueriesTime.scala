@@ -153,6 +153,23 @@ private[graft] object QueriesTime {
         .orderBy(col("event_id"))
     }),
 
+    // q38's EMA through the CHUNK-PARALLEL path (the rollingAggChunked
+    // hatch applied to the EMA family, r15): the recurrence is linear,
+    // so it decomposes over 1-hour time chunks — local EMA per
+    // (key, chunk) via the native window function, then an O(chunks)
+    // carry scan per key. Oracle = q38's sequential recursion: the
+    // decomposition must be invisible at round(6).
+    "q272_ema_chunked" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tsu"), col("value"))
+      Ema.emaDecayChunked(ev, "user_id", "tsu", "event_id", "value",
+          rate = 1.0 / 6.0e8, "ema", chunkWidth = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))
+    }),
+
     "q39_timewindow" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
       Rolling.timewindowAgg(ev, Seq("user_id"), "tsu", 600000000L, sum, "value", "tw_sum")

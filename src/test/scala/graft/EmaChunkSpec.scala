@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ema
+
+/** Chunk-parallel EMA (r15): the linear-recurrence decomposition
+  * ema_i = L_i + C·exp(−rate·(t_i − T_prev)) must match the sequential
+  * mapPartitions scan to ≤ 1e-9 relative (the two differ only by FP
+  * association: one exp of the total gap vs the product of per-step
+  * exps), across chunk geometries, gappy keys, nulls, and ties; and at
+  * rate = 0 the decomposition is an EXACT distributed cumsum.
+  */
+class EmaChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    // key 1: dense irregular tape straddling many width-10 chunks,
+    // chunk 2 EMPTY (carry must bridge the gap with one long decay)
+    (1L, 1L, 1L, 2.0), (1L, 2L, 4L, 1.0), (1L, 3L, 9L, 3.0),
+    (1L, 4L, 11L, 5.0), (1L, 5L, 13L, 2.0), (1L, 6L, 19L, 1.0),
+    (1L, 7L, 35L, 4.0), (1L, 8L, 36L, 1.0), (1L, 9L, 58L, 2.5),
+    // key 2: single row
+    (2L, 10L, 7L, 6.0),
+    // key 3: near-adjacent rows crossing a width-10 boundary
+    (3L, 11L, 5L, 1.0), (3L, 12L, 6L, 2.0), (3L, 13L, 25L, 3.0),
+    // key 4: gappy single-row chunks
+    (4L, 14L, 2L, 3.0), (4L, 15L, 31L, 7.0), (4L, 16L, 75L, 11.0),
+    (4L, 17L, 120L, 13.0)
+  )
+
+  test("emaDecayChunked matches the sequential scan to 1e-9 relative " +
+    "across chunk widths, empty chunks, ties, and null values") {
+    val df = rows.toDF("k", "id", "t", "v")
+      // planted null: contributes 0 but still decays state (both paths)
+      .withColumn("v", when(col("id") === 6L, lit(null)).otherwise(col("v")))
+    for (rate <- Seq(0.05, 1.0); w <- Seq(1L, 10L, 1000L)) {
+      val got = Ema.emaDecayChunked(df, "k", "t", "id", "v", rate, "ema", w)
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      val want = Ema.ema(df.orderBy("id"), "k", "t", "v", rate, Ema.Decay, "ema")
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      assert(got.length === want.length)
+      got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"rate=$rate w=$w row $i: chunked $g vs sequential $e")
+      }
+    }
+  }
+
+  test("same-timestamp ties break on the tie column consistently at " +
+    "every chunk width (the sequential scan has no tie contract, so " +
+    "ties are pinned chunked-vs-chunked)") {
+    val df = Seq(
+      (1L, 1L, 5L, 1.0), (1L, 2L, 5L, 2.0), (1L, 3L, 5L, 4.0),
+      (1L, 4L, 12L, 8.0), (1L, 5L, 12L, 16.0)
+    ).toDF("k", "id", "t", "v")
+    val outs = Seq(1L, 10L, 1000L).map { w =>
+      Ema.emaDecayChunked(df, "k", "t", "id", "v", 0.25, "ema", w)
+        .orderBy("id").select("ema").as[Double].collect().toSeq
+    }
+    // width 1000 = one chunk = pure sequential window scan: the
+    // reference ordering; every other width must agree to FP tolerance
+    outs.foreach { o =>
+      o.zip(outs.last).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"tie row $i: $g vs $e")
+      }
+    }
+    // and the tie ORDER is the planted one: at t=5 the running ema
+    // folds ids 1,2,3 in id order (1, then 1+2, then 3+4 — exp(0)=1)
+    assert(outs.last.take(3) === Seq(1.0, 3.0, 7.0))
+  }
+
+  test("emaDecayChunked at rate 0 is an exact distributed cumsum " +
+    "(dyadic values: addition association-free)") {
+    val df = rows.toDF("k", "id", "t", "v")
+    val got = Ema.emaDecayChunked(df, "k", "t", "id", "v", 0.0, "ema", 10L)
+      .orderBy("k", "t", "id").select("ema").as[Double].collect().toSeq
+    val want = df
+      .withColumn("ema", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("id"))
+          .rowsBetween(Long.MinValue, 0)))
+      .orderBy("k", "t", "id").select("ema").as[Double].collect().toSeq
+    assert(got === want)
+  }
+
+  test("q272 plan: the local EMA window partitions by (key, chunk) — " +
+    "a hot group cannot serialize through one scan task") {
+    val df = SparkEntry.queries("q272_ema_chunked")(spark,
+      "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(user_id") &&
+      plan.contains("__c"),
+      s"chunked EMA lost its (key, chunk) window partitioning:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

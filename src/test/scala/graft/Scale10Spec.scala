@@ -106,7 +106,11 @@ class Scale10Spec extends SparkSpec {
     "q266_rolling_chunked" -> 192L,
     // chunked var/std (r15): two chunked passes over the hot tape via
     // the (count, sum, sumsq) carry — same chunk-scale shuffle contract
-    "q270_rolling_chunked_var" -> 192L)
+    "q270_rolling_chunked_var" -> 192L,
+    // chunk-parallel EMA (r15): the 500k-row hot group's scan runs as
+    // ~1400 (key, chunk) window partitions + an O(chunks) carry scan —
+    // correctness vs the sequential replay is pinned in the q38 test
+    "q272_ema_chunked" -> 192L)
 
   /** The sf0.1 (1×) median walls from the committed bench_full.json —
     * each 10× row carries its 1× twin so the scaling ratio is readable
@@ -277,5 +281,23 @@ class Scale10Spec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.length} bit-mismatches; first 3: " +
       bad.take(3).map { case ((gi, gv), (wi, wv)) =>
         s"engine($gi,$gv) vs replay($wi,$wv)" }.mkString("; "))
+    // the CHUNK-PARALLEL path (q272) against the same sequential
+    // replay: the decomposition trades the per-step exp product for
+    // one exp of the total gap, so equality is FP-tolerance, not bit —
+    // on the 6-decimal-rounded outputs the two can differ by at most
+    // one rounding grid step when the true values straddle a boundary
+    val gotC = SparkEntry.queries("q272_ema_chunked")(spark, dir)
+      .filter(col("user_id") === 0L)
+      .select(col("event_id"), col("ema"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(gotC.length == want.length,
+      s"chunked row count ${gotC.length} != replay ${want.length}")
+    val badC = gotC.zip(want).filter { case ((gi, gv), (wi, wv)) =>
+      gi != wi || math.abs(gv - wv) > 1.000001e-6
+    }
+    assert(badC.isEmpty, s"${badC.length} chunked mismatches beyond one " +
+      "rounding step; first 3: " + badC.take(3).map {
+        case ((gi, gv), (wi, wv)) => s"chunked($gi,$gv) vs replay($wi,$wv)"
+      }.mkString("; "))
   }
 }
