@@ -125,6 +125,14 @@ object Ema {
     * decomposition degenerates to an exact distributed cumsum.
     * Null values contribute 0 but still decay state, exactly like the
     * sequential scan (EmaDecay's contract).
+    *
+    * Hatch boundary: `filter=`/`reset=` stay on the sequential paths
+    * ([[ema]] / the window form) — a reset zeroes state mid-chunk, so
+    * the carry would need per-reset-segment summaries (doable but the
+    * hot-key-with-resets case hasn't earned the complexity), and
+    * ema_normal's numerator/denominator pair decomposes the same way
+    * but doubles the carry state. Plain ema_decay is the scan that
+    * dominates a hot tape.
     */
   def emaDecayChunked(df: DataFrame, byCol: String, tsCol: String,
                       tieCol: String, valueCol: String, rate: Double,

@@ -41,7 +41,12 @@ import org.apache.spark.sql.types._
   */
 private[graft] object MmFixtures {
 
-  val root = "/root/repo/target/mmfixtures"
+  // One absolute path shared by the Spark queries AND the DuckDB oracle
+  // SQL (OraclesMultimodal interpolates it at class-load, so the
+  // override must be set before either side runs). Default lives under
+  // the build dir: regenerated on first use, safe to clean.
+  val root: String =
+    sys.env.getOrElse("SPARK_GRAFT_MM_DIR", "/root/repo/target/mmfixtures")
   val imagesPath = s"$root/mm_images"
   val audioPath = s"$root/mm_audio"
   val framesPath = s"$root/mm_wav_frames_expected"
