@@ -139,7 +139,6 @@ object Ema {
                       out: String, chunkWidth: Long): DataFrame = {
     require(rate >= 0.0 && chunkWidth > 0,
       s"bad ema params: rate=$rate chunkWidth=$chunkWidth")
-    import org.apache.spark.sql.expressions.Window
     val base = df.withColumn("__c", expr(s"$tsCol div $chunkWidth"))
     // 1. chunk-local EMA, zero carry-in — codegen window function;
     //    CAST pins the rate literal to DOUBLE however Scala prints it
@@ -147,14 +146,15 @@ object Ema {
       s"rip_ema_decay($valueCol, $tsCol, CAST($rate AS DOUBLE)) " +
         s"OVER (PARTITION BY $byCol, __c ORDER BY $tsCol, $tieCol " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
-    // 2. one summary row per (key, chunk): the LAST row's (ts, local)
-    val wDesc = Window.partitionBy(col(byCol), col("__c"))
-      .orderBy(col(tsCol).desc, col(tieCol).desc)
-    val sums = local
-      .withColumn("__rd", row_number().over(wDesc))
-      .filter(col("__rd") === 1)
+    // 2. one summary row per (key, chunk): the LAST row's (ts, local) —
+    //    a max_by aggregate (partial/map-side combinable), NOT a second
+    //    descending window over the same partition (which would re-sort)
+    val sums = local.groupBy(col(byCol), col("__c"))
+      .agg(max_by(
+        struct(col(tsCol).cast("long").as("t"), col("__l").as("l")),
+        struct(col(tsCol), col(tieCol))).as("__tl"))
       .select(col(byCol), struct(col("__c").as("c"),
-        col(tsCol).cast("long").as("t"), col("__l").as("l")).as("__s"))
+        col("__tl.t").as("t"), col("__tl.l").as("l")).as("__s"))
     // 3. per-key chunk scan → each chunk's carry-IN (E_{k−1}, t_{k−1})
     val zero = struct(lit(0.0).as("e"), lit(0L).as("t"),
       array().cast("array<struct<c:bigint,ce:double,ct:bigint>>").as("out"))
