@@ -734,4 +734,89 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("chunk-parallel rolling equals a brute-force frame scan on random " +
+    "tapes across every (kind, n, width) — dyadic values, gappy keys") {
+    // brute force is an independent in-memory reference (NOT the plain
+    // Spark window the OpsSpec grid uses): per row, the frame is the
+    // last n rows of its key by (t, id) — sums/extremes/var computed
+    // directly. Dyadic values (k/8) keep sums association-exact.
+    for (trial <- 1 to 4) {
+      val data = (0 until 160).map { i =>
+        (rng.nextInt(4).toLong, i.toLong,
+          rng.nextInt(400).toLong, // ts with many collisions per chunk
+          (rng.nextInt(64) - 32) / 8.0)
+      }
+      val df = data.toDF("k", "id", "t", "v")
+      val byKey = data.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.sortBy(r => (r._3, r._2))
+      }
+      for (n <- Seq(1, 3, 5); w <- Seq(7L, 50L);
+           kind <- Seq("sum", "mean", "min", "max", "var")) {
+        val got = graft.operators.Rolling
+          .rollingAggChunked(df, "k", "t", "id", n, "v", "o", w, kind)
+          .select("k", "id", "o").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+        byKey.foreach { case (k, rows) =>
+          rows.zipWithIndex.foreach { case ((_, id, _, _), i) =>
+            val frame = rows.slice(math.max(0, i - n + 1), i + 1).map(_._4)
+            val want: Option[Double] = kind match {
+              case "sum"  => Some(frame.sum)
+              case "mean" => Some(frame.sum / frame.length)
+              case "min"  => Some(frame.min)
+              case "max"  => Some(frame.max)
+              case "var" =>
+                if (frame.length < 2) None
+                else {
+                  val m = frame.sum / frame.length
+                  Some(frame.map(x => (x - m) * (x - m)).sum / (frame.length - 1))
+                }
+            }
+            val g = got((k, id))
+            (g, want) match {
+              case (Some(gv), Some(wv)) =>
+                assert(math.abs(gv - wv) <= 1e-9 * math.max(1.0, math.abs(wv)),
+                  s"trial=$trial kind=$kind n=$n w=$w key=$k id=$id: $gv != $wv")
+              case _ => assert(g === want,
+                s"trial=$trial kind=$kind n=$n w=$w key=$k id=$id null-mask")
+            }
+          }
+        }
+      }
+    }
+  }
+
+  test("chunk-parallel EMA matches a brute-force sequential recurrence " +
+    "on random tapes across chunk widths") {
+    for (trial <- 1 to 4) {
+      val data = (0 until 120).map { i =>
+        (rng.nextInt(3).toLong, i.toLong, rng.nextInt(300).toLong,
+          rng.nextDouble() * 10)
+      }
+      // the sequential reference needs a deterministic order: drop
+      // (k, t) duplicates so ties cannot flip between implementations
+      val dedup = data.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+      val df = dedup.toDF("k", "id", "t", "v")
+      for (rate <- Seq(0.0, 0.01); w <- Seq(13L, 100L)) {
+        val got = graft.operators.Ema
+          .emaDecayChunked(df, "k", "t", "id", "v", rate, "ema", w)
+          .select("k", "id", "ema").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        dedup.groupBy(_._1).foreach { case (k, rows) =>
+          var acc = 0.0
+          var prevT = 0L
+          var first = true
+          rows.sortBy(r => (r._3, r._2)).foreach { case (_, id, t, v) =>
+            if (first) { prevT = t; first = false }
+            acc = v + acc * math.exp(-rate * (t - prevT).toDouble)
+            prevT = t
+            val g = got((k, id))
+            assert(math.abs(g - acc) <= 1e-9 * math.max(1.0, math.abs(acc)),
+              s"trial=$trial rate=$rate w=$w key=$k id=$id: $g != $acc")
+          }
+        }
+      }
+    }
+  }
 }
