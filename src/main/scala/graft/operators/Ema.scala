@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * `repartition(by) → sortWithinPartitions(by, t) → mapPartitions` with a
   * running state that resets on key change. O(1) memory per task, no
   * per-group materialization, arbitrary group sizes: this is the shape
-  * that survives 100 TB. (A custom Catalyst AggregateWindowFunction is the
-  * planned codegen upgrade — SURVEY §4 custom-work item 2.)
+  * that survives 100 TB. (The custom Catalyst AggregateWindowFunction
+  * twin — SURVEY §4 custom-work item 2 — SHIPPED as
+  * [[graft.plans.EmaDecay]]/EmaNormal/EmaWeighted; EmaWindowSpec
+  * cross-checks the two paths, and [[emaDecayChunked]] builds the
+  * hot-key chunk decomposition on the window form.)
   *
   * Rows are emitted with a new double column appended. Key and time are
   * read as Long, value as Double (callers cast/prepare columns first).
