@@ -249,7 +249,10 @@ object VerifyScale10 {
     // chunked var/std (r15): the (count, sum, sumsq) carry on the same
     // hot tape; integer-floored values keep the oracle sums exact at
     // any association, so the 6-decimal hash gate holds at 10× too
-    "q270_rolling_chunked_var")
+    "q270_rolling_chunked_var",
+    // chunked rolling QUANTILE (r15): boundary-values carry; dyadic
+    // fixture values make the quantile_cont interpolation exact
+    "q273_rolling_quantile_chunked")
 
   /** q128's standard oracle is BRUTE-FORCE all-pairs levenshtein —
     * right at ≤5k docs, hopeless at 50k (1.25e9 pairs; measured >90min

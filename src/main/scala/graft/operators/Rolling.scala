@@ -95,23 +95,46 @@ object Rolling {
     * the (count, sum, sumsq) sufficient statistic:
     * var_samp = (Σx² − (Σx)²/N)/(N−1), null when N < 2, clamped at 0
     * against FP cancellation (VERDICT r14 #3 — closes the hot-key hatch
-    * over the rest of the §2.5 rolling family; rolling QUANTILE is the
-    * hatch's documented boundary: order statistics have no bounded
-    * chunk-combinable carry). Same null contract as the sum form:
+    * over the rest of the §2.5 rolling family). `quantile` carries the
+    * boundary VALUES instead of a statistic — see
+    * [[rollingQuantileChunked]]; only the TIME-window (RANGE) quantile
+    * stays outside the hatch. Same null contract as the sum form:
     * values fold as coalesce(value, 0) (riptable nansum/nanmin
     * convention restricted to non-null pipelines; OpsSpec pins the
     * plain-window twin equality on coalesced input). var/std equality
     * vs the plain window is up to FP association (textbook vs Welford)
     * — consumers round, as the oracle does.
     */
+  /** Chunk-parallel rolling QUANTILE — r15 revision of the hatch's
+    * boundary: order statistics have no CONSTANT-size combinable carry,
+    * but a fixed-n frame doesn't need one — the bounded n−1-tails carry
+    * already transports the boundary VALUES, so each row computes its
+    * quantile from (carry slice ++ chunk-local frame values), ≤ n
+    * doubles sorted per row. Interpolation is the shared
+    * percentile/quantile_cont definition: p = q·(N−1),
+    * v⌊p⌋ + (p−⌊p⌋)·(v⌈p⌉ − v⌊p⌋) over the sorted frame. The
+    * TIME-window (RANGE-frame) quantile remains out of scope: its
+    * carry is time-bounded, not count-bounded, so a dense hot chunk
+    * would make the context array row-count-sized.
+    */
+  def rollingQuantileChunked(df: DataFrame, byCol: String, tsCol: String,
+                             tieCol: String, n: Int, q: Double,
+                             valueCol: String, out: String,
+                             chunkWidth: Long): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1]: $q")
+    rollingAggChunked(df, byCol, tsCol, tieCol, n, valueCol, out,
+      chunkWidth, "quantile", q)
+  }
+
   def rollingAggChunked(df: DataFrame, byCol: String, tsCol: String,
                         tieCol: String, n: Int, valueCol: String,
                         out: String, chunkWidth: Long,
-                        kind: String): DataFrame = {
+                        kind: String, quantile: Double = 0.5): DataFrame = {
     require(n >= 1 && chunkWidth > 0, s"bad rolling params: n=$n w=$chunkWidth")
-    val kinds = Set("sum", "mean", "min", "max", "var", "std")
+    val kinds = Set("sum", "mean", "min", "max", "var", "std", "quantile")
     require(kinds(kind), s"kind must be one of $kinds, got $kind")
     val needsSq = kind == "var" || kind == "std"
+    val needsArr = kind == "quantile"
     val c = expr(s"$tsCol div $chunkWidth").as("__c")
     val v0 = coalesce(col(valueCol).cast("double"), lit(0.0))
     val wLoc = Window.partitionBy(col(byCol), col("__c"))
@@ -127,19 +150,36 @@ object Rolling {
       .withColumn("__v0", v0)
       .withColumn("__loc", localAgg)
       .withColumn("__rn", row_number().over(wLoc))
-    // var/std also need Σx² over the same frame — same WindowExec pass
-    val local =
+    // var/std also need Σx² over the same frame; quantile needs the
+    // frame VALUES — same WindowExec pass either way
+    val local1 =
       if (needsSq)
         local0.withColumn("__locsq", sum(col("__v0") * col("__v0")).over(frame))
       else local0
+    val local =
+      if (needsArr)
+        local1.withColumn("__larr", collect_list(col("__v0")).over(frame))
+      else local1
+    // shared percentile/quantile_cont interpolation over an array
+    def qtl(vals: Column): Column = {
+      val sorted = array_sort(vals)
+      val p = lit(quantile) * (size(sorted) - 1).cast("double")
+      val lo = floor(p).cast("int")
+      val hi = least(lo + 1, size(sorted) - 1)
+      val vlo = element_at(sorted, lo + 1)
+      val vhi = element_at(sorted, hi + 1)
+      vlo + (p - lo.cast("double")) * (vhi - vlo)
+    }
     def finishLocalOnly(d: DataFrame): DataFrame = {
       val v = kind match {
         case "mean" => col("__loc") / least(col("__rn"), lit(n)).cast("double")
         // n == 1: every frame is a single row — var_samp/stddev_samp null
         case "var" | "std" => lit(null).cast("double")
+        case "quantile" => col("__v0") // 1-row frame: any quantile = v
         case _ => col("__loc")
       }
-      d.withColumn(out, v).drop("__c", "__v0", "__loc", "__locsq", "__rn")
+      d.withColumn(out, v)
+        .drop("__c", "__v0", "__loc", "__locsq", "__larr", "__rn")
     }
     if (n == 1) return finishLocalOnly(local)
     // chunk-level tail frame: last n−1 rows of every (key, chunk)
@@ -192,6 +232,15 @@ object Rolling {
         when(col("__rn") >= n, col("__loc"))
           .otherwise(greatest(col("__loc"), coalesce(cMax,
             lit(Double.NegativeInfinity))))
+      case "quantile" =>
+        // boundary rows prepend the carry VALUES to the local frame —
+        // order is irrelevant (qtl sorts); a first-chunk row has null
+        // carry → empty prefix
+        val carryVals = transform(carrySlice, x => x.getField("v"))
+        when(col("__rn") >= n, qtl(col("__larr")))
+          .otherwise(qtl(concat(
+            coalesce(carryVals, array().cast("array<double>")),
+            col("__larr"))))
       case "var" | "std" =>
         val carrySq = aggregate(carrySlice, lit(0.0d),
           (acc, x) => acc + x.getField("v") * x.getField("v"))
@@ -209,7 +258,7 @@ object Rolling {
         when(col("__rn") >= n, interior).otherwise(boundary)
     }
     joined.withColumn(out, combined)
-      .drop("__c", "__v0", "__loc", "__locsq", "__rn", "__ctx")
+      .drop("__c", "__v0", "__loc", "__locsq", "__larr", "__rn", "__ctx")
   }
   def rollingMean(df: DataFrame, by: Seq[String], order: Seq[Column], n: Int,
                   valueCol: String, out: String): DataFrame =

@@ -43,6 +43,13 @@ private[graft] object OraclesTime {
         |    AS roll_std
         |FROM s ORDER BY event_id""".stripMargin,
 
+    "q273_rolling_quantile_chunked" ->
+      """SELECT event_id, user_id,
+        |  round(quantile_cont(coalesce(value, 0), 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q11_cumsum" ->
       """SELECT event_id, user_id,
         |  round(sum(value) OVER w, 6) AS cum_value,

@@ -65,6 +65,18 @@ private[graft] object QueriesTime {
         .orderBy(col("event_id"))
     }),
 
+    // q61's rolling median through the CHUNK-PARALLEL path (r15): the
+    // n−1-tails carry transports boundary VALUES, so even the order
+    // statistic parallelizes over a hot key. Oracle = q61's plain
+    // quantile_cont window — the decomposition must be invisible.
+    "q273_rolling_quantile_chunked" -> ((s, dir) =>
+      Rolling.rollingQuantileChunked(t(s, dir, "events"), "user_id",
+          "ts", "event_id", 5, 0.5, "value", "roll_med",
+          3600L * 1000000000L)
+        .select(col("event_id"), col("user_id"),
+          round(col("roll_med"), 6).as("roll_med"))
+        .orderBy(col("event_id"))),
+
     "q11_cumsum" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val c1 = Rolling.cumsum(ev, Seq("user_id"), Seq(col("ts"), col("event_id")),

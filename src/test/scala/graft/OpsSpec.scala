@@ -49,7 +49,10 @@ class OpsSpec extends SparkSpec {
     val vTwins: Seq[(String, (org.apache.spark.sql.DataFrame, Int) =>
         org.apache.spark.sql.DataFrame)] = Seq(
       "var" -> ((d, n) => Rolling.rollingVar(d, Seq("k"), Seq(col("t")), n, "v", "rs")),
-      "std" -> ((d, n) => Rolling.rollingStd(d, Seq("k"), Seq(col("t")), n, "v", "rs")))
+      "std" -> ((d, n) => Rolling.rollingStd(d, Seq("k"), Seq(col("t")), n, "v", "rs")),
+      // quantile: the boundary-VALUES carry vs Spark's exact percentile
+      "quantile" -> ((d, n) => Rolling.rollingQuantile(d, Seq("k"),
+        Seq(col("t")), n, 0.5, "v", "rs")))
     for (n <- Seq(1, 2, 3, 4); w <- Seq(1L, 10L, 1000L); (kind, twin) <- vTwins) {
       val got = Rolling.rollingAggChunked(df, "k", "t", "t", n, "v",
           "rs", w, kind)

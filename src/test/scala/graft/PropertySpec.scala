@@ -752,7 +752,7 @@ class PropertySpec extends SparkSpec {
         k -> rows.sortBy(r => (r._3, r._2))
       }
       for (n <- Seq(1, 3, 5); w <- Seq(7L, 50L);
-           kind <- Seq("sum", "mean", "min", "max", "var")) {
+           kind <- Seq("sum", "mean", "min", "max", "var", "quantile")) {
         val got = graft.operators.Rolling
           .rollingAggChunked(df, "k", "t", "id", n, "v", "o", w, kind)
           .select("k", "id", "o").collect()
@@ -772,6 +772,12 @@ class PropertySpec extends SparkSpec {
                   val m = frame.sum / frame.length
                   Some(frame.map(x => (x - m) * (x - m)).sum / (frame.length - 1))
                 }
+              case "quantile" => // median, quantile_cont interpolation
+                val s = frame.sorted
+                val p = 0.5 * (s.length - 1)
+                val lo = math.floor(p).toInt
+                val hi = math.min(lo + 1, s.length - 1)
+                Some(s(lo) + (p - lo) * (s(hi) - s(lo)))
             }
             val g = got((k, id))
             (g, want) match {

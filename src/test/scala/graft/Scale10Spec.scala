@@ -110,7 +110,11 @@ class Scale10Spec extends SparkSpec {
     // chunk-parallel EMA (r15): the 500k-row hot group's scan runs as
     // ~1400 (key, chunk) window partitions + an O(chunks) carry scan —
     // correctness vs the sequential replay is pinned in the q38 test
-    "q272_ema_chunked" -> 192L)
+    "q272_ema_chunked" -> 192L,
+    // chunk-parallel rolling QUANTILE (r15): the order statistic rides
+    // the boundary-VALUES carry — ≤ n doubles sorted per row, hot
+    // group spread over its chunks like the sum/var kinds
+    "q273_rolling_quantile_chunked" -> 192L)
 
   /** The sf0.1 (1×) median walls from the committed bench_full.json —
     * each 10× row carries its 1× twin so the scaling ratio is readable
