@@ -252,7 +252,14 @@ object VerifyScale10 {
     "q270_rolling_chunked_var",
     // chunked rolling QUANTILE (r15): boundary-values carry; dyadic
     // fixture values make the quantile_cont interpolation exact
-    "q273_rolling_quantile_chunked")
+    "q273_rolling_quantile_chunked",
+    // RANGE-frame timewindow via the signed event stream (r16): plain
+    // window SQL scales fine in DuckDB (no recursion), and the floored
+    // values keep the subtractive cumsum exact at any association.
+    // q275 (chunked ema_normal) is NOT here for q38's documented
+    // reason — a 500 k-deep recursive CTE oracle is infeasible; it is
+    // pinned by the sequential JVM replay in Scale10Spec instead.
+    "q274_timewindow_chunked")
 
   /** q128's standard oracle is BRUTE-FORCE all-pairs levenshtein —
     * right at ≤5k docs, hopeless at 50k (1.25e9 pairs; measured >90min

@@ -123,64 +123,121 @@ object Ema {
     * bytes (a year of hourly chunks ≈ 210 KB). The data rows never
     * funnel through one task.
     *
-    * Zero-carry start needs no special case: C_1 = 0 and
-    * 0 · exp(anything finite or underflowed) = 0, and at rate = 0 the
-    * decomposition degenerates to an exact distributed cumsum.
+    * Zero-carry start: C_1 = 0, but 0 · exp(x) is NOT always 0 — the
+    * phantom gap (t − 0) against the seed timestamp goes POSITIVE for
+    * pre-1970 tapes (negative epoch-us/ns), and rate·|t| > ~709
+    * overflows exp to +Infinity, 0·∞ = NaN. Real carries never hit
+    * this (rows are time-sorted, so t ≥ carry-ts ⇒ exponent ≤ 0),
+    * so both exp sites clamp the exponent with least(0, ·): a no-op
+    * for every genuine carry, and it pins the zero-carry product at
+    * 0 · (something ≤ 1) = 0 for any timestamp sign (EmaChunkSpec's
+    * negative-timestamp case). At rate = 0 the decomposition
+    * degenerates to an exact distributed cumsum.
     * Null values contribute 0 but still decay state, exactly like the
     * sequential scan (EmaDecay's contract).
     *
     * Hatch boundary: `filter=`/`reset=` stay on the sequential paths
     * ([[ema]] / the window form) — a reset zeroes state mid-chunk, so
     * the carry would need per-reset-segment summaries (doable but the
-    * hot-key-with-resets case hasn't earned the complexity), and
+    * hot-key-with-resets case hasn't earned the complexity).
     * ema_normal's numerator/denominator pair decomposes the same way
-    * but doubles the carry state. Plain ema_decay is the scan that
-    * dominates a hot tape.
+    * with a doubled carry — [[emaNormalChunked]] (r16). Plain
+    * ema_decay is the scan that dominates a hot tape.
     */
   def emaDecayChunked(df: DataFrame, byCol: String, tsCol: String,
                       tieCol: String, valueCol: String, rate: Double,
-                      out: String, chunkWidth: Long): DataFrame = {
+                      out: String, chunkWidth: Long): DataFrame =
+    emaChunked(df, byCol, tsCol, tieCol, valueCol, rate, out, chunkWidth,
+      normalized = false)
+
+  /** CHUNK-PARALLEL ema_normal (VERDICT r15 #4 — closes the boundary
+    * [[emaDecayChunked]]'s scaladoc documented): the time-normalized
+    * EMA is the RATIO of two decay recurrences sharing one decay weight
+    *   num_i = v_i + num_{i−1}·w_i,   den_i = 1 + den_{i−1}·w_i,
+    * so the exact linear decomposition applies to each side with a
+    * DOUBLED carry state — the chunk-local window computes both EMAs in
+    * the same WindowExec pass (value stream v and constant stream 1),
+    * the per-key chunk scan carries (num, den, t) triples, and the
+    * finish divides. Null values contribute 0 to the numerator but
+    * still count 1 into the denominator, exactly like the sequential
+    * scan (den ≥ 1 always: the row's own +1 enters at exp(0)).
+    * `filter=`/`reset=` remain on the sequential paths (resets zero
+    * state mid-chunk — same boundary as the decay hatch).
+    */
+  def emaNormalChunked(df: DataFrame, byCol: String, tsCol: String,
+                       tieCol: String, valueCol: String, rate: Double,
+                       out: String, chunkWidth: Long): DataFrame =
+    emaChunked(df, byCol, tsCol, tieCol, valueCol, rate, out, chunkWidth,
+      normalized = true)
+
+  private def emaChunked(df: DataFrame, byCol: String, tsCol: String,
+                         tieCol: String, valueCol: String, rate: Double,
+                         out: String, chunkWidth: Long,
+                         normalized: Boolean): DataFrame = {
     require(rate >= 0.0 && chunkWidth > 0,
       s"bad ema params: rate=$rate chunkWidth=$chunkWidth")
     val base = df.withColumn("__c", expr(s"$tsCol div $chunkWidth"))
-    // 1. chunk-local EMA, zero carry-in — codegen window function;
-    //    CAST pins the rate literal to DOUBLE however Scala prints it
-    val local = base.withColumn("__l", expr(
-      s"rip_ema_decay($valueCol, $tsCol, CAST($rate AS DOUBLE)) " +
-        s"OVER (PARTITION BY $byCol, __c ORDER BY $tsCol, $tieCol " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
-    // 2. one summary row per (key, chunk): the LAST row's (ts, local) —
-    //    a max_by aggregate (partial/map-side combinable), NOT a second
-    //    descending window over the same partition (which would re-sort)
+    // 1. chunk-local EMA(s), zero carry-in — codegen window function;
+    //    CAST pins the rate literal to DOUBLE however Scala prints it.
+    //    The normalized form adds the DENOMINATOR stream (constant 1)
+    //    in the SAME WindowExec pass; the decay form pins it to a
+    //    constant-folded 0 so downstream stays uniform at zero cost.
+    val over = s"OVER (PARTITION BY $byCol, __c ORDER BY $tsCol, $tieCol " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val local0 = base.withColumn("__l", expr(
+      s"rip_ema_decay($valueCol, $tsCol, CAST($rate AS DOUBLE)) $over"))
+    val local =
+      if (normalized) local0.withColumn("__ld", expr(
+        s"rip_ema_decay(CAST(1.0 AS DOUBLE), $tsCol, CAST($rate AS DOUBLE)) $over"))
+      else local0.withColumn("__ld", lit(0.0))
+    // 2. one summary row per (key, chunk): the LAST row's
+    //    (ts, local num, local den) — a max_by aggregate (partial/
+    //    map-side combinable), NOT a second descending window over the
+    //    same partition (which would re-sort)
     val sums = local.groupBy(col(byCol), col("__c"))
       .agg(max_by(
-        struct(col(tsCol).cast("long").as("t"), col("__l").as("l")),
+        struct(col(tsCol).cast("long").as("t"), col("__l").as("l"),
+          col("__ld").as("d")),
         struct(col(tsCol), col(tieCol))).as("__tl"))
       .select(col(byCol), struct(col("__c").as("c"),
-        col("__tl.t").as("t"), col("__tl.l").as("l")).as("__s"))
-    // 3. per-key chunk scan → each chunk's carry-IN (E_{k−1}, t_{k−1})
-    val zero = struct(lit(0.0).as("e"), lit(0L).as("t"),
-      array().cast("array<struct<c:bigint,ce:double,ct:bigint>>").as("out"))
+        col("__tl.t").as("t"), col("__tl.l").as("l"),
+        col("__tl.d").as("d")).as("__s"))
+    // 3. per-key chunk scan → each chunk's carry-IN (E_{k−1}, t_{k−1});
+    //    num and den ride the SAME decay weight
+    val zero = struct(lit(0.0).as("e"), lit(0.0).as("ed"), lit(0L).as("t"),
+      array().cast("array<struct<c:bigint,ce:double,ced:double,ct:bigint>>")
+        .as("out"))
     val carries = sums.groupBy(col(byCol))
       .agg(sort_array(collect_list(col("__s"))).as("__chs"))
       .select(col(byCol), explode(aggregate(col("__chs"), zero,
-        (acc, x) => struct(
-          (x.getField("l") + acc.getField("e") *
-            exp(lit(-rate) *
-              (x.getField("t") - acc.getField("t")).cast("double"))).as("e"),
-          x.getField("t").as("t"),
-          concat(acc.getField("out"), array(struct(
-            x.getField("c").as("c"), acc.getField("e").as("ce"),
-            acc.getField("t").as("ct")))).as("out")),
+        (acc, x) => {
+          val w = exp(least(lit(0.0), lit(-rate) *
+            (x.getField("t") - acc.getField("t")).cast("double")))
+          struct(
+            (x.getField("l") + acc.getField("e") * w).as("e"),
+            (x.getField("d") + acc.getField("ed") * w).as("ed"),
+            x.getField("t").as("t"),
+            concat(acc.getField("out"), array(struct(
+              x.getField("c").as("c"), acc.getField("e").as("ce"),
+              acc.getField("ed").as("ced"),
+              acc.getField("t").as("ct")))).as("out"))
+        },
         a => a.getField("out"))).as("__cr"))
       .select(col(byCol), col("__cr.c").as("__c"),
-        col("__cr.ce").as("__ce"), col("__cr.ct").as("__ct"))
-    // 4. final: local + carry·exp(−rate·(t − T_prev)); the carries side
-    //    is chunk-count-sized, so the join broadcasts
-    local.join(carries, Seq(byCol, "__c"), "left")
-      .withColumn(out, col("__l") + coalesce(col("__ce"), lit(0.0)) *
-        exp(lit(-rate) * (col(tsCol).cast("long") -
-          coalesce(col("__ct"), lit(0L))).cast("double")))
-      .drop("__c", "__l", "__ce", "__ct")
+        col("__cr.ce").as("__ce"), col("__cr.ced").as("__ced"),
+        col("__cr.ct").as("__ct"))
+    // 4. final: local + carry·exp(−rate·(t − T_prev)), divided by the
+    //    same-shaped denominator when normalized; the carries side is
+    //    chunk-count-sized, so the join broadcasts
+    val joined = local.join(carries, Seq(byCol, "__c"), "left")
+    val wRow = exp(least(lit(0.0), lit(-rate) * (col(tsCol).cast("long") -
+      coalesce(col("__ct"), lit(0L))).cast("double")))
+    val num = col("__l") + coalesce(col("__ce"), lit(0.0)) * wRow
+    val res =
+      if (normalized)
+        num / (col("__ld") + coalesce(col("__ced"), lit(0.0)) * wRow)
+      else num
+    joined.withColumn(out, res)
+      .drop("__c", "__l", "__ld", "__ce", "__ced", "__ct")
   }
 }

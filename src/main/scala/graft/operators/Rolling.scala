@@ -402,6 +402,91 @@ object Rolling {
     df.withColumn(out, f(col(valueCol)).over(w))
   }
 
+  /** CHUNK-PARALLEL trailing TIME-window aggregate — the hot-key hatch
+    * for the RANGE-frame family (VERDICT r15 #3, the last sequential
+    * family): riptable's `timewindow_sum` (rt_fastarray.py:2629) as a
+    * plain `rangeBetween(-dist, 0)` window serializes a hot key through
+    * one task, and the count-bounded n−1-tails carry of
+    * [[rollingAggChunked]] does not transfer — a time-bounded carry is
+    * row-count-sized on a dense hot chunk.
+    *
+    * The hatch instead rewrites the RANGE frame as a SIGNED EVENT
+    * STREAM: row j is inside row i's frame iff t_i ∈ [t_j, t_j + dist],
+    * so j contributes +v at time t_j and −v at t_j + dist + 1 (integer
+    * timestamps make the expiry exact: a query at exactly t_j + dist
+    * still includes j, one at t_j + dist + 1 does not), and
+    *   tw(t_i) = Σ { signed contributions with event-time ≤ t_i }
+    * — a running sum over the per-(key, time) DELTA totals. That
+    * cumulative sum decomposes over time chunks with a SCALAR carry
+    * (one double per chunk — the [[rollingSumChunked]] shape, none of
+    * the time-bounded-context problem):
+    *   1. deltas: union(+ at t, − at t+dist+1) → groupBy (key, time)
+    *      — map-side combinable, one row per distinct event time;
+    *   2. local cumsum per (key, chunk) window — data-parallel across
+    *      chunks, RANGE semantics free since times are distinct;
+    *   3. chunk carries: per-(key, chunk) totals (one scalar each) +
+    *      a cumulative window over CHUNK rows — serial O(chunks);
+    *   4. original rows hash-join the cum frame on EXACT (key, time)
+    *      (their +v event time) — no range lookup, and RANGE-peer ties
+    *      are automatic: equal-timestamp rows read the same cum row.
+    * Any chunkWidth works (the event stream removed the
+    * chunkWidth ≥ dist coupling); serial dimension O(chunks).
+    *
+    * `kind` ∈ sum | mean | count. Null contract matches the other
+    * chunked kinds: values fold as coalesce(value, 0); count/mean's
+    * population counts non-null values only (like the plain window's
+    * count(value)/avg(value)). FP: the stream subtracts expired values,
+    * so association differs from the add-only plain window — exact on
+    * integer-valued doubles (sums < 2^53), ulps otherwise; consumers
+    * round, as q274's oracle does. min/max stay on the plain window:
+    * they are not invertible, so no bounded carry exists (riptable's
+    * own timewindow family is sum/prod only).
+    */
+  def timewindowAggChunked(df: DataFrame, byCol: String, tsCol: String,
+                           dist: Long, valueCol: String, out: String,
+                           chunkWidth: Long, kind: String = "sum"): DataFrame = {
+    require(dist >= 0 && chunkWidth > 0,
+      s"bad timewindow params: dist=$dist w=$chunkWidth")
+    require(Set("sum", "mean", "count")(kind),
+      s"kind must be sum|mean|count, got $kind")
+    val t = col(tsCol).cast("long")
+    val dv = coalesce(col(valueCol).cast("double"), lit(0.0))
+    val dn = when(col(valueCol).isNotNull, lit(1L)).otherwise(lit(0L))
+    val adds = df.select(col(byCol), t.as("__t"), dv.as("__dv"), dn.as("__dn"))
+    val rems = df.select(col(byCol), (t + dist + 1).as("__t"),
+      (-dv).as("__dv"), (-dn).as("__dn"))
+    val deltas = adds.unionByName(rems)
+      .groupBy(col(byCol), col("__t"))
+      .agg(sum(col("__dv")).as("__d"), sum(col("__dn")).as("__n"))
+      .withColumn("__c", expr(s"__t div $chunkWidth"))
+    val wLoc = Window.partitionBy(col(byCol), col("__c")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas
+      .withColumn("__lv", sum(col("__d")).over(wLoc))
+      .withColumn("__ln", sum(col("__n")).over(wLoc))
+    val wCarry = Window.partitionBy(col(byCol)).orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = deltas.groupBy(col(byCol), col("__c"))
+      .agg(sum(col("__d")).as("__td"), sum(col("__n")).as("__tn"))
+      .select(col(byCol), col("__c"),
+        sum(col("__td")).over(wCarry).as("__cv"),
+        sum(col("__tn")).over(wCarry).as("__cn"))
+    val cum = local.join(carries, Seq(byCol, "__c"), "left")
+      .select(col(byCol), col("__t"),
+        (col("__lv") + coalesce(col("__cv"), lit(0.0))).as("__cumv"),
+        (col("__ln") + coalesce(col("__cn"), lit(0L))).as("__cumn"))
+    val joined = df.join(cum,
+      df(byCol) === cum(byCol) && t === cum("__t"), "left")
+      .drop(cum(byCol))
+    val v = kind match {
+      case "sum"   => col("__cumv")
+      case "count" => col("__cumn")
+      case "mean"  => when(col("__cumn") > 0,
+        col("__cumv") / col("__cumn").cast("double"))
+    }
+    joined.withColumn(out, v).drop("__t", "__cumv", "__cumn")
+  }
+
   /** issorted (rt_fastarray.py:2720, rc.IsSorted): is the (numeric)
     * column non-decreasing in the frame's current row order? One
     * distributed pass: each partition reports (first, last, sortedWithin),

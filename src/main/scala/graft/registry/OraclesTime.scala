@@ -191,6 +191,27 @@ private[graft] object OraclesTime {
         |SELECT event_id, user_id, round(num / den, 6) AS ema
         |FROM s ORDER BY event_id""".stripMargin,
 
+    // identical to q80's sequential recursion — the doubled-carry
+    // chunk decomposition must be invisible (q272's oracle design
+    // applied to ema_normal)
+    "q275_ema_normal_chunked" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, rn, tsu, value,
+        |    value AS num, CAST(1.0 AS DOUBLE) AS den
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.rn, n.tsu, n.value,
+        |    n.value + s.num * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu)),
+        |    1.0 + s.den * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu))
+        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+        |SELECT event_id, user_id, round(num / den, 6) AS ema
+        |FROM s ORDER BY event_id""".stripMargin,
+
     "q81_ema_weighted" ->
       """WITH RECURSIVE numbered AS (
         |  SELECT user_id, event_id, value,
@@ -218,6 +239,18 @@ private[graft] object OraclesTime {
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tsu
         |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6) AS tw_sum
         |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    // plain RANGE window SQL — the signed-event-stream chunk
+    // decomposition must be bit-invisible (values floored to
+    // integer-valued doubles, so the subtractive cumsum is exact)
+    "q274_timewindow_chunked" ->
+      """SELECT event_id, user_id,
+        |  round(sum(v) OVER (PARTITION BY user_id ORDER BY tsu
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6) AS tw_sum
+        |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |        CAST(floor(coalesce(value, 0)) AS DOUBLE) AS v
+        |      FROM events)
         |ORDER BY event_id""".stripMargin,
 
     "q40_resample" ->

@@ -55,10 +55,13 @@ private[graft] object QueriesTime {
       val ev = t(s, dir, "events")
         .withColumn("v", floor(coalesce(col("value"), lit(0.0))).cast("double"))
       val hour = 3600L * 1000000000L
-      val withVar = Rolling.rollingAggChunked(ev, "user_id", "ts",
-        "event_id", 5, "v", "roll_var", hour, "var")
-      Rolling.rollingAggChunked(withVar, "user_id", "ts", "event_id",
-          5, "v", "roll_std", hour, "std")
+      // std = sqrt(var) ON THE VAR OUTPUT (ADVICE r15): the chunked
+      // "std" kind computes sqrt of the identical (count,sum,sumsq)
+      // var expression, so sqrt here is value-identical (null stays
+      // null for N<2) and saves a second window+tails+join pass.
+      Rolling.rollingAggChunked(ev, "user_id", "ts",
+          "event_id", 5, "v", "roll_var", hour, "var")
+        .withColumn("roll_std", sqrt(col("roll_var")))
         .select(col("event_id"), col("user_id"),
           round(col("roll_var"), 6).as("roll_var"),
           round(col("roll_std"), 6).as("roll_std"))
@@ -186,6 +189,24 @@ private[graft] object QueriesTime {
       val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
       Rolling.timewindowAgg(ev, Seq("user_id"), "tsu", 600000000L, sum, "value", "tw_sum")
         .select(col("event_id"), col("user_id"), round(col("tw_sum"), 6).as("tw_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    // q39's trailing time window through the CHUNK-PARALLEL path
+    // (VERDICT r15 #3 — the last sequential family): the RANGE frame
+    // rewrites as a signed event stream (+v at t, −v at t+dist+1) whose
+    // per-time deltas cumsum with a SCALAR chunk carry, so a hot key
+    // spreads across span/1h tasks. Values floor to integer-valued
+    // doubles so the subtractive stream is EXACT under any association;
+    // oracle = the plain RANGE window SQL — the decomposition must be
+    // bit-invisible.
+    "q274_timewindow_chunked" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+        .withColumn("v", floor(coalesce(col("value"), lit(0.0))).cast("double"))
+      Rolling.timewindowAggChunked(ev, "user_id", "tsu", 600000000L, "v",
+          "tw_sum", 3600L * 1000000L, "sum")
+        .select(col("event_id"), col("user_id"),
+          round(col("tw_sum"), 6).as("tw_sum"))
         .orderBy(col("event_id"))
     }),
 
@@ -324,6 +345,21 @@ private[graft] object QueriesTime {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
         .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
         .orderBy(col("event_id"))),
+
+    // q80's time-normalized EMA through the CHUNK-PARALLEL path
+    // (VERDICT r15 #4): numerator and denominator share one decay
+    // weight, so the q272 decomposition applies with a doubled carry.
+    // Oracle = q80's sequential recursion — invisible at round(6).
+    "q275_ema_normal_chunked" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tsu"), col("value"))
+      Ema.emaNormalChunked(ev, "user_id", "tsu", "event_id", "value",
+          rate = 1.0 / 6.0e8, "ema", chunkWidth = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))
+    }),
 
     // No round(): the recurrence uses only dyadic coefficients (0.25/0.75)
     // and +/* — Spark and DuckDB produce bit-identical doubles, while

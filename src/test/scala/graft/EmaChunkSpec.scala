@@ -70,6 +70,60 @@ class EmaChunkSpec extends SparkSpec {
     assert(outs.last.take(3) === Seq(1.0, 3.0, 7.0))
   }
 
+  test("emaNormalChunked matches the sequential normal scan to 1e-9 " +
+    "relative across chunk widths, empty chunks, and null values " +
+    "(null: +0 to the numerator, +1 to the denominator)") {
+    val df = rows.toDF("k", "id", "t", "v")
+      .withColumn("v", when(col("id") === 6L, lit(null)).otherwise(col("v")))
+    for (rate <- Seq(0.05, 1.0); w <- Seq(1L, 10L, 1000L)) {
+      val got = Ema.emaNormalChunked(df, "k", "t", "id", "v", rate, "ema", w)
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      val want = Ema.ema(df.orderBy("id"), "k", "t", "v", rate, Ema.Normal, "ema")
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      assert(got.length === want.length)
+      got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"rate=$rate w=$w row $i: chunked $g vs sequential $e")
+      }
+    }
+  }
+
+  test("pre-1970 tapes: negative timestamps with rate·|t| past the exp " +
+    "overflow point must not poison the zero-carry seed (0·∞ = NaN)") {
+    // epoch-us around −1e12 (1938); rate 0.001 → rate·|t| ≈ 1e9 ≫ 709,
+    // so exp(−rate·(t − 0)) overflows to +∞ against the (e=0, t=0) seed
+    // unless the exponent is clamped. The sequential scan seeds prevT
+    // from the first row and is immune — it is the oracle here.
+    val df = Seq(
+      (1L, 1L, -1000000000000L, 2.0), (1L, 2L, -999999999900L, 1.0),
+      (1L, 3L, -999999999800L, 3.0), (1L, 4L, -999999999650L, 5.0),
+      (2L, 5L, -999999999990L, 7.0)
+    ).toDF("k", "id", "t", "v")
+    for (w <- Seq(100L, 250L)) {
+      val got = Ema.emaDecayChunked(df, "k", "t", "id", "v", 0.001, "ema", w)
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      val want = Ema.ema(df.orderBy("id"), "k", "t", "v", 0.001, Ema.Decay, "ema")
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      assert(got.length === want.length)
+      got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(!g.isNaN, s"w=$w row $i: chunked EMA is NaN on a pre-1970 tape")
+        assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"w=$w row $i: chunked $g vs sequential $e")
+      }
+      // the normalized form shares the clamped seed — same immunity
+      val gotN = Ema.emaNormalChunked(df, "k", "t", "id", "v", 0.001, "ema", w)
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      val wantN = Ema.ema(df.orderBy("id"), "k", "t", "v", 0.001,
+        Ema.Normal, "ema")
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      gotN.zip(wantN).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(!g.isNaN, s"w=$w row $i: chunked normal EMA is NaN pre-1970")
+        assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"w=$w row $i: chunked normal $g vs sequential $e")
+      }
+    }
+  }
+
   test("emaDecayChunked at rate 0 is an exact distributed cumsum " +
     "(dyadic values: addition association-free)") {
     val df = rows.toDF("k", "id", "t", "v")

@@ -70,6 +70,73 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("timewindowAggChunked equals the plain RANGE window across " +
+    "dist × chunkWidth (incl. width < dist — the event stream decouples " +
+    "them), RANGE-peer ties, nulls, and sparse chunks") {
+    val rows = Seq(
+      // key 1: tie at t=5 (RANGE peers must both see the full peer
+      // group), a null at t=10, a gap past any dist, sparse far row
+      (1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 5L, 4.0), (1L, 10L, 8.0),
+      (1L, 11L, 16.0), (1L, 30L, 32.0), (1L, 100L, 64.0),
+      // key 2: single row
+      (2L, 7L, 5.0),
+      // key 3: dense regular tape straddling many width-3 chunks
+      (3L, 0L, 1.0), (3L, 4L, 2.0), (3L, 8L, 4.0), (3L, 12L, 8.0),
+      (3L, 16L, 16.0)
+    )
+    val df = rows.toDF("k", "t", "v")
+      .withColumn("v", when(col("t") === 10L && col("k") === 1L, lit(null))
+        .otherwise(col("v")))
+    // null contract: values fold as coalesce(v, 0) — twin on coalesced
+    val dfc = df.withColumn("v", coalesce(col("v"), lit(0.0)))
+    for (dist <- Seq(0L, 4L, 10L, 50L); w <- Seq(1L, 3L, 10L, 1000L)) {
+      val gotS = Rolling.timewindowAggChunked(df, "k", "t", dist, "v",
+          "tw", w, "sum")
+        .orderBy("k", "t").select("tw").as[Double].collect().toSeq
+      val wantS = Rolling.timewindowAgg(dfc, Seq("k"), "t", dist, sum,
+          "v", "tw")
+        .orderBy("k", "t").select("tw").as[Double].collect().toSeq
+      assert(gotS === wantS, s"sum dist=$dist w=$w")
+      // count/mean twin on the RAW input: both sides count NON-NULL
+      // values only (plain count(v)/avg(v) semantics), so they match
+      // exactly, nulls included — a dist=0 frame on the planted null
+      // row is 0-count/null-mean on BOTH sides
+      val gotN = Rolling.timewindowAggChunked(df, "k", "t", dist, "v",
+          "tw", w, "count")
+        .orderBy("k", "t").select("tw").as[Long].collect().toSeq
+      val wantN = Rolling.timewindowAgg(df, Seq("k"), "t", dist, count,
+          "v", "tw")
+        .orderBy("k", "t").select("tw").as[Long].collect().toSeq
+      assert(gotN === wantN, s"count dist=$dist w=$w")
+      val gotM = Rolling.timewindowAggChunked(df, "k", "t", dist, "v",
+          "tw", w, "mean")
+        .orderBy("k", "t").select("tw").as[Option[Double]].collect().toSeq
+      val wantM = Rolling.timewindowAgg(df, Seq("k"), "t", dist, avg,
+          "v", "tw")
+        .orderBy("k", "t").select("tw").as[Option[Double]].collect().toSeq
+      assert(gotM.length === wantM.length)
+      gotM.zip(wantM).zipWithIndex.foreach {
+        case ((Some(g), Some(e)), i) =>
+          assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+            s"mean dist=$dist w=$w row $i: $g != $e")
+        case ((g, e), i) =>
+          assert(g === e, s"mean dist=$dist w=$w row $i null-mask: $g != $e")
+      }
+    }
+  }
+
+  test("q274 plan: the timewindow cumsum window partitions by " +
+    "(key, chunk) — a hot group cannot serialize through one task") {
+    val df = SparkEntry.queries("q274_timewindow_chunked")(spark,
+      "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(user_id") &&
+      plan.contains("__c"),
+      s"chunked timewindow lost its (key, chunk) window partitioning:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("cumsumReset starts a new segment at each reset") {
     val df = Seq(
       (1L, 1L, 1.0, false), (1L, 2L, 2.0, false), (1L, 3L, 3.0, true),

@@ -114,7 +114,16 @@ class Scale10Spec extends SparkSpec {
     // chunk-parallel rolling QUANTILE (r15): the order statistic rides
     // the boundary-VALUES carry — ≤ n doubles sorted per row, hot
     // group spread over its chunks like the sum/var kinds
-    "q273_rolling_quantile_chunked" -> 192L)
+    "q273_rolling_quantile_chunked" -> 192L,
+    // RANGE-frame timewindow via the signed event stream (r16, VERDICT
+    // r15 #3 — the last sequential family closed): the hot key's
+    // trailing time window runs as per-(key, chunk) cumsums over
+    // per-time deltas + a scalar chunk carry + an exact (key, time)
+    // hash join back — per-task shuffle stays at event-time scale
+    "q274_timewindow_chunked" -> 192L,
+    // chunk-parallel ema_normal (r16, VERDICT r15 #4): q272's
+    // decomposition with the (num, den) doubled carry
+    "q275_ema_normal_chunked" -> 192L)
 
   /** The sf0.1 (1×) median walls from the committed bench_full.json —
     * each 10× row carries its 1× twin so the scaling ratio is readable
@@ -153,8 +162,20 @@ class Scale10Spec extends SparkSpec {
         SparkEntry.queries(name)(spark, dir).count()
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // warm twin (VERDICT r15 #6): the same query again WITHOUT
+      // clearing — registry/model state survives, separating the
+      // steady-state cost from the build cost. The cold lane's
+      // q242/q256/q259 exponents read 1.3-1.5 only because the
+      // registry/model REBUILD grows with data; the 1× twin
+      // (bench_full sweep median) is itself warm steady-state, so the
+      // contract table's data-proportional exponent pairs warm-vs-warm
+      // (scripts/scale_table.py) and the cold wall stays printed
+      // beside it.
+      val t1 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val secWarm = (System.nanoTime() - t1) / 1e9
       val mb = maxTask / 1024.0 / 1024.0
-      info(f"$name%-24s $sec%7.1f s  rows=$n%-9d maxTaskShuffle=$mb%8.1f MB")
+      info(f"$name%-24s cold=$sec%7.1f s warm=$secWarm%7.1f s rows=$n%-9d maxTaskShuffle=$mb%8.1f MB")
       assert(n > 0, s"$name returned no rows at 10x scale")
       assert(mb < capMb,
         f"$name max per-task shuffle read $mb%.1f MB exceeds cap $capMb MB")
@@ -163,10 +184,10 @@ class Scale10Spec extends SparkSpec {
       if (oneX.nonEmpty)
         assert(oneX.contains(name),
           s"$name has no sf0.1 twin in bench_full.json — ratio unreadable")
-      (name, sec, n, mb, oneX.getOrElse(name, -1.0))
+      (name, sec, secWarm, n, mb, oneX.getOrElse(name, -1.0))
     }
-    val json = results.map { case (k, sec, n, mb, w1) =>
-      f""""$k":{"sec":$sec%.1f,"rows":$n,"max_task_shuffle_mb":$mb%.1f,"sec_1x":$w1%.3f}"""
+    val json = results.map { case (k, sec, secW, n, mb, w1) =>
+      f""""$k":{"sec":$sec%.1f,"sec_warm":$secW%.1f,"rows":$n,"max_task_shuffle_mb":$mb%.1f,"sec_1x":$w1%.3f}"""
     }.mkString("{\"sf\":\"10x_sf0.1_synthetic\",\"queries\":{", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_scale10.json"), json + "\n")
@@ -210,13 +231,30 @@ class Scale10Spec extends SparkSpec {
       s"planted 10000 near-dup pairs, found $nPairs")
     assert(mb < 64.0,
       f"image banding shuffled $mb%.1f MB in one task — not id-scale")
+    // data-proportional 1× twin (VERDICT r15 #5): the committed 1× for
+    // q267 is its 32-image oracle fixture, so the 10×/1× exponent was
+    // a footnote, not arithmetic. A 5 k-image synthetic lane — same
+    // generator, same 1-in-5 planted-pair rate, exactly 1/10th the 10×
+    // corpus — makes the image family's exponent a table row like
+    // every other flagship (scripts/scale_table.py prefers sec_1x_syn).
+    if (!new java.io.File(s"$dir/images1x.parquet").exists())
+      Scale10Fixtures.genImages(spark, 5000L).write.mode("overwrite")
+        .parquet(s"$dir/images1x.parquet")
+    val imgs1 = spark.read.parquet(s"$dir/images1x.parquet")
+    val t2 = System.nanoTime()
+    val nPairs1 = operators.Multimodal
+      .imageNearDupPairs(imgs1, "img_id", "payload").count()
+    val sec1 = (System.nanoTime() - t2) / 1e9
+    info(f"image_neardup_1x_syn $sec1%7.1f s  pairs=$nPairs1 (5k images)")
+    assert(nPairs1 >= 1000L && nPairs1 <= 1005L,
+      s"planted 1000 near-dup pairs at 5k images, found $nPairs1")
     // merge into the sidecar the flagship test wrote earlier this run
     val path = java.nio.file.Paths.get("bench_scale10.json")
-    // sec_1x here is q267's fixed 32-image fixture run (not a scaled
-    // corpus) — included for artifact-shape uniformity
+    // sec_1x stays the committed 32-image oracle fixture wall (artifact
+    // uniformity); sec_1x_syn is the data-proportional twin
     val w1 = oneXWalls.getOrElse("q267_image_neardup", -1.0)
     val entry =
-      f""""q267_image_neardup_10x":{"sec":$sec%.1f,"rows":$nPairs,"max_task_shuffle_mb":$mb%.1f,"sec_1x":$w1%.3f}"""
+      f""""q267_image_neardup_10x":{"sec":$sec%.1f,"rows":$nPairs,"max_task_shuffle_mb":$mb%.1f,"sec_1x":$w1%.3f,"sec_1x_syn":$sec1%.2f,"rows_1x_syn":$nPairs1}"""
     if (java.nio.file.Files.exists(path)) {
       val txt = java.nio.file.Files.readString(path).trim
       if (!txt.contains("q267_image_neardup_10x"))
@@ -301,6 +339,36 @@ class Scale10Spec extends SparkSpec {
     }
     assert(badC.isEmpty, s"${badC.length} chunked mismatches beyond one " +
       "rounding step; first 3: " + badC.take(3).map {
+        case ((gi, gv), (wi, wv)) => s"chunked($gi,$gv) vs replay($wi,$wv)"
+      }.mkString("; "))
+    // chunk-parallel ema_normal (r16): the (num, den) doubled carry
+    // against the same sequential replay — a recursive CTE oracle is
+    // infeasible at this depth (q38's documented reason), so this
+    // replay IS q275's 10× correctness pin
+    val gotN = SparkEntry.queries("q275_ema_normal_chunked")(spark, dir)
+      .filter(col("user_id") === 0L)
+      .select(col("event_id"), col("ema"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    var num = 0.0
+    var den = 0.0
+    var pT = 0L
+    var fN = true
+    val wantN = tape.map { case (id, t, v) =>
+      if (fN) { pT = t; fN = false }
+      val w = math.exp(-1.0 / 6.0e8 * (t - pT).toDouble)
+      num = num * w + v
+      den = den * w + 1.0
+      pT = t
+      (id, BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    assert(gotN.length == wantN.length,
+      s"normal row count ${gotN.length} != replay ${wantN.length}")
+    val badN = gotN.zip(wantN).filter { case ((gi, gv), (wi, wv)) =>
+      gi != wi || math.abs(gv - wv) > 1.000001e-6
+    }
+    assert(badN.isEmpty, s"${badN.length} normal-chunked mismatches " +
+      "beyond one rounding step; first 3: " + badN.take(3).map {
         case ((gi, gv), (wi, wv)) => s"chunked($gi,$gv) vs replay($wi,$wv)"
       }.mkString("; "))
   }
