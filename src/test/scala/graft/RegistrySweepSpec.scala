@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+import graft.operators.Dedup
+
 /** Correctness-cadence pin (VERDICT r10 #8): every registered query
   * must return AT LEAST ONE ROW at the smallest shipped scale factor.
   *
@@ -80,5 +83,69 @@ class RegistrySweepSpec extends SparkSpec {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // VERDICT r15 #8 / ADVICE r15. Two pins replace the naive
+  // "entries ≤ trimKeep − margin" formulation, which is un-assertable:
+  // the end-of-sweep entry count PINS AT the trim cap whenever the
+  // sweep's cumulative distinct frames exceed it (always, for a
+  // 270-query sweep) — r15's "48/48, zero headroom" reading was the
+  // clamp, not the demand. The honest demand signals the bench now
+  // records are `peak_entries` (cap + max frames any one query adds)
+  // and `queries_reg` per-run miss deltas (a run-1 miss = expected
+  // cold rebuild after a between-query trim, absorbed by median-of-3;
+  // misses in runs 2-3 are structurally impossible from trimming and
+  // mark plan-key instability instead).
+  test("registry trim is MRU: retained set survives re-touching, " +
+    "trimmed frames miss exactly once, trims never count as evictions") {
+    import spark.implicits._
+    Dedup.clearDedupCaches()
+    val frames = (0 until 12).map { i =>
+      Dedup.registryPersist(
+        spark.range(100L + i).toDF("id").groupBy(col("id") % 7)
+          .count().withColumnRenamed("(id % 7)", s"k$i"))
+    }
+    frames.foreach(_.count())
+    val (h0, m0, e0, t0) = (Dedup.registryHits, Dedup.registryMisses,
+      Dedup.registryEvictions, Dedup.registryTrims)
+    // re-touch the newest 4 in MRU order — all hits, no rebuild
+    frames.takeRight(4).foreach(f => Dedup.registryPersist(f).count())
+    assert(Dedup.registryHits - h0 === 4L)
+    assert(Dedup.registryMisses - m0 === 0L)
+    // trim to 4: the 8 older frames leave as TRIMS, never as evictions
+    Dedup.trimCachesTo(4, blocking = true)
+    assert(Dedup.registryTrims - t0 === 8L)
+    assert(Dedup.registryEvictions - e0 === 0L)
+    // the MRU-4 survive (hits), a trimmed frame misses exactly once
+    val (h1, m1) = (Dedup.registryHits, Dedup.registryMisses)
+    frames.takeRight(4).foreach(f => Dedup.registryPersist(f).count())
+    assert(Dedup.registryHits - h1 === 4L,
+      "trim released a frame inside the MRU keep-set")
+    assert(Dedup.registryMisses - m1 === 0L)
+    Dedup.registryPersist(frames.head).count() // trimmed → one rebuild
+    assert(Dedup.registryMisses - m1 === 1L)
+    // peak tracking: the high-water mark saw all 12 resident
+    assert(Dedup.registryPeakEntries >= 12L)
+    Dedup.resetRegistryPeak()
+    assert(Dedup.registryPeakEntries <= 5L) // current resident only
+    Dedup.clearDedupCaches()
+  }
+
+  test("committed bench_full.json carries a clean storage story: zero " +
+    "BlockManager-initiated block loss, zero cap evictions") {
+    val p = java.nio.file.Paths.get("bench_full.json")
+    assume(java.nio.file.Files.exists(p), "no committed bench_full.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    def long(k: String): Option[Long] =
+      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    assume(long("trim_keep").nonEmpty,
+      "pre-r16 bench format (no trim_keep field) — reseat pending")
+    assert(long("block_loss").contains(0L),
+      "committed sweep recorded BlockManager-initiated cached-block " +
+        "loss — its timings are storage-pressure-biased; re-reseat")
+    assert(long("evictions").contains(0L),
+      "committed sweep recorded LRU-cap evictions — the thrash " +
+        "signature; raise graft.dedup.maxCached or shrink the sweep")
   }
 }

@@ -445,4 +445,74 @@ class StressSpec extends SparkSpec {
       s"per-task shuffle read $maxShuffle suggests a corpus-sized exchange")
     graft.operators.Dedup.clearDedupCaches()
   }
+
+  test("BlockEvictionTracker: planted memory-pressure eviction counts, " +
+    "deliberate trim teardown is excluded (VERDICT r15 #2)") {
+    // the tracker is pure event-in/count-out, so this drives it with
+    // the exact update shapes the BlockManager posts: a full eviction
+    // under memory pressure arrives as StorageLevel.NONE
+    // (isValid=false) on an RDD block — the SAME shape as the bench's
+    // own trim/clear unpersists, which is why the pre-r16 filter that
+    // dropped ALL NONE updates could never prove "no cache loss"
+    val tr = new BlockEvictionTracker
+    // a registry frame's block enters memory (MEMORY_AND_DISK put)
+    assert(!tr.onUpdate(isRdd = true, isValid = true, useMemory = true,
+      "rdd_42_0"))
+    // planted pressure: the BlockManager evicts it ENTIRELY, outside
+    // any deliberate window → genuine loss, counter reads non-zero
+    assert(tr.onUpdate(isRdd = true, isValid = false, useMemory = false,
+      "rdd_42_0"))
+    assert(tr.lost === 1)
+    // deliberate trim teardown: identical NONE shape, inside the
+    // deliberately window → excluded
+    tr.onUpdate(isRdd = true, isValid = true, useMemory = true, "rdd_43_0")
+    tr.deliberately {
+      assert(!tr.onUpdate(isRdd = true, isValid = false, useMemory = false,
+        "rdd_43_0"))
+    }
+    assert(tr.lost === 1)
+    // demotion to disk-only keeps the block registered: a later
+    // non-deliberate NONE is still loss of cached state
+    tr.onUpdate(isRdd = true, isValid = true, useMemory = true, "rdd_44_0")
+    assert(!tr.onUpdate(isRdd = true, isValid = true, useMemory = false,
+      "rdd_44_0"))
+    assert(tr.onUpdate(isRdd = true, isValid = false, useMemory = false,
+      "rdd_44_0"))
+    assert(tr.lost === 2)
+    // never-seen blocks (housekeeping, pre-attach caches) and non-RDD
+    // blocks (broadcast/shuffle) never count; a replayed NONE for an
+    // already-dropped block cannot double-count
+    assert(!tr.onUpdate(isRdd = true, isValid = false, useMemory = false,
+      "rdd_99_0"))
+    assert(!tr.onUpdate(isRdd = false, isValid = false, useMemory = false,
+      "broadcast_7"))
+    assert(!tr.onUpdate(isRdd = true, isValid = false, useMemory = false,
+      "rdd_43_0"))
+    assert(tr.lost === 2)
+  }
+
+  test("BlockEvictionTracker end-to-end: a REAL persisted frame's " +
+    "blocking unpersist inside the deliberate window leaves lost=0") {
+    val tr = new BlockEvictionTracker
+    val listener = new SparkListener {
+      override def onBlockUpdated(
+          e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+        val lvl = e.blockUpdatedInfo.storageLevel
+        tr.onUpdate(e.blockUpdatedInfo.blockId.isRDD, lvl.isValid,
+          lvl.useMemory, e.blockUpdatedInfo.blockId.name)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = spark.range(200000L).toDF("id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      Thread.sleep(2000) // cached-at-memory updates drain
+      // the bench's deliberateTrim recipe: blocking unpersist, then
+      // drain, all INSIDE the window — teardown events stamped out
+      tr.deliberately { df.unpersist(blocking = true); Thread.sleep(2000) }
+      assert(tr.lost === 0,
+        s"deliberate teardown leaked into the loss counter: ${tr.lost}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
