@@ -162,6 +162,7 @@ object Dedup {
       cacheReg.clear()
     }
     bloomMemo.synchronized(bloomMemo.clear())
+    frameMemo.synchronized(frameMemo.clear())
   }
 
   /** Session memo for BUILT bloom bitmaps (the kmMemo/classifier-memo
@@ -181,6 +182,48 @@ object Dedup {
       (org.apache.spark.sql.SparkSession,
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
       Array[Long]]): Boolean = size() > 16
+  }
+
+  /** Session memo for operator OUTPUT frames whose plans embed object
+    * closures (mapPartitions lambdas): a capturing lambda is a fresh
+    * instance per call, so two structurally identical builds produce
+    * plans that never compare canonically equal — which silently
+    * defeats every plan-keyed cache DOWNSTREAM of the closure (the
+    * bench's queries_reg channel surfaced q267_image_neardup's dHash
+    * frame rebuilding on every run for exactly this reason). Keying on
+    * (session, tag, INPUT canonicalized plan) instead restores
+    * stability: repeat calls return the IDENTICAL output DataFrame, so
+    * downstream plans share the same lambda instance and registry
+    * persistence works again. Only valid for deterministic inputs and
+    * builds that are pure functions of (input, tag) — the tag must
+    * encode every non-plan parameter.
+    */
+  private val frameMemo = new java.util.LinkedHashMap[
+    (org.apache.spark.sql.SparkSession, String,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+      (org.apache.spark.sql.SparkSession, String,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      DataFrame]): Boolean = size() > 64
+  }
+
+  private[graft] def memoizedFrame(tag: String, input: DataFrame)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val analyzed = input.queryExecution.analyzed
+    if (GraftPlanUtil.nondeterministic(analyzed)) return build(input)
+    val key = (input.sparkSession, tag, analyzed.canonicalized)
+    val hit = frameMemo.synchronized {
+      frameMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(frameMemo.get(key))
+    }
+    hit.getOrElse {
+      // build outside the lock (plan analysis inside can be slow);
+      // a concurrent double-build is benign — last put wins
+      val out = build(input)
+      frameMemo.synchronized(frameMemo.put(key, out))
+      out
+    }
   }
 
   private[graft] def memoizedBitmap(keys: DataFrame, keyCol: String,

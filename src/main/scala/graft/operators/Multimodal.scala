@@ -345,23 +345,29 @@ object Multimodal {
     * per-partition decode, same lifecycle as [[decodeWith]].
     */
   def imageDHash(df: DataFrame, payloadCol: String,
-                 out: String = "phash"): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.LongType
-    val idx = df.schema.fieldIndex(payloadCol)
-    val outSchema = df.schema.add(out, LongType)
-    df.mapPartitions { it =>
-      val d = new ImageDHashDecoder
-      it.map { r =>
-        val bytes = r.get(idx) match {
-          case b: Array[Byte] => b
-          case s: String      => s.getBytes("UTF-8")
-          case null           => Array.emptyByteArray
+                 out: String = "phash"): DataFrame =
+    // memoized per (session, input plan): the mapPartitions closure is
+    // a fresh lambda instance per call, so without the memo two
+    // identical builds yield canonically UNEQUAL plans and every
+    // plan-keyed cache downstream (the dedup registry persisting the
+    // hashed frame in imageNearDupPairs) misses on every call
+    Dedup.memoizedFrame(s"imageDHash:$payloadCol:$out", df) { in =>
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.LongType
+      val idx = in.schema.fieldIndex(payloadCol)
+      val outSchema = in.schema.add(out, LongType)
+      in.mapPartitions { it =>
+        val d = new ImageDHashDecoder
+        it.map { r =>
+          val bytes = r.get(idx) match {
+            case b: Array[Byte] => b
+            case s: String      => s.getBytes("UTF-8")
+            case null           => Array.emptyByteArray
+          }
+          Row.fromSeq(r.toSeq :+ d.hash(bytes))
         }
-        Row.fromSeq(r.toSeq :+ d.hash(bytes))
-      }
-    }(Encoders.row(outSchema))
-  }
+      }(Encoders.row(outSchema))
+    }
 
   /** IMAGE near-duplicate pairs — the multimodal member of the dedup
     * family (exact text dedup / MinHash / SimHash / embedding LSH all

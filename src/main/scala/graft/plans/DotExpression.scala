@@ -347,6 +347,25 @@ case class RipBloomProbe(left: Expression, right: Expression,
     })
   }
 
+  // Case-class equality on the Array[Long] field is REFERENCE equality,
+  // and the function builder extracts a fresh `toLongArray()` per plan
+  // build — so two structurally identical probes (same bitmap content)
+  // would never compare equal, which breaks semanticEquals/canonicalized
+  // matching and with it every plan-keyed cache above this expression
+  // (the dedup frame registry's q256/q260/q262/q264 entries missed on
+  // every bench run until this override). Compare the bitmap by CONTENT.
+  override def equals(other: Any): Boolean = other match {
+    case o: RipBloomProbe =>
+      kHashes == o.kHashes && left == o.left && right == o.right &&
+        java.util.Arrays.equals(bitmap, o.bitmap)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, left, right,
+      Integer.valueOf(kHashes),
+      Integer.valueOf(java.util.Arrays.hashCode(bitmap)))
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RipBloomProbe =
     copy(left = newLeft, right = newRight)
