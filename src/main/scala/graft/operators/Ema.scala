@@ -136,19 +136,29 @@ object Ema {
     * Null values contribute 0 but still decay state, exactly like the
     * sequential scan (EmaDecay's contract).
     *
-    * Hatch boundary: `filter=`/`reset=` stay on the sequential paths
-    * ([[ema]] / the window form) — a reset zeroes state mid-chunk, so
-    * the carry would need per-reset-segment summaries (doable but the
-    * hot-key-with-resets case hasn't earned the complexity).
+    * `filter=`/`reset=` (r16 — closes the last EMA hatch boundary):
+    * the recurrence stays LINEAR with per-row coefficients
+    *   ema_i = a_i·ema_{i−1} + b_i,
+    *   a_i = 0 if (pass_i ∧ reset_i) else exp(−rate·Δt_i),
+    *   b_i = v_i if pass_i else 0,
+    * so the same decomposition applies: the chunk-local pass hands
+    * filter/reset to the 5-arg window function (in-chunk resets are
+    * native), the carry product over a chunk is 0 iff the chunk
+    * contains an effective reset (one boolean per summary), and a row
+    * sees the chunk carry only if NO effective reset precedes it in
+    * its chunk (a max-over-window flag sharing the same WindowExec).
+    * A filter alone needs no gates at all — it only masks b_i.
     * ema_normal's numerator/denominator pair decomposes the same way
-    * with a doubled carry — [[emaNormalChunked]] (r16). Plain
-    * ema_decay is the scan that dominates a hot tape.
+    * with a doubled carry — [[emaNormalChunked]]. Plain ema_decay is
+    * the scan that dominates a hot tape.
     */
   def emaDecayChunked(df: DataFrame, byCol: String, tsCol: String,
                       tieCol: String, valueCol: String, rate: Double,
-                      out: String, chunkWidth: Long): DataFrame =
+                      out: String, chunkWidth: Long,
+                      filterCol: Option[String] = None,
+                      resetCol: Option[String] = None): DataFrame =
     emaChunked(df, byCol, tsCol, tieCol, valueCol, rate, out, chunkWidth,
-      normalized = false)
+      normalized = false, filterCol, resetCol)
 
   /** CHUNK-PARALLEL ema_normal (VERDICT r15 #4 — closes the boundary
     * [[emaDecayChunked]]'s scaladoc documented): the time-normalized
@@ -161,49 +171,76 @@ object Ema {
     * finish divides. Null values contribute 0 to the numerator but
     * still count 1 into the denominator, exactly like the sequential
     * scan (den ≥ 1 always: the row's own +1 enters at exp(0)).
-    * `filter=`/`reset=` remain on the sequential paths (resets zero
-    * state mid-chunk — same boundary as the decay hatch).
+    * `filter=`/`reset=` as in [[emaDecayChunked]] (r16) — the
+    * denominator stream passes filter=TRUE (a filtered-out row still
+    * counts 1 into den, matching the scan) but shares the EFFECTIVE
+    * reset flag (resets are honored only on filtered-in rows).
     */
   def emaNormalChunked(df: DataFrame, byCol: String, tsCol: String,
                        tieCol: String, valueCol: String, rate: Double,
-                       out: String, chunkWidth: Long): DataFrame =
+                       out: String, chunkWidth: Long,
+                       filterCol: Option[String] = None,
+                       resetCol: Option[String] = None): DataFrame =
     emaChunked(df, byCol, tsCol, tieCol, valueCol, rate, out, chunkWidth,
-      normalized = true)
+      normalized = true, filterCol, resetCol)
 
   private def emaChunked(df: DataFrame, byCol: String, tsCol: String,
                          tieCol: String, valueCol: String, rate: Double,
                          out: String, chunkWidth: Long,
-                         normalized: Boolean): DataFrame = {
+                         normalized: Boolean,
+                         filterCol: Option[String] = None,
+                         resetCol: Option[String] = None): DataFrame = {
     require(rate >= 0.0 && chunkWidth > 0,
       s"bad ema params: rate=$rate chunkWidth=$chunkWidth")
+    // effective flags, null-safe like the scan: a null filter FAILS the
+    // row; a reset is honored only on filtered-IN rows
+    val passE = filterCol.map(f => s"coalesce($f, false)").getOrElse("true")
+    val rstE = resetCol.map(r => s"($passE AND coalesce($r, false))")
+      .getOrElse("false")
     val base = df.withColumn("__c", expr(s"$tsCol div $chunkWidth"))
+      .withColumn("__rst", expr(rstE))
     // 1. chunk-local EMA(s), zero carry-in — codegen window function;
     //    CAST pins the rate literal to DOUBLE however Scala prints it.
+    //    filter/reset ride the 5-arg form (in-chunk resets are native).
     //    The normalized form adds the DENOMINATOR stream (constant 1)
-    //    in the SAME WindowExec pass; the decay form pins it to a
-    //    constant-folded 0 so downstream stays uniform at zero cost.
+    //    in the SAME WindowExec pass — filter=TRUE there (a filtered-out
+    //    row still counts 1 into den, matching the scan) but the shared
+    //    EFFECTIVE reset; the decay form pins it to a constant-folded 0
+    //    so downstream stays uniform at zero cost.
     val over = s"OVER (PARTITION BY $byCol, __c ORDER BY $tsCol, $tieCol " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     val local0 = base.withColumn("__l", expr(
-      s"rip_ema_decay($valueCol, $tsCol, CAST($rate AS DOUBLE)) $over"))
-    val local =
+      s"rip_ema_decay($valueCol, $tsCol, CAST($rate AS DOUBLE), $passE, __rst) $over"))
+    val local1 =
       if (normalized) local0.withColumn("__ld", expr(
-        s"rip_ema_decay(CAST(1.0 AS DOUBLE), $tsCol, CAST($rate AS DOUBLE)) $over"))
+        s"rip_ema_decay(CAST(1.0 AS DOUBLE), $tsCol, CAST($rate AS DOUBLE), " +
+          s"true, __rst) $over"))
       else local0.withColumn("__ld", lit(0.0))
+    // carry GATE: a row sees the chunk carry only if no effective reset
+    // precedes it (inclusive) in its chunk — same window spec, so it
+    // shares the WindowExec; constant 0 when no resetCol (carry always
+    // visible, exactly the pre-r16 plan)
+    val local =
+      if (resetCol.isDefined)
+        local1.withColumn("__rs", expr(s"max(CAST(__rst AS INT)) $over"))
+      else local1.withColumn("__rs", lit(0))
     // 2. one summary row per (key, chunk): the LAST row's
     //    (ts, local num, local den) — a max_by aggregate (partial/
     //    map-side combinable), NOT a second descending window over the
-    //    same partition (which would re-sort)
+    //    same partition (which would re-sort) — plus hasReset: the
+    //    carry PRODUCT over a chunk containing an effective reset is 0
     val sums = local.groupBy(col(byCol), col("__c"))
       .agg(max_by(
         struct(col(tsCol).cast("long").as("t"), col("__l").as("l"),
           col("__ld").as("d")),
-        struct(col(tsCol), col(tieCol))).as("__tl"))
+        struct(col(tsCol), col(tieCol))).as("__tl"),
+        max(col("__rst").cast("int")).as("__hr"))
       .select(col(byCol), struct(col("__c").as("c"),
         col("__tl.t").as("t"), col("__tl.l").as("l"),
-        col("__tl.d").as("d")).as("__s"))
+        col("__tl.d").as("d"), col("__hr").as("hr")).as("__s"))
     // 3. per-key chunk scan → each chunk's carry-IN (E_{k−1}, t_{k−1});
-    //    num and den ride the SAME decay weight
+    //    num and den ride the SAME decay weight, zeroed across a chunk
+    //    whose a-product is 0 (it contained a reset)
     val zero = struct(lit(0.0).as("e"), lit(0.0).as("ed"), lit(0L).as("t"),
       array().cast("array<struct<c:bigint,ce:double,ced:double,ct:bigint>>")
         .as("out"))
@@ -211,8 +248,9 @@ object Ema {
       .agg(sort_array(collect_list(col("__s"))).as("__chs"))
       .select(col(byCol), explode(aggregate(col("__chs"), zero,
         (acc, x) => {
-          val w = exp(least(lit(0.0), lit(-rate) *
-            (x.getField("t") - acc.getField("t")).cast("double")))
+          val w = when(x.getField("hr") === 1, lit(0.0)).otherwise(
+            exp(least(lit(0.0), lit(-rate) *
+              (x.getField("t") - acc.getField("t")).cast("double"))))
           struct(
             (x.getField("l") + acc.getField("e") * w).as("e"),
             (x.getField("d") + acc.getField("ed") * w).as("ed"),
@@ -226,18 +264,20 @@ object Ema {
       .select(col(byCol), col("__cr.c").as("__c"),
         col("__cr.ce").as("__ce"), col("__cr.ced").as("__ced"),
         col("__cr.ct").as("__ct"))
-    // 4. final: local + carry·exp(−rate·(t − T_prev)), divided by the
-    //    same-shaped denominator when normalized; the carries side is
-    //    chunk-count-sized, so the join broadcasts
+    // 4. final: local + carry·exp(−rate·(t − T_prev)) gated by the
+    //    reset-seen flag, divided by the same-shaped denominator when
+    //    normalized; the carries side is chunk-count-sized, so the
+    //    join broadcasts
     val joined = local.join(carries, Seq(byCol, "__c"), "left")
-    val wRow = exp(least(lit(0.0), lit(-rate) * (col(tsCol).cast("long") -
-      coalesce(col("__ct"), lit(0L))).cast("double")))
+    val wRow = when(col("__rs") === 1, lit(0.0)).otherwise(
+      exp(least(lit(0.0), lit(-rate) * (col(tsCol).cast("long") -
+        coalesce(col("__ct"), lit(0L))).cast("double"))))
     val num = col("__l") + coalesce(col("__ce"), lit(0.0)) * wRow
     val res =
       if (normalized)
         num / (col("__ld") + coalesce(col("__ced"), lit(0.0)) * wRow)
       else num
     joined.withColumn(out, res)
-      .drop("__c", "__l", "__ld", "__ce", "__ced", "__ct")
+      .drop("__c", "__l", "__ld", "__ce", "__ced", "__ct", "__rst", "__rs")
   }
 }

@@ -212,6 +212,52 @@ private[graft] object OraclesTime {
         |SELECT event_id, user_id, round(num / den, 6) AS ema
         |FROM s ORDER BY event_id""".stripMargin,
 
+    // identical to q110's sequential filter/reset recursion — the
+    // chunk decomposition with reset gates must be invisible
+    "q276_ema_filtered_chunked" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    CASE WHEN event_type = 'click' THEN value ELSE 0 END AS contrib,
+        |    (event_type = 'click' AND value > 95) AS rst,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, rn, tsu, contrib AS ema
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.rn, n.tsu,
+        |    n.contrib + CASE WHEN n.rst THEN 0 ELSE
+        |      s.ema * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu)) END
+        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+        |SELECT event_id, user_id, round(ema, 6) AS ema
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    // the normalized twin: den counts 1 per row regardless of the
+    // filter; an effective reset restarts BOTH accumulators (num =
+    // contrib, den = 1 at the reset row)
+    "q277_ema_normal_filtered_chunked" ->
+      """WITH RECURSIVE numbered AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    CASE WHEN event_type = 'click' THEN value ELSE 0 END AS contrib,
+        |    (event_type = 'click' AND value > 95) AS rst,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, rn, tsu,
+        |    contrib AS num, CAST(1.0 AS DOUBLE) AS den
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.rn, n.tsu,
+        |    CASE WHEN n.rst THEN n.contrib ELSE n.contrib +
+        |      s.num * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu)) END,
+        |    CASE WHEN n.rst THEN 1.0 ELSE 1.0 +
+        |      s.den * exp(-1.6666666666666667e-9 * (n.tsu - s.tsu)) END
+        |  FROM numbered n JOIN s ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+        |SELECT event_id, user_id, round(num / den, 6) AS ema
+        |FROM s ORDER BY event_id""".stripMargin,
+
     "q81_ema_weighted" ->
       """WITH RECURSIVE numbered AS (
         |  SELECT user_id, event_id, value,

@@ -185,6 +185,44 @@ private[graft] object QueriesTime {
         .orderBy(col("event_id"))
     }),
 
+    // q110's filter=/reset= EMA through the CHUNK-PARALLEL path (r16 —
+    // closes the last EMA hatch boundary): the recurrence stays linear
+    // with per-row coefficients (a_i = 0 at an effective reset), so the
+    // decomposition holds with a hasReset bit per chunk summary and a
+    // reset-seen carry gate per row. Oracle = q110's sequential
+    // recursion — the decomposition must be invisible at round(6).
+    "q276_ema_filtered_chunked" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tsu"), col("value").cast("double"),
+          (col("event_type") === "click").as("pass"),
+          (col("event_type") === "click" && col("value") > 95).as("rst"))
+      Ema.emaDecayChunked(ev, "user_id", "tsu", "event_id", "value",
+          rate = 1.6666666666666667e-9, "ema", chunkWidth = 3600L * 1000000L,
+          filterCol = Some("pass"), resetCol = Some("rst"))
+        .select(col("event_id"), col("user_id"),
+          round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))
+    }),
+
+    // the normalized twin under the same filter/reset kwargs: den
+    // counts 1 per row regardless of the filter (only resets forget
+    // it), so the doubled carry rides filter=TRUE on the denominator
+    // stream with the shared effective reset
+    "q277_ema_normal_filtered_chunked" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tsu"), col("value").cast("double"),
+          (col("event_type") === "click").as("pass"),
+          (col("event_type") === "click" && col("value") > 95).as("rst"))
+      Ema.emaNormalChunked(ev, "user_id", "tsu", "event_id", "value",
+          rate = 1.6666666666666667e-9, "ema", chunkWidth = 3600L * 1000000L,
+          filterCol = Some("pass"), resetCol = Some("rst"))
+        .select(col("event_id"), col("user_id"),
+          round(col("ema"), 6).as("ema"))
+        .orderBy(col("event_id"))
+    }),
+
     "q39_timewindow" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
       Rolling.timewindowAgg(ev, Seq("user_id"), "tsu", 600000000L, sum, "value", "tw_sum")

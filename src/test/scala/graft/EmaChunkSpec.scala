@@ -124,6 +124,62 @@ class EmaChunkSpec extends SparkSpec {
     }
   }
 
+  test("filter=/reset= ride the chunked decomposition (r16): both forms " +
+    "match the sequential filter/reset scan across chunk widths — " +
+    "resets mid-chunk, at chunk starts, on filtered-OUT rows (ignored), " +
+    "and with null flags") {
+    val df = rows.toDF("k", "id", "t", "v")
+      // filter: odd ids pass; id=8's flag is NULL (fails, like the scan);
+      // v null on id=6 (contributes 0 either way)
+      .withColumn("f", when(col("id") === 8L, lit(null).cast("boolean"))
+        .otherwise(col("id") % 2 === 1))
+      // resets: id=5 (mid-chunk, filtered-in), id=7 (chunk-start,
+      // filtered-in), id=4 (filtered-OUT — must be IGNORED), id=15
+      // (single-row chunk on gappy key 4), id=12's flag NULL (no reset)
+      .withColumn("r", when(col("id") === 12L, lit(null).cast("boolean"))
+        .otherwise(col("id").isin(4L, 5L, 7L, 15L)))
+      .withColumn("v", when(col("id") === 6L, lit(null)).otherwise(col("v")))
+    for (rate <- Seq(0.05, 1.0); w <- Seq(1L, 10L, 1000L)) {
+      val got = Ema.emaDecayChunked(df, "k", "t", "id", "v", rate, "ema", w,
+          filterCol = Some("f"), resetCol = Some("r"))
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      val want = Ema.ema(df.orderBy("id"), "k", "t", "v", rate, Ema.Decay,
+          "ema", filterCol = Some("f"), resetCol = Some("r"))
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      assert(got.length === want.length)
+      got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"decay rate=$rate w=$w row $i: chunked $g vs sequential $e")
+      }
+      val gotN = Ema.emaNormalChunked(df, "k", "t", "id", "v", rate, "ema", w,
+          filterCol = Some("f"), resetCol = Some("r"))
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      val wantN = Ema.ema(df.orderBy("id"), "k", "t", "v", rate, Ema.Normal,
+          "ema", filterCol = Some("f"), resetCol = Some("r"))
+        .orderBy("k", "t", "id").select("ema").as[Double].collect()
+      gotN.zip(wantN).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"normal rate=$rate w=$w row $i: chunked $g vs sequential $e")
+      }
+    }
+  }
+
+  test("filter WITHOUT reset needs no gates: the chunked plan carries " +
+    "no reset-seen window column and still matches the scan") {
+    val df = rows.toDF("k", "id", "t", "v")
+      .withColumn("f", col("id") % 2 === 1)
+    val got = Ema.emaDecayChunked(df, "k", "t", "id", "v", 0.3, "ema", 10L,
+        filterCol = Some("f"))
+      .orderBy("k", "t", "id").select("ema").as[Double].collect()
+    val want = Ema.ema(df.orderBy("id"), "k", "t", "v", 0.3, Ema.Decay,
+        "ema", filterCol = Some("f"))
+      .orderBy("k", "t", "id").select("ema").as[Double].collect()
+    got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"row $i: $g vs $e")
+    }
+  }
+
   test("emaDecayChunked at rate 0 is an exact distributed cumsum " +
     "(dyadic values: addition association-free)") {
     val df = rows.toDF("k", "id", "t", "v")

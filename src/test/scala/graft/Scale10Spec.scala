@@ -123,7 +123,13 @@ class Scale10Spec extends SparkSpec {
     "q274_timewindow_chunked" -> 192L,
     // chunk-parallel ema_normal (r16, VERDICT r15 #4): q272's
     // decomposition with the (num, den) doubled carry
-    "q275_ema_normal_chunked" -> 192L)
+    "q275_ema_normal_chunked" -> 192L,
+    // filter=/reset= through the chunked decomposition (r16 — the last
+    // EMA hatch boundary closed): per-row coefficients keep the
+    // recurrence linear, so the hot tape still spreads over its chunks
+    // with a hasReset bit per summary and a reset-seen carry gate
+    "q276_ema_filtered_chunked" -> 192L,
+    "q277_ema_normal_filtered_chunked" -> 192L)
 
   /** The sf0.1 (1×) median walls from the committed bench_full.json —
     * each 10× row carries its 1× twin so the scaling ratio is readable
@@ -369,6 +375,82 @@ class Scale10Spec extends SparkSpec {
     }
     assert(badN.isEmpty, s"${badN.length} normal-chunked mismatches " +
       "beyond one rounding step; first 3: " + badN.take(3).map {
+        case ((gi, gv), (wi, wv)) => s"chunked($gi,$gv) vs replay($wi,$wv)"
+      }.mkString("; "))
+  }
+
+  /** q276/q277 at 10×: the filter/reset chunked forms against the same
+    * driver-side sequential replay idiom (the recursive-CTE oracle is
+    * depth-infeasible here — q38's documented reason). The replay IS
+    * the reference recursion with the filter/reset kwargs
+    * (rt_fastarraynumba.py:507): filtered-out rows contribute 0 but
+    * still decay state; resets (only on filtered-in rows) zero it.
+    * The hot key guarantees resets and filtered spans inside single
+    * chunks AND across chunk boundaries at this depth.
+    */
+  test("q276/q277 filter/reset EMA at 10x: hot group matches the " +
+    "sequential filter/reset replay") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE10"),
+      "opt-in lane: SPARK_GRAFT_SCALE10=1 sbt 'testOnly graft.Scale10Spec'")
+    if (!new java.io.File(s"$dir/events.parquet").exists())
+      Scale10Fixtures.genAll(spark, dir)
+    val tape = Tables.table(spark, dir, "events")
+      .filter(col("user_id") === 0L)
+      .select(col("event_id"), expr("ts div 1000").as("tsu"),
+        col("value"), (col("event_type") === "click").as("pass"))
+      .orderBy(col("tsu"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(tape.count { case (_, _, v, p) => p && v > 95 } > 100,
+      "fixture lost its reset rows — the reset path would go unexercised")
+    // decay replay
+    var acc = 0.0; var prevT = 0L; var first = true
+    val want = tape.map { case (id, t, v, pass) =>
+      if (first) { prevT = t; first = false }
+      if (pass && v > 95) { acc = 0.0; prevT = t }
+      val vc = if (pass) v else 0.0
+      acc = vc + acc * math.exp(-1.6666666666666667e-9 * (t - prevT).toDouble)
+      prevT = t
+      (id, BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    val got = SparkEntry.queries("q276_ema_filtered_chunked")(spark, dir)
+      .filter(col("user_id") === 0L)
+      .select(col("event_id"), col("ema"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.length == want.length,
+      s"row count ${got.length} != replay ${want.length}")
+    val bad = got.zip(want).filter { case ((gi, gv), (wi, wv)) =>
+      gi != wi || math.abs(gv - wv) > 1.000001e-6
+    }
+    assert(bad.isEmpty, s"${bad.length} filtered-chunked mismatches " +
+      "beyond one rounding step; first 3: " + bad.take(3).map {
+        case ((gi, gv), (wi, wv)) => s"chunked($gi,$gv) vs replay($wi,$wv)"
+      }.mkString("; "))
+    // normal replay (den counts 1 per row; resets restart both)
+    var num = 0.0; var den = 0.0; var pT = 0L; var fN = true
+    val wantN = tape.map { case (id, t, v, pass) =>
+      if (fN) { pT = t; fN = false }
+      if (pass && v > 95) { num = 0.0; den = 0.0; pT = t }
+      val w = math.exp(-1.6666666666666667e-9 * (t - pT).toDouble)
+      num = num * w + (if (pass) v else 0.0)
+      den = den * w + 1.0
+      pT = t
+      (id, BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    val gotN = SparkEntry.queries("q277_ema_normal_filtered_chunked")(
+        spark, dir)
+      .filter(col("user_id") === 0L)
+      .select(col("event_id"), col("ema"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(gotN.length == wantN.length,
+      s"normal row count ${gotN.length} != replay ${wantN.length}")
+    val badN2 = gotN.zip(wantN).filter { case ((gi, gv), (wi, wv)) =>
+      gi != wi || math.abs(gv - wv) > 1.000001e-6
+    }
+    assert(badN2.isEmpty, s"${badN2.length} normal filtered-chunked " +
+      "mismatches beyond one rounding step; first 3: " + badN2.take(3).map {
         case ((gi, gv), (wi, wv)) => s"chunked($gi,$gv) vs replay($wi,$wv)"
       }.mkString("; "))
   }
