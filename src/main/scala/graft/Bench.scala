@@ -684,7 +684,8 @@ object Bench {
       // r16: RANGE-frame timewindow hatch + chunked ema_normal +
       // filter/reset through the chunked EMA decomposition
       "q274_timewindow_chunked", "q275_ema_normal_chunked",
-      "q276_ema_filtered_chunked", "q277_ema_normal_filtered_chunked")
+      "q276_ema_filtered_chunked", "q277_ema_normal_filtered_chunked",
+      "q278_pagerank")
     // partial runs are small — print every timed query, not just the
     // headline subset (the 1500-char stdout cap only binds full runs)
     val qs = results.collect {

@@ -259,7 +259,11 @@ object VerifyScale10 {
     // q275 (chunked ema_normal) is NOT here for q38's documented
     // reason — a 500 k-deep recursive CTE oracle is infeasible; it is
     // pinned by the sequential JVM replay in Scale10Spec instead.
-    "q274_timewindow_chunked")
+    "q274_timewindow_chunked",
+    // link-graph PageRank (r16): the unrolled 5-iteration oracle is
+    // depth-FIXED (not data-deep), so it scales to the 50 k-node
+    // fixture unchanged
+    "q278_pagerank")
 
   /** q128's standard oracle is BRUTE-FORCE all-pairs levenshtein —
     * right at ≤5k docs, hopeless at 50k (1.25e9 pairs; measured >90min

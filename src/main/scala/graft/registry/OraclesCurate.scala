@@ -52,7 +52,56 @@ private[graft] object OraclesCurate {
        |${zCte(iters + 1, s"w$iters")}""".stripMargin
   }
 
+  /** Unrolled simplified-PageRank recursion shared by q278/q279: one
+    * MATERIALIZED CTE per iteration (the q232 lesson — a plain CTE
+    * chain re-expands ~2^depth under DuckDB inlining). Edge synthesis,
+    * damping arithmetic, and the leak variant (no dangling-mass
+    * redistribution) mirror Graph.pageRank exactly; CASTs pin every
+    * literal to DOUBLE so both engines run the identical double ops.
+    */
+  private val pageRankCtesSql: String = {
+    val steps = (1 to 5).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT d.doc_id AS id,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |      / (SELECT n FROM nn)
+         |    + CAST(0.85 AS DOUBLE) * coalesce(m.s, 0) AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT e.dst, sum(p.r / od.c) AS s
+         |    FROM e JOIN r${k - 1} p ON e.src = p.id
+         |      JOIN od ON e.src = od.src
+         |    GROUP BY e.dst) m ON d.doc_id = m.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    count(*) AS ni FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT d.doc_id AS src,
+       |    (d.doc_id * (t.j + 2) + 17 * t.j) % (SELECT ni FROM nn) AS dst
+       |  FROM documents d, range(1, 4) t(j)
+       |  WHERE t.j <= d.doc_id % 4
+       |    AND (d.doc_id * (t.j + 2) + 17 * t.j) % (SELECT ni FROM nn)
+       |      <> d.doc_id),
+       |od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS c
+       |  FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT doc_id AS id,
+       |  CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM documents),
+       |$steps""".stripMargin
+  }
+
   def m: Map[String, String] = Map(
+
+    "q278_pagerank" ->
+      s"""$pageRankCtesSql
+         |SELECT id AS doc_id, round(r, 9) AS rank
+         |FROM r5 ORDER BY doc_id""".stripMargin,
+
+    "q279_source_authority" ->
+      s"""$pageRankCtesSql
+         |SELECT d.source, count(*) AS n_docs,
+         |  round(sum(r.r), 9) AS total_rank,
+         |  round(avg(r.r), 9) AS mean_rank
+         |FROM documents d JOIN r5 r ON d.doc_id = r.id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q114_hash_sample" ->
       """WITH hh AS (SELECT event_type, event_id,

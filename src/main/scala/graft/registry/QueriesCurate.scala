@@ -17,6 +17,56 @@ private[graft] object QueriesCurate {
 
   def m: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // link-graph PageRank quality weighting (r16 — the crawl-curation
+    // step between ingest and mixing): a deterministic synthetic link
+    // graph over the doc-id universe (doc_ids are contiguous 0..N−1,
+    // so modular edge synthesis is total and SQL-reproducible; nodes
+    // with doc_id % 4 == 0 are DANGLING, exercising the leak variant;
+    // parallel edges are kept — multigraph). 5 fixed iterations,
+    // d = 0.85; the oracle unrolls the identical recursion with one
+    // MATERIALIZED step per iteration.
+    "q278_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      val nCnt = nodes.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .filter(col("j") <= col("src") % 4)
+        .select(col("src"),
+          ((col("src") * (col("j") + 2) + lit(17L) * col("j")) % nCnt)
+            .as("dst"))
+        .filter(col("dst") =!= col("src"))
+      Graph.pageRank(nodes, edges, iters = 5, damping = 0.85)
+        .select(col("id").as("doc_id"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the fold-back: per-source authority table (mean/total page rank
+    // + doc count per host) — what the mixing stage actually consumes
+    // as an upweighting signal
+    "q279_source_authority" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      val nCnt = nodes.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .filter(col("j") <= col("src") % 4)
+        .select(col("src"),
+          ((col("src") * (col("j") + 2) + lit(17L) * col("j")) % nCnt)
+            .as("dst"))
+        .filter(col("dst") =!= col("src"))
+      val ranks = Graph.pageRank(nodes, edges, iters = 5, damping = 0.85)
+      docs.select(col("doc_id"), col("source"))
+        .join(ranks.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("rank")), 9).as("total_rank"),
+          round(avg(col("rank")), 9).as("mean_rank"))
+        .orderBy(col("source"))
+    }),
+
     "q114_hash_sample" -> ((s, dir) =>
       // deterministic stratified downsample: 5 rows per event_type in
       // portable-hash order (no RNG — reproducible across engines)

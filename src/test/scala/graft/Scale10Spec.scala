@@ -129,7 +129,11 @@ class Scale10Spec extends SparkSpec {
     // recurrence linear, so the hot tape still spreads over its chunks
     // with a hasReset bit per summary and a reset-seen carry gate
     "q276_ema_filtered_chunked" -> 192L,
-    "q277_ema_normal_filtered_chunked" -> 192L)
+    "q277_ema_normal_filtered_chunked" -> 192L,
+    // PageRank (r16): degree-joined edges persist once; each iteration
+    // shuffles only the node-sized rank frame — per-task shuffle is
+    // node-scale, edges never re-shuffle
+    "q278_pagerank" -> 192L)
 
   /** The sf0.1 (1×) median walls from the committed bench_full.json —
     * each 10× row carries its 1× twin so the scaling ratio is readable
