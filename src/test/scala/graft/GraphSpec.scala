@@ -52,6 +52,19 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(closed - 1.0) <= 1e-9, s"closed graph total $closed")
   }
 
+  test("q278 plan: every iteration reads the PERSISTED edge frame " +
+    "(InMemoryTableScan per iteration, no cartesian product)") {
+    val df = SparkEntry.queries("q278_pagerank")(spark,
+      "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 5,
+      s"expected >= 5 cached edge scans (one per iteration), got $scans:\n" +
+        plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("the degree-joined edge frame registry-persists: a second run " +
     "hits instead of rebuilding (iteration reuse contract)") {
     val n = Seq.tabulate(50)(i => i.toLong).toDF("id")
