@@ -29,6 +29,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(cc.count() === 0)
   }
 
+  test("pageRank: empty edge set puts every node at the teleport floor; " +
+    "empty node set yields an empty frame") {
+    val n = Seq(1L, 2L, 3L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val r = Graph.pageRank(n, noEdges, iters = 3).select("rank")
+      .as[Double].collect()
+    assert(r.length === 3 && r.forall(v => math.abs(v - 0.15 / 3.0) < 1e-15))
+    assert(Graph.pageRank(Seq.empty[Long].toDF("id"), noEdges, iters = 2)
+      .count() === 0)
+  }
+
   test("rolling / EMA / groupby on an empty frame") {
     assert(Ema.ema(emptyKV, "k", "t", "v", 0.1).count() === 0)
     assert(Rolling.rollingAgg(emptyKV, Seq("k"), Seq(col("t")), 3,
