@@ -685,7 +685,7 @@ object Bench {
       // filter/reset through the chunked EMA decomposition
       "q274_timewindow_chunked", "q275_ema_normal_chunked",
       "q276_ema_filtered_chunked", "q277_ema_normal_filtered_chunked",
-      "q278_pagerank")
+      "q278_pagerank", "q280_focused_pagerank")
     // partial runs are small — print every timed query, not just the
     // headline subset (the 1500-char stdout cap only binds full runs)
     val qs = results.collect {

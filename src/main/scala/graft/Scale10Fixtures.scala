@@ -262,8 +262,8 @@ object VerifyScale10 {
     "q274_timewindow_chunked",
     // link-graph PageRank (r16): the unrolled 5-iteration oracle is
     // depth-FIXED (not data-deep), so it scales to the 50 k-node
-    // fixture unchanged
-    "q278_pagerank")
+    // fixture unchanged — plain and weighted+personalized
+    "q278_pagerank", "q280_focused_pagerank")
 
   /** q128's standard oracle is BRUTE-FORCE all-pairs levenshtein —
     * right at ≤5k docs, hopeless at 50k (1.25e9 pairs; measured >90min

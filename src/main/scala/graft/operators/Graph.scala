@@ -39,6 +39,19 @@ object Graph {
     * convergence guarantees), so the unpersisted lineage stays
     * shallow and no checkpoint is needed.
     *
+    * Variants (r16, both standard in crawl curation):
+    *  - WEIGHTED edges (`weightCol`): contribution is
+    *    r(u)·w(u→v) / W(u) with W(u) the sum of u's out-weights —
+    *    link multiplicity / anchor quality as edge strength. The
+    *    unweighted form is the weightCol = 1 special case (same code
+    *    path, `sum(1)` = count).
+    *  - PERSONALIZED teleport (`teleport`): a seed-set frame (one
+    *    `idCol` column); the teleport vector becomes uniform over the
+    *    SEEDS (p(v) = 1/|S| on members, 0 elsewhere) and r_0 = p —
+    *    the focused-crawl / topic-targeted weighting ("rank pages by
+    *    proximity to this trusted set"). Non-seed islands decay to 0
+    *    instead of the global floor.
+    *
     * @param nodes one row per node, column `idCol` (the rank universe —
     *              isolated nodes get the teleport floor)
     * @param edges directed edges, columns `srcCol`, `dstCol`; endpoints
@@ -47,26 +60,42 @@ object Graph {
   def pageRank(nodes: DataFrame, edges: DataFrame,
                iters: Int = 5, damping: Double = 0.85,
                idCol: String = "id", srcCol: String = "src",
-               dstCol: String = "dst", out: String = "rank"): DataFrame = {
+               dstCol: String = "dst", out: String = "rank",
+               weightCol: Option[String] = None,
+               teleport: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(damping > 0.0 && damping < 1.0, s"bad damping: $damping")
-    val n = nodes.count().toDouble
-    val base = (1.0 - damping) / n
+    val w = weightCol.map(col).getOrElse(lit(1L))
     val withDeg = Dedup.registryPersist(
       edges.join(
-        edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__od")),
+        edges.groupBy(col(srcCol)).agg(sum(w).as("__od")),
         Seq(srcCol)))
-    var ranks = nodes.select(col(idCol), (lit(1.0) / lit(n)).as(out))
+    // the per-node teleport mass: node-sized, reused by every
+    // iteration's base term — registry-persisted like the edges
+    val pFrame = teleport match {
+      case Some(seeds) =>
+        val s = seeds.select(col(idCol)).distinct()
+        val ns = s.count().toDouble
+        require(ns > 0, "teleport seed set is empty")
+        Dedup.registryPersist(nodes.select(col(idCol))
+          .join(s.withColumn("__p", lit(1.0) / lit(ns)), Seq(idCol), "left")
+          .select(col(idCol), coalesce(col("__p"), lit(0.0)).as("__p")))
+      case None =>
+        val n = nodes.count().toDouble
+        nodes.select(col(idCol), (lit(1.0) / lit(n)).as("__p"))
+    }
+    var ranks = pFrame.select(col(idCol), col("__p").as(out))
     for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed(idCol, srcCol), Seq(srcCol))
         .groupBy(col(dstCol))
-        .agg(sum(col(out) / col("__od")).as("__m"))
+        .agg(sum(col(out) * w / col("__od")).as("__m"))
         .withColumnRenamed(dstCol, idCol)
-      ranks = nodes.select(col(idCol))
+      ranks = pFrame
         .join(contrib, Seq(idCol), "left")
         .select(col(idCol),
-          (lit(base) + lit(damping) * coalesce(col("__m"), lit(0.0))).as(out))
+          (lit(1.0 - damping) * col("__p") +
+            lit(damping) * coalesce(col("__m"), lit(0.0))).as(out))
     }
     ranks
   }

@@ -60,11 +60,14 @@ private[graft] object OraclesCurate {
     * literal to DOUBLE so both engines run the identical double ops.
     */
   private val pageRankCtesSql: String = {
+    // base term mirrors the engine's personalized-capable form
+    // (1−d)·p(v) with uniform p = 1/n — the MULTIPLY, not a fused
+    // division, so both engines run the identical double ops
     val steps = (1 to 5).map { k =>
       s"""r$k AS MATERIALIZED (
          |  SELECT d.doc_id AS id,
          |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-         |      / (SELECT n FROM nn)
+         |      * (CAST(1.0 AS DOUBLE) / (SELECT n FROM nn))
          |    + CAST(0.85 AS DOUBLE) * coalesce(m.s, 0) AS r
          |  FROM documents d LEFT JOIN (
          |    SELECT e.dst, sum(p.r / od.c) AS s
@@ -88,7 +91,49 @@ private[graft] object OraclesCurate {
        |$steps""".stripMargin
   }
 
+  /** q280's personalized weighted twin of [[pageRankCtesSql]]: teleport
+    * vector uniform over the 'src0' seed docs (0 elsewhere, r0 = p),
+    * edge weight 1 + (src+dst) % 3, contribution r·w/W(u) with W(u)
+    * the out-weight sum — operand order and CASTs mirror the engine.
+    */
+  private val focusedPageRankCtesSql: String = {
+    val dstE = "(d.doc_id * (t.j + 2) + 17 * t.j) % (SELECT ni FROM nn)"
+    val steps = (1 to 5).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT p.id,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * p.p
+         |    + CAST(0.85 AS DOUBLE) * coalesce(m.s, 0) AS r
+         |  FROM p LEFT JOIN (
+         |    SELECT e.dst, sum(q.r * e.w / od.c) AS s
+         |    FROM e JOIN r${k - 1} q ON e.src = q.id
+         |      JOIN od ON e.src = od.src
+         |    GROUP BY e.dst) m ON p.id = m.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED (SELECT count(*) AS ni FROM documents),
+       |sn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns
+       |  FROM documents WHERE source = 'src0'),
+       |p AS MATERIALIZED (SELECT doc_id AS id,
+       |    CASE WHEN source = 'src0'
+       |      THEN CAST(1.0 AS DOUBLE) / (SELECT ns FROM sn)
+       |      ELSE CAST(0.0 AS DOUBLE) END AS p
+       |  FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT d.doc_id AS src, $dstE AS dst,
+       |    1 + (d.doc_id + ($dstE)) % 3 AS w
+       |  FROM documents d, range(1, 4) t(j)
+       |  WHERE t.j <= d.doc_id % 4 AND $dstE <> d.doc_id),
+       |od AS MATERIALIZED (SELECT src, CAST(sum(w) AS DOUBLE) AS c
+       |  FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT id, p AS r FROM p),
+       |$steps""".stripMargin
+  }
+
   def m: Map[String, String] = Map(
+
+    "q280_focused_pagerank" ->
+      s"""$focusedPageRankCtesSql
+         |SELECT id AS doc_id, round(r, 9) AS rank
+         |FROM r5 ORDER BY doc_id""".stripMargin,
 
     "q278_pagerank" ->
       s"""$pageRankCtesSql

@@ -67,6 +67,32 @@ private[graft] object QueriesCurate {
         .orderBy(col("source"))
     }),
 
+    // FOCUSED (personalized) weighted PageRank — the topic-targeted
+    // crawl weighting: teleport mass concentrates on a trusted seed
+    // set (source 'src0' here), edge strength = link multiplicity
+    // (1 + (src+dst) % 3). Pages rank by proximity to the seeds;
+    // non-seed islands decay to 0 instead of the global floor.
+    "q280_focused_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      val nCnt = nodes.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .filter(col("j") <= col("src") % 4)
+        .select(col("src"),
+          ((col("src") * (col("j") + 2) + lit(17L) * col("j")) % nCnt)
+            .as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 3)
+      val seeds = docs.filter(col("source") === "src0")
+        .select(col("doc_id").as("id"))
+      Graph.pageRank(nodes, edges, iters = 5, damping = 0.85,
+          weightCol = Some("w"), teleport = Some(seeds))
+        .select(col("id").as("doc_id"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q114_hash_sample" -> ((s, dir) =>
       // deterministic stratified downsample: 5 rows per event_type in
       // portable-hash order (no RNG — reproducible across engines)

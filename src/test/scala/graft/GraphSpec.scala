@@ -52,6 +52,35 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(closed - 1.0) <= 1e-9, s"closed graph total $closed")
   }
 
+  test("weighted + personalized: matches a hand-rolled reference " +
+    "(teleport mass on seeds only, contribution r·w/W)") {
+    val wEdges = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 2L, 2L),
+      (2L, 0L, 1L), (3L, 0L, 5L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L, 3L).toDF("id")
+    val got = Graph.pageRank(nodes, wEdges, iters = 4, damping = 0.85,
+        weightCol = Some("w"), teleport = Some(seeds))
+      .orderBy("id").select("rank").as[Double].collect()
+    val out = Map(0L -> Seq((1L, 3L), (2L, 1L)), 1L -> Seq((2L, 2L)),
+      2L -> Seq((0L, 1L)), 3L -> Seq((0L, 5L)))
+    val p = Map(0L -> 0.5, 1L -> 0.0, 2L -> 0.0, 3L -> 0.5, 4L -> 0.0)
+    var r = p
+    for (_ <- 1 to 4) {
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      out.foreach { case (u, vs) =>
+        val tot = vs.map(_._2).sum.toDouble
+        vs.foreach { case (v, w) => contrib(v) += r(u) * w / tot }
+      }
+      r = p.keys.map(v => v -> (0.15 * p(v) + 0.85 * contrib(v))).toMap
+    }
+    val want = r.toSeq.sortBy(_._1).map(_._2)
+    got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= 1e-12, s"node $i: $g vs $e")
+    }
+    // non-seed island (node 4, isolated): decays to exactly 0
+    assert(got(4) === 0.0)
+  }
+
   test("q278 plan: every iteration reads the PERSISTED edge frame " +
     "(InMemoryTableScan per iteration, no cartesian product)") {
     val df = SparkEntry.queries("q278_pagerank")(spark,

@@ -133,7 +133,10 @@ class Scale10Spec extends SparkSpec {
     // PageRank (r16): degree-joined edges persist once; each iteration
     // shuffles only the node-sized rank frame — per-task shuffle is
     // node-scale, edges never re-shuffle
-    "q278_pagerank" -> 192L)
+    "q278_pagerank" -> 192L,
+    // weighted + personalized variant: same iteration shape, the
+    // teleport frame is node-sized and persisted like the edges
+    "q280_focused_pagerank" -> 192L)
 
   /** The sf0.1 (1×) median walls from the committed bench_full.json —
     * each 10× row carries its 1× twin so the scaling ratio is readable
