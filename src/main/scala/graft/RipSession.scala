@@ -39,6 +39,19 @@ object RipSession {
       // silent overflow) — matches rc.BasicMath* kernel behavior.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Always use the sort-based shuffle writer (optimization r16,
+      // guide §2.2 "fewer, larger blocks"): below this threshold Spark
+      // picks BypassMergeSortShuffleWriter, which opens R partition
+      // FILES per map task — M×R file creations per shuffle. Profiled
+      // on the bench rig (jstack sampling): with 32-partition inputs
+      // every map task spent ~70 ms CPU in FileOutputStream.open0 /
+      // DiskBlockObjectWriter.open, turning a 150-row aggregate into
+      // 2.3 s of CPU. The sort writer emits ONE data+index file per
+      // map task at any R. In production R exceeds the default
+      // threshold (200) anyway — sort is what runs at scale — so this
+      // aligns local execution with the at-scale path; it is NOT a
+      // local-only tuning.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
 
   /** Local session for tests: local[n] with n shuffle partitions. */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -55,9 +55,59 @@ object Tables {
     }.toIndexedSeq: _*)
   }
 
+  /** Parallelism floor for the FACT tables (optimization guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read" + §6 `minPartitionNum`): the test corpus ships each
+    * table as ONE single-row-group parquet file, so every scan is one
+    * split and all pre-shuffle map work — shingling, tokenizing, n-gram
+    * explodes, vector folds, partial aggregation — serializes through a
+    * single task no matter how many cores the session has (measured:
+    * q245_ngram_diversity wall 1.77 s ≈ cpu 1.62 s on 32 cores — one
+    * busy core). `minPartitionNum` cannot help (a row group is not
+    * splittable), so the floor is an explicit hash repartition on the
+    * table's natural key, applied ONLY when the scan's estimated split
+    * count is below the session's default parallelism — at production
+    * scale (many splits ≥ cores) the condition is false and NO exchange
+    * is added, so this is scale-adaptive, not a local[32] constant.
+    * Keys are the tables' join/window keys (events→user_id so the
+    * §2.5 window family's PARTITION BY user_id reuses the cached
+    * partitioning and skips its own exchange — guide §2.4).
+    *
+    * Scope: the three PIPELINE tables only. Their operators are
+    * partition-invariant by design (integer-exact micro-units, long
+    * counts, per-row element-order folds — PropertySpec pins). The
+    * TPC-H tables (lineitem/orders) are deliberately NOT floored:
+    * their money sums (`sum(l_extendedprice·(1−l_discount))` at
+    * round(2)) are float-merge-order-sensitive, and re-partitioning
+    * flipped q162_tpch_q11's sum by one cent at sf0.01 against the
+    * DuckDB oracle (measured r16) — the oracle gate has no tolerance,
+    * so those scans keep their file order. Dimension tables broadcast.
+    */
+  private val floorKeys: Map[String, String] = Map(
+    "events" -> "user_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    epochNanosContract.get(name).fold(raw)(normalizeEpochNanos(raw, _))
+    val raw0 = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = epochNanosContract.get(name).fold(raw0)(normalizeEpochNanos(raw0, _))
+    floorKeys.get(name) match {
+      case Some(key) =>
+        val sc = spark.sparkContext
+        val want = sc.defaultParallelism
+        // estimated splits without planning an RDD: bytes / split size
+        // (single row groups make this an over-estimate, never under —
+        // erring on NOT repartitioning at scale, which is the safe side)
+        val maxSplit = org.apache.spark.sql.internal.SQLConf.get
+          .filesMaxPartitionBytes
+        val bytes = try {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+          p.getFileSystem(sc.hadoopConfiguration).getFileStatus(p).getLen
+        } catch { case _: Throwable => Long.MaxValue }
+        val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+        if (splits >= want) raw
+        else raw.repartition(want, org.apache.spark.sql.functions.col(key))
+      case None => raw
+    }
   }
 
   /** Multi-file stacked load — the PDataset analog (`rt_pdataset.py:18`):

@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.ansi.enabled", "false")
+      // sort-based shuffle writer at any reduce count (guide §2.2):
+      // the bypass writer's M×R shuffle files dominated small-stage
+      // cost on the bench rig — see RipSession for the profile.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

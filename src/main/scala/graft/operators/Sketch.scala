@@ -604,4 +604,89 @@ object Sketch {
         (col("__v1") + (col("__pos") - floor(col("__pos")))
           * (col("__v2") - col("__v1"))).as("exact_val"))
   }
+
+  /** [[histQuantiles]] and [[exactQuantiles]] fused over ONE shared
+    * (stats, bin-counts) pair (optimization r16, guide §1.2 step 1 /
+    * §2.4 "remove shuffles outright"): run separately, the two
+    * operators each build their own min/max/count aggregate and their
+    * own per-bin count frame from the same column — four full scans of
+    * the fact table (plus exact's candidate pass = five), and at bench
+    * scale ~2× the stage/broadcast orchestration. Both derivations are
+    * value-identical by construction (same cast, same bin expression,
+    * long counts — no order-sensitive float folds), so sharing the
+    * frames cannot change either output: the histogram estimate and the
+    * exact order statistics are the SAME expressions over the SAME
+    * inputs as the unfused pair (PipelineR16OptSpec pins bit equality).
+    * Scans: 5 → 3 (stats, bin counts, exact's candidate fetch).
+    *
+    * Returns (q, hist_est, exact_val) — one row per requested quantile.
+    */
+  def histAndExactQuantiles(df: DataFrame, value: Column, bins: Int,
+                            qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = value.cast("double")
+    val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"),
+      count(v).as("__n"))
+    def binOf(x: Column): Column =
+      when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((x - col("__lo"))
+            / (col("__hi") - col("__lo")) * lit(bins.toDouble)),
+          lit((bins - 1).toLong)).cast("long"))
+    val vals = df.select(v.as("__x")).where(col("__x").isNotNull)
+      .crossJoin(broadcast(stats))
+    // the ONE shared per-bin count frame (≤ bins rows) + cumulative
+    val cum = vals.select(binOf(col("__x")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c"))
+        .over(Window.orderBy(col("__b")))) // ≤ bins rows: deliberate
+    val qdf = qs.toDF("q")
+    // --- histogram estimate: histQuantiles' expressions verbatim ---
+    val hist = qdf
+      .crossJoin(broadcast(stats))
+      .withColumn("__target", greatest(ceil(col("q") * col("__n")), lit(1L)))
+      .join(cum, col("__cum") >= col("__target"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("__b"))))
+      .filter(col("__rn") === 1)
+      .select(col("q"),
+        round(col("__lo") + (col("__hi") - col("__lo")) / lit(bins.toDouble)
+          * (col("__b") + (col("__target") - (col("__cum") - col("__c")))
+            / col("__c")), 6).as("hist_est"))
+    // --- exact order statistics: exactQuantiles' expressions verbatim,
+    //     over the SAME cum frame ---
+    val ks = qdf.crossJoin(broadcast(stats))
+      .select(col("q"), col("__n"),
+        (col("q") * (col("__n") - 1)).as("__pos"))
+      .select(col("q"), col("__n"), col("__pos"),
+        (floor(col("__pos")) + 1).cast("long").as("__k1"),
+        least(ceil(col("__pos")) + 1, col("__n")).cast("long").as("__k2"))
+    val targets = ks.select(col("q"), col("__pos"), col("__n"),
+        explode(array(col("__k1"), col("__k2"))).as("__k"))
+    val located = targets.join(cum, col("__cum") >= col("__k"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q"), col("__k")).orderBy(col("__b"))))
+      .filter(col("__rn") === 1)
+      .select(col("q"), col("__pos"), col("__k"), col("__b"),
+        (col("__cum") - col("__c")).as("__below"))
+    val neededBins = located.select(col("__b")).distinct()
+    val candidates = vals.select(col("__x"), binOf(col("__x")).as("__b"))
+      .join(broadcast(neededBins), "__b")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("__x"))))
+    val stats2 = located
+      .join(candidates,
+        located("__b") === candidates("__b") &&
+          col("__k") - col("__below") === col("__rk"))
+      .select(col("q"), col("__pos"), col("__k"), col("__x"))
+    val exact = stats2.groupBy(col("q"), col("__pos"))
+      .agg(min_by(col("__x"), col("__k")).as("__v1"),
+        max_by(col("__x"), col("__k")).as("__v2"))
+      .select(col("q"),
+        (col("__v1") + (col("__pos") - floor(col("__pos")))
+          * (col("__v2") - col("__v1"))).as("exact_val"))
+    hist.join(exact, Seq("q"))
+  }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketch
+
+/** Round-16 optimization pins: restructured operators must be
+  * bit-identical to the originals they replace (the oracle gate has no
+  * float tolerance, so "equivalent" means EQUAL).
+  */
+class PipelineR16OptSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histAndExactQuantiles == histQuantiles ⋈ exactQuantiles, bit for bit") {
+    // mixed-sign, duplicate-heavy, skewed values + nulls — the shapes
+    // that stress bin edges, ties, and the k1/k2 interpolation
+    val xs = (1 to 4000).map(i => ((i * 2654435761L) % 9973).toDouble / 7.0 - 500.0) ++
+      Seq.fill(500)(42.0) ++ (1 to 200).map(_.toDouble * 1e6)
+    val df = (xs.map(Option(_)) ++ Seq.fill(30)(Option.empty[Double]))
+      .toDF("x").repartition(7)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val fused = Sketch.histAndExactQuantiles(df, col("x"), 256, qs)
+      .select(col("q"), col("hist_est"), col("exact_val"))
+      .orderBy(col("q")).as[(Double, Double, Double)].collect()
+    val hist = Sketch.histQuantiles(df, col("x"), 256, qs)
+    val exact = Sketch.exactQuantiles(df, col("x"), qs)
+    val unfused = hist.join(exact, Seq("q"))
+      .select(col("q"), col("hist_est"), col("exact_val"))
+      .orderBy(col("q")).as[(Double, Double, Double)].collect()
+    assert(fused.length === qs.length)
+    assert(fused.toSeq === unfused.toSeq)
+    // partition-invariance of the fused form (same pin the originals carry)
+    val again = Sketch.histAndExactQuantiles(df.repartition(31), col("x"), 256, qs)
+      .select(col("q"), col("hist_est"), col("exact_val"))
+      .orderBy(col("q")).as[(Double, Double, Double)].collect()
+    assert(again.toSeq === fused.toSeq)
+  }
+}
