@@ -91,23 +91,49 @@ object Tables {
     val raw0 = spark.read.parquet(s"$dir/$name.parquet")
     val raw = epochNanosContract.get(name).fold(raw0)(normalizeEpochNanos(raw0, _))
     floorKeys.get(name) match {
-      case Some(key) =>
-        val sc = spark.sparkContext
-        val want = sc.defaultParallelism
-        // estimated splits without planning an RDD: bytes / split size
-        // (single row groups make this an over-estimate, never under —
-        // erring on NOT repartitioning at scale, which is the safe side)
-        val maxSplit = org.apache.spark.sql.internal.SQLConf.get
-          .filesMaxPartitionBytes
-        val bytes = try {
-          val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-          p.getFileSystem(sc.hadoopConfiguration).getFileStatus(p).getLen
-        } catch { case _: Throwable => Long.MaxValue }
-        val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
-        if (splits >= want) raw
-        else raw.repartition(want, org.apache.spark.sql.functions.col(key))
+      case Some(key) => flooredByKey(spark, dir, name, raw, key)
       case None => raw
     }
+  }
+
+  /** The scale-adaptive floor itself (see floorKeys doc): repartition on
+    * `key` ONLY when the scan's estimated split count is below the
+    * session's default parallelism. Shared by `table` (pipeline tables,
+    * always) and `floored` (per-query opt-in for the TPC-H tables).
+    */
+  private def flooredByKey(spark: SparkSession, dir: String, name: String,
+                           raw: DataFrame, key: String): DataFrame = {
+    val sc = spark.sparkContext
+    val want = sc.defaultParallelism
+    // estimated splits without planning an RDD: bytes / split size
+    // (single row groups make this an over-estimate, never under —
+    // erring on NOT repartitioning at scale, which is the safe side)
+    val maxSplit = org.apache.spark.sql.internal.SQLConf.get
+      .filesMaxPartitionBytes
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      p.getFileSystem(sc.hadoopConfiguration).getFileStatus(p).getLen
+    } catch { case _: Throwable => Long.MaxValue }
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (splits >= want) raw
+    else raw.repartition(want, org.apache.spark.sql.functions.col(key))
+  }
+
+  /** Per-query opt-in floor for the TPC-H tables. The global floor
+    * excludes lineitem/orders because rounded float money sums are
+    * merge-order-sensitive against the exact oracle gate (floorKeys
+    * doc); queries whose results are provably partition-invariant —
+    * counts, ranks over a total order, min/max, order statistics —
+    * opt in here, keying on their join/group key so the added exchange
+    * is also the one their first shuffle needs (guide §2.4). Same
+    * scale-adaptive condition: a no-op when the scan already has
+    * ≥ defaultParallelism splits.
+    */
+  def floored(spark: SparkSession, dir: String, name: String,
+              key: String): DataFrame = {
+    val raw0 = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = epochNanosContract.get(name).fold(raw0)(normalizeEpochNanos(raw0, _))
+    flooredByKey(spark, dir, name, raw, key)
   }
 
   /** Multi-file stacked load — the PDataset analog (`rt_pdataset.py:18`):

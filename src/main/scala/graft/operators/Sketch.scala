@@ -232,8 +232,13 @@ object Sketch {
     import spark.implicits._
     val gs = groupCols.map(col)
     val v = value.cast("double")
-    val stats = df.groupBy(gs: _*).agg(min(v).as("__lo"),
-      max(v).as("__hi"), count(v).as("__n"))
+    // per-group stats frame is referenced by BOTH the binning pass and
+    // the crossing locator; without a persist each reference re-expands
+    // the whole aggregate subtree (measured r16: zero ReusedExchange in
+    // the executed plan). |groups| rows — registry-persist is bounded.
+    val stats = Dedup.registryPersist(
+      df.groupBy(gs: _*).agg(min(v).as("__lo"),
+        max(v).as("__hi"), count(v).as("__n")))
     val binned = df.select(gs :+ v.as("__x"): _*)
       .where(col("__x").isNotNull)
       .join(broadcast(stats), groupCols)
@@ -277,8 +282,17 @@ object Sketch {
     import spark.implicits._
     val gs = groupCols.map(col)
     val v = value.cast("double")
-    val stats = df.groupBy(gs: _*).agg(min(v).as("__lo"),
-      max(v).as("__hi"), count(v).as("__n"))
+    // multi-referenced tiny frames persist (r16): stats feeds the
+    // binning pass AND the target locator; `located` feeds the
+    // needed-bin broadcast AND the final pick join. Without persists
+    // every reference re-expands its subtree from the base scan
+    // (measured: 16 scans / 0 ReusedExchange in q207's executed plan);
+    // with them the corpus is scanned 3× — stats, bin counts,
+    // candidates — the documented design minimum. Both frames are
+    // |groups|-bounded.
+    val stats = Dedup.registryPersist(
+      df.groupBy(gs: _*).agg(min(v).as("__lo"),
+        max(v).as("__hi"), count(v).as("__n")))
     def binOf(x: Column): Column =
       when(col("__hi") === col("__lo"), lit(0L))
         .otherwise(least(
@@ -299,7 +313,7 @@ object Sketch {
         least(ceil(col("__pos")) + 1, col("__n")).cast("long"))
     val targets = ks.select(gs ++ Seq(col("q"), col("__pos"),
       explode(array(col("__k1"), col("__k2"))).as("__k")): _*)
-    val located = targets
+    val located = Dedup.registryPersist(targets
       .join(binned, groupCols)
       .filter(col("__cum") >= col("__k"))
       .withColumn("__rn", row_number().over(
@@ -307,7 +321,7 @@ object Sketch {
           .orderBy(col("__b"))))
       .filter(col("__rn") === 1)
       .select(gs ++ Seq(col("q"), col("__pos"), col("__k"), col("__b"),
-        (col("__cum") - col("__c")).as("__below")): _*)
+        (col("__cum") - col("__c")).as("__below")): _*))
     val neededBins = located.select(gs :+ col("__b"): _*).distinct()
     val candidates = vals
       .select(gs ++ Seq(col("__x"), binOf(col("__x")).as("__b")): _*)
@@ -357,8 +371,11 @@ object Sketch {
         weight.cast("double").as("__w")): _*)
       .where(col("__x").isNotNull && col("__w").isNotNull &&
         col("__w") > 0)
-    val stats = base.groupBy(gs: _*).agg(min(col("__x")).as("__lo"),
-      max(col("__x")).as("__hi"), sum(col("__w")).as("__tw"))
+    // same multi-reference persists as exactQuantilesBy (r16): stats
+    // and located are each consumed twice; both |groups|-bounded
+    val stats = Dedup.registryPersist(
+      base.groupBy(gs: _*).agg(min(col("__x")).as("__lo"),
+        max(col("__x")).as("__hi"), sum(col("__w")).as("__tw")))
     def binOf(x: Column): Column =
       when(col("__hi") === col("__lo"), lit(0L))
         .otherwise(least(
@@ -388,6 +405,7 @@ object Sketch {
       .filter(col("__rn") === 1)
       .select(gs ++ Seq(col("q"), col("__t"), col("__b"),
         (col("__cum") - col("__c")).as("__below")): _*)
+      .transform(Dedup.registryPersist)
     val neededBins = located.select(gs :+ col("__b"): _*).distinct()
     // distinct values within the crossing bins, weights pre-summed —
     // the cumulative walk is over values, never rows

@@ -146,8 +146,11 @@ private[graft] object QueriesCore {
         .melt(Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_discount"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("variable"))),
 
+    // rank-based keep=first over a total order — partition-invariant,
+    // so the single-split lineitem scan opts into the parallelism
+    // floor on its dedup key (r16; see Tables.floored)
     "q24_dropdup" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      Tables.floored(s, dir, "lineitem", "l_orderkey")
         .dropDuplicatesKeep(Seq("l_orderkey"), "first", Seq("l_linenumber", "l_quantity", "l_partkey"))
         .select(col("l_orderkey"), col("l_linenumber"), round(col("l_quantity"), 6).as("l_quantity"))
         .orderBy(col("l_orderkey"))),
@@ -193,7 +196,10 @@ private[graft] object QueriesCore {
         .orderBy(col("event_type"))),
 
     "q36_mode_nth" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // counts + total-order ranks only — partition-invariant, floor the
+      // single-split scan so gbNth's salted first level actually fans
+      // out (spark_partition_id is constant on a 1-split scan, r16)
+      val li = Tables.floored(s, dir, "lineitem", "l_orderkey")
       // two-phase mode (GroupOps.modeBy): one row per (flag, status)
       // crosses the wire, both aggregates codegen'd — replaces the
       // interpreted map-buffer mode() (same deterministic tie rule)
@@ -289,9 +295,15 @@ private[graft] object QueriesCore {
     }),
 
     "q52_merge_keep" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+      // keep=last is rank-based over explicit order cols and l_quantity
+      // rounds per-row (no float folds) — partition-invariant; floor
+      // both sides on the join key so the dedup window AND the join
+      // reuse the same hash partitioning (r16, guide §2.4)
+      val li = Tables.floored(s, dir, "lineitem", "l_orderkey")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
         .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_partkey"))
-      Merge.merge2(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      Merge.merge2(Tables.floored(s, dir, "orders", "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus")),
         li, on = Seq("o_orderkey"), how = "left", keepRight = Some("last"),
         keepOrderCols = Seq("l_linenumber", "l_quantity", "l_partkey"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("l_linenumber"),

@@ -218,8 +218,11 @@ private[graft] object QueriesText {
     // One-scan column profiler over orders (timestamp column excluded:
     // fractional-second string rendering is engine-dependent); the KMV
     // estimate makes even the cardinality column exactly checkable.
+    // min/max/count + set-based KMV are all partition-invariant; the
+    // floor fans the one-scan wide aggregate (incl. the per-partition
+    // KMV buffers) across cores instead of one task (r16)
     "q191_profile" -> ((s, dir) =>
-      Stats.profile(t(s, dir, "orders"),
+      Stats.profile(Tables.floored(s, dir, "orders", "o_orderkey"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority"))
         .orderBy(col("colname"))),

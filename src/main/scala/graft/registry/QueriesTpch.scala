@@ -102,9 +102,12 @@ private[graft] object QueriesTpch {
     // expand (two plain aggregates instead of twin count-distincts),
     // keys stay on orderkey (no supplier skew); supplier dim broadcasts
     "q146_tpch_q21" -> ((s, dir) => {
-      val ord = t(s, dir, "orders")
+      // all-count output — partition-invariant; flooring BOTH scans on
+      // the orderkey makes the join and the per-order rollup below
+      // reuse one hash partitioning end to end (r16, guide §2.4)
+      val ord = Tables.floored(s, dir, "orders", "o_orderkey")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
-      val le = t(s, dir, "lineitem")
+      val le = Tables.floored(s, dir, "lineitem", "l_orderkey")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(ord, Seq("l_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),

@@ -104,8 +104,14 @@ class PipelineR12Spec extends SparkSpec {
     val encode = Similarity.pqIndexRowsWith(emb, "vec_id", "embedding",
       cent, cb, m = 2)
     val encodePlan = encode.queryExecution.executedPlan.toString
-    assert(!encodePlan.contains("Exchange"),
-      s"encode path must be shuffle-free:\n$encodePlan")
+    // the ONLY allowed exchange is the load-boundary parallelism floor
+    // (Tables.table REPARTITION_BY_NUM, r16) — the encode OPERATOR
+    // itself must add none: no hash/range exchange beyond the floor
+    val nonFloor = encodePlan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
+      .toSeq
+    assert(nonFloor.isEmpty,
+      s"encode path must be shuffle-free beyond the load floor:\n$encodePlan")
     val full = SparkEntry.queries("q250_ivfpq_trained")(spark, sf)
     full.collect()
     val plan = full.queryExecution.executedPlan.toString

@@ -240,7 +240,13 @@ class MiscOpsSpec extends SparkSpec {
       graft.functions.TimeFns.toIso(col("utc")),
       graft.functions.TimeFns.tzOffsetMinutes(col("utc"), "Europe/London"))
     val plan = proj.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    // the ONLY allowed exchange is the load-boundary parallelism floor
+    // (Tables.table REPARTITION_BY_NUM, r16); the conversions must add
+    // none of their own
+    val nonFloor = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
+      .toSeq
+    assert(nonFloor.isEmpty, plan)
     assert(proj.count() === 1000)
   }
 
