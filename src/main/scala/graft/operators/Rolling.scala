@@ -514,6 +514,46 @@ object Rolling {
     }
   }
 
+  /** Multi-column [[issorted]] in ONE pass (optimization r16): probes
+    * that share the same row order (q235 checks ts AND value under the
+    * same orderBy) previously each re-executed the ordering's global
+    * sort; here one scan reports a per-partition (first, last,
+    * sortedWithin) triple PER COLUMN and the driver stitches each
+    * column's boundary list independently. Result per column is
+    * identical to issorted's by construction (same fold, same stitch).
+    */
+  def issortedMulti(df: DataFrame, colNames: Seq[String]): Seq[Boolean] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = colNames.size
+    val ds = df.select(array(colNames.map(c => col(c).cast("double")): _*)
+      .as("__vs")).as[Array[Double]]
+    val parts = ds.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val first = it.next().clone()
+        val prev = first.clone()
+        val ok = Array.fill(n)(true)
+        while (it.hasNext) {
+          val r = it.next(); var i = 0
+          while (i < n) {
+            val v = r(i)
+            if (v < prev(i)) ok(i) = false
+            prev(i) = v; i += 1
+          }
+        }
+        Iterator((pid, first, prev.clone(), ok))
+      }
+    }.collect().sortBy(_._1)
+    (0 until n).map { i =>
+      parts.forall(_._4(i)) && parts.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._3(i) <= b._2(i)
+        case _ => true
+      }
+    }
+  }
+
   /** differs/transitions (rt_fastarray.py:4153,4220): value != previous. */
   def differs(df: DataFrame, by: Seq[String], order: Seq[Column],
               valueCol: String, out: String): DataFrame = {

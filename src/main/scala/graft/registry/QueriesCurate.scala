@@ -687,8 +687,14 @@ private[graft] object QueriesCurate {
         .join(fpPrev, Seq("doc_id"), "left")
         .filter(col("__fo").isNull || col("__fo") =!= col("__fpn"))
         .drop("__fo", "__fpn")
-      val dupes = Dedup.crossCorpusDupes(fresh, prev.drop("__fpo"),
-        "doc_id", "text", shingleN = 3, threshold = 0.5)
+      // flagged-pair frame is consumed TWICE (per-source dup accounting
+      // AND the accepted-set anti-join of stage 4) — without a persist
+      // the banded join + exact-jaccard verification ran twice
+      // (measured r16: the two 386-row aggregates at 4.4 s + 3.4 s CPU
+      // were the same pass). Diff-sized accounting frame — bounded.
+      val dupes = Dedup.registryPersist(
+        Dedup.crossCorpusDupes(fresh, prev.drop("__fpo"),
+          "doc_id", "text", shingleN = 3, threshold = 0.5))
       val dupRows = dupes
         .groupBy(col("id_new")).agg(max(col("jaccard")).as("__j"))
         .join(next.select(col("doc_id").as("id_new"), col("source")),

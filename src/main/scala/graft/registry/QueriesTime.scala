@@ -723,11 +723,14 @@ private[graft] object QueriesTime {
     "q235_issorted" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
+      // the two event_id-ordered probes share ONE global sort + scan
+      // via issortedMulti (r16) — previously each re-executed the sort
+      val Seq(byIdTs, byIdValue) =
+        Rolling.issortedMulti(ev.orderBy(col("event_id")),
+          Seq("ts", "value"))
       Seq(
-        ("by_event_id__ts",
-          Rolling.issorted(ev.orderBy(col("event_id")), "ts")),
-        ("by_event_id__value",
-          Rolling.issorted(ev.orderBy(col("event_id")), "value")),
+        ("by_event_id__ts", byIdTs),
+        ("by_event_id__value", byIdValue),
         ("by_ts_event_id__ts",
           Rolling.issorted(ev.orderBy(col("ts"), col("event_id")), "ts")),
         ("by_value_event_id__value",

@@ -34,4 +34,26 @@ class PipelineR16OptSpec extends SparkSpec {
       .orderBy(col("q")).as[(Double, Double, Double)].collect()
     assert(again.toSeq === fused.toSeq)
   }
+
+  test("issortedMulti == issorted per column, including boundary violations") {
+    import graft.operators.Rolling
+    // sorted-by-id frame where: a is globally sorted, b is sorted within
+    // partitions but violates at a partition BOUNDARY (the stitch must
+    // catch it), c has an in-partition violation
+    val rows = (1 to 5000).map { i =>
+      val a = i.toDouble
+      val b = if (i <= 2500) i.toDouble else i.toDouble - 3000.0
+      val c = if (i == 1234) 1e9 else i.toDouble
+      (i.toLong, a, b, c)
+    }
+    val df = rows.toDF("id", "a", "b", "c")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    val multi = Rolling.issortedMulti(df, Seq("a", "b", "c"))
+    val singles = Seq("a", "b", "c").map(Rolling.issorted(df, _))
+    assert(multi === singles)
+    assert(multi === Seq(true, false, false))
+    // single-partition and empty-partition shapes
+    val tiny = Seq((1L, 1.0, 2.0)).toDF("id", "a", "b").repartition(4)
+    assert(Rolling.issortedMulti(tiny, Seq("a", "b")) === Seq(true, true))
+  }
 }
