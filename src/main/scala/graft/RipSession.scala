@@ -53,9 +53,19 @@ object RipSession {
       // local-only tuning.
       .config("spark.shuffle.sort.bypassMergeThreshold", "2")
 
-  /** Local session for tests: local[n] with n shuffle partitions. */
+  /** Local session for tests: local[n] with n shuffle partitions.
+    * `spark.locality.wait=0` is LOCAL-ONLY (not in `builder`): one
+    * executor makes every task process-local by construction, so the
+    * scheduler's locality wait (default 3 s per level, triggered by
+    * cached-block location preferences) is pure dead time — measured
+    * r16: a 10-query latency-bound bench subset dropped 9.0 → 7.4 s.
+    * Cluster sessions built via `builder` keep the default, where
+    * locality is real.
+    */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    val s = builder(s"local[$cpus]", cpus)
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

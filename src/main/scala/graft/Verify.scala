@@ -22,6 +22,13 @@ object Verify {
       // the bypass writer's M×R shuffle files dominated small-stage
       // cost on the bench rig — see RipSession for the profile.
       .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      // Local mode runs ONE executor: every task is process-local by
+      // construction, so the scheduler's locality wait (default 3 s per
+      // level, triggered by cached-block location preferences) is pure
+      // dead time — measured r16: a 10-query latency-bound subset
+      // dropped 9.0 -> 7.4 s with wait=0. Cluster deployments keep the
+      // default (this line rides the local[...] master below/above).
+      .config("spark.locality.wait", "0")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
