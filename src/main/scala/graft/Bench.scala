@@ -258,14 +258,18 @@ object Bench {
     // trimKeep default: the r15 sweep's end-of-sweep working set was
     // exactly 48 at trimKeep=48 — zero headroom, so ONE more resident
     // family silently converts registry hits into mid-timed-window
-    // rebuilds (ADVICE r15). 64 gives 16 entries of margin;
+    // rebuilds (ADVICE r15). The r16 shared-frame persists (quantile
+    // stats/locators, text LM/index frames, dsir histograms, q265's
+    // flagged pairs) grew the sweep working set to ~63, eating 64's
+    // margin — raised to 96 (frames are group/vocab-bounded; memory
+    // demand is monitored by peak_entries, thrash by evictions).
     // RegistrySweepSpec pins the committed bench_full.json's
     // entries ≤ trimKeep − 8 so the margin is monitored, and
     // `peak_entries` below records true demand (the trim clamps the
     // end-of-sweep count, the peak can't be clamped).
     val trimKeep =
-      try sys.env.getOrElse("SPARK_GRAFT_TRIM", "64").toInt
-      catch { case _: NumberFormatException => 64 }
+      try sys.env.getOrElse("SPARK_GRAFT_TRIM", "96").toInt
+      catch { case _: NumberFormatException => 96 }
     // deliberate-teardown window (VERDICT r15 #2): blocking trim, then
     // drain the listener bus BEFORE the window closes, so every
     // trim-initiated NONE block update is stamped deliberate and only

@@ -187,7 +187,11 @@ object TextFns {
                           out: String = "xent"): org.apache.spark.sql.DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
-    val freqs = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    // the unigram LM is consumed twice (normalizer + scoring join) —
+    // persisted so the token explode backing it runs once (r16);
+    // vocab-sized
+    val freqs = graft.operators.Dedup.registryPersist(
+      terms.groupBy(col("term")).agg(count(lit(1)).as("tf")))
     val total = freqs.agg(sum(col("tf")).cast("double").as("tot"))
     terms.join(freqs, Seq("term"))
       .crossJoin(broadcast(total))
@@ -222,7 +226,13 @@ object TextFns {
           "(w, i) -> struct(w AS w1, element_at(__t, i + 2) AS w2))"))
         .as("__b"))
       .select(col("doc_id"), col("__b.w1"), col("__b.w2"))
-    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // the bigram LM frame is referenced THREE times (unigram
+    // marginals, vocab size, scoring join) — unpersisted, each
+    // reference re-expanded the tokenize+pair explode (4 corpus passes
+    // total, measured 6.6 s CPU on q171); persisted it builds once
+    // (r16). Bigram-vocab-sized — spills at scale like the q169 index.
+    val c2 = graft.operators.Dedup.registryPersist(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val v = c2.agg(count_distinct(col("w2")).cast("double").as("v"))
     bg.join(c2, Seq("w1", "w2"))
@@ -288,10 +298,12 @@ object TextFns {
     */
   def charEntropyBy(docs: org.apache.spark.sql.DataFrame, byCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
-    val counts = docs
+    // groups × |alphabet| rows consumed by the totals AND the entropy
+    // fold — persisted so the corpus char explode runs once (r16)
+    val counts = graft.operators.Dedup.registryPersist(docs
       .select(col(byCol), explode(split(col(textCol), "")).as("__c"))
       .filter(col("__c") =!= "")
-      .groupBy(col(byCol), col("__c")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(byCol), col("__c")).agg(count(lit(1)).as("__n")))
     // rename before the totals self-join: both branches derive from
     // `counts`, and a shared `__n` attribute is ambiguous to resolve
     val tot = counts.groupBy(col(byCol)).agg(sum(col("__n")).as("__N"))
@@ -340,8 +352,12 @@ object TextFns {
     import org.apache.spark.sql.expressions.Window
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("n"))
+    // tf (the inverted index) feeds doc lengths, document frequency,
+    // AND the scoring projection — three re-expansions of the token
+    // explode unpersisted; one build persisted (r16)
+    val tf = graft.operators.Dedup.registryPersist(
+      terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("n")))
     val docLen = tf.groupBy(col("doc_id")).agg(sum(col("n")).as("len"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("nd"))
@@ -409,8 +425,12 @@ object TextFns {
       .filter(col("term").isin(query: _*))
     val tf = toks.groupBy(col(idCol), col("__len"), col("term"))
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = toks.groupBy(col("term"))
-      .agg(count_distinct(col(idCol)).as("__df"))
+    // df folds from tf, not from toks (r16): tf is distinct on
+    // (id, term) by construction, so count-of-rows per term ==
+    // count_distinct(id) over the raw stream — same value, and the
+    // token explode now runs ONCE per call instead of twice
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
     val corpus = docs.agg(count(lit(1)).as("__N"),
       avg(tokenCount(col(textCol))).as("__avgdl"))
     val idf = log(lit(1d) + (col("__N") - col("__df") + 0.5)

@@ -768,10 +768,15 @@ object Curate {
     require(buckets > 0)
     val spark = raw.sparkSession
     val b = lit(buckets.toLong)
+    // ≤ buckets rows each, but consumed TWICE (dict join + totals) —
+    // unpersisted, each side's tokenize + md5-hash explode ran twice
+    // (4 of q257's 5 corpus token passes, 9.9 s CPU measured r16);
+    // persisted, each pool folds once
     def bucketCounts(df: DataFrame, out: String): DataFrame =
-      df.select(explode(graft.functions.TextFns.tokens(col(textCol))).as("__tk"))
-        .withColumn("__b", pmod(Dedup.portableHash64(col("__tk")), b))
-        .groupBy(col("__b")).agg(count(lit(1)).as(out))
+      Dedup.registryPersist(
+        df.select(explode(graft.functions.TextFns.tokens(col(textCol))).as("__tk"))
+          .withColumn("__b", pmod(Dedup.portableHash64(col("__tk")), b))
+          .groupBy(col("__b")).agg(count(lit(1)).as(out)))
     val tgtCnt = bucketCounts(target, "__t")
     val rawCnt = bucketCounts(raw, "__r")
     val tgtTot = tgtCnt.agg(sum(col("__t")).as("__tsum"))

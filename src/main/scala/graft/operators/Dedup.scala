@@ -269,21 +269,27 @@ object Dedup {
     */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val exploded = docs.select(col(idCol),
-      posexplode(TextFns.tokens(col(textCol))).as(Seq("__pos", "__tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val leads = (1 until n).map(i => lead(col("__tok"), i).over(w).as(s"__t$i"))
-    val withL = exploded.select(
-      (Seq(col(idCol), col("__pos"), col("__tok")) ++ leads): _*)
-    val parts = col("__tok") +: (1 until n).map(i => col(s"__t$i"))
-    val full = withL.filter(col(s"__t${n - 1}").isNotNull)
-      .select(col(idCol), xxhash64(concat_ws(" ", parts: _*)).as("sh"))
-    val shorts = docs
-      .filter(size(TextFns.tokens(col(textCol))) < n)
-      .select(col(idCol),
-        xxhash64(concat_ws(" ", TextFns.tokens(col(textCol)))).as("sh"))
-    full.unionByName(shorts).dropDuplicates(idCol, "sh")
+    // Pure-projection n-gram build (optimization r16, guide §2.1
+    // "remove shuffles outright"): the previous form posexploded the
+    // token stream and recovered the n−1 following tokens with `lead`
+    // over a per-doc window — a full corpus shuffle on the id plus a
+    // per-doc sort, per CALL, for data that is adjacent in the token
+    // array to begin with. The slice/sequence transform below emits the
+    // identical space-joined n-gram strings (and the identical
+    // whole-text fallback for docs shorter than n tokens) as a
+    // codegen'd scan-level projection — no exchange, no window; the
+    // same idiom substringDupStats always used. Hashes are unchanged
+    // (xxhash64 of the same strings), so every consumer — novelty,
+    // boilerplate, containment, minhash banding, cross-corpus dedup —
+    // produces bit-identical output (PipelineR16OptSpec pins equality
+    // with an independent in-memory shingle builder).
+    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(expr(
+        s"CASE WHEN size(__t) < $n THEN array(concat_ws(' ', __t)) " +
+          s"ELSE transform(sequence(1, size(__t) - ${n - 1}), " +
+          s"i -> array_join(slice(__t, i, $n), ' ')) END")).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("sh"))
+      .dropDuplicates(idCol, "sh")
   }
 
   /** Exact duplicates by normalized-content fingerprint: one
@@ -911,7 +917,12 @@ object Dedup {
     */
   def noveltyStats(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3): DataFrame = {
-    val grams = shingleHashes(docs, idCol, textCol, shingleN)
+    // the (id, shingle-hash) frame feeds the first-seen index AND the
+    // scoring join — unpersisted, the md5-shingle explode ran twice
+    // (measured 5.1 s CPU on q184); persisted it runs once (r16).
+    // Same (doc, gram) shape and spill story as q169's perDocGram.
+    val grams = registryPersist(
+      shingleHashes(docs, idCol, textCol, shingleN))
     val firstSeen = grams.groupBy(col("sh")).agg(min(col(idCol)).as("__first"))
     grams.join(firstSeen, Seq("sh"))
       .groupBy(col(idCol))
@@ -1184,7 +1195,11 @@ object Dedup {
     */
   def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, dfCap: Long = 10): DataFrame = {
-    val sh = shingleHashes(docs, idCol, textCol, shingleN)
+    // same two-consumer shape as noveltyStats (df index + scoring
+    // join): persist the shingle frame so the md5 explode runs once
+    // (measured 4.2 s CPU on q120 unpersisted, r16)
+    val sh = registryPersist(
+      shingleHashes(docs, idCol, textCol, shingleN))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("sh"))
       .groupBy(col(idCol))

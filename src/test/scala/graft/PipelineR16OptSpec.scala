@@ -56,4 +56,41 @@ class PipelineR16OptSpec extends SparkSpec {
     val tiny = Seq((1L, 1.0, 2.0)).toDF("id", "a", "b").repartition(4)
     assert(Rolling.issortedMulti(tiny, Seq("a", "b")) === Seq(true, true))
   }
+
+  test("projection shingleHashes == independent in-memory shingle builder") {
+    import graft.operators.Dedup
+    // shapes that stress the rewrite: short docs (< n tokens), empty
+    // text, repeated shingles (dropDuplicates), multi-space runs
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b"), (3L, ""), (4L, "x"),
+      (5L, "a b c a b c a b c"), (6L, "one  two   three four")
+    ).toDF("doc_id", "text").repartition(3)
+    val n = 3
+    val got = Dedup.shingleHashes(docs, "doc_id", "text", n)
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("sh"))).as("shs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // brute force, sharing NO code with the operator: tokenize like
+    // TextFns.tokens (trim, lowercase, whitespace split — empty text
+    // yields the single empty token, as Spark's split does), join
+    // n-grams with spaces, whole text when shorter than n, distinct
+    def toks(s: String): Seq[String] =
+      s.trim.toLowerCase.split("\\s+").toSeq
+    val expected = Seq(
+      1L -> "a b c d e", 2L -> "a b", 3L -> "", 4L -> "x",
+      5L -> "a b c a b c a b c", 6L -> "one  two   three four"
+    ).map { case (id, s) =>
+      val t = toks(s)
+      val grams =
+        if (t.size < n) Seq(t.mkString(" "))
+        else t.sliding(n).map(_.mkString(" ")).toSeq
+      id -> grams.distinct
+    }.toMap
+    // compare via Spark's own xxhash64 so the hash definition is the
+    // engine's, not re-implemented here
+    val hashOf = expected.values.flatten.toSeq.distinct.toDF("g")
+      .select(col("g"), xxhash64(col("g")).as("h"))
+      .as[(String, Long)].collect().toMap
+    for ((id, grams) <- expected)
+      assert(got(id) === grams.map(hashOf).sorted, s"doc $id")
+  }
 }
