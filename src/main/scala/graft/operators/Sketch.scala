@@ -190,8 +190,11 @@ object Sketch {
     val spark = df.sparkSession
     import spark.implicits._
     val v = value.cast("double")
-    val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"),
-      count(v).as("__n"))
+    // stats feeds the binning pass AND the crossing locator — persist
+    // so each reference doesn't re-run the min/max/count scan (r16)
+    val stats = Dedup.registryPersist(
+      df.agg(min(v).as("__lo"), max(v).as("__hi"),
+        count(v).as("__n")))
     val binned = df.select(v.as("__x")).where(col("__x").isNotNull)
       .crossJoin(broadcast(stats))
       .select(when(col("__hi") === col("__lo"), lit(0L))
@@ -571,8 +574,14 @@ object Sketch {
     val spark = df.sparkSession
     import spark.implicits._
     val v = value.cast("double")
-    val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"),
-      count(v).as("__n"))
+    // multi-referenced tiny frames persist (r16, same rationale as
+    // exactQuantilesBy): stats is broadcast by the binning pass, the
+    // target builder AND the candidate pass; `located` feeds the
+    // needed-bin broadcast AND the final pick join. Both are bounded
+    // (1 row / ≤ 2·|qs| rows).
+    val stats = Dedup.registryPersist(
+      df.agg(min(v).as("__lo"), max(v).as("__hi"),
+        count(v).as("__n")))
     def binOf(x: Column): Column =
       when(col("__hi") === col("__lo"), lit(0L))
         .otherwise(least(
@@ -596,12 +605,13 @@ object Sketch {
     val targets = ks.select(col("q"), col("__pos"), col("__n"),
         explode(array(col("__k1"), col("__k2"))).as("__k"))
     // locate each k's bin: first bin whose cumulative count reaches k
-    val located = targets.join(binned, col("__cum") >= col("__k"))
+    val located = Dedup.registryPersist(
+      targets.join(binned, col("__cum") >= col("__k"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("q"), col("__k")).orderBy(col("__b"))))
       .filter(col("__rn") === 1)
       .select(col("q"), col("__pos"), col("__k"), col("__b"),
-        (col("__cum") - col("__c")).as("__below"))
+        (col("__cum") - col("__c")).as("__below")))
     val neededBins = located.select(col("__b")).distinct()
     // pass 2: rank ONLY the crossing bins' rows — window partitioned by
     // bin, so each partition is ~n/bins rows and bins rank in parallel
@@ -645,8 +655,15 @@ object Sketch {
     val spark = df.sparkSession
     import spark.implicits._
     val v = value.cast("double")
-    val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"),
-      count(v).as("__n"))
+    // multi-referenced tiny frames persist (r16): stats is broadcast
+    // 4× (binning, hist targets, exact targets, candidates), cum is
+    // joined by BOTH locators, located feeds the needed-bin broadcast
+    // AND the final pick join. All are bounded (1 / ≤ bins / ≤ 2·|qs|
+    // rows); without persists each reference re-expands its subtree
+    // from the base scan.
+    val stats = Dedup.registryPersist(
+      df.agg(min(v).as("__lo"), max(v).as("__hi"),
+        count(v).as("__n")))
     def binOf(x: Column): Column =
       when(col("__hi") === col("__lo"), lit(0L))
         .otherwise(least(
@@ -656,10 +673,11 @@ object Sketch {
     val vals = df.select(v.as("__x")).where(col("__x").isNotNull)
       .crossJoin(broadcast(stats))
     // the ONE shared per-bin count frame (≤ bins rows) + cumulative
-    val cum = vals.select(binOf(col("__x")).as("__b"))
+    val cum = Dedup.registryPersist(
+      vals.select(binOf(col("__x")).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c"))
-        .over(Window.orderBy(col("__b")))) // ≤ bins rows: deliberate
+        .over(Window.orderBy(col("__b"))))) // ≤ bins rows: deliberate
     val qdf = qs.toDF("q")
     // --- histogram estimate: histQuantiles' expressions verbatim ---
     val hist = qdf
@@ -683,12 +701,13 @@ object Sketch {
         least(ceil(col("__pos")) + 1, col("__n")).cast("long").as("__k2"))
     val targets = ks.select(col("q"), col("__pos"), col("__n"),
         explode(array(col("__k1"), col("__k2"))).as("__k"))
-    val located = targets.join(cum, col("__cum") >= col("__k"))
+    val located = Dedup.registryPersist(
+      targets.join(cum, col("__cum") >= col("__k"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("q"), col("__k")).orderBy(col("__b"))))
       .filter(col("__rn") === 1)
       .select(col("q"), col("__pos"), col("__k"), col("__b"),
-        (col("__cum") - col("__c")).as("__below"))
+        (col("__cum") - col("__c")).as("__below")))
     val neededBins = located.select(col("__b")).distinct()
     val candidates = vals.select(col("__x"), binOf(col("__x")).as("__b"))
       .join(broadcast(neededBins), "__b")

@@ -462,8 +462,10 @@ private[graft] object QueriesCore {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("mo"))),
 
+    // quantile thresholds + min/max/count — partition-invariant (r16)
     "q79_qcut_scale" -> ((s, dir) =>
-      Binning.qcutBoundaries(t(s, dir, "orders"), "o_totalprice", 4, "price_q")
+      Binning.qcutBoundaries(Tables.floored(s, dir, "orders", "o_orderkey"),
+        "o_totalprice", 4, "price_q")
         .groupBy(col("price_q")).agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 6).as("lo"),
           round(max(col("o_totalprice")), 6).as("hi"))

@@ -216,7 +216,9 @@ private[graft] object QueriesCurate {
     // exact side = histogram-REFINEMENT quantiles (no single-reducer
     // value buffer like Spark's percentile — the 100-TB exact path)
     "q196_hist_quantiles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // counts/min/max/order statistics only — partition-invariant, so
+      // the single-split lineitem scan opts into the floor (r16)
+      val li = Tables.floored(s, dir, "lineitem", "l_orderkey")
       val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
       // fused hist+exact (optimization r16): one shared stats + bin-count
       // pair instead of each operator rebuilding its own — 5 scans → 3,
