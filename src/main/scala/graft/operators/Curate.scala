@@ -65,24 +65,34 @@ object Curate {
     val thresh = least(lit(M.toDouble),
       (col("__budget").cast("double") * (1 + slack) + 64d)
         / col("__n") * M).cast("long")
-    val withB = df.join(broadcast(budgets), Seq(keyCol))
+    // budgets is |keys|-bounded and referenced twice (the candidate
+    // join and the undershot detection) — persist so each reference
+    // doesn't re-run the caller's counts aggregate over the corpus
+    // (r16; q182's executed plan ran it twice)
+    val b = Dedup.registryPersist(budgets)
+    val withB = df.join(broadcast(b), Seq(keyCol))
       .withColumn("__h", h)
       .withColumn("__t", thresh)
-    val surv = withB.filter(col("__h") < col("__t"))
     // undershot keys: survivor count below budget (tiny frame — one
     // map-side-combined count onto |keys| rows). LEFT join from the
     // budget table so a key with ZERO survivors is still caught.
-    val survCnt = surv.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
-    val short = budgets.join(survCnt, Seq(keyCol), "left_outer")
+    val survCnt = withB.filter(col("__h") < col("__t"))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val short = b.join(survCnt, Seq(keyCol), "left_outer")
       .filter(coalesce(col("__c"), lit(0L)) < col("__budget"))
-      .select(col(keyCol))
-    val fast = surv.join(broadcast(short), Seq(keyCol), "left_anti")
-    val slow = withB.join(broadcast(short), Seq(keyCol), "left_semi")
+      .select(col(keyCol)).withColumn("__short", lit(true))
+    // ONE candidate pass (r16 — was fast ∪ slow over three scans of
+    // withB, each re-hashing the corpus): undershot keys keep ALL
+    // their rows (the old semi-join "slow" branch), every other key
+    // keeps only its h < t survivors (the old anti-join "fast"
+    // branch). Row-multiset identical to the union by case analysis
+    // on short(key); the window then ranks the same rows either way.
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__h"), col(idCol))
-    fast.unionByName(slow)
+    withB.join(broadcast(short), Seq(keyCol), "left_outer")
+      .filter(coalesce(col("__short"), lit(false)) || col("__h") < col("__t"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__budget"))
-      .drop("__rn", "__h", "__t", "__budget", "__n")
+      .drop("__rn", "__h", "__t", "__budget", "__n", "__short")
   }
 
   /** Temperature-scaled source mixing — the "alpha sampling" of
