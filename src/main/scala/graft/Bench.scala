@@ -129,7 +129,25 @@ object Bench {
       // sort-based shuffle writer at any reduce count (guide §2.2):
       // the bypass writer's M×R shuffle files dominated small-stage
       // cost on the bench rig — see RipSession for the profile.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      // Env-overridable for A/Bs (VERDICT r16 #5 asked for one on the
+      // TPC-H cluster; the r17 A/B is recorded in OPTIMIZATION_r17.md).
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "2"))
+      // AQE partition coalescing honors DATA VOLUME, not core count
+      // (VERDICT r16 #4): with parallelismFirst=true (Spark default)
+      // the coalescer keeps ~defaultParallelism partitions alive no
+      // matter how few bytes flow, which is exactly the tiny-task fan
+      // that made the r16 sweep FASTER on 8 cores than 32. `false` is
+      // also the setting Spark's own docs recommend once advisory
+      // sizing is in place; at 100 TB the shuffles exceed the advisory
+      // size anyway, so this only changes the small-data regime.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARFIRST", "false"))
+      // reduce-task size goal for the coalescer (guide §2.2 "partitions
+      // in the 100 MB–1 GB range"); env knob so the A/B above can vary
+      // the small-data regime without recompiling
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       // Local mode runs ONE executor: every task is process-local by
       // construction, so the scheduler's locality wait (default 3 s per
       // level, triggered by cached-block location preferences) is pure

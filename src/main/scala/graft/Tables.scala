@@ -83,28 +83,57 @@ object Tables {
     * DuckDB oracle (measured r16) — the oracle gate has no tolerance,
     * so those scans keep their file order. Dimension tables broadcast.
     */
-  private val floorKeys: Map[String, String] = Map(
-    "events" -> "user_id", "documents" -> "doc_id",
-    "embeddings" -> "vec_id")
+  /** Per-table floor target (key, bytes-per-task): the width of the
+    * under-split-scan floor is ⌈bytes/target⌉ (see flooredByKey), so
+    * the target encodes the table's per-BYTE work class, not a cluster
+    * size. documents/embeddings rows explode 10–50× at scan time
+    * (shingles, n-grams, vector folds) — 64 KB of zstd parquet is
+    * already ~0.5–1 M exploded elements, worth a task. events rows are
+    * narrow numerics consumed by window functions — 256 KB/task keeps
+    * the window family at single-digit partitions on the bench corpus
+    * (driver r16: the window queries ran FASTER 8-way than 32-way).
+    */
+  private val floorKeys: Map[String, (String, Long)] = Map(
+    "events" -> (("user_id", 262144L)),
+    "documents" -> (("doc_id", 65536L)),
+    "embeddings" -> (("vec_id", 65536L)))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw0 = spark.read.parquet(s"$dir/$name.parquet")
     val raw = epochNanosContract.get(name).fold(raw0)(normalizeEpochNanos(raw0, _))
     floorKeys.get(name) match {
-      case Some(key) => flooredByKey(spark, dir, name, raw, key)
+      case Some((key, target)) => flooredByKey(spark, dir, name, raw, key, target)
       case None => raw
     }
   }
 
-  /** The scale-adaptive floor itself (see floorKeys doc): repartition on
-    * `key` ONLY when the scan's estimated split count is below the
-    * session's default parallelism. Shared by `table` (pipeline tables,
-    * always) and `floored` (per-query opt-in for the TPC-H tables).
+  /** Env override for the floor's bytes-per-task targets (A/B lever):
+    * when set, replaces EVERY per-table/per-call target.
+    */
+  private val floorTargetOverride: Option[Long] =
+    sys.env.get("SPARK_GRAFT_FLOOR_TARGET").flatMap(s =>
+      try Some(s.toLong) catch { case _: NumberFormatException => None })
+
+  /** The scale-adaptive floor itself (see floorKeys doc): repartition
+    * on `key` ONLY when the scan's estimated split count is below the
+    * DATA-PROPORTIONAL width min(defaultParallelism, ⌈bytes/target⌉)
+    * (VERDICT r16 #3 — the r16 floor fanned every under-split scan to
+    * `defaultParallelism` tasks regardless of volume, so a 2.7 MB
+    * orders file became 32 tasks of ~85 KB: pure per-task overhead;
+    * the driver measured q146 at 0.55× and the FULL sweep faster on 8
+    * cores than 32, with executor CPU +54%). `targetBytes` is a
+    * per-task-WORK unit (see floorKeys for the per-table work
+    * classes), not a cluster-size tunable: at production scale the
+    * floor stays a no-op (splits ≥ width), so the constant only
+    * decides how aggressively a SMALL under-split scan fans out.
+    * Shared by `table` (pipeline tables, always) and `floored`
+    * (per-query opt-in for the TPC-H tables).
     */
   private def flooredByKey(spark: SparkSession, dir: String, name: String,
-                           raw: DataFrame, key: String): DataFrame = {
+                           raw: DataFrame, key: String,
+                           targetBytes: Long): DataFrame = {
     val sc = spark.sparkContext
-    val want = sc.defaultParallelism
+    val target = floorTargetOverride.getOrElse(targetBytes)
     // estimated splits without planning an RDD: bytes / split size
     // (single row groups make this an over-estimate, never under —
     // erring on NOT repartitioning at scale, which is the safe side)
@@ -114,8 +143,10 @@ object Tables {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
       p.getFileSystem(sc.hadoopConfiguration).getFileStatus(p).getLen
     } catch { case _: Throwable => Long.MaxValue }
+    val want = math.min(sc.defaultParallelism.toLong,
+      math.max(1L, (bytes + target - 1) / target)).toInt
     val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
-    if (splits >= want) raw
+    if (splits >= want || want <= 1) raw
     else raw.repartition(want, org.apache.spark.sql.functions.col(key))
   }
 
@@ -133,7 +164,11 @@ object Tables {
               key: String): DataFrame = {
     val raw0 = spark.read.parquet(s"$dir/$name.parquet")
     val raw = epochNanosContract.get(name).fold(raw0)(normalizeEpochNanos(raw0, _))
-    flooredByKey(spark, dir, name, raw, key)
+    // TPC-H rows are narrow numerics aggregated by codegen'd partial
+    // aggregation — per-byte work is the lightest class here, so the
+    // opt-in floor targets 1 MB of zstd parquet per task (sf0.1:
+    // lineitem 10.8 MB → 11 tasks instead of the r16 fan to 32)
+    flooredByKey(spark, dir, name, raw, key, 1048576L)
   }
 
   /** Multi-file stacked load — the PDataset analog (`rt_pdataset.py:18`):

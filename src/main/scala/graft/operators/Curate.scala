@@ -76,9 +76,12 @@ object Curate {
     // undershot keys: survivor count below budget (tiny frame — one
     // map-side-combined count onto |keys| rows). LEFT join from the
     // budget table so a key with ZERO survivors is still caught.
+    // survCnt is |keys|-bounded (one partially-aggregated count per
+    // key) — broadcast it so this join never plans a sort-merge (r16's
+    // executed q182 plan spent 2 exchanges + 2 sorts on a 20-row join)
     val survCnt = withB.filter(col("__h") < col("__t"))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
-    val short = b.join(survCnt, Seq(keyCol), "left_outer")
+    val short = b.join(broadcast(survCnt), Seq(keyCol), "left_outer")
       .filter(coalesce(col("__c"), lit(0L)) < col("__budget"))
       .select(col(keyCol)).withColumn("__short", lit(true))
     // ONE candidate pass (r16 — was fast ∪ slow over three scans of
@@ -131,7 +134,12 @@ object Curate {
     */
   def temperatureBudgets(df: DataFrame, sourceCol: String,
                          alpha: Double, frac: Double): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    // counts is |sources|-bounded but referenced TWICE (the normalizer
+    // aggregate and the weight projection) — unpersisted, the corpus
+    // count aggregate ran once per reference (two full scans in r16's
+    // executed q182 plan); persisted, the corpus folds once
+    val counts = Dedup.registryPersist(
+      df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n")))
     val tot = counts.agg(sum(col("n")).as("__N"),
       sum(pow(col("n").cast("double"), lit(alpha))).as("__W"))
     counts.crossJoin(broadcast(tot))
@@ -484,9 +492,12 @@ object Curate {
   def unimaxBudgets(df: DataFrame, sourceCol: String, tokens: Column,
                     epochCap: Double, budgetFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perSrc = df.groupBy(col(sourceCol))
+    // |sources|-bounded but referenced THREE times (the budget total and
+    // both `staged` consumers below) — persisted so the corpus token
+    // aggregate folds once instead of once per reference (r17)
+    val perSrc = Dedup.registryPersist(df.groupBy(col(sourceCol))
       .agg(sum(tokens).cast("double").as("tokens"))
-      .withColumn("cap", col("tokens") * lit(epochCap))
+      .withColumn("cap", col("tokens") * lit(epochCap)))
     val tot = perSrc.agg((sum(col("tokens")) * lit(budgetFrac)).as("__B"),
       count(lit(1)).as("__k"))
     // ascending by cap (ties by source name): row j's candidate level
